@@ -1,0 +1,146 @@
+"""Distributed as-of (backward) join.
+
+The reference's ``get_training_set`` is a Python loop over spine rows with a
+full-table boolean mask per row — O(|spine| x |table|)
+(reference: src/ml_feature_store/store.py:261-334, loop at 288, mask at
+326-328). Spark has no native as-of join; this module ships two distributed
+rewrites with identical semantics:
+
+* ``strategy="join"`` — range-join + per-spine-row argmax. Conceptually
+  simple; the non-equi conjunct means Spark executes an equi join on the
+  entity key with the range predicate as a post-filter, then a max_by
+  aggregation picks the latest qualifying feature row per spine row.
+  Row explosion is bounded by (spine rows x feature rows per entity).
+
+* ``strategy="union"`` — union + single sort: tag feature and spine rows,
+  sort within each entity by (ts, is_spine, tiebreak), and carry the most
+  recent feature payload forward onto each spine row with
+  ``last(payload, ignorenulls=True)`` over an unbounded-preceding window.
+  ONE shuffle, NO row explosion — this is the 100 TB strategy (cost is
+  O((|spine|+|table|) log) per entity partition, independent of fan-out).
+
+Semantics (must-match, SURVEY §2.3#4):
+  * inclusive: feature.ts <= spine.ts qualifies;
+  * output ``timestamp`` = the matched FEATURE row's timestamp (not the
+    spine's);
+  * spine rows with no qualifying feature row are dropped (inner);
+  * duplicate spine rows produce duplicate outputs;
+  * among tied max feature timestamps the smallest ``__row_id__`` wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .pit import ENTITY_COL, ROW_ID_COL, TIMESTAMP_COL
+
+_SPINE_TS = "__spine_ts__"
+_SPINE_ID = "__spine_row__"
+
+
+def asof_join(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str = ENTITY_COL,
+    ts_col: str = TIMESTAMP_COL,
+    strategy: str = "union",
+    keep_spine_ts: bool = False,
+) -> DataFrame:
+    """For each spine (entity, ts) row return the latest feature row with
+    ``feature.ts <= spine.ts``. See module docstring for semantics.
+
+    ``keep_spine_ts=True`` additionally emits the spine timestamp as
+    ``as_of_timestamp`` (useful for training pipelines; the reference's
+    output contract omits it).
+    """
+    if strategy == "join":
+        return _asof_via_join(spine, features, entity_col, ts_col, keep_spine_ts)
+    return _asof_via_union(spine, features, entity_col, ts_col, keep_spine_ts)
+
+
+def _feature_payload_cols(features: DataFrame, entity_col: str) -> list[str]:
+    return [c for c in features.columns if c != entity_col]
+
+
+def _asof_via_join(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    keep_spine_ts: bool,
+) -> DataFrame:
+    payload = _feature_payload_cols(features, entity_col)
+    s = (
+        spine.select(
+            F.col(entity_col),
+            F.col(ts_col).alias(_SPINE_TS),
+        )
+        .withColumn(_SPINE_ID, F.monotonically_increasing_id())
+    )
+    f = features
+    cond = (s[entity_col] == f[entity_col]) & (f[ts_col] <= s[_SPINE_TS])
+    joined = s.join(f, cond, "inner").select(
+        s[_SPINE_ID], s[_SPINE_TS], s[entity_col], *[f[c] for c in payload]
+    )
+    # argmax per spine row: max feature ts, tie-broken by min __row_id__.
+    ord_fields = [F.col(ts_col).alias("_t")]
+    if ROW_ID_COL in payload:
+        ord_fields.append((-F.col(ROW_ID_COL)).alias("_n"))
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in payload]), F.struct(*ord_fields)
+    ).alias("_best")
+    agg = joined.groupBy(_SPINE_ID, _SPINE_TS, entity_col).agg(best)
+    out_cols = [F.col(entity_col)] + [
+        F.col(f"_best.{c}").alias(c) for c in payload if c != ROW_ID_COL
+    ]
+    if keep_spine_ts:
+        out_cols.append(F.col(_SPINE_TS).alias("as_of_timestamp"))
+    return agg.select(*out_cols)
+
+
+def _asof_via_union(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    keep_spine_ts: bool,
+) -> DataFrame:
+    payload = _feature_payload_cols(features, entity_col)  # includes ts_col
+    tb = ROW_ID_COL if ROW_ID_COL in payload else None
+
+    f_tagged = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(0).alias("__is_spine__"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload__"),
+    )
+    s_tagged = spine.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(1).alias("__is_spine__"),
+        F.lit(None).cast(f_tagged.schema["__payload__"].dataType).alias("__payload__"),
+    )
+    unioned = f_tagged.unionByName(s_tagged)
+
+    # Sort order within entity: time asc; at equal time features precede the
+    # spine row (inclusive <=); among tied-ts features, descending tiebreak so
+    # the LAST one seen by the running window is the minimum __row_id__
+    # (pandas first-max-occurrence parity, SURVEY §2.3#2).
+    order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    if tb:
+        order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__last_feat__", F.last("__payload__", ignorenulls=True).over(w))
+    matched = carried.filter((F.col("__is_spine__") == 1) & F.col("__last_feat__").isNotNull())
+
+    out_cols = [F.col(entity_col)] + [
+        F.col(f"__last_feat__.{c}").alias(c) for c in payload if c != ROW_ID_COL
+    ]
+    if keep_spine_ts:
+        out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
+    return matched.select(*out_cols)

@@ -1,0 +1,194 @@
+"""Versioned table storage backends.
+
+The reference keeps one pandas DataFrame per version in an in-process dict
+(reference: src/ml_feature_store/store.py:51-69, 112). Here versioning is a
+storage concern behind a small interface with two implementations:
+
+* :class:`MemoryVersionStore` — holds (immutable, lazy) DataFrame references.
+  Mirrors the reference's in-memory behavior; used by unit tests and for
+  ephemeral derived tables. Spark DataFrames are immutable so the reference's
+  defensive ``df.copy()`` discipline (store.py:174,206,393,396) is free.
+
+* :class:`ParquetVersionStore` — one Parquet directory per version
+  (``<root>/<table>/v=<n>/``) plus a JSON meta file. This is the
+  Delta-time-travel fallback (delta-spark is not available in this
+  environment); on a cluster you would swap in a Delta/Iceberg-backed store
+  and map version -> snapshot (``versionAsOf``). Writes optionally
+  ``partitionBy`` a derived date column and ``sortWithinPartitions
+  (entity, ts)`` for scan locality / pruning at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class VersionRecord:
+    version: int
+    row_count: int
+    columns: list[str]
+    created_at: str
+
+
+@dataclass
+class TableState:
+    name: str
+    description: str
+    version: int
+    registered_at: str
+    updated_at: str
+    versions: dict[int, VersionRecord] = field(default_factory=dict)
+
+
+def _now_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+class MemoryVersionStore:
+    """Version store holding DataFrame references in-process."""
+
+    def __init__(self) -> None:
+        self._data: dict[str, dict[int, DataFrame]] = {}
+        self._meta: dict[str, TableState] = {}
+
+    # -- catalog ----------------------------------------------------------
+    def table_names(self) -> list[str]:
+        return sorted(self._meta)
+
+    def exists(self, name: str) -> bool:
+        return name in self._meta
+
+    def meta(self, name: str) -> TableState:
+        return self._meta[name]
+
+    def versions(self, name: str) -> list[int]:
+        return sorted(self._data.get(name, {}))
+
+    # -- data -------------------------------------------------------------
+    def write_version(self, name: str, version: int, df: DataFrame, row_count: int,
+                      description: str = "") -> None:
+        now = _now_iso()
+        self._data.setdefault(name, {})[version] = df
+        state = self._meta.get(name)
+        if state is None:
+            state = TableState(name=name, description=description, version=version,
+                               registered_at=now, updated_at=now)
+            self._meta[name] = state
+        state.version = version
+        state.updated_at = now
+        state.versions[version] = VersionRecord(
+            version=version, row_count=row_count, columns=df.columns, created_at=now
+        )
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        return self._data[name][version]
+
+    def drop_version(self, name: str, version: int) -> None:
+        self._data[name].pop(version, None)
+        self._meta[name].versions.pop(version, None)
+
+    def drop_table(self, name: str) -> None:
+        self._data.pop(name, None)
+        self._meta.pop(name, None)
+
+
+class ParquetVersionStore:
+    """Version store with one Parquet dir per version under ``root``."""
+
+    META = "_meta.json"
+
+    def __init__(self, spark: SparkSession, root: str | Path,
+                 partition_by: str | None = None,
+                 sort_within_partitions: tuple[str, ...] = ()) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.partition_by = partition_by
+        self.sort_within_partitions = sort_within_partitions
+
+    # -- meta persistence --------------------------------------------------
+    def _meta_path(self, name: str) -> Path:
+        return self.root / name / self.META
+
+    def _load_meta(self, name: str) -> TableState:
+        raw = json.loads(self._meta_path(name).read_text())
+        versions = {
+            int(k): VersionRecord(**v) for k, v in raw.pop("versions").items()
+        }
+        return TableState(versions=versions, **raw)
+
+    def _save_meta(self, state: TableState) -> None:
+        path = self._meta_path(state.name)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        raw = {
+            "name": state.name,
+            "description": state.description,
+            "version": state.version,
+            "registered_at": state.registered_at,
+            "updated_at": state.updated_at,
+            "versions": {
+                str(v): vars(rec) for v, rec in state.versions.items()
+            },
+        }
+        path.write_text(json.dumps(raw, indent=2))
+
+    # -- catalog ----------------------------------------------------------
+    def table_names(self) -> list[str]:
+        return sorted(p.parent.name for p in self.root.glob(f"*/{self.META}"))
+
+    def exists(self, name: str) -> bool:
+        return self._meta_path(name).exists()
+
+    def meta(self, name: str) -> TableState:
+        return self._load_meta(name)
+
+    def versions(self, name: str) -> list[int]:
+        return sorted(self._load_meta(name).versions)
+
+    # -- data -------------------------------------------------------------
+    def _version_path(self, name: str, version: int) -> Path:
+        return self.root / name / f"v={version}"
+
+    def write_version(self, name: str, version: int, df: DataFrame, row_count: int,
+                      description: str = "") -> None:
+        out = df
+        if self.sort_within_partitions:
+            cols = [c for c in self.sort_within_partitions if c in df.columns]
+            if cols:
+                out = out.sortWithinPartitions(*cols)
+        writer = out.write.mode("overwrite")
+        if self.partition_by and self.partition_by in df.columns:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(str(self._version_path(name, version)))
+
+        now = _now_iso()
+        if self.exists(name):
+            state = self._load_meta(name)
+        else:
+            state = TableState(name=name, description=description, version=version,
+                               registered_at=now, updated_at=now)
+        state.version = version
+        state.updated_at = now
+        state.versions[version] = VersionRecord(
+            version=version, row_count=row_count, columns=df.columns, created_at=now
+        )
+        self._save_meta(state)
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        return self.spark.read.parquet(str(self._version_path(name, version)))
+
+    def drop_version(self, name: str, version: int) -> None:
+        shutil.rmtree(self._version_path(name, version), ignore_errors=True)
+        state = self._load_meta(name)
+        state.versions.pop(version, None)
+        self._save_meta(state)
+
+    def drop_table(self, name: str) -> None:
+        shutil.rmtree(self.root / name, ignore_errors=True)

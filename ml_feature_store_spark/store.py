@@ -1,0 +1,280 @@
+"""PySpark-native point-in-time-correct feature store.
+
+Same query semantics as the reference single-class engine
+(reference: src/ml_feature_store/store.py:84 ``FeatureStore``): register
+versioned feature tables keyed by (entity_id, timestamp), point-in-time
+``get`` that never leaks future data, as-of ``get_training_set``, version
+time travel, catalog ops — realized as lazy DataFrame plans over a
+versioned Parquet (or in-memory) backend instead of eager pandas.
+
+Key behavioral parity points (SURVEY §2.3):
+  * inclusive ``<=`` cutoffs;
+  * tie-break on duplicate (entity, timestamp): first input row wins —
+    enforced with a hidden ``__row_id__`` column assigned at register;
+  * ``get_training_set`` output carries the matched FEATURE row's timestamp;
+  * projection always re-adds (entity_id, timestamp) and rejects non-feature
+    columns;
+  * first register => v1; re-register archives and bumps; retention keeps
+    ``max_versions`` total; identical error taxonomy.
+
+Scale design: registration writes partitioned, sorted Parquet (Delta/Iceberg
+on a real deployment); ``get`` compiles to scan -> pushed filters ->
+map-side-combined argmax (one shuffle); ``get_training_set`` compiles to the
+union/sort-merge as-of join (one shuffle, no row explosion) — see
+operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import FeatureStoreError, FeatureTableNotFoundError, FeatureValidationError
+from .operators.asof import asof_join
+from .operators.pit import (
+    ENTITY_COL,
+    ROW_ID_COL,
+    TIMESTAMP_COL,
+    entity_filter,
+    latest_per_entity,
+    project,
+    temporal_filter,
+)
+from .sources.registry import MemoryVersionStore, ParquetVersionStore
+
+REQUIRED_COLUMNS = frozenset({ENTITY_COL, TIMESTAMP_COL})
+DEFAULT_MAX_VERSIONS = 10
+
+
+@dataclass(frozen=True)
+class FeatureTableInfo:
+    """Table metadata (reference store.py:30-48). ``columns`` lists the
+    feature columns (everything except entity_id/timestamp)."""
+
+    name: str
+    columns: tuple[str, ...]
+    version: int
+    row_count: int
+    registered_at: str
+    updated_at: str
+
+
+class FeatureStore:
+    """Point-in-time correct feature store on Spark.
+
+    Parameters
+    ----------
+    spark : SparkSession
+    storage_path : optional path; when given, versions are persisted as
+        Parquet under ``storage_path/<table>/v=<n>/`` and survive the
+        session. When omitted, versions are in-memory DataFrame refs
+        (reference behavior).
+    max_versions : total versions retained per table (current + history);
+        must be >= 1 (reference store.py:107-110).
+    partition_by / sort_within_partitions : storage layout knobs passed to
+        the Parquet backend (e.g. a date column for partition pruning).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage_path: str | None = None,
+        max_versions: int = DEFAULT_MAX_VERSIONS,
+        partition_by: str | None = None,
+        sort_within_partitions: tuple[str, ...] = (ENTITY_COL, TIMESTAMP_COL),
+    ) -> None:
+        if max_versions < 1:
+            raise ValueError(f"max_versions must be >= 1, got {max_versions}")
+        self.spark = spark
+        self.max_versions = max_versions
+        if storage_path is None:
+            self._backend: MemoryVersionStore | ParquetVersionStore = MemoryVersionStore()
+        else:
+            self._backend = ParquetVersionStore(
+                spark,
+                storage_path,
+                partition_by=partition_by,
+                sort_within_partitions=sort_within_partitions,
+            )
+
+    # ------------------------------------------------------------------ #
+    # catalog
+    # ------------------------------------------------------------------ #
+    @property
+    def table_names(self) -> list[str]:
+        return self._backend.table_names()
+
+    def list_tables(self) -> list[FeatureTableInfo]:
+        return [self.get_table_info(n) for n in self.table_names]
+
+    def get_table_info(self, name: str) -> FeatureTableInfo:
+        self._require_table(name)
+        state = self._backend.meta(name)
+        rec = state.versions[state.version]
+        feature_cols = tuple(
+            c for c in rec.columns if c not in REQUIRED_COLUMNS and c != ROW_ID_COL
+        )
+        return FeatureTableInfo(
+            name=state.name,
+            columns=feature_cols,
+            version=state.version,
+            row_count=rec.row_count,
+            registered_at=state.registered_at,
+            updated_at=state.updated_at,
+        )
+
+    def delete(self, name: str) -> bool:
+        """Drop a table and all its versions. Returns False if absent —
+        never raises (reference store.py:362-375)."""
+        if not self._backend.exists(name):
+            return False
+        self._backend.drop_table(name)
+        return True
+
+    # ------------------------------------------------------------------ #
+    # register
+    # ------------------------------------------------------------------ #
+    def register(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
+        """Validate, normalize and store ``df`` as a new version of ``name``.
+
+        Reference pipeline: validate -> coerce timestamp -> stable sort ->
+        store (store.py:129-157). Sorting is replaced by a hidden
+        ``__row_id__`` column capturing input order, which the PIT argmax
+        uses as the tie-breaker (sorting a distributed dataset globally
+        would be a pointless full shuffle; the argmax is order-free).
+        """
+        self._validate_dataframe(df, context=f"register('{name}')")
+        prepared = self._prepare_dataframe(df)
+        row_count = prepared.count()
+        new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
+        self._backend.write_version(name, new_version, prepared, row_count, description)
+        self._prune_history(name)
+        return self.get_table_info(name)
+
+    def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
+        ts_type = dict(df.dtypes)[TIMESTAMP_COL]
+        out = df
+        if ts_type != "timestamp":
+            out = out.withColumn(TIMESTAMP_COL, F.col(TIMESTAMP_COL).cast("timestamp"))
+        if ROW_ID_COL not in out.columns:
+            # Input-order capture BEFORE any shuffle: monotonically increasing
+            # ids are ordered within and across input partitions.
+            out = out.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+        return out
+
+    def _prune_history(self, name: str) -> None:
+        versions = self._backend.versions(name)
+        excess = len(versions) - self.max_versions
+        for v in versions[:max(excess, 0)]:
+            self._backend.drop_version(name, v)
+
+    # ------------------------------------------------------------------ #
+    # query
+    # ------------------------------------------------------------------ #
+    def get(
+        self,
+        name: str,
+        entity_ids: Sequence[Any],
+        timestamp: Any,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Point-in-time lookup: for each requested entity, the latest feature
+        row with ``timestamp <= cutoff``. Entities with no qualifying row are
+        silently absent (reference store.py:218-259).
+
+        Compiles to: scan -> filter(ts<=T) -> filter(entity IN ...) ->
+        map-side-combined argmax -> project. Both filters reach the Parquet
+        scan as pushed predicates.
+        """
+        df = self._current(name)
+        if columns is not None:
+            self._validate_columns(name, columns)
+        cutoff = self._normalize_timestamp(timestamp)
+        out = temporal_filter(df, cutoff)
+        out = entity_filter(out, entity_ids)
+        out = latest_per_entity(out)
+        out = project(out, columns)
+        return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out
+
+    def get_training_set(
+        self,
+        name: str,
+        entity_timestamps: DataFrame,
+        columns: Sequence[str] | None = None,
+        strategy: str = "union",
+    ) -> DataFrame:
+        """As-of join: one output row per spine row that has a qualifying
+        feature row; output ``timestamp`` is the matched feature row's
+        timestamp (reference store.py:261-334, SURVEY §2.3#4)."""
+        self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
+        if columns is not None:
+            self._validate_columns(name, columns)
+        feats = self._current(name)
+        out = asof_join(entity_timestamps, feats, strategy=strategy)
+        out = project(out, columns)
+        return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out
+
+    def get_version(self, name: str, version: int) -> DataFrame:
+        """Time travel to a specific version (reference store.py:377-401)."""
+        self._require_table(name)
+        available = self._backend.versions(name)
+        if version not in available:
+            raise FeatureTableNotFoundError(
+                f"Version {version} not found for table '{name}'. "
+                f"Available versions: {available}"
+            )
+        df = self._backend.read_version(name, version)
+        return df.drop(ROW_ID_COL) if ROW_ID_COL in df.columns else df
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+    def _current(self, name: str) -> DataFrame:
+        self._require_table(name)
+        return self._backend.read_version(name, self._backend.meta(name).version)
+
+    def _require_table(self, name: str) -> None:
+        if not self._backend.exists(name):
+            raise FeatureTableNotFoundError(
+                f"Feature table '{name}' not found. "
+                f"Available tables: {self.table_names}"
+            )
+
+    def _validate_dataframe(self, df: Any, context: str = "") -> None:
+        if not isinstance(df, DataFrame):
+            raise FeatureValidationError(
+                f"Expected a Spark DataFrame, got {type(df).__name__} ({context})"
+            )
+        missing = REQUIRED_COLUMNS - set(df.columns)
+        if missing:
+            raise FeatureValidationError(
+                f"DataFrame is missing required columns: {sorted(missing)} ({context})"
+            )
+        if df.isEmpty():
+            raise FeatureValidationError(f"DataFrame is empty ({context})")
+
+    def _validate_columns(self, name: str, columns: Sequence[str]) -> None:
+        info = self.get_table_info(name)
+        feature_cols = set(info.columns)
+        unknown = [c for c in columns if c not in feature_cols]
+        if unknown:
+            raise FeatureValidationError(
+                f"Unknown feature columns requested: {unknown}. "
+                f"Available feature columns: {sorted(feature_cols)}"
+            )
+
+    @staticmethod
+    def _normalize_timestamp(ts: Any) -> datetime:
+        """datetime / ISO string -> datetime (reference store.py:602-611)."""
+        if isinstance(ts, datetime):
+            return ts
+        if isinstance(ts, str):
+            return datetime.fromisoformat(ts)
+        try:  # pandas.Timestamp and friends
+            return ts.to_pydatetime()
+        except AttributeError:
+            raise FeatureStoreError(f"Cannot interpret timestamp: {ts!r}") from None

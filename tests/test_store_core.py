@@ -1,0 +1,231 @@
+"""Port of the reference unit-test suite to the Spark engine.
+
+Mirrors reference tests/test_core.py class-for-class (SURVEY §5):
+init, register, PIT lookup (incl. the parametrized truth table and the
+no-future-leakage test), training set, versioning, table management.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ml_feature_store_spark import (
+    FeatureStore,
+    FeatureTableNotFoundError,
+    FeatureValidationError,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestFeatureStoreInit:
+    def test_defaults(self, spark):
+        fs = FeatureStore(spark)
+        assert fs.max_versions == 10
+        assert fs.table_names == []
+
+    @pytest.mark.parametrize("bad", [0, -1])
+    def test_max_versions_must_be_positive(self, spark, bad):
+        with pytest.raises(ValueError):
+            FeatureStore(spark, max_versions=bad)
+
+
+class TestRegisterFeatures:
+    def test_register_returns_metadata(self, store, feature_df):
+        info = store.register("user_features", feature_df)
+        assert info.name == "user_features"
+        assert info.version == 1
+        assert info.row_count == 5
+        assert set(info.columns) == {"feature_a", "feature_b"}
+
+    def test_reregister_bumps_version(self, store, feature_df):
+        store.register("t", feature_df)
+        info = store.register("t", feature_df)
+        assert info.version == 2
+
+    def test_missing_required_columns(self, store, spark):
+        df = spark.createDataFrame([(1, 3), (2, 4)], ["x", "y"])
+        with pytest.raises(FeatureValidationError, match="required"):
+            store.register("bad", df)
+
+    def test_empty_dataframe(self, store, spark):
+        df = spark.createDataFrame(
+            [], "entity_id string, timestamp timestamp, f double"
+        )
+        with pytest.raises(FeatureValidationError, match="empty"):
+            store.register("bad", df)
+
+    def test_non_dataframe(self, store):
+        with pytest.raises(FeatureValidationError, match="DataFrame"):
+            store.register("bad", {"entity_id": [1]})
+
+
+class TestPointInTimeLookup:
+    def test_latest_before_cutoff(self, store, feature_df):
+        store.register("f", feature_df)
+        out = store.get("f", ["user_1"], ts("2024-01-20")).collect()
+        assert len(out) == 1
+        assert out[0]["feature_a"] == 2.0
+
+    def test_no_future_leakage(self, store, feature_df):
+        store.register("f", feature_df)
+        out = store.get("f", ["user_1"], ts("2024-01-10")).collect()
+        assert out[0]["feature_a"] == 1.0  # not the 01-15 or 02-01 rows
+
+    def test_multi_entity(self, store, feature_df):
+        store.register("f", feature_df)
+        out = {r["entity_id"]: r for r in store.get(
+            "f", ["user_1", "user_2"], ts("2024-01-31")).collect()}
+        assert out["user_1"]["feature_a"] == 2.0
+        assert out["user_2"]["feature_a"] == 20.0
+
+    def test_missing_entity_empty(self, store, feature_df):
+        store.register("f", feature_df)
+        assert store.get("f", ["ghost"], ts("2024-01-31")).count() == 0
+
+    def test_missing_table_raises(self, store):
+        with pytest.raises(FeatureTableNotFoundError):
+            store.get("nope", ["a"], ts("2024-01-01"))
+
+    def test_column_subset(self, store, feature_df):
+        store.register("f", feature_df)
+        out = store.get("f", ["user_1"], ts("2024-01-31"), columns=["feature_a"])
+        assert out.columns == ["entity_id", "timestamp", "feature_a"]
+
+    def test_invalid_column_raises(self, store, feature_df):
+        store.register("f", feature_df)
+        with pytest.raises(FeatureValidationError, match="Unknown"):
+            store.get("f", ["user_1"], ts("2024-01-31"), columns=["nope"])
+
+    @pytest.mark.parametrize(
+        "cutoff,expected",
+        [
+            ("2024-01-01", 1.0),  # exact-match inclusivity
+            ("2024-01-15", 2.0),
+            ("2024-02-01", 3.0),
+            ("2024-12-31", 3.0),
+        ],
+    )
+    def test_pit_truth_table(self, store, feature_df, cutoff, expected):
+        store.register("f", feature_df)
+        out = store.get("f", ["user_1"], ts(cutoff)).collect()
+        assert out[0]["feature_a"] == expected
+
+    def test_tiebreak_first_input_row_wins(self, store, spark):
+        """Duplicate (entity, ts): earliest input row wins (SURVEY §2.3#2)."""
+        rows = [
+            ("u", ts("2024-01-01"), 1.0),
+            ("u", ts("2024-01-05"), 7.0),
+            ("u", ts("2024-01-05"), 9.0),
+        ]
+        df = spark.createDataFrame(rows, ["entity_id", "timestamp", "f"]).coalesce(1)
+        store.register("tie", df)
+        out = store.get("tie", ["u"], ts("2024-02-01")).collect()
+        assert out[0]["f"] == 7.0
+
+    def test_string_cutoff_accepted(self, store, feature_df):
+        store.register("f", feature_df)
+        out = store.get("f", ["user_1"], "2024-01-20").collect()
+        assert out[0]["feature_a"] == 2.0
+
+
+class TestTrainingSet:
+    def test_asof_join_rowcount_and_values(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_2", ts("2024-01-15"))],
+            ["entity_id", "timestamp"],
+        )
+        out = {r["entity_id"]: r for r in store.get_training_set("f", spine).collect()}
+        assert len(out) == 2
+        assert out["user_1"]["feature_a"] == 2.0
+        # output timestamp = matched FEATURE row's ts, not spine ts
+        assert out["user_1"]["timestamp"] == ts("2024-01-15")
+        assert out["user_2"]["feature_a"] == 10.0
+        assert out["user_2"]["timestamp"] == ts("2024-01-01")
+
+    @pytest.mark.parametrize("strategy", ["union", "join"])
+    def test_strategies_agree(self, store, feature_df, spark, strategy):
+        store.register("f", feature_df)
+        spine = spark.createDataFrame(
+            [
+                ("user_1", ts("2024-01-01")),   # exact match inclusive
+                ("user_1", ts("2024-03-01")),
+                ("user_2", ts("2023-12-31")),   # before any feature -> dropped
+                ("user_1", ts("2024-01-01")),   # duplicate spine row -> dup output
+            ],
+            ["entity_id", "timestamp"],
+        )
+        rows = sorted(
+            store.get_training_set("f", spine, strategy=strategy).collect(),
+            key=lambda r: (r["entity_id"], r["timestamp"], r["feature_a"]),
+        )
+        assert [r["feature_a"] for r in rows] == [1.0, 1.0, 3.0]
+
+    def test_empty_spine_raises(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        empty = spark.createDataFrame([], "entity_id string, timestamp timestamp")
+        with pytest.raises(FeatureValidationError):
+            store.get_training_set("f", empty)
+
+
+class TestVersioning:
+    def _one_row(self, spark, val):
+        return spark.createDataFrame(
+            [("user_1", ts("2024-01-01"), val)], ["entity_id", "timestamp", "val"]
+        )
+
+    def test_get_version(self, store, spark):
+        store.register("v", self._one_row(spark, 1.0))
+        store.register("v", self._one_row(spark, 2.0))
+        assert store.get_version("v", 1).collect()[0]["val"] == 1.0
+        assert store.get_version("v", 2).collect()[0]["val"] == 2.0
+
+    def test_missing_version_raises(self, store, spark):
+        store.register("v", self._one_row(spark, 1.0))
+        with pytest.raises(FeatureTableNotFoundError, match="Available versions"):
+            store.get_version("v", 99)
+
+    def test_retention_prunes_oldest(self, spark):
+        fs = FeatureStore(spark, max_versions=2)
+        for i in range(4):
+            fs.register("v", self._one_row(spark, float(i)))
+        with pytest.raises(FeatureTableNotFoundError):
+            fs.get_version("v", 1)
+        assert fs.get_version("v", 3).collect()[0]["val"] == 2.0
+        assert fs.get_version("v", 4).collect()[0]["val"] == 3.0
+
+    def test_parquet_backend_roundtrip(self, spark, feature_df, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path), max_versions=5)
+        fs.register("p", feature_df)
+        fs.register("p", feature_df)
+        assert fs.get_version("p", 1).count() == 5
+        out = fs.get("p", ["user_1"], ts("2024-01-20")).collect()
+        assert out[0]["feature_a"] == 2.0
+        # fresh store over the same path sees the table (catalog persisted)
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert fs2.table_names == ["p"]
+        assert fs2.get_table_info("p").version == 2
+
+
+class TestTableManagement:
+    def test_list_and_info(self, store, feature_df):
+        store.register("a", feature_df)
+        store.register("b", feature_df)
+        assert store.table_names == ["a", "b"]
+        infos = store.list_tables()
+        assert {i.name for i in infos} == {"a", "b"}
+
+    def test_delete(self, store, feature_df):
+        store.register("a", feature_df)
+        assert store.delete("a") is True
+        assert store.delete("a") is False
+        assert store.table_names == []
+
+    def test_info_missing_raises(self, store):
+        with pytest.raises(FeatureTableNotFoundError, match="Available tables"):
+            store.get_table_info("nope")
