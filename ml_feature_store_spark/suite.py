@@ -1,0 +1,724 @@
+"""Driver-facing query suite: Spark implementations + DuckDB oracle SQL.
+
+Every operator from SURVEY §2 that is SQL-expressible gets a pair:
+a ``(spark, sf_dir) -> DataFrame`` callable and an equivalent ANSI-SQL
+string the driver runs on DuckDB over the same parquet tables. Column
+names/aliases are kept identical on both sides; the driver's comparison is
+row-count + schema + order-insensitive value hash.
+
+Parity conventions (see FIXTURES.md "timestamp caveat"):
+  * ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as an epoch-
+    nanos long (``spark.sql.legacy.parquet.nanosAsLong``) and converts with
+    ``timestamp_micros(ts div 1000)``; the oracle uses
+    ``CAST(ts AS TIMESTAMP)`` (DuckDB ns->us truncation) — identical floors.
+  * timestamps in OUTPUT are emitted as epoch-microsecond BIGINTs
+    (``unix_micros`` / ``epoch_us``) so value hashing is type-stable.
+  * double aggregates are rounded (2dp for price-scale sums, 4-6dp for
+    ratios) to absorb summation-order float jitter.
+  * sums of integers are CAST to BIGINT in DuckDB (it defaults to HUGEINT).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.pit import entity_filter, latest_per_entity, temporal_filter, top_k_per_group
+
+# --------------------------------------------------------------------------- #
+# session + table helpers
+# --------------------------------------------------------------------------- #
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    """Runtime-settable conf the suite depends on — the driver builds its own
+    SparkSession, so we cannot rely on session.py's builder config."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped to the feature-table shape: entity_id=user_id,
+    timestamp=ts, tie-break id = event_id (deterministic input order)."""
+    return table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("event_id").alias("__row_id__"),
+    )
+
+
+_US = F.unix_micros
+
+# Oracle-side view of events with us-truncated timestamp.
+_EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+# --------------------------------------------------------------------------- #
+# F-ops: reference feature-store semantics on the events table
+# --------------------------------------------------------------------------- #
+
+
+def q_f2_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = temporal_filter(ev, "2024-01-10", ts_col="ts")
+    return out.select("event_id", "user_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f3_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = entity_filter(ev, [1, 3, 5, 7, 11], entity_col="user_id")
+    return out.select("event_id", "user_id", _US("ts").alias("ts_us"), "value")
+
+
+def q_f4_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = latest_per_entity(ev, entity_col="user_id", ts_col="ts", tiebreak_col="event_id")
+    return out.select("user_id", "event_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f6_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = temporal_filter(ev, "2024-01-20", ts_col="ts")
+    out = entity_filter(out, list(range(0, 10)), entity_col="user_id")
+    out = latest_per_entity(out, entity_col="user_id", ts_col="ts", tiebreak_col="event_id")
+    return out.select("user_id", "event_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = events_features(spark, sf_dir)
+    spine = feats.filter(F.col("event_type") == "purchase").select("entity_id", "timestamp")
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "event_type",
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f7_asof_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set construction against a (entity x date-grid) spine —
+    the canonical 'build me features as of these dates' query."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-08",), ("2024-01-15",), ("2024-01-22",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    users = feats.select("entity_id").distinct()
+    spine = users.crossJoin(dates)
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register v1 (full) + v2 (purchases only), then time-travel to v1.
+    Oracle: v1 == the plain events projection."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_ver_"))
+    fs.register("ev", feats)
+    fs.register("ev", feats.filter(F.col("event_type") == "purchase"))
+    v1 = fs.get_version("ev", 1)
+    return v1.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Joins over the star schema
+# --------------------------------------------------------------------------- #
+
+
+def q_j1_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-to-fact star join; region/nation are tiny -> explicit broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    out = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+    return out
+
+
+def q_j2_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi join (orders x lineitem) + aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_revenue"
+            ),
+        )
+    )
+
+
+def q_j3_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers with >=1 open order vs none."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    with_open = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey"
+    ).withColumn("has_open", F.lit(1))
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey"
+    ).withColumn("has_open", F.lit(0))
+    return with_open.unionByName(without)
+
+
+# --------------------------------------------------------------------------- #
+# Aggregations / windows
+# --------------------------------------------------------------------------- #
+
+
+def q_a1_agg_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_a2_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day count/sum per user — the README's motivating
+    'txn count 7d' feature (reference README.md:75-76) as a range window."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_7D_US, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("cnt_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
+
+
+def q_a3_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_a4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct — algorithm differs from DuckDB's, so no value
+    oracle (rows-only check)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_a5_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Sorts / top-k / set ops
+# --------------------------------------------------------------------------- #
+
+
+def q_s1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_s2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    out = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------- #
+# X-ops: JSON, text, dedup, similarity, sessionize, streaming-equivalent
+# --------------------------------------------------------------------------- #
+
+
+def q_x5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+def q_x3_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the minimum doc_id per distinct
+    normalized text (SURVEY §2.4 X3)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def q_t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free stopword-ratio language heuristic (deterministic,
+    SQL-expressible on both engines)."""
+    stop = ["the", "a", "of", "and", "in", "to", "is"]
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    ratio = hits / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def q_t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality: token count, distinct-token ratio, chars/token."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_uniq / n_tok, 6).alias("uniq_ratio"),
+        F.round(F.col("n_chars") / n_tok, 6).alias("chars_per_token"),
+    )
+
+
+def q_t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the first 8 sorted
+    distinct tokens (a cheap, order-insensitive content signature)."""
+    docs = table(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), 1, 8)
+        )
+    )
+    return docs.select("doc_id", sig.alias("fingerprint"))
+
+
+def _cosine(a, b):  # double-precision cosine over two array<double> columns
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs query vec_id=0 — the exact-ANN baseline.
+    At scale: broadcast the query, one scan, partial top-k per partition."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    out = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim", _cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+def q_x2_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-label pairs with cosine >= 0.35 (label-blocked exact
+    self-join; the LSH variant is the scale path, tested separately)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).withColumn("sim", _cosine(F.col("a.v"), F.col("b.v")))
+    return pairs.filter(F.col("sim") >= 0.35).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+_30MIN_US = 30 * 60 * 1_000_000
+
+
+def q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (batch; the streaming variant
+    uses session_window — see streaming/)."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > _30MIN_US, 1
+        ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window agg — the batch equivalent of the streaming
+    ingest path (streaming/ runs the same plan via readStream)."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        _US(F.col("w.start")).alias("window_start_us"), "event_type", "n_events", "sum_value"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f2_temporal_filter": q_f2_temporal_filter,
+    "f3_entity_filter": q_f3_entity_filter,
+    "f4_latest_per_entity": q_f4_latest_per_entity,
+    "f6_pit_lookup": q_f6_pit_lookup,
+    "f7_asof_join": q_f7_asof_join,
+    "f7_asof_join_grid": q_f7_asof_join_grid,
+    "f8_version_travel": q_f8_version_travel,
+    "j1_join_broadcast": q_j1_join_broadcast,
+    "j2_join_shuffle": q_j2_join_shuffle,
+    "j3_semi_anti": q_j3_semi_anti,
+    "a1_agg_entity_stats": q_a1_agg_entity_stats,
+    "a2_rolling_window": q_a2_rolling_window,
+    "a3_agg_distinct": q_a3_agg_distinct,
+    "a4_approx_distinct": q_a4_approx_distinct,
+    "a5_cube_rollup": q_a5_cube_rollup,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "s1_topk_orders": q_s1_topk_orders,
+    "s2_topk_per_group": q_s2_topk_per_group,
+    "u1_union_by_name": q_u1_union_by_name,
+    "x5_json_extract": q_x5_json_extract,
+    "x3_dedup_exact": q_x3_dedup_exact,
+    "x4_text_stats": q_x4_text_stats,
+    "t1_lang_id": q_t1_lang_id,
+    "t2_quality_score": q_t2_quality_score,
+    "t4_fingerprint": q_t4_fingerprint,
+    "x1_knn_cosine_topk": q_x1_knn_cosine_topk,
+    "x2_similar_pairs": q_x2_similar_pairs,
+    "x7_sessionize": q_x7_sessionize,
+    "w1_tumbling_window": q_w1_tumbling_window,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "f2_temporal_filter": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM ({_EV}) WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+    "f3_entity_filter": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM ({_EV}) WHERE user_id IN (1,3,5,7,11)
+    """,
+    "f4_latest_per_entity": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+        ) WHERE rn = 1
+    """,
+    "f6_pit_lookup": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+            WHERE ts <= TIMESTAMP '2024-01-20 00:00:00' AND user_id BETWEEN 0 AND 9
+        ) WHERE rn = 1
+    """,
+    "f7_asof_join": f"""
+        WITH f AS ({_EV}),
+        s AS (SELECT user_id, ts AS sts FROM f WHERE event_type = 'purchase')
+        SELECT user_id, event_id, ts_us, event_type, value, as_of_us FROM (
+            SELECT s.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.event_type,
+                   f.value, epoch_us(s.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    """,
+    "f7_asof_join_grid": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08'),
+                                    (TIMESTAMP '2024-01-15'),
+                                    (TIMESTAMP '2024-01-22')) AS t(sts)),
+        s AS (SELECT DISTINCT user_id FROM f),
+        spine AS (SELECT s.user_id, g.sts FROM s CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1
+    """,
+    "f8_version_travel": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM ({_EV})
+    """,
+    "j1_join_broadcast": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "j2_join_shuffle": """
+        SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "j3_semi_anti": """
+        SELECT c_custkey, 1 AS has_open FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT c_custkey, 0 AS has_open FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    "a1_agg_entity_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "a2_rolling_window": f"""
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w AS cnt_7d,
+               ROUND(SUM(value) OVER w, 2) AS sum_7d
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM ({_EV}))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+    "a3_agg_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "a5_cube_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "s1_topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "s2_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders WHERE o_custkey < 50
+        ) WHERE rn <= 3
+    """,
+    "u1_union_by_name": """
+        SELECT DISTINCT c_custkey, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    "x5_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "x3_dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    "x4_text_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "t1_lang_id": """
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stop_ratio,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.05
+                    THEN 'en' ELSE 'unk' END AS pred_lang
+        FROM documents
+    """,
+    "t2_quality_score": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio,
+               ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+                     AS chars_per_token
+        FROM documents
+    """,
+    "t4_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(
+                   (list_sort(list_distinct(string_split(text, ' '))))[1:8], ' '))
+                   AS fingerprint
+        FROM documents
+    """,
+    "x1_knn_cosine_topk": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 6) AS sim
+        FROM e CROSS JOIN q WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+    """,
+    "x2_similar_pairs": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+    "x7_sessionize": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM ({_EV})),
+        l AS (SELECT user_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                          WHEN ts_us - lag(ts_us) OVER w > {_30MIN_US} THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        s AS (SELECT user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "w1_tumbling_window": f"""
+        SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM ({_EV}) GROUP BY 1, 2
+    """,
+}
