@@ -1,0 +1,15 @@
+from .columns import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_image_features,
+    frame_sample_stub,
+    resize_stub,
+)
+
+__all__ = [
+    "attach_binary_payload",
+    "decode_image_stub",
+    "extract_image_features",
+    "frame_sample_stub",
+    "resize_stub",
+]

@@ -1,0 +1,161 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata structs, processed
+through Arrow-batched ``mapInPandas`` — the only sane shape for per-row
+decode work at scale (vectorized transfer, no per-row Python overhead,
+decode parallelism = partition parallelism).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernels are STUBS: ``decode_image_stub`` raises unless
+``deterministic_fake=True``, in which case it derives a fake-but-stable
+(width, height, n_channels, feature vector) from the payload bytes' hash.
+The Spark-side plumbing — schemas, batch iteration, partitioning — is real
+and tested; swapping in a real codec touches only the kernel body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),     # image | audio | video
+        StructField("format", StringType()),          # png | wav | mp4 | ...
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, media_type: str = "image", fmt: str = "raw"
+) -> DataFrame:
+    """Build a binary media column (+ metadata struct) from a source column.
+
+    For real data this is the scan side (``spark.read.format("binaryFile")``
+    or a parquet binary column); here we encode a string column so the
+    downstream plumbing is exercised with honest binary data.
+    """
+    payload = F.encode(F.col(source_col), "utf-8").cast(BinaryType())
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake image header derived from content hash."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    channels = 1 + h[2] % 3
+    return width, height, channels
+
+
+def decode_image_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode header metadata from image bytes via mapInPandas.
+
+    STUB: no image codec is available in this environment. With
+    ``deterministic_fake`` the decode derives stable dimensions from a
+    content hash so tests exercise the full batch path; without it, raises
+    NotImplementedError (the real kernel would call PIL.Image.open).
+    """
+    out_schema = StructType(df.schema.fields + list(IMAGE_DECODE_SCHEMA.fields))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "pass deterministic_fake=True or install PIL and replace this kernel"
+                )
+            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in decoded]
+            pdf["height"] = [d[1] for d in decoded]
+            pdf["n_channels"] = [d[2] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 16,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Per-image feature vector (array<float>) via mapInPandas.
+
+    STUB kernel: hash-derived unit vector (stable per content). A real
+    deployment replaces the body with an ONNX/torch embedding call — batch
+    shape, Arrow transfer, and output schema stay identical.
+    """
+    out_schema = StructType(
+        df.schema.fields + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError("no embedding model in this environment")
+            feats = []
+            for p in pdf[payload_col]:
+                h = hashlib.sha256(bytes(p)).digest()
+                raw = [h[i % 32] / 255.0 - 0.5 for i in range(dim)]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                feats.append([float(x / norm) for x in raw])
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
+    """Image resize (STUB): passes payload through and records the target
+    size in metadata; a real kernel resizes bytes in mapInPandas."""
+    return df.withColumn(
+        "resize_target",
+        F.struct(F.lit(width).alias("width"), F.lit(height).alias("height")),
+    )
+
+
+def frame_sample_stub(
+    df: DataFrame, every_n: int = 30, payload_col: str = "payload"
+) -> DataFrame:
+    """Video frame sampling (STUB): emits deterministic fake frame indices
+    (content-hash modulo) as array<int>; a real kernel runs ffmpeg in
+    mapInPandas and explodes frames to rows."""
+    n_frames = (F.octet_length(F.col(payload_col)) % 270 + 30).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.withColumn("sampled_frames", idx)

@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-aware and expressible without Python UDFs:
+
+* :func:`dedup_exact` — hash-groupBy on normalized content. One shuffle on
+  the 16-byte hash; survivors = min id per hash. Linear at any scale.
+* :func:`minhash_signatures` / :func:`dedup_minhash_lsh` — MinHash over
+  token shingles + banded LSH: candidate pairs only where a band bucket
+  collides, so the self-join never goes quadratic. Hashes are
+  ``xxhash64(shingle, seed)`` — deterministic across runs/executors.
+* :func:`dedup_simhash` — 64-bit SimHash; near-dups = identical simhash
+  (or identical in >= 1 of the rotated bands for hamming tolerance).
+* :func:`ngram_jaccard` — exact Jaccard on shingle sets for a candidate
+  pair DataFrame (the verify step after LSH blocking).
+* :func:`dedup_embedding_cosine` — near-dup via embedding cosine over
+  LSH-bucketed candidates (see operators/similarity.py for the bucketing).
+
+At 100 TB the pattern is always: cheap per-row signature (map-only) ->
+shuffle on signature/bucket (the only wide stage) -> per-bucket pair
+verification bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row (min id) per distinct (normalized) content.
+
+    Returns the surviving ids with their duplicate counts. The groupBy key
+    is ``md5`` of the content, so the shuffle carries 16-byte keys, not
+    document bodies.
+    """
+    content = F.col(content_col)
+    if normalize:
+        content = F.lower(F.trim(content))
+    return (
+        df.withColumn("__h__", F.md5(content))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__h__")
+    )
+
+
+def _minhash_one(sh: Column, seed: int) -> Column:
+    """min over xxhash64(shingle, seed) — one signature component."""
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Append ``minhash: array<bigint>`` of length ``num_hashes``.
+
+    Map-only (no shuffle): per row, shingle the text and take the min of a
+    seeded xxhash64 per seed. Deterministic across executors and runs.
+    """
+    sh = shingles(F.col(content_col), shingle_k)
+    sig = F.array(*[_minhash_one(sh, seed) for seed in range(num_hashes)])
+    return df.withColumn("minhash", sig)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    ``num_hashes`` components split into ``bands`` bands of
+    ``num_hashes/bands`` rows each; a pair is a candidate iff some band's
+    sub-signature matches exactly. Probability of candidacy for Jaccard s is
+    1-(1-s^r)^b — with 16/4 the curve knees near s≈0.5.
+
+    Plan shape: signature (map) -> explode bands (xB rows) -> shuffle on
+    (band_idx, band_hash) -> per-bucket self-join. Bucket sizes bound the
+    join; no global quadratic blowup.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, num_hashes, shingle_k).select(
+        id_col, "minhash"
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + i + 1)
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (id_a, id_b).
+
+    The verify step after LSH blocking: join the shingle sets back onto the
+    (small) candidate pair list — two broadcast-ready joins, then a
+    JVM-side set intersection/union per pair.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(content_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def dedup_simhash(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document; rows sharing a simhash are near-dups.
+
+    Each token votes +1/-1 per bit position of its xxhash64; the sign of the
+    per-bit sum is the signature bit. Pure higher-order functions: tokens ->
+    per-bit contribution -> aggregate. Map-only; group on the signature.
+    Returns (id, simhash) plus group size for downstream filtering.
+    """
+    # hash each token ONCE, then per-bit sum of +/-1 votes, sign -> bit.
+    hashes = F.transform(tokens(F.col(content_col)), lambda tok: F.xxhash64(tok))
+
+    def vote_merge(i: int):
+        def merge(acc, h):
+            is_set = F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return merge
+
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), vote_merge(i))
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = sum(bit_cols[1:], bit_cols[0]).alias("simhash")
+    sigs = df.select(F.col(id_col), sig)
+    counts = sigs.groupBy("simhash").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("keep_id")
+    )
+    return sigs.join(counts, "simhash").select(id_col, "simhash", "group_size", "keep_id")
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    With ``block_col`` (e.g. an LSH bucket or a label), the self-join is
+    restricted to blocks — mandatory at scale. Without it this is an exact
+    quadratic self-join: only for small/test data.
+    """
+    from ..functions.vector import cosine_similarity
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v__"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", cosine_similarity(F.col("a.__v__"), F.col("b.__v__")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "sim",
+        )
+    )

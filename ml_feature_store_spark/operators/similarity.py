@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns.
+
+* :func:`knn_brute_force` — exact top-k cosine against one query vector:
+  broadcast the query, one scan with a JVM-side dot product, global top-k
+  (Spark's ``orderBy().limit(k)`` runs per-partition top-k + merge —
+  TakeOrderedAndProject — so no full sort at scale).
+* :func:`knn_for_queries` — exact top-k for a whole query SET: broadcast
+  the queries, explode, per-query window top-k. Linear in |data| x |queries|.
+* :func:`rp_lsh_bucketize` / :func:`knn_lsh` — random-hyperplane (sign) LSH:
+  deterministic seeded projections computed JVM-side; ANN = search only the
+  query's bucket (and optionally neighboring probes). This is the scale
+  path: the scan prunes to ~1/2^bits of the data per probe.
+* :func:`ivf_assign` / :func:`knn_ivf` — IVF-style coarse quantization
+  given a (small, broadcastable) centroid table: assign each vector to its
+  nearest centroid at write time, probe the closest ``nprobe`` centroid
+  cells at query time.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot, l2_norm
+
+
+def knn_brute_force(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.withColumn("sim", cosine_similarity(v, q))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim")
+    )
+
+
+def knn_for_queries(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k for every row of a (small) query table.
+
+    Broadcast-joins the queries against the data scan, computes cosine
+    JVM-side, then a per-query window top-k. |queries| must be
+    broadcast-small; for query sets that are themselves huge, use the LSH
+    path and join on buckets instead.
+    """
+    from .pit import top_k_per_group
+
+    v = F.col(vec_col).cast("array<double>")
+    qv = F.col(query_vec_col).cast("array<double>")
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .withColumn("sim", cosine_similarity(v, qv))
+        .select(query_id_col, id_col, "sim")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.col("sim").desc(), F.col(id_col).asc()], k
+    )
+
+
+def _random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_lsh_bucketize(
+    emb: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append a sign-LSH bucket id (0..2^bits-1) from seeded random
+    hyperplanes. Map-only, deterministic, JVM-side dot products.
+
+    Vectors with high cosine similarity agree on most hyperplane signs, so
+    they land in the same bucket with probability (1 - theta/pi)^bits.
+    """
+    planes = _random_hyperplanes(dim, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return emb.withColumn(bucket_col, bucket)
+
+
+def knn_lsh(
+    emb_bucketed: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket
+    (+ ``multiprobe`` single-bit-flip neighbor buckets).
+
+    On partitioned/bucketed storage the bucket predicate prunes the scan;
+    recall/latency trades via ``bits`` and ``multiprobe``.
+    """
+    planes = _random_hyperplanes(dim, bits, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(p * x for p, x in zip(plane, query_vec)) >= 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(min(multiprobe, bits))]
+    cand = emb_bucketed.filter(F.col(bucket_col).isin(probes))
+    return knn_brute_force(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "c_id",
+    centroid_vec_col: str = "c_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid.
+
+    Broadcast the centroid table (IVF coarse codebooks are small), score
+    every (vector, centroid) pair JVM-side, keep the argmax via max_by —
+    map-side combined, single shuffle on the vector id is avoided entirely
+    because max_by runs inside the per-partition aggregate.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cv = F.col(centroid_vec_col).cast("array<double>")
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim__", cosine_similarity(v, cv))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.col(centroid_id_col), F.col("__sim__")).alias("cell"),
+        F.first(vec_col, ignorenulls=True).alias(vec_col),
+    )
+    return best
+
+
+def knn_ivf(
+    emb_assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "c_id",
+    centroid_vec_col: str = "c_vec",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroid cells closest to the query, then exact
+    top-k within those cells only."""
+    cents = centroids.collect()
+    scored = []
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    for row in cents:
+        cvec = list(row[centroid_vec_col])
+        cn = math.sqrt(sum(x * x for x in cvec))
+        sim = sum(a * b for a, b in zip(query_vec, cvec)) / (qn * cn) if qn and cn else 0.0
+        scored.append((row[centroid_id_col], sim))
+    probe_cells = [c for c, _ in sorted(scored, key=lambda t: -t[1])[:nprobe]]
+    cand = emb_assigned.filter(F.col("cell").isin(probe_cells))
+    return knn_brute_force(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data curation.
+
+All JVM-side expressions (no Python UDFs): language-ID heuristic, quality
+scoring, token counting, rolling-hash fingerprinting. Each is map-only —
+they compose with any downstream groupBy/dedup without adding shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+DEFAULT_STOPWORDS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "en"),
+}
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Mapping[str, Sequence[str]] = DEFAULT_STOPWORDS,
+    min_ratio: float = 0.02,
+) -> DataFrame:
+    """Stopword-vote language ID: score each language by its stopword hit
+    ratio; predict the argmax, 'unk' below ``min_ratio``.
+
+    A real deployment would swap in an n-gram model; the operator shape
+    (per-row scoring against broadcast-literal tables, argmax via
+    ``greatest``) is what matters for scale.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+
+    def hit_filter(words: Sequence[str]):
+        wl = list(words)
+        return lambda x: x.isin(wl)
+
+    ratios: dict[str, Column] = {
+        lang: F.size(F.filter(t, hit_filter(sw))) / n for lang, sw in stopwords.items()
+    }
+    best = F.greatest(*ratios.values())
+    # chained WHEN: first language hitting the max ratio wins ties (dict order)
+    expr = None
+    for lang, r in ratios.items():
+        cond = (best >= min_ratio) & (r == best)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("unk"))
+    out = df.withColumn("pred_lang", pred).withColumn("lang_score", F.round(best, 6))
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc quality: token count, distinct-token ratio, mean token
+    length, and a composite [0,1] score. Cheap map-only curation signal."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    uniq_ratio = F.size(F.array_distinct(t)) / n_tok
+    mean_tok_len = (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok
+    score = F.least(
+        F.lit(1.0),
+        uniq_ratio * F.least(F.lit(1.0), n_tok / F.lit(50.0)),
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("uniq_ratio", F.round(uniq_ratio, 6))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn("quality", F.round(score, 6))
+    )
+
+
+def add_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, token_count(F.col(text_col)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", width: int = 8) -> DataFrame:
+    """Order-insensitive content signature: md5 over the first ``width``
+    sorted distinct tokens. Identical fingerprints => near-identical
+    vocabulary prefix; groupBy(fingerprint) is a cheap clustering key."""
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), 1, width),
+        )
+    )
+    return df.withColumn("fingerprint", sig)
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 4, keep: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprint: xxhash64 each ``window``-token shingle,
+    keep the ``keep`` smallest hashes as the document sketch (array<bigint>).
+    Two docs sharing sketch elements share content regions — the classic
+    local fingerprinting scheme, all in higher-order functions."""
+    from ..functions.text import shingles
+
+    sh = shingles(F.col(text_col), window)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    sketch = F.slice(F.array_sort(hashes), 1, keep)
+    return df.withColumn("sketch", sketch)

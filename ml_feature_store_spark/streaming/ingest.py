@@ -1,0 +1,146 @@
+"""Structured Streaming feature ingest.
+
+The reference is batch-only ("Streaming features: No", reference
+README.md:108; late data = "recompute next batch", README.md:142). Here the
+same feature definitions run continuously:
+
+* :func:`stream_events` — file-source stream over the events parquet
+  (stands in for Kafka; swap ``readStream.format``).
+* :func:`streaming_feature_agg` — watermarked tumbling/sliding window
+  aggregation; late rows beyond the watermark are dropped by Spark's state
+  store instead of corrupting completed windows.
+* :func:`streaming_sessionize` — ``session_window`` gap sessions, the
+  streaming twin of operators/sessionize.py.
+* :func:`streaming_register` — foreachBatch upsert: every micro-batch
+  computes latest-per-entity and registers the running snapshot into a
+  FeatureStore table, turning the PIT store into a continuously-updated
+  online view.
+
+Batch equivalence: each streaming agg has the same logical plan as its
+batch twin in suite.py (w1_tumbling_window, x7_sessionize), which is what
+the DuckDB oracle checks — the streaming tests assert stream(availableNow)
+== batch on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch-nanos long (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events with the ns->us timestamp conversion
+    applied (same floor as the batch loader)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_feature_agg(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation per (window, event_type)."""
+    win = F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation with ``session_window`` — state is
+    per (user, open session); the watermark bounds state size."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_register(
+    events: DataFrame,
+    store,
+    table_name: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """foreachBatch upsert: per micro-batch, fold the batch's
+    latest-per-entity rows into the feature table (register a new version).
+
+    This is the streaming->PIT bridge: the feature table version history
+    becomes a sequence of consistent snapshots, and PIT ``get`` keeps its
+    exact batch semantics over the continuously-ingested table.
+    """
+    from ..operators.pit import latest_per_entity
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feats = batch_df.select(
+            F.col("user_id").alias("entity_id"),
+            F.col("ts").alias("timestamp"),
+            "event_type",
+            "value",
+        )
+        if store._backend.exists(table_name):
+            current = store._current(table_name).select(
+                "entity_id", "timestamp", "event_type", "value"
+            )
+            feats = current.unionByName(feats)
+        snapshot = latest_per_entity(feats)
+        store.register(table_name, snapshot, description=f"stream batch {batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

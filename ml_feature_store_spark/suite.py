@@ -476,6 +476,111 @@ def q_w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event deltas (lag/lead window functions)."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_w2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day window (1-day slide) counts per event_type — each event
+    contributes to 7 windows; Spark aligns window starts to epoch days."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    return out.select(
+        _US(F.col("w.start")).alias("window_start_us"), "event_type", "n_events"
+    )
+
+
+def q_x7b_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary via the sessionize operator."""
+    from .operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    return session_stats(ev, entity_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+def q_m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: encode text as a binary payload,
+    run the (deterministic-fake) image decode kernel through mapInPandas.
+    The fake header is sha256-derived, so DuckDB can replicate it —
+    a cross-engine check of the whole Arrow batch path."""
+    from .multimodal import attach_binary_payload, decode_image_stub
+
+    docs = table(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs.select("doc_id", "text"), "text")
+    decoded = decode_image_stub(payload, deterministic_fake=True)
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        "width",
+        "height",
+        "n_channels",
+    )
+
+
+def q_x6_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs on documents (rows-only check:
+    xxhash64 seeds are not replicable in DuckDB SQL)."""
+    from .operators.dedup import dedup_minhash_lsh
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, num_hashes=16, bands=4)
+
+
+def q_x6b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= 0.5."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4)
+    out = ngram_jaccard(docs, pairs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_x8_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec 0 via sign-LSH buckets
+    (rows-only: bucket membership depends on seeded random hyperplanes)."""
+    from .operators.similarity import knn_lsh, rp_lsh_bucketize
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bucketed = rp_lsh_bucketize(emb, dim=64, bits=6)
+    out = knn_lsh(bucketed, qvec, dim=64, k=10, bits=6, multiprobe=2)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_x9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + duplicate groups (rows-only: xxhash64-based)."""
+    from .operators.dedup import dedup_simhash
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_simhash(docs)
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -510,6 +615,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x2_similar_pairs": q_x2_similar_pairs,
     "x7_sessionize": q_x7_sessionize,
     "w1_tumbling_window": q_w1_tumbling_window,
+    "a6_lag_lead": q_a6_lag_lead,
+    "p1_pivot": q_p1_pivot,
+    "w2_sliding_window": q_w2_sliding_window,
+    "x7b_session_stats": q_x7b_session_stats,
+    "m1_multimodal_decode": q_m1_multimodal_decode,
+    "x6_dedup_fuzzy": q_x6_dedup_fuzzy,
+    "x6b_jaccard_verify": q_x6b_jaccard_verify,
+    "x8_ann_lsh": q_x8_ann_lsh,
+    "x9_simhash": q_x9_simhash,
 }
 
 
@@ -720,5 +834,57 @@ ORACLE_SQL: dict[str, str] = {
         SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM ({_EV}) GROUP BY 1, 2
+    """,
+    "a6_lag_lead": f"""
+        SELECT event_id, user_id, ts_us,
+               ROUND(value - lag(value) OVER w, 2) AS delta_prev,
+               ROUND(lead(value) OVER w - value, 2) AS delta_next
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM ({_EV}))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    """,
+    "p1_pivot": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id
+    """,
+    "w2_sliding_window": f"""
+        SELECT epoch_us(date_trunc('day', ts) - (k || ' days')::INTERVAL)
+                   AS window_start_us,
+               event_type, COUNT(*) AS n_events
+        FROM ({_EV}) CROSS JOIN (SELECT unnest(range(7)) AS k)
+        GROUP BY 1, 2
+    """,
+    "x7b_session_stats": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, ts FROM ({_EV})),
+        l AS (SELECT user_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                          WHEN ts_us - lag(ts_us) OVER w > {_30MIN_US} THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        s AS (SELECT user_id, ts_us,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l),
+        per_sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_s
+            FROM s GROUP BY user_id, session_id)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               ROUND(AVG(n_events), 4) AS avg_events_per_session,
+               ROUND(AVG(duration_s), 4) AS avg_duration_s
+        FROM per_sess GROUP BY user_id
+    """,
+    "m1_multimodal_decode": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               64 + (('0x' || substr(sha256(text), 1, 2))::INTEGER % 192) AS width,
+               64 + (('0x' || substr(sha256(text), 3, 2))::INTEGER % 192) AS height,
+               1 + (('0x' || substr(sha256(text), 5, 2))::INTEGER % 3) AS n_channels
+        FROM documents
     """,
 }

@@ -1,0 +1,105 @@
+"""Dedup operator tests: exact, MinHash LSH, SimHash, Jaccard, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_signatures,
+    ngram_jaccard,
+)
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "The Quick Brown Fox Jumps Over The Lazy Dog"),          # case dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog"),        # near dup
+        (5, "completely different content about spark engines here"),
+        (6, "another unrelated document with its own words entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_case_insensitive_dedup(self, docs):
+        out = dedup_exact(docs).collect()
+        by_id = {r["doc_id"]: r["n_copies"] for r in out}
+        assert by_id[1] == 3  # docs 1,2,3 collapse
+        assert len(out) == 4
+
+    def test_case_sensitive(self, docs):
+        out = dedup_exact(docs, normalize=False).collect()
+        by_id = {r["doc_id"]: r["n_copies"] for r in out}
+        assert by_id[1] == 2  # only 1,2
+        assert len(out) == 5
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, docs):
+        a = minhash_signatures(docs, num_hashes=16).select("doc_id", "minhash").collect()
+        b = minhash_signatures(docs, num_hashes=16).select("doc_id", "minhash").collect()
+        assert sorted((r.doc_id, tuple(r.minhash)) for r in a) == sorted(
+            (r.doc_id, tuple(r.minhash)) for r in b
+        )
+        assert all(len(r.minhash) == 16 for r in a)
+
+    def test_identical_docs_identical_signatures(self, docs):
+        sigs = {
+            r.doc_id: tuple(r.minhash)
+            for r in minhash_signatures(docs).select("doc_id", "minhash").collect()
+        }
+        assert sigs[1] == sigs[2]
+
+    def test_lsh_finds_dups_not_unrelated(self, docs):
+        pairs = {
+            (r.id_a, r.id_b) for r in dedup_minhash_lsh(docs, num_hashes=16, bands=8).collect()
+        }
+        assert (1, 2) in pairs              # exact dup always collides
+        assert (5, 6) not in pairs          # unrelated docs don't
+        assert (1, 4) in pairs or (2, 4) in pairs  # near dup shares most shingles
+
+    def test_jaccard_verification(self, docs):
+        pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=8)
+        verified = ngram_jaccard(docs, pairs).collect()
+        j = {(r.id_a, r.id_b): r.jaccard for r in verified}
+        assert j[(1, 2)] == 1.0
+        for (a, b), v in j.items():
+            assert 0.0 <= v <= 1.0
+
+
+class TestSimHash:
+    def test_exact_dups_same_simhash(self, docs):
+        out = {r.doc_id: r.simhash for r in dedup_simhash(docs).collect()}
+        assert out[1] == out[2]
+        assert out[5] != out[1]
+
+    def test_group_keep_id(self, docs):
+        out = dedup_simhash(docs).collect()
+        g = {r.doc_id: (r.group_size, r.keep_id) for r in out}
+        assert g[1] == (2, 1) and g[2] == (2, 1)
+
+
+class TestEmbeddingDedup:
+    def test_cosine_near_dup_pairs(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.999, 0.001, 0.0], "a"),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], "a"),
+            (4, [1.0, 0.0, 0.0], "b"),       # same vector, different block
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "blk"])
+        out = {(r.id_a, r.id_b) for r in dedup_embedding_cosine(df, threshold=0.99).collect()}
+        assert (1, 2) in out and (1, 4) in out and (1, 3) not in out
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in dedup_embedding_cosine(df, threshold=0.99, block_col="blk").collect()
+        }
+        assert (1, 2) in blocked and (1, 4) not in blocked  # cross-block pruned
