@@ -51,9 +51,7 @@ def dedup_exact(
     )
 
 
-def _minhash_one(sh: Column, seed: int) -> Column:
-    """min over xxhash64(shingle, seed) — one signature component."""
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+_MAX_LONG = (1 << 63) - 1
 
 
 def minhash_signatures(
@@ -64,11 +62,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Append ``minhash: array<bigint>`` of length ``num_hashes``.
 
-    Map-only (no shuffle): per row, shingle the text and take the min of a
-    seeded xxhash64 per seed. Deterministic across executors and runs.
+    Map-only (no shuffle) and SINGLE-TRAVERSAL: one ``aggregate`` fold over
+    the shingle array; per shingle, all ``num_hashes`` seeded xxhash64
+    values are produced at once and folded into the running minima with
+    ``zip_with(least)``. (A per-seed ``array_min(transform(...))`` would
+    rebuild the shingle strings num_hashes times — 16x the string work.)
+    Deterministic across executors and runs.
     """
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sh = shingles(F.col(content_col), shingle_k)
-    sig = F.array(*[_minhash_one(sh, seed) for seed in range(num_hashes)])
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(_MAX_LONG), num_hashes)
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
     return df.withColumn("minhash", sig)
 
 
@@ -146,7 +161,9 @@ def ngram_jaccard(
     (small) candidate pair list — two broadcast-ready joins, then a
     JVM-side set intersection/union per pair.
     """
-    sh = df.select(
+    from .util import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(content_col), shingle_k)).alias("sh"),
     )
@@ -176,6 +193,9 @@ def dedup_simhash(
     per-bit contribution -> aggregate. Map-only; group on the signature.
     Returns (id, simhash) plus group size for downstream filtering.
     """
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # hash each token ONCE, then per-bit sum of +/-1 votes, sign -> bit.
     hashes = F.transform(tokens(F.col(content_col)), lambda tok: F.xxhash64(tok))
 
@@ -216,7 +236,9 @@ def dedup_embedding_cosine(
     quadratic self-join: only for small/test data.
     """
     from ..functions.vector import cosine_similarity
+    from .util import ensure_parallelism
 
+    emb = ensure_parallelism(emb)
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v__"),
         *([F.col(block_col)] if block_col else []),

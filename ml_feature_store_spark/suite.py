@@ -422,7 +422,9 @@ def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x2_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-label pairs with cosine >= 0.35 (label-blocked exact
     self-join; the LSH variant is the scale path, tested separately)."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    from .operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a = emb.alias("a")
@@ -529,8 +531,9 @@ def q_m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fake header is sha256-derived, so DuckDB can replicate it —
     a cross-engine check of the whole Arrow batch path."""
     from .multimodal import attach_binary_payload, decode_image_stub
+    from .operators.util import ensure_parallelism
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     payload = attach_binary_payload(docs.select("doc_id", "text"), "text")
     decoded = decode_image_stub(payload, deterministic_fake=True)
     return decoded.select(
