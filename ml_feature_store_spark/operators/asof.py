@@ -73,15 +73,22 @@ def _asof_via_join(
     payload = _feature_payload_cols(features, entity_col)
     s = (
         spine.select(
-            F.col(entity_col),
+            F.col(entity_col).alias("__s_entity__"),
             F.col(ts_col).alias(_SPINE_TS),
         )
         .withColumn(_SPINE_ID, F.monotonically_increasing_id())
     )
-    f = features
-    cond = (s[entity_col] == f[entity_col]) & (f[ts_col] <= s[_SPINE_TS])
+    # Rename feature columns up front: fresh attribute ids make the join
+    # unambiguous even when the spine was derived from `features` itself.
+    f = features.select([F.col(c).alias(f"__f_{c}") for c in features.columns])
+    cond = (s["__s_entity__"] == f[f"__f_{entity_col}"]) & (
+        f[f"__f_{ts_col}"] <= s[_SPINE_TS]
+    )
     joined = s.join(f, cond, "inner").select(
-        s[_SPINE_ID], s[_SPINE_TS], s[entity_col], *[f[c] for c in payload]
+        F.col(_SPINE_ID),
+        F.col(_SPINE_TS),
+        F.col("__s_entity__").alias(entity_col),
+        *[F.col(f"__f_{c}").alias(c) for c in payload],
     )
     # argmax per spine row: max feature ts, tie-broken by min __row_id__.
     ord_fields = [F.col(ts_col).alias("_t")]

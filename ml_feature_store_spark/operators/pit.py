@@ -31,14 +31,29 @@ TIMESTAMP_COL = "timestamp"
 ROW_ID_COL = "__row_id__"
 
 
+RAW_NS_COL = "__ts_ns__"
+
+
 def temporal_filter(df: DataFrame, cutoff: Any, ts_col: str = TIMESTAMP_COL) -> DataFrame:
     """Rows with ``ts_col <= cutoff`` (inclusive — reference store.py:500).
 
     ``cutoff`` may be a datetime, ISO string, or Column. The predicate is a
     simple comparison that Catalyst pushes into the scan.
+
+    Pushdown through monotonic transforms: when the frame carries a raw
+    epoch-nanos column (``__ts_ns__``, produced by the testdata loader
+    because Spark can't scan TIMESTAMP(NANOS) parquet natively), the
+    converted ``ts_col`` is a *derived expression* and its predicate cannot
+    reach the parquet scan. Since the ns->us conversion is monotonic,
+    ``floor(ns/1000) <= C_us  <=>  ns < (C_us+1)*1000``, so we add the
+    equivalent raw-column predicate — THAT one is pushable (row-group
+    pruning at scale). The derived predicate stays as the source of truth.
     """
     cut = cutoff if isinstance(cutoff, Column) else F.lit(cutoff).cast("timestamp")
-    return df.filter(F.col(ts_col) <= cut)
+    out = df.filter(F.col(ts_col) <= cut)
+    if RAW_NS_COL in df.columns and not isinstance(cutoff, Column):
+        out = out.filter(F.col(RAW_NS_COL) < (F.unix_micros(cut) + 1) * F.lit(1000))
+    return out
 
 
 def entity_filter(

@@ -35,5 +35,20 @@ def shuffle_count(df: DataFrame) -> int:
     return executed_plan(df).count("Exchange")
 
 
+def final_executed_plan(df: DataFrame) -> str:
+    """Execute the frame, then return the FINAL adaptive plan. Under AQE the
+    pre-execution plan string hides codegen spans and chosen join
+    strategies; collecting first materializes the real plan. Test-sized
+    inputs only."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def codegen_span_count(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", executed_plan(df)))
+    """Distinct whole-stage-codegen spans. Plan strings mark codegen'd
+    operators with ``*(n)`` (one id per fused span); explain("formatted")
+    uses explicit WholeStageCodegen nodes — count both spellings."""
+    plan = final_executed_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -31,7 +31,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # __ts_ns__ keeps the raw nanos for pushable scan predicates
+        # (operators/pit.py temporal_filter); ts is the canonical us value.
+        df = df.withColumn("__ts_ns__", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return df
 
 

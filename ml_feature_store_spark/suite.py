@@ -46,7 +46,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Keep the raw nanos long under __ts_ns__: temporal_filter uses it
+        # for a pushable scan predicate (see operators/pit.py docstring).
+        df = df.withColumn("__ts_ns__", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return df
 
 
@@ -71,6 +75,27 @@ _EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
 # --------------------------------------------------------------------------- #
 # F-ops: reference feature-store semantics on the events table
 # --------------------------------------------------------------------------- #
+
+
+def q_f1_register_pit_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end store path: register events as a feature table (memory
+    backend), then PIT ``get`` for users 0-19 at a cutoff — exercises
+    validation, registration, temporal+entity filters, argmax and
+    projection through the public FeatureStore API (reference
+    store.py:129-157 + 218-259)."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__", "event_type")
+    fs = FeatureStore(spark)
+    fs.register("ev", feats)
+    out = fs.get("ev", list(range(20)), dt.datetime(2024, 1, 25), columns=["value"])
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "value",
+    )
 
 
 def q_f2_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +614,7 @@ def q_x9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f1_register_pit_get": q_f1_register_pit_get,
     "f2_temporal_filter": q_f2_temporal_filter,
     "f3_entity_filter": q_f3_entity_filter,
     "f4_latest_per_entity": q_f4_latest_per_entity,
@@ -631,6 +657,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "f1_register_pit_get": f"""
+        SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+            SELECT user_id, ts, value, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00' AND user_id < 20
+        ) WHERE rn = 1
+    """,
     "f2_temporal_filter": f"""
         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         FROM ({_EV}) WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+These tests pin the plan shape, not just results: filters must reach the
+scan, small dims must broadcast, the union as-of join must stay at one
+shuffle per input, and hot paths must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_spark.plans import (
+    codegen_span_count,
+    executed_plan,
+    has_pushed_filter,
+    shuffle_count,
+)
+from ml_feature_store_spark.suite import QUERIES, table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPushdown:
+    def test_temporal_filter_reaches_scan(self, spark):
+        # events.ts is a derived us-timestamp (ns parquet); the pushable
+        # predicate is the monotonic rewrite on the raw __ts_ns__ long
+        df = QUERIES["f2_temporal_filter"](spark, SF)
+        # pushed on the RAW ns long (physical column name 'ts'); the
+        # 19-digit literal is the rewritten (cutoff_us+1)*1000 bound
+        assert has_pushed_filter(df, "LessThan(ts,")
+
+    def test_entity_in_list_reaches_scan(self, spark):
+        df = QUERIES["f3_entity_filter"](spark, SF)
+        assert has_pushed_filter(df, "In(user_id")
+
+    def test_column_pruning(self, spark):
+        # q1 projects a subset; the scan must not read unused columns
+        df = QUERIES["q1_pricing_summary"](spark, SF)
+        plan = executed_plan(df)
+        assert "l_comment" not in plan  # never existed, sanity
+        assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+    def test_pit_composite_pushes_both(self, spark):
+        df = QUERIES["f6_pit_lookup"](spark, SF)
+        assert has_pushed_filter(df, "LessThan(ts,")
+        assert has_pushed_filter(df, "In(user_id")
+
+
+class TestJoinStrategies:
+    def test_dims_broadcast(self, spark):
+        plan = executed_plan(QUERIES["j1_join_broadcast"](spark, SF))
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+
+    def test_semi_join_for_large_entity_list(self, spark):
+        from ml_feature_store_spark.operators.pit import entity_filter
+
+        ev = table(spark, SF, "events")
+        big_list = list(range(20_000))
+        df = entity_filter(ev, big_list, entity_col="user_id")
+        plan = executed_plan(df)
+        assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+class TestAsofJoinPlan:
+    def test_union_strategy_single_shuffle(self, spark):
+        """The union as-of rewrite must cost ONE exchange over the unioned
+        input — that's its whole reason to exist (vs join explosion)."""
+        from ml_feature_store_spark.operators.asof import asof_join
+        from ml_feature_store_spark.suite import events_features
+
+        feats = events_features(spark, SF)
+        spine = feats.select("entity_id", "timestamp").limit(100)
+        df = asof_join(spine, feats, strategy="union")
+        # one exchange for the window; the limit-spine side adds its own
+        # single-partition exchange; no join exchanges at all
+        assert "Join" not in executed_plan(df).replace("joinType", "")
+        assert shuffle_count(df) <= 3
+
+    def test_window_strategy_uses_join(self, spark):
+        from ml_feature_store_spark.operators.asof import asof_join
+        from ml_feature_store_spark.suite import events_features
+
+        feats = events_features(spark, SF)
+        spine = feats.select("entity_id", "timestamp").limit(100)
+        plan = executed_plan(asof_join(spine, feats, strategy="join"))
+        assert "Join" in plan
+
+
+class TestCodegen:
+    @pytest.mark.parametrize(
+        "qname",
+        ["q1_pricing_summary", "a1_agg_entity_stats", "x4_text_stats", "t2_quality_score"],
+    )
+    def test_hot_paths_codegen(self, spark, qname):
+        df = QUERIES[qname](spark, SF)
+        assert codegen_span_count(df) >= 1
+
+    def test_latest_per_entity_partial_agg(self, spark):
+        """maxby strategy must plan a partial (map-side) aggregate."""
+        from ml_feature_store_spark.operators.pit import latest_per_entity
+
+        ev = table(spark, SF, "events")
+        df = latest_per_entity(ev, entity_col="user_id", ts_col="ts")
+        plan = executed_plan(df)
+        # partial_max_by = map-side combine: the shuffle carries one row per
+        # (entity, map partition), not the whole table
+        assert "partial_max_by" in plan
