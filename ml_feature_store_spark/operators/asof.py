@@ -46,6 +46,7 @@ def asof_join(
     ts_col: str = TIMESTAMP_COL,
     strategy: str = "union",
     keep_spine_ts: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each spine (entity, ts) row return the latest feature row with
     ``feature.ts <= spine.ts``. See module docstring for semantics.
@@ -53,10 +54,24 @@ def asof_join(
     ``keep_spine_ts=True`` additionally emits the spine timestamp as
     ``as_of_timestamp`` (useful for training pipelines; the reference's
     output contract omits it).
+
+    ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``-style):
+    matches older than ``spine.ts - tolerance`` are dropped. Applied as a
+    post-filter on the matched feature timestamp, so both strategies share
+    the exact same semantics.
     """
     if strategy == "join":
-        return _asof_via_join(spine, features, entity_col, ts_col, keep_spine_ts)
-    return _asof_via_union(spine, features, entity_col, ts_col, keep_spine_ts)
+        out = _asof_via_join(spine, features, entity_col, ts_col, True)
+    else:
+        out = _asof_via_union(spine, features, entity_col, ts_col, True)
+    if tolerance_seconds is not None:
+        bound = F.col("as_of_timestamp") - F.expr(
+            f"INTERVAL {float(tolerance_seconds)} SECONDS"
+        )
+        out = out.filter(F.col(ts_col) >= bound)
+    if not keep_spine_ts:
+        out = out.drop("as_of_timestamp")
+    return out
 
 
 def _feature_payload_cols(features: DataFrame, entity_col: str) -> list[str]:

@@ -206,17 +206,36 @@ class FeatureStore:
         entity_timestamps: DataFrame,
         columns: Sequence[str] | None = None,
         strategy: str = "union",
+        tolerance_seconds: float | None = None,
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
-        timestamp (reference store.py:261-334, SURVEY §2.3#4)."""
+        timestamp (reference store.py:261-334, SURVEY §2.3#4).
+        ``tolerance_seconds`` optionally bounds the lookback window."""
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if columns is not None:
             self._validate_columns(name, columns)
         feats = self._current(name)
-        out = asof_join(entity_timestamps, feats, strategy=strategy)
+        out = asof_join(
+            entity_timestamps, feats, strategy=strategy, tolerance_seconds=tolerance_seconds
+        )
         out = project(out, columns)
         return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out
+
+    def create_view(self, name: str, view_name: str | None = None) -> str:
+        """Expose the current version as a Spark temp view so users can
+        query feature tables with ``spark.sql`` (catalog bridge; the
+        reference has no SQL surface)."""
+        vname = view_name or name
+        df = self._current(name)
+        if ROW_ID_COL in df.columns:
+            df = df.drop(ROW_ID_COL)
+        df.createOrReplaceTempView(vname)
+        return vname
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over previously created feature-table views."""
+        return self.spark.sql(query)
 
     def get_version(self, name: str, version: int) -> DataFrame:
         """Time travel to a specific version (reference store.py:377-401)."""

@@ -181,6 +181,68 @@ def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
+def q_f6b_pit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT on a different domain: each customer's latest order strictly
+    before 1998 (entity=o_custkey, ts=o_orderdate; ties broken by min
+    orderkey via the __row_id__ convention)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        # parquet ms-timestamps surface as TIMESTAMP_NTZ; cast to session-TZ
+        # timestamp (UTC pinned, so values are unchanged)
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    out = temporal_filter(orders, "1997-12-31 23:59:59")
+    out = latest_per_entity(out)
+    return out.select(
+        F.col("entity_id").alias("o_custkey"),
+        _US("timestamp").alias("order_ts_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+def q_f7c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a bounded lookback (tolerance=48h): spine rows whose
+    nearest feature is older than the window get dropped."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-05",), ("2024-01-20",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    spine = feats.select("entity_id").distinct().crossJoin(dates)
+    out = asof_join(
+        spine, feats, strategy="union", keep_spine_ts=True,
+        tolerance_seconds=48 * 3600,
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f10_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog bridge: register a feature table, expose it as a temp view,
+    and answer with spark.sql — the SQL surface over the store."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(spark)
+    fs.register("ev_sql", feats)
+    fs.create_view("ev_sql")
+    return fs.sql(
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM ev_sql GROUP BY event_type
+        """
+    )
+
+
 def q_j1_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dim-to-fact star join; region/nation are tiny -> explicit broadcast."""
     cust = table(spark, sf_dir, "customer")
@@ -619,9 +681,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_entity_filter": q_f3_entity_filter,
     "f4_latest_per_entity": q_f4_latest_per_entity,
     "f6_pit_lookup": q_f6_pit_lookup,
+    "f6b_pit_orders": q_f6b_pit_orders,
     "f7_asof_join": q_f7_asof_join,
     "f7_asof_join_grid": q_f7_asof_join_grid,
+    "f7c_asof_tolerance": q_f7c_asof_tolerance,
     "f8_version_travel": q_f8_version_travel,
+    "f10_sql_over_views": q_f10_sql_over_views,
     "j1_join_broadcast": q_j1_join_broadcast,
     "j2_join_shuffle": q_j2_join_shuffle,
     "j3_semi_anti": q_j3_semi_anti,
@@ -713,6 +778,33 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY f.ts DESC, f.event_id ASC) AS rn
             FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
         ) WHERE rn = 1
+    """,
+    "f6b_pit_orders": """
+        SELECT o_custkey, order_ts_us, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_ts_us,
+                   o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+            FROM orders
+            WHERE CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1997-12-31 23:59:59'
+        ) WHERE rn = 1
+    """,
+    "f7c_asof_tolerance": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-05'),
+                                    (TIMESTAMP '2024-01-20')) AS t(sts)),
+        spine AS (SELECT user_id, sts FROM (SELECT DISTINCT user_id FROM f) CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us, f.ts, spine.sts,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1 AND ts >= sts - INTERVAL 48 HOURS
+    """,
+    "f10_sql_over_views": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type
     """,
     "f8_version_travel": f"""
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
