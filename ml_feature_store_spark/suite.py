@@ -672,6 +672,190 @@ def q_x9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Analytics: TPC-H-style multi-join/agg benchmarks, range join, percentiles
+# --------------------------------------------------------------------------- #
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped orders for one market
+    segment, top-10 by revenue. Plan: the filtered customer key set is
+    broadcast; lineitem<->orders shuffle on orderkey; the limit runs as
+    TakeOrderedAndProject (per-partition top-k + merge, no global sort)."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        out.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            _US(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the lineitem's supplier and
+    the ordering customer share a nation inside one region. Five-way join:
+    region/nation broadcast, the fact joins shuffle on their keys, AQE free
+    to re-plan at runtime."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate reaches
+    the parquet reader (PushedFilters); partial agg per partition then a
+    single-row merge — zero shuffle of data rows at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_r1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: orders against a tiny quarter-calendar dim
+    (q_start <= o_orderdate < q_end). The dim is broadcast so Spark runs a
+    BroadcastNestedLoopJoin — the right plan at any fact scale (the fact
+    side streams; only the 8-row dim is replicated). Dim timestamps are cast
+    to TIMESTAMP_NTZ so the big side needs no per-row cast."""
+    rows = []
+    for y in (1996, 1997):
+        for qi, m in enumerate((1, 4, 7, 10), start=1):
+            end_y, end_m = (y, m + 3) if m < 10 else (y + 1, 1)
+            rows.append((f"{y}Q{qi}", f"{y}-{m:02d}-01", f"{end_y}-{end_m:02d}-01"))
+    quarters = spark.createDataFrame(rows, ["quarter", "q_start", "q_end"]).select(
+        "quarter",
+        F.col("q_start").cast("timestamp_ntz").alias("q_start"),
+        F.col("q_end").cast("timestamp_ntz").alias("q_end"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(quarters),
+        (F.col("o_orderdate") >= F.col("q_start")) & (F.col("o_orderdate") < F.col("q_end")),
+    )
+    return j.groupBy("quarter").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_d1_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-kernel coverage: trunc, year/quarter, day-of-week,
+    datediff — all whole-stage-codegen expressions over one scan."""
+    orders = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        _US(F.date_trunc("month", od)).alias("month_us"),
+        F.year(od).alias("yr"),
+        F.quarter(od).alias("qtr"),
+        F.dayofweek(od).alias("dow"),
+        F.datediff(F.lit("1999-01-01").cast("date"), od.cast("date")).alias("days_to_1999"),
+    )
+
+
+def q_a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of account balance per market segment
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation). The exact twin of a4's approx_count_distinct scale
+    story: exact here, ``percentile_approx`` at 100 TB."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+    )
+
+
+def q_g1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((rf), (ls), ()) with grouping() null-markers —
+    complements a5's cube/rollup (one expand + one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+def q_t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer (BPE-ish alnum runs) per document: total and distinct
+    token counts — JVM-side regexp/array kernels, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def q_x10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector onto 16 deterministic
+    centroids (the 16 lowest vec_ids), probe the 2 cells nearest the query
+    (vec 100), exact top-10 inside the probed cells only. At 100 TB the
+    assignment is a write-time map-only pass (broadcast centroids, max_by
+    argmax — no shuffle) and the probe predicate prunes ~7/8 of the scan."""
+    from .operators.similarity import ivf_assign, knn_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 100).collect()[0]["embedding"]]
+    assigned = ivf_assign(emb, cents).filter(F.col("vec_id") != 100)
+    out = knn_ivf(assigned, cents, qvec, k=10, nprobe=2)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
 
@@ -696,6 +880,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_approx_distinct": q_a4_approx_distinct,
     "a5_cube_rollup": q_a5_cube_rollup,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "r1_range_join": q_r1_range_join,
+    "d1_date_functions": q_d1_date_functions,
+    "a7_percentiles": q_a7_percentiles,
+    "g1_grouping_sets": q_g1_grouping_sets,
+    "t3_token_count": q_t3_token_count,
+    "x10_ivf_ann": q_x10_ivf_ann,
     "s1_topk_orders": q_s1_topk_orders,
     "s2_topk_per_group": q_s2_topk_per_group,
     "u1_union_by_name": q_u1_union_by_name,
@@ -1015,5 +1208,108 @@ ORACLE_SQL: dict[str, str] = {
                64 + (('0x' || substr(sha256(text), 3, 2))::INTEGER % 192) AS height,
                1 + (('0x' || substr(sha256(text), 5, 2))::INTEGER % 3) AS n_channels
         FROM documents
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "r1_range_join": """
+        WITH quarters(quarter, q_start, q_end) AS (VALUES
+            ('1996Q1', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+            ('1996Q2', TIMESTAMP '1996-04-01', TIMESTAMP '1996-07-01'),
+            ('1996Q3', TIMESTAMP '1996-07-01', TIMESTAMP '1996-10-01'),
+            ('1996Q4', TIMESTAMP '1996-10-01', TIMESTAMP '1997-01-01'),
+            ('1997Q1', TIMESTAMP '1997-01-01', TIMESTAMP '1997-04-01'),
+            ('1997Q2', TIMESTAMP '1997-04-01', TIMESTAMP '1997-07-01'),
+            ('1997Q3', TIMESTAMP '1997-07-01', TIMESTAMP '1997-10-01'),
+            ('1997Q4', TIMESTAMP '1997-10-01', TIMESTAMP '1998-01-01'))
+        SELECT quarter, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders JOIN quarters
+          ON o_orderdate >= q_start AND o_orderdate < q_end
+        GROUP BY quarter
+    """,
+    "d1_date_functions": """
+        SELECT o_orderkey,
+               epoch_us(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS month_us,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                    AS INTEGER) AS days_to_1999
+        FROM orders
+    """,
+    "a7_percentiles": """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+               ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+               ROUND(AVG(c_acctbal), 4) AS mean_bal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "g1_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "t3_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER)
+                   AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                   AS INTEGER) AS n_distinct
+        FROM documents
+    """,
+    "x10_ivf_ann": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 100),
+        probes AS (SELECT cid FROM cents, q
+                   ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
+        a AS (SELECT e.vec_id, e.v,
+                     (SELECT cid FROM cents
+                      ORDER BY list_cosine_similarity(e.v, cv) DESC, cid ASC
+                      LIMIT 1) AS cell
+              FROM e WHERE e.vec_id <> 100)
+        SELECT vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS sim
+        FROM a, q WHERE cell IN (SELECT cid FROM probes)
+        ORDER BY list_cosine_similarity(a.v, q.qv) DESC, vec_id ASC LIMIT 10
     """,
 }
