@@ -37,6 +37,11 @@ def main() -> None:
     # Warm the JVM/scan path once so per-query numbers measure the plan,
     # not first-touch class loading.
     QUERIES["f6_pit_lookup"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warm the Python worker pool too: the first Arrow/pandas query would
+    # otherwise pay the interpreter spawn for all cores.
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

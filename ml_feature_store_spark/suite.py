@@ -508,18 +508,24 @@ def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x2_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-label pairs with cosine >= 0.35 (label-blocked exact
-    self-join; the LSH variant is the scale path, tested separately)."""
+    self-join; the LSH variant is the scale path, tested separately).
+    Norms are computed once per vector BEFORE the self-join (a vector with
+    p partners would otherwise redo its norm p times); the per-pair
+    arithmetic dot/(na*nb) stays bit-identical to the oracle's."""
+    from .functions.vector import dot as _dot
+    from .functions.vector import l2_norm
     from .operators.util import ensure_parallelism
 
     emb = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    emb = emb.withColumn("nv", l2_norm(F.col("v")))
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).withColumn("sim", _cosine(F.col("a.v"), F.col("b.v")))
+    ).withColumn("sim", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")))
     return pairs.filter(F.col("sim") >= 0.35).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
