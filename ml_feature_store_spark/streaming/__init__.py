@@ -4,10 +4,12 @@ from .ingest import (
     streaming_register,
     streaming_sessionize,
 )
+from .stateful import streaming_running_features
 
 __all__ = [
     "stream_events",
     "streaming_feature_agg",
     "streaming_register",
+    "streaming_running_features",
     "streaming_sessionize",
 ]

@@ -93,3 +93,75 @@ class TestStreamingRegister:
 
         out = store.get("live_features", [0, 1], dt.datetime(2024, 2, 1))
         assert out.count() == 2
+
+
+class TestStatefulRunningFeatures:
+    def test_running_features_match_batch(self, spark):
+        """applyInPandasWithState over two micro-batches: the final per-user
+        snapshot must equal the batch aggregate over all events."""
+        import duckdb
+
+        from ml_feature_store_spark.streaming import streaming_running_features
+        from ml_feature_store_spark.suite import table
+
+        # split events into two files -> two micro-batches with state carry-over
+        d = tempfile.mkdtemp(prefix="mlfs_state_")
+        con = duckdb.connect()
+        # preserve the production layout: ts as an epoch-nanos BIGINT
+        cols = "event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props"
+        con.execute(
+            f"COPY (SELECT {cols} FROM '{SF}/events.parquet' WHERE event_id % 2 = 0) "
+            f"TO '{d}/part0.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT {cols} FROM '{SF}/events.parquet' WHERE event_id % 2 = 1) "
+            f"TO '{d}/part1.parquet' (FORMAT PARQUET)"
+        )
+
+        stream = stream_events(spark, d)
+        q = (
+            streaming_running_features(stream)
+            .writeStream.format("memory")
+            .queryName("running_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        # update mode appends a row per (user, batch); the final snapshot is
+        # the one with the highest running count
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 6), r.last_ts_us, r.last_value)
+            for r in spark.sql(
+                """
+                SELECT user_id,
+                       max_by(n_events, n_events) AS n_events,
+                       max_by(sum_value, n_events) AS sum_value,
+                       max_by(last_ts_us, n_events) AS last_ts_us,
+                       max_by(last_value, n_events) AS last_value
+                FROM running_t GROUP BY user_id
+                """
+            ).collect()
+        }
+        ev = table(spark, SF, "events").withColumn("ts_us", F.unix_micros("ts"))
+        want = {
+            r.user_id: (r.n, round(r.s, 6), r.lt, r.lv)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("s"),
+                F.max("ts_us").alias("lt"),
+                F.max_by("value", "ts_us").alias("lv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for u in want:
+            gn, gs, gt, gv = got[u]
+            wn, ws, wt, wv = want[u]
+            assert gn == wn and gt == wt
+            assert abs(gs - ws) < 1e-6
+            assert gv == wv
+        shutil.rmtree(d, ignore_errors=True)
