@@ -245,21 +245,27 @@ def dedup_embedding_cosine(
     restricted to blocks — mandatory at scale. Without it this is an exact
     quadratic self-join: only for small/test data.
     """
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot, l2_norm
     from .util import ensure_parallelism
 
     emb = ensure_parallelism(emb)
+    # norms once per vector BEFORE the self-join (a vector in p pairs would
+    # otherwise recompute its norm p times); dot/(na*nb) stays bit-identical
+    # to a per-pair cosine
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v__"),
         *([F.col(block_col)] if block_col else []),
-    )
+    ).withColumn("__n__", l2_norm(F.col("__v__")))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     return (
         a.join(b, cond)
-        .withColumn("sim", cosine_similarity(F.col("a.__v__"), F.col("b.__v__")))
+        .withColumn(
+            "sim",
+            dot(F.col("a.__v__"), F.col("b.__v__")) / (F.col("a.__n__") * F.col("b.__n__")),
+        )
         .filter(F.col("sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

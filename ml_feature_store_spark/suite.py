@@ -843,6 +843,79 @@ def q_t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x11_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
+    synthetic vectors have no true dups; this exercises the operator) — exact
+    variant for oracle parity; at scale the same operator takes a
+    ``block_col`` (LSH bucket from rp_lsh_bucketize) so the self-join never
+    goes quadratic."""
+    from .operators.dedup import dedup_embedding_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = dedup_embedding_cosine(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def q_m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: deterministic fake frame count from
+    payload length, every-30th-frame sample indices as array<int> — the
+    Spark-side schema/batch shape is real, the codec is stubbed."""
+    from .multimodal import attach_binary_payload
+    from .multimodal.columns import frame_sample_stub
+
+    docs = table(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs.select("doc_id", "text"), "text", media_type="video")
+    out = frame_sample_stub(payload, every_n=30)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.size("sampled_frames").alias("n_sampled"),
+        F.element_at("sampled_frames", -1).alias("last_frame_idx"),
+    )
+
+
+def q_u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: customers with orders in BOTH 1996 and 1997
+    (INTERSECT) minus any customer with an urgent 1997 order (EXCEPT)."""
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    urgent97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_custkey")
+    return y96.intersect(y97).exceptAll(urgent97.distinct())
+
+
+def q_io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format coverage: project events, write CSV with a header,
+    read it back with an explicit schema, aggregate. Proves the non-parquet
+    I/O path end-to-end; the oracle sees only the logical result."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    d = _tf.mkdtemp(prefix="mlfs_csv_")
+    ev.write.mode("overwrite").option("header", "true").csv(d)
+    back = (
+        spark.read.option("header", "true")
+        .schema("event_id long, user_id long, event_type string, value double")
+        .csv(d)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 def q_x10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector onto 16 deterministic
     centroids (the 16 lowest vec_ids), probe the 2 cells nearest the query
@@ -895,6 +968,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_grouping_sets": q_g1_grouping_sets,
     "t3_token_count": q_t3_token_count,
     "x10_ivf_ann": q_x10_ivf_ann,
+    "x11_embedding_dedup": q_x11_embedding_dedup,
+    "m2_frame_sample": q_m2_frame_sample,
+    "u2_intersect_except": q_u2_intersect_except,
+    "io1_csv_roundtrip": q_io1_csv_roundtrip,
     "s1_topk_orders": q_s1_topk_orders,
     "s2_topk_per_group": q_s2_topk_per_group,
     "u1_union_by_name": q_u1_union_by_name,
@@ -1302,6 +1379,42 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
                    AS INTEGER) AS n_distinct
         FROM documents
+    """,
+    "x11_embedding_dedup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    "m2_frame_sample": """
+        WITH f AS (
+            SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                   octet_length(encode(text)) % 270 + 30 AS n_frames
+            FROM documents)
+        SELECT doc_id, byte_len,
+               CAST((n_frames - 1) // 30 + 1 AS INTEGER) AS n_sampled,
+               CAST(((n_frames - 1) // 30) * 30 AS INTEGER) AS last_frame_idx
+        FROM f
+    """,
+    "u2_intersect_except": """
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01')
+        EXCEPT ALL
+        (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND o_orderpriority = '1-URGENT')
+    """,
+    "io1_csv_roundtrip": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+               MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        FROM events GROUP BY event_type
     """,
     "x10_ivf_ann": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
