@@ -19,6 +19,17 @@ rewrites with identical semantics:
   ONE shuffle, NO row explosion — this is the 100 TB strategy (cost is
   O((|spine|+|table|) log) per entity partition, independent of fan-out).
 
+* ``strategy="union_bucketed"`` — the hot-entity (skew) variant of
+  ``union``. A window partitioned by entity alone serializes each entity
+  into ONE task; an entity with billions of rows stalls the stage. Here
+  rows are additionally hashed into fixed time buckets, the carry-forward
+  window runs per (entity, bucket) — bounded work per task — and a second,
+  tiny pass over per-bucket maxima (one row per (entity, bucket), computed
+  with a skew-immune partial-aggregating max_by) supplies each bucket's
+  carry-in: the latest feature from any earlier bucket. Identical
+  semantics (property-tested against ``union``), two extra narrow shuffles
+  over per-bucket cardinality data.
+
 Semantics (must-match, SURVEY §2.3#4):
   * inclusive: feature.ts <= spine.ts qualifies;
   * output ``timestamp`` = the matched FEATURE row's timestamp (not the
@@ -47,6 +58,7 @@ def asof_join(
     strategy: str = "union",
     keep_spine_ts: bool = False,
     tolerance_seconds: float | None = None,
+    bucket_seconds: int = 30 * 24 * 3600,
 ) -> DataFrame:
     """For each spine (entity, ts) row return the latest feature row with
     ``feature.ts <= spine.ts``. See module docstring for semantics.
@@ -62,6 +74,10 @@ def asof_join(
     """
     if strategy == "join":
         out = _asof_via_join(spine, features, entity_col, ts_col, True)
+    elif strategy == "union_bucketed":
+        out = _asof_via_union_bucketed(
+            spine, features, entity_col, ts_col, bucket_seconds=bucket_seconds
+        )
     else:
         out = _asof_via_union(spine, features, entity_col, ts_col, True)
     if tolerance_seconds is not None:
@@ -119,6 +135,83 @@ def _asof_via_join(
     if keep_spine_ts:
         out_cols.append(F.col(_SPINE_TS).alias("as_of_timestamp"))
     return agg.select(*out_cols)
+
+
+def _asof_via_union_bucketed(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Skew-safe union as-of: carry-forward windows per (entity, time
+    bucket), plus a carry-in join from per-bucket maxima. See module
+    docstring. Always emits ``as_of_timestamp`` (caller drops it)."""
+    payload = _feature_payload_cols(features, entity_col)
+    tb = ROW_ID_COL if ROW_ID_COL in payload else None
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    f_tagged = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(0).alias("__is_spine__"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload__"),
+    ).withColumn("__bkt__", F.floor(F.unix_micros("__evt_ts__") / F.lit(bucket_us)))
+    s_tagged = spine.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(1).alias("__is_spine__"),
+        F.lit(None).cast(f_tagged.schema["__payload__"].dataType).alias("__payload__"),
+    ).withColumn("__bkt__", F.floor(F.unix_micros("__evt_ts__") / F.lit(bucket_us)))
+    unioned = f_tagged.unionByName(s_tagged)
+
+    # Pass A: within-bucket carry-forward (same order contract as `union`,
+    # but each task's work is bounded by one entity-bucket, not one entity).
+    order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    if tb:
+        order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
+    wa = (
+        Window.partitionBy(entity_col, "__bkt__")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__last_feat__", F.last("__payload__", ignorenulls=True).over(wa)
+    )
+
+    # Pass B: per-(entity, bucket) feature maximum — partial-aggregating
+    # max_by, immune to hot entities — left-joined onto the scaffold of ALL
+    # buckets either side touches, then a per-entity window over this tiny
+    # (one row per entity-bucket) frame yields each bucket's carry-in.
+    ord_fields = [F.col("__evt_ts__").alias("_t")]
+    if tb:
+        ord_fields.append((-F.col(f"__payload__.{tb}")).alias("_n"))
+    bucket_last = f_tagged.groupBy(entity_col, "__bkt__").agg(
+        F.max_by(F.col("__payload__"), F.struct(*ord_fields)).alias("__blast__")
+    )
+    scaffold = unioned.select(entity_col, "__bkt__").distinct()
+    wb = (
+        Window.partitionBy(entity_col)
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        scaffold.join(bucket_last, [entity_col, "__bkt__"], "left")
+        .withColumn("__carry_in__", F.last("__blast__", ignorenulls=True).over(wb))
+        .select(entity_col, "__bkt__", "__carry_in__")
+    )
+
+    matched = (
+        carried.filter(F.col("__is_spine__") == 1)
+        .join(carry, [entity_col, "__bkt__"], "left")
+        .withColumn("__feat__", F.coalesce("__last_feat__", "__carry_in__"))
+        .filter(F.col("__feat__").isNotNull())
+    )
+    out_cols = [F.col(entity_col)] + [
+        F.col(f"__feat__.{c}").alias(c) for c in payload if c != ROW_ID_COL
+    ]
+    out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
+    return matched.select(*out_cols)
 
 
 def _asof_via_union(

@@ -207,17 +207,24 @@ class FeatureStore:
         columns: Sequence[str] | None = None,
         strategy: str = "union",
         tolerance_seconds: float | None = None,
+        bucket_seconds: int = 30 * 24 * 3600,
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
         timestamp (reference store.py:261-334, SURVEY §2.3#4).
-        ``tolerance_seconds`` optionally bounds the lookback window."""
+        ``tolerance_seconds`` optionally bounds the lookback window;
+        ``strategy="union_bucketed"`` with ``bucket_seconds`` is the
+        hot-entity (skew) path — see operators/asof.py."""
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if columns is not None:
             self._validate_columns(name, columns)
         feats = self._current(name)
         out = asof_join(
-            entity_timestamps, feats, strategy=strategy, tolerance_seconds=tolerance_seconds
+            entity_timestamps,
+            feats,
+            strategy=strategy,
+            tolerance_seconds=tolerance_seconds,
+            bucket_seconds=bucket_seconds,
         )
         out = project(out, columns)
         return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out

@@ -74,15 +74,18 @@ def test_pit_matches_spec(spark, rows, cutoff):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=feature_rows, spine=spine_rows)
-@pytest.mark.parametrize("strategy", ["union", "join"])
+@pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
 def test_asof_matches_spec(spark, strategy, rows, spine):
     feats = _to_df(spark, rows)
     spine_df = spark.createDataFrame(
         [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
         ["entity_id", "timestamp"],
     )
+    # 1-day buckets put every distinct day in its own bucket, forcing the
+    # bucketed strategy's carry-in path on nearly every spine row
+    kw = {"bucket_seconds": 86400} if strategy == "union_bucketed" else {}
     got = sorted(
         (r["entity_id"], (r["timestamp"] - BASE).days, r["val"])
-        for r in asof_join(spine_df, feats, strategy=strategy).collect()
+        for r in asof_join(spine_df, feats, strategy=strategy, **kw).collect()
     )
     assert got == spec_asof(rows, spine)

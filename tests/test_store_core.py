@@ -148,7 +148,7 @@ class TestTrainingSet:
         assert out["user_2"]["feature_a"] == 10.0
         assert out["user_2"]["timestamp"] == ts("2024-01-01")
 
-    @pytest.mark.parametrize("strategy", ["union", "join"])
+    @pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
     def test_strategies_agree(self, store, feature_df, spark, strategy):
         store.register("f", feature_df)
         spine = spark.createDataFrame(
