@@ -13,7 +13,18 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # scan metadata (PushedFilters/DataFilters/ReadSchema) is truncated to
+    # spark.sql.maxMetadataStringLength chars by default (100) — widen it so
+    # pushdown assertions can see every predicate
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
 
 
 def optimized_plan(df: DataFrame) -> str:

@@ -107,3 +107,55 @@ class TestCodegen:
         # partial_max_by = map-side combine: the shuffle carries one row per
         # (entity, map partition), not the whole table
         assert "partial_max_by" in plan
+
+
+class TestAnalyticsPlans:
+    def test_q6_all_predicates_pushed_no_row_shuffle(self, spark):
+        """TPC-H Q6 shape: every predicate reaches the scan; the only
+        exchange is the single-row partial-agg merge."""
+        df = QUERIES["q6_forecast_revenue"](spark, SF)
+        plan = executed_plan(df)
+        for frag in (
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "GreaterThanOrEqual(l_discount",
+            "LessThanOrEqual(l_discount",
+            "LessThan(l_quantity",
+        ):
+            assert has_pushed_filter(df, frag), frag
+        assert "SinglePartition" in plan
+
+    def test_range_join_broadcasts_tiny_dim(self, spark):
+        """Non-equi range join must build a BroadcastNestedLoopJoin with the
+        8-row calendar dim on the build side — never a cartesian shuffle."""
+        plan = executed_plan(QUERIES["r1_range_join"](spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q3_topk_avoids_global_sort(self, spark):
+        """LIMIT after ORDER BY must plan TakeOrderedAndProject (per-
+        partition top-k + merge), not a global Sort+Exchange."""
+        plan = executed_plan(QUERIES["q3_shipping_priority"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ivf_assign_broadcasts_centroids(self, spark):
+        """IVF coarse assignment: centroids broadcast, argmax via partial
+        max_by — no shuffle of the vector table rows by centroid."""
+        from ml_feature_store_spark.operators.similarity import ivf_assign
+
+        emb = table(spark, SF, "embeddings")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        )
+        plan = executed_plan(ivf_assign(emb, cents))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "partial_max_by" in plan
+
+    def test_simhash_partial_aggregation(self, spark):
+        """SimHash vote aggregation must partially aggregate map-side so the
+        shuffle carries one 64-int row per doc, not exploded tokens."""
+        from ml_feature_store_spark.operators.dedup import dedup_simhash
+
+        docs = table(spark, SF, "documents")
+        plan = executed_plan(dedup_simhash(docs))
+        assert "partial_sum" in plan
