@@ -831,6 +831,69 @@ def q_g1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds a quantity
+    threshold (HAVING over a grouped sum, semi-joined back to the facts).
+    The HAVING subquery output (few keys) broadcasts into the main join."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    return j.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+
+
+def q_a2b_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README-motivating features ('avg txn 30d', 'count 7d') computed
+    in ONE pass: two range frames share the same partitionBy/orderBy, so
+    Spark sorts once and evaluates both frames over the same shuffle."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts_us", _US("ts"))
+        # sum exact integer cents: sliding-window sums of doubles differ in
+        # the last ulp between engines (incremental vs recomputed), which
+        # flips 4dp rounding; integer sums are order-independent
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    day_us = 24 * 3600 * 1_000_000
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * day_us, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-30 * day_us, 0)
+    )
+    # fixed-point average: (cents*100) div count — pure integer arithmetic,
+    # immune to the Spark-vs-DuckDB ROUND(double) half-value disagreement
+    # (Spark HALF_UPs the decimal repr, DuckDB rounds the binary double)
+    s30 = F.sum("cents").over(w30) * 100
+    c30 = F.count("*").over(w30)
+    avg_e4 = ((s30 - (s30 % c30)) / c30).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w7).alias("cnt_7d"),
+        F.round(F.sum("cents").over(w7) / 100.0, 2).alias("sum_7d"),
+        c30.alias("cnt_30d"),
+        avg_e4.alias("avg_30d_e4"),
+    )
+
+
 def q_t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex tokenizer (BPE-ish alnum runs) per document: total and distinct
     token counts — JVM-side regexp/array kernels, no UDF."""
@@ -967,6 +1030,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_percentiles": q_a7_percentiles,
     "g1_grouping_sets": q_g1_grouping_sets,
     "t3_token_count": q_t3_token_count,
+    "q18_large_orders": q_q18_large_orders,
+    "a2b_multi_window": q_a2b_multi_window,
     "x10_ivf_ann": q_x10_ivf_ann,
     "x11_embedding_dedup": q_x11_embedding_dedup,
     "m2_frame_sample": q_m2_frame_sample,
@@ -1379,6 +1444,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
                    AS INTEGER) AS n_distinct
         FROM documents
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    """,
+    "a2b_multi_window": f"""
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w7 AS cnt_7d,
+               ROUND(SUM(cents) OVER w7 / 100.0, 2) AS sum_7d,
+               COUNT(*) OVER w30 AS cnt_30d,
+               CAST((SUM(cents) OVER w30 * 100) // (COUNT(*) OVER w30)
+                    AS BIGINT) AS avg_30d_e4
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents FROM ({_EV}))
+        WINDOW
+          w7 AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {7 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW),
+          w30 AS (PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN {30 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW)
     """,
     "x11_embedding_dedup": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
