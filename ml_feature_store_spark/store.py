@@ -48,6 +48,8 @@ from .sources.registry import MemoryVersionStore, ParquetVersionStore
 
 REQUIRED_COLUMNS = frozenset({ENTITY_COL, TIMESTAMP_COL})
 DEFAULT_MAX_VERSIONS = 10
+DT_COL = "__dt__"  # hidden date-partition column (date_partition=True)
+HIDDEN_COLS = (ROW_ID_COL, DT_COL)
 
 
 @dataclass(frozen=True)
@@ -77,6 +79,12 @@ class FeatureStore:
         must be >= 1 (reference store.py:107-110).
     partition_by / sort_within_partitions : storage layout knobs passed to
         the Parquet backend (e.g. a date column for partition pruning).
+    date_partition : when True, registration derives a hidden
+        ``__dt__ = to_date(timestamp)`` column and partitions storage by
+        it; ``get`` then adds the monotonic rewrite of its time cutoff
+        (``__dt__ <= date(cutoff)``) so the scan prunes whole date
+        partitions — the reference README's own proposed scale fix
+        (reference README.md:167), done automatically.
     """
 
     def __init__(
@@ -86,11 +94,15 @@ class FeatureStore:
         max_versions: int = DEFAULT_MAX_VERSIONS,
         partition_by: str | None = None,
         sort_within_partitions: tuple[str, ...] = (ENTITY_COL, TIMESTAMP_COL),
+        date_partition: bool = False,
     ) -> None:
         if max_versions < 1:
             raise ValueError(f"max_versions must be >= 1, got {max_versions}")
         self.spark = spark
         self.max_versions = max_versions
+        self._date_partition = date_partition
+        if date_partition:
+            partition_by = DT_COL
         if storage_path is None:
             self._backend: MemoryVersionStore | ParquetVersionStore = MemoryVersionStore()
         else:
@@ -116,7 +128,7 @@ class FeatureStore:
         state = self._backend.meta(name)
         rec = state.versions[state.version]
         feature_cols = tuple(
-            c for c in rec.columns if c not in REQUIRED_COLUMNS and c != ROW_ID_COL
+            c for c in rec.columns if c not in REQUIRED_COLUMNS and c not in HIDDEN_COLS
         )
         return FeatureTableInfo(
             name=state.name,
@@ -164,6 +176,8 @@ class FeatureStore:
             # Input-order capture BEFORE any shuffle: monotonically increasing
             # ids are ordered within and across input partitions.
             out = out.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+        if self._date_partition and DT_COL not in out.columns:
+            out = out.withColumn(DT_COL, F.to_date(F.col(TIMESTAMP_COL)))
         return out
 
     def _prune_history(self, name: str) -> None:
@@ -195,10 +209,14 @@ class FeatureStore:
             self._validate_columns(name, columns)
         cutoff = self._normalize_timestamp(timestamp)
         out = temporal_filter(df, cutoff)
+        if DT_COL in df.columns:
+            # monotonic rewrite of the cutoff onto the partition column:
+            # ts <= C implies date(ts) <= date(C) — prunes whole partitions
+            out = out.filter(F.col(DT_COL) <= F.lit(cutoff.date()))
         out = entity_filter(out, entity_ids)
         out = latest_per_entity(out)
         out = project(out, columns)
-        return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out
+        return out.drop(*HIDDEN_COLS)
 
     def get_training_set(
         self,
@@ -218,7 +236,7 @@ class FeatureStore:
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if columns is not None:
             self._validate_columns(name, columns)
-        feats = self._current(name)
+        feats = self._current(name).drop(DT_COL)
         out = asof_join(
             entity_timestamps,
             feats,
@@ -227,16 +245,14 @@ class FeatureStore:
             bucket_seconds=bucket_seconds,
         )
         out = project(out, columns)
-        return out.drop(ROW_ID_COL) if ROW_ID_COL in out.columns else out
+        return out.drop(*HIDDEN_COLS)
 
     def create_view(self, name: str, view_name: str | None = None) -> str:
         """Expose the current version as a Spark temp view so users can
         query feature tables with ``spark.sql`` (catalog bridge; the
         reference has no SQL surface)."""
         vname = view_name or name
-        df = self._current(name)
-        if ROW_ID_COL in df.columns:
-            df = df.drop(ROW_ID_COL)
+        df = self._current(name).drop(*HIDDEN_COLS)
         df.createOrReplaceTempView(vname)
         return vname
 
@@ -254,7 +270,7 @@ class FeatureStore:
                 f"Available versions: {available}"
             )
         df = self._backend.read_version(name, version)
-        return df.drop(ROW_ID_COL) if ROW_ID_COL in df.columns else df
+        return df.drop(*HIDDEN_COLS)
 
     # ------------------------------------------------------------------ #
     # internals

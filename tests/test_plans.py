@@ -159,3 +159,34 @@ class TestAnalyticsPlans:
         docs = table(spark, SF, "documents")
         plan = executed_plan(dedup_simhash(docs))
         assert "partial_sum" in plan
+
+
+class TestDatePartitionPruning:
+    def test_get_prunes_date_partitions(self, spark, tmp_path):
+        """date_partition=True: storage is laid out by __dt__ and the PIT
+        cutoff reaches the scan as a PartitionFilter — whole-date pruning,
+        the behavior that matters most at 100 TB."""
+        import datetime as dt
+
+        from ml_feature_store_spark.store import FeatureStore
+        from ml_feature_store_spark.suite import events_features
+
+        feats = events_features(spark, SF).drop("__row_id__")
+        plain = FeatureStore(spark, storage_path=str(tmp_path / "plain"))
+        parted = FeatureStore(
+            spark, storage_path=str(tmp_path / "parted"), date_partition=True
+        )
+        plain.register("ev", feats)
+        parted.register("ev", feats)
+
+        cutoff = dt.datetime(2024, 1, 10)
+        ids = list(range(50))
+        got = parted.get("ev", ids, cutoff)
+        want = plain.get("ev", ids, cutoff)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+        plan = executed_plan(got)
+        assert "PartitionFilters" in plan
+        assert "__dt__" in plan.split("PartitionFilters")[1][:200]
+        # hidden columns never surface
+        assert "__dt__" not in got.columns and "__row_id__" not in got.columns
