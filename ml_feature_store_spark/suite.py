@@ -979,6 +979,47 @@ def q_io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour/day/month continuous
+    aggregates in ONE scan via GROUPING SETS over pre-truncated buckets
+    (one expand + one shuffle; the streaming twin maintains the same
+    rollup incrementally via foreachBatch)."""
+    ev = table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        _US(F.date_trunc("hour", "ts")).alias("hour_us"),
+        _US(F.date_trunc("day", "ts")).alias("day_us"),
+        _US(F.date_trunc("month", "ts")).alias("month_us"),
+        "value",
+    )
+    return bucketed.groupingSets(
+        [["hour_us"], ["day_us"], ["month_us"]], "hour_us", "day_us", "month_us"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_io2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source/sink coverage: write a projection as JSON lines, read it
+    back with an explicit schema, aggregate. The props column round-trips
+    as a raw JSON string and is re-parsed with get_json_object."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    d = _tf.mkdtemp(prefix="mlfs_json_")
+    ev.write.mode("overwrite").json(d)
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string, props string")
+        .json(d)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
 def q_x10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector onto 16 deterministic
     centroids (the 16 lowest vec_ids), probe the 2 cells nearest the query
@@ -1032,6 +1073,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_token_count": q_t3_token_count,
     "q18_large_orders": q_q18_large_orders,
     "a2b_multi_window": q_a2b_multi_window,
+    "h1_time_rollup": q_h1_time_rollup,
+    "io2_json_roundtrip": q_io2_json_roundtrip,
     "x10_ivf_ann": q_x10_ivf_ann,
     "x11_embedding_dedup": q_x11_embedding_dedup,
     "m2_frame_sample": q_m2_frame_sample,
@@ -1470,6 +1513,23 @@ ORACLE_SQL: dict[str, str] = {
                  RANGE BETWEEN {7 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW),
           w30 AS (PARTITION BY user_id ORDER BY ts_us
                   RANGE BETWEEN {30 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW)
+    """,
+    "h1_time_rollup": f"""
+        SELECT hour_us, day_us, month_us,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+                     epoch_us(date_trunc('day', ts)) AS day_us,
+                     epoch_us(date_trunc('month', ts)) AS month_us,
+                     value
+              FROM ({_EV}))
+        GROUP BY GROUPING SETS ((hour_us), (day_us), (month_us))
+    """,
+    "io2_json_roundtrip": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(event_id) AS min_event_id
+        FROM events GROUP BY event_type
     """,
     "x11_embedding_dedup": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
