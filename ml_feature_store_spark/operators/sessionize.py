@@ -38,6 +38,81 @@ def sessionize(
     ).drop("__new__")
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+    bucket_seconds: int = 24 * 3600,
+) -> DataFrame:
+    """Skew-safe sessionize: identical output to :func:`sessionize`, but no
+    task ever sorts more than one (entity, time-bucket) of data.
+
+    ``sessionize`` windows by entity alone, so a hot entity (billions of
+    events) serializes into one task. Here:
+
+    1. events sessionize *within* (entity, bucket) — bounded local sort;
+    2. a per-bucket summary (local session count, first/last event time —
+       one row per entity-bucket, partial-aggregated) decides for each
+       boundary whether the bucket's first session continues the previous
+       non-empty bucket's last session (gap <= threshold, empty buckets
+       skipped naturally by ordering over buckets *with* data);
+    3. global id = local id + (sessions in earlier buckets) - (bridged
+       boundaries so far) — each bridge merges exactly one boundary pair,
+       and chains of bridged buckets telescope correctly.
+
+    Extra cost vs ``sessionize``: one partial-agg shuffle and one
+    co-partitioned join, both over per-bucket cardinality, not events.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = int(bucket_seconds) * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col))
+
+    ev = df.withColumn("__ts_us__", ts_us).withColumn(
+        "__bkt__", F.floor(F.col("__ts_us__") / F.lit(bucket_us))
+    )
+    wa = Window.partitionBy(entity_col, "__bkt__").orderBy("__ts_us__")
+    new_local = F.when(
+        F.col("__ts_us__") - F.lag("__ts_us__").over(wa) > gap_us, 1
+    ).otherwise(F.when(F.lag("__ts_us__").over(wa).isNull(), 1).otherwise(0))
+    run = wa.rowsBetween(Window.unboundedPreceding, 0)
+    local = ev.withColumn("__new__", new_local).withColumn(
+        "__local_id__", F.sum("__new__").over(run)
+    )
+
+    bstats = local.groupBy(entity_col, "__bkt__").agg(
+        F.max("__local_id__").alias("__n_sess__"),
+        F.min("__ts_us__").alias("__first__"),
+        F.max("__ts_us__").alias("__last__"),
+    )
+    wb = Window.partitionBy(entity_col).orderBy("__bkt__")
+    prev_last = F.lag("__last__").over(wb)
+    bridged = bstats.withColumn(
+        "__bridge__",
+        F.when(F.col("__first__") - prev_last <= gap_us, 1).otherwise(0),
+    )
+    offsets = bridged.select(
+        entity_col,
+        "__bkt__",
+        F.coalesce(
+            F.sum("__n_sess__").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__before__"),
+        F.sum("__bridge__")
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__bridges__"),
+    )
+
+    out = local.join(offsets, [entity_col, "__bkt__"]).withColumn(
+        session_col,
+        (F.col("__local_id__") + F.col("__before__") - F.col("__bridges__")).cast("long"),
+    )
+    return out.drop(
+        "__ts_us__", "__bkt__", "__new__", "__local_id__", "__before__", "__bridges__"
+    )
+
+
 def session_stats(
     df: DataFrame,
     entity_col: str = "user_id",

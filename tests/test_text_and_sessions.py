@@ -132,3 +132,29 @@ class TestMultimodal:
         out = frame_sample_stub(attach_binary_payload(docs, "text"), every_n=10)
         for r in out.collect():
             assert list(r.sampled_frames) == list(range(0, max(r.sampled_frames) + 1, 10))
+
+
+class TestBucketedSessionize:
+    @pytest.mark.parametrize("bucket_seconds", [3600, 7200, 86400])
+    def test_bucketed_matches_plain(self, spark, bucket_seconds):
+        """sessionize_bucketed must produce the exact session assignment of
+        plain sessionize; small buckets force many boundary bridges (and
+        bridges across empty buckets)."""
+        from ml_feature_store_spark.operators.sessionize import (
+            sessionize,
+            sessionize_bucketed,
+        )
+        from ml_feature_store_spark.suite import table
+
+        ev = table(spark, "/root/testdata/sf0.001", "events")
+        plain = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize(ev).select("user_id", "event_id", "session_id").collect()
+        }
+        bucketed = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize_bucketed(ev, bucket_seconds=bucket_seconds)
+            .select("user_id", "event_id", "session_id")
+            .collect()
+        }
+        assert bucketed == plain
