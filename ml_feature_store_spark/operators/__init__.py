@@ -1,5 +1,23 @@
 from .asof import asof_join
+from .dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_signatures,
+    ngram_jaccard,
+)
 from .pit import entity_filter, latest_per_entity, project, temporal_filter, top_k_per_group
+from .sessionize import session_stats, sessionize, sessionize_bucketed
+from .similarity import (
+    ivf_assign,
+    knn_brute_force,
+    knn_for_queries,
+    knn_ivf,
+    knn_lsh,
+    rp_lsh_bucketize,
+)
+from .text import add_token_count, fingerprint, lang_id, quality_score, rolling_hash_fingerprint
 
 __all__ = [
     "asof_join",
@@ -8,4 +26,24 @@ __all__ = [
     "project",
     "temporal_filter",
     "top_k_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "sessionize",
+    "sessionize_bucketed",
+    "session_stats",
+    "knn_brute_force",
+    "knn_for_queries",
+    "knn_lsh",
+    "rp_lsh_bucketize",
+    "ivf_assign",
+    "knn_ivf",
+    "lang_id",
+    "quality_score",
+    "add_token_count",
+    "fingerprint",
+    "rolling_hash_fingerprint",
 ]
