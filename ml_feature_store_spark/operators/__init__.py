@@ -17,7 +17,14 @@ from .similarity import (
     knn_lsh,
     rp_lsh_bucketize,
 )
-from .text import add_token_count, fingerprint, lang_id, quality_score, rolling_hash_fingerprint
+from .text import (
+    add_token_count,
+    fingerprint,
+    lang_id,
+    lang_id_ngram,
+    quality_score,
+    rolling_hash_fingerprint,
+)
 
 __all__ = [
     "asof_join",
@@ -42,6 +49,7 @@ __all__ = [
     "ivf_assign",
     "knn_ivf",
     "lang_id",
+    "lang_id_ngram",
     "quality_score",
     "add_token_count",
     "fingerprint",

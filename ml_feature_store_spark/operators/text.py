@@ -56,6 +56,50 @@ def lang_id(
     return out
 
 
+DEFAULT_TRIGRAMS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "ing", "and", "ion", " th", "he ", "of ", " to"),
+    "de": ("der", "sch", "ein", "ich", "und", "die", "en ", "ung"),
+    "fr": ("les", "ent", "de ", "ion", "que", " la", "est", "eur"),
+    "es": ("de ", "la ", "que", "os ", "ión", "ent", " el", "ado"),
+}
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    trigrams: Mapping[str, Sequence[str]] = DEFAULT_TRIGRAMS,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Character-trigram language ID: slide a 3-char window over the text,
+    count hits against each language's characteristic trigram profile,
+    predict the argmax ('unk' below ``min_hits``).
+
+    All JVM-side: one ``sequence``+``transform`` builds the trigram array
+    once, per-language scoring is ``size(filter(...))`` over it, argmax via
+    ``greatest`` + chained WHEN. Map-only; profiles are literal arrays
+    (broadcast-free). Swap the 8-trigram demo profiles for real frequency
+    tables in deployment — the plan shape is unchanged.
+    """
+    lowered = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(1)))
+    tri = F.transform(idx, lambda i: F.call_function("substring", lowered, i, F.lit(3)))
+
+    def hit_filter(profile: Sequence[str]):
+        pl = list(profile)
+        return lambda x: x.isin(pl)
+
+    scores: dict[str, Column] = {
+        lang: F.size(F.filter(tri, hit_filter(p))) for lang, p in trigrams.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang, s in scores.items():
+        cond = (best >= min_hits) & (s == best)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("unk"))
+    return df.withColumn("pred_lang", pred).withColumn("ngram_hits", best)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic doc quality: token count, distinct-token ratio, mean token
     length, and a composite [0,1] score. Cheap map-only curation signal."""

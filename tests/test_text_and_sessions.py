@@ -158,3 +158,28 @@ class TestBucketedSessionize:
             .collect()
         }
         assert bucketed == plain
+
+
+class TestNgramLangId:
+    def test_predicts_real_language_samples(self, spark):
+        """Char-trigram voting on genuinely multilingual sentences (the
+        synthetic corpus is language-agnostic word salad, so real strings
+        are the honest test)."""
+        from ml_feature_store_spark.operators.text import lang_id_ngram
+
+        samples = [
+            (1, "the quick brown fox jumps over the lazy dog and the cat", "en"),
+            (2, "der schnelle braune fuchs springt und die katze schlaeft ein", "de"),
+            (3, "les enfants jouent dans le jardin et la mere est contente", "fr"),
+            (4, "los ninos juegan en el jardin y la madre esta contenta de ellos", "es"),
+        ]
+        df = spark.createDataFrame([(i, t) for i, t, _ in samples], ["doc_id", "text"])
+        got = {r.doc_id: r.pred_lang for r in lang_id_ngram(df).collect()}
+        want = {i: lang for i, _, lang in samples}
+        assert got == want
+
+    def test_no_signal_gives_unk(self, spark):
+        from ml_feature_store_spark.operators.text import lang_id_ngram
+
+        df = spark.createDataFrame([(1, "zzz qqq xxx")], ["doc_id", "text"])
+        assert lang_id_ngram(df).collect()[0].pred_lang == "unk"
