@@ -204,19 +204,28 @@ def dedup_simhash(
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(content_col))).alias("__tok__")
     ).withColumn("__h__", F.xxhash64("__tok__"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("__h__", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{i}__")
-        for i in range(bits)
+    # SWAR bit-count: (h >> j) & 0x0001000100010001 accumulates the ones
+    # of bits j, j+16, j+32, j+48 in four 16-bit lanes of one long — 16
+    # lane-sum aggregates instead of 64 per-bit sums (4x less per-row agg
+    # work; lanes can't overflow below 65535 tokens/doc). Sign-extension
+    # from the arithmetic shift lands above lane 3's read position for all
+    # j <= 15, so the mask discards it. vote_i > 0  <=>  2*ones_i > n.
+    n_lanes = bits // 4
+    lane_mask = sum(1 << (16 * k) for k in range(4))
+    lanes = [
+        F.sum(F.shiftright("__h__", j).bitwiseAND(F.lit(lane_mask))).alias(f"__l{j}__")
+        for j in range(n_lanes)
     ]
-    per_doc = ex.groupBy(id_col).agg(*votes)
-    bit_exprs = [
-        F.when(
-            F.col(f"__v{i}__") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(bits)
-    ]
+    per_doc = ex.groupBy(id_col).agg(F.count("*").alias("__n__"), *lanes)
+    bit_exprs = []
+    for i in range(bits):
+        j, k = i % n_lanes, i // n_lanes
+        ones = F.shiftright(F.col(f"__l{j}__"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        bit_exprs.append(
+            F.when(
+                ones * 2 > F.col("__n__"), F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     sig = sum(bit_exprs[1:], bit_exprs[0]).alias("simhash")
     sigs = per_doc.select(F.col(id_col), sig)
     # one shuffle on the signature; a groupBy+join-back would evaluate the
