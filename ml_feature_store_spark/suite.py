@@ -638,6 +638,26 @@ def q_m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction through the Arrow/mapInPandas path: binary
+    payload -> 16-dim unit feature vector (stub kernel; a real model call
+    has the identical batch shape). Rows-only check: the float vector is
+    hash-derived Python-side, not SQL-replicable."""
+    from .multimodal import attach_binary_payload, extract_image_features
+    from .operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    payload = attach_binary_payload(docs.select("doc_id", "text"), "text")
+    feats = extract_image_features(payload, dim=16)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda s, x: s + x * x), 4
+        ).alias("sq_norm"),
+    )
+
+
 def q_x6_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs on documents (rows-only check:
     xxhash64 seeds are not replicable in DuckDB SQL)."""
@@ -1098,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_sliding_window": q_w2_sliding_window,
     "x7b_session_stats": q_x7b_session_stats,
     "m1_multimodal_decode": q_m1_multimodal_decode,
+    "m3_image_features": q_m3_image_features,
     "x6_dedup_fuzzy": q_x6_dedup_fuzzy,
     "x6b_jaccard_verify": q_x6b_jaccard_verify,
     "x8_ann_lsh": q_x8_ann_lsh,
