@@ -1,0 +1,607 @@
+"""TPC-H-shaped relational coverage: correlated subqueries, EXISTS /
+NOT-EXISTS, outer joins, disjunctive predicates, conditional aggregation.
+
+The reference engine has no join surface beyond the as-of join
+(reference store.py:288-334); these queries prove the full relational
+operator set a Spark-first replacement brings along. Shapes follow the
+classic TPC-H patterns (Q4/Q7/Q8/Q10/Q13/Q14/Q15/Q16/Q17/Q19/Q21/Q22)
+adapted to the driver's schema (no partsupp, no commit/receipt dates —
+see TESTDATA.md).
+
+Scale notes (100 TB):
+  * Correlated EXISTS / NOT EXISTS compile to left-semi / left-anti
+    joins — Spark shuffles both sides on the correlation key or
+    broadcasts the filtered inner side; never a per-row subquery.
+  * Scalar subqueries (q15 max, q22 global avg) become one-row
+    broadcast joins; the aggregate itself is a partial (map-side) agg.
+  * Per-group correlated aggregates (q17's 0.2*avg(l_quantity) per
+    part) are computed once as a grouped agg and broadcast back —
+    O(|parts|) memory, not O(|lineitem|) recomputation.
+
+Parity conventions follow suite.py: price sums rounded 2dp, ratios
+4dp, counts CAST AS BIGINT in DuckDB, dates emitted as epoch-us longs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+def _rev():
+    # built lazily: classic-mode Column construction needs a live SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .suite import table
+
+    return table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- #
+# Q4: EXISTS — correlated semi join with a non-equi condition
+# --------------------------------------------------------------------------- #
+
+
+def q_q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in a quarter having >=1 lineitem shipped after the order date
+    (EXISTS with correlated non-equi predicate), counted per priority.
+    Plan: left-semi join — the inner side carries only (l_orderkey,
+    l_shipdate); the non-equi part rides the equi-join as a residual
+    condition, so this stays a shuffled hash/SMJ semi join at any scale."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------- #
+# Q7: volume shipping between two nations (bidirectional pair filter)
+# --------------------------------------------------------------------------- #
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing between NATION_3 and NATION_7 (either direction),
+    by supplier-nation / customer-nation / ship-year. Six-way join:
+    nation (25 rows) and supplier (100) broadcast; lineitem-orders and
+    orders-customer shuffle on their keys. The disjunctive pair filter
+    runs after both nation names are attached — Catalyst pushes each
+    name IN-list into its own broadcast side first."""
+    pair = ("NATION_3", "NATION_7")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1.filter(F.col("supp_nation").isin(*pair))),
+        F.col("s_nationkey") == F.col("n1_key"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2.filter(F.col("cust_nation").isin(*pair))),
+        F.col("c_nationkey") == F.col("n2_key"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q8: market share — conditional aggregation ratio per year
+# --------------------------------------------------------------------------- #
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers' share of revenue delivered to customers in
+    region 1, per order-year: sum(CASE)/sum ratio — one shuffle for the
+    fact joins, one for the year group-by; the share is a post-agg
+    scalar expression (no second pass over the data)."""
+    nr = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1).select("n_nationkey")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = _rev()
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q10: returned-item revenue, top 20 customers
+# --------------------------------------------------------------------------- #
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns (l_returnflag = 'R') per customer over one
+    quarter; top 20. Revenue is rounded BEFORE the order/limit on both
+    engines and ties break on c_custkey, so the top-20 cut is
+    deterministic. TakeOrderedAndProject handles the limit without a
+    global sort."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        F.round(F.sum(_rev()), 2).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q13: customer order-count distribution — LEFT OUTER join + double agg
+# --------------------------------------------------------------------------- #
+
+
+def q_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, ... non-F orders: customer LEFT
+    OUTER JOIN filtered orders, count per customer (count of the join
+    key, so null-extended rows count 0), then a histogram over those
+    counts. Two shuffles total; the second group-by input is one row
+    per customer."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    j = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------- #
+# Q14: promo revenue percentage — conditional agg over a dim join
+# --------------------------------------------------------------------------- #
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO parts: broadcast the part
+    dim into the fact scan, one partial-agg fold to a single row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = _rev()
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q15: top supplier — scalar MAX subquery over an aggregate
+# --------------------------------------------------------------------------- #
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarterly revenue equals the maximum: aggregate
+    per supplier, then compare to an unpartitioned window MAX (100
+    post-agg rows — the window is trivially cheap; at scale this is the
+    standard two-pass scalar-subquery plan, never a self-join of the
+    fact). Revenue rounded 2dp before the equality so both engines cut
+    identically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
+    w = Window.partitionBy()
+    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_rev"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q16: supplier count per part group — NOT IN anti join + count distinct
+# --------------------------------------------------------------------------- #
+
+
+def q_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) bucket, excluding
+    negative-balance suppliers (NOT IN == left-anti join on a broadcast
+    100-row exclusion list) and one brand. lineitem stands in for
+    partsupp (the driver schema has none). countDistinct shuffles
+    (group keys + suppkey) once, then collapses."""
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    j = li.join(
+        F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q17: small-quantity orders — correlated per-group AVG subquery
+# --------------------------------------------------------------------------- #
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their part's
+    average quantity. The correlated AVG decorralates into one grouped
+    agg over lineitem, broadcast back into the fact scan — the classic
+    rewrite Catalyst itself applies to correlated scalar subqueries.
+    l_quantity is integral so the AVG is an exact dyadic rational on
+    both engines; the 0.2* threshold compare is deterministic."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_part = li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = li_part.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = li_part.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q19: disjunctive predicate join (OR of ANDs)
+# --------------------------------------------------------------------------- #
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three alternative (brand, size, quantity) windows OR-ed together
+    across a lineitem-part join. The equi-key join broadcasts part; the
+    disjunction is a residual filter evaluated inside codegen. A weaker
+    engine turns OR-of-ANDs into a union of three scans — here it is
+    one scan, and the common bounds (l_quantity <= 30) still push to
+    parquet."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).filter(
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(5, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q21: sole late supplier — EXISTS + NOT EXISTS self-joins
+# --------------------------------------------------------------------------- #
+
+
+def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on a multi-supplier
+    finished order (late = shipped >60 days after order date; the
+    driver schema has no commit/receipt dates). EXISTS (another
+    supplier on the order) -> left-semi; NOT EXISTS (another LATE
+    supplier) -> left-anti; both on l_orderkey with a suppkey
+    inequality residual. Top 10 by wait count, name tie-break."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    l1 = late.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).groupBy(
+        "s_suppkey", "s_name"
+    ).agg(F.count("*").alias("numwait"))
+    return agg.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(10)
+
+
+# --------------------------------------------------------------------------- #
+# Q22: dormant rich customers — NOT EXISTS + global scalar subquery
+# --------------------------------------------------------------------------- #
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average (positive-balance average) account
+    balance and no RECENT order (none since 2000-01-01), grouped by
+    nation. The global average is a one-row broadcast cross join; NOT
+    EXISTS is a left-anti against the distinct recent-order custkeys.
+    c_acctbal values are fp-identical on both engines, so the > avg cut
+    is deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_exists_priority": q_q4_exists_priority,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_cust_distribution": q_q13_cust_distribution,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_count": q_q16_supplier_count,
+    "q17_small_quantity": q_q17_small_quantity,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q21_sole_late_supplier": q_q21_sole_late_supplier,
+    "q22_dormant_customers": q_q22_dormant_customers,
+}
+
+
+RELATIONAL_ORACLE: dict[str, str] = {
+    "q4_exists_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE nc.n_regionkey = 1
+        GROUP BY 1
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(c_acctbal, 2) AS acctbal, revenue
+        FROM (
+            SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+            GROUP BY 1, 2, 3, 4
+        )
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q13_cust_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "q16_supplier_count": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_quantity": """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#5' AND p.p_size < 15
+          AND l.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+                AND l2.l_partkey IN
+                    (SELECT p_partkey FROM part
+                     WHERE p_brand = 'Brand#5' AND p_size < 15))
+    """,
+    "q19_disjunctive": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "q21_sole_late_supplier": """
+        WITH late AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
+    """,
+    "q22_dormant_customers": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """,
+}

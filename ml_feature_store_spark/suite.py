@@ -1604,3 +1604,11 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY list_cosine_similarity(a.v, q.qv) DESC, vec_id ASC LIMIT 10
     """,
 }
+
+
+# TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
+# correlated subqueries, disjunctive predicates) lives in relational.py.
+from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
+
+QUERIES.update(RELATIONAL_QUERIES)
+ORACLE_SQL.update(RELATIONAL_ORACLE)
