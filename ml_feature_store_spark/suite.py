@@ -1058,6 +1058,61 @@ def q_x10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_a8_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function family coverage: rank / dense_rank / percent_rank /
+    cume_dist / ntile over one window spec (per-customer order history,
+    (date, orderkey) total order so every rank is deterministic). One
+    shuffle + one sort serves all five functions."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 500).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_t5_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-kernel coverage: case mapping, replace, concat_ws,
+    substring, reverse, regexp_extract, levenshtein — all JVM codegen
+    expressions over one scan of part (no shuffle at any scale)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.reverse("p_type").alias("type_rev"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev_b10"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q_io3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source roundtrip (columnar alternative to parquet): project
+    lineitem, write ORC, read back, aggregate. Predicate pushdown and
+    column pruning work on the ORC reader the same as parquet."""
+    import tempfile as _tf
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    d = _tf.mkdtemp(prefix="mlfs_orc_")
+    li.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d).filter(F.col("l_quantity") >= 25)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1123,6 +1178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x6b_jaccard_verify": q_x6b_jaccard_verify,
     "x8_ann_lsh": q_x8_ann_lsh,
     "x9_simhash": q_x9_simhash,
+    "a8_rank_family": q_a8_rank_family,
+    "t5_string_functions": q_t5_string_functions,
+    "io3_orc_roundtrip": q_io3_orc_roundtrip,
 }
 
 
@@ -1602,6 +1660,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS sim
         FROM a, q WHERE cell IN (SELECT cid FROM probes)
         ORDER BY list_cosine_similarity(a.v, q.qv) DESC, vec_id ASC LIMIT 10
+    """,
+    "a8_rank_family": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "t5_string_functions": """
+        SELECT p_partkey,
+               upper(p_name) AS name_up,
+               replace(p_name, ' ', '_') AS name_us,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               substring(p_name, 1, 4) AS name4,
+               reverse(p_type) AS type_rev,
+               regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+               CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER) AS lev_b10,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+    "io3_orc_roundtrip": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_quantity >= 25
+        GROUP BY 1, 2
     """,
 }
 

@@ -190,3 +190,38 @@ class TestDatePartitionPruning:
         assert "__dt__" in plan.split("PartitionFilters")[1][:200]
         # hidden columns never surface
         assert "__dt__" not in got.columns and "__row_id__" not in got.columns
+
+
+class TestRelationalPlans:
+    """Plan shapes for the TPC-H-style relational batch (relational.py)."""
+
+    def test_q4_exists_compiles_to_semi_join(self, spark):
+        plan = executed_plan(QUERIES["q4_exists_priority"](spark, SF))
+        assert "LeftSemi" in plan
+
+    def test_q13_left_outer_preserves_customers(self, spark):
+        plan = executed_plan(QUERIES["q13_cust_distribution"](spark, SF))
+        assert "LeftOuter" in plan
+
+    def test_q19_common_bound_pushed_disjunction_residual(self, spark):
+        # The shared l_quantity <= 30 bound must reach the parquet scan even
+        # though the brand/size/qty windows are OR-ed; part is broadcast.
+        df = QUERIES["q19_disjunctive"](spark, SF)
+        assert has_pushed_filter(df, "LessThanOrEqual(l_quantity,30")
+        assert "BroadcastHashJoin" in executed_plan(df)
+
+    def test_q17_decorrelated_avg_broadcasts_back(self, spark):
+        # The per-part AVG subquery must appear as a broadcast join of an
+        # aggregated (small) side, not a re-scan per row.
+        plan = executed_plan(QUERIES["q17_small_quantity"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "HashAggregate" in plan
+
+    def test_q21_semi_and_anti_together(self, spark):
+        plan = executed_plan(QUERIES["q21_sole_late_supplier"](spark, SF))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_q22_scalar_subquery_is_broadcast_not_exists_is_anti(self, spark):
+        plan = executed_plan(QUERIES["q22_dormant_customers"](spark, SF))
+        assert "LeftAnti" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
