@@ -1,0 +1,106 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+The reference engine has no sampling surface at all (store.py is the whole
+engine); a training-data pipeline at 100 TB needs reproducible train/test
+splits, k-fold assignment and stratified downsampling that (a) never move
+data — a split is a map-side predicate, not a shuffle — and (b) are stable
+across runs, engines and cluster sizes.
+
+Design: key-hash bucketing, NOT random sampling. ``rand(seed)`` is
+partition-order dependent (a repartition changes the sample) and engine
+private; instead every row's fate is a pure function of its key:
+
+    u(key) = int(md5(key)[:15 hex], 16)      -- uniform in [0, 2^60)
+
+Split/sample membership is an integer compare against
+``floor(frac * 2^60)`` and fold id is ``u mod k`` — bit-identical in any
+engine with md5 (the DuckDB oracle uses ``('0x'||substr(md5,1,15))::BIGINT``).
+Properties that make this production-grade:
+
+  * map-only: no shuffle, no state, works identically on a stream;
+  * stable under backfill: adding rows never reassigns old rows;
+  * leakage-safe grouping: hash the GROUP key (e.g. user_id) to keep all
+    of an entity's rows in one side of the split.
+
+At 100 TB each operator is a scan with a codegen predicate — the filter
+pipelines into whatever reads the split next, and column pruning still
+reaches parquet because the hash needs only the key column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO60 = 1 << 60  # md5 15-hex-char prefix is uniform in [0, 2^60)
+
+
+def hash_uniform(key: Column | str) -> Column:
+    """Deterministic uniform long in [0, 2^60) from a row key (md5 prefix).
+
+    Stays inside whole-stage codegen (md5/substring/conv are JVM
+    expressions). 60 bits so the value is exact in a signed 64-bit long.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def threshold(frac: float) -> int:
+    """Integer cut for a fraction: u < threshold(frac) keeps ~frac of keys."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {frac}")
+    return int(frac * _TWO60)
+
+
+def with_split(
+    df: DataFrame,
+    key: str,
+    train_frac: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' / 'test' by key hash. Map-only, reproducible,
+    entity-safe when ``key`` is the entity id (all rows of one entity land
+    on the same side — no train/serve leakage across the split)."""
+    u = hash_uniform(key)
+    return df.withColumn(
+        split_col,
+        F.when(u < F.lit(threshold(train_frac)), F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def with_kfold(df: DataFrame, key: str, k: int, fold_col: str = "fold") -> DataFrame:
+    """Assign a deterministic fold id in [0, k) per key. ``u mod k`` over a
+    60-bit uniform has bias < k/2^60 — immaterial for any practical k."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(fold_col, (hash_uniform(key) % F.lit(k)).cast("int"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (e.g. downsample
+    the dominant language, keep all of the rare ones). The per-stratum
+    threshold is folded into ONE codegen CASE predicate — a single filtered
+    scan, no per-stratum passes, no shuffle; at 100 TB this is the only
+    shape that works (sampleBy's random variant re-draws per run and per
+    partitioning)."""
+    u = hash_uniform(key)
+    cut = F.lit(threshold(default_frac))
+    # CASE stratum WHEN ... chain in stable (sorted) order
+    case = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.lit(threshold(frac))
+        case = (
+            F.when(F.col(stratum_col) == stratum, t)
+            if case is None
+            else case.when(F.col(stratum_col) == stratum, t)
+        )
+    cut = case.otherwise(cut) if case is not None else cut
+    return df.filter(u < cut)

@@ -1113,6 +1113,42 @@ def q_io3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x12_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train-test split + 5-fold assignment over
+    documents, by doc_id md5-hash bucketing (operators/sampling.py). A
+    map-only codegen predicate — reproducible across runs, engines and
+    partitionings, unlike rand(seed). Output: per (split, fold) counts
+    and length stats, which pin every row's assignment."""
+    from .operators.sampling import with_kfold, with_split
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = with_kfold(with_split(docs, "doc_id", 0.8), "doc_id", 5)
+    return tagged.groupBy("split", "fold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 25% of dominant 'en',
+    60% of 'es'/'de', all of the rest — the class-rebalancing pass of a
+    training corpus, as ONE filtered scan (per-stratum thresholds folded
+    into a single CASE predicate, no shuffle, no per-stratum jobs)."""
+    from .operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.25, "es": 0.6, "de": 0.6}, default_frac=1.0
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1181,6 +1217,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_rank_family": q_a8_rank_family,
     "t5_string_functions": q_t5_string_functions,
     "io3_orc_roundtrip": q_io3_orc_roundtrip,
+    "x12_hash_split": q_x12_hash_split,
+    "x13_stratified_sample": q_x13_stratified_sample,
 }
 
 
@@ -1690,6 +1728,33 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_quantity >= 25
         GROUP BY 1, 2
+    """,
+    "x12_hash_split": """
+        WITH t AS (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+            FROM documents
+        )
+        SELECT CASE WHEN u < 922337203685477632 THEN 'train' ELSE 'test' END AS split,
+               CAST(u % 5 AS INTEGER) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM t GROUP BY 1, 2
+    """,
+    "x13_stratified_sample": """
+        WITH t AS (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+            FROM documents
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc
+        FROM t
+        WHERE u < CASE lang WHEN 'de' THEN 691752902764108160 WHEN 'en' THEN 288230376151711744
+                            WHEN 'es' THEN 691752902764108160 ELSE 1152921504606846976 END
+        GROUP BY lang
     """,
 }
 
