@@ -1,0 +1,115 @@
+"""Distributed k-means over embedding columns (Lloyd's iterations).
+
+The iterative-algorithm class the rest of the suite doesn't cover: a
+driver-side loop over a small model (k x dim centroids) with all data
+passes distributed. Each iteration is
+
+    assign:  argmin_c ||x - c||^2  — map-only over a BROADCAST model
+             (k*dim doubles as literals — a few KB; no shuffle)
+    update:  groupBy(cluster) over dim sum(element_at) aggregates + count
+             — partial aggregation collapses each partition to k rows
+             map-side; the shuffle moves k*(dim+1) values per partition
+             and k rows reach the driver.
+
+At 100 TB per iteration: one scan + one tiny shuffle; the model stays
+driver-resident (k*dim doubles), exactly how spark.ml's KMeans schedules
+it. Determinism: init = first k vectors by id (no RNG), and centroids
+are rounded to 6dp between iterations so assignment never depends on
+summation-order ulps — reruns and repartitions give identical clusters.
+
+Distance evaluation builds a per-centroid SQL expression
+(aggregate(zip_with(...))) folded through array_min over
+struct(dist, cid) — higher-order functions are interpreted (not
+codegen), fine for k*dim ~ a few hundred ops/row; the codegen-heavy
+alternative (posexplode + broadcast join + partial agg, see simhash's
+SWAR note) trades a shuffle for expression speed and wins only when
+k*dim is large."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_expr(vec_col: str, centroid: list[float]) -> str:
+    arr = "array(" + ",".join(f"{c}D" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, c) -> (double(x) - c) * (double(x) - c)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: dict[int, list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: adds ``cluster`` (int) and
+    ``dist2`` (squared distance). Ties break to the lowest cluster id
+    (array_min on struct(dist, cid) — lexicographic)."""
+    pairs = ", ".join(
+        f"struct({_dist_expr(vec_col, c)} AS d, {cid} AS cid)"
+        for cid, c in sorted(centroids.items())
+    )
+    best = F.expr(f"array_min(array({pairs}))")
+    return df.withColumn("__best__", best).select(
+        "*",
+        F.col("__best__.cid").alias("cluster"),
+        F.col("__best__.d").alias("dist2"),
+    ).drop("__best__")
+
+
+def update_centroids(
+    assigned: DataFrame, dim: int, vec_col: str = "embedding"
+) -> dict[int, list[float]]:
+    """Per-cluster component means as dim codegen sum(element_at)
+    aggregates + a count: partial aggregation collapses every partition
+    to k rows map-side, so the shuffle moves k*(dim+1) values per
+    partition — strictly cheaper than a posexplode (k*dim*|rows| shuffle
+    rows) at any scale. Rounded 6dp for run-to-run determinism."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at(vec_col, i + 1).cast("double")).alias(f"s{i}") for i in range(dim)
+    ]
+    rows = assigned.groupBy("cluster").agg(*aggs).collect()
+    return {
+        r["cluster"]: [round(r[f"s{i}"] / r["n"], 6) for i in range(dim)] for r in rows
+    }
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Lloyd's algorithm; returns (assigned_df, centroids). Deterministic:
+    init from the k lowest ids, 6dp-rounded centroid updates."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = {i: [round(float(x), 6) for x in r[vec_col]] for i, r in enumerate(seed_rows)}
+    dim = len(next(iter(centroids.values())))
+    spark = df.sparkSession
+    # The fit loop's plans embed the centroid literals, so whole-stage
+    # codegen would recompile a k*dim-sized generated class EVERY
+    # iteration — pure Janino overhead that interpreted eval avoids
+    # (spark.ml's KMeans likewise runs its iterations outside codegen).
+    # The conf is restored before the final assignment plan is executed,
+    # so the returned DataFrame — the thing that scans 100 TB — runs
+    # fully codegen'd.
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        assigned = assign_clusters(df, centroids, vec_col)
+        for _ in range(max_iter):
+            new = update_centroids(assigned, dim, vec_col)
+            # empty clusters keep their previous centroid
+            centroids = {cid: new.get(cid, c) for cid, c in centroids.items()}
+            assigned = assign_clusters(df, centroids, vec_col)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    return assigned, centroids
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances to assigned centroids (the Lloyd objective)."""
+    return assigned.agg(F.sum("dist2").alias("s")).collect()[0]["s"]

@@ -1149,6 +1149,27 @@ def q_x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x14_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed algorithm: 3 Lloyd iterations of k-means
+    (k=8) over the embeddings table (operators/clustering.py). Driver
+    holds only the k x 64 model; every pass is one scan (broadcast
+    centroids) plus one k*dim partial-agg shuffle. Deterministic init +
+    6dp-rounded updates => stable cluster sizes (rows-only: iterative,
+    not SQL-expressible)."""
+    from .operators.clustering import kmeans
+
+    # cache: Lloyd re-reads the input 2x per iteration (update + next
+    # assign); at cluster scale this is the same "persist the training
+    # set" decision every iterative fit makes.
+    emb = table(spark, sf_dir, "embeddings").cache()
+    assigned, _ = kmeans(emb, k=8, max_iter=3)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.round(F.sum("dist2"), 2).alias("cluster_inertia"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1219,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io3_orc_roundtrip": q_io3_orc_roundtrip,
     "x12_hash_split": q_x12_hash_split,
     "x13_stratified_sample": q_x13_stratified_sample,
+    "x14_kmeans": q_x14_kmeans,
 }
 
 
