@@ -165,3 +165,76 @@ class TestStatefulRunningFeatures:
             assert abs(gs - ws) < 1e-6
             assert gv == wv
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_open_windows_held(self, spark):
+        """Append-mode watermark contract, pinned end-to-end: a row arriving
+        after the watermark passed its window is DROPPED (the reference's
+        'recompute next batch' answer to late data, README.md:142, becomes
+        a state-store guarantee here); windows still inside the watermark
+        are held back, not emitted half-full. Two availableNow runs over a
+        shared checkpoint force the late file into its own micro-batch
+        with the advanced watermark."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="mlfs_late_")
+        ckpt = tempfile.mkdtemp(prefix="mlfs_late_ckpt_")
+        us = lambda h, m=0: (h * 3600 + m * 60) * 1_000_000  # noqa: E731
+
+        def write(name, rows):
+            t = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                }
+            )
+            pq.write_table(t, os.path.join(d, name))
+
+        got = []
+
+        def run_once():
+            schema = "event_id long, ts timestamp, user_id long"
+            stream = spark.readStream.schema(schema).parquet(d)
+            agg = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count("*").alias("n"), F.collect_set("event_id").alias("ids"))
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # run 1: on-time rows 10:00-12:00 -> final watermark 11:30;
+        # window 10 (end 11:00 < 11:30) emits, window 11 stays open
+        write("a.parquet", [(1, us(10, 15)), (2, us(10, 45)), (3, us(11, 15)), (4, us(12, 0))])
+        run_once()
+        # run 2 (same checkpoint -> watermark 11:30 carried over): one LATE
+        # row (09:10, window end 10:00 < watermark -> dropped) and one
+        # on-time row (12:30) -> watermark advances to 12:00, window 11
+        # emits, window 12 stays open
+        write("b.parquet", [(5, us(9, 10)), (6, us(12, 30))])
+        run_once()
+
+        out = {r["w"]["start"].hour: (r["n"], sorted(r["ids"])) for r in got}
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # the late 09:00 window must not exist: its only row was dropped
+        assert 9 not in out
+        # closed windows emitted exactly once with on-time rows only
+        assert out[10] == (2, [1, 2])
+        assert out[11] == (1, [3])
+        # 12:00 window (rows 4, 6) is still open at final watermark 12:00
+        # (append emits strictly after watermark PASSES window end)
+        assert 12 not in out
