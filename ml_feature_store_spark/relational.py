@@ -369,9 +369,11 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    # no distinct: a left-semi probe side needs no dedup, and skipping it
+    # saves a full shuffle of lineitem-sized pairs
     all_pairs = li.select(
         F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).distinct()
+    )
     late_pairs = late.select(
         F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
     )

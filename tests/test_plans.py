@@ -225,3 +225,36 @@ class TestRelationalPlans:
         plan = executed_plan(QUERIES["q22_dormant_customers"](spark, SF))
         assert "LeftAnti" in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark):
+        """The 100 TB co-location story: two tables bucketed on the join
+        key join as SMJ with ZERO exchanges on either side — the only
+        shuffle left is the final small aggregation. This is the write-
+        once/join-many layout the store recommends for repeated
+        entity-key joins."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            table(spark, SF, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+                "o_orderkey"
+            ).mode("overwrite").saveAsTable("b_orders")
+            table(spark, SF, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+                "l_orderkey"
+            ).mode("overwrite").saveAsTable("b_lineitem")
+            a = spark.table("b_orders")
+            b = spark.table("b_lineitem")
+            j = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderpriority").agg(
+                F.count("*").alias("n")
+            )
+            plan = executed_plan(j)
+            assert "SortMergeJoin" in plan
+            # both scan sides arrive pre-partitioned: the ONLY exchange is
+            # the final tiny group-by
+            assert shuffle_count(j) == 1
+            assert "SelectedBucketsCount: 8 out of 8" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
