@@ -1170,6 +1170,54 @@ def q_x14_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts1_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill onto a regular daily grid — the classic
+    'features at fixed cadence' transform (resample in pandas terms,
+    done distributed). sequence+explode builds the 31-day spine, the
+    per-day agg is partial-agg'd, and the fill is last(ignorenulls)
+    over (user, day) — one window shuffle; the user x day grid is a
+    broadcast-able cross join of |users| x 31."""
+    ev = table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-31')) AS day"
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.max("value"), 2).alias("v_day"),
+        F.count("*").alias("n_ev"),
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    j = grid.join(daily, ["user_id", "day"], "left_outer")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        _US(F.col("day").cast("timestamp")).alias("day_us"),
+        F.coalesce("n_ev", F.lit(0)).alias("n_events"),
+        F.last("v_day", ignorenulls=True).over(w).alias("v_ffill"),
+    )
+
+
+def q_f11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from the append-only feature history:
+    each row's value is valid [its ts, next ts) per entity — lead()
+    over one window shuffle; open intervals closed with a sentinel.
+    This is the batch view the PIT lookup implicitly queries."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sentinel = F.lit("9999-12-31").cast("timestamp")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _US("ts").alias("valid_from_us"),
+        _US(F.coalesce(F.lead("ts").over(w), sentinel)).alias("valid_to_us"),
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1241,6 +1289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x12_hash_split": q_x12_hash_split,
     "x13_stratified_sample": q_x13_stratified_sample,
     "x14_kmeans": q_x14_kmeans,
+    "ts1_resample_ffill": q_ts1_resample_ffill,
+    "f11_scd2_intervals": q_f11_scd2_intervals,
 }
 
 
@@ -1777,6 +1827,35 @@ ORACLE_SQL: dict[str, str] = {
         WHERE u < CASE lang WHEN 'de' THEN 691752902764108160 WHEN 'en' THEN 288230376151711744
                             WHEN 'es' THEN 691752902764108160 ELSE 1152921504606846976 END
         GROUP BY lang
+    """,
+    "ts1_resample_ffill": """
+        WITH days AS (
+            SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                               DATE '2024-01-31',
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        daily AS (
+            SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   ROUND(MAX(value), 2) AS v_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_ev
+            FROM events GROUP BY 1, 2
+        )
+        SELECT u.user_id, epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+               COALESCE(dl.n_ev, 0) AS n_events,
+               last_value(dl.v_day IGNORE NULLS) OVER (
+                   PARTITION BY u.user_id ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        FROM users u CROSS JOIN days d
+        LEFT OUTER JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+    """,
+    "f11_scd2_intervals": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+               epoch_us(COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31')) AS valid_to_us,
+               value
+        FROM ({_EV}) WHERE user_id < 50
     """,
 }
 
