@@ -118,7 +118,10 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     @property
     def table_names(self) -> list[str]:
-        return self._backend.table_names()
+        # online snapshots are an implementation detail, not catalog entries
+        return [
+            n for n in self._backend.table_names() if not n.endswith(self._ONLINE_SUFFIX)
+        ]
 
     def list_tables(self) -> list[FeatureTableInfo]:
         return [self.get_table_info(n) for n in self.table_names]
@@ -145,6 +148,9 @@ class FeatureStore:
         if not self._backend.exists(name):
             return False
         self._backend.drop_table(name)
+        online = name + self._ONLINE_SUFFIX
+        if self._backend.exists(online):
+            self._backend.drop_table(online)
         return True
 
     # ------------------------------------------------------------------ #
@@ -166,6 +172,93 @@ class FeatureStore:
         self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
         return self.get_table_info(name)
+
+    def append(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
+        """Incremental registration: new version = current rows + ``df``.
+
+        The reference can only re-register a full snapshot
+        (reference store.py:188-216); ``append`` gives micro-batch ingest
+        the same versioned semantics — each call is one new version
+        containing the union. Appended rows sort AFTER existing rows in
+        the tie-break order (the same outcome pandas' stable sort of the
+        concatenated frame would give, reference store.py:483-485): the
+        new batch's hidden ``__row_id__`` is offset past the stored
+        maximum. At scale this is the right write path: the old version's
+        files are re-referenced by a union plan, not rewritten row-by-row,
+        and the new batch is the only data shuffled in.
+        """
+        self._validate_dataframe(df, context=f"append('{name}')")
+        if not self._backend.exists(name):
+            return self.register(name, df, description)
+        current = self._current(name)
+        visible = [c for c in current.columns if c not in HIDDEN_COLS]
+        incoming = [c for c in df.columns if c not in HIDDEN_COLS]
+        if set(visible) != set(incoming):
+            raise FeatureValidationError(
+                f"append('{name}'): column mismatch — table has {sorted(visible)}, "
+                f"incoming has {sorted(incoming)}. Re-register for schema changes."
+            )
+        prepared = self._prepare_dataframe(df.select(*visible))
+        max_id = current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        prepared = prepared.withColumn(
+            ROW_ID_COL, F.col(ROW_ID_COL) + F.lit(int(max_id) + 1)
+        )
+        merged = current.select(*prepared.columns).unionByName(prepared)
+        row_count = merged.count()
+        new_version = self._backend.meta(name).version + 1
+        self._backend.write_version(name, new_version, merged, row_count, description)
+        self._prune_history(name)
+        return self.get_table_info(name)
+
+    # ------------------------------------------------------------------ #
+    # online serving view
+    # ------------------------------------------------------------------ #
+    _ONLINE_SUFFIX = "__online"
+
+    def materialize_online(self, name: str) -> int:
+        """Compact the current version into its latest-per-entity snapshot
+        and store it as the table's online view; returns the snapshot row
+        count. The offline/online split every production feature store
+        makes: offline keeps full history for PIT training joins, online
+        keeps ONE row per entity so serving reads scan |entities| rows,
+        not history. At 100 TB the snapshot is the argmax aggregation —
+        map-side combined, one shuffle — and subsequent ``get_online``
+        calls never touch history at all."""
+        self._require_table(name)
+        snap = latest_per_entity(self._current(name))
+        online = name + self._ONLINE_SUFFIX
+        version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
+        row_count = snap.count()
+        self._backend.write_version(
+            online, version, snap, row_count, f"online snapshot of '{name}'"
+        )
+        # online view keeps only the latest snapshot
+        for v in self._backend.versions(online)[:-1]:
+            self._backend.drop_version(online, v)
+        return row_count
+
+    def get_online(
+        self,
+        name: str,
+        entity_ids: Sequence[Any] | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Serving-path read over the materialized online view: no time
+        filter, no window — a scan of one row per entity with the entity
+        IN-list pushed to the scan. Raises if ``materialize_online`` has
+        not been called for the table."""
+        online = name + self._ONLINE_SUFFIX
+        if not self._backend.exists(online):
+            raise FeatureTableNotFoundError(
+                f"No online view for '{name}'. Call materialize_online('{name}') first."
+            )
+        if columns is not None:
+            self._validate_columns(name, columns)
+        df = self._backend.read_version(online, self._backend.versions(online)[-1])
+        if entity_ids is not None:
+            df = entity_filter(df, entity_ids)
+        df = project(df, columns)
+        return df.drop(*HIDDEN_COLS)
 
     def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
         ts_type = dict(df.dtypes)[TIMESTAMP_COL]

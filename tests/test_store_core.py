@@ -229,3 +229,132 @@ class TestTableManagement:
     def test_info_missing_raises(self, store):
         with pytest.raises(FeatureTableNotFoundError, match="Available tables"):
             store.get_table_info("nope")
+
+
+class TestAppend:
+    """Incremental registration (append) — versioned micro-batch ingest."""
+
+    def test_append_bumps_version_and_unions(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        extra = spark.createDataFrame(
+            [("user_3", ts("2024-02-10"), 7.0, 700)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        info = store.append("t", extra)
+        assert info.version == 2
+        assert info.row_count == 6
+        got = store.get("t", ["user_1", "user_2", "user_3"], ts("2024-03-01"))
+        assert got.count() == 3
+
+    def test_append_equals_full_reregister(self, spark, store, feature_df):
+        extra = spark.createDataFrame(
+            [("user_1", ts("2024-02-15"), 9.0, 900)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.register("a", feature_df)
+        store.append("a", extra)
+        store.register("b", feature_df.unionByName(extra))
+        qa = store.get("a", ["user_1", "user_2"], ts("2024-03-01")).orderBy("entity_id")
+        qb = store.get("b", ["user_1", "user_2"], ts("2024-03-01")).orderBy("entity_id")
+        assert [r.asDict() for r in qa.collect()] == [r.asDict() for r in qb.collect()]
+
+    def test_appended_duplicate_loses_timestamp_tie(self, spark, store, feature_df):
+        """Reference tie-break (SURVEY §2.3#2): among equal (entity, ts) the
+        FIRST input row wins (pandas idxmax takes the first max). An
+        appended duplicate is later input, so the original row must keep
+        winning — the row-id offset preserves exactly the order a full
+        re-register of the concatenation would have."""
+        store.register("t", feature_df)
+        dup = spark.createDataFrame(
+            [("user_1", ts("2024-02-01"), 99.0, 9900)],  # same ts as v1 max
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.append("t", dup)
+        got = store.get("t", ["user_1"], ts("2024-03-01")).collect()[0]
+        assert got["feature_a"] == 3.0  # original first-input row wins the tie
+
+    def test_append_missing_table_registers(self, spark, store, feature_df):
+        info = store.append("fresh", feature_df)
+        assert info.version == 1 and info.row_count == 5
+
+    def test_append_schema_mismatch_raises(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        bad = spark.createDataFrame(
+            [("user_1", ts("2024-02-10"), 1.0)],
+            ["entity_id", "timestamp", "other_feature"],
+        )
+        with pytest.raises(FeatureValidationError):
+            store.append("t", bad)
+
+    def test_history_preserved(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        extra = spark.createDataFrame(
+            [("user_3", ts("2024-02-10"), 7.0, 700)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.append("t", extra)
+        assert store.get_version("t", 1).count() == 5
+        assert store.get_version("t", 2).count() == 6
+
+
+class TestOnlineServing:
+    """materialize_online / get_online — the offline/online split."""
+
+    def test_online_matches_pit_get_at_now(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        n = store.materialize_online("t")
+        assert n == 2  # one row per entity
+        online = {r["entity_id"]: r["feature_a"] for r in store.get_online("t").collect()}
+        offline = {
+            r["entity_id"]: r["feature_a"]
+            for r in store.get("t", ["user_1", "user_2"], ts("2099-01-01")).collect()
+        }
+        assert online == offline
+
+    def test_online_entity_filter_and_projection(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        store.materialize_online("t")
+        got = store.get_online("t", entity_ids=["user_2"], columns=["feature_b"]).collect()
+        assert len(got) == 1
+        assert set(got[0].asDict()) == {"entity_id", "timestamp", "feature_b"}
+        assert got[0]["feature_b"] == 2000
+
+    def test_online_requires_materialize(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        with pytest.raises(FeatureTableNotFoundError):
+            store.get_online("t")
+
+    def test_online_refresh_after_append(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        store.materialize_online("t")
+        extra = spark.createDataFrame(
+            [("user_1", ts("2024-03-01"), 42.0, 4200)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.append("t", extra)
+        store.materialize_online("t")
+        got = {r["entity_id"]: r["feature_a"] for r in store.get_online("t").collect()}
+        assert got["user_1"] == 42.0
+
+    def test_online_view_hidden_from_catalog_and_cascade_deleted(
+        self, spark, store, feature_df
+    ):
+        store.register("t", feature_df)
+        store.materialize_online("t")
+        assert store.table_names == ["t"]
+        assert store.delete("t") is True
+        assert store.table_names == []
+
+    def test_append_on_parquet_backend(self, spark, feature_df, tmp_path):
+        from ml_feature_store_spark import FeatureStore
+
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("t", feature_df)
+        extra = spark.createDataFrame(
+            [("user_3", ts("2024-02-10"), 7.0, 700)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        info = fs.append("t", extra)
+        assert info.version == 2 and info.row_count == 6
+        fs.materialize_online("t")
+        assert fs.get_online("t").count() == 3
