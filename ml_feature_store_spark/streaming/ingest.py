@@ -111,15 +111,28 @@ def streaming_register(
     store,
     table_name: str,
     checkpoint_dir: str,
+    mode: str = "snapshot",
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
-    """foreachBatch upsert: per micro-batch, fold the batch's
-    latest-per-entity rows into the feature table (register a new version).
+    """foreachBatch upsert: per micro-batch, fold the batch into the
+    feature table as a new version.
 
-    This is the streaming->PIT bridge: the feature table version history
-    becomes a sequence of consistent snapshots, and PIT ``get`` keeps its
-    exact batch semantics over the continuously-ingested table.
+    ``mode="snapshot"`` (default): each version holds latest-per-entity of
+    everything seen so far — a continuously-updated online view; PIT
+    ``get`` sees only the latest value per entity.
+
+    ``mode="append"``: each micro-batch is ``store.append``-ed verbatim,
+    so the table keeps FULL event history and PIT lookups / as-of training
+    joins over the streamed table carry exact batch semantics at any
+    cutoff. This is the production shape: the stream writes history, the
+    online view is materialized separately (``materialize_online``).
+
+    Either way the streaming->PIT bridge makes the version history a
+    sequence of consistent snapshots.
     """
     from ..operators.pit import latest_per_entity
+
+    if mode not in ("snapshot", "append"):
+        raise ValueError(f"mode must be 'snapshot' or 'append', got {mode!r}")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -130,6 +143,9 @@ def streaming_register(
             "event_type",
             "value",
         )
+        if mode == "append":
+            store.append(table_name, feats, description=f"stream batch {batch_id}")
+            return
         if store._backend.exists(table_name):
             current = store._current(table_name).select(
                 "entity_id", "timestamp", "event_type", "value"

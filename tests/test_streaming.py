@@ -238,3 +238,61 @@ class TestWatermarkLateData:
         # 12:00 window (rows 4, 6) is still open at final watermark 12:00
         # (append emits strictly after watermark PASSES window end)
         assert 12 not in out
+
+
+class TestStreamingAppendMode:
+    def test_append_mode_keeps_history_across_batches(self, spark):
+        """mode='append': each micro-batch append-registers verbatim, so
+        the streamed table answers PIT queries at ANY cutoff — values from
+        batch 1 remain visible below batch 2's timestamps. Two availableNow
+        runs over one checkpoint force two separate micro-batches."""
+        import datetime as dt
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ml_feature_store_spark.streaming import stream_events, streaming_register
+
+        d = tempfile.mkdtemp(prefix="mlfs_sappend_")
+        ckpt = tempfile.mkdtemp(prefix="mlfs_sappend_ckpt_")
+        ns = lambda day: int(  # noqa: E731
+            dt.datetime(2024, 1, day).timestamp() * 1_000_000_000
+        )
+
+        def write(name, rows):
+            t = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([ns(r[1]) for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["e"] * len(rows)),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            pq.write_table(t, os.path.join(d, name))
+
+        fs = FeatureStore(spark)
+
+        def run_once():
+            q = streaming_register(
+                stream_events(spark, d), fs, "streamed", ckpt, mode="append"
+            )
+            q.awaitTermination(120)
+
+        write("a.parquet", [(1, 5, 7, 1.0), (2, 10, 7, 2.0)])
+        run_once()
+        write("b.parquet", [(3, 20, 7, 3.0)])
+        run_once()
+
+        assert fs.get_table_info("streamed").version == 2
+        assert fs.get_table_info("streamed").row_count == 3
+        # PIT at day 12: batch-1 value still wins below batch-2 timestamps
+        got = fs.get("streamed", [7], dt.datetime(2024, 1, 12)).collect()[0]
+        assert got["value"] == 2.0
+        got = fs.get("streamed", [7], dt.datetime(2024, 1, 25)).collect()[0]
+        assert got["value"] == 3.0
+
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
