@@ -7,7 +7,9 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard,
 )
+from .clustering import assign_clusters, inertia, kmeans, update_centroids
 from .pit import entity_filter, latest_per_entity, project, temporal_filter, top_k_per_group
+from .sampling import hash_uniform, stratified_sample, with_kfold, with_split
 from .sessionize import session_stats, sessionize, sessionize_bucketed
 from .similarity import (
     ivf_assign,
@@ -28,6 +30,14 @@ from .text import (
 
 __all__ = [
     "asof_join",
+    "assign_clusters",
+    "inertia",
+    "kmeans",
+    "update_centroids",
+    "hash_uniform",
+    "stratified_sample",
+    "with_kfold",
+    "with_split",
     "entity_filter",
     "latest_per_entity",
     "project",
