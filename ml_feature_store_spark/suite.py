@@ -1218,6 +1218,36 @@ def q_f11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arr1_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-kernel coverage over the embedding column: max/min,
+    distinct-count, sort + element_at, position, slice, size — all JVM
+    codegen expressions, one scan, no shuffle (the array never explodes)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(e).cast("double"), 6).alias("v_max"),
+        F.round(F.array_min(e).cast("double"), 6).alias("v_min"),
+        F.size(F.array_distinct(e)).alias("n_distinct"),
+        F.round(F.element_at(F.sort_array(e), 2).cast("double"), 6).alias("second_min"),
+        F.array_position(e, F.array_max(e)).cast("int").alias("argmax_pos"),
+        F.size(e).alias("dim"),
+    )
+
+
+def q_h2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price: bucket = floor(x/5000) —
+    a partial-agg'd groupBy over a codegen bucket expression; the
+    building block of every profiling / data-quality sweep."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1291,6 +1321,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x14_kmeans": q_x14_kmeans,
     "ts1_resample_ffill": q_ts1_resample_ffill,
     "f11_scd2_intervals": q_f11_scd2_intervals,
+    "arr1_array_functions": q_arr1_array_functions,
+    "h2_value_histogram": q_h2_value_histogram,
 }
 
 
@@ -1856,6 +1888,24 @@ ORACLE_SQL: dict[str, str] = {
                         TIMESTAMP '9999-12-31')) AS valid_to_us,
                value
         FROM ({_EV}) WHERE user_id < 50
+    """,
+    "arr1_array_functions": """
+        SELECT vec_id,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+               CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct,
+               ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_min,
+               CAST(list_position(embedding, list_max(embedding)) AS INTEGER)
+                   AS argmax_pos,
+               CAST(len(embedding) AS INTEGER) AS dim
+        FROM embeddings
+    """,
+    "h2_value_histogram": """
+        SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_discount
+        FROM lineitem GROUP BY 1
     """,
 }
 
