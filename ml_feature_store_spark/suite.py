@@ -1248,6 +1248,25 @@ def q_h2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a9_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: corr, covar_samp,
+    stddev_samp, var_samp, skewness, kurtosis — all single-pass
+    moment-based aggregates with map-side partial merge (Welford-style
+    combiners), so one shuffle of k moment tuples regardless of scale.
+    Higher moments rounded 4dp: both engines use one-pass moment
+    formulas whose last ulp differs with summation order."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1323,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f11_scd2_intervals": q_f11_scd2_intervals,
     "arr1_array_functions": q_arr1_array_functions,
     "h2_value_histogram": q_h2_value_histogram,
+    "a9_stats_agg": q_a9_stats_agg,
 }
 
 
@@ -1906,6 +1926,17 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(l_extendedprice), 2) AS sum_price,
                ROUND(AVG(l_discount), 6) AS avg_discount
         FROM lineitem GROUP BY 1
+    """,
+    "a9_stats_agg": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+               ROUND(var_samp(l_discount), 6) AS var_discount,
+               ROUND(skewness(l_extendedprice), 4) AS skew_price,
+               ROUND(kurtosis(l_extendedprice), 4) AS kurt_price
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 
