@@ -1267,6 +1267,24 @@ def q_a9_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x15_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components by
+    iterative min-label propagation over the x2 similarity edges
+    (operators/dedup.py connected_components). Transitive closure is
+    what turns pairwise 'a~b, b~c' into one dedup group {a,b,c}. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE —
+    both sides are deterministic (min node id per component)."""
+    from .operators.dedup import connected_components, dedup_embedding_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = dedup_embedding_cosine(emb, threshold=0.35, block_col="label")
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max("node").alias("max_node"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1343,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "arr1_array_functions": q_arr1_array_functions,
     "h2_value_histogram": q_h2_value_histogram,
     "a9_stats_agg": q_a9_stats_agg,
+    "x15_dedup_components": q_x15_dedup_components,
 }
 
 
@@ -1937,6 +1956,29 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(skewness(l_extendedprice), 4) AS skew_price,
                ROUND(kurtosis(l_extendedprice), 4) AS kurt_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "x15_dedup_components": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        ),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(node) AS max_node
+        FROM (
+            SELECT s AS node, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        GROUP BY component
     """,
 }
 

@@ -103,3 +103,47 @@ class TestEmbeddingDedup:
             for r in dedup_embedding_cosine(df, threshold=0.99, block_col="blk").collect()
         }
         assert (1, 2) in blocked and (1, 4) not in blocked  # cross-block pruned
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, spark):
+        """Distributed min-label propagation == driver union-find on the
+        same edges (executable spec)."""
+        from ml_feature_store_spark.operators.dedup import connected_components
+
+        edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (30, 31)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    def test_long_chain_converges(self, spark):
+        """A 30-node path graph needs many propagation rounds — pins that
+        the loop iterates to the true fixpoint, not a fixed round count."""
+        from ml_feature_store_spark.operators.dedup import connected_components
+
+        chain = [(i, i + 1) for i in range(30)]
+        df = spark.createDataFrame(chain, ["id_a", "id_b"])
+        out = connected_components(df, max_iter=50)
+        assert out.select("component").distinct().count() == 1
+        assert out.count() == 31
