@@ -1285,6 +1285,38 @@ def q_x15_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m4_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user interarrival statistics via an
+    Arrow-batched pandas kernel (one group = one pandas frame). The only
+    Python-UDF entry point the suite's other ops don't already cover
+    (mapInPandas: multimodal; applyInPandasWithState: streaming).
+    Deterministic — the kernel sorts by (ts, event_id), and a sequential
+    float64 mean over identically-ordered values matches the oracle's
+    windowed AVG bit-for-bit, so this is exact-checked, not rows-only.
+    Scale: groups are single-entity histories (fits memory by
+    construction); the shuffle is the same hash partition the window
+    variant would pay."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        diffs = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "mean_gap_s": [round(float(diffs.mean()), 4) if len(diffs) else None],
+                "max_gap_s": [round(float(diffs.max()), 4) if len(diffs) else None],
+            }
+        )
+
+    return ev.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandas(
+        kernel, "user_id long, n_events long, mean_gap_s double, max_gap_s double"
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1362,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h2_value_histogram": q_h2_value_histogram,
     "a9_stats_agg": q_a9_stats_agg,
     "x15_dedup_components": q_x15_dedup_components,
+    "m4_grouped_pandas": q_m4_grouped_pandas,
 }
 
 
@@ -1979,6 +2012,18 @@ ORACLE_SQL: dict[str, str] = {
             FROM reach GROUP BY s
         )
         GROUP BY component
+    """,
+    "m4_grouped_pandas": f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM ({_EV})
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(AVG(gap_us) / 1000000.0, 4) AS mean_gap_s,
+               ROUND(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+        FROM g GROUP BY user_id
     """,
 }
 
