@@ -425,7 +425,180 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Q2: min-cost supplier — correlated MIN subquery per part
+# --------------------------------------------------------------------------- #
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each size-5 part, the supplier(s) with the lowest observed unit
+    price (min over that part's lineitems of extendedprice/quantity; the
+    driver schema has no partsupp, so lineitem history stands in for the
+    supply catalog). The correlated MIN decorrelates into one grouped
+    min per (part, supplier) then a per-part min joined back on exact
+    double equality — both engines derive the candidates from identical
+    IEEE divisions, so the equality cut is deterministic. At scale: two
+    grouped aggs over the fact and one broadcast join of the per-part
+    min (|parts| rows), never a per-row subquery."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 5).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pair_cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    part_min = pair_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    best = pair_cost.join(
+        F.broadcast(part_min),
+        (F.col("l_partkey") == F.col("m_partkey"))
+        & (F.col("unit_cost") == F.col("min_cost")),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round("min_cost", 4).alias("min_unit_cost"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q9: product-type profit — multi-dim profit rollup per nation/year
+# --------------------------------------------------------------------------- #
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on parts whose name contains 'part_1' per supplier nation
+    and ship-year; profit = revenue minus a retail-price-based cost
+    proxy (no ps_supplycost in the driver schema). part and the
+    25-row nation dim broadcast into the fact scan; one shuffle for
+    the (nation, year) rollup. The LIKE filter prunes part before the
+    broadcast, so the hash table stays small at any SF."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    return j.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")).agg(
+        F.round(F.sum(profit), 2).alias("sum_profit"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q11: important parts — HAVING against a global scalar aggregate
+# --------------------------------------------------------------------------- #
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose total traded value exceeds 0.1% of ALL traded value:
+    grouped sum per part, then HAVING sum > 1.5x the MEAN per-part value
+    (a scale-free cut — a fixed fraction of the global total selects
+    nothing once part count grows). The global mean is a one-row
+    broadcast cross join; both
+    sides reuse the same per-part partial aggregates at scale (Spark
+    computes the global from a second partial-agg pass, still one scan
+    each — never a self-join of the fact). The threshold compare runs
+    on raw double sums; a part landing within fp-noise of the cut is
+    measure-zero, same convention as q22's avg cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
+    total = per_part.agg(F.avg("part_value").alias("mean_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(1.5) * F.col("mean_value"))
+        .select("l_partkey", F.round("part_value", 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q12: late-shipment priority split — two-CASE conditional counts
+# --------------------------------------------------------------------------- #
+
+
+def q_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag (stand-in for l_shipmode, absent from the driver
+    schema), how many LATE-shipped items (>30 days after order date)
+    belonged to urgent/high-priority orders vs the rest — Q12's
+    two-conditional-count shape. The join is an equi join on orderkey
+    with the lateness inequality as a residual; both CASE counts fold
+    in the same partial agg, one shuffle on the single group key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q20: excess suppliers — nested IN subqueries as chained semi joins
+# --------------------------------------------------------------------------- #
+
+
+def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in region-0 nations who shipped MORE than 2x the average
+    per-supplier quantity of some 'part_2*'-named part — Q20's nested-IN
+    shape: the inner correlated threshold (avg per part) decorrelates to
+    one grouped agg broadcast back into the pair agg; qualifying
+    (part, supplier) pairs reduce to a distinct suppkey set; the outer
+    filter is a left-semi join against it. Supplier is the probe side,
+    so the whole pipeline is two fact aggs + two broadcast joins."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pair_qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    part_avg = pair_qty.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("pair_qty").alias("avg_qty")
+    )
+    heavy = (
+        pair_qty.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("pair_qty") > 2.0 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    nr = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_priority": q_q12_late_priority,
+    "q20_excess_suppliers": q_q20_excess_suppliers,
     "q4_exists_priority": q_q4_exists_priority,
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
@@ -442,6 +615,77 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q2_min_cost_supplier": """
+        WITH pair_cost AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size = 5 AND l.l_quantity > 0
+            GROUP BY 1, 2
+        )
+        SELECT pc.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+               ROUND(s.s_acctbal, 2) AS acctbal,
+               ROUND(pc.unit_cost, 4) AS min_unit_cost
+        FROM pair_cost pc
+        JOIN supplier s ON pc.l_suppkey = s.s_suppkey
+        WHERE pc.unit_cost = (SELECT MIN(unit_cost) FROM pair_cost pc2
+                              WHERE pc2.l_partkey = pc.l_partkey)
+    """,
+    "q9_product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity * 0.1), 2) AS sum_profit,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS part_value
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(part_value, 2) AS value
+        FROM per_part
+        WHERE part_value > 1.5 * (SELECT AVG(part_value) FROM per_part)
+    """,
+    "q12_late_priority": """
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+    """,
+    "q20_excess_suppliers": """
+        WITH pair_qty AS (
+            SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS pair_qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'red%'
+            GROUP BY 1, 2
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 0
+          AND s.s_suppkey IN (
+              SELECT pq.l_suppkey FROM pair_qty pq
+              WHERE pq.pair_qty > 2.0 * (SELECT AVG(pair_qty) FROM pair_qty pq2
+                                         WHERE pq2.l_partkey = pq.l_partkey))
+    """,
     "q4_exists_priority": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         FROM orders o
