@@ -1,5 +1,6 @@
 from .ingest import (
     stream_events,
+    stream_stream_join,
     streaming_feature_agg,
     streaming_register,
     streaming_sessionize,
@@ -8,6 +9,7 @@ from .stateful import streaming_running_features
 
 __all__ = [
     "stream_events",
+    "stream_stream_join",
     "streaming_feature_agg",
     "streaming_register",
     "streaming_running_features",

@@ -106,6 +106,56 @@ def streaming_sessionize(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    band: str = "INTERVAL 2 HOURS",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within ``band``
+    AFTER a view by the same user (the streaming twin of the batch
+    r2_interval_join query in suite.py).
+
+    Both sides are watermarked and the join carries an explicit time-band
+    condition — that is what lets Spark BOUND the join state: a buffered
+    view row can be evicted once the right-side watermark passes
+    ``view.ts + band``, so state is O(rate x band), not O(stream). At
+    cluster scale both streams shuffle on user_id once; the band
+    predicate rides the equi join as a residual, exactly like the batch
+    plan."""
+    views = (
+        left.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    buys = (
+        right.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr(band)),
+    )
+    return j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        F.unix_micros("v_ts").alias("view_us"),
+        F.unix_micros("b_ts").alias("buy_us"),
+    )
+
+
 def streaming_register(
     events: DataFrame,
     store,

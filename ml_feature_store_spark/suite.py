@@ -1317,11 +1317,108 @@ def q_m4_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t6_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view / UDTF surface: posexplode the token array of each
+    document into (doc_id, position, token) rows — the generator runs
+    inside codegen (Generate node), no Python. Row growth is bounded by
+    total token count, and the downstream filter on token length is
+    applied before anything shuffles (there is no shuffle at all: scan →
+    generate → filter → project, embarrassingly parallel at any SF)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    return tok.filter(F.length("token") >= 7).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        "token",
+    )
+
+
+def q_p2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt / UNPIVOT: wide per-returnflag aggregates to long
+    (flag, metric, value) triples — the inverse of p1_pivot. Spark's
+    unpivot is a zero-shuffle Expand node over the 3-row agg output;
+    rounding happens BEFORE the melt so both engines emit identical
+    doubles per metric."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base", "sum_disc"], "metric", "value"
+    )
+
+
+def q_map1_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar kernel: build a map from event fields
+    (map_from_arrays), then map_filter / transform_values (higher-order
+    lambdas on the JVM), element_at and map_keys — one scan, zero
+    shuffle, all codegen; the oracle reproduces each lane with plain
+    CASE arithmetic. Insertion order of map_from_arrays is preserved,
+    so the key-join string is deterministic."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("double")
+    m = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("v2"), F.lit("k")),
+        F.array(F.col("value"), F.col("value") * 2, k),
+    )
+    big = F.map_filter(m, lambda _, v: v > F.lit(10.0))
+    scaled = F.transform_values(m, lambda _, v: F.round(v / 10.0, 4))
+    return ev.select(
+        "event_id",
+        F.size(big).alias("n_big"),
+        F.element_at(scaled, F.lit("v")).alias("v_scaled"),
+        F.element_at(scaled, F.lit("k")).alias("k_scaled"),
+        F.array_join(F.map_keys(big), ",").alias("big_keys"),
+    )
+
+
+def q_r2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (the batch twin of a watermarked stream-stream
+    join): every purchase within 2 hours AFTER a view by the same user.
+    Equi key (user_id) + time-range residual → one shuffle on user_id,
+    SMJ/hash with the band predicate evaluated as a residual; this is
+    exactly the state-bounding condition Structured Streaming derives
+    its stream-stream join watermark retention from
+    (streaming/ingest.py stream_stream_join)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    return j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        _US("v_ts").alias("view_us"),
+        _US("b_ts").alias("buy_us"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t6_explode_tokens": q_t6_explode_tokens,
+    "p2_unpivot": q_p2_unpivot,
+    "map1_map_functions": q_map1_map_functions,
+    "r2_interval_join": q_r2_interval_join,
     "f1_register_pit_get": q_f1_register_pit_get,
     "f2_temporal_filter": q_f2_temporal_filter,
     "f3_entity_filter": q_f3_entity_filter,
@@ -1399,6 +1496,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "t6_explode_tokens": """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+            WHERE doc_id < 100
+        )
+        WHERE length(token) >= 7
+    """,
+    "p2_unpivot": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base,
+                   ROUND(SUM(l_discount), 2) AS sum_disc
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, metric, value
+        FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_base, sum_disc))
+    """,
+    "map1_map_functions": f"""
+        SELECT event_id,
+               CAST(CASE WHEN value > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN value * 2 > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN k > 10 THEN 1 ELSE 0 END AS INTEGER) AS n_big,
+               ROUND(value / 10.0, 4) AS v_scaled,
+               ROUND(k / 10.0, 4) AS k_scaled,
+               COALESCE(array_to_string(list_filter(
+                   [CASE WHEN value > 10 THEN 'v' END,
+                    CASE WHEN value * 2 > 10 THEN 'v2' END,
+                    CASE WHEN k > 10 THEN 'k' END],
+                   x -> x IS NOT NULL), ','), '') AS big_keys
+        FROM (SELECT event_id, value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+              FROM ({_EV}) WHERE event_id < 2000)
+    """,
+    "r2_interval_join": f"""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               b.event_id AS buy_id,
+               epoch_us(v.ts) AS view_us,
+               epoch_us(b.ts) AS buy_us
+        FROM ({_EV}) v
+        JOIN ({_EV}) b
+          ON v.user_id = b.user_id
+         AND b.ts > v.ts
+         AND b.ts <= v.ts + INTERVAL 2 HOUR
+        WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+    """,
     "f1_register_pit_get": f"""
         SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
             SELECT user_id, ts, value, row_number() OVER (

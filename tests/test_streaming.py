@@ -64,6 +64,35 @@ class TestStreamBatchEquivalence:
         assert got == want
         q.stop()
 
+    def test_stream_stream_join_matches_batch(self, spark, events_dir):
+        """Watermarked stream-stream interval join == the batch interval
+        join (suite.py r2_interval_join) on the same input. Inner
+        stream-stream joins emit in append mode; with availableNow over
+        one file every on-time pair is emitted by termination."""
+        from ml_feature_store_spark.streaming import stream_stream_join
+        from ml_feature_store_spark.suite import QUERIES
+
+        stream = stream_events(spark, events_dir)
+        joined = stream_stream_join(stream, stream_events(spark, events_dir))
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssjoin_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r.user_id, r.view_id, r.buy_id, r.view_us, r.buy_us)
+            for r in spark.sql("select * from ssjoin_t").collect()
+        }
+        want = {
+            (r.user_id, r.view_id, r.buy_id, r.view_us, r.buy_us)
+            for r in QUERIES["r2_interval_join"](spark, SF).collect()
+        }
+        assert got == want
+
     def test_sessionize_stream_runs(self, spark, events_dir):
         stream = stream_events(spark, events_dir)
         q = _run_stream(streaming_sessionize(stream), "sessions_t")
