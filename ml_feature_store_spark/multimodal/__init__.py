@@ -1,5 +1,6 @@
 from .columns import (
     attach_binary_payload,
+    decode_audio_stub,
     decode_image_stub,
     extract_image_features,
     frame_sample_stub,
@@ -8,6 +9,7 @@ from .columns import (
 
 __all__ = [
     "attach_binary_payload",
+    "decode_audio_stub",
     "decode_image_stub",
     "extract_image_features",
     "frame_sample_stub",

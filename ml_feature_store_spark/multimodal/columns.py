@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -136,6 +137,60 @@ def extract_image_features(
                 feats.append([float(x / norm) for x in raw])
             pdf = pdf.copy()
             pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def decode_audio_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode audio header metadata (sample rate, sample count, duration,
+    1-second analysis-window count) from audio bytes via mapInPandas.
+
+    STUB: no audio codec (ffmpeg/torchaudio/soundfile) is available in
+    this environment. With ``deterministic_fake`` the header derives
+    stably from the content hash (rate) and byte length (samples), so
+    tests and the DuckDB oracle replicate it; without it, raises
+    NotImplementedError (the real kernel would call soundfile.info /
+    torchaudio.info on the bytes). Batch shape, Arrow transfer and
+    output schema are exactly what the real kernel needs."""
+    out_schema = StructType(df.schema.fields + list(AUDIO_DECODE_SCHEMA.fields))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio codec not available in this environment; "
+                    "pass deterministic_fake=True or install soundfile and replace this kernel"
+                )
+            rates, nsamps, durs, nwins = [], [], [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                h = hashlib.sha256(b).digest()
+                rate = 8000 * (1 + h[3] % 5)
+                ns = len(b) * 32
+                rates.append(rate)
+                nsamps.append(ns)
+                durs.append(round(ns / rate, 4))
+                nwins.append((ns + rate - 1) // rate)
+            pdf = pdf.copy()
+            pdf["sample_rate"] = rates
+            pdf["n_samples"] = nsamps
+            pdf["duration_s"] = durs
+            pdf["n_windows"] = nwins
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)

@@ -1415,12 +1415,100 @@ def q_r2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler — the first pass every training-data
+    pipeline runs on a new source: per column, row/null/distinct counts
+    and min/max/mean, computed in ONE scan. Multiple exact countDistincts
+    compile to a single Expand-based aggregate (one pass over the data,
+    one shuffle); the wide one-row result is melted to one row per
+    column driver-side (4 unions of a 1-row plan — free). At 100 TB the
+    scan is the cost; everything else is O(1)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    row = li.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(c).alias("col_name"),
+            "n_rows",
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__avg").alias("avg_val"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_a10_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — THE scale pattern for distinct counts:
+    build a sketch per fine-grained group (returnflag x linestatus),
+    then MERGE sketches up to coarse groups (returnflag) without
+    touching the raw data again. At 100 TB the fine sketches are built
+    once (map-side partial agg, bytes per group) and every rollup level
+    reuses them; an exact countDistinct would re-shuffle the fact per
+    level. Rows-only check: the estimate is engine-specific (DuckDB's
+    HLL differs), but Spark's is deterministic for fixed input."""
+    li = table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"),
+            F.sum("n").alias("n_items"),
+        )
+    )
+
+
+def q_m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio lane of the multimodal surface: binary payload ->
+    (sample_rate, n_samples, duration, window count) through the
+    mapInPandas decode stub. The fake header is sha256/byte-length
+    derived, so the DuckDB oracle replicates it exactly — cross-engine
+    proof of the Arrow batch path, like m1 for images."""
+    from .multimodal import attach_binary_payload, decode_audio_stub
+    from .operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    payload = attach_binary_payload(
+        docs.select("doc_id", "text"), "text", media_type="audio", fmt="wav"
+    )
+    decoded = decode_audio_stub(payload, deterministic_fake=True)
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        "n_windows",
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
+    "dq1_column_profile": q_dq1_column_profile,
+    "a10_hll_sketch": q_a10_hll_sketch,
+    "m5_audio_decode": q_m5_audio_decode,
     "p2_unpivot": q_p2_unpivot,
     "map1_map_functions": q_map1_map_functions,
     "r2_interval_join": q_r2_interval_join,
@@ -1501,6 +1589,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "dq1_column_profile": """
+        SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+               ROUND(MIN(l_quantity), 4) AS min_val, ROUND(MAX(l_quantity), 4) AS max_val,
+               ROUND(AVG(l_quantity), 4) AS avg_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+               ROUND(AVG(l_extendedprice), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+               ROUND(AVG(l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+               ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4),
+               ROUND(AVG(l_tax), 4)
+        FROM lineitem
+    """,
+    "m5_audio_decode": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               CAST(8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5)) AS INTEGER) AS sample_rate,
+               CAST(octet_length(encode(text)) * 32 AS BIGINT) AS n_samples,
+               ROUND((octet_length(encode(text)) * 32)
+                     / (8000.0 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5))), 4) AS duration_s,
+               CAST((octet_length(encode(text)) * 32
+                     + 8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5)) - 1)
+                    // (8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5))) AS INTEGER) AS n_windows
+        FROM documents
+    """,
     "t6_explode_tokens": """
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
         FROM (

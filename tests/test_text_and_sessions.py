@@ -121,6 +121,20 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             decode_image_stub(with_payload, deterministic_fake=False).collect()
 
+    def test_audio_decode_stub(self, docs):
+        from ml_feature_store_spark.multimodal import decode_audio_stub
+
+        with_payload = attach_binary_payload(docs, "text", media_type="audio")
+        rows = decode_audio_stub(with_payload, deterministic_fake=True).collect()
+        for r in rows:
+            assert r.sample_rate in (8000, 16000, 24000, 32000, 40000)
+            assert r.n_samples == r.media_meta.byte_len * 32
+            assert r.duration_s == pytest.approx(r.n_samples / r.sample_rate, abs=1e-4)
+            # ceil-division window count over 1-second windows
+            assert r.n_windows == -(-r.n_samples // r.sample_rate)
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            decode_audio_stub(with_payload, deterministic_fake=False).collect()
+
     def test_feature_extraction_unit_norm(self, docs):
         feats = extract_image_features(attach_binary_payload(docs, "text"), dim=8)
         for r in feats.collect():
