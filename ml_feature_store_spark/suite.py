@@ -1418,11 +1418,13 @@ def q_r2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality column profiler — the first pass every training-data
     pipeline runs on a new source: per column, row/null/distinct counts
-    and min/max/mean, computed in ONE scan. Multiple exact countDistincts
-    compile to a single Expand-based aggregate (one pass over the data,
-    one shuffle); the wide one-row result is melted to one row per
-    column driver-side (4 unions of a 1-row plan — free). At 100 TB the
-    scan is the cost; everything else is O(1)."""
+    and min/max/mean, computed in ONE scan. The 4 exact countDistincts
+    fold into one Expand-based aggregate (one pass over the data); the
+    wide one-row result is melted to one row per column with stack() —
+    a Generate over a 1-row plan, free. (A union-of-selects melt would
+    let column pruning split this into 4 independent scans of the fact
+    — measured and rejected.) At 100 TB the scan is the cost;
+    everything else is O(1)."""
     li = table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     aggs = [F.count("*").alias("n_rows")]
@@ -1435,22 +1437,17 @@ def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(c), 4).alias(f"{c}__avg"),
         ]
     row = li.agg(*aggs)
-    parts = [
-        row.select(
-            F.lit(c).alias("col_name"),
-            "n_rows",
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_val"),
-            F.col(f"{c}__max").alias("max_val"),
-            F.col(f"{c}__avg").alias("avg_val"),
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg"
+            for c in cols
         )
-        for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        + ") as (col_name, n_nulls, n_distinct, min_val, max_val, avg_val)"
+    )
+    return row.selectExpr("n_rows", stack).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
+    )
 
 
 def q_a10_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,6 +227,53 @@ class TestRelationalPlans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+class TestNewSurfacePlans:
+    """Plan shapes for the explode/unpivot/map/interval-join/profiler
+    queries."""
+
+    def test_explode_has_no_shuffle(self, spark):
+        # scan -> generate -> filter -> project: embarrassingly parallel
+        df = QUERIES["t6_explode_tokens"](spark, SF)
+        assert shuffle_count(df) == 0
+        assert "Generate" in executed_plan(df)
+
+    def test_unpivot_is_expand_no_extra_shuffle(self, spark):
+        # one agg shuffle; the melt itself is an Expand, not a shuffle
+        df = QUERIES["p2_unpivot"](spark, SF)
+        assert "Expand" in executed_plan(df)
+        assert shuffle_count(df) == 1
+
+    def test_map_kernel_stays_jvm_side(self, spark):
+        # higher-order map lambdas must not fall back to Python
+        plan = executed_plan(QUERIES["map1_map_functions"](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert shuffle_count(QUERIES["map1_map_functions"](spark, SF)) == 0
+
+    def test_interval_join_single_shuffle_per_side(self, spark):
+        # equi join on user_id with the time band as residual: SMJ/SHJ,
+        # never a nested-loop cross product
+        df = QUERIES["r2_interval_join"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    def test_profiler_single_scan_expand(self, spark):
+        # 4 exact countDistincts fold into ONE Expand-based aggregate
+        # over ONE scan of lineitem; the melt is a Generate(stack) on
+        # the 1-row agg output, not a union of per-column re-scans
+        plan = executed_plan(QUERIES["dq1_column_profile"](spark, SF))
+        assert plan.count("Expand") == 1
+        assert plan.count("FileScan") == 1
+        assert "Generate" in plan
+
+    def test_q2_correlated_min_broadcasts(self, spark):
+        plan = executed_plan(QUERIES["q2_min_cost_supplier"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_q20_nested_in_is_semi_join(self, spark):
+        plan = executed_plan(QUERIES["q20_excess_suppliers"](spark, SF))
+        assert "LeftSemi" in plan
+
+
 class TestBucketedJoin:
     def test_bucketed_tables_join_without_exchange(self, spark):
         """The 100 TB co-location story: two tables bucketed on the join
