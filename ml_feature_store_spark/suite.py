@@ -1415,6 +1415,34 @@ def q_r2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arr2_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — elementwise mean over an
+    array<float> column, computed the SCALE way: one avg aggregate per
+    dimension over element_at (64 JVM-side aggregates, map-side partial
+    merge, ONE shuffle of 64 doubles per label). The naive rewrite —
+    posexplode to (row x dim) then groupBy — shuffles |rows| x 64
+    exploded rows; this plan shuffles nothing but the partial-agg
+    state. Output stays long-form (label, dim, coord) for a stable
+    oracle shape."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        *[
+            F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
+            for i in range(dim)
+        ],
+    )
+    stack = (
+        f"stack({dim}, "
+        + ", ".join(f"{i + 1}, c{i}" for i in range(dim))
+        + ") as (dim, coord)"
+    )
+    return cents.selectExpr("label", "n_vecs", stack).select(
+        "label", "n_vecs", F.col("dim").cast("int").alias("dim"), "coord"
+    )
+
+
 def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality column profiler — the first pass every training-data
     pipeline runs on a new source: per column, row/null/distinct counts
@@ -1504,6 +1532,7 @@ def q_m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
+    "arr2_vector_centroids": q_arr2_vector_centroids,
     "a10_hll_sketch": q_a10_hll_sketch,
     "m5_audio_decode": q_m5_audio_decode,
     "p2_unpivot": q_p2_unpivot,
@@ -1586,6 +1615,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "arr2_vector_centroids": """
+        WITH cnt AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY 1
+        ),
+        ex AS (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        SELECT ex.label, cnt.n_vecs, CAST(ex.dim AS INTEGER) AS dim,
+               ROUND(AVG(ex.v), 6) AS coord
+        FROM ex JOIN cnt USING (label)
+        GROUP BY ex.label, cnt.n_vecs, ex.dim
+    """,
     "dq1_column_profile": """
         SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

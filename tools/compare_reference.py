@@ -51,6 +51,13 @@ def main() -> None:
     t0 = time.time()
     ref_out = ref.get_training_set("ev", spine_pdf)
     ref_ts_s = time.time() - t0
+    # PIT get: 50 sequential lookups (the online-ish read path)
+    cutoff = pdf["timestamp"].quantile(0.9)
+    ids = list(pdf["entity_id"].drop_duplicates().head(50))
+    t0 = time.time()
+    for _ in range(50):
+        ref_get = ref.get("ev", ids, cutoff)
+    ref_get_s = (time.time() - t0) / 50
 
     # ---- this engine ------------------------------------------------------
     from ml_feature_store_spark import FeatureStore
@@ -68,6 +75,18 @@ def main() -> None:
     spark_out = fs.get_training_set("ev", spine_sdf)
     n_spark = spark_out.count()
     spark_ts_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(50):
+        n_get = fs.get("ev", ids, cutoff.to_pydatetime()).count()
+    spark_get_s = (time.time() - t0) / 50
+    # serving path: one-row-per-entity online view (no history scan)
+    fs.materialize_online("ev")
+    for _ in range(3):  # warm
+        fs.get_online("ev", ids).count()
+    t0 = time.time()
+    for _ in range(50):
+        n_online = fs.get_online("ev", ids).count()
+    spark_online_s = (time.time() - t0) / 50
 
     print(
         json.dumps(
@@ -78,14 +97,21 @@ def main() -> None:
                 "reference": {
                     "register_s": round(ref_register_s, 3),
                     "training_set_s": round(ref_ts_s, 3),
+                    "pit_get_s": round(ref_get_s, 4),
                     "rows": len(ref_out),
+                    "get_rows": len(ref_get),
                 },
                 "spark": {
                     "register_s": round(spark_register_s, 3),
                     "training_set_s": round(spark_ts_s, 3),
+                    "pit_get_s": round(spark_get_s, 4),
+                    "online_get_s": round(spark_online_s, 4),
                     "rows": n_spark,
+                    "get_rows": n_get,
+                    "online_rows": n_online,
                 },
                 "speedup_training_set": round(ref_ts_s / max(spark_ts_s, 1e-9), 2),
+                "speedup_pit_get": round(ref_get_s / max(spark_get_s, 1e-9), 2),
             }
         )
     )
