@@ -1443,6 +1443,61 @@ def q_arr2_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x16_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — top-3 weighted tokens per document.
+    Term frequency = grouped count over the exploded tokens; document
+    frequency = second agg over the (doc, token) pairs (already unique,
+    so a plain count); N arrives as a one-row broadcast cross join.
+    Ranking uses the ROUNDED weight (6dp) with a token tie-break so the
+    cut is identical on both engines (java.lang.Math.log and libm can
+    disagree in the last ulp). Scale: two shuffles (doc-token agg,
+    token agg) + one broadcast — no per-document loop, and the rank
+    window partitions by doc_id, which is near-uniform."""
+    docs = table(spark, sf_dir, "documents")
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "weight",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "weight", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_io4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink: write document bodies as line-oriented text
+    files, read them back with spark.read.text, re-derive stats. The
+    documents corpus is newline-free so lines == documents; proves the
+    fourth non-parquet format end-to-end (CSV/JSON/ORC are io1-io3)."""
+    import tempfile as _tf
+
+    docs = table(spark, sf_dir, "documents")
+    d = _tf.mkdtemp(prefix="mlfs_text_")
+    docs.select("text").write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(F.split("value", " ")).cast("long")).alias("total_tokens"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
 def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality column profiler — the first pass every training-data
     pipeline runs on a new source: per column, row/null/distinct counts
@@ -1533,6 +1588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
     "arr2_vector_centroids": q_arr2_vector_centroids,
+    "x16_tfidf_topk": q_x16_tfidf_topk,
+    "io4_text_roundtrip": q_io4_text_roundtrip,
     "a10_hll_sketch": q_a10_hll_sketch,
     "m5_audio_decode": q_m5_audio_decode,
     "p2_unpivot": q_p2_unpivot,
@@ -1615,6 +1672,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "x16_tfidf_topk": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tokens WHERE length(token) > 0
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        weighted AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 6) AS weight
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, token, tf, df, weight, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY weight DESC, token ASC) AS rk
+            FROM weighted
+        )
+        WHERE rk <= 3
+    """,
+    "io4_text_roundtrip": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(MIN(length(text)) AS BIGINT) AS min_len,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len
+        FROM documents
+    """,
     "arr2_vector_centroids": """
         WITH cnt AS (
             SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
