@@ -1443,6 +1443,37 @@ def q_arr2_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f9_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version CDC through the store API (store.diff_versions): v1 = the
+    first two weeks of events, v2 = re-register through Jan 20 with
+    purchase values doubled — so the diff has all three change types:
+    later keys are added, and purchase keys inside the v1 window are
+    changed. Output is the per-change-type rollup (keys + row counts);
+    the oracle recomputes the same multiset classification with its own
+    hashing, so the check is of the SEMANTICS (which keys changed),
+    not of any engine-specific hash. On Delta this is Change Data Feed
+    read from the commit log instead of recomputed."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__").drop("event_id")
+    v1 = feats.filter(F.col("timestamp") < "2024-01-15")
+    v2 = feats.filter(F.col("timestamp") < "2024-01-20").withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    fs = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_cdc_"))
+    fs.register("ev_cdc", v1)
+    fs.register("ev_cdc", v2)
+    d = fs.diff_versions("ev_cdc", 1, 2)
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("old_rows").alias("old_rows"),
+        F.sum("new_rows").alias("new_rows"),
+    )
+
+
 def q_x16_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction — top-3 weighted tokens per document.
     Term frequency = grouped count over the exploded tokens; document
@@ -1589,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq1_column_profile": q_dq1_column_profile,
     "arr2_vector_centroids": q_arr2_vector_centroids,
     "x16_tfidf_topk": q_x16_tfidf_topk,
+    "f9_diff_versions": q_f9_diff_versions,
     "io4_text_roundtrip": q_io4_text_roundtrip,
     "a10_hll_sketch": q_a10_hll_sketch,
     "m5_audio_decode": q_m5_audio_decode,
@@ -1672,6 +1704,42 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "f9_diff_versions": f"""
+        WITH base AS (
+            SELECT user_id AS entity_id, ts, event_type, value FROM ({_EV})
+        ),
+        v1 AS (SELECT * FROM base WHERE ts < TIMESTAMP '2024-01-15'),
+        v2 AS (
+            SELECT entity_id, ts, event_type,
+                   CASE WHEN event_type = 'purchase' THEN value * 2
+                        ELSE value END AS value
+            FROM base WHERE ts < TIMESTAMP '2024-01-20'
+        ),
+        o AS (
+            SELECT entity_id, ts,
+                   md5(array_to_string(list_sort(list(event_type || chr(1) || value::VARCHAR)), ',')) AS kh,
+                   COUNT(*) AS kn
+            FROM v1 GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT entity_id, ts,
+                   md5(array_to_string(list_sort(list(event_type || chr(1) || value::VARCHAR)), ',')) AS kh,
+                   COUNT(*) AS kn
+            FROM v2 GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT CASE WHEN o.kh IS NULL THEN 'added'
+                        WHEN n.kh IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   COALESCE(o.kn, 0) AS orw, COALESCE(n.kn, 0) AS nrw
+            FROM o FULL OUTER JOIN n USING (entity_id, ts)
+            WHERE o.kh IS NULL OR n.kh IS NULL OR o.kh <> n.kh
+        )
+        SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(orw) AS BIGINT) AS old_rows,
+               CAST(SUM(nrw) AS BIGINT) AS new_rows
+        FROM d GROUP BY 1
+    """,
     "x16_tfidf_topk": """
         WITH tokens AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -212,6 +212,65 @@ class TestVersioning:
         assert fs2.get_table_info("p").version == 2
 
 
+class TestDiffVersions:
+    """CDC between versions: added / removed / changed keys only."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["entity_id", "timestamp", "val"])
+
+    def test_added_removed_changed(self, store, spark):
+        v1 = self._df(
+            spark,
+            [
+                ("a", ts("2024-01-01"), 1.0),
+                ("b", ts("2024-01-02"), 2.0),
+                ("c", ts("2024-01-03"), 3.0),
+            ],
+        )
+        v2 = self._df(
+            spark,
+            [
+                ("a", ts("2024-01-01"), 1.0),   # unchanged
+                ("b", ts("2024-01-02"), 99.0),  # changed
+                ("d", ts("2024-01-04"), 4.0),   # added (c removed)
+            ],
+        )
+        store.register("cdc", v1)
+        store.register("cdc", v2)
+        out = {
+            (r.entity_id, r.change_type): (r.old_rows, r.new_rows)
+            for r in store.diff_versions("cdc", 1, 2).collect()
+        }
+        assert out == {
+            ("b", "changed"): (1, 1),
+            ("c", "removed"): (1, 0),
+            ("d", "added"): (0, 1),
+        }
+
+    def test_append_diff_is_pure_adds(self, store, spark):
+        store.register("cdc2", self._df(spark, [("a", ts("2024-01-01"), 1.0)]))
+        store.append("cdc2", self._df(spark, [("a", ts("2024-02-01"), 2.0)]))
+        out = store.diff_versions("cdc2", 1, 2).collect()
+        assert len(out) == 1 and out[0].change_type == "added"
+
+    def test_duplicate_keys_compared_as_multisets(self, store, spark):
+        # two identical copies of a key in v1; one copy's value changes in v2
+        v1 = self._df(
+            spark,
+            [("a", ts("2024-01-01"), 1.0), ("a", ts("2024-01-01"), 1.0)],
+        )
+        v2 = self._df(
+            spark,
+            [("a", ts("2024-01-01"), 1.0), ("a", ts("2024-01-01"), 5.0)],
+        )
+        store.register("cdc3", v1)
+        store.register("cdc3", v2)
+        out = store.diff_versions("cdc3", 1, 2).collect()
+        assert len(out) == 1
+        assert out[0].change_type == "changed"
+        assert (out[0].old_rows, out[0].new_rows) == (2, 2)
+
+
 class TestTableManagement:
     def test_list_and_info(self, store, feature_df):
         store.register("a", feature_df)
