@@ -1474,6 +1474,65 @@ def q_f9_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-style sequence packing (concat-and-chunk): docs are packed in
+    doc_id order into 2048-token bins via an EXCLUSIVE prefix sum —
+    bin = floor(tokens_before / budget) — the standard 'concatenate the
+    corpus, cut at the context length' shape. Packing is per shard
+    (pmod(doc_id, 8)): each shard's running sum is an independent
+    window partition, so the job parallelizes as shards x executors
+    with no global sort — exactly how a 100 TB corpus is packed in
+    practice (global greedy packing would serialize; per-shard is the
+    accepted approximation)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_pipe1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning pipeline composition — the C4-style recipe as ONE
+    declarative plan: length filter (10..2000 tokens), mean-token-length
+    filter (2..14 chars), exact dedup keep-first over the normalized
+    text hash, then per-lang survivor stats. Catalyst fuses the filters
+    into the scan; the only shuffles are the dedup window hash
+    partition and the final rollup. Every stage is a column expression
+    — no Python in the loop at any corpus size."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    filtered = docs.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 2000)
+        & ((F.col("n_chars") / F.col("n_tokens")).between(2.0, 14.0))
+    )
+    wdup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(wdup)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 def q_x16_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction — top-3 weighted tokens per document.
     Term frequency = grouped count over the exploded tokens; document
@@ -1621,6 +1680,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "arr2_vector_centroids": q_arr2_vector_centroids,
     "x16_tfidf_topk": q_x16_tfidf_topk,
     "f9_diff_versions": q_f9_diff_versions,
+    "pack1_sequence_packing": q_pack1_sequence_packing,
+    "pipe1_clean_corpus": q_pipe1_clean_corpus,
     "io4_text_roundtrip": q_io4_text_roundtrip,
     "a10_hll_sketch": q_a10_hll_sketch,
     "m5_audio_decode": q_m5_audio_decode,
@@ -1704,6 +1765,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    "pack1_sequence_packing": """
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % 8 AS BIGINT) AS shard
+            FROM documents
+        ),
+        binned AS (
+            SELECT shard, doc_id, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS bin
+            FROM docs
+        )
+        SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM binned GROUP BY 1, 2
+    """,
+    "pipe1_clean_corpus": """
+        WITH filtered AS (
+            SELECT *, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE length(string_split(text, ' ')) BETWEEN 10 AND 2000
+              AND n_chars * 1.0 / length(string_split(text, ' ')) BETWEEN 2.0 AND 14.0
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM filtered
+            ) WHERE rn = 1
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM deduped GROUP BY 1
+    """,
     "f9_diff_versions": f"""
         WITH base AS (
             SELECT user_id AS entity_id, ts, event_type, value FROM ({_EV})
