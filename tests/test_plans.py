@@ -265,6 +265,25 @@ class TestNewSurfacePlans:
         assert plan.count("FileScan") == 1
         assert "Generate" in plan
 
+    def test_packing_two_shuffles(self, spark):
+        # per-shard window partition + final (shard, bin) rollup — the
+        # prefix sum must not force a global (single-partition) sort
+        df = QUERIES["pack1_sequence_packing"](spark, SF)
+        assert shuffle_count(df) <= 2
+        assert "SinglePartition" not in executed_plan(df)
+
+    def test_clean_corpus_filters_before_dedup_window(self, spark):
+        # the length filters must run in the scan stage, before the
+        # dedup hash window shuffles anything
+        df = QUERIES["pipe1_clean_corpus"](spark, SF)
+        assert shuffle_count(df) == 2  # dedup window + lang rollup
+        plan = executed_plan(df)
+        # plan text prints root-first, so the DEEPEST (earliest-executed)
+        # Filter must appear AFTER the Window node and carry the token
+        # bounds — i.e. the length filters run in the scan stage
+        scan_stage = plan[plan.index("Window"):]
+        assert "Filter" in scan_stage and "2000" in scan_stage
+
     def test_q2_correlated_min_broadcasts(self, spark):
         plan = executed_plan(QUERIES["q2_min_cost_supplier"](spark, SF))
         assert "BroadcastHashJoin" in plan
