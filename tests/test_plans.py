@@ -293,6 +293,45 @@ class TestNewSurfacePlans:
         assert "LeftSemi" in plan
 
 
+class TestAQESkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The 100 TB hot-key story, pinned end-to-end: a join where one
+        key carries 90% of the probe side must come out of AQE with the
+        skewed partition SPLIT (SortMergeJoin(skew=true) in the final
+        adaptive plan) — no salting needed, no straggler task. Thresholds
+        are lowered so test-sized data crosses the skew detection bar;
+        at production defaults the same mechanism fires at 256MB
+        partitions."""
+        from ml_feature_store_spark.plans import final_executed_plan
+
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+            right = spark.range(0, 200_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            j = left.join(right, "k")
+            plan = final_executed_plan(j)
+            assert "skew=true" in plan
+            assert j.count() == 200_000
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+
 class TestBucketedJoin:
     def test_bucketed_tables_join_without_exchange(self, spark):
         """The 100 TB co-location story: two tables bucketed on the join
