@@ -240,17 +240,18 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) whose quarterly revenue equals the maximum: aggregate
-    per supplier, then compare to an unpartitioned window MAX (100
-    post-agg rows — the window is trivially cheap; at scale this is the
-    standard two-pass scalar-subquery plan, never a self-join of the
-    fact). Revenue rounded 2dp before the equality so both engines cut
-    identically."""
+    per supplier, reduce the scalar MAX to one row, then broadcast it
+    back onto the per-supplier aggregate (same pattern as q11/q22). An
+    unpartitioned window would funnel every post-agg row into ONE
+    partition; the broadcast keeps the comparison map-side and the
+    aggregate's partitioning intact. Revenue rounded 2dp before the
+    equality so both engines cut identically."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_rev") == F.col("max_rev")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -292,6 +292,24 @@ class TestNewSurfacePlans:
         plan = executed_plan(QUERIES["q20_excess_suppliers"](spark, SF))
         assert "LeftSemi" in plan
 
+    def test_x11_embedding_dedup_is_blocked_equi_join(self, spark):
+        # the declared near-dup query must be the BLOCKED plan: the self-
+        # join hashes/sorts on the block key (label), with vec_id< and the
+        # cosine threshold as residuals — never an unblocked quadratic
+        # cross product
+        df = QUERIES["x11_embedding_dedup"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        import re
+
+        join_line = next(
+            line
+            for line in plan.splitlines()
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", line)
+        )
+        assert "label" in join_line
+
 
 class TestAQESkewJoin:
     def test_aqe_splits_skewed_join_partition(self, spark):
