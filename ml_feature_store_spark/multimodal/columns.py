@@ -5,20 +5,29 @@ through Arrow-batched ``mapInPandas`` — the only sane shape for per-row
 decode work at scale (vectorized transfer, no per-row Python overhead,
 decode parallelism = partition parallelism).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBS: ``decode_image_stub`` raises unless
-``deterministic_fake=True``, in which case it derives a fake-but-stable
-(width, height, n_channels, feature vector) from the payload bytes' hash.
-The Spark-side plumbing — schemas, batch iteration, partitioning — is real
-and tested; swapping in a real codec touches only the kernel body.
+Codec selection is probed at import (``HAS_PIL`` / ``HAS_SOUNDFILE``):
+when a real decoder is installed the non-fake kernels use it; this
+container ships none, so ``deterministic_fake=True`` derives a
+fake-but-stable (width, height, n_channels, feature vector) from the
+payload bytes' hash and the non-fake path raises. The Spark-side
+plumbing — schemas, batch iteration, partitioning — is identical in
+every mode; swapping codec touches only the per-row loop body.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
+
+# Codec availability probe (import-time, once): when a real decoder is
+# present the non-fake kernels use it; otherwise they raise. The fake
+# path is unaffected either way, so oracle-checked queries stay stable
+# across environments with and without codecs.
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+HAS_SOUNDFILE = importlib.util.find_spec("soundfile") is not None
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -85,21 +94,32 @@ def decode_image_stub(
 ) -> DataFrame:
     """Decode header metadata from image bytes via mapInPandas.
 
-    STUB: no image codec is available in this environment. With
-    ``deterministic_fake`` the decode derives stable dimensions from a
-    content hash so tests exercise the full batch path; without it, raises
-    NotImplementedError (the real kernel would call PIL.Image.open).
+    With ``deterministic_fake`` the decode derives stable dimensions from a
+    content hash so tests exercise the full batch path. Without it, the
+    kernel decodes with PIL when the import probe found it (same output
+    schema — only the per-row body differs), else raises
+    NotImplementedError (this container ships no image codec).
     """
     out_schema = StructType(df.schema.fields + list(IMAGE_DECODE_SCHEMA.fields))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if deterministic_fake:
+                decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            elif HAS_PIL:
+                import io
+
+                from PIL import Image
+
+                decoded = []
+                for p in pdf[payload_col]:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        decoded.append((im.width, im.height, len(im.getbands())))
+            else:
                 raise NotImplementedError(
                     "image codec not available in this environment; "
-                    "pass deterministic_fake=True or install PIL and replace this kernel"
+                    "pass deterministic_fake=True or install PIL"
                 )
-            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
             pdf = pdf.copy()
             pdf["width"] = [d[0] for d in decoded]
             pdf["height"] = [d[1] for d in decoded]
@@ -160,32 +180,45 @@ def decode_audio_stub(
     """Decode audio header metadata (sample rate, sample count, duration,
     1-second analysis-window count) from audio bytes via mapInPandas.
 
-    STUB: no audio codec (ffmpeg/torchaudio/soundfile) is available in
-    this environment. With ``deterministic_fake`` the header derives
-    stably from the content hash (rate) and byte length (samples), so
-    tests and the DuckDB oracle replicate it; without it, raises
-    NotImplementedError (the real kernel would call soundfile.info /
-    torchaudio.info on the bytes). Batch shape, Arrow transfer and
-    output schema are exactly what the real kernel needs."""
+    With ``deterministic_fake`` the header derives stably from the
+    content hash (rate) and byte length (samples), so tests and the
+    DuckDB oracle replicate it. Without it, the kernel reads the header
+    with soundfile when the import probe found it (same output schema),
+    else raises NotImplementedError (this container ships no audio
+    codec). Batch shape, Arrow transfer and output schema are exactly
+    what the real kernel needs."""
     out_schema = StructType(df.schema.fields + list(AUDIO_DECODE_SCHEMA.fields))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            rates, nsamps, durs, nwins = [], [], [], []
+            if deterministic_fake:
+                for p in pdf[payload_col]:
+                    b = bytes(p)
+                    h = hashlib.sha256(b).digest()
+                    rate = 8000 * (1 + h[3] % 5)
+                    ns = len(b) * 32
+                    rates.append(rate)
+                    nsamps.append(ns)
+                    durs.append(round(ns / rate, 4))
+                    nwins.append((ns + rate - 1) // rate)
+            elif HAS_SOUNDFILE:
+                import io
+
+                import soundfile as sf
+
+                for p in pdf[payload_col]:
+                    info = sf.info(io.BytesIO(bytes(p)))
+                    rate, ns = info.samplerate, info.frames
+                    rates.append(rate)
+                    nsamps.append(ns)
+                    durs.append(round(ns / rate, 4))
+                    nwins.append((ns + rate - 1) // rate)
+            else:
                 raise NotImplementedError(
                     "audio codec not available in this environment; "
-                    "pass deterministic_fake=True or install soundfile and replace this kernel"
+                    "pass deterministic_fake=True or install soundfile"
                 )
-            rates, nsamps, durs, nwins = [], [], [], []
-            for p in pdf[payload_col]:
-                b = bytes(p)
-                h = hashlib.sha256(b).digest()
-                rate = 8000 * (1 + h[3] % 5)
-                ns = len(b) * 32
-                rates.append(rate)
-                nsamps.append(ns)
-                durs.append(round(ns / rate, 4))
-                nwins.append((ns + rate - 1) // rate)
             pdf = pdf.copy()
             pdf["sample_rate"] = rates
             pdf["n_samples"] = nsamps

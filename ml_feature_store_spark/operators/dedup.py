@@ -204,14 +204,18 @@ def dedup_simhash(
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(content_col))).alias("__tok__")
     ).withColumn("__h__", F.xxhash64("__tok__"))
-    # SWAR bit-count: (h >> j) & 0x0001000100010001 accumulates the ones
-    # of bits j, j+16, j+32, j+48 in four 16-bit lanes of one long — 16
-    # lane-sum aggregates instead of 64 per-bit sums (4x less per-row agg
-    # work; lanes can't overflow below 65535 tokens/doc). Sign-extension
-    # from the arithmetic shift lands above lane 3's read position for all
-    # j <= 15, so the mask discards it. vote_i > 0  <=>  2*ones_i > n.
-    n_lanes = bits // 4
-    lane_mask = sum(1 << (16 * k) for k in range(4))
+    # SWAR bit-count: (h >> j) & 0x00000001_00000001 accumulates the ones
+    # of bits j and j+32 in two 32-bit lanes of one long — 32 lane-sum
+    # aggregates instead of 64 per-bit sums (2x less per-row agg work).
+    # 32-bit lanes cap at ~2^31 tokens/doc before a lane could carry into
+    # its neighbor or the packed long sum could overflow — unreachable for
+    # any real document (16-bit lanes, the previous layout, corrupted —
+    # or, under ANSI mode, crashed — at ~2^16-token docs, which corpus
+    # data does hit). Sign-extension from the arithmetic shift lands above
+    # lane 1's read position for all j <= 31, so the mask discards it.
+    # vote_i > 0  <=>  2*ones_i > n.
+    n_lanes = bits // 2
+    lane_mask = 1 | (1 << 32)
     lanes = [
         F.sum(F.shiftright("__h__", j).bitwiseAND(F.lit(lane_mask))).alias(f"__l{j}__")
         for j in range(n_lanes)
@@ -220,13 +224,28 @@ def dedup_simhash(
     bit_exprs = []
     for i in range(bits):
         j, k = i % n_lanes, i // n_lanes
-        ones = F.shiftright(F.col(f"__l{j}__"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        ones = F.shiftright(F.col(f"__l{j}__"), 32 * k).bitwiseAND(F.lit(0xFFFFFFFF))
         bit_exprs.append(
             F.when(
                 ones * 2 > F.col("__n__"), F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
-    sig = sum(bit_exprs[1:], bit_exprs[0]).alias("simhash")
+    # Loud guard at the (unreachable) lane bound rather than silent
+    # corruption past it.
+    sig = (
+        F.when(
+            F.col("__n__") >= F.lit(1 << 30),
+            F.raise_error(
+                F.concat(
+                    F.lit("dedup_simhash: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has >= 2^30 tokens; SWAR lane sums would overflow"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(sum(bit_exprs[1:], bit_exprs[0]))
+        .alias("simhash")
+    )
     sigs = per_doc.select(F.col(id_col), sig)
     # one shuffle on the signature; a groupBy+join-back would evaluate the
     # signature lineage twice and shuffle twice

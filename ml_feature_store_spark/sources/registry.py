@@ -75,7 +75,13 @@ class MemoryVersionStore:
     def write_version(self, name: str, version: int, df: DataFrame, row_count: int,
                       description: str = "") -> None:
         now = _now_iso()
-        self._data.setdefault(name, {})[version] = df
+        # Freeze the version's contents, like the parquet backend's write
+        # does: __row_id__ comes from monotonically_increasing_id() and
+        # would otherwise be recomputed per action — if the input plan's
+        # row order is nondeterministic (e.g. downstream of a shuffle),
+        # tie-break ids could differ between reads of the same version,
+        # breaking the "first input row wins" contract.
+        self._data.setdefault(name, {})[version] = df.localCheckpoint(eager=True)
         state = self._meta.get(name)
         if state is None:
             state = TableState(name=name, description=description, version=version,

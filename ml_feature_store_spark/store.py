@@ -27,7 +27,7 @@ operators/asof.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -304,8 +304,15 @@ class FeatureStore:
         out = temporal_filter(df, cutoff)
         if DT_COL in df.columns:
             # monotonic rewrite of the cutoff onto the partition column:
-            # ts <= C implies date(ts) <= date(C) — prunes whole partitions
-            out = out.filter(F.col(DT_COL) <= F.lit(cutoff.date()))
+            # ts <= C implies date(ts) <= date(C) — prunes whole partitions.
+            # The date bound must be taken in the SESSION timezone (UTC —
+            # session.py pins it): a tz-aware cutoff like 2024-01-01 22:00-05
+            # is 2024-01-02 03:00 UTC, and pruning at date(2024-01-01) would
+            # silently drop qualifying rows in the 2024-01-02 partition.
+            bound = (
+                cutoff.astimezone(timezone.utc) if cutoff.tzinfo else cutoff
+            ).date()
+            out = out.filter(F.col(DT_COL) <= F.lit(bound))
         out = entity_filter(out, entity_ids)
         out = latest_per_entity(out)
         out = project(out, columns)
@@ -404,15 +411,12 @@ class FeatureStore:
     @staticmethod
     def _key_grouped_hash(df: DataFrame) -> DataFrame:
         """Per (entity_id, timestamp): order-insensitive md5 of the row
-        multiset plus the row count. Payload hash covers all non-key
-        columns in sorted name order with a NUL sentinel for nulls."""
+        multiset plus the row count. The row hash is md5 of the JSON
+        encoding of the payload struct — keys and escaping make it
+        unambiguous (a separator-based concat would collide when string
+        payloads contain the separator: ('a\\x01b','c') vs ('a','b\\x01c'))."""
         cols = sorted(c for c in df.columns if c not in (ENTITY_COL, TIMESTAMP_COL))
-        row_h = F.md5(
-            F.concat_ws(
-                "\x01",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
-            )
-        )
+        row_h = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
         return (
             df.withColumn("_rh", row_h)
             .groupBy(ENTITY_COL, TIMESTAMP_COL)

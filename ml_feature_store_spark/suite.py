@@ -586,9 +586,12 @@ def q_w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-over-event deltas (lag/lead window functions)."""
+    """Per-user event-over-event deltas (lag/lead window functions).
+    event_id tie-breaks the ordering: two same-user events on the same
+    microsecond would otherwise make delta_prev/delta_next depend on
+    partitioning."""
     ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return ev.select(
         "event_id",
         "user_id",
@@ -2263,7 +2266,7 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(value - lag(value) OVER w, 2) AS delta_prev,
                ROUND(lead(value) OVER w - value, 2) AS delta_next
         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM ({_EV}))
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     """,
     "p1_pivot": """
         SELECT user_id,

@@ -86,6 +86,48 @@ class TestSimHash:
         g = {r.doc_id: (r.group_size, r.keep_id) for r in out}
         assert g[1] == (2, 1) and g[2] == (2, 1)
 
+    def test_long_document_correct_signature(self, spark):
+        # 2^16-token docs overflowed the old 16-bit SWAR lanes (ANSI crash
+        # or corrupt signature); 32-bit lanes must handle them correctly —
+        # identical long docs share a signature, a different one doesn't
+        big = " ".join(f"t{i}" for i in range(1 << 16))
+        df = spark.createDataFrame(
+            [(1, big), (2, big), (3, big + " extra " * 2000)], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r.simhash for r in dedup_simhash(df).collect()}
+        assert out[1] == out[2]
+        assert out[3] != out[1]
+
+    def test_swar_decode_matches_per_bit_reference(self, spark, docs):
+        # independent per-bit formulation (64 conditional sums, no lane
+        # packing) must produce bit-identical signatures
+        from pyspark.sql import functions as F
+        from ml_feature_store_spark.operators.text import tokens
+
+        ex = docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        ).withColumn("h", F.xxhash64("tok"))
+        per_bit = [
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(64)
+        ]
+        agg = ex.groupBy("doc_id").agg(F.count("*").alias("n"), *per_bit)
+        sig = sum(
+            (
+                F.when(
+                    F.col(f"b{i}") * 2 > F.col("n"),
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(1, 64)
+            ),
+            F.when(
+                F.col("b0") * 2 > F.col("n"), F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        expected = {r.doc_id: r.s for r in agg.select("doc_id", sig.alias("s")).collect()}
+        got = {r.doc_id: r.simhash for r in dedup_simhash(docs).collect()}
+        assert got == expected
+
 
 class TestEmbeddingDedup:
     def test_cosine_near_dup_pairs(self, spark):

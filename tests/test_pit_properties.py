@@ -89,3 +89,59 @@ def test_asof_matches_spec(spark, strategy, rows, spine):
         for r in asof_join(spine_df, feats, strategy=strategy, **kw).collect()
     )
     assert got == spec_asof(rows, spine)
+
+
+def spec_asof_tolerance(feature_rows_, spine, tol_days):
+    out = []
+    for e, sd in spine:
+        match = spec_pit(feature_rows_, sd).get(e)
+        if match is not None and match[0] >= sd - tol_days:  # inclusive bound
+            out.append((e, match[0], match[1]))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=feature_rows, spine=spine_rows, tol=st.integers(min_value=0, max_value=3))
+@pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
+def test_asof_tolerance_matches_spec(spark, strategy, rows, spine, tol):
+    """Tolerance interacts with bucketing at the worst spot by construction:
+    day-granular timestamps + 1-day buckets put every spine row EXACTLY on a
+    bucket edge, so any lookback match lives in a PRIOR bucket (carry-in
+    path) and the tolerance bound itself lands exactly on feature
+    timestamps (inclusive >=)."""
+    feats = _to_df(spark, rows)
+    spine_df = spark.createDataFrame(
+        [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
+        ["entity_id", "timestamp"],
+    )
+    kw = {"bucket_seconds": 86400} if strategy == "union_bucketed" else {}
+    got = sorted(
+        (r["entity_id"], (r["timestamp"] - BASE).days, r["val"])
+        for r in asof_join(
+            spine_df, feats, strategy=strategy,
+            tolerance_seconds=tol * 86400.0, **kw
+        ).collect()
+    )
+    assert got == spec_asof_tolerance(rows, spine, tol)
+
+
+@pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
+def test_tolerance_at_exact_bucket_edge(spark, strategy):
+    """Spine ts exactly at a bucket edge, match at the prior bucket's last
+    second: one-second tolerance keeps it (inclusive), zero drops it."""
+    feats = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 9, 59, 59), 7, 0)],
+        ["entity_id", "timestamp", "val", "__row_id__"],
+    )
+    spine = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0, 0))], ["entity_id", "timestamp"]
+    )
+    kw = {"bucket_seconds": 3600} if strategy == "union_bucketed" else {}
+    kept = asof_join(
+        spine, feats, strategy=strategy, tolerance_seconds=1.0, **kw
+    ).collect()
+    assert [(r.entity_id, r.val) for r in kept] == [("a", 7)]
+    dropped = asof_join(
+        spine, feats, strategy=strategy, tolerance_seconds=0.5, **kw
+    ).collect()
+    assert dropped == []

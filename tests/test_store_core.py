@@ -132,6 +132,37 @@ class TestPointInTimeLookup:
         out = store.get("f", ["user_1"], "2024-01-20").collect()
         assert out[0]["feature_a"] == 2.0
 
+    def test_tz_aware_cutoff_does_not_overprune_date_partitions(
+        self, spark, tmp_path
+    ):
+        """A tz-aware cutoff with a negative UTC offset lands on the NEXT
+        UTC date: 2024-01-01 22:00-05:00 == 2024-01-02 03:00 UTC. With
+        date_partition=True the partition bound must be taken in the
+        session tz (UTC), or the 2024-01-02 partition gets pruned and the
+        qualifying 01:00 UTC row silently dropped."""
+        fs = FeatureStore(spark, storage_path=str(tmp_path), date_partition=True)
+        rows = [
+            ("u", ts("2024-01-01 12:00:00"), 1.0),
+            ("u", ts("2024-01-02 01:00:00"), 2.0),  # qualifies, next UTC date
+            ("u", ts("2024-01-02 04:00:00"), 3.0),  # after cutoff
+        ]
+        fs.register("tz", spark.createDataFrame(rows, ["entity_id", "timestamp", "f"]))
+        cutoff = dt.datetime(
+            2024, 1, 1, 22, 0, tzinfo=dt.timezone(dt.timedelta(hours=-5))
+        )
+        out = fs.get("tz", ["u"], cutoff).collect()
+        assert len(out) == 1 and out[0]["f"] == 2.0
+
+    def test_naive_cutoff_still_prunes_and_matches(self, spark, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path), date_partition=True)
+        rows = [
+            ("u", ts("2024-01-01 12:00:00"), 1.0),
+            ("u", ts("2024-01-03 12:00:00"), 3.0),
+        ]
+        fs.register("tzn", spark.createDataFrame(rows, ["entity_id", "timestamp", "f"]))
+        out = fs.get("tzn", ["u"], ts("2024-01-02 00:00:00")).collect()
+        assert len(out) == 1 and out[0]["f"] == 1.0
+
 
 class TestTrainingSet:
     def test_asof_join_rowcount_and_values(self, store, feature_df, spark):
@@ -252,6 +283,34 @@ class TestDiffVersions:
         store.append("cdc2", self._df(spark, [("a", ts("2024-02-01"), 2.0)]))
         out = store.diff_versions("cdc2", 1, 2).collect()
         assert len(out) == 1 and out[0].change_type == "added"
+
+    def test_separator_collision_detected_as_changed(self, store, spark):
+        """Payloads whose concatenation is identical under a separator-based
+        encoding — ('a\\x01b','c') vs ('a','b\\x01c') — are genuinely
+        different rows and must classify as changed (the row hash is JSON-
+        encoded, not separator-joined)."""
+        cols = ["entity_id", "timestamp", "p1", "p2"]
+        v1 = spark.createDataFrame([("k", ts("2024-01-01"), "a\x01b", "c")], cols)
+        v2 = spark.createDataFrame([("k", ts("2024-01-01"), "a", "b\x01c")], cols)
+        store.register("cdc4", v1)
+        store.register("cdc4", v2)
+        out = store.diff_versions("cdc4", 1, 2).collect()
+        assert len(out) == 1 and out[0].change_type == "changed"
+
+    def test_memory_store_tiebreak_stable_across_reads(self, store, spark):
+        """__row_id__ is frozen at registration (localCheckpoint): repeated
+        reads of a version derived from a shuffled plan must keep the same
+        tie-break winner for duplicate (entity, ts) keys."""
+        rows = [("u", ts("2024-01-05"), float(v)) for v in range(20)]
+        df = (
+            spark.createDataFrame(rows, ["entity_id", "timestamp", "f"])
+            .repartition(8)  # nondeterministic row order upstream
+        )
+        store.register("frozen", df)
+        first = store.get("frozen", ["u"], ts("2024-02-01")).collect()
+        for _ in range(3):
+            again = store.get("frozen", ["u"], ts("2024-02-01")).collect()
+            assert again == first
 
     def test_duplicate_keys_compared_as_multisets(self, store, spark):
         # two identical copies of a key in v1; one copy's value changes in v2
