@@ -32,3 +32,26 @@ def normalize(a: Column) -> Column:
     once on ingest, never again)."""
     n = l2_norm(a)
     return F.transform(a, lambda x: x / n)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(127 * x_i /
+    max|x| + 0.5) as array<tinyint>. 4x smaller than float32 — at 100 TB
+    the ANN index's storage and shuffle bytes, not FLOPs, are the
+    bottleneck. floor(x + 0.5) rather than round(): both engines compute
+    identical IEEE doubles, and floor of a double is implementation-
+    identical, while round()'s half-way handling differs (Spark rounds
+    the decimal repr HALF_UP, DuckDB the binary double). Scale factor
+    recoverable via ``dequant_scale`` for re-scoring."""
+    m = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    return F.when(m == 0.0, F.transform(a, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            a,
+            lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("tinyint"),
+        )
+    )
+
+
+def dequant_scale(a: Column) -> Column:
+    """The per-vector scale s such that float ≈ int8 * s (max|x| / 127)."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x))) / F.lit(127.0)

@@ -1,4 +1,6 @@
+from .agg import count_distinct_salted, histogram_quantile_rollup
 from .asof import asof_join
+from .chunking import chunk_documents
 from .dedup import (
     dedup_embedding_cosine,
     dedup_exact,
@@ -25,6 +27,8 @@ from .text import (
     lang_id,
     lang_id_ngram,
     quality_score,
+    redact_pii,
+    repetition_stats,
     rolling_hash_fingerprint,
 )
 
@@ -64,4 +68,9 @@ __all__ = [
     "add_token_count",
     "fingerprint",
     "rolling_hash_fingerprint",
+    "count_distinct_salted",
+    "histogram_quantile_rollup",
+    "chunk_documents",
+    "redact_pii",
+    "repetition_stats",
 ]

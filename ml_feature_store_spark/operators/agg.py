@@ -1,0 +1,110 @@
+"""Skew-safe and sketch-based aggregation operators.
+
+The reference's aggregation surface is pandas ``groupby`` over one node
+(reference: src/ml_feature_store/store.py get/get_training_set feature
+frames); these operators cover the shapes that break at 100 TB even
+though a plain ``groupBy`` is semantically enough:
+
+* ``count_distinct_salted`` — exact COUNT(DISTINCT v) per key where one
+  key may own billions of rows. A plain countDistinct shuffles every
+  (key, value) pair of the hot key into ONE reducer. Salting by
+  ``hash(value) % n`` partitions the VALUE SPACE, so per-salt distinct
+  counts are disjoint and SUM exactly: two shuffles, each bounded by
+  1/n of the hot key, zero approximation.
+
+* ``histogram_quantile_rollup`` — percentiles from a mergeable
+  equi-width histogram: bounded shuffle (``n_bins`` rows per key),
+  bin counts merge by summation for coarser rollups / incremental
+  updates (same scale pattern as the HLL rollup: fine state built once
+  map-side, every rollup level reuses it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_distinct_salted(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 32,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key, immune to hot keys.
+
+    Stage 1 groups by (keys, pmod(xxhash64(value), n_salts)) — the hot
+    key's values spread across ``n_salts`` independent reducers; because
+    the salt is a pure function of the value, equal values always land in
+    the same salt and distinct counts across salts are disjoint. Stage 2
+    sums the per-salt counts (n_salts rows per key — trivially small).
+
+    Equivalent to ``df.groupBy(*keys).agg(countDistinct(value_col))`` in
+    result; different in worst-case task size: bounded by the largest
+    (key, salt) slice instead of the largest key.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("__salt__")
+    per_salt = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        F.countDistinct(value_col).alias("__d__")
+    )
+    return per_salt.groupBy(*keys).agg(F.sum("__d__").cast("long").alias(out_col))
+
+
+def histogram_quantile_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    percentiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Percentiles per key from a MERGEABLE equi-width histogram.
+
+    The scale pattern for quantiles over 100 TB: a fixed-width histogram
+    is built with one map-side-combined groupBy((keys, bin)) — at most
+    ``n_bins`` rows per key survive the shuffle regardless of row count —
+    and histograms MERGE by summing bin counts, so coarser rollups and
+    incremental updates never re-touch the raw data (percentile_approx's
+    internal sketch is not exposed as a mergeable value; this is).
+
+    The estimate returned for percentile p is the LOWER EDGE of the first
+    bin whose cumulative count reaches ceil(p * total): deterministic
+    integer+IEEE arithmetic, identical across engines (the oracle can
+    hash-match it exactly), with error bounded by one bin width
+    ((hi-lo)/n_bins). Values outside [lo, hi) clamp into the edge bins.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(int(n_bins) - 1),
+    ).cast("long")
+    hist = df.groupBy(*[F.col(k) for k in keys], bin_col.alias("__bin__")).agg(
+        F.count("*").alias("__cnt__")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum__", F.sum("__cnt__").over(w)).withColumn(
+        "__total__", F.sum("__cnt__").over(Window.partitionBy(*keys))
+    )
+
+    def q(p: float) -> Column:
+        target = F.ceil(F.col("__total__").cast("double") * F.lit(float(p)))
+        hit_bin = F.min(
+            F.when(F.col("__cum__") >= target, F.col("__bin__"))
+        )
+        return F.lit(float(lo)) + hit_bin.cast("double") * F.lit(width)
+
+    agg_cols = [q(p).alias(f"p{int(round(p * 100)):02d}") for p in percentiles]
+    agg_cols.append(F.max("__total__").cast("long").alias("n_values"))
+    return cum.groupBy(*keys).agg(*agg_cols)

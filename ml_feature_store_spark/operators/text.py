@@ -12,7 +12,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokens
+from ..functions.text import shingles, token_count, tokens
 
 DEFAULT_STOPWORDS: Mapping[str, Sequence[str]] = {
     "en": ("the", "a", "of", "and", "in", "to", "is", "it", "for", "on"),
@@ -134,6 +134,110 @@ def fingerprint(df: DataFrame, text_col: str = "text", width: int = 8) -> DataFr
         )
     )
     return df.withColumn("fingerprint", sig)
+
+
+#: PII patterns kept to syntax shared by Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repetition, alternation — no
+#: backreferences or lookaround, so an oracle can replicate redaction
+#: exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: Sequence[str] = ("email", "phone", "ssn", "ipv4"),
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub PII spans from text, map-only and JVM-side.
+
+    Each requested kind is replaced with a ``[KIND]`` placeholder via
+    chained ``regexp_replace`` (order = ``kinds`` order: e.g. SSNs are
+    phone-shaped, so redact "ssn" before "phone" when both are on).
+    Adds ``pii_<kind>_count`` per kind (matches found pre-redaction) and
+    ``out_col`` with the scrubbed text — counts let a curation pipeline
+    route PII-heavy documents to review instead of silently shipping
+    them."""
+    out = df
+    red = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"pii_{kind}_count",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))),
+        )
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn(out_col, red)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 2,
+    max_line_frac: float = 0.30,
+    max_ngram_frac: float = 0.18,
+) -> DataFrame:
+    """MassiveText-style repetition quality signals, map-only.
+
+    Integer signals (exact, engine-portable):
+
+    * ``n_lines`` / ``dup_lines`` — lines (newline-split) and how many
+      are duplicates of an earlier line;
+    * ``n_grams`` / ``top_gram_count`` — ``ngram``-gram count and the
+      occurrence count of the single most frequent one;
+    * ``repetitious`` — a threshold breach, evaluated by INTEGER
+      cross-multiplication (``dup_lines * 100 > n_lines * 30``), so the
+      boolean never depends on float rounding;
+
+    plus rounded convenience fractions ``dup_line_frac`` /
+    ``top_ngram_frac``. All higher-order functions over the token/line
+    arrays — no shuffle, no Python; a 100 TB corpus filters at scan
+    speed. (Thresholds default near the Gopher/MassiveText rules for
+    2-grams.)"""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    grams = shingles(F.col(text_col), ngram)
+    n_grams = F.size(grams)
+    # occurrence count of the most frequent n-gram: for each distinct gram
+    # count its occurrences with filter(), take the max — O(distinct * n)
+    # per doc, fine for document-sized arrays and fully codegen-resident
+    distinct_grams = F.array_distinct(grams)
+    counts = F.transform(
+        distinct_grams,
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    top = F.array_max(counts)
+
+    line_pct = int(round(max_line_frac * 100))
+    gram_pct = int(round(max_ngram_frac * 100))
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_lines", dup_lines.cast("long"))
+        .withColumn("n_grams", n_grams.cast("long"))
+        .withColumn("top_gram_count", top.cast("long"))
+        .withColumn(
+            "repetitious",
+            (F.col("dup_lines") * 100 > F.col("n_lines") * line_pct)
+            | (F.col("top_gram_count") * 100 > F.col("n_grams") * gram_pct),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.when(n_lines > 0, dup_lines / n_lines).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.round(F.when(n_grams > 0, top / n_grams).otherwise(F.lit(0.0)), 6),
+        )
+    )
 
 
 def rolling_hash_fingerprint(

@@ -1,6 +1,7 @@
 from .ingest import (
     stream_events,
     stream_stream_join,
+    streaming_dedup,
     streaming_feature_agg,
     streaming_register,
     streaming_sessionize,
@@ -10,6 +11,7 @@ from .stateful import streaming_running_features
 __all__ = [
     "stream_events",
     "stream_stream_join",
+    "streaming_dedup",
     "streaming_feature_agg",
     "streaming_register",
     "streaming_running_features",

@@ -1709,6 +1709,120 @@ def q_m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# round-2 additions: skew-safe aggs, chunking, PII, repetition, quantization
+# --------------------------------------------------------------------------- #
+
+
+def q_a11_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type through the SALTED two-stage
+    plan (operators/agg.py count_distinct_salted): stage 1 groups by
+    (key, hash(value) % 32) so a hot key's values spread over 32
+    reducers, stage 2 sums the disjoint per-salt counts. Same result as
+    countDistinct, bounded worst-case task size."""
+    from .operators.agg import count_distinct_salted
+
+    ev = table(spark, sf_dir, "events")
+    return count_distinct_salted(ev, ["event_type"], "user_id", n_salts=32)
+
+
+def q_a12_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a mergeable equi-width histogram
+    (operators/agg.py histogram_quantile_rollup): n_bins rows per key
+    survive the shuffle regardless of fact size, and bin counts merge by
+    summation for coarser rollups. Estimate = lower edge of the bin
+    reaching the target rank — deterministic across engines (the oracle
+    computes the identical histogram), error <= one bin width. lo/hi
+    chosen so width = 64/1024 = 0.0625 is a power of two: every double
+    product below is exact."""
+    from .operators.agg import histogram_quantile_rollup
+
+    li = table(spark, sf_dir, "lineitem")
+    return histogram_quantile_rollup(
+        li, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=1024,
+        percentiles=(0.5, 0.95),
+    )
+
+
+def q_c1_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking (operators/chunking.py): overlapping 16-token
+    windows with 4-token overlap, map-only explode — no shuffle. md5 of
+    each chunk's text proves byte-exact window extraction cross-engine."""
+    from .operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py redact_pii): per-kind match counts
+    + the scrubbed text's md5. The corpus is synthetic-clean, so the query
+    plants one email/phone/ssn/ip per document (deterministic from doc_id)
+    and the oracle plants + scrubs the identical ones with the same RE2/
+    Java-compatible patterns."""
+    from .operators.text import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    out = redact_pii(planted, text_col="text2")
+    return out.select(
+        "doc_id",
+        "pii_email_count",
+        "pii_phone_count",
+        "pii_ssn_count",
+        "pii_ipv4_count",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (operators/text.py
+    repetition_stats, MassiveText/Gopher-style): duplicate-line and
+    top-2-gram concentration per document, map-only. Integer signals +
+    a cross-multiplied threshold boolean — no float rounding anywhere
+    the oracle hashes."""
+    from .operators.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, ngram=2)
+    return out.select(
+        "doc_id", "n_lines", "dup_lines", "n_grams", "top_gram_count", "repetitious"
+    )
+
+
+def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/vector.py
+    quantize_int8): 4x smaller vectors for the ANN index; floor(x+0.5)
+    rounding is bit-identical across engines. Emits the quantized array
+    plus its element sum as an integer checksum."""
+    from .functions.vector import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding").cast("array<double>"))
+    return emb.select(
+        "vec_id",
+        q.alias("q"),
+    ).withColumn(
+        "sum_q",
+        F.aggregate("q", F.lit(0).cast("long"), lambda s, x: s + x),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
 
@@ -1799,6 +1913,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_stats_agg": q_a9_stats_agg,
     "x15_dedup_components": q_x15_dedup_components,
     "m4_grouped_pandas": q_m4_grouped_pandas,
+    "a11_distinct_salted": q_a11_distinct_salted,
+    "a12_quantile_hist": q_a12_quantile_hist,
+    "c1_doc_chunk": q_c1_doc_chunk,
+    "t7_pii_redact": q_t7_pii_redact,
+    "t8_repetition": q_t8_repetition,
+    "emb1_quantize": q_emb1_quantize,
 }
 
 
@@ -2661,6 +2781,142 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                TRUE AS within_tolerance
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # salted two-stage distinct == plain COUNT(DISTINCT): the salt is a
+    # pure function of the value, so per-salt counts are disjoint
+    "a11_distinct_salted": f"""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM ({_EV}) GROUP BY event_type
+    """,
+    # identical equi-width histogram (width 0.0625 = 2^-4: exact doubles)
+    "a12_quantile_hist": """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CAST(LEAST(GREATEST(floor((l_quantity - 0.0) / 0.0625), 0), 1023)
+                        AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+            FROM h
+        )
+        SELECT l_returnflag,
+               0.0 + MIN(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) * 0.0625 AS p50,
+               0.0 + MIN(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) * 0.0625 AS p95,
+               CAST(MAX(total) AS BIGINT) AS n_values
+        FROM c GROUP BY l_returnflag
+    """,
+    # chunk windows: starts 0, 12, 24, ... ; slice is 1-based inclusive and
+    # clamps at the end exactly like Spark's slice()
+    "c1_doc_chunk": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        x AS (
+            SELECT doc_id, t,
+                   GREATEST(CAST(ceil((len(t) - 4) / 12.0) AS BIGINT), 1) AS nc
+            FROM d
+        ),
+        e AS (
+            SELECT doc_id, t, CAST(u.i AS INT) AS chunk_idx
+            FROM x, LATERAL unnest(generate_series(0, nc - 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS INT)
+                   AS chunk_n_tokens,
+               md5(array_to_string(t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' '))
+                   AS chunk_md5
+        FROM e
+    """,
+    # same planted PII, same RE2/Java-compatible patterns, global replace
+    "t7_pii_redact": """
+        WITH p AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                   AS pii_email_count,
+               CAST(len(regexp_extract_all(t2,
+                   '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS INT)
+                   AS pii_phone_count,
+               CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT)
+                   AS pii_ssn_count,
+               CAST(len(regexp_extract_all(t2,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
+                   AS pii_ipv4_count,
+               md5(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t2,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                       '[PHONE]', 'g'),
+                     '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '[IPV4]', 'g')
+               ) AS redacted_md5
+        FROM p
+    """,
+    "t8_repetition": """
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS ln,
+                   string_split(text, ' ') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(len(ln) AS BIGINT) AS n_lines,
+                   CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) AS dup_lines,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [array_to_string(tk, ' ')] END AS grams
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id, n_lines, dup_lines,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(list_max(list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x)))) AS BIGINT)
+                       AS top_gram_count
+            FROM g
+        )
+        SELECT doc_id, n_lines, dup_lines, n_grams, top_gram_count,
+               (dup_lines * 100 > n_lines * 30)
+                OR (top_gram_count * 100 > n_grams * 18) AS repetitious
+        FROM s
+    """,
+    "emb1_quantize": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mx
+            FROM e
+        ),
+        qd AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0
+                        THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                        ELSE list_transform(v,
+                             x -> CAST(floor(x * 127.0 / mx + 0.5) AS TINYINT))
+                   END AS q
+            FROM m
+        )
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
+                   AS sum_q
+        FROM qd
     """,
 }
 

@@ -292,6 +292,36 @@ class TestNewSurfacePlans:
         plan = executed_plan(QUERIES["q20_excess_suppliers"](spark, SF))
         assert "LeftSemi" in plan
 
+    def test_chunking_is_map_only(self, spark):
+        # sequence/transform/explode: zero shuffles, one Generate
+        df = QUERIES["c1_doc_chunk"](spark, SF)
+        assert shuffle_count(df) == 0
+        assert "Generate" in executed_plan(df)
+
+    def test_salted_distinct_never_single_partition(self, spark):
+        # two-stage salted distinct: every exchange hash-partitions on
+        # (key[, salt]); nothing funnels to one partition, and the whole
+        # plan is at most 3 bounded shuffles
+        df = QUERIES["a11_distinct_salted"](spark, SF)
+        plan = executed_plan(df)
+        assert "SinglePartition" not in plan
+        assert shuffle_count(df) <= 3
+
+    def test_quantile_hist_bounded_shuffles(self, spark):
+        # histogram groupBy + per-key window + final groupBy; post-
+        # histogram stages carry <= n_bins rows per key
+        df = QUERIES["a12_quantile_hist"](spark, SF)
+        plan = executed_plan(df)
+        assert "SinglePartition" not in plan
+        assert shuffle_count(df) <= 3
+
+    def test_pii_and_repetition_map_only(self, spark):
+        for name in ("t7_pii_redact", "t8_repetition"):
+            df = QUERIES[name](spark, SF)
+            assert shuffle_count(df) == 0, name
+            plan = executed_plan(df)
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_x11_embedding_dedup_is_blocked_equi_join(self, spark):
         # the declared near-dup query must be the BLOCKED plan: the self-
         # join hashes/sorts on the block key (label), with vec_id< and the

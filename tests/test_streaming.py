@@ -103,6 +103,32 @@ class TestStreamBatchEquivalence:
         q.stop()
 
 
+class TestStreamingDedup:
+    def test_duplicate_delivery_deduped_to_batch_distinct(self, spark, events_dir):
+        """At-least-once simulation: the same parquet file delivered twice
+        (two triggers via maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
+        on event_id must reduce the stream to exactly the batch row set."""
+        import shutil as _sh
+
+        from ml_feature_store_spark.streaming import stream_events, streaming_dedup
+
+        _sh.copy(f"{events_dir}/events.parquet", f"{events_dir}/events_redelivered.parquet")
+        stream = stream_events(spark, events_dir)
+        out = streaming_dedup(stream, keys=["event_id"]).select("event_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch_n = spark.read.parquet(f"{events_dir}/events.parquet").count()
+        rows = spark.sql("select count(*) n, count(distinct event_id) d from dedup_t").collect()[0]
+        assert rows.n == rows.d == batch_n
+        q.stop()
+
+
 class TestStreamingRegister:
     def test_foreachbatch_upsert_registers_versions(self, spark, events_dir):
         store = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_st_"))
