@@ -112,6 +112,9 @@ class FeatureStore:
                 partition_by=partition_by,
                 sort_within_partitions=sort_within_partitions,
             )
+        # rollup specs live in-process (spec + delta watermark); the rollup
+        # STATE itself is versioned in the backend like any table
+        self._rollups: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -259,6 +262,117 @@ class FeatureStore:
             df = entity_filter(df, entity_ids)
         df = project(df, columns)
         return df.drop(*HIDDEN_COLS)
+
+    # ------------------------------------------------------------------ #
+    # incremental rollup maintenance (materialized aggregate views)
+    # ------------------------------------------------------------------ #
+    _ROLLUP_SUFFIX = "__rollup"
+
+    def create_rollup(
+        self,
+        name: str,
+        rollup: str,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str] = (),
+    ) -> int:
+        """Materialize a grouped aggregate of ``name`` (count + per-column
+        sum/min/max) as a maintained rollup view; returns its row count.
+
+        The point is ``refresh_rollup``: after appends, only the DELTA
+        (rows with ``__row_id__`` past the rollup's watermark — append
+        guarantees appended rows get higher ids) is aggregated and MERGED
+        into the stored state: counts and sums add, mins/maxes combine.
+        At 100 TB the fact is never rescanned — refresh cost is
+        O(delta) + O(group cardinality), the same incremental-view
+        contract a warehouse's materialized view gives (append-only;
+        a full re-register of the source invalidates the rollup and
+        raises on the next refresh)."""
+        self._require_table(name)
+        src = self._current(name)
+        state = self._rollup_state(src, group_cols, sum_cols)
+        row_count = state.count()
+        rname = rollup + self._ROLLUP_SUFFIX
+        self._backend.write_version(rname, 1, state, row_count, f"rollup of '{name}'")
+        watermark = src.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        meta = self._backend.meta(name)
+        self._rollups[rollup] = {
+            "src": name,
+            "group_cols": tuple(group_cols),
+            "sum_cols": tuple(sum_cols),
+            "watermark": int(watermark),
+            "src_rows": meta.versions[meta.version].row_count,
+        }
+        return row_count
+
+    def refresh_rollup(self, rollup: str) -> int:
+        """Fold rows appended to the source since the last (re)build into
+        the rollup state without touching already-aggregated history;
+        returns the refreshed row count. No-op when nothing was appended."""
+        spec = self._rollups.get(rollup)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown rollup: '{rollup}'")
+        src_meta = self._backend.meta(spec["src"])
+        src = self._current(spec["src"])
+        delta = src.filter(F.col(ROW_ID_COL) > spec["watermark"])
+        # Append-only guard by row accounting: every row must be either
+        # base (counted at last sync) or delta. A re-register rewrites
+        # history (fresh row ids), breaks the equation, and must rebuild —
+        # merging would double- or under-count.
+        delta_rows = delta.count()
+        cur_rows = src_meta.versions[src_meta.version].row_count
+        if spec["src_rows"] + delta_rows != cur_rows:
+            raise FeatureStoreError(
+                f"Rollup '{rollup}': source '{spec['src']}' was re-registered; "
+                "rebuild with create_rollup()."
+            )
+        rname = rollup + self._ROLLUP_SUFFIX
+        prev = self._backend.read_version(rname, self._backend.versions(rname)[-1])
+        partial = self._rollup_state(delta, spec["group_cols"], spec["sum_cols"])
+        merged = self._merge_rollup(prev, partial, spec["group_cols"], spec["sum_cols"])
+        row_count = merged.count()
+        self._backend.write_version(
+            rname, self._backend.meta(rname).version + 1, merged, row_count,
+            f"incremental refresh of rollup '{rollup}'",
+        )
+        for v in self._backend.versions(rname)[:-1]:
+            self._backend.drop_version(rname, v)
+        watermark = src.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        spec["watermark"] = int(watermark)
+        spec["src_rows"] = cur_rows
+        return row_count
+
+    def get_rollup(self, rollup: str) -> DataFrame:
+        if rollup not in self._rollups:
+            raise FeatureStoreError(f"Unknown rollup: '{rollup}'")
+        rname = rollup + self._ROLLUP_SUFFIX
+        return self._backend.read_version(rname, self._backend.versions(rname)[-1])
+
+    @staticmethod
+    def _rollup_state(df: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
+        aggs = [F.count("*").cast("long").alias("n_rows")]
+        for c in sum_cols:
+            aggs += [
+                F.sum(c).alias(f"sum_{c}"),
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    @staticmethod
+    def _merge_rollup(
+        prev: DataFrame,
+        partial: DataFrame,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str],
+    ) -> DataFrame:
+        aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+        for c in sum_cols:
+            aggs += [
+                F.sum(f"sum_{c}").alias(f"sum_{c}"),
+                F.min(f"min_{c}").alias(f"min_{c}"),
+                F.max(f"max_{c}").alias(f"max_{c}"),
+            ]
+        return prev.unionByName(partial).groupBy(*group_cols).agg(*aggs)
 
     def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
         ts_type = dict(df.dtypes)[TIMESTAMP_COL]

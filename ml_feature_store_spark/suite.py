@@ -1804,6 +1804,32 @@ def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h3_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance through the store API: register the
+    first 1500 events, create a per-event-type rollup, append the rest,
+    then refresh — the refresh aggregates ONLY the appended delta and
+    merges mergeable state (count/sum/min/max; sums on integer cents so
+    partial-sum order can't perturb doubles). The oracle aggregates the
+    full event set directly: incremental == from-scratch."""
+    from .store import FeatureStore
+
+    feats = (
+        events_features(spark, sf_dir)
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .drop("value")
+    )
+    base = feats.filter(F.col("event_id") < 1500)
+    extra = feats.filter(F.col("event_id") >= 1500).drop("__row_id__")
+    fs = FeatureStore(spark)
+    fs.register("ev", base)
+    fs.create_rollup("ev", "by_type", ["event_type"], ["value_cents"])
+    fs.append("ev", extra)
+    fs.refresh_rollup("by_type")
+    return fs.get_rollup("by_type")
+
+
 def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (functions/vector.py
     quantize_int8): 4x smaller vectors for the ANN index; floor(x+0.5)
@@ -1919,6 +1945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t7_pii_redact": q_t7_pii_redact,
     "t8_repetition": q_t8_repetition,
     "emb1_quantize": q_emb1_quantize,
+    "h3_incremental_rollup": q_h3_incremental_rollup,
 }
 
 
@@ -2894,6 +2921,18 @@ ORACLE_SQL: dict[str, str] = {
                (dup_lines * 100 > n_lines * 30)
                 OR (top_gram_count * 100 > n_grams * 18) AS repetitious
         FROM s
+    """,
+    # incremental rollup == from-scratch aggregate over the full fact
+    "h3_incremental_rollup": f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS min_value_cents,
+               CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS max_value_cents
+        FROM ({_EV}) GROUP BY event_type
     """,
     "emb1_quantize": """
         WITH e AS (

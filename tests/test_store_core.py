@@ -13,6 +13,7 @@ import pytest
 
 from ml_feature_store_spark import (
     FeatureStore,
+    FeatureStoreError,
     FeatureTableNotFoundError,
     FeatureValidationError,
 )
@@ -413,6 +414,53 @@ class TestAppend:
         store.append("t", extra)
         assert store.get_version("t", 1).count() == 5
         assert store.get_version("t", 2).count() == 6
+
+
+class TestIncrementalRollup:
+    """Materialized aggregate views maintained from append deltas only."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["entity_id", "timestamp", "grp", "v"])
+
+    def _rows(self, base, n, grp):
+        return [
+            (f"u{i}", ts("2024-01-01") + dt.timedelta(hours=base + i), grp, base + i)
+            for i in range(n)
+        ]
+
+    def test_incremental_refresh_equals_full_recompute(self, store, spark):
+        store.register("fact", self._df(spark, self._rows(0, 6, "a") + self._rows(10, 3, "b")))
+        store.create_rollup("fact", "by_grp", ["grp"], ["v"])
+        store.append("fact", self._df(spark, self._rows(100, 4, "a")))
+        store.append("fact", self._df(spark, self._rows(200, 2, "c")))
+        store.refresh_rollup("by_grp")
+        got = {
+            r.grp: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in store.get_rollup("by_grp").collect()
+        }
+        assert got == {
+            "a": (10, sum(range(6)) + sum(range(100, 104)), 0, 103),
+            "b": (3, sum(range(10, 13)), 10, 12),
+            "c": (2, 200 + 201, 200, 201),
+        }
+
+    def test_refresh_without_appends_is_stable(self, store, spark):
+        store.register("fact2", self._df(spark, self._rows(0, 5, "a")))
+        store.create_rollup("fact2", "r2", ["grp"], ["v"])
+        before = store.get_rollup("r2").collect()
+        store.refresh_rollup("r2")
+        assert store.get_rollup("r2").collect() == before
+
+    def test_reregister_invalidates_rollup(self, store, spark):
+        store.register("fact3", self._df(spark, self._rows(0, 5, "a")))
+        store.create_rollup("fact3", "r3", ["grp"], ["v"])
+        store.register("fact3", self._df(spark, self._rows(0, 7, "a")))
+        with pytest.raises(FeatureStoreError, match="re-registered"):
+            store.refresh_rollup("r3")
+
+    def test_unknown_rollup_raises(self, store):
+        with pytest.raises(FeatureStoreError, match="Unknown rollup"):
+            store.refresh_rollup("nope")
 
 
 class TestOnlineServing:
