@@ -2909,13 +2909,21 @@ ORACLE_SQL: dict[str, str] = {
                         ELSE [array_to_string(tk, ' ')] END AS grams
             FROM d
         ),
+        -- relational top-gram count (unnest + group) == Spark's sorted
+        -- run-length fold; same result, different algorithm
+        tg AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram_count
+            FROM (
+                SELECT doc_id, u.g, COUNT(*) AS c
+                FROM g, LATERAL unnest(grams) AS u(g)
+                GROUP BY doc_id, u.g
+            ) GROUP BY doc_id
+        ),
         s AS (
-            SELECT doc_id, n_lines, dup_lines,
+            SELECT g.doc_id, n_lines, dup_lines,
                    CAST(len(grams) AS BIGINT) AS n_grams,
-                   CAST(list_max(list_transform(list_distinct(grams),
-                        x -> len(list_filter(grams, y -> y = x)))) AS BIGINT)
-                       AS top_gram_count
-            FROM g
+                   tg.top_gram_count
+            FROM g JOIN tg ON g.doc_id = tg.doc_id
         )
         SELECT doc_id, n_lines, dup_lines, n_grams, top_gram_count,
                (dup_lines * 100 > n_lines * 30)

@@ -97,6 +97,30 @@ COMMENT = {
         "partial agg), coarse rollup merges sketch bytes — the raw fact "
         "is never re-scanned or re-shuffled per rollup level."
     ),
+    "a11_distinct_salted": (
+        "Explicit two-stage distinct: stage-1 exchange partitions on "
+        "(key, value-hash salt) so no single task ever owns a hot key's "
+        "full value set; stage-2 sums 32 rows per key."
+    ),
+    "a12_quantile_hist": (
+        "Histogram quantiles: ONE shuffle over the fact builds per-(key, "
+        "bin) counts with map-side combine; everything after operates on "
+        "<= n_bins rows per key. No sort of the raw data anywhere."
+    ),
+    "c1_doc_chunk": (
+        "Chunking is scan -> Generate(explode of window structs) -> "
+        "project: zero exchanges; chunk extraction stays in codegen."
+    ),
+    "x11_embedding_dedup": (
+        "Blocked near-dup self-join: the join HASHES ON THE BLOCK KEY "
+        "(label) with vec_id< and the cosine threshold as residuals — "
+        "work bounded by block size, never |n|^2."
+    ),
+    "a4_approx_distinct": (
+        "approx_count_distinct + exact twin in one pass: both aggregates "
+        "share the scan and the (key) exchange; partial HLL buffers "
+        "merge map-side."
+    ),
 }
 
 
