@@ -1,6 +1,7 @@
 from .agg import count_distinct_salted, histogram_quantile_rollup
 from .asof import asof_join
 from .chunking import chunk_documents
+from .features import pit_window_agg
 from .dedup import (
     dedup_embedding_cosine,
     dedup_exact,
@@ -70,6 +71,7 @@ __all__ = [
     "rolling_hash_fingerprint",
     "count_distinct_salted",
     "histogram_quantile_rollup",
+    "pit_window_agg",
     "chunk_documents",
     "redact_pii",
     "repetition_stats",

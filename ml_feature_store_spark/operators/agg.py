@@ -5,12 +5,17 @@ The reference's aggregation surface is pandas ``groupby`` over one node
 frames); these operators cover the shapes that break at 100 TB even
 though a plain ``groupBy`` is semantically enough:
 
-* ``count_distinct_salted`` — exact COUNT(DISTINCT v) per key where one
-  key may own billions of rows. A plain countDistinct shuffles every
-  (key, value) pair of the hot key into ONE reducer. Salting by
-  ``hash(value) % n`` partitions the VALUE SPACE, so per-salt distinct
-  counts are disjoint and SUM exactly: two shuffles, each bounded by
-  1/n of the hot key, zero approximation.
+* ``count_distinct_salted`` — exact COUNT(DISTINCT v) per key as an
+  EXPLICIT two-stage plan. Catalyst already rewrites a single distinct
+  aggregate into a (key, value) dedup shuffle + count (verified against
+  ``.explain``: vanilla countDistinct does NOT funnel a hot key into one
+  reducer on Spark), so on Spark this operator is the portable, pinned
+  formulation of that same rewrite — useful because the salting recipe
+  generalizes to aggregations Catalyst does NOT rewrite (bounded
+  ``collect_set``-style state, distinct-under-window) and because the
+  salt count caps per-task distinct-state size deterministically.
+  Per-salt counts are disjoint (the salt is a pure function of the
+  value) and SUM exactly: zero approximation.
 
 * ``histogram_quantile_rollup`` — percentiles from a mergeable
   equi-width histogram: bounded shuffle (``n_bins`` rows per key),
@@ -34,17 +39,19 @@ def count_distinct_salted(
     n_salts: int = 32,
     out_col: str = "n_distinct",
 ) -> DataFrame:
-    """Exact distinct count per key, immune to hot keys.
+    """Exact distinct count per key via explicit value-space salting.
 
-    Stage 1 groups by (keys, pmod(xxhash64(value), n_salts)) — the hot
-    key's values spread across ``n_salts`` independent reducers; because
+    Stage 1 groups by (keys, pmod(xxhash64(value), n_salts)) — a hot
+    key's values spread across ``n_salts`` independent tasks; because
     the salt is a pure function of the value, equal values always land in
     the same salt and distinct counts across salts are disjoint. Stage 2
     sums the per-salt counts (n_salts rows per key — trivially small).
 
-    Equivalent to ``df.groupBy(*keys).agg(countDistinct(value_col))`` in
-    result; different in worst-case task size: bounded by the largest
-    (key, salt) slice instead of the largest key.
+    Result-equivalent to ``groupBy(*keys).agg(countDistinct(value_col))``
+    — and on Spark plan-equivalent too (Catalyst's distinct rewrite also
+    shuffles on (key, value); see module docstring for when the explicit
+    form is the one you want). Worst-case per-task distinct state is
+    bounded by the largest (key, salt) slice.
     """
     salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("__salt__")
     per_salt = df.groupBy(*[F.col(k) for k in keys], salt).agg(

@@ -1714,11 +1714,12 @@ def q_m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a11_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct users per event type through the SALTED two-stage
-    plan (operators/agg.py count_distinct_salted): stage 1 groups by
-    (key, hash(value) % 32) so a hot key's values spread over 32
-    reducers, stage 2 sums the disjoint per-salt counts. Same result as
-    countDistinct, bounded worst-case task size."""
+    """Exact distinct users per event type through the explicit SALTED
+    two-stage plan (operators/agg.py count_distinct_salted): stage 1
+    groups by (key, hash(value) % 32), stage 2 sums the disjoint
+    per-salt counts. Same result as countDistinct — and the same skew-
+    safe shuffle shape Catalyst's own distinct rewrite produces, here
+    pinned explicitly (see agg.py for when the explicit form matters)."""
     from .operators.agg import count_distinct_salted
 
     ev = table(spark, sf_dir, "events")
@@ -1801,6 +1802,44 @@ def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = repetition_stats(docs, ngram=2)
     return out.select(
         "doc_id", "n_lines", "dup_lines", "n_grams", "top_gram_count", "repetitious"
+    )
+
+
+def q_f13_pit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window features as-of spine timestamps (operators/
+    features.py pit_window_agg): for every 10th event (the "label" rows),
+    count/sum/min/max of that user's event values over the trailing 1
+    day and 7 days — computed leakage-free with union + shared-sort
+    range frames (ONE shuffle for both windows and all four aggregates;
+    a join formulation would explode spine x window rows). Values in
+    integer cents: sums are order-independent, so the LEFT-JOIN-based
+    oracle matches exactly."""
+    from .operators.features import pit_window_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    feats = ev.select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp"), "cents"
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("spine_id"),
+    )
+    out = pit_window_agg(
+        spine, feats, "cents", window_seconds=(86400, 7 * 86400)
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "spine_id",
+        "n_86400s",
+        F.col("sum_86400s").cast("long").alias("sum_86400s"),
+        F.col("min_86400s").cast("long").alias("min_86400s"),
+        F.col("max_86400s").cast("long").alias("max_86400s"),
+        "n_604800s",
+        F.col("sum_604800s").cast("long").alias("sum_604800s"),
     )
 
 
@@ -1946,6 +1985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t8_repetition": q_t8_repetition,
     "emb1_quantize": q_emb1_quantize,
     "h3_incremental_rollup": q_h3_incremental_rollup,
+    "f13_pit_window_agg": q_f13_pit_window_agg,
 }
 
 
@@ -2929,6 +2969,33 @@ ORACLE_SQL: dict[str, str] = {
                (dup_lines * 100 > n_lines * 30)
                 OR (top_gram_count * 100 > n_grams * 18) AS repetitious
         FROM s
+    """,
+    # trailing-window PIT features: LEFT JOIN over the 7d band, CASE for
+    # the nested 1d window; integer-cent sums are order-independent
+    "f13_pit_window_agg": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM ({_EV})
+        ),
+        s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+              WHERE event_id % 10 = 0)
+        SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+               CAST(COUNT(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS n_86400s,
+               CAST(COALESCE(SUM(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY
+                                      THEN e.cents END), 0) AS BIGINT) AS sum_86400s,
+               CAST(MIN(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS min_86400s,
+               CAST(MAX(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS max_86400s,
+               CAST(COUNT(e.cents) AS BIGINT) AS n_604800s,
+               CAST(COALESCE(SUM(e.cents), 0) AS BIGINT) AS sum_604800s
+        FROM s LEFT JOIN ev e
+          ON e.user_id = s.user_id
+         AND e.ts > s.ts - INTERVAL 7 DAY
+         AND e.ts <= s.ts
+        GROUP BY s.user_id, s.ts, s.spine_id
     """,
     # incremental rollup == from-scratch aggregate over the full fact
     "h3_incremental_rollup": f"""

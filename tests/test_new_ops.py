@@ -163,6 +163,72 @@ class TestRepetitionStats:
         assert out.dup_lines == 0 and out.top_gram_count == 1
 
 
+class TestPitWindowAgg:
+    def _setup(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_spark.operators.features import pit_window_agg
+
+        base = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        feats = spark.createDataFrame(
+            [
+                ("a", base + 0 * h, 10.0),
+                ("a", base + 1 * h, 20.0),
+                ("a", base + 25 * h, 40.0),
+                ("a", base + 30 * h, 80.0),  # after the spine row: leakage test
+                ("b", base + 2 * h, 7.0),
+            ],
+            ["entity_id", "timestamp", "v"],
+        )
+        spine = spark.createDataFrame(
+            [
+                ("a", base + 26 * h, "lbl1"),
+                ("c", base + 26 * h, "lbl2"),  # no history at all
+            ],
+            ["entity_id", "timestamp", "label"],
+        )
+        return pit_window_agg(
+            spine, feats, "v", window_seconds=(86400, 7 * 86400)
+        ), base
+
+    def test_windows_and_leakage(self, spark):
+        out, _ = self._setup(spark)
+        rows = {r.entity_id: r for r in out.collect()}
+        a = rows["a"]
+        # 1d window (2h, 26h]: only the 25h row; 30h row must NOT leak in
+        assert a.n_86400s == 1 and a.sum_86400s == 40.0
+        assert a.min_86400s == 40.0 and a.max_86400s == 40.0
+        # 7d window: 0h, 1h, 25h
+        assert a.n_604800s == 3 and a.sum_604800s == 70.0
+
+    def test_empty_history_and_passthrough(self, spark):
+        out, _ = self._setup(spark)
+        rows = {r.entity_id: r for r in out.collect()}
+        c = rows["c"]
+        assert c.n_604800s == 0 and c.sum_604800s == 0.0
+        assert c.min_604800s is None and c.max_604800s is None
+        assert rows["a"].label == "lbl1" and c.label == "lbl2"
+
+    def test_exclusive_upper_bound(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_spark.operators.features import pit_window_agg
+
+        base = dt.datetime(2024, 1, 1)
+        feats = spark.createDataFrame(
+            [("a", base, 5.0), ("a", base - dt.timedelta(hours=1), 3.0)],
+            ["entity_id", "timestamp", "v"],
+        )
+        spine = spark.createDataFrame([("a", base)], ["entity_id", "timestamp"])
+        incl = pit_window_agg(spine, feats, "v", window_seconds=(86400,)).collect()[0]
+        excl = pit_window_agg(
+            spine, feats, "v", window_seconds=(86400,), include_equal=False
+        ).collect()[0]
+        assert incl.n_86400s == 2  # equal-ts feature counted
+        assert excl.n_86400s == 1  # only the strictly-earlier one
+
+
 class TestQuantizeInt8:
     def test_extremes_and_bounds(self, spark):
         from ml_feature_store_spark.functions.vector import dequant_scale, quantize_int8

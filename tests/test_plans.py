@@ -322,6 +322,14 @@ class TestNewSurfacePlans:
             plan = executed_plan(df)
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_pit_window_agg_one_shuffle_no_join(self, spark):
+        # union + shared-sort range frames: both trailing windows and all
+        # aggregates ride ONE exchange + sort; no join operator anywhere
+        df = QUERIES["f13_pit_window_agg"](spark, SF)
+        plan = executed_plan(df)
+        assert shuffle_count(df) == 1
+        assert "Join" not in plan
+
     def test_x11_embedding_dedup_is_blocked_equi_join(self, spark):
         # the declared near-dup query must be the BLOCKED plan: the self-
         # join hashes/sorts on the block key (label), with vec_id< and the

@@ -100,7 +100,8 @@ COMMENT = {
     "a11_distinct_salted": (
         "Explicit two-stage distinct: stage-1 exchange partitions on "
         "(key, value-hash salt) so no single task ever owns a hot key's "
-        "full value set; stage-2 sums 32 rows per key."
+        "full value set; stage-2 sums 32 rows per key. Same shuffle "
+        "shape as Catalyst's own distinct rewrite, pinned explicitly."
     ),
     "a12_quantile_hist": (
         "Histogram quantiles: ONE shuffle over the fact builds per-(key, "
