@@ -120,7 +120,16 @@ COMMENT = {
     "a4_approx_distinct": (
         "approx_count_distinct + exact twin in one pass: both aggregates "
         "share the scan and the (key) exchange; partial HLL buffers "
-        "merge map-side."
+        "merge map-side. NOTE: 2.3x slower than round-1's BENCH by "
+        "design — the round-1 query computed only the sketch; the exact "
+        "twin (countDistinct) was added for the oracle's "
+        "within-tolerance contract and dominates the cost. At scale "
+        "you'd ship the sketch alone."
+    ),
+    "f13_pit_window_agg": (
+        "Trailing-window PIT features: union of feature+spine rows, ONE "
+        "exchange + sort, then range frames for every window/agg pair — "
+        "no join operator, no spine x window row explosion."
     ),
 }
 
