@@ -60,6 +60,48 @@ def count_distinct_salted(
     return per_salt.groupBy(*keys).agg(F.sum("__d__").cast("long").alias(out_col))
 
 
+def iqr_outlier_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-key Tukey-fence outlier profile: exact Q1/Q3, the k*IQR fences,
+    and how many rows fall outside them.
+
+    Two passes over the fact, both scale-safe: (1) grouped exact
+    percentiles (one shuffle on the keys; swap in percentile_approx or
+    ``histogram_quantile_rollup`` at 100 TB), (2) the per-key fences —
+    one tiny row per key — BROADCAST back onto the fact, so the outlier
+    count is a map-side filter + partial count, never a re-shuffle of
+    the fact."""
+    q = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("__q1__"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("__q3__"),
+    )
+    iqr = F.col("__q3__") - F.col("__q1__")
+    fenced = q.select(
+        *keys,
+        (F.col("__q1__") - F.lit(float(k)) * iqr).alias("__lo__"),
+        (F.col("__q3__") + F.lit(float(k)) * iqr).alias("__hi__"),
+    )
+    joined = df.join(F.broadcast(fenced), list(keys))
+    return joined.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col(value_col) < F.col("__lo__"))
+                | (F.col(value_col) > F.col("__hi__")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.min("__lo__"), 4).alias("lo_fence"),
+        F.round(F.min("__hi__"), 4).alias("hi_fence"),
+    )
+
+
 def histogram_quantile_rollup(
     df: DataFrame,
     keys: Sequence[str],

@@ -1220,6 +1220,66 @@ def q_ts1_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts2_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with LINEAR INTERPOLATION between observations
+    (ts1's sibling: ffill holds the last value; interpolation estimates
+    between surrounding points — no extrapolation before the first).
+    Same one-window-shuffle shape as ts1: carry (prev day, prev value)
+    backward and (next day, next value) forward with ignorenulls window
+    functions, then a closed-form blend. Values in integer cents and
+    day indices as integers: the blend is the only float op and both
+    engines evaluate the identical expression."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    days = spark.sql(
+        "SELECT explode(sequence(0, 30)) AS day_idx"
+    )
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.withColumn(
+            "day_idx", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        )
+        .filter((F.col("day_idx") >= 0) & (F.col("day_idx") <= 30))
+        .groupBy("user_id", "day_idx")
+        .agg(F.max("cents").cast("double").alias("obs"))
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    j = grid.join(daily, ["user_id", "day_idx"], "left_outer")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    gated_day = F.when(F.col("obs").isNotNull(), F.col("day_idx"))
+    j = (
+        j.withColumn("pd", F.last(gated_day, ignorenulls=True).over(wp))
+        .withColumn("pv", F.last("obs", ignorenulls=True).over(wp))
+        .withColumn("nd", F.first(gated_day, ignorenulls=True).over(wn))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(wn))
+    )
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("day_idx") - F.col("pd")) / (F.col("nd") - F.col("pd"))
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(blend)
+    )
+    return j.select(
+        "user_id",
+        "day_idx",
+        (~F.col("obs").isNull()).alias("observed"),
+        F.round(interp, 4).alias("v_interp"),
+    )
+
+
 def q_f11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 validity intervals from the append-only feature history:
     each row's value is valid [its ts, next ts) per entity — lead()
@@ -1805,6 +1865,17 @@ def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq2_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per event type (operators/agg.py
+    iqr_outlier_stats): exact Q1/Q3 fences broadcast back onto the fact,
+    outlier count as a map-side filter — the fact is shuffled once (for
+    the percentiles), never re-shuffled for the count."""
+    from .operators.agg import iqr_outlier_stats
+
+    ev = table(spark, sf_dir, "events")
+    return iqr_outlier_stats(ev, ["event_type"], "value")
+
+
 def q_f13_pit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window features as-of spine timestamps (operators/
     features.py pit_window_agg): for every 10th event (the "label" rows),
@@ -1986,6 +2057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb1_quantize": q_emb1_quantize,
     "h3_incremental_rollup": q_h3_incremental_rollup,
     "f13_pit_window_agg": q_f13_pit_window_agg,
+    "dq2_outliers": q_dq2_outliers,
+    "ts2_interpolate": q_ts2_interpolate,
 }
 
 
@@ -2969,6 +3042,74 @@ ORACLE_SQL: dict[str, str] = {
                (dup_lines * 100 > n_lines * 30)
                 OR (top_gram_count * 100 > n_grams * 18) AS repetitious
         FROM s
+    """,
+    # same ignorenulls carries + identical closed-form blend; integer
+    # cents/day indices keep everything but the final division exact
+    "ts2_interpolate": f"""
+        WITH ev AS (
+            SELECT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM ({_EV})
+        ),
+        daily AS (
+            SELECT user_id, day_idx, CAST(MAX(cents) AS DOUBLE) AS obs
+            FROM ev WHERE day_idx BETWEEN 0 AND 30
+            GROUP BY user_id, day_idx
+        ),
+        grid AS (
+            SELECT u.user_id, CAST(g.i AS INT) AS day_idx
+            FROM (SELECT DISTINCT user_id FROM ev) u,
+                 LATERAL unnest(generate_series(0, 30)) AS g(i)
+        ),
+        j AS (
+            SELECT g.user_id, g.day_idx, d.obs,
+                   last_value(CASE WHEN d.obs IS NOT NULL THEN g.day_idx END
+                              IGNORE NULLS) OVER wprev AS pd,
+                   last_value(d.obs IGNORE NULLS) OVER wprev AS pv,
+                   first_value(CASE WHEN d.obs IS NOT NULL THEN g.day_idx END
+                               IGNORE NULLS) OVER wnext AS nd,
+                   first_value(d.obs IGNORE NULLS) OVER wnext AS nv
+            FROM grid g LEFT JOIN daily d
+              ON g.user_id = d.user_id AND g.day_idx = d.day_idx
+            WINDOW wprev AS (PARTITION BY g.user_id ORDER BY g.day_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wnext AS (PARTITION BY g.user_id ORDER BY g.day_idx
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day_idx,
+               obs IS NOT NULL AS observed,
+               ROUND(CASE
+                   WHEN obs IS NOT NULL THEN obs
+                   WHEN pv IS NULL THEN NULL
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * ((day_idx - pd) / CAST(nd - pd AS DOUBLE))
+               END, 4) AS v_interp
+        FROM j
+    """,
+    # identical fence arithmetic on identical exact quantiles (a7 proved
+    # percentile == quantile_cont); counts are integer-exact
+    "dq2_outliers": f"""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM ({_EV}) GROUP BY event_type
+        ),
+        f AS (
+            SELECT event_type,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(MIN(f.lo), 4) AS lo_fence,
+               ROUND(MIN(f.hi), 4) AS hi_fence
+        FROM ({_EV}) e JOIN f ON e.event_type = f.event_type
+        GROUP BY e.event_type
     """,
     # trailing-window PIT features: LEFT JOIN over the 7d band, CASE for
     # the nested 1d window; integer-cent sums are order-independent
