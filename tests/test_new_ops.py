@@ -116,6 +116,85 @@ class TestChunking:
             chunk_documents(self._doc(spark, 10), chunk_tokens=8, overlap_tokens=8)
 
 
+class TestChunkingProperties:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        chunk=st.integers(min_value=2, max_value=32),
+        data=st.data(),
+    )
+    def test_dropping_overlaps_reconstructs_document(self, spark, n, chunk, data):
+        """Invariant: chunk 0's tokens + every later chunk minus its first
+        `overlap` tokens concatenate back to the original document —
+        complete coverage, no gaps, no duplicated middles."""
+        overlap = data.draw(self.st.integers(min_value=0, max_value=chunk - 1))
+        toks = [f"w{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        out = sorted(
+            (r.chunk_idx, r.chunk_text.split(" "))
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, overlap_tokens=overlap
+            ).collect()
+        )
+        rebuilt = list(out[0][1])
+        for _, ctoks in out[1:]:
+            rebuilt.extend(ctoks[overlap:])
+        assert rebuilt == toks
+
+
+class TestRollupProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(batches=st.lists(rows_strategy, min_size=1, max_size=4))
+    def test_refresh_equals_direct_aggregate(self, spark, batches):
+        import datetime as dt
+
+        from ml_feature_store_spark import FeatureStore
+
+        def df(rows, off):
+            return spark.createDataFrame(
+                [
+                    (g, dt.datetime(2024, 1, 1) + dt.timedelta(hours=off + i), g, v)
+                    for i, (g, v) in enumerate(rows)
+                ],
+                ["entity_id", "timestamp", "grp", "v"],
+            )
+
+        fs = FeatureStore(spark)
+        fs.register("fact", df(batches[0], 0))
+        fs.create_rollup("fact", "r", ["grp"], ["v"])
+        all_rows = list(batches[0])
+        for i, batch in enumerate(batches[1:], start=1):
+            fs.append("fact", df(batch, i * 1000))
+            all_rows.extend(batch)
+        fs.refresh_rollup("r")
+        got = {
+            r.grp: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in fs.get_rollup("r").collect()
+        }
+        want = {}
+        for g, v in all_rows:
+            n, s, lo, hi = want.get(g, (0, 0, None, None))
+            want[g] = (
+                n + 1,
+                s + v,
+                v if lo is None else min(lo, v),
+                v if hi is None else max(hi, v),
+            )
+        assert got == want
+
+
 class TestRedactPII:
     def test_all_kinds_redacted_and_counted(self, spark):
         text = (
