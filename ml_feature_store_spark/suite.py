@@ -1865,6 +1865,43 @@ def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.py): customer names
+    deterministically corrupted (mutate/drop/append a character keyed on
+    custkey), then matched back to the clean table by levenshtein <= 2
+    WITHIN nation blocks, best candidate per dirty row by (distance,
+    custkey). The block equi-join bounds candidates to one nation;
+    ties (a truncated name is distance 1 from several neighbors) resolve
+    deterministically — the oracle replicates block, metric and
+    tie-break exactly."""
+    from .operators.linkage import fuzzy_match_blocked
+
+    cust = table(spark, sf_dir, "customer")
+    corrupted = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring("c_name", 1, 17), F.lit("X")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.substring("c_name", 1, 17))
+        .otherwise(F.concat(F.col("c_name"), F.lit("Z")))
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        corrupted.alias("c_name"),
+        "c_nationkey",
+    )
+    clean = cust.select("c_custkey", "c_name", "c_nationkey")
+    out = fuzzy_match_blocked(
+        dirty, clean, ["c_nationkey"], "c_name", "c_custkey",
+        max_distance=2, dirty_id_col="d_key",
+    )
+    return out.select(
+        "d_key",
+        F.col("matched_c_custkey").alias("matched_key"),
+        "distance",
+    )
+
+
 def q_dq2_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier profile per event type (operators/agg.py
     iqr_outlier_stats): exact Q1/Q3 fences broadcast back onto the fact,
@@ -2059,6 +2096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f13_pit_window_agg": q_f13_pit_window_agg,
     "dq2_outliers": q_dq2_outliers,
     "ts2_interpolate": q_ts2_interpolate,
+    "er1_entity_resolution": q_er1_entity_resolution,
 }
 
 
@@ -3042,6 +3080,33 @@ ORACLE_SQL: dict[str, str] = {
                (dup_lines * 100 > n_lines * 30)
                 OR (top_gram_count * 100 > n_grams * 18) AS repetitious
         FROM s
+    """,
+    # same corruption, same block predicate, same (distance, custkey)
+    # tie-break via row_number
+    "er1_entity_resolution": """
+        WITH dirty AS (
+            SELECT c_custkey AS d_key,
+                   CASE
+                     WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 17) || 'X'
+                     WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 17)
+                     ELSE c_name || 'Z'
+                   END AS d_name,
+                   c_nationkey
+            FROM customer
+        ),
+        cand AS (
+            SELECT d.d_key, c.c_custkey,
+                   CAST(levenshtein(d.d_name, c.c_name) AS INT) AS distance,
+                   row_number() OVER (
+                       PARTITION BY d.d_key
+                       ORDER BY levenshtein(d.d_name, c.c_name), c.c_custkey
+                   ) AS rk
+            FROM dirty d JOIN customer c
+              ON d.c_nationkey = c.c_nationkey
+            WHERE levenshtein(d.d_name, c.c_name) <= 2
+        )
+        SELECT d_key, c_custkey AS matched_key, distance
+        FROM cand WHERE rk = 1
     """,
     # same ignorenulls carries + identical closed-form blend; integer
     # cents/day indices keep everything but the final division exact

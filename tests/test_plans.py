@@ -322,6 +322,14 @@ class TestNewSurfacePlans:
             plan = executed_plan(df)
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_entity_resolution_blocked_equi_join(self, spark):
+        # the fuzzy match must hash on the block key with levenshtein as
+        # a residual — never an all-pairs cross product
+        df = QUERIES["er1_entity_resolution"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_pit_window_agg_one_shuffle_no_join(self, spark):
         # union + shared-sort range frames: both trailing windows and all
         # aggregates ride ONE exchange + sort; no join operator anywhere
