@@ -1,6 +1,7 @@
-from .agg import count_distinct_salted, histogram_quantile_rollup
+from .agg import count_distinct_salted, histogram_quantile_rollup, iqr_outlier_stats
 from .asof import asof_join
 from .chunking import chunk_documents
+from .linkage import fuzzy_match_blocked
 from .features import pit_window_agg
 from .dedup import (
     dedup_embedding_cosine,
@@ -71,6 +72,8 @@ __all__ = [
     "rolling_hash_fingerprint",
     "count_distinct_salted",
     "histogram_quantile_rollup",
+    "iqr_outlier_stats",
+    "fuzzy_match_blocked",
     "pit_window_agg",
     "chunk_documents",
     "redact_pii",

@@ -658,20 +658,29 @@ def q_m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction through the Arrow/mapInPandas path: binary
     payload -> 16-dim unit feature vector (stub kernel; a real model call
-    has the identical batch shape). Rows-only check: the float vector is
-    hash-derived Python-side, not SQL-replicable."""
+    has the identical batch shape). The stub is sha256-derived, so the
+    DuckDB oracle reproduces the EXACT float32 vector (hex-byte
+    extraction, same fold order, REAL cast); the query emits the first
+    four components quantized to 1e-4 — a value-level cross-engine check
+    of the full Python/Arrow float path, not just row counts."""
     from .multimodal import attach_binary_payload, extract_image_features
     from .operators.util import ensure_parallelism
 
     docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     payload = attach_binary_payload(docs.select("doc_id", "text"), "text")
     feats = extract_image_features(payload, dim=16)
+    qcols = [
+        F.floor(
+            F.element_at("features", k + 1).cast("double") * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{k}")
+        for k in range(4)
+    ]
     return feats.select(
         "doc_id",
         F.size("features").alias("dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda s, x: s + x * x), 4
-        ).alias("sq_norm"),
+        *qcols,
     )
 
 
@@ -3241,6 +3250,28 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+# m3's oracle reproduces the Python stub kernel bit-for-bit: hex bytes of
+# sha256 -> raw_i = byte/255 - 0.5, norm = sqrt of the LEFT-FOLD sum of
+# squares (same order as the kernel's sum()), float32 cast via REAL, then
+# the same floor(x*1e4 + 0.5) quantization as the Spark side.
+_M3_RAW = [
+    f"(('0x' || substr(hx, {2 * k + 1}, 2))::BIGINT / 255.0 - 0.5)" for k in range(16)
+]
+_M3_NORM_SUM = _M3_RAW[0] + " * " + _M3_RAW[0]
+for _k in range(1, 16):
+    _M3_NORM_SUM = f"({_M3_NORM_SUM} + {_M3_RAW[_k]} * {_M3_RAW[_k]})"
+ORACLE_SQL["m3_image_features"] = f"""
+    WITH b AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    n AS (SELECT doc_id, hx, sqrt({_M3_NORM_SUM}) AS nrm FROM b)
+    SELECT doc_id, 16 AS dim,
+        {", ".join(
+            f"CAST(floor(CAST(CAST({_M3_RAW[k]} / nrm AS REAL) AS DOUBLE)"
+            f" * 10000 + 0.5) AS BIGINT) AS q{k}"
+            for k in range(4)
+        )}
+    FROM n
+"""
+
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
@@ -3252,9 +3283,10 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # order per round. Round 1 covered entries 1-50; this priority list front-
 # loads the 47 hash-checkable queries the driver has never seen plus the 3
 # reformulated this round (a4/a10 exact+tolerance, x11 blocked plan) so
-# round 2's window records green rows for all of them. The 6 rows-only
-# queries (x6/x6b/x8/x9/x14/m3 — seeded-hash/iterative, no deterministic
-# DuckDB twin) and the already-green round-1 rows follow.
+# round 2's window records green rows for all of them. The 5 rows-only
+# queries (x6/x6b/x8/x9/x14 — seeded-xxhash/iterative, no deterministic
+# DuckDB twin; m3 gained an exact oracle in round 2) and the
+# already-green round-1 rows follow.
 _ROUND_PRIORITY = [
     "s1_topk_orders", "s2_topk_per_group", "u1_union_by_name",
     "x5_json_extract", "x3_dedup_exact", "x4_text_stats", "t1_lang_id",
