@@ -150,6 +150,74 @@ class TestStreamingRegister:
         assert out.count() == 2
 
 
+class TestStreamingRollupRefresh:
+    def test_rollup_follows_streamed_appends(self, spark, events_dir):
+        """Stream -> append versions -> incremental rollup refresh per
+        micro-batch: the final rollup equals a from-scratch aggregate of
+        everything streamed (mergeable state never rescans history)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F
+
+        from ml_feature_store_spark import FeatureStore
+        from ml_feature_store_spark.streaming import stream_events
+
+        # second file => second micro-batch (maxFilesPerTrigger=1), so the
+        # append + refresh path actually runs
+        _sh.copy(f"{events_dir}/events.parquet", f"{events_dir}/events_b.parquet")
+        everything = spark.read.parquet(events_dir)
+        fs = FeatureStore(spark)
+        stream = stream_events(spark, events_dir)
+
+        state = {"created": False}
+
+        def upsert(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            feats = batch_df.select(
+                F.col("user_id").alias("entity_id"),
+                F.col("ts").alias("timestamp"),
+                "event_type",
+                "value",
+            )
+            if not state["created"]:
+                fs.register("st", feats)
+                fs.create_rollup("st", "st_r", ["event_type"], ["value"])
+                state["created"] = True
+            else:
+                fs.append("st", feats)
+                fs.refresh_rollup("st_r")
+
+        ckpt = _tf.mkdtemp(prefix="mlfs_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        _sh.rmtree(ckpt, ignore_errors=True)
+
+        got = {
+            r.event_type: (r.n_rows, round(r.sum_value, 2), r.min_value, r.max_value)
+            for r in fs.get_rollup("st_r").collect()
+        }
+        want = {
+            r.event_type: (r.n, round(r.s, 2), r.lo, r.hi)
+            for r in everything.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("s"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
 class TestStatefulRunningFeatures:
     def test_running_features_match_batch(self, spark):
         """applyInPandasWithState over two micro-batches: the final per-user
