@@ -1877,12 +1877,15 @@ def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage (operators/linkage.py): customer names
     deterministically corrupted (mutate/drop/append a character keyed on
-    custkey), then matched back to the clean table by levenshtein <= 2
-    WITHIN nation blocks, best candidate per dirty row by (distance,
-    custkey). The block equi-join bounds candidates to one nation;
-    ties (a truncated name is distance 1 from several neighbors) resolve
-    deterministically — the oracle replicates block, metric and
-    tie-break exactly."""
+    custkey), then matched back to the clean table by levenshtein <= 2,
+    best candidate per dirty row by (distance, custkey). Blocking key =
+    (nation, 17-char name prefix): the prefix is STABLE under the
+    corruption model (all three modes only touch the name's tail), so
+    recall is unharmed while candidates drop from |nation| (~600 at
+    sf0.1: 9M levenshtein pairs, measured 22s) to ~10 per record — the
+    classic blocking-key design rule: derive the key from what the noise
+    cannot touch. The oracle replicates block, metric and tie-break
+    exactly."""
     from .operators.linkage import fuzzy_match_blocked
 
     cust = table(spark, sf_dir, "customer")
@@ -1898,10 +1901,12 @@ def q_er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("d_key"),
         corrupted.alias("c_name"),
         "c_nationkey",
-    )
-    clean = cust.select("c_custkey", "c_name", "c_nationkey")
+    ).withColumn("name_blk", F.substring("c_name", 1, 17))
+    clean = cust.select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).withColumn("name_blk", F.substring("c_name", 1, 17))
     out = fuzzy_match_blocked(
-        dirty, clean, ["c_nationkey"], "c_name", "c_custkey",
+        dirty, clean, ["c_nationkey", "name_blk"], "c_name", "c_custkey",
         max_distance=2, dirty_id_col="d_key",
     )
     return out.select(
@@ -3112,6 +3117,7 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rk
             FROM dirty d JOIN customer c
               ON d.c_nationkey = c.c_nationkey
+             AND substr(d.d_name, 1, 17) = substr(c.c_name, 1, 17)
             WHERE levenshtein(d.d_name, c.c_name) <= 2
         )
         SELECT d_key, c_custkey AS matched_key, distance
