@@ -131,6 +131,13 @@ COMMENT = {
         "exchange + sort, then range frames for every window/agg pair — "
         "no join operator, no spine x window row explosion."
     ),
+    "er1_entity_resolution": (
+        "Blocked fuzzy linkage: equi join on (nation, corruption-stable "
+        "name prefix) with levenshtein as residual — candidates ~10 per "
+        "record, never |dirty| x |clean|; per-record argmin is a window "
+        "over the tiny candidate set. (Nation-only blocking measured "
+        "22.6s at sf0.1; prefix blocking 0.9s, same results.)"
+    ),
 }
 
 
