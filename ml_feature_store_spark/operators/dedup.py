@@ -54,23 +54,38 @@ def dedup_exact(
 _MAX_LONG = (1 << 63) - 1
 
 
+# Affine-reseed constants for the portable (md5-base) MinHash family:
+# h_i(s) = (A_i * h32(s) + B_i) mod P with h32 = first 8 hex digits of
+# md5(s). P is the first prime above 2^32; A_i <= ~2^24 keeps every
+# product below 2^57 (no ANSI overflow). Exported so the DuckDB oracle
+# can regenerate the identical family.
+MINHASH_P = 4294967311
+MINHASH_A = [(1000003 * (i + 1)) | 1 for i in range(64)]
+MINHASH_B = [7919 * i + 12345 for i in range(64)]
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Append ``minhash: array<bigint>`` of length ``num_hashes``.
 
-    Formulated as explode(shingles) -> num_hashes seeded xxhash64 per
+    Formulated as explode(shingles) -> num_hashes hash expressions per
     shingle row -> groupBy(id) with per-seed ``min`` aggregates: every
     expression stays inside whole-stage codegen (a higher-order-function
     fold is interpreted per element — measured ~2-3x slower). Scale shape:
     the explode is map-only, partial aggregation collapses to one
     num_hashes-long row per document before the exchange, so the shuffle
     carries ~8*num_hashes bytes/doc regardless of document length.
-    Deterministic across executors and runs. Requires an id column
-    (``__mh_id__`` is joined back on it).
+    Deterministic across executors and runs.
+
+    ``hash_family``: ``"xxhash64"`` (default — the production choice,
+    fastest JVM hash) or ``"md5_affine"`` (one md5 per shingle + affine
+    reseeding with MINHASH_A/B/P — engine-portable, so a DuckDB oracle
+    can reproduce signatures bit-for-bit; identical plan shape).
     """
     from .util import ensure_parallelism
 
@@ -78,10 +93,19 @@ def minhash_signatures(
     id_cols = [c for c in df.columns if c != content_col]
     sh = shingles(F.col(content_col), shingle_k)
     ex = df.select(*id_cols, F.explode(sh).alias("__sh__"))
-    mins = [
-        F.min(F.xxhash64("__sh__", F.lit(i))).alias(f"__mh{i}__")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5_affine":
+        h32 = F.conv(F.substring(F.md5("__sh__"), 1, 8), 16, 10).cast("long")
+        mins = [
+            F.min(
+                (h32 * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+            ).alias(f"__mh{i}__")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64("__sh__", F.lit(i))).alias(f"__mh{i}__")
+            for i in range(num_hashes)
+        ]
     per_doc = ex.groupBy(*id_cols).agg(*mins)
     sig = F.array(*[F.col(f"__mh{i}__") for i in range(num_hashes)]).alias("minhash")
     return per_doc.select(*id_cols, sig)
@@ -94,6 +118,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -104,29 +129,32 @@ def dedup_minhash_lsh(
 
     Plan shape: signature (map) -> explode bands (xB rows) -> shuffle on
     (band_idx, band_hash) -> per-bucket self-join. Bucket sizes bound the
-    join; no global quadratic blowup.
+    join; no global quadratic blowup. ``hash_family`` as in
+    ``minhash_signatures``; with ``"md5_affine"`` the band bucket is the
+    md5 of the sub-signature (string) so an external oracle can join on
+    the identical bucket key.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, content_col, num_hashes, shingle_k).select(
-        id_col, "minhash"
-    )
+    sig = minhash_signatures(
+        df, content_col, num_hashes, shingle_k, hash_family=hash_family
+    ).select(id_col, "minhash")
+
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * rows_per_band + i + 1)
+                for i in range(rows_per_band)
+            ],
+        )
+        return F.md5(joined) if hash_family == "md5_affine" else F.xxhash64(joined)
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + i + 1)
-                                    for i in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -185,6 +213,7 @@ def dedup_simhash(
     content_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document; rows sharing a simhash are near-dups.
 
@@ -201,9 +230,20 @@ def dedup_simhash(
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
+    # hash_family="md5_60": 60-bit hash from the first 15 md5 hex digits —
+    # engine-portable (an external oracle can reproduce every signature
+    # bit); bits 60-63 of the packed value are then always 0, so those
+    # four signature bits vote 0 for every document (harmless constants).
+    # Default xxhash64 is the production choice (full 64 bits, ~10x
+    # cheaper than md5).
+    tok_hash = (
+        F.conv(F.substring(F.md5("__tok__"), 1, 15), 16, 10).cast("long")
+        if hash_family == "md5_60"
+        else F.xxhash64("__tok__")
+    )
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(content_col))).alias("__tok__")
-    ).withColumn("__h__", F.xxhash64("__tok__"))
+    ).withColumn("__h__", tok_hash)
     # SWAR bit-count: (h >> j) & 0x00000001_00000001 accumulates the ones
     # of bits j and j+32 in two 32-bit lanes of one long — 32 lane-sum
     # aggregates instead of 64 per-bit sums (2x less per-row agg work).

@@ -685,20 +685,26 @@ def q_m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x6_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs on documents (rows-only check:
-    xxhash64 seeds are not replicable in DuckDB SQL)."""
+    """MinHash-LSH near-dup candidate pairs on documents, on the PORTABLE
+    hash family (md5 base + affine reseeding, operators/dedup.py
+    MINHASH_A/B/P): the DuckDB oracle regenerates signatures, band
+    buckets and the candidate join bit-for-bit — a full value-level check
+    of the LSH pipeline (round 1 was rows-only on xxhash64 seeds).
+    Production keeps hash_family="xxhash64" (same plan, faster hash)."""
     from .operators.dedup import dedup_minhash_lsh
 
     docs = table(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, num_hashes=16, bands=4)
+    return dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
 
 
 def q_x6b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard >= 0.5."""
+    """LSH candidates verified with exact shingle Jaccard >= 0.5 (same
+    portable hash family as x6, so the oracle replicates candidates AND
+    the verify arithmetic)."""
     from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4)
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
     out = ngram_jaccard(docs, pairs, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -716,11 +722,16 @@ def q_x8_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + duplicate groups (rows-only: xxhash64-based)."""
+    """SimHash signatures + duplicate groups on the PORTABLE 60-bit hash
+    (md5-derived; operators/dedup.py hash_family="md5_60"): the DuckDB
+    oracle recomputes every signature bit with relational per-bit vote
+    counts — a different algorithm (64 conditional sums) than the SWAR
+    lane fold, so the check also guards the SWAR decode. Production
+    keeps xxhash64 (round 1 was rows-only on it)."""
     from .operators.dedup import dedup_simhash
 
     docs = table(spark, sf_dir, "documents")
-    return dedup_simhash(docs)
+    return dedup_simhash(docs, hash_family="md5_60")
 
 
 # --------------------------------------------------------------------------- #
@@ -3278,6 +3289,88 @@ ORACLE_SQL["m3_image_features"] = f"""
     FROM n
 """
 
+# x6/x6b oracles regenerate the portable MinHash family exactly: h32 =
+# first 8 md5 hex digits, h_i = (A_i*h32 + B_i) mod P, per-doc mins,
+# md5 band buckets, bucket-equality candidate join (+ exact Jaccard
+# verify for x6b). Same constants as the Spark side by construction.
+from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
+
+_MH_MINS = ", ".join(
+    f"MIN((h32 * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(16)
+)
+_MH_BANDS = "\n            UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM m".format(
+        b=b,
+        key="||','||".join(f"CAST(mh{b * 4 + i} AS VARCHAR)" for i in range(4)),
+    )
+    for b in range(4)
+)
+_MH_CTES = f"""
+        t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3
+                        THEN list_transform(generate_series(1, len(tk) - 2),
+                             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                        ELSE [array_to_string(tk, ' ')] END AS shs
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h32
+            FROM sh, LATERAL unnest(shs) AS u(s)
+        ),
+        m AS (SELECT doc_id, {_MH_MINS} FROM e GROUP BY doc_id),
+        bd AS (
+            {_MH_BANDS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bd a JOIN bd b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        )"""
+ORACLE_SQL["x6_dedup_fuzzy"] = f"""
+    WITH {_MH_CTES}
+    SELECT id_a, id_b FROM cand
+"""
+ORACLE_SQL["x6b_jaccard_verify"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    j AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.d, db.d))) AS rawj
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(rawj, 6) AS jaccard FROM j WHERE rawj >= 0.5
+"""
+
+# x9's oracle recomputes SimHash bits relationally (per-bit vote sums +
+# the 2*ones > n majority rule) over the same portable 60-bit md5 hash —
+# independent of the Spark side's SWAR lane packing.
+_SH_ONES = ", ".join(f"SUM((h >> {b}) & 1) AS o{b}" for b in range(60))
+_SH_SIG = " + ".join(
+    f"(CASE WHEN 2 * o{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(60)
+)
+ORACLE_SQL["x9_simhash"] = f"""
+    WITH tk AS (
+        SELECT doc_id, u.tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL unnest(t) AS u(tok)
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+    m AS (SELECT doc_id, COUNT(*) AS n, {_SH_ONES} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({_SH_SIG} AS BIGINT) AS simhash FROM m)
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size,
+           MIN(doc_id) OVER (PARTITION BY simhash) AS keep_id
+    FROM s
+"""
+
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
@@ -3289,10 +3382,10 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # order per round. Round 1 covered entries 1-50; this priority list front-
 # loads the 47 hash-checkable queries the driver has never seen plus the 3
 # reformulated this round (a4/a10 exact+tolerance, x11 blocked plan) so
-# round 2's window records green rows for all of them. The 5 rows-only
-# queries (x6/x6b/x8/x9/x14 — seeded-xxhash/iterative, no deterministic
-# DuckDB twin; m3 gained an exact oracle in round 2) and the
-# already-green round-1 rows follow.
+# round 2's window records green rows for all of them. The remaining
+# rows-only queries (x8 seeded-hyperplane ANN, x14 iterative k-means —
+# no deterministic DuckDB twin; x6/x6b/x9/m3 all gained exact oracles in
+# round 2) and the already-green round-1 rows follow.
 _ROUND_PRIORITY = [
     "s1_topk_orders", "s2_topk_per_group", "u1_union_by_name",
     "x5_json_extract", "x3_dedup_exact", "x4_text_stats", "t1_lang_id",
