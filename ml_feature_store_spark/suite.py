@@ -710,8 +710,10 @@ def q_x6b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x8_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec 0 via sign-LSH buckets
-    (rows-only: bucket membership depends on seeded random hyperplanes)."""
+    """Approximate top-10 neighbors of vec 0 via sign-LSH buckets. Round
+    2: exact oracle — the seeded hyperplanes are inlined into the DuckDB
+    SQL as literals with the identical fold order, so bucket membership,
+    the multiprobe candidate set, and the final top-k all hash-match."""
     from .operators.similarity import knn_lsh, rp_lsh_bucketize
 
     emb = table(spark, sf_dir, "embeddings")
@@ -3371,6 +3373,41 @@ ORACLE_SQL["x9_simhash"] = f"""
     FROM s
 """
 
+# x8's oracle inlines the seeded hyperplanes as SQL literals (Python
+# float repr round-trips exactly) and rebuilds the bucket with the SAME
+# left-fold dot-product order as functions/vector.dot, so signs — and
+# therefore bucket membership and the probed candidate set — match
+# bit-for-bit. Cosine + top-k follow the x1 formulation.
+from .operators.similarity import _random_hyperplanes  # noqa: E402
+
+
+def _x8_sql() -> str:
+    planes = _random_hyperplanes(dim=64, bits=6, seed=42)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + v[{j + 1}] * {p!r})"
+        return expr
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS sim
+        FROM b CROSS JOIN q
+        WHERE bucket IN (qb, xor(qb, 1), xor(qb, 2))
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+    """
+
+
+ORACLE_SQL["x8_ann_lsh"] = _x8_sql()
+
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
@@ -3382,10 +3419,10 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # order per round. Round 1 covered entries 1-50; this priority list front-
 # loads the 47 hash-checkable queries the driver has never seen plus the 3
 # reformulated this round (a4/a10 exact+tolerance, x11 blocked plan) so
-# round 2's window records green rows for all of them. The remaining
-# rows-only queries (x8 seeded-hyperplane ANN, x14 iterative k-means —
-# no deterministic DuckDB twin; x6/x6b/x9/m3 all gained exact oracles in
-# round 2) and the already-green round-1 rows follow.
+# round 2's window records green rows for all of them. The single
+# remaining rows-only query (x14 iterative k-means — no deterministic
+# DuckDB twin; x6/x6b/x8/x9/m3 all gained exact oracles in round 2) and
+# the already-green round-1 rows follow.
 _ROUND_PRIORITY = [
     "s1_topk_orders", "s2_topk_per_group", "u1_union_by_name",
     "x5_json_extract", "x3_dedup_exact", "x4_text_stats", "t1_lang_id",
