@@ -45,6 +45,11 @@ def get_spark(app_name: str = "ml-feature-store-spark", master: str | None = Non
         # Spark 4 cannot read parquet TIMESTAMP(NANOS) natively (errors with
         # PARQUET_TYPE_ILLEGAL); read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps must read as
+        # session-tz TIMESTAMP, not TIMESTAMP_NTZ: the whole engine pins
+        # session tz to UTC, and TIMESTAMP keeps unix_micros()/date
+        # comparisons and scan-level predicate pushdown working uniformly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -29,6 +29,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     division — the same floor truncation DuckDB applies casting ns->us, so
     the oracle sees identical values.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # __ts_ns__ keeps the raw nanos for pushable scan predicates

@@ -35,27 +35,41 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch-nanos long (parquet TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Streams cannot infer schemas; both testdata vintages are supported:
+# parquet TIMESTAMP(NANOS) read as long (ns->us floor conversion applied,
+# same as the batch loader) and plain us TIMESTAMP read as-is.
+EVENTS_SCHEMA = _events_schema(LongType())
+EVENTS_SCHEMA_US = _events_schema(TimestampType())
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events with the ns->us timestamp conversion
-    applied (same floor as the batch loader)."""
+    """File-source stream of events, normalized to a us ``ts`` timestamp.
+
+    A one-off batch peek at the directory's footer picks the schema (file
+    streams must declare one up front); the ns-long vintage gets the same
+    floor division the batch loader applies."""
+    ns_vintage = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA if ns_vintage else EVENTS_SCHEMA_US)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_vintage:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_feature_agg(

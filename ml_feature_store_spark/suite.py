@@ -38,6 +38,8 @@ def ensure_conf(spark: SparkSession) -> None:
     """Runtime-settable conf the suite depends on — the driver builds its own
     SparkSession, so we cannot rely on session.py's builder config."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps -> session-tz TIMESTAMP (UTC), never NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -2022,6 +2024,85 @@ def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_b1 and the plan gate: write orders+lineitem ONCE as
+    bucketed/sorted managed tables on the join key, return the joined
+    (pre-agg) frame. The `merge` hint pins SortMergeJoin so the plan
+    shape is the bucket zipper regardless of broadcast thresholds."""
+    import shutil
+    from urllib.parse import urlparse
+
+    n_buckets = 8
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"b1_{name}_bkt"
+        # The catalog is in-memory per-session but the warehouse dir is on
+        # disk: drop both so a fresh session can recreate the table.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("b1_orders_bkt")
+    li = spark.table("b1_lineitem_bkt")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+
+
+def q_b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the 100 TB fact-to-fact join story.
+
+    Both orders and lineitem are written once as bucketed+sorted managed
+    tables on the join key (``bucketBy(8, orderkey).sortBy(orderkey)``),
+    so the join itself needs NO exchange and NO sort on either side: each
+    task zips bucket i of orders with bucket i of lineitem. At scale the
+    shuffle is paid once at ingest; every subsequent join on the bucket
+    key is map-side. Plan-gated in tests/test_plans.py: exactly one
+    Exchange (the final groupBy), none below the SortMergeJoin.
+
+    Reference parity: the reference joins feature tables to spines by
+    sorted-merge over its pandas index (store.py:261-308 get_training_set);
+    bucketing is the distributed equivalent of keeping tables pre-sorted
+    on the entity key.
+    """
+    joined = build_bucketed_join(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def q_io5_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — the data-layout
+    primitive that makes 100 TB scans affordable. Events are written
+    ``partitionBy(event_type)`` (directory-per-value); the read back with
+    an event_type predicate lists ONLY that directory — pruning happens at
+    file listing, before any parquet footer is opened. Plan-gated: the
+    scan shows ``PartitionFilters: [... (event_type = purchase)]`` and the
+    predicate never appears as a data filter. Mirrors the store's
+    date-partition layout (sources/registry.py:174, store.py get())."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events")
+    d = _tf.mkdtemp(prefix="mlfs_part_")
+    ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d).filter(F.col("event_type") == "purchase")
+    return back.groupBy(_US(F.date_trunc("day", "ts")).alias("day_us")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2124,6 +2205,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq2_outliers": q_dq2_outliers,
     "ts2_interpolate": q_ts2_interpolate,
     "er1_entity_resolution": q_er1_entity_resolution,
+    "b1_bucketed_join": q_b1_bucketed_join,
+    "io5_partitioned_pruning": q_io5_partitioned_pruning,
 }
 
 
@@ -3407,6 +3490,26 @@ def _x8_sql() -> str:
 
 
 ORACLE_SQL["x8_ann_lsh"] = _x8_sql()
+
+# b1/io5: the bucketed/partitioned layouts are physical-plan properties;
+# the oracle checks the join/scan SEMANTICS on the raw tables.
+ORACLE_SQL["b1_bucketed_join"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
+ORACLE_SQL["io5_partitioned_pruning"] = f"""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ({_EV})
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
 
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
