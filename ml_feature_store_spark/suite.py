@@ -2024,6 +2024,78 @@ def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe2_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup — the full corpus-curation composite:
+    MinHash-LSH candidates (portable md5+affine family) -> exact shingle-
+    Jaccard verify >= 0.5 -> connected components -> per cluster KEEP the
+    member with the best quality score (distinct-token ratio; smallest
+    doc_id on ties) and drop the rest. The keep decision uses a partial-
+    aggregating max_by over (quality, -doc_id) — no per-cluster window,
+    map-side combinable. At 100 TB this is candidates-only pair work
+    (banded LSH), one CC fixpoint over near-dup edges (tiny vs corpus),
+    and one agg; quality is a map-only scan column."""
+    from .operators.dedup import connected_components, dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    edges = ngram_jaccard(docs, cand, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(edges)
+    toks = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq"),
+    )
+    members = comp.join(quality, comp.node == quality.doc_id)
+    return members.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("uniq"), (-F.col("doc_id")).alias("neg"))
+        ).alias("kept_doc_id"),
+        F.round(F.max("uniq"), 6).alias("kept_uniq_ratio"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+def q_f14_multi_view_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feast/Chronon-style training set over TWO feature views: for each
+    spine (entity, ts) row pick up the latest event-view features AND the
+    latest order-view features as-of that timestamp — two independent
+    as-of joins (union strategy: one shuffle each, no row explosion)
+    stitched on the spine key. The multi-feature-view generalization of
+    the reference's single-table get_training_set (store.py:261-308);
+    inner semantics per view, so only spine rows with BOTH views present
+    survive (deterministic, oracle-expressible)."""
+    feats = events_features(spark, sf_dir)
+    spine = (
+        feats.filter(F.col("event_type") == "purchase")
+        .select("entity_id", "timestamp")
+        .distinct()
+    )
+    ev_out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    order_view = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    ord_out = asof_join(spine, order_view, strategy="union", keep_spine_ts=True)
+    left = ev_out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("as_of_us"),
+        "event_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        _US("timestamp").alias("event_ts_us"),
+    )
+    right = ord_out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("as_of_us"),
+        F.col("o_totalprice").alias("last_order_price"),
+        _US("timestamp").alias("order_ts_us"),
+    )
+    return left.join(right, ["user_id", "as_of_us"], "inner")
+
+
 def build_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared by q_b1 and the plan gate: write orders+lineitem ONCE as
     bucketed/sorted managed tables on the join key, return the joined
@@ -2207,6 +2279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er1_entity_resolution": q_er1_entity_resolution,
     "b1_bucketed_join": q_b1_bucketed_join,
     "io5_partitioned_pruning": q_io5_partitioned_pruning,
+    "f14_multi_view_training_set": q_f14_multi_view_training_set,
+    "pipe2_quality_dedup": q_pipe2_quality_dedup,
 }
 
 
@@ -3419,6 +3493,48 @@ ORACLE_SQL["x6_dedup_fuzzy"] = f"""
     WITH {_MH_CTES}
     SELECT id_a, id_b FROM cand
 """
+ORACLE_SQL["pipe2_quality_dedup"] = f"""
+    WITH RECURSIVE {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (
+        SELECT s AS node, LEAST(s, MIN(d)) AS component
+        FROM reach GROUP BY s
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq
+        FROM documents
+    ),
+    sel AS (
+        SELECT comp.component, comp.node AS doc_id, q.uniq,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY q.uniq DESC, comp.node ASC) AS rk
+        FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+           ROUND(MAX(uniq), 6) AS kept_uniq_ratio,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM sel GROUP BY component
+"""
+
 ORACLE_SQL["x6b_jaccard_verify"] = f"""
     WITH {_MH_CTES},
     ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
@@ -3501,6 +3617,40 @@ ORACLE_SQL["b1_bucketed_join"] = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
 """
+ORACLE_SQL["f14_multi_view_training_set"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT DISTINCT user_id, ts AS sts FROM f
+          WHERE event_type = 'purchase'),
+    ev AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts, f.event_id,
+                   f.event_type AS last_event_type, f.value AS last_value,
+                   epoch_us(f.ts) AS event_ts_us,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    ),
+    o AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts,
+                   ord.o_totalprice AS last_order_price,
+                   epoch_us(CAST(ord.o_orderdate AS TIMESTAMP)) AS order_ts_us,
+                   row_number() OVER (
+                       PARTITION BY s.user_id, s.sts
+                       ORDER BY CAST(ord.o_orderdate AS TIMESTAMP) DESC,
+                                ord.o_orderkey ASC) AS rn
+            FROM s JOIN orders ord
+              ON s.user_id = ord.o_custkey
+             AND CAST(ord.o_orderdate AS TIMESTAMP) <= s.sts
+        ) WHERE rn = 1
+    )
+    SELECT ev.user_id, epoch_us(ev.sts) AS as_of_us, ev.event_id,
+           ev.last_event_type, ev.last_value, ev.event_ts_us,
+           o.last_order_price, o.order_ts_us
+    FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
+"""
+
 ORACLE_SQL["io5_partitioned_pruning"] = f"""
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
            COUNT(*) AS n_events,

@@ -457,3 +457,20 @@ class TestDeclaredLayoutQueries:
         m = re.search(r"PartitionFilters: \[[^\]]*purchase[^\]]*\]", plan)
         assert m, plan[:2000]
         assert not re.search(r"PushedFilters: \[[^\]]*purchase", plan)
+
+    def test_f14_multi_view_no_row_explosion(self, spark):
+        """Both feature views ride the union as-of strategy (no join for
+        the as-of itself); the only joins are the equi stitch on the
+        spine key — never a non-equi explosion."""
+        df = QUERIES["f14_multi_view_training_set"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pipe2_pair_work_is_banded_not_all_pairs(self, spark):
+        """Candidate pairs come from band-bucket equi joins only: no
+        cross product anywhere in the curation pipeline's plan."""
+        df = QUERIES["pipe2_quality_dedup"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
