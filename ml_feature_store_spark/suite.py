@@ -2056,6 +2056,29 @@ def q_pipe2_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (who-buys-from-
+    whom edges from orders x lineitem), 3 iterations, damping 0.85 —
+    integer-arithmetic ranks (operators/graph.py) so the fixpoint is
+    bit-identical across engines; top-20 nodes. The DuckDB oracle unrolls
+    the same three iterations as CTEs over the identical integer
+    recurrence."""
+    from .operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank"))
+    )
+
+
 def q_f14_multi_view_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feast/Chronon-style training set over TWO feature views: for each
     spine (entity, ts) row pick up the latest event-view features AND the
@@ -2281,6 +2304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io5_partitioned_pruning": q_io5_partitioned_pruning,
     "f14_multi_view_training_set": q_f14_multi_view_training_set,
     "pipe2_quality_dedup": q_pipe2_quality_dedup,
+    "g2_pagerank": q_g2_pagerank,
 }
 
 
@@ -3617,6 +3641,44 @@ ORACLE_SQL["b1_bucketed_join"] = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
 """
+def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> str:
+    import math as _math
+
+    base = int(_math.floor((1 - damping) * scale))
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, CAST(SUM({prev}.r // d.deg) AS BIGINT) AS s
+            FROM e JOIN d ON e.src = d.src
+                   JOIN {prev} ON {prev}.node = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   CAST({base} + CAST(floor({damping!r} * COALESCE(c{i}.s, 0))
+                                      AS BIGINT) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
+        {",".join(iters)}
+        SELECT node, r AS rank FROM {prev}
+        ORDER BY r DESC, node ASC LIMIT 20
+    """
+
+
+ORACLE_SQL["g2_pagerank"] = _g2_sql()
+
 ORACLE_SQL["f14_multi_view_training_set"] = f"""
     WITH f AS ({_EV}),
     s AS (SELECT DISTINCT user_id, ts AS sts FROM f

@@ -189,3 +189,39 @@ class TestConnectedComponents:
         out = connected_components(df, max_iter=50)
         assert out.select("component").distinct().count() == 1
         assert out.count() == 31
+
+
+class TestPageRank:
+    def test_matches_hand_computed_integer_recurrence(self, spark):
+        """Tiny graph a->b, a->c, b->c, c->a: replay the exact integer
+        recurrence in Python and demand bit-equality."""
+        from ml_feature_store_spark.operators.graph import pagerank
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.r for r in pagerank(df, iterations=4).collect()}
+
+        import math
+
+        scale, d = 10**12, 0.85
+        base = int(math.floor((1 - d) * scale))
+        deg = {"a": 2, "b": 1, "c": 1}
+        rank = {n: scale for n in "abc"}
+        for _ in range(4):
+            s = {n: 0 for n in "abc"}
+            for u, v in edges:
+                s[v] += rank[u] // deg[u]
+            rank = {n: base + int(math.floor(d * s[n])) for n in "abc"}
+        assert got == rank
+
+    def test_partition_invariant(self, spark):
+        """Integer arithmetic makes the result independent of the edge
+        partitioning (float PageRank would differ in low bits)."""
+        from ml_feature_store_spark.operators.graph import pagerank
+
+        edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(60)]
+        df1 = spark.createDataFrame(edges, ["src", "dst"])
+        df2 = df1.repartition(17)
+        r1 = sorted(map(tuple, pagerank(df1, iterations=3).collect()))
+        r2 = sorted(map(tuple, pagerank(df2, iterations=3).collect()))
+        assert r1 == r2
