@@ -413,3 +413,46 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def detect_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Train/test contamination detection: which corpus documents share at
+    least one k-token shingle with any benchmark document (the Dolma/
+    GPT-3-appendix decontamination rule).
+
+    Returns ``(id, n_shared)`` — per contaminated corpus doc, the number
+    of its DISTINCT shingles that occur anywhere in the benchmark.
+
+    Scale design: the benchmark n-gram banlist is orders of magnitude
+    smaller than the corpus, so it is deduped and BROADCAST — the
+    containment check is a map-side hash-join on the corpus explode, no
+    corpus shuffle at all; the only shuffle is the final per-doc count
+    (pre-aggregated map-side). At banlist sizes beyond broadcast range,
+    swap the broadcast for a bloom-filter pushdown then exact verify.
+    """
+    sh_corpus = corpus.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(
+            F.array_distinct(shingles(F.col(content_col), shingle_k))
+        ).alias("__sh__"),
+    )
+    banlist = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(content_col), shingle_k))
+            ).alias("__sh__")
+        )
+        .distinct()
+    )
+    return (
+        sh_corpus.join(F.broadcast(banlist), "__sh__")
+        .groupBy("__id__")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("__id__").alias(id_col), "n_shared")
+    )

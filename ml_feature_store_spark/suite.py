@@ -2056,6 +2056,21 @@ def q_pipe2_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decon1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination sweep (Dolma/GPT-3-style decontamination):
+    flag every training doc sharing at least one 4-token shingle with the
+    held-out benchmark slice (doc_id % 20 == 0 stands in for the eval
+    set). The benchmark n-gram banlist is deduped and BROADCAST, so the
+    containment check is map-side — the corpus is never shuffled, only
+    the tiny per-doc hit counts are."""
+    from .operators.dedup import detect_contamination
+
+    docs = table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return detect_contamination(train, benchmark, shingle_k=4)
+
+
 def q_g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (who-buys-from-
     whom edges from orders x lineitem), 3 iterations, damping 0.85 —
@@ -2305,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f14_multi_view_training_set": q_f14_multi_view_training_set,
     "pipe2_quality_dedup": q_pipe2_quality_dedup,
     "g2_pagerank": q_g2_pagerank,
+    "decon1_contamination": q_decon1_contamination,
 }
 
 
@@ -3678,6 +3694,29 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
 
 
 ORACLE_SQL["g2_pagerank"] = _g2_sql()
+
+# decon1: same 4-token shingle domain as the Spark side (shingles() with
+# the whole-text fallback for docs shorter than k tokens).
+ORACLE_SQL["decon1_contamination"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM t
+    ),
+    b AS (SELECT DISTINCT u.s
+          FROM sh, LATERAL unnest(shs) AS u(s) WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, u.s
+           FROM sh, LATERAL unnest(shs) AS u(s) WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN b ON tr.s = b.s
+    GROUP BY tr.doc_id
+"""
 
 ORACLE_SQL["f14_multi_view_training_set"] = f"""
     WITH f AS ({_EV}),

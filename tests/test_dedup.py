@@ -225,3 +225,26 @@ class TestPageRank:
         r1 = sorted(map(tuple, pagerank(df1, iterations=3).collect()))
         r2 = sorted(map(tuple, pagerank(df2, iterations=3).collect()))
         assert r1 == r2
+
+
+class TestContamination:
+    def test_flags_exact_ngram_overlap_only(self, spark):
+        from ml_feature_store_spark.operators.dedup import detect_contamination
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over")], ["doc_id", "text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "a quick brown fox jumps happily"),   # shares 'quick brown fox jumps'
+                (2, "the slow brown fox sits down low"),  # no shared 4-gram
+                (3, "x quick brown fox jumps y quick brown fox jumps z"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.n_shared
+            for r in detect_contamination(corpus, bench, shingle_k=4).collect()
+        }
+        # doc 3's two occurrences are ONE distinct shingle
+        assert got == {1: 1, 3: 1}

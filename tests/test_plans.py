@@ -474,3 +474,12 @@ class TestDeclaredLayoutQueries:
         plan = executed_plan(df)
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_decon1_banlist_broadcast_corpus_never_shuffled(self, spark):
+        """The benchmark banlist must broadcast: the corpus-side explode
+        feeds a BroadcastHashJoin map-side; the only exchange is the
+        per-doc count aggregation."""
+        df = QUERIES["decon1_contamination"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
