@@ -2056,6 +2056,60 @@ def q_pipe2_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training: permute the
+    corpus by md5(doc_id) — a reproducible pseudo-random order, invariant
+    to engine, partitioning and retries, unlike rand() — deal docs into 8
+    shards by a hash prefix (map-only), and emit per-shard manifests.
+    The manifest pins the PERMUTATION itself with two scale-safe integer
+    moments sum(pos*doc_id), sum(pos^2*doc_id) (partial-agg sums, no
+    collect_list). At 100 TB the in-shard ordering is a range-partitioned
+    sort on the hash (the standard shuffle-before-training terasort);
+    shard count just scales up."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    tagged = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = tagged.withColumn("pos", F.row_number().over(w))
+    return pos.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("perm_s1"),
+        F.sum(F.col("pos") * F.col("pos") * F.col("doc_id")).alias("perm_s2"),
+    )
+
+
+def q_a14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch — mergeable, bounded memory, the 100 TB
+    path a7's exact percentile can't walk) under the same cross-engine
+    contract as a4/a10: the hash-checked columns are the EXACT percentiles
+    plus a within_tolerance boolean asserting the sketch value lands
+    inside the exact [q-eps, q+eps] rank window (eps=0.01 >> 1/accuracy);
+    the oracle computes the exact values and literal TRUE."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("ap"),
+        F.expr("percentile(value, array(0.4900, 0.5, 0.5100, 0.8900, 0.9, 0.9100))").alias(
+            "ex"
+        ),
+    )
+    within = (
+        (F.col("ap")[0] >= F.col("ex")[0])
+        & (F.col("ap")[0] <= F.col("ex")[2])
+        & (F.col("ap")[1] >= F.col("ex")[3])
+        & (F.col("ap")[1] <= F.col("ex")[5])
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("ex")[1], 4).alias("exact_p50"),
+        F.round(F.col("ex")[4], 4).alias("exact_p90"),
+        within.alias("within_tolerance"),
+    )
+
+
 def q_decon1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination sweep (Dolma/GPT-3-style decontamination):
     flag every training doc sharing at least one 4-token shingle with the
@@ -2143,6 +2197,10 @@ def build_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     n_buckets = 8
+    cols = {
+        "orders": ["o_orderkey", "o_orderpriority"],
+        "lineitem": ["l_orderkey", "l_extendedprice", "l_discount"],
+    }
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tbl = f"b1_{name}_bkt"
         # The catalog is in-memory per-session but the warehouse dir is on
@@ -2152,6 +2210,7 @@ def build_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
         (
             table(spark, sf_dir, name)
+            .select(*cols[name])
             .write.mode("overwrite")
             .bucketBy(n_buckets, key)
             .sortBy(key)
@@ -2321,6 +2380,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe2_quality_dedup": q_pipe2_quality_dedup,
     "g2_pagerank": q_g2_pagerank,
     "decon1_contamination": q_decon1_contamination,
+    "a14_approx_percentile": q_a14_approx_percentile,
+    "shuf1_training_shards": q_shuf1_training_shards,
 }
 
 
@@ -3694,6 +3755,27 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
 
 
 ORACLE_SQL["g2_pagerank"] = _g2_sql()
+
+ORACLE_SQL["shuf1_training_shards"] = """
+    WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    s AS (SELECT doc_id, h,
+                 ('0x' || substr(h, 1, 4))::BIGINT % 8 AS shard FROM d),
+    p AS (SELECT shard, doc_id,
+                 row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+          FROM s)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS perm_s1,
+           CAST(SUM(pos * pos * doc_id) AS BIGINT) AS perm_s2
+    FROM p GROUP BY shard
+"""
+
+ORACLE_SQL["a14_approx_percentile"] = f"""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS exact_p90,
+           TRUE AS within_tolerance
+    FROM ({_EV}) GROUP BY event_type
+"""
 
 # decon1: same 4-token shingle domain as the Spark side (shingles() with
 # the whole-text fallback for docs shorter than k tokens).
