@@ -4,13 +4,16 @@ from .chunking import chunk_documents
 from .linkage import fuzzy_match_blocked
 from .features import pit_window_agg
 from .dedup import (
+    connected_components,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_simhash,
+    detect_contamination,
     minhash_signatures,
     ngram_jaccard,
 )
+from .graph import pagerank
 from .clustering import assign_clusters, inertia, kmeans, update_centroids
 from .pit import entity_filter, latest_per_entity, project, temporal_filter, top_k_per_group
 from .sampling import hash_uniform, stratified_sample, with_kfold, with_split
@@ -55,6 +58,9 @@ __all__ = [
     "dedup_embedding_cosine",
     "minhash_signatures",
     "ngram_jaccard",
+    "connected_components",
+    "detect_contamination",
+    "pagerank",
     "sessionize",
     "sessionize_bucketed",
     "session_stats",

@@ -138,6 +138,28 @@ COMMENT = {
         "over the tiny candidate set. (Nation-only blocking measured "
         "22.6s at sf0.1; prefix blocking 0.9s, same results.)"
     ),
+    "b1_bucketed_join": (
+        "Co-located bucketed join: both scans arrive pre-partitioned "
+        "(SelectedBucketsCount: 8 out of 8), the SortMergeJoin has NO "
+        "exchange below it — the only shuffle is the final tiny group-by. "
+        "Write once, join many."
+    ),
+    "io5_partitioned_pruning": (
+        "Hive-layout partition pruning: the event_type predicate is a "
+        "PartitionFilter (file-listing pruning, zero foreign partitions "
+        "opened), never a row-level data filter."
+    ),
+    "decon1_contamination": (
+        "Decontamination: the benchmark n-gram banlist broadcasts; the "
+        "corpus-side explode feeds a map-side BroadcastHashJoin — the "
+        "corpus is never shuffled, only per-doc hit counts are."
+    ),
+    "g2_pagerank": (
+        "Integer PageRank (final iteration shown): edge list joins ranks "
+        "on src and aggregates on dst — two shuffles per iteration, the "
+        "vertex-centric minimum; localCheckpoint truncates iterative "
+        "lineage so the plan stays this size at any iteration count."
+    ),
 }
 
 
