@@ -13,12 +13,16 @@ accumulation, whose low bits depend on reduction order.  The damping
 step ``base + floor(damping * sum)`` multiplies an exact integer (< 2^53)
 by a double literal; IEEE rounding makes that reproducible everywhere.
 
-Scale design: the edge list is the big side and is shuffled exactly twice
-per iteration (join on src, aggregate on dst — the minimum any
-vertex-centric engine pays); ranks are one row per node.  ``iterations``
-is a small constant (PageRank converges geometrically; rank ordering
-stabilizes after a handful of rounds).  localCheckpoint truncates the
-iterative lineage each round, the same pattern as connected_components.
+Scale design: the edge list is the big side; the rank vector is one row
+per node.  With ``broadcast_ranks=True`` (default) the per-iteration
+join ships the rank vector to the edges map-side, so the edge list is
+NEVER shuffled — the only exchange per iteration is the aggregate on
+dst.  Set it False when the node set itself outgrows broadcast range
+(billions of nodes): the join then shuffles edges on src, the classic
+two-exchange vertex-centric iteration.  ``iterations`` is a small
+constant (PageRank converges geometrically; rank ordering stabilizes
+after a handful of rounds).  localCheckpoint truncates the iterative
+lineage each round, the same pattern as connected_components.
 Dangling nodes (no out-edges) simply do not distribute — the simplified
 formulation without dangling-mass redistribution, stated in the output
 contract.
@@ -39,6 +43,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     scale: int = 10**12,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
@@ -60,24 +65,27 @@ def pagerank(
     )
     base = int(math.floor((1 - damping) * scale))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        r_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(r_side, ed.src == r_side["node"])
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)))
-                )
-                .cast("long")
-                .alias("r"),
+        c_side = F.broadcast(contrib) if broadcast_ranks else contrib
+        ranks = nodes.join(c_side, nodes.node == c_side["dst"], "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.floor(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)))
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("r"),
         )
+        # Truncate iterative lineage BETWEEN iterations; the final result
+        # stays a lazy one-iteration plan (inspectable, one less
+        # materialization).
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

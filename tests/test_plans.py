@@ -483,3 +483,13 @@ class TestDeclaredLayoutQueries:
         plan = executed_plan(df)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_g2_pagerank_edges_never_shuffled_in_join(self, spark):
+        """broadcast_ranks=True ships the rank vector to the edge list:
+        the per-iteration join is a BroadcastHashJoin, so the (big) edge
+        side is never exchanged for the join — only the dst aggregate
+        shuffles."""
+        df = QUERIES["g2_pagerank"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -155,10 +155,12 @@ COMMENT = {
         "corpus is never shuffled, only per-doc hit counts are."
     ),
     "g2_pagerank": (
-        "Integer PageRank (final iteration shown): edge list joins ranks "
-        "on src and aggregates on dst — two shuffles per iteration, the "
-        "vertex-centric minimum; localCheckpoint truncates iterative "
-        "lineage so the plan stays this size at any iteration count."
+        "Integer PageRank (final iteration shown): the rank vector "
+        "BROADCASTS onto the edge list (edges are never shuffled for the "
+        "join) — the ONLY exchange per iteration is the dst aggregate, "
+        "map-side combined; localCheckpoint truncates iterative lineage "
+        "between rounds. broadcast_ranks=False restores the shuffle join "
+        "for billion-node graphs."
     ),
 }
 

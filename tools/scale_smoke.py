@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "a12_quantile_hist",    # mergeable histogram quantiles (bounded shuffle)
     "t8_repetition",        # map-only per-doc gram fold
     "c1_doc_chunk",         # map-only chunk explode
+    "f14_multi_view_training_set",  # two union as-of joins + spine stitch
+    "pipe2_quality_dedup",  # LSH -> verify -> CC -> keep-best (replicas ARE near-dups)
+    "decon1_contamination", # broadcast banlist grows with the benchmark slice
+    "g2_pagerank",          # 2 shuffles/iter over an 8x edge list
+    "shuf1_training_shards",  # hash-permutation window over 8x docs
+    "b1_bucketed_join",     # bucketed write (8x data) + zero-exchange join
 ]
 KEY_OFFSET = 100_000_000
 
