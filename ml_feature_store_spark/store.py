@@ -461,6 +461,50 @@ class FeatureStore:
         out = project(out, columns)
         return out.drop(*HIDDEN_COLS)
 
+    def get_multi_view_training_set(
+        self,
+        names: Sequence[str],
+        entity_timestamps: DataFrame,
+        strategy: str = "union",
+    ) -> DataFrame:
+        """Training set over SEVERAL feature views at once (the Feast/
+        Chronon multi-feature-view generalization of the reference's
+        single-table get_training_set): each view contributes its latest
+        row as-of every spine (entity, ts), stitched on the spine key.
+
+        Per-view feature columns are prefixed ``<name>__`` to avoid
+        collisions; each view's matched feature timestamp arrives as
+        ``<name>__timestamp``. Inner semantics per view — only spine rows
+        matched in EVERY view survive (the deterministic contract the f14
+        oracle checks). Spine duplicates are dropped (the stitch key is
+        the spine row itself).
+
+        One union-strategy as-of join per view (one shuffle each, no row
+        explosion) + (n_views - 1) equi joins on the spine key.
+        """
+        if not names:
+            raise ValueError("names must be a non-empty sequence of table names")
+        spine = entity_timestamps.select(ENTITY_COL, TIMESTAMP_COL).distinct()
+        self._validate_dataframe(spine, context="get_multi_view_training_set(spine)")
+        out: DataFrame | None = None
+        for name in names:
+            feats = self._current(name).drop(DT_COL)
+            view = asof_join(spine, feats, strategy=strategy, keep_spine_ts=True)
+            payload = [
+                c
+                for c in view.columns
+                if c not in (ENTITY_COL, "as_of_timestamp") and c not in HIDDEN_COLS
+            ]
+            view = view.select(
+                ENTITY_COL,
+                "as_of_timestamp",
+                *[F.col(c).alias(f"{name}__{c}") for c in payload],
+            )
+            out = view if out is None else out.join(
+                view, [ENTITY_COL, "as_of_timestamp"], "inner"
+            )
+        return out.withColumnRenamed("as_of_timestamp", TIMESTAMP_COL)
+
     def create_view(self, name: str, view_name: str | None = None) -> str:
         """Expose the current version as a Spark temp view so users can
         query feature tables with ``spark.sql`` (catalog bridge; the

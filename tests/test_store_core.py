@@ -524,3 +524,60 @@ class TestOnlineServing:
         assert info.version == 2 and info.row_count == 6
         fs.materialize_online("t")
         assert fs.get_online("t").count() == 3
+
+
+class TestMultiViewTrainingSet:
+    def test_matches_per_view_asof_joins(self, store, feature_df, spark):
+        """Two views: the stitched result equals independent single-view
+        training sets joined on the spine key, with per-view prefixes."""
+        store.register("ev", feature_df)
+        other = spark.createDataFrame(
+            [
+                ("user_1", ts("2024-01-10"), 7.0),
+                ("user_1", ts("2024-01-28"), 8.0),
+                ("user_2", ts("2024-01-05"), 9.0),
+            ],
+            ["entity_id", "timestamp", "order_total"],
+        )
+        store.register("ord", other)
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_2", ts("2024-01-15"))],
+            ["entity_id", "timestamp"],
+        )
+        out = {
+            r["entity_id"]: r
+            for r in store.get_multi_view_training_set(["ev", "ord"], spine).collect()
+        }
+        assert set(out) == {"user_1", "user_2"}
+        u1 = out["user_1"]
+        # ev view: latest <= 01-20 is (01-15, 2.0); ord view: (01-10, 7.0)
+        assert u1["ev__feature_a"] == 2.0
+        assert u1["ev__timestamp"] == ts("2024-01-15")
+        assert u1["ord__order_total"] == 7.0
+        assert u1["ord__timestamp"] == ts("2024-01-10")
+        # spine ts surfaces as the stitched `timestamp`
+        assert u1["timestamp"] == ts("2024-01-20")
+        u2 = out["user_2"]
+        assert u2["ev__feature_a"] == 10.0
+        assert u2["ord__order_total"] == 9.0
+
+    def test_inner_semantics_drop_unmatched_views(self, store, feature_df, spark):
+        store.register("ev", feature_df)
+        late = spark.createDataFrame(
+            [("user_1", ts("2024-01-10"), 7.0)], ["entity_id", "timestamp", "x"]
+        )
+        store.register("late", late)
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_2", ts("2024-01-15"))],
+            ["entity_id", "timestamp"],
+        )
+        out = store.get_multi_view_training_set(["ev", "late"], spine).collect()
+        # user_2 has no 'late' row at all -> dropped by inner stitch
+        assert [r["entity_id"] for r in out] == ["user_1"]
+
+    def test_empty_names_raises(self, store, feature_df, spark):
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20"))], ["entity_id", "timestamp"]
+        )
+        with pytest.raises(ValueError):
+            store.get_multi_view_training_set([], spine)
