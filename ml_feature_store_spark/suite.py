@@ -2061,11 +2061,14 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus by md5(doc_id) — a reproducible pseudo-random order, invariant
     to engine, partitioning and retries, unlike rand() — deal docs into 8
     shards by a hash prefix (map-only), and emit per-shard manifests.
-    The manifest pins the PERMUTATION itself with two scale-safe integer
-    moments sum(pos*doc_id), sum(pos^2*doc_id) (partial-agg sums, no
-    collect_list). At 100 TB the in-shard ordering is a range-partitioned
-    sort on the hash (the standard shuffle-before-training terasort);
-    shard count just scales up."""
+    The manifest pins the PERMUTATION itself with two order-independent
+    checksums: sums of 31-bit md5 terms over (pos, doc_id) pairs —
+    partial-agg sums, no collect_list, and bounded terms mean no long
+    overflow until ~2^32 rows per shard (raw moments like
+    sum(pos^2*doc_id) overflow at 8x replicated ids — caught by
+    tools/scale_smoke.py). At 100 TB the in-shard ordering is a
+    range-partitioned sort on the hash (the standard shuffle-before-
+    training terasort); shard count just scales up."""
     docs = table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     tagged = docs.select(
@@ -2075,10 +2078,13 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     pos = tagged.withColumn("pos", F.row_number().over(w))
+    ph = F.md5(F.concat_ws(",", F.col("pos"), F.col("doc_id")))
+    term1 = F.conv(F.substring(ph, 1, 8), 16, 10).cast("long") % F.lit(1 << 31)
+    term2 = F.conv(F.substring(ph, 9, 8), 16, 10).cast("long") % F.lit(1 << 31)
     return pos.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col("pos") * F.col("doc_id")).alias("perm_s1"),
-        F.sum(F.col("pos") * F.col("pos") * F.col("doc_id")).alias("perm_s2"),
+        F.sum(term1).alias("perm_s1"),
+        F.sum(term2).alias("perm_s2"),
     )
 
 
@@ -3762,11 +3768,16 @@ ORACLE_SQL["shuf1_training_shards"] = """
                  ('0x' || substr(h, 1, 4))::BIGINT % 8 AS shard FROM d),
     p AS (SELECT shard, doc_id,
                  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
-          FROM s)
+          FROM s),
+    t AS (SELECT shard,
+                 md5(CAST(pos AS VARCHAR) || ',' || CAST(doc_id AS VARCHAR)) AS ph
+          FROM p)
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(pos * doc_id) AS BIGINT) AS perm_s1,
-           CAST(SUM(pos * pos * doc_id) AS BIGINT) AS perm_s2
-    FROM p GROUP BY shard
+           CAST(SUM(('0x' || substr(ph, 1, 8))::BIGINT % 2147483648) AS BIGINT)
+               AS perm_s1,
+           CAST(SUM(('0x' || substr(ph, 9, 8))::BIGINT % 2147483648) AS BIGINT)
+               AS perm_s2
+    FROM t GROUP BY shard
 """
 
 ORACLE_SQL["a14_approx_percentile"] = f"""
