@@ -14,7 +14,14 @@ from .dedup import (
     ngram_jaccard,
 )
 from .graph import pagerank
-from .clustering import assign_clusters, inertia, kmeans, update_centroids
+from .clustering import (
+    assign_clusters,
+    assign_clusters_int,
+    inertia,
+    kmeans,
+    kmeans_quantized,
+    update_centroids,
+)
 from .pit import entity_filter, latest_per_entity, project, temporal_filter, top_k_per_group
 from .sampling import hash_uniform, stratified_sample, with_kfold, with_split
 from .sessionize import session_stats, sessionize, sessionize_bucketed
@@ -42,6 +49,8 @@ __all__ = [
     "assign_clusters",
     "inertia",
     "kmeans",
+    "kmeans_quantized",
+    "assign_clusters_int",
     "update_centroids",
     "hash_uniform",
     "stratified_sample",

@@ -27,6 +27,8 @@ k*dim is large."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,3 +115,90 @@ def kmeans(
 def inertia(assigned: DataFrame) -> float:
     """Sum of squared distances to assigned centroids (the Lloyd objective)."""
     return assigned.agg(F.sum("dist2").alias("s")).collect()[0]["s"]
+
+
+def _int_dist_expr(vec_col: str, centroid: list[int]) -> str:
+    arr = "array(" + ",".join(f"{c}L" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def quantize_vec(vec_col: str, grid: int) -> F.Column:
+    """floor(x*grid + 0.5) per component as BIGINT — one double multiply +
+    floor, deterministic IEEE on every engine."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(double(x) * {grid} + 0.5) AS BIGINT))"
+    )
+
+
+def assign_clusters_int(
+    df: DataFrame, centroids: dict[int, list[int]], qvec_col: str = "__q__"
+) -> DataFrame:
+    """Integer nearest-centroid assignment (adds ``cluster``, ``dist2``
+    as BIGINT). Same argmin tie-break as assign_clusters."""
+    pairs = ", ".join(
+        f"struct({_int_dist_expr(qvec_col, c)} AS d, {cid} AS cid)"
+        for cid, c in sorted(centroids.items())
+    )
+    best = F.expr(f"array_min(array({pairs}))")
+    return (
+        df.withColumn("__best__", best)
+        .select(
+            "*",
+            F.col("__best__.cid").alias("cluster"),
+            F.col("__best__.d").alias("dist2"),
+        )
+        .drop("__best__")
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 10**6,
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Lloyd's algorithm on an integer grid — EXACTLY reproducible on any
+    engine, unlike float k-means whose centroid sums depend on reduction
+    order (the reason plain x14 was rows-only).
+
+    Components are quantized once to ``floor(x*grid + 0.5)`` longs; every
+    distance is an integer sum (order-independent), and each centroid
+    update is ``floor(sum / n)`` where the BIGINT->DOUBLE division is
+    exact below 2^53. Same plan shape and cost as :func:`kmeans`:
+    broadcast k*dim model, map-only assign, partial-agg update, k rows to
+    the driver per iteration. The quantization error (1/grid per
+    component) is far below the synthetic embeddings' cluster separation;
+    on real data pick grid to taste.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = df.select(id_col, quantize_vec(vec_col, grid).alias("__q__"))
+    seed_rows = q.orderBy(id_col).limit(k).collect()
+    centroids = {i: [int(x) for x in r["__q__"]] for i, r in enumerate(seed_rows)}
+    dim = len(next(iter(centroids.values())))
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        assigned = assign_clusters_int(q, centroids)
+        for _ in range(max_iter):
+            aggs = [F.count("*").alias("n")] + [
+                F.sum(F.element_at("__q__", i + 1)).alias(f"s{i}") for i in range(dim)
+            ]
+            rows = assigned.groupBy("cluster").agg(*aggs).collect()
+            new = {
+                r["cluster"]: [
+                    int(math.floor(r[f"s{i}"] / r["n"])) for i in range(dim)
+                ]
+                for r in rows
+            }
+            centroids = {cid: new.get(cid, c) for cid, c in centroids.items()}
+            assigned = assign_clusters_int(q, centroids)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    return assigned, centroids

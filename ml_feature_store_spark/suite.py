@@ -1193,23 +1193,25 @@ def q_x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x14_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative distributed algorithm: 3 Lloyd iterations of k-means
-    (k=8) over the embeddings table (operators/clustering.py). Driver
-    holds only the k x 64 model; every pass is one scan (broadcast
-    centroids) plus one k*dim partial-agg shuffle. Deterministic init +
-    6dp-rounded updates => stable cluster sizes (rows-only: iterative,
-    not SQL-expressible)."""
-    from .operators.clustering import kmeans
+    """Iterative distributed algorithm: 2 Lloyd iterations of k-means
+    (k=8) over the embeddings table on an INTEGER grid
+    (operators/clustering.py kmeans_quantized). Driver holds only the
+    k x 64 model; every pass is one scan (broadcast centroids) plus one
+    k*dim partial-agg shuffle. Round 3: EXACT oracle — integer distances
+    and floor-division centroid updates are order-independent, so DuckDB
+    replays the identical fixpoint with unrolled CTEs (float Lloyd was
+    rows-only: cross-row float sums depend on reduction order)."""
+    from .operators.clustering import kmeans_quantized
 
     # cache: Lloyd re-reads the input 2x per iteration (update + next
     # assign); at cluster scale this is the same "persist the training
     # set" decision every iterative fit makes.
     emb = table(spark, sf_dir, "embeddings").cache()
-    assigned, _ = kmeans(emb, k=8, max_iter=3)
+    assigned, _ = kmeans_quantized(emb, k=8, max_iter=2)
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),
-        F.round(F.sum("dist2"), 2).alias("cluster_inertia"),
+        F.sum("dist2").alias("inertia_q"),
     )
 
 
@@ -3762,6 +3764,72 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
 
 ORACLE_SQL["g2_pagerank"] = _g2_sql()
 
+
+def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> str:
+    """Integer-Lloyd oracle: replays kmeans_quantized exactly. Assignment
+    is an argmin over integer distances (cross join q x centroids, k rows
+    per vec); the update repacks per-dim floor(sum/n) components with
+    list(... ORDER BY i). Every arithmetic step is order-independent."""
+    dist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+
+    def assign(a: str, csrc: str) -> str:
+        return f"""
+    {a} AS (
+        SELECT vec_id, cluster, d FROM (
+            SELECT q.vec_id, c.cluster, {dist} AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rk
+            FROM q CROSS JOIN {csrc} c
+        ) WHERE rk = 1
+    )"""
+
+    def update(cnew: str, asrc: str, cprev: str) -> str:
+        return f"""
+    {cnew}_raw AS (
+        SELECT cluster, list(comp ORDER BY i) AS cv FROM (
+            SELECT a.cluster, g.i,
+                   CAST(floor(CAST(SUM(q.qv[g.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+            FROM {asrc} a JOIN q USING (vec_id),
+                 LATERAL unnest(generate_series(1, {dim})) AS g(i)
+            GROUP BY a.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    {cnew} AS (
+        SELECT p.cluster, COALESCE(r.cv, p.cv) AS cv
+        FROM {cprev} p LEFT JOIN {cnew}_raw r USING (cluster)
+    )"""
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))""",
+        assign("a0", "c0"),
+    ]
+    prev_c, prev_a = "c0", "a0"
+    for it in range(1, iters + 1):
+        parts.append(update(f"c{it}", prev_a, prev_c))
+        parts.append(assign(f"a{it}", f"c{it}"))
+        prev_c, prev_a = f"c{it}", f"a{it}"
+    return f"""
+    WITH {",".join(parts)}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vec,
+           CAST(SUM(d) AS BIGINT) AS inertia_q
+    FROM {prev_a} GROUP BY cluster
+    """
+
+
+ORACLE_SQL["x14_kmeans"] = _x14_sql()
+
 ORACLE_SQL["shuf1_training_shards"] = """
     WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
     s AS (SELECT doc_id, h,
@@ -3866,10 +3934,11 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # order per round. Round 1 covered entries 1-50; this priority list front-
 # loads the 47 hash-checkable queries the driver has never seen plus the 3
 # reformulated this round (a4/a10 exact+tolerance, x11 blocked plan) so
-# round 2's window records green rows for all of them. The single
-# remaining rows-only query (x14 iterative k-means — no deterministic
-# DuckDB twin; x6/x6b/x8/x9/m3 all gained exact oracles in round 2) and
-# the already-green round-1 rows follow.
+# round 2's window records green rows for all of them. Every query now
+# has an exact oracle (x6/x6b/x8/x9/m3 gained them in round 2; x14 in
+# round 3 via integer-grid Lloyd); the rest of the dict order is the
+# already-green round-1 rows plus round-2+ additions awaiting their
+# window slot.
 _ROUND_PRIORITY = [
     "s1_topk_orders", "s2_topk_per_group", "u1_union_by_name",
     "x5_json_extract", "x3_dedup_exact", "x4_text_stats", "t1_lang_id",

@@ -59,3 +59,63 @@ class TestKMeans:
     def test_k_validation(self, spark, emb):
         with pytest.raises(ValueError):
             kmeans(emb, k=0)
+
+
+class TestQuantizedKMeans:
+    def test_partition_invariant_and_matches_python_replay(self, spark):
+        """Integer Lloyd must be bit-identical across partitionings AND
+        equal to a driver-side pure-Python replay of the recurrence."""
+        import math
+
+        from ml_feature_store_spark.operators.clustering import kmeans_quantized
+
+        rows = [
+            (i, [float(((i * 37 + j * 11) % 100) - 50) / 25.0 for j in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out1 = sorted(
+            (r.vec_id, r.cluster, r.dist2)
+            for r in kmeans_quantized(df, k=3, max_iter=2, grid=10**6)[0].collect()
+        )
+        out2 = sorted(
+            (r.vec_id, r.cluster, r.dist2)
+            for r in kmeans_quantized(
+                df.repartition(13), k=3, max_iter=2, grid=10**6
+            )[0].collect()
+        )
+        assert out1 == out2
+
+        # pure-Python replay
+        grid = 10**6
+        q = {i: [int(math.floor(x * grid + 0.5)) for x in v] for i, v in rows}
+        cent = {c: list(q[c]) for c in range(3)}
+
+        def assign(cent):
+            a = {}
+            for i, v in q.items():
+                best = min(
+                    (sum((x - c) * (x - c) for x, c in zip(v, cv)), cid)
+                    for cid, cv in cent.items()
+                )
+                a[i] = best
+            return a
+
+        a = assign(cent)
+        for _ in range(2):
+            sums = {}
+            for i, (d, cid) in a.items():
+                s = sums.setdefault(cid, [0] * 8 + [0])
+                for j, x in enumerate(q[i]):
+                    s[j] += x
+                s[8] += 1
+            cent = {
+                cid: [int(math.floor(s[j] / s[8])) for j in range(8)]
+                if cid in sums
+                else cv
+                for cid, cv in cent.items()
+                for s in [sums.get(cid, [0] * 9)]
+            }
+            a = assign(cent)
+        want = sorted((i, cid, d) for i, (d, cid) in a.items())
+        assert out1 == want
