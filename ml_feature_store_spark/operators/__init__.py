@@ -31,6 +31,7 @@ from .similarity import (
     knn_for_queries,
     knn_ivf,
     knn_lsh,
+    pq_ann_topk,
     rp_lsh_bucketize,
 )
 from .text import (
@@ -79,6 +80,7 @@ __all__ = [
     "rp_lsh_bucketize",
     "ivf_assign",
     "knn_ivf",
+    "pq_ann_topk",
     "lang_id",
     "lang_id_ngram",
     "quality_score",

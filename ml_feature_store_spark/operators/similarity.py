@@ -184,3 +184,75 @@ def knn_ivf(
     probe_cells = [c for c, _ in sorted(scored, key=lambda t: -t[1])[:nprobe]]
     cand = emb_assigned.filter(F.col("cell").isin(probe_cells))
     return knn_brute_force(cand, query_vec, k, id_col, vec_col)
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+    grid: int = 10**6,
+) -> DataFrame:
+    """Product-quantization ANN: asymmetric-distance top-k.
+
+    Classic PQ (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search"): split the vector into ``m`` subspaces, fit a ``k_codes``-way
+    codebook per subspace, encode every vector as m small codes, and rank
+    by the sum of per-subspace distances between the QUERY's exact
+    subvector and each vector's codeword (ADC). Memory per vector drops
+    from dim floats to m bytes — the trick that makes billion-scale ANN
+    fit in RAM.
+
+    Determinism: codebooks come from :func:`kmeans_quantized` (integer
+    Lloyd), so codes, distance tables and the final ranking are integer
+    arithmetic end-to-end — bit-identical across engines (the suite's
+    DuckDB oracle replays all four codebook fits relationally).
+
+    Scale shape: m codebook fits (each = x14's broadcast-model plan on a
+    sub_dim slice), then ONE map-only pass that assigns codes and sums
+    m distance-table lookups per vector, then TakeOrderedAndProject —
+    no shuffle in the query path at all.
+    """
+    from .clustering import _int_dist_expr, kmeans_quantized, quantize_vec
+
+    books: dict[int, dict[int, list[int]]] = {}
+    for s in range(m):
+        sub = df.select(
+            id_col,
+            F.expr(f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})").alias(
+                "embedding"
+            ),
+        )
+        _, books[s] = kmeans_quantized(
+            sub, k=k_codes, max_iter=iterations, id_col=id_col, grid=grid
+        )
+    qq = [int(math.floor(float(x) * grid + 0.5)) for x in query_vec]
+    enc = df.select(id_col, quantize_vec(vec_col, grid).alias("__q__"))
+    adist = None
+    for s in range(m):
+        qsub = qq[s * sub_dim : (s + 1) * sub_dim]
+        dtab = {
+            cid: sum((a - b) * (a - b) for a, b in zip(qsub, cv))
+            for cid, cv in books[s].items()
+        }
+        sub_expr = f"slice(__q__, {s * sub_dim + 1}, {sub_dim})"
+        pairs = ", ".join(
+            f"struct({_int_dist_expr(sub_expr, cv)} AS d, {cid} AS cid)"
+            for cid, cv in sorted(books[s].items())
+        )
+        code = F.expr(f"array_min(array({pairs})).cid")
+        lookup = F.element_at(
+            F.expr("array(" + ",".join(f"{dtab[c]}L" for c in sorted(dtab)) + ")"),
+            code + F.lit(1),
+        )
+        adist = lookup if adist is None else adist + lookup
+    return (
+        enc.select(id_col, adist.alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k)
+    )

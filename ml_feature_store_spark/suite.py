@@ -2090,6 +2090,21 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x17_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_ann_topk):
+    4 subspaces x 16 dims, 16 codewords each from integer-Lloyd fits,
+    asymmetric-distance top-10 for query vec 0. Integer arithmetic end to
+    end, so the DuckDB oracle replays the codebook fits, encoding, and
+    ADC ranking exactly."""
+    from .operators.similarity import pq_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings").cache()
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return pq_ann_topk(emb, qvec, m=4, sub_dim=16, k_codes=16, k=10, iterations=1)
+
+
 def q_a14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch — mergeable, bounded memory, the 100 TB
     path a7's exact percentile can't walk) under the same cross-engine
@@ -2390,6 +2405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decon1_contamination": q_decon1_contamination,
     "a14_approx_percentile": q_a14_approx_percentile,
     "shuf1_training_shards": q_shuf1_training_shards,
+    "x17_pq_ann": q_x17_pq_ann,
 }
 
 
@@ -3829,6 +3845,87 @@ def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> st
 
 
 ORACLE_SQL["x14_kmeans"] = _x14_sql()
+
+
+def _x17_sql(
+    m: int = 4, sub_dim: int = 16, k_codes: int = 16, k: int = 10, grid: int = 10**6
+) -> str:
+    """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
+    codebook fit, encode every vector against the updated codebook, build
+    the query's distance table relationally, and rank by the joined sum.
+    All-integer arithmetic — same fixpoint as pq_ann_topk."""
+
+    def dist(xv: str, cv: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({xv}[i] - {cv}[i]) * ({xv}[i] - {cv}[i]))) AS BIGINT)"
+        )
+
+    chains = []
+    joins = []
+    for s in range(m):
+        a, b = s * sub_dim + 1, (s + 1) * sub_dim
+        d_qc0 = dist("x.sv", "c.cv")
+        chains.append(f"""
+    s{s}q AS (SELECT vec_id, list_slice(qv, {a}, {b}) AS sv FROM q),
+    s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                      sv AS cv
+               FROM (SELECT vec_id, sv FROM s{s}q ORDER BY vec_id
+                     LIMIT {k_codes})),
+    s{s}a0 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT x.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_qc0}, c.cluster) AS rk
+            FROM s{s}q x CROSS JOIN s{s}c0 c
+        ) WHERE rk = 1
+    ),
+    s{s}c1raw AS (
+        SELECT cluster, list(comp ORDER BY i) AS cv FROM (
+            SELECT a1.cluster, g.i,
+                   CAST(floor(CAST(SUM(x.sv[g.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+            FROM s{s}a0 a1 JOIN s{s}q x USING (vec_id),
+                 LATERAL unnest(generate_series(1, {sub_dim})) AS g(i)
+            GROUP BY a1.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    s{s}c1 AS (
+        SELECT p.cluster, COALESCE(r.cv, p.cv) AS cv
+        FROM s{s}c0 p LEFT JOIN s{s}c1raw r USING (cluster)
+    ),
+    s{s}code AS (
+        SELECT vec_id, cluster FROM (
+            SELECT x.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_qc0}, c.cluster) AS rk
+            FROM s{s}q x CROSS JOIN s{s}c1 c
+        ) WHERE rk = 1
+    ),
+    s{s}dt AS (
+        SELECT c.cluster, {dist("x.sv", "c.cv")} AS dd
+        FROM s{s}c1 c CROSS JOIN (SELECT vec_id, sv FROM s{s}q
+                                  WHERE vec_id = 0) x
+    ),
+    s{s}d AS (
+        SELECT e.vec_id, t.dd FROM s{s}code e JOIN s{s}dt t USING (cluster)
+    )""")
+        joins.append(f"JOIN s{s}d USING (vec_id)" if s else "s0d")
+    total = " + ".join(f"s{s}d.dd" for s in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    {",".join(chains)}
+    SELECT vec_id, CAST({total} AS BIGINT) AS adist
+    FROM {" ".join(joins)}
+    ORDER BY adist, vec_id LIMIT {k}
+    """
+
+
+ORACLE_SQL["x17_pq_ann"] = _x17_sql()
 
 ORACLE_SQL["shuf1_training_shards"] = """
     WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
