@@ -154,6 +154,19 @@ COMMENT = {
         "corpus-side explode feeds a map-side BroadcastHashJoin — the "
         "corpus is never shuffled, only per-doc hit counts are."
     ),
+    "x17_pq_ann": (
+        "PQ-ANN query path: ONE map-only pass (per-subspace code argmin + "
+        "m distance-table lookups, all integer expressions) into "
+        "TakeOrderedAndProject — zero shuffles; the codebook fits ran "
+        "once upstream (x14's broadcast-model plan on sub_dim slices)."
+    ),
+    "x14_kmeans": (
+        "Integer-Lloyd final assignment: broadcast k*dim centroid "
+        "literals, map-only argmin, partial-agg per-cluster stats — one "
+        "tiny shuffle; integer arithmetic makes the fixpoint engine- and "
+        "partitioning-invariant (what upgraded x14 from rows-only to an "
+        "exact oracle)."
+    ),
     "g2_pagerank": (
         "Integer PageRank (final iteration shown): the rank vector "
         "BROADCASTS onto the edge list (edges are never shuffled for the "
