@@ -213,6 +213,53 @@ class FeatureStore:
         self._prune_history(name)
         return self.get_table_info(name)
 
+    def upsert(self, name: str, patch: DataFrame, description: str = "") -> FeatureTableInfo:
+        """Row-level correction: new version = current rows with patch rows
+        REPLACING any row that shares their (entity_id, timestamp) key,
+        plus any new keys — the backfill-fix primitive (Delta MERGE's
+        whenMatchedUpdate/whenNotMatchedInsert shape on a real
+        deployment; here realized as a versioned copy-on-write union so
+        time travel still sees the uncorrected version).
+
+        Duplicate keys WITHIN the patch are rejected (which row should
+        win would be arbitrary) — same guardrail philosophy as F13.
+        Plan: one union + one per-key argmax over (source priority);
+        the old version's files are re-referenced, not rewritten.
+        """
+        self._validate_dataframe(patch, context=f"upsert('{name}')")
+        if not self._backend.exists(name):
+            return self.register(name, patch, description)
+        current = self._current(name)
+        visible = [c for c in current.columns if c not in HIDDEN_COLS]
+        incoming = [c for c in patch.columns if c not in HIDDEN_COLS]
+        if set(visible) != set(incoming):
+            raise FeatureValidationError(
+                f"upsert('{name}'): column mismatch — table has {sorted(visible)}, "
+                f"patch has {sorted(incoming)}. Re-register for schema changes."
+            )
+        key = [ENTITY_COL, TIMESTAMP_COL]
+        dup = (
+            patch.groupBy(*key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise FeatureValidationError(
+                f"upsert('{name}'): patch contains duplicate "
+                f"(entity_id, timestamp) keys — resolve before upserting."
+            )
+        # anti-join keeps untouched rows verbatim (incl. legal duplicate
+        # keys in the existing data); patched keys get exactly the patch
+        # rows. One shuffle on the key, no argmax needed.
+        untouched = current.select(*visible).join(
+            patch.select(*key), key, "left_anti"
+        )
+        flat = untouched.unionByName(patch.select(*visible))
+        row_count = flat.count()
+        prepared = self._prepare_dataframe(flat.select(*visible))
+        new_version = self._backend.meta(name).version + 1
+        self._backend.write_version(name, new_version, prepared, row_count, description)
+        self._prune_history(name)
+        return self.get_table_info(name)
+
     # ------------------------------------------------------------------ #
     # online serving view
     # ------------------------------------------------------------------ #

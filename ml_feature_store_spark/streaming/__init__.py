@@ -1,5 +1,6 @@
 from .ingest import (
     stream_events,
+    stream_static_enrich,
     stream_stream_join,
     streaming_dedup,
     streaming_feature_agg,
@@ -10,6 +11,7 @@ from .stateful import streaming_running_features
 
 __all__ = [
     "stream_events",
+    "stream_static_enrich",
     "stream_stream_join",
     "streaming_dedup",
     "streaming_feature_agg",

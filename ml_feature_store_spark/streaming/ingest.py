@@ -244,3 +244,21 @@ def streaming_register(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment: join a live event stream against a static
+    (batch) dimension/feature snapshot — the serving-side pattern for
+    attaching slowly-changing features to events in flight.
+
+    Spark re-plans the static side EVERY micro-batch, so swapping the
+    snapshot under the same path picks up new features without restarting
+    the query; with a broadcastable dim the per-batch join is map-side
+    (no stream shuffle). State: none — stream-static inner joins are
+    stateless, unlike stream-stream.
+    """
+    return stream.join(F.broadcast(dim), key)

@@ -2090,6 +2090,44 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq3_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature drift between two populations (PSI profile): compare the
+    distribution of `value` in the first vs second half of the events
+    stream per event_type, over 10 fixed-width bins. Output is per-bin —
+    integer counts plus a 6dp-rounded PSI term — so no cross-row float
+    aggregation exists anywhere (per-bin terms are deterministic scalar
+    math on exact counts; the headline PSI is the sum of a 10-row
+    column the consumer can take). Laplace +1 smoothing keeps empty bins
+    finite. One scan, one shuffle on (event_type, bin)."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.select(F.expr("percentile(unix_micros(ts), 0.5)").alias("m")).collect()[
+        0
+    ]["m"]
+    half = F.when(F.unix_micros("ts") <= F.lit(int(mid)), 0).otherwise(1)
+    bin_ = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9))
+    counts = (
+        ev.select(half.alias("half"), bin_.alias("bin"), "event_type")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_early"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_late"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("t_early"), F.sum("n_late").alias("t_late")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    p = (F.col("n_early") + 1) / (F.col("t_early") + 10)
+    q = (F.col("n_late") + 1) / (F.col("t_late") + 10)
+    return j.select(
+        "event_type",
+        "bin",
+        "n_early",
+        "n_late",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
 def q_x17_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_ann_topk):
     4 subspaces x 16 dims, 16 codewords each from integer-Lloyd fits,
@@ -2406,6 +2444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_approx_percentile": q_a14_approx_percentile,
     "shuf1_training_shards": q_shuf1_training_shards,
     "x17_pq_ann": q_x17_pq_ann,
+    "dq3_feature_drift": q_dq3_feature_drift,
 }
 
 
@@ -3926,6 +3965,34 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+# dq3: per-bin PSI terms from exact integer counts; the only float math is
+# a deterministic scalar expression per output row (no cross-row float agg)
+ORACLE_SQL["dq3_feature_drift"] = f"""
+    WITH ev AS ({_EV}),
+    m AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT)
+              AS mid FROM ev),
+    b AS (SELECT event_type,
+                 CASE WHEN epoch_us(ts) <= m.mid THEN 0 ELSE 1 END AS half,
+                 LEAST(CAST(floor(value / 50.0) AS INT), 9) AS bin
+          FROM ev, m),
+    c AS (SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_early,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late
+          FROM b GROUP BY event_type, bin),
+    t AS (SELECT event_type,
+                 CAST(SUM(n_early) AS BIGINT) AS t_early,
+                 CAST(SUM(n_late) AS BIGINT) AS t_late
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.bin, c.n_early, c.n_late,
+           ROUND(((c.n_early + 1) / (t.t_early + 10.0)
+                  - (c.n_late + 1) / (t.t_late + 10.0))
+                 * ln(((c.n_early + 1) / (t.t_early + 10.0))
+                      / ((c.n_late + 1) / (t.t_late + 10.0))), 6) AS psi_term
+    FROM c JOIN t USING (event_type)
+"""
 
 ORACLE_SQL["shuf1_training_shards"] = """
     WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

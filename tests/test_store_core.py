@@ -581,3 +581,42 @@ class TestMultiViewTrainingSet:
         )
         with pytest.raises(ValueError):
             store.get_multi_view_training_set([], spine)
+
+
+class TestUpsert:
+    def test_replaces_matching_keys_adds_new(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        patch = spark.createDataFrame(
+            [
+                ("user_1", ts("2024-01-15"), 99.0, 999),   # corrects existing
+                ("user_3", ts("2024-01-02"), 42.0, 420),   # brand new entity
+            ],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        info = store.upsert("f", patch)
+        assert info.version == 2
+        assert info.row_count == 6  # 5 original - 1 replaced + 2 patch rows... = 6
+        got = store.get("f", ["user_1"], ts("2024-01-16")).collect()[0]
+        assert got["feature_a"] == 99.0
+        # time travel still sees the uncorrected value
+        old = store.get_version("f", 1)
+        vals = {
+            (r["entity_id"], r["timestamp"]): r["feature_a"] for r in old.collect()
+        }
+        assert vals[("user_1", ts("2024-01-15"))] == 2.0
+
+    def test_duplicate_patch_keys_rejected(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        bad = spark.createDataFrame(
+            [
+                ("user_1", ts("2024-01-15"), 1.0, 1),
+                ("user_1", ts("2024-01-15"), 2.0, 2),
+            ],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        with pytest.raises(FeatureValidationError):
+            store.upsert("f", bad)
+
+    def test_upsert_on_missing_table_registers(self, store, feature_df):
+        info = store.upsert("fresh", feature_df)
+        assert info.version == 1

@@ -419,3 +419,35 @@ class TestStreamingAppendMode:
 
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStreamStaticEnrich:
+    def test_matches_batch_join(self, spark, events_dir):
+        from ml_feature_store_spark.streaming import stream_events, stream_static_enrich
+        from ml_feature_store_spark.suite import table
+
+        dim = (
+            table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("user_total"))
+        )
+        stream = stream_events(spark, events_dir)
+        q = _run_stream(
+            stream_static_enrich(stream, dim).groupBy("user_total").agg(
+                F.count("*").alias("n")
+            ),
+            "enrich_t",
+        )
+        got = {
+            (r.user_total, r.n)
+            for r in spark.sql("select * from enrich_t").collect()
+        }
+        ev = table(spark, SF, "events")
+        want = {
+            (r.user_total, r.n)
+            for r in ev.join(dim, "user_id")
+            .groupBy("user_total")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
