@@ -251,15 +251,28 @@ def repetition_stats(
 
 
 def rolling_hash_fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 4, keep: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    keep: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Winnowing-style fingerprint: xxhash64 each ``window``-token shingle,
+    """Winnowing-style fingerprint: hash each ``window``-token shingle,
     keep the ``keep`` smallest hashes as the document sketch (array<bigint>).
     Two docs sharing sketch elements share content regions — the classic
-    local fingerprinting scheme, all in higher-order functions."""
+    local fingerprinting scheme, all in higher-order functions.
+
+    ``hash_family``: ``"xxhash64"`` (production default, fastest JVM hash)
+    or ``"md5_32"`` (first 8 md5 hex digits as a long — engine-portable,
+    reproducible in the DuckDB oracle; same plan shape)."""
     from ..functions.text import shingles
 
     sh = shingles(F.col(text_col), window)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    if hash_family == "md5_32":
+        hashes = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
     sketch = F.slice(F.array_sort(hashes), 1, keep)
     return df.withColumn("sketch", sketch)

@@ -71,6 +71,10 @@ def events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _US = F.unix_micros
 
+# Shared by t2's Spark query and its oracle (the synthetic corpus's
+# function words).
+STOPWORDS = ("a", "the", "of", "and")
+
 # Oracle-side view of events with us-truncated timestamp.
 _EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
@@ -473,7 +477,12 @@ def q_t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality: token count, distinct-token ratio, chars/token."""
+    """Document quality: token count, distinct-token ratio, chars/token,
+    stopword ratio (functions/text.stopword_ratio — the C4/Gopher-style
+    natural-language signal: too low means word salad, too high means
+    boilerplate)."""
+    from .functions.text import stopword_ratio
+
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
@@ -483,6 +492,7 @@ def q_t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.round(n_uniq / n_tok, 6).alias("uniq_ratio"),
         F.round(F.col("n_chars") / n_tok, 6).alias("chars_per_token"),
+        F.round(stopword_ratio(F.col("text"), STOPWORDS), 6).alias("stopword_ratio"),
     )
 
 
@@ -2090,6 +2100,20 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t4b_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/rolling-hash fingerprint (operators/text.py
+    rolling_hash_fingerprint): per doc, the 4 smallest portable 32-bit
+    hashes over 4-token shingles — the content-region sketch used for
+    containment detection (MOSS-style), complementary to t4's whole-doc
+    fingerprint. Map-only; the sketch join to find overlapping docs is a
+    4-row explode + equi join at any scale."""
+    from .operators.text import rolling_hash_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    out = rolling_hash_fingerprint(docs, window=4, keep=4, hash_family="md5_32")
+    return out.select("doc_id", "sketch")
+
+
 def q_dq3_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature drift between two populations (PSI profile): compare the
     distribution of `value` in the first vs second half of the events
@@ -2445,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuf1_training_shards": q_shuf1_training_shards,
     "x17_pq_ann": q_x17_pq_ann,
     "dq3_feature_drift": q_dq3_feature_drift,
+    "t4b_winnow_sketch": q_t4b_winnow_sketch,
 }
 
 
@@ -2857,13 +2882,17 @@ ORACLE_SQL: dict[str, str] = {
                     THEN 'en' ELSE 'unk' END AS pred_lang
         FROM documents
     """,
-    "t2_quality_score": """
+    "t2_quality_score": f"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS uniq_ratio,
                ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
-                     AS chars_per_token
+                     AS chars_per_token,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ({",".join(f"'{w}'" for w in ("a", "the", "of", "and"))})))
+                         AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio
         FROM documents
     """,
     "t4_fingerprint": """
@@ -3965,6 +3994,25 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+# t4b: same 4-token shingle domain and portable 32-bit hash as the Spark
+# side; list sort + slice replicate the keep-smallest sketch.
+ORACLE_SQL["t4b_winnow_sketch"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 4
+                    THEN list_transform(generate_series(1, len(tk) - 3),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3])
+                    ELSE [array_to_string(tk, ' ')] END AS shs
+        FROM t
+    )
+    SELECT doc_id,
+           list_sort(list_transform(shs,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))[1:4] AS sketch
+    FROM sh
+"""
 
 # dq3: per-bin PSI terms from exact integer counts; the only float math is
 # a deterministic scalar expression per output row (no cross-row float agg)
