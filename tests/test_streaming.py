@@ -112,21 +112,31 @@ class TestStreamingDedup:
 
         from ml_feature_store_spark.streaming import stream_events, streaming_dedup
 
-        _sh.copy(f"{events_dir}/events.parquet", f"{events_dir}/events_redelivered.parquet")
-        stream = stream_events(spark, events_dir)
-        out = streaming_dedup(stream, keys=["event_id"]).select("event_id")
-        q = (
-            out.writeStream.format("memory")
-            .queryName("dedup_t")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        batch_n = spark.read.parquet(f"{events_dir}/events.parquet").count()
-        rows = spark.sql("select count(*) n, count(distinct event_id) d from dedup_t").collect()[0]
-        assert rows.n == rows.d == batch_n
-        q.stop()
+        import os as _os
+
+        redelivered = f"{events_dir}/events_redelivered.parquet"
+        _sh.copy(f"{events_dir}/events.parquet", redelivered)
+        try:
+            stream = stream_events(spark, events_dir)
+            out = streaming_dedup(stream, keys=["event_id"]).select("event_id")
+            q = (
+                out.writeStream.format("memory")
+                .queryName("dedup_t")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            batch_n = spark.read.parquet(f"{events_dir}/events.parquet").count()
+            rows = spark.sql(
+                "select count(*) n, count(distinct event_id) d from dedup_t"
+            ).collect()[0]
+            assert rows.n == rows.d == batch_n
+            q.stop()
+        finally:
+            # the fixture dir is module-scoped: leaving the duplicate file
+            # would double every later test's stream input
+            _os.remove(redelivered)
 
 
 class TestStreamingRegister:
@@ -442,7 +452,9 @@ class TestStreamStaticEnrich:
             (r.user_total, r.n)
             for r in spark.sql("select * from enrich_t").collect()
         }
-        ev = table(spark, SF, "events")
+        # batch twin over the SAME directory (other tests may have added
+        # redelivery files — stream==batch must hold regardless)
+        ev = spark.read.parquet(events_dir)
         want = {
             (r.user_total, r.n)
             for r in ev.join(dim, "user_id")
