@@ -2100,6 +2100,40 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the mid-stream producer
+    upgrade case: batch 1 lacks the ``discount_pct`` column batch 2 adds.
+    ``mergeSchema=true`` unions the footers (schema-on-read, no rewrite
+    of old files), old rows surface NULL, and the aggregate coalesces a
+    default. At 100 TB this is why you never rewrite history for an
+    additive schema change; per-file pruning and pushdown still work on
+    the shared columns."""
+    import tempfile as _tf
+
+    li = table(spark, sf_dir, "lineitem")
+    d = _tf.mkdtemp(prefix="mlfs_evo_")
+    li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").parquet(f"{d}/b1")
+    li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.round(F.col("l_discount") * 100, 2).alias("discount_pct"),
+    ).write.mode("overwrite").parquet(f"{d}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{d}/b1", f"{d}/b2")
+    return back.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("discount_pct").isNull(), 1).otherwise(0)).alias(
+            "n_legacy_rows"
+        ),
+        F.round(F.sum(F.coalesce("discount_pct", F.lit(0.0))), 2).alias(
+            "sum_discount_pct"
+        ),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_t4b_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing/rolling-hash fingerprint (operators/text.py
     rolling_hash_fingerprint): per doc, the 4 smallest portable 32-bit
@@ -2470,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_pq_ann": q_x17_pq_ann,
     "dq3_feature_drift": q_dq3_feature_drift,
     "t4b_winnow_sketch": q_t4b_winnow_sketch,
+    "io6_schema_evolution": q_io6_schema_evolution,
 }
 
 
@@ -3994,6 +4029,19 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["io6_schema_evolution"] = """
+    SELECT l_orderkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy_rows,
+           ROUND(SUM(CASE WHEN l_orderkey % 2 = 1
+                          THEN round(l_discount * 100, 2) ELSE 0 END), 2)
+               AS sum_discount_pct,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_orderkey % 10
+"""
 
 # t4b: same 4-token shingle domain and portable 32-bit hash as the Spark
 # side; list sort + slice replicate the keep-smallest sketch.
