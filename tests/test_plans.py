@@ -493,3 +493,45 @@ class TestDeclaredLayoutQueries:
         plan = executed_plan(df)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_filter_injects_bloom_on_fact_scan(self, spark):
+        """Runtime row-level filtering: a selective dim-side predicate
+        injects a bloom_filter_agg on the build side and a
+        might_contain probe on the fact scan — rows that cannot join are
+        dropped BEFORE the shuffle. The knob that matters at 100 TB when
+        the dim filter is selective but the fact is too big to broadcast.
+        (Thresholds lowered for test scale; defaults only engage past
+        10GB application-side scans.)"""
+        prev = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            o = table(spark, SF, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            li = table(spark, SF, "lineitem")
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+            )
+            plan = executed_plan(j)
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
