@@ -620,3 +620,71 @@ class TestUpsert:
     def test_upsert_on_missing_table_registers(self, store, feature_df):
         info = store.upsert("fresh", feature_df)
         assert info.version == 1
+
+
+class TestUpsertProperties:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def test_matches_dict_replay(self, spark, data):
+        """Random base table + random patch: upsert must equal the dict
+        semantics {base keys} overridden by {patch keys} (multiset for
+        untouched duplicate keys in the base)."""
+        import collections
+        import datetime as dt
+
+        from ml_feature_store_spark import FeatureStore
+
+        st = self.st
+        day = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+        base = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "c"]),
+                    st.integers(min_value=1, max_value=5),
+                    st.integers(min_value=0, max_value=99),
+                ),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        patch_keys = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "c", "d"]),
+                    st.integers(min_value=1, max_value=5),
+                ),
+                min_size=1,
+                max_size=6,
+                unique=True,
+            )
+        )
+        patch = [(e, d, 1000 + i) for i, (e, d) in enumerate(patch_keys)]
+
+        fs = FeatureStore(spark)
+        fs.register(
+            "t",
+            spark.createDataFrame(
+                [(e, day(d), float(v)) for e, d, v in base],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        fs.upsert(
+            "t",
+            spark.createDataFrame(
+                [(e, day(d), float(v)) for e, d, v in patch],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        got = collections.Counter(
+            (r["entity_id"], r["timestamp"], r["x"])
+            for r in fs.get_version("t", 2).collect()
+        )
+        keyset = set(patch_keys)
+        want = collections.Counter(
+            (e, day(d), float(v)) for e, d, v in base if (e, d) not in keyset
+        )
+        want.update((e, day(d), float(v)) for e, d, v in patch)
+        assert got == want
