@@ -59,6 +59,7 @@ def asof_join(
     keep_spine_ts: bool = False,
     tolerance_seconds: float | None = None,
     bucket_seconds: int = 30 * 24 * 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """For each spine (entity, ts) row return the latest feature row with
     ``feature.ts <= spine.ts``. See module docstring for semantics.
@@ -68,23 +69,45 @@ def asof_join(
     output contract omits it).
 
     ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``-style):
-    matches older than ``spine.ts - tolerance`` are dropped. Applied as a
-    post-filter on the matched feature timestamp, so both strategies share
-    the exact same semantics.
+    matches older than ``spine.ts - tolerance`` are dropped (``inner``) or
+    null-padded (``left``). Applied post-hoc on the matched feature
+    timestamp, so all strategies share the exact same semantics.
+
+    ``how="left"`` keeps spine rows with NO qualifying feature row,
+    null-padding the feature columns (Feast's get_historical_features
+    contract); ``"inner"`` (default) drops them like the reference.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    inner = how == "inner"
     if strategy == "join":
-        out = _asof_via_join(spine, features, entity_col, ts_col, True)
+        out = _asof_via_join(spine, features, entity_col, ts_col, True, inner)
     elif strategy == "union_bucketed":
         out = _asof_via_union_bucketed(
-            spine, features, entity_col, ts_col, bucket_seconds=bucket_seconds
+            spine, features, entity_col, ts_col, bucket_seconds=bucket_seconds,
+            inner=inner,
         )
     else:
-        out = _asof_via_union(spine, features, entity_col, ts_col, True)
+        out = _asof_via_union(spine, features, entity_col, ts_col, True, inner)
     if tolerance_seconds is not None:
         bound = F.col("as_of_timestamp") - F.expr(
             f"INTERVAL {float(tolerance_seconds)} SECONDS"
         )
-        out = out.filter(F.col(ts_col) >= bound)
+        if inner:
+            out = out.filter(F.col(ts_col) >= bound)
+        else:
+            # left: out-of-tolerance matches keep the spine row, features null
+            ok = F.col(ts_col) >= bound
+            out = out.select(
+                entity_col,
+                *[
+                    F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c)
+                    if c not in (entity_col, "as_of_timestamp")
+                    else F.col(c)
+                    for c in out.columns
+                    if c != entity_col
+                ],
+            )
     if not keep_spine_ts:
         out = out.drop("as_of_timestamp")
     return out
@@ -100,6 +123,7 @@ def _asof_via_join(
     entity_col: str,
     ts_col: str,
     keep_spine_ts: bool,
+    inner: bool = True,
 ) -> DataFrame:
     payload = _feature_payload_cols(features, entity_col)
     s = (
@@ -115,7 +139,7 @@ def _asof_via_join(
     cond = (s["__s_entity__"] == f[f"__f_{entity_col}"]) & (
         f[f"__f_{ts_col}"] <= s[_SPINE_TS]
     )
-    joined = s.join(f, cond, "inner").select(
+    joined = s.join(f, cond, "inner" if inner else "left").select(
         F.col(_SPINE_ID),
         F.col(_SPINE_TS),
         F.col("__s_entity__").alias(entity_col),
@@ -143,6 +167,7 @@ def _asof_via_union_bucketed(
     entity_col: str,
     ts_col: str,
     bucket_seconds: int,
+    inner: bool = True,
 ) -> DataFrame:
     """Skew-safe union as-of: carry-forward windows per (entity, time
     bucket), plus a carry-in join from per-bucket maxima. See module
@@ -205,8 +230,9 @@ def _asof_via_union_bucketed(
         carried.filter(F.col("__is_spine__") == 1)
         .join(carry, [entity_col, "__bkt__"], "left")
         .withColumn("__feat__", F.coalesce("__last_feat__", "__carry_in__"))
-        .filter(F.col("__feat__").isNotNull())
     )
+    if inner:
+        matched = matched.filter(F.col("__feat__").isNotNull())
     out_cols = [F.col(entity_col)] + [
         F.col(f"__feat__.{c}").alias(c) for c in payload if c != ROW_ID_COL
     ]
@@ -220,6 +246,7 @@ def _asof_via_union(
     entity_col: str,
     ts_col: str,
     keep_spine_ts: bool,
+    inner: bool = True,
 ) -> DataFrame:
     payload = _feature_payload_cols(features, entity_col)  # includes ts_col
     tb = ROW_ID_COL if ROW_ID_COL in payload else None
@@ -251,7 +278,9 @@ def _asof_via_union(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__last_feat__", F.last("__payload__", ignorenulls=True).over(w))
-    matched = carried.filter((F.col("__is_spine__") == 1) & F.col("__last_feat__").isNotNull())
+    matched = carried.filter(F.col("__is_spine__") == 1)
+    if inner:
+        matched = matched.filter(F.col("__last_feat__").isNotNull())
 
     out_cols = [F.col(entity_col)] + [
         F.col(f"__last_feat__.{c}").alias(c) for c in payload if c != ROW_ID_COL

@@ -487,13 +487,15 @@ class FeatureStore:
         strategy: str = "union",
         tolerance_seconds: float | None = None,
         bucket_seconds: int = 30 * 24 * 3600,
+        how: str = "inner",
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
         timestamp (reference store.py:261-334, SURVEY §2.3#4).
         ``tolerance_seconds`` optionally bounds the lookback window;
         ``strategy="union_bucketed"`` with ``bucket_seconds`` is the
-        hot-entity (skew) path — see operators/asof.py."""
+        hot-entity (skew) path; ``how="left"`` keeps unmatched spine rows
+        null-padded (Feast contract) — see operators/asof.py."""
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if columns is not None:
             self._validate_columns(name, columns)
@@ -504,6 +506,7 @@ class FeatureStore:
             strategy=strategy,
             tolerance_seconds=tolerance_seconds,
             bucket_seconds=bucket_seconds,
+            how=how,
         )
         out = project(out, columns)
         return out.drop(*HIDDEN_COLS)

@@ -163,6 +163,28 @@ def q_f7_asof_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of training set (Feast get_historical_features contract):
+    every (user x early grid date) spine row survives; users whose first
+    event is after the date carry NULL features instead of vanishing.
+    Same union strategy and single shuffle as f7 — only the final filter
+    differs (operators/asof.py how='left')."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-02",), ("2024-01-15",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    users = feats.select("entity_id").distinct()
+    spine = users.crossJoin(dates)
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True, how="left")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
 def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register v1 (full) + v2 (purchases only), then time-travel to v1.
     Oracle: v1 == the plain events projection."""
@@ -2505,6 +2527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq3_feature_drift": q_dq3_feature_drift,
     "t4b_winnow_sketch": q_t4b_winnow_sketch,
     "io6_schema_evolution": q_io6_schema_evolution,
+    "f7e_asof_left": q_f7e_asof_left,
 }
 
 
@@ -2765,6 +2788,21 @@ ORACLE_SQL: dict[str, str] = {
                    row_number() OVER (PARTITION BY s.user_id, s.sts
                                       ORDER BY f.ts DESC, f.event_id ASC) AS rn
             FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    """,
+    "f7e_asof_left": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-02'),
+                                    (TIMESTAMP '2024-01-15')) AS t(sts)),
+        s AS (SELECT DISTINCT user_id FROM f),
+        spine AS (SELECT s.user_id, g.sts FROM s CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine LEFT JOIN f
+              ON spine.user_id = f.user_id AND f.ts <= spine.sts
         ) WHERE rn = 1
     """,
     "f7_asof_join_grid": f"""

@@ -145,3 +145,66 @@ def test_tolerance_at_exact_bucket_edge(spark, strategy):
         spine, feats, strategy=strategy, tolerance_seconds=0.5, **kw
     ).collect()
     assert dropped == []
+
+
+@pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
+def test_left_asof_keeps_unmatched_spine_rows(spark, strategy):
+    """how='left': spine rows with no qualifying feature survive with
+    null features (Feast contract); matched rows identical to inner."""
+    import datetime as dt
+
+    from ml_feature_store_spark.operators.asof import asof_join
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    feats = spark.createDataFrame(
+        [("a", d(10), 1.0, 1), ("b", d(20), 2.0, 2)],
+        ["entity_id", "timestamp", "x", "__row_id__"],
+    )
+    spine = spark.createDataFrame(
+        [("a", d(5)), ("a", d(15)), ("b", d(25)), ("c", d(15))],
+        ["entity_id", "timestamp"],
+    )
+    out = {
+        (r["entity_id"], r["as_of_timestamp"]): (r["x"], r["timestamp"])
+        for r in asof_join(
+            spine, feats, strategy=strategy, keep_spine_ts=True, how="left"
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[("a", d(5))] == (None, None)     # before any feature
+    assert out[("c", d(15))] == (None, None)    # entity never seen
+    assert out[("a", d(15))] == (1.0, d(10))
+    assert out[("b", d(25))] == (2.0, d(20))
+
+    inner = asof_join(spine, feats, strategy=strategy, keep_spine_ts=True).collect()
+    assert {
+        (r["entity_id"], r["as_of_timestamp"]) for r in inner
+    } == {("a", d(15)), ("b", d(25))}
+
+
+@pytest.mark.parametrize("strategy", ["union", "join", "union_bucketed"])
+def test_left_asof_tolerance_pads_instead_of_drops(spark, strategy):
+    import datetime as dt
+
+    from ml_feature_store_spark.operators.asof import asof_join
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    feats = spark.createDataFrame(
+        [("a", d(1), 1.0, 1)], ["entity_id", "timestamp", "x", "__row_id__"]
+    )
+    spine = spark.createDataFrame(
+        [("a", d(2)), ("a", d(20))], ["entity_id", "timestamp"]
+    )
+    out = {
+        r["as_of_timestamp"]: (r["x"], r["timestamp"])
+        for r in asof_join(
+            spine,
+            feats,
+            strategy=strategy,
+            keep_spine_ts=True,
+            tolerance_seconds=3 * 24 * 3600,
+            how="left",
+        ).collect()
+    }
+    assert out[d(2)] == (1.0, d(1))      # within 3 days
+    assert out[d(20)] == (None, None)    # match exists but too old -> padded

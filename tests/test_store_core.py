@@ -688,3 +688,17 @@ class TestUpsertProperties:
         )
         want.update((e, day(d), float(v)) for e, d, v in patch)
         assert got == want
+
+
+class TestLeftTrainingSet:
+    def test_left_keeps_unmatched_spine(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_9", ts("2024-01-15"))],
+            ["entity_id", "timestamp"],
+        )
+        out = {
+            r["entity_id"]: r["feature_a"]
+            for r in store.get_training_set("f", spine, how="left").collect()
+        }
+        assert out == {"user_1": 2.0, "user_9": None}
