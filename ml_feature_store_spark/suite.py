@@ -185,6 +185,61 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hour-step exponential decay weights in integer micro-units, shared by
+# f15's Spark query and oracle: weight[h] = round(0.97^h * 1e6) for ages of
+# h whole hours, 7-day horizon. A Python-computed literal table makes the
+# decay BIT-EXACT on every engine (libm pow/exp differ in ulps across
+# engines; integer table lookups cannot).
+_DECAY_HOURS = 7 * 24
+_DECAY_MICRO = [int(round((0.97**h) * 1_000_000)) for h in range(_DECAY_HOURS + 1)]
+
+
+def q_f15_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed feature aggregation as-of each spine row (the
+    Chronon-style decayed counter): every event in the trailing 7 days
+    contributes value * 0.97^age_hours, with the decay curve as an
+    integer micro-unit lookup table so the whole aggregate is integer
+    arithmetic — order-independent and engine-exact (see _DECAY_MICRO).
+
+    Formulated as the band-bounded pairwise join (explosion bounded by
+    events-per-entity-per-7d, the same cost envelope as f13); at
+    streaming scale the factorized incremental form (decay the running
+    sum by the batch gap, add new terms) maintains the same quantity
+    without re-scanning the band."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("spine_id")
+    )
+    e = ev.alias("e")
+    s = spine.alias("s")
+    j = s.join(
+        e,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") <= F.col("s.ts"))
+        & (F.col("e.ts") > F.col("s.ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    age_h = F.floor(
+        (F.unix_micros(F.col("s.ts")) - F.unix_micros(F.col("e.ts")))
+        / F.lit(3_600_000_000)
+    ).cast("int")
+    wtab = F.expr("array(" + ",".join(str(w) for w in _DECAY_MICRO) + ")")
+    term = F.col("e.cents") * F.element_at(wtab, age_h + F.lit(1))
+    return j.groupBy(
+        F.col("s.user_id").alias("user_id"),
+        _US(F.col("s.ts")).alias("ts_us"),
+        F.col("s.spine_id").alias("spine_id"),
+    ).agg(
+        F.count(F.col("e.cents")).alias("n_events"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("decayed_micro"),
+    )
+
+
 def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register v1 (full) + v2 (purchases only), then time-travel to v1.
     Oracle: v1 == the plain events projection."""
@@ -2528,7 +2583,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t4b_winnow_sketch": q_t4b_winnow_sketch,
     "io6_schema_evolution": q_io6_schema_evolution,
     "f7e_asof_left": q_f7e_asof_left,
+    "f15_decayed_features": q_f15_decayed_features,
 }
+
+
+_F15_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+          WHERE event_id % 10 = 0),
+    w AS (SELECT * FROM (VALUES {", ".join(f"({h}, {wgt})" for h, wgt in enumerate(_DECAY_MICRO))})
+               AS t(h, wt))
+    SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+           CAST(COUNT(e.cents) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(e.cents * w.wt), 0) AS BIGINT) AS decayed_micro
+    FROM s LEFT JOIN ev e
+      ON e.user_id = s.user_id
+     AND e.ts <= s.ts
+     AND e.ts > s.ts - INTERVAL 7 DAY
+    LEFT JOIN w
+      ON w.h = CAST(floor((epoch_us(s.ts) - epoch_us(e.ts)) / 3600000000.0)
+                    AS INT)
+    GROUP BY s.user_id, s.ts, s.spine_id
+"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -3654,6 +3734,7 @@ ORACLE_SQL: dict[str, str] = {
          AND e.ts <= s.ts
         GROUP BY s.user_id, s.ts, s.spine_id
     """,
+    "f15_decayed_features": _F15_SQL,
     # incremental rollup == from-scratch aggregate over the full fact
     "h3_incremental_rollup": f"""
         SELECT event_type,
