@@ -2177,6 +2177,56 @@ def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("table", "query", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_s3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the documents corpus
+    (Okapi k1=1.2, b=0.75) — the lexical-search sibling of x16's TF-IDF
+    keywords. Per-(doc, term) scores are quantized to integer micro-units
+    before the per-doc sum (exact integer aggregation; the only float is
+    the per-term scalar, rounded the same way x16 does). Plan: one scan
+    explodes tokens; the 3-term postings and corpus stats are tiny
+    broadcasts; top-20 via TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    j = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    micro = F.floor(term_score * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(micro).alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_io6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet batches — the mid-stream producer
     upgrade case: batch 1 lacks the ``discount_pct`` column batch 2 adds.
@@ -2584,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io6_schema_evolution": q_io6_schema_evolution,
     "f7e_asof_left": q_f7e_asof_left,
     "f15_decayed_features": q_f15_decayed_features,
+    "s3_bm25_search": q_s3_bm25_search,
 }
 
 
@@ -4148,6 +4199,38 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["s3_bm25_search"] = """
+    WITH toks AS (
+        SELECT doc_id, u.token
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL unnest(t) AS u(token)
+        WHERE length(u.token) > 0
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE token IN ('table', 'query', 'scan')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM tf JOIN dfreq USING (token)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+"""
 
 ORACLE_SQL["io6_schema_evolution"] = """
     SELECT l_orderkey % 10 AS bucket,
