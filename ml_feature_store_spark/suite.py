@@ -1129,6 +1129,48 @@ def q_io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest accounting: a CSV feed where every row
+    whose event_id % 97 == 0 is corrupted (non-numeric id). PERMISSIVE
+    mode parses what it can, routes the rest to _corrupt_record, and the
+    aggregate reports good/corrupt counts plus sums over the clean rows —
+    the quarantine pattern every 100 TB ingest needs (fail-fast mode
+    would abort the whole feed for one bad producer)."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    # corrupt deterministically: event_id -> 'bad<id>' (unparseable long)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("bad"), "event_id"))
+            .otherwise(F.col("event_id").cast("string")),
+            F.col("user_id").cast("string"),
+            F.round(F.col("value"), 2).cast("string"),
+        ).alias("value")
+    )
+    d = _tf.mkdtemp(prefix="mlfs_badcsv_")
+    lines.coalesce(4).write.mode("overwrite").text(d)
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("event_id").isNotNull().cast("long")).alias("n_good"),
+        F.round(F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))), 2).alias(
+            "sum_good_value"
+        ),
+    )
+
+
 def q_h1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: hour/day/month continuous
     aggregates in ONE scan via GROUPING SETS over pre-truncated buckets
@@ -2635,6 +2677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7e_asof_left": q_f7e_asof_left,
     "f15_decayed_features": q_f15_decayed_features,
     "s3_bm25_search": q_s3_bm25_search,
+    "io7_corrupt_records": q_io7_corrupt_records,
 }
 
 
@@ -4199,6 +4242,17 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["io7_corrupt_records"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           ROUND(SUM(CASE WHEN event_id % 97 <> 0
+                          THEN round(value, 2) END), 2) AS sum_good_value
+    FROM ({_EV})
+"""
 
 ORACLE_SQL["s3_bm25_search"] = """
     WITH toks AS (
