@@ -185,6 +185,78 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a16_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the first `view` and whether
+    a `purchase` followed within 2 hours (plus the exact microsecond
+    time-to-convert). The product-analytics sequence query — stage
+    anchors via per-entity min-aggregates (map-side combined), then a
+    band-bounded left join exactly like f13/f16; no window over raw
+    events, no row explosion beyond purchases-per-2h."""
+    ev = table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    j = first_view.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("fv"))
+        & (F.col("b_ts") <= F.col("fv") + F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    agg = j.groupBy("user_id", "fv").agg(F.min("b_ts").alias("fb"))
+    return agg.select(
+        "user_id",
+        _US("fv").alias("first_view_us"),
+        F.col("fb").isNotNull().alias("converted"),
+        (_US("fb") - _US("fv")).alias("convert_us"),
+    )
+
+
+def q_f16_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe LABEL construction — the forward-window twin of the
+    as-of feature join: for each spine row, the label aggregates events
+    STRICTLY AFTER the spine timestamp within (t, t+7d] (did the user
+    purchase? how much?). Features look backward (f7/f13/f15), labels
+    look forward; together they make a training row with no time
+    leakage in either direction. Same band-join cost envelope as f13."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("spine_id")
+    )
+    e = ev.alias("e")
+    s = spine.alias("s")
+    j = s.join(
+        e,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") > F.col("s.ts"))
+        & (F.col("e.ts") <= F.col("s.ts") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    is_buy = F.col("e.event_type") == "purchase"
+    return j.groupBy(
+        F.col("s.user_id").alias("user_id"),
+        _US(F.col("s.ts")).alias("ts_us"),
+        F.col("s.spine_id").alias("spine_id"),
+    ).agg(
+        F.coalesce(F.sum(is_buy.cast("long")), F.lit(0)).alias("n_future_purchases"),
+        (F.coalesce(F.sum(is_buy.cast("long")), F.lit(0)) > 0).alias("label_converted"),
+        F.coalesce(F.sum(F.when(is_buy, F.col("e.cents"))), F.lit(0))
+        .cast("long")
+        .alias("future_purchase_cents"),
+    )
+
+
 # Hour-step exponential decay weights in integer micro-units, shared by
 # f15's Spark query and oracle: weight[h] = round(0.97^h * 1e6) for ages of
 # h whole hours, 7-day horizon. A Python-computed literal table makes the
@@ -2678,6 +2750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f15_decayed_features": q_f15_decayed_features,
     "s3_bm25_search": q_s3_bm25_search,
     "io7_corrupt_records": q_io7_corrupt_records,
+    "f16_label_window": q_f16_label_window,
+    "a16_funnel": q_a16_funnel,
 }
 
 
@@ -3829,6 +3903,47 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY s.user_id, s.ts, s.spine_id
     """,
     "f15_decayed_features": _F15_SQL,
+    "a16_funnel": f"""
+        WITH ev AS ({_EV}),
+        fv AS (SELECT user_id, MIN(ts) AS fv FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+        j AS (
+            SELECT fv.user_id, fv.fv, MIN(b.ts) AS fb
+            FROM fv LEFT JOIN ev b
+              ON b.user_id = fv.user_id
+             AND b.event_type = 'purchase'
+             AND b.ts > fv.fv
+             AND b.ts <= fv.fv + INTERVAL 2 HOUR
+            GROUP BY fv.user_id, fv.fv
+        )
+        SELECT user_id, epoch_us(fv) AS first_view_us,
+               fb IS NOT NULL AS converted,
+               epoch_us(fb) - epoch_us(fv) AS convert_us
+        FROM j
+    """,
+    "f16_label_window": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM ({_EV})
+        ),
+        s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+              WHERE event_id % 10 = 0)
+        SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_future_purchases,
+               COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN 1 ELSE 0 END), 0) > 0 AS label_converted,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                      THEN e.cents END), 0) AS BIGINT)
+                   AS future_purchase_cents
+        FROM s LEFT JOIN ev e
+          ON e.user_id = s.user_id
+         AND e.ts > s.ts
+         AND e.ts <= s.ts + INTERVAL 7 DAY
+        GROUP BY s.user_id, s.ts, s.spine_id
+    """,
     # incremental rollup == from-scratch aggregate over the full fact
     "h3_incremental_rollup": f"""
         SELECT event_type,
