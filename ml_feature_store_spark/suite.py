@@ -185,6 +185,57 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: each
+    (customer, part) purchase positive spawns k=3 candidate negatives
+    drawn from the part id space by a portable md5 hash (rand()-free:
+    retries, partitionings and engines all sample the SAME negatives),
+    then collisions with ANY true positive of that customer are
+    anti-joined away. Map-only candidate generation + one anti-join on
+    (customer, part) — at 100 TB both sides shuffle once on the pair
+    key. Output pins the sampled set per customer via order-independent
+    integer sums."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    maxp = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxp"))
+    cand = (
+        pos.crossJoin(F.broadcast(maxp))
+        .select(
+            "cust",
+            "part",
+            "maxp",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("i"),
+        )
+        .select(
+            "cust",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", "cust", "part", "i")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("maxp")
+                + 1
+            ).alias("neg_part"),
+        )
+    )
+    negs = cand.join(
+        pos.select("cust", F.col("part").alias("neg_part")), ["cust", "neg_part"], "left_anti"
+    )
+    return negs.groupBy("cust").agg(
+        F.count("*").alias("n_neg"),
+        F.sum("neg_part").alias("sum_neg_parts"),
+        F.countDistinct("neg_part").alias("n_distinct_neg"),
+    )
+
+
 def q_a16_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-funnel analysis: per user, the first `view` and whether
     a `purchase` followed within 2 hours (plus the exact microsecond
@@ -2752,6 +2803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io7_corrupt_records": q_io7_corrupt_records,
     "f16_label_window": q_f16_label_window,
     "a16_funnel": q_a16_funnel,
+    "x18_negative_sampling": q_x18_negative_sampling,
 }
 
 
@@ -3903,6 +3955,31 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY s.user_id, s.ts, s.spine_id
     """,
     "f15_decayed_features": _F15_SQL,
+    "x18_negative_sampling": """
+        WITH pos AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        mp AS (SELECT MAX(p_partkey) AS maxp FROM part),
+        cand AS (
+            SELECT p.cust,
+                   ('0x' || substr(md5(CAST(p.cust AS VARCHAR) || '-'
+                        || CAST(p.part AS VARCHAR) || '-'
+                        || CAST(g.i AS VARCHAR)), 1, 8))::BIGINT
+                       % mp.maxp + 1 AS neg_part
+            FROM pos p CROSS JOIN mp,
+                 LATERAL unnest([1, 2, 3]) AS g(i)
+        ),
+        negs AS (
+            SELECT c.cust, c.neg_part FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.cust = c.cust AND p.part = c.neg_part)
+        )
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_neg,
+               CAST(SUM(neg_part) AS BIGINT) AS sum_neg_parts,
+               CAST(COUNT(DISTINCT neg_part) AS BIGINT) AS n_distinct_neg
+        FROM negs GROUP BY cust
+    """,
     "a16_funnel": f"""
         WITH ev AS ({_EV}),
         fv AS (SELECT user_id, MIN(ts) AS fv FROM ev
