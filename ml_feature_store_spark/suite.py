@@ -185,6 +185,67 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL corpus-curation pipeline as ONE declarative plan — the
+    C4/Dolma reproduction flagship, chaining five stages the suite also
+    proves individually: (1) quality gate (>=30 tokens, distinct-token
+    ratio >=0.4), (2) exact dedup keep-first (md5 groupBy), (3) near-dup
+    clusters (MinHash-LSH candidates -> exact Jaccard >=0.5 -> connected
+    components) keeping the best-quality member, (4) decontamination
+    against the held-out slice (4-gram broadcast banlist), (5) md5 shard
+    deal. Output: per-shard manifests with order-independent id sums.
+    Every stage is shuffle-bounded exactly as its standalone query; the
+    oracle replays the entire chain in one WITH RECURSIVE statement."""
+    from .operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+        detect_contamination,
+        ngram_jaccard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+
+    toks = F.split(F.col("text"), " ")
+    uniq = F.size(F.array_distinct(toks)) / F.size(toks)
+    q1 = corpus.filter((F.size(toks) >= 30) & (uniq >= 0.4))
+
+    keep_first = q1.groupBy(F.md5("text").alias("__h__")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    q2 = q1.join(keep_first.select("doc_id"), "doc_id")
+
+    cand = dedup_minhash_lsh(q2, num_hashes=16, bands=4, hash_family="md5_affine")
+    edges = ngram_jaccard(q2, cand, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(edges)
+    members = comp.join(
+        q2.select("doc_id", uniq.alias("__uq__")), comp.node == F.col("doc_id")
+    )
+    w_keep = F.max_by(
+        "doc_id", F.struct(F.col("__uq__"), (-F.col("doc_id")).alias("n"))
+    )
+    kept = members.groupBy("component").agg(w_keep.alias("keep_id"))
+    drops = members.join(
+        kept, members.component == kept.component
+    ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    q3 = q2.join(drops, "doc_id", "left_anti")
+
+    hits = detect_contamination(q3, benchmark, shingle_k=4).select("doc_id")
+    q4 = q3.join(hits, "doc_id", "left_anti")
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 4
+    )
+    return q4.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_x18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommender training: each
     (customer, part) purchase positive spawns k=3 candidate negatives
@@ -2804,6 +2865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f16_label_window": q_f16_label_window,
     "a16_funnel": q_a16_funnel,
     "x18_negative_sampling": q_x18_negative_sampling,
+    "pipe3_curation_pipeline": q_pipe3_curation_pipeline,
 }
 
 
@@ -4098,8 +4160,14 @@ _MH_BANDS = "\n            UNION ALL ".join(
     )
     for b in range(4)
 )
+def _mh_ctes(source: str = "documents") -> str:
+    """The portable MinHash CTE chain against an arbitrary source
+    relation (pipe3 runs it on the already-filtered corpus)."""
+    return _MH_CTES.replace("FROM documents)", f"FROM {source})", 1)
+
+
 _MH_CTES = f"""
-        t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         sh AS (
             SELECT doc_id,
                    CASE WHEN len(tk) >= 3
@@ -4166,6 +4234,83 @@ ORACLE_SQL["pipe2_quality_dedup"] = f"""
            ROUND(MAX(uniq), 6) AS kept_uniq_ratio,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
     FROM sel GROUP BY component
+"""
+
+ORACLE_SQL["pipe3_curation_pipeline"] = f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 20 <> 0),
+    qual AS (
+        SELECT * FROM base
+        WHERE len(string_split(text, ' ')) >= 30
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.4
+    ),
+    keep_first AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+    corpus_clean AS (SELECT q.* FROM qual q JOIN keep_first USING (doc_id)),
+    {_mh_ctes("corpus_clean")},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    uq AS (SELECT doc_id,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS u
+           FROM corpus_clean),
+    ranked AS (
+        SELECT comp.component, comp.node,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY uq.u DESC, comp.node ASC) AS rk
+        FROM comp JOIN uq ON uq.doc_id = comp.node
+    ),
+    drops AS (SELECT node AS doc_id FROM ranked WHERE rk > 1),
+    q3 AS (SELECT c.* FROM corpus_clean c
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)),
+    bsh AS (
+        SELECT list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+              WHERE doc_id % 20 = 0)
+    ),
+    bset AS (SELECT DISTINCT u.s FROM bsh, LATERAL unnest(shs) AS u(s)),
+    q3sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM q3)
+    ),
+    hits AS (SELECT DISTINCT q.doc_id
+             FROM q3sh q, LATERAL unnest(q.shs) AS u(s)
+             JOIN bset b ON b.s = u.s),
+    final AS (SELECT * FROM q3
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM final GROUP BY 1
 """
 
 ORACLE_SQL["x6b_jaccard_verify"] = f"""
