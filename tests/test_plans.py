@@ -535,3 +535,22 @@ class TestRuntimeBloomFilter:
             for k, v in prev.items():
                 if v is not None:
                     spark.conf.set(k, v)
+
+
+class TestTrainingRowPlans:
+    def test_f15_f16_band_joins_are_equi_with_residual(self, spark):
+        """Decay features and label windows join on the entity key with
+        the time band as a residual — never a cross product or
+        nested-loop explosion."""
+        for name in ("f15_decayed_features", "f16_label_window"):
+            plan = executed_plan(QUERIES[name](spark, SF))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_pipe3_no_cross_products_anywhere(self, spark):
+        """Five chained curation stages, zero unbounded pair work: every
+        join in the composite plan is equi (band buckets, pair keys,
+        broadcast banlist)."""
+        plan = executed_plan(QUERIES["pipe3_curation_pipeline"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
