@@ -260,6 +260,37 @@ class FeatureStore:
         self._prune_history(name)
         return self.get_table_info(name)
 
+    def expire_features(
+        self, name: str, older_than, description: str = ""
+    ) -> FeatureTableInfo:
+        """Row-level TTL: new version = current rows with everything
+        strictly BEFORE ``older_than`` dropped — the retention/GDPR
+        primitive (row TTL, distinct from version retention's
+        ``max_versions``). Copy-on-write like every mutation here: the
+        pre-expiry version stays time-travelable until version retention
+        prunes it, which is the auditable behavior a regulated deployment
+        wants (expiry is a recorded event, not a silent rewrite).
+
+        The filter is the same pushdown-friendly predicate as ``get``'s
+        temporal filter, so with date partitioning the expired partitions
+        are pruned at file listing, not scanned."""
+        self._require_table(name)
+        cutoff = self._normalize_timestamp(older_than)
+        current = self._current(name)
+        visible = [c for c in current.columns if c not in HIDDEN_COLS]
+        kept = current.filter(F.col(TIMESTAMP_COL) >= F.lit(cutoff)).select(*visible)
+        row_count = kept.count()
+        if row_count == 0:
+            raise FeatureValidationError(
+                f"expire_features('{name}'): cutoff {cutoff} would drop every "
+                f"row — refusing to write an empty version."
+            )
+        prepared = self._prepare_dataframe(kept)
+        new_version = self._backend.meta(name).version + 1
+        self._backend.write_version(name, new_version, prepared, row_count, description)
+        self._prune_history(name)
+        return self.get_table_info(name)
+
     # ------------------------------------------------------------------ #
     # online serving view
     # ------------------------------------------------------------------ #

@@ -702,3 +702,27 @@ class TestLeftTrainingSet:
             for r in store.get_training_set("f", spine, how="left").collect()
         }
         assert out == {"user_1": 2.0, "user_9": None}
+
+
+class TestExpireFeatures:
+    def test_drops_old_rows_keeps_history(self, store, feature_df):
+        store.register("f", feature_df)
+        info = store.expire_features("f", ts("2024-01-10"))
+        assert info.version == 2
+        assert info.row_count == 3  # rows on/after 01-10: 01-15, 02-01, 01-20
+        # pre-expiry version still time-travelable
+        assert store.get_version("f", 1).count() == 5
+        # PIT get over the live version no longer sees expired rows
+        got = store.get("f", ["user_2"], ts("2024-01-10")).collect()
+        assert got == []
+
+    def test_refuses_to_empty_table(self, store, feature_df):
+        store.register("f", feature_df)
+        with pytest.raises(FeatureValidationError):
+            store.expire_features("f", ts("2030-01-01"))
+
+    def test_accepts_iso_string(self, store, feature_df):
+        store.register("f", feature_df)
+        info = store.expire_features("f", "2024-01-02")
+        # both entities' 2024-01-01 rows expire; 01-15, 01-20, 02-01 remain
+        assert info.row_count == 3
