@@ -154,6 +154,16 @@ COMMENT = {
         "corpus-side explode feeds a map-side BroadcastHashJoin — the "
         "corpus is never shuffled, only per-doc hit counts are."
     ),
+    "pipe3_curation_pipeline": (
+        "Five curation stages in one lazy plan: every join is equi "
+        "(LSH band buckets, pair keys, broadcast banlist), aggregations "
+        "partial — no stage pays more than its standalone query."
+    ),
+    "f16_label_window": (
+        "Forward-window label join: equi on the entity key, the (t, t+7d] "
+        "band as residual — explosion bounded by events-per-entity-per-7d, "
+        "the same envelope as f13's trailing features."
+    ),
     "x17_pq_ann": (
         "PQ-ANN query path: ONE map-only pass (per-subspace code argmin + "
         "m distance-table lookups, all integer expressions) into "
