@@ -185,6 +185,37 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x19_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@10 of the PQ index (x17) against
+    exact brute-force cosine ground truth (x1), self-match excluded.
+    The eval harness every ANN deployment needs before trusting the
+    approximate path; output is integer overlap counts so the check is
+    exact. At 100 TB: ground truth on a sampled query set, PQ on the
+    full corpus."""
+    from .operators.similarity import knn_brute_force, pq_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings").cache()
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    exact = (
+        knn_brute_force(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+        .select("vec_id")
+    )
+    approx = (
+        pq_ann_topk(emb, qvec, m=4, sub_dim=16, k_codes=16, k=11, iterations=1)
+        .filter(F.col("vec_id") != 0)
+        .orderBy("adist", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_overlap"),
+        (F.count("*") * 10).alias("recall_pct"),
+    )
+
+
 def q_pipe3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL corpus-curation pipeline as ONE declarative plan — the
     C4/Dolma reproduction flagship, chaining five stages the suite also
@@ -2866,6 +2897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a16_funnel": q_a16_funnel,
     "x18_negative_sampling": q_x18_negative_sampling,
     "pipe3_curation_pipeline": q_pipe3_curation_pipeline,
+    "x19_pq_recall": q_x19_pq_recall,
 }
 
 
@@ -4579,6 +4611,23 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["x19_pq_recall"] = f"""
+    SELECT 10 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+    FROM (
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+    ) ex
+    JOIN (
+        SELECT vec_id FROM ({_x17_sql(k=11)})
+        WHERE vec_id <> 0 ORDER BY adist, vec_id LIMIT 10
+    ) pq USING (vec_id)
+"""
 
 ORACLE_SQL["io7_corrupt_records"] = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
