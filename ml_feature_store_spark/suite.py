@@ -185,6 +185,37 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m6_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality corpus routing by MAGIC BYTES — the dispatch step a
+    multimodal lake needs before per-modality kernels (m1/m2/m5): inspect
+    the payload's leading bytes JVM-side (substring+hex on binary, no
+    UDF) and route to image/jpeg, image/png or audio/wav lanes. Payloads
+    here are synthesized with real magics (JPEG FFD8FF, PNG 89504E47,
+    RIFF) over utf-8 text bodies so the oracle can replay byte lengths
+    exactly; on real data the payload column comes from binaryFile or a
+    parquet binary column and nothing else changes."""
+    docs = table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes([0x89, 0x50, 0x4E, 0x47])))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    payload = F.concat(magic, F.encode("text", "utf-8"))
+    tagged = docs.select("doc_id", payload.alias("payload"))
+    pfx = F.hex(F.substring("payload", 1, 4))
+    modality = (
+        F.when(pfx.startswith("FFD8FF"), "image/jpeg")
+        .when(pfx == "89504E47", "image/png")
+        .when(pfx.startswith("52494646"), "audio/wav")
+        .otherwise("unknown")
+    )
+    return tagged.groupBy(modality.alias("modality")).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 def q_x19_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@10 of the PQ index (x17) against
     exact brute-force cosine ground truth (x1), self-match excluded.
@@ -2898,6 +2929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_negative_sampling": q_x18_negative_sampling,
     "pipe3_curation_pipeline": q_pipe3_curation_pipeline,
     "x19_pq_recall": q_x19_pq_recall,
+    "m6_modality_router": q_m6_modality_router,
 }
 
 
@@ -4611,6 +4643,19 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["m6_modality_router"] = """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'
+                           WHEN 1 THEN 'image/png'
+                           ELSE 'audio/wav' END AS modality,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(octet_length(CAST(text AS BLOB))
+                    + CASE doc_id % 3 WHEN 0 THEN 3 ELSE 4 END)
+                AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    GROUP BY 1
+"""
 
 ORACLE_SQL["x19_pq_recall"] = f"""
     SELECT 10 AS k,
