@@ -185,6 +185,31 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x20_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: corpus-wide adjacent token-pair
+    frequencies — the statistic every BPE merge iteration ranks on. The
+    pair construction is a JVM-side zip of the token array with its own
+    tail (no UDF, no shuffle until the count), then one partial-agg
+    count and a top-20 TakeOrderedAndProject. At 100 TB this is exactly
+    how you'd fit a tokenizer on the corpus: each merge round = one
+    such counting pass over (re-segmented) tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = docs.select(F.explode(pairs).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
 def q_m6_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality corpus routing by MAGIC BYTES — the dispatch step a
     multimodal lake needs before per-modality kernels (m1/m2/m5): inspect
@@ -2930,6 +2955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipe3_curation_pipeline": q_pipe3_curation_pipeline,
     "x19_pq_recall": q_x19_pq_recall,
     "m6_modality_router": q_m6_modality_router,
+    "x20_bpe_pair_counts": q_x20_bpe_pair_counts,
 }
 
 
@@ -4643,6 +4669,20 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["x20_bpe_pair_counts"] = """
+    WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    p AS (
+        SELECT u.pair
+        FROM (SELECT list_transform(generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1]) AS ps
+              FROM t WHERE len(tk) >= 2),
+             LATERAL unnest(ps) AS u(pair)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+"""
 
 ORACLE_SQL["m6_modality_router"] = """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'
