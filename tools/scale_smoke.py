@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "g2_pagerank",          # 2 shuffles/iter over an 8x edge list
     "shuf1_training_shards",  # hash-permutation window over 8x docs
     "b1_bucketed_join",     # bucketed write (8x data) + zero-exchange join
+    "f15_decayed_features",  # band join + integer decay-table aggregation
+    "f16_label_window",     # forward-window label band join
+    "s3_bm25_search",       # explode + broadcast postings + top-k
+    "x18_negative_sampling",  # hash draws + anti-join on the pair key
+    "x20_bpe_pair_counts",  # adjacent-pair zip + partial-agg count
+    "pipe3_curation_pipeline",  # 5-stage curation composite
 ]
 KEY_OFFSET = 100_000_000
 
