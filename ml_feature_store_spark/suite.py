@@ -185,6 +185,38 @@ def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq4_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across the star schema: orphan-row counts for
+    every foreign key (orders->customer, lineitem->orders/part/supplier)
+    as broadcast anti-join probes — the warehouse-wide integrity check a
+    lake runs after every load. Each constraint is one scan of the fact
+    with the (smaller) key side broadcast; counts are exact. Emitted as
+    one row per constraint so new constraints append without schema
+    change."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    checks = [
+        ("orders.o_custkey->customer", o, "o_custkey",
+         table(spark, sf_dir, "customer"), "c_custkey"),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         table(spark, sf_dir, "supplier"), "s_suppkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in checks:
+        orphans = fact.select(F.col(fk).alias("__k__")).join(
+            F.broadcast(dim.select(F.col(pk).alias("__k__"))), "__k__", "left_anti"
+        )
+        row = orphans.agg(
+            F.lit(name).alias("constraint"),
+            F.count("*").alias("n_orphans"),
+        ).crossJoin(fact.agg(F.count("*").alias("n_fact_rows")))
+        out = row if out is None else out.unionByName(row)
+    return out.select("constraint", "n_orphans", "n_fact_rows")
+
+
 def q_x20_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training, step one: corpus-wide adjacent token-pair
     frequencies — the statistic every BPE merge iteration ranks on. The
@@ -2956,6 +2988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_pq_recall": q_x19_pq_recall,
     "m6_modality_router": q_m6_modality_router,
     "x20_bpe_pair_counts": q_x20_bpe_pair_counts,
+    "dq4_referential_integrity": q_dq4_referential_integrity,
 }
 
 
@@ -4669,6 +4702,36 @@ def _x17_sql(
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["dq4_referential_integrity"] = """
+    SELECT 'orders.o_custkey->customer' AS constraint,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_fact_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
 
 ORACLE_SQL["x20_bpe_pair_counts"] = """
     WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
