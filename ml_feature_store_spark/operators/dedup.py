@@ -22,6 +22,8 @@ verification bounded by bucket size.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -305,29 +307,36 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    block_col: str | None = None,
+    block_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
-    With ``block_col`` (e.g. an LSH bucket or a label), the self-join is
-    restricted to blocks — mandatory at scale. Without it this is an exact
-    quadratic self-join: only for small/test data.
+    ``block_col`` (a column name or a list of them) restricts the
+    self-join to equal-key blocks — mandatory at scale, and the key must
+    have data-scaled cardinality: a low-cardinality key (e.g. a 10-value
+    label) only defers the quadratic, it does not remove it. The
+    scale-true recipe is a compound key ending in an LSH bucket from
+    :func:`..operators.similarity.rp_lsh_bucketize` (map-only,
+    deterministic, cardinality 2^bits regardless of corpus size), which
+    bounds every block at n/2^bits rows. Without any block key this is an
+    exact quadratic self-join: only for small/test data.
     """
     from ..functions.vector import dot, l2_norm
     from .util import ensure_parallelism
 
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col or [])
     emb = ensure_parallelism(emb)
     # norms once per vector BEFORE the self-join (a vector in p pairs would
     # otherwise recompute its norm p times); dot/(na*nb) stays bit-identical
     # to a per-pair cosine
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v__"),
-        *([F.col(block_col)] if block_col else []),
+        *[F.col(c) for c in blocks],
     ).withColumn("__n__", l2_norm(F.col("__v__")))
     a, b = e.alias("a"), e.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
         .withColumn(
