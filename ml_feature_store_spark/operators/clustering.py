@@ -181,24 +181,18 @@ def kmeans_quantized(
     seed_rows = q.orderBy(id_col).limit(k).collect()
     centroids = {i: [int(x) for x in r["__q__"]] for i, r in enumerate(seed_rows)}
     dim = len(next(iter(centroids.values())))
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        assigned = assign_clusters_int(q, centroids)
-        for _ in range(max_iter):
-            aggs = [F.count("*").alias("n")] + [
-                F.sum(F.element_at("__q__", i + 1)).alias(f"s{i}") for i in range(dim)
+    assigned = assign_clusters_int(q, centroids)
+    for _ in range(max_iter):
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.element_at("__q__", i + 1)).alias(f"s{i}") for i in range(dim)
+        ]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
+        new = {
+            r["cluster"]: [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(dim)
             ]
-            rows = assigned.groupBy("cluster").agg(*aggs).collect()
-            new = {
-                r["cluster"]: [
-                    int(math.floor(r[f"s{i}"] / r["n"])) for i in range(dim)
-                ]
-                for r in rows
-            }
-            centroids = {cid: new.get(cid, c) for cid, c in centroids.items()}
-            assigned = assign_clusters_int(q, centroids)
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+            for r in rows
+        }
+        centroids = {cid: new.get(cid, c) for cid, c in centroids.items()}
+        assigned = assign_clusters_int(q, centroids)
     return assigned, centroids

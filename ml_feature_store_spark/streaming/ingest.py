@@ -60,8 +60,15 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
 
     A one-off batch peek at the directory's footer picks the schema (file
     streams must declare one up front); the ns-long vintage gets the same
-    floor division the batch loader applies."""
-    ns_vintage = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    floor division the batch loader applies. An empty/not-yet-populated
+    source directory falls back to the us-timestamp schema so the stream
+    can start before the first file lands (files arriving later with the
+    ns vintage need a restart — schema is fixed at stream start by
+    design)."""
+    try:
+        ns_vintage = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    except Exception:
+        ns_vintage = False
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA if ns_vintage else EVENTS_SCHEMA_US)
         .option("maxFilesPerTrigger", 1)
@@ -250,6 +257,7 @@ def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
     key: str = "user_id",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment: join a live event stream against a static
     (batch) dimension/feature snapshot — the serving-side pattern for
@@ -257,8 +265,11 @@ def stream_static_enrich(
 
     Spark re-plans the static side EVERY micro-batch, so swapping the
     snapshot under the same path picks up new features without restarting
-    the query; with a broadcastable dim the per-batch join is map-side
-    (no stream shuffle). State: none — stream-static inner joins are
+    the query; with ``broadcast_dim`` (the default — right for dims that
+    fit the driver) the per-batch join is map-side, no stream shuffle.
+    Pass ``broadcast_dim=False`` for a large dimension table to avoid
+    force-broadcasting it (same escape hatch as pagerank's
+    ``broadcast_ranks``). State: none — stream-static inner joins are
     stateless, unlike stream-stream.
     """
-    return stream.join(F.broadcast(dim), key)
+    return stream.join(F.broadcast(dim) if broadcast_dim else dim, key)

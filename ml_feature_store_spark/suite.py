@@ -44,6 +44,23 @@ def ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch path for sink round-trips
+    and throwaway stores. Repeated bench/correctness runs reuse (wipe and
+    rewrite) the same directory instead of leaking a fresh mkdtemp per
+    invocation (round-2 advice). Not safe for two concurrent sessions
+    running the SAME query on the SAME sf_dir — the suite never does."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"{name}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -549,7 +566,7 @@ def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .store import FeatureStore
 
     feats = events_features(spark, sf_dir).drop("__row_id__")
-    fs = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_ver_"))
+    fs = FeatureStore(spark, storage_path=_scratch_dir("ver_store", sf_dir))
     fs.register("ev", feats)
     fs.register("ev", feats.filter(F.col("event_type") == "purchase"))
     v1 = fs.get_version("ev", 1)
@@ -1426,12 +1443,10 @@ def q_io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format coverage: project events, write CSV with a header,
     read it back with an explicit schema, aggregate. Proves the non-parquet
     I/O path end-to-end; the oracle sees only the logical result."""
-    import tempfile as _tf
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
     )
-    d = _tf.mkdtemp(prefix="mlfs_csv_")
+    d = _scratch_dir("io1_csv", sf_dir)
     ev.write.mode("overwrite").option("header", "true").csv(d)
     back = (
         spark.read.option("header", "true")
@@ -1453,8 +1468,6 @@ def q_io7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate reports good/corrupt counts plus sums over the clean rows —
     the quarantine pattern every 100 TB ingest needs (fail-fast mode
     would abort the whole feed for one bad producer)."""
-    import tempfile as _tf
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )
@@ -1468,7 +1481,7 @@ def q_io7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value"), 2).cast("string"),
         ).alias("value")
     )
-    d = _tf.mkdtemp(prefix="mlfs_badcsv_")
+    d = _scratch_dir("io7_badcsv", sf_dir)
     lines.coalesce(4).write.mode("overwrite").text(d)
     back = (
         spark.read.schema(
@@ -1512,10 +1525,8 @@ def q_io2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON source/sink coverage: write a projection as JSON lines, read it
     back with an explicit schema, aggregate. The props column round-trips
     as a raw JSON string and is re-parsed with get_json_object."""
-    import tempfile as _tf
-
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
-    d = _tf.mkdtemp(prefix="mlfs_json_")
+    d = _scratch_dir("io2_json", sf_dir)
     ev.write.mode("overwrite").json(d)
     back = (
         spark.read.schema("event_id long, user_id long, event_type string, props string")
@@ -1587,12 +1598,10 @@ def q_io3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source roundtrip (columnar alternative to parquet): project
     lineitem, write ORC, read back, aggregate. Predicate pushdown and
     column pruning work on the ORC reader the same as parquet."""
-    import tempfile as _tf
-
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
-    d = _tf.mkdtemp(prefix="mlfs_orc_")
+    d = _scratch_dir("io3_orc", sf_dir)
     li.write.mode("overwrite").orc(d)
     back = spark.read.orc(d).filter(F.col("l_quantity") >= 25)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
@@ -2018,7 +2027,7 @@ def q_f9_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value")
         ),
     )
-    fs = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_cdc_"))
+    fs = FeatureStore(spark, storage_path=_scratch_dir("cdc_store", sf_dir))
     fs.register("ev_cdc", v1)
     fs.register("ev_cdc", v2)
     d = fs.diff_versions("ev_cdc", 1, 2)
@@ -2128,10 +2137,8 @@ def q_io4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, read them back with spark.read.text, re-derive stats. The
     documents corpus is newline-free so lines == documents; proves the
     fourth non-parquet format end-to-end (CSV/JSON/ORC are io1-io3)."""
-    import tempfile as _tf
-
     docs = table(spark, sf_dir, "documents")
-    d = _tf.mkdtemp(prefix="mlfs_text_")
+    d = _scratch_dir("io4_text", sf_dir)
     docs.select("text").write.mode("overwrite").text(d)
     back = spark.read.text(d)
     return back.agg(
@@ -2598,10 +2605,8 @@ def q_io6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     default. At 100 TB this is why you never rewrite history for an
     additive schema change; per-file pruning and pushdown still work on
     the shared columns."""
-    import tempfile as _tf
-
     li = table(spark, sf_dir, "lineitem")
-    d = _tf.mkdtemp(prefix="mlfs_evo_")
+    d = _scratch_dir("io6_evo", sf_dir)
     li.filter(F.col("l_orderkey") % 2 == 0).select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     ).write.mode("overwrite").parquet(f"{d}/b1")
@@ -2866,10 +2871,8 @@ def q_io5_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan shows ``PartitionFilters: [... (event_type = purchase)]`` and the
     predicate never appears as a data filter. Mirrors the store's
     date-partition layout (sources/registry.py:174, store.py get())."""
-    import tempfile as _tf
-
     ev = table(spark, sf_dir, "events")
-    d = _tf.mkdtemp(prefix="mlfs_part_")
+    d = _scratch_dir("io5_part", sf_dir)
     ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
         "overwrite"
     ).partitionBy("event_type").parquet(d)
