@@ -23,9 +23,20 @@ two-exchange vertex-centric iteration.  ``iterations`` is a small
 constant (PageRank converges geometrically; rank ordering stabilizes
 after a handful of rounds).  localCheckpoint truncates the iterative
 lineage each round, the same pattern as connected_components.
-Dangling nodes (no out-edges) simply do not distribute — the simplified
-formulation without dangling-mass redistribution, stated in the output
-contract.
+Dangling nodes (no out-edges) do not distribute by default — the
+simplified formulation, stated in the output contract.  With
+``redistribute_dangling=True`` their pooled rank is shared uniformly
+(one extra scalar aggregate per iteration, broadcast back into the
+update), matching the textbook definition.
+
+Overflow bound: every per-edge contribution is ``<= scale`` after the
+first iteration and total rank mass stays ~``n_nodes * scale``, so the
+BIGINT sum into one dst is bounded by ``n_nodes * scale``.  Keep
+``n_nodes * scale < 2^62`` (one guard bit under the int64 limit): at the
+default ``scale=1e12`` that is ~4.6e6 nodes; for bigger graphs pass a
+smaller ``scale`` (rank resolution trades directly against node count).
+The redistribute path knows ``n_nodes`` and enforces the bound; the
+default path cannot without an extra count and documents it instead.
 """
 
 from __future__ import annotations
@@ -44,11 +55,19 @@ def pagerank(
     damping: float = 0.85,
     scale: int = 10**12,
     broadcast_ranks: bool = True,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
     Returns one row per node: ``(node, r)`` with ``r`` the scaled-integer
     rank after ``iterations`` rounds from a uniform ``scale`` start.
+
+    ``redistribute_dangling=True`` adds the textbook dangling-mass term:
+    each iteration pools the rank of no-out-edge nodes (one scalar
+    aggregate — a single row, crossJoin-broadcast back, never a shuffle
+    of the big sides) and every node receives ``floor(pool / n_nodes)``
+    extra incoming mass before damping.  Integer division keeps the
+    recurrence bit-identical across engines, same as the edge term.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -64,6 +83,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = int(math.floor((1 - damping) * scale))
+    if redistribute_dangling:
+        # Static across iterations: the no-out-edge node set and n.
+        dang = nodes.join(
+            e.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()
+        if n_nodes * scale >= 2**62:
+            raise ValueError(
+                f"n_nodes*scale = {n_nodes * scale} risks int64 overflow in "
+                f"per-dst contribution sums; pass scale <= {2**62 // n_nodes}"
+            )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     for it in range(iterations):
         r_side = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -74,12 +104,17 @@ def pagerank(
             .agg(F.sum("c").alias("s"))
         )
         c_side = F.broadcast(contrib) if broadcast_ranks else contrib
-        ranks = nodes.join(c_side, nodes.node == c_side["dst"], "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.floor(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)))
+        incoming = F.coalesce(F.col("s"), F.lit(0))
+        joined = nodes.join(c_side, nodes.node == c_side["dst"], "left")
+        if redistribute_dangling:
+            pool = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).alias("__pool__")
             )
+            joined = joined.crossJoin(F.broadcast(pool))
+            incoming = incoming + F.expr(f"__pool__ div {n_nodes}")
+        ranks = joined.select(
+            "node",
+            (F.lit(base) + F.floor(F.lit(damping) * incoming))
             .cast("long")
             .alias("r"),
         )

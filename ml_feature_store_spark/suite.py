@@ -2762,6 +2762,30 @@ def q_g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g2b_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with textbook dangling-mass redistribution over the same
+    customer->supplier graph as g2. Suppliers have no out-edges, so in g2
+    their rank simply leaks; here each iteration pools it (one scalar
+    aggregate, broadcast back) and every node receives floor(pool/n)
+    before damping — still all-integer, so the DuckDB oracle unrolls the
+    identical recurrence with the pool/n term added to each CTE
+    (operators/graph.py pagerank(redistribute_dangling=True))."""
+    from .operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85, redistribute_dangling=True)
+    return (
+        pr.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank"))
+    )
+
+
 def q_f14_multi_view_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feast/Chronon-style training set over TWO feature views: for each
     spine (entity, ts) row pick up the latest event-view features AND the
@@ -2991,6 +3015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f14_multi_view_training_set": q_f14_multi_view_training_set,
     "pipe2_quality_dedup": q_pipe2_quality_dedup,
     "g2_pagerank": q_g2_pagerank,
+    "g2b_pagerank_dangling": q_g2b_pagerank_dangling,
     "decon1_contamination": q_decon1_contamination,
     "a14_approx_percentile": q_a14_approx_percentile,
     "shuf1_training_shards": q_shuf1_training_shards,
@@ -4570,14 +4595,31 @@ ORACLE_SQL["b1_bucketed_join"] = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
 """
-def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> str:
+def _g2_sql(
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 10**12,
+    dangling: bool = False,
+) -> str:
     import math as _math
 
     base = int(_math.floor((1 - damping) * scale))
     iters = []
     prev = "r0"
     for i in range(1, iterations + 1):
+        pool_cte = f"""
+        p{i} AS (
+            SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS pool
+            FROM {prev} JOIN dang USING (node)
+        ),""" if dangling else ""
+        incoming = (
+            f"(COALESCE(c{i}.s, 0) + p{i}.pool // nn.n)"
+            if dangling
+            else f"COALESCE(c{i}.s, 0)"
+        )
+        tail = " CROSS JOIN p" + str(i) + " CROSS JOIN nn" if dangling else ""
         iters.append(f"""
+        {pool_cte}
         c{i} AS (
             SELECT e.dst AS node, CAST(SUM({prev}.r // d.deg) AS BIGINT) AS s
             FROM e JOIN d ON e.src = d.src
@@ -4586,11 +4628,15 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
         ),
         r{i} AS (
             SELECT n.node,
-                   CAST({base} + CAST(floor({damping!r} * COALESCE(c{i}.s, 0))
+                   CAST({base} + CAST(floor({damping!r} * {incoming})
                                       AS BIGINT) AS BIGINT) AS r
-            FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+            FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node{tail}
         )""")
         prev = f"r{i}"
+    dang_ctes = """
+        dang AS (SELECT node FROM nodes
+                 WHERE node NOT IN (SELECT src FROM e)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),""" if dangling else ""
     return f"""
         WITH e AS (
             SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -4598,7 +4644,7 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ),
         d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),{dang_ctes}
         r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
         {",".join(iters)}
         SELECT node, r AS rank FROM {prev}
@@ -4607,6 +4653,7 @@ def _g2_sql(iterations: int = 3, damping: float = 0.85, scale: int = 10**12) -> 
 
 
 ORACLE_SQL["g2_pagerank"] = _g2_sql()
+ORACLE_SQL["g2b_pagerank_dangling"] = _g2_sql(dangling=True)
 
 
 def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> str:
@@ -5055,6 +5102,7 @@ _ROUND_PRIORITY = [
     "pipe3_curation_pipeline", "x19_pq_recall", "m6_modality_router",
     "x20_bpe_pair_counts", "dq4_referential_integrity",
     "x2_similar_pairs", "x11_embedding_dedup", "x15_dedup_components",
+    "g2b_pagerank_dangling",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)
