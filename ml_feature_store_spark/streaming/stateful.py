@@ -34,6 +34,7 @@ RUNNING_STATE_SCHEMA = StructType(
         StructField("sum_value", DoubleType()),
         StructField("last_ts_us", LongType()),
         StructField("last_value", DoubleType()),
+        StructField("last_event_id", LongType()),
     ]
 )
 
@@ -44,6 +45,7 @@ RUNNING_OUTPUT_SCHEMA = StructType(
         StructField("sum_value", DoubleType()),
         StructField("last_ts_us", LongType()),
         StructField("last_value", DoubleType()),
+        StructField("last_event_id", LongType()),
     ]
 )
 
@@ -54,22 +56,26 @@ def _update_running(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's rows for one user into the running state and
-    emit the updated snapshot row."""
+    emit the updated snapshot row. The "last" row is the lexicographic max
+    of (ts_us, event_id) — event_id tie-breaks same-microsecond events, so
+    the fold is deterministic under any file/batch arrival order (the
+    batch-twin oracle replays it as a row_number window)."""
     if state.exists:
-        n, s, last_ts, last_v = state.get
+        n, s, last_ts, last_v, last_eid = state.get
     else:
-        n, s, last_ts, last_v = 0, 0.0, -1, float("nan")
+        n, s, last_ts, last_v, last_eid = 0, 0.0, -1, float("nan"), -1
     for pdf in pdfs:
         if pdf.empty:
             continue
         n += len(pdf)
         s += float(pdf["value"].sum())
-        # last = max event-time row within what we've seen so far
-        idx = pdf["ts_us"].idxmax()
-        if int(pdf["ts_us"].loc[idx]) >= last_ts:
-            last_ts = int(pdf["ts_us"].loc[idx])
+        # last = lexicographic max (ts_us, event_id) within this batch
+        idx = pdf.sort_values(["ts_us", "event_id"]).index[-1]
+        cand = (int(pdf["ts_us"].loc[idx]), int(pdf["event_id"].loc[idx]))
+        if cand >= (last_ts, last_eid):
+            last_ts, last_eid = cand
             last_v = float(pdf["value"].loc[idx])
-    state.update((n, s, last_ts, last_v))
+    state.update((n, s, last_ts, last_v, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -77,6 +83,7 @@ def _update_running(
             "sum_value": [s],
             "last_ts_us": [last_ts],
             "last_value": [last_v],
+            "last_event_id": [last_eid],
         }
     )
 
@@ -92,7 +99,7 @@ def streaming_running_features(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     prepped = events.select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
         _update_running,

@@ -560,6 +560,140 @@ def q_f15_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f15b_decayed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f15's decayed features through the BUCKETED band join
+    (operators/band.py): the shuffle key is (user_id, floor(ts/7d))
+    instead of user_id alone, so per-task work is bounded by two
+    band-widths of one user's history — the skew/working-set fix for
+    band joins at 100 TB (round-2 verdict item 4). Same semantics, same
+    oracle as f15; plan-gated to join on the bucket key."""
+    from .operators.band import band_join_bucketed
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", F.col("ets").alias("sts"), F.col("event_id").alias("spine_id")
+    )
+    j = band_join_bucketed(
+        spine,
+        ev.drop("event_id"),
+        keys="user_id",
+        spine_ts="sts",
+        event_ts="ets",
+        band_us=7 * 24 * 3_600_000_000,
+        direction="backward",
+    )
+    age_h = F.floor(
+        (F.unix_micros(F.col("sts")) - F.unix_micros(F.col("ets"))) / F.lit(3_600_000_000)
+    ).cast("int")
+    wtab = F.expr("array(" + ",".join(str(w) for w in _DECAY_MICRO) + ")")
+    term = F.col("cents") * F.element_at(wtab, age_h + F.lit(1))
+    return j.groupBy(
+        "user_id",
+        _US(F.col("sts")).alias("ts_us"),
+        "spine_id",
+    ).agg(
+        F.count(F.col("cents")).alias("n_events"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("decayed_micro"),
+    )
+
+
+def q_f16b_label_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f16's forward label window with NO JOIN AT ALL: the spine rows are
+    a subset of events, so a value-based range frame over ts_us —
+    rangeBetween(+1us, +7d] per user — computes every event's forward
+    purchase count/sum in ONE shuffle + sort, then the spine filter keeps
+    the label rows. Window-frame evaluation is incremental (the frame
+    slides; rows are added/removed from running aggregates), so the cost
+    is O(n log n) for the sort, NOT the band join's density² pair
+    generation — this is the true scale-out for label windows whose
+    aggregate is sum/count (f13's union trick, pointed forward). The
+    decay-table variant (f15) cannot ride one frame — its weight depends
+    on the spine-event age — which is why it gets the bucketed band join
+    instead. Same semantics, same oracle as f16."""
+    sev = 7 * 24 * 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(1, sev)
+    is_buy = (F.col("event_type") == "purchase").cast("long")
+    n_buys = F.coalesce(F.sum(is_buy).over(w), F.lit(0))
+    buy_cents = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))).over(w), F.lit(0)
+    )
+    out = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        n_buys.alias("n_future_purchases"),
+        (n_buys > 0).alias("label_converted"),
+        buy_cents.cast("long").alias("future_purchase_cents"),
+    ).filter(F.col("event_id") % 10 == 0)
+    return out.select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("spine_id"),
+        "n_future_purchases",
+        "label_converted",
+        "future_purchase_cents",
+    )
+
+
+def q_sd2_running_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible witness for the applyInPandasWithState running-
+    features operator (streaming/stateful.py): the events are split into
+    two parquet files (event_id parity) and streamed through the REAL
+    stateful fold with maxFilesPerTrigger=1 — two micro-batches with
+    state carry-over — into a memory sink; the final per-user snapshot
+    (highest running count) is returned. Every accumulated quantity is
+    deterministic: values are integer cents in doubles (sums exact below
+    2^53, order-free) and the "last" row tie-breaks on (ts_us, event_id),
+    so the DuckDB oracle replays the fold as one batch groupBy + a
+    row_number window — the round-2 verdict's missing oracle-checked twin
+    for the stateful streaming surface."""
+    from .streaming.ingest import stream_events
+    from .streaming.stateful import streaming_running_features
+
+    d = _scratch_dir("sd2_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("value"),
+        "props",
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    stream = stream_events(spark, d)
+    q = (
+        streaming_running_features(stream)
+        .writeStream.format("memory")
+        .queryName("sd2_running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd2_running")
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_cents"),
+        F.max_by("last_ts_us", "n_events").alias("last_ts_us"),
+        F.max_by("last_value", "n_events").alias("last_cents"),
+        F.max_by("last_event_id", "n_events").alias("last_event_id"),
+    )
+
+
 def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register v1 (full) + v2 (purchases only), then time-travel to v1.
     Oracle: v1 == the plain events projection."""
@@ -3025,9 +3159,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io6_schema_evolution": q_io6_schema_evolution,
     "f7e_asof_left": q_f7e_asof_left,
     "f15_decayed_features": q_f15_decayed_features,
+    "f15b_decayed_bucketed": q_f15b_decayed_bucketed,
+    "sd2_running_state_snapshot": q_sd2_running_state_snapshot,
     "s3_bm25_search": q_s3_bm25_search,
     "io7_corrupt_records": q_io7_corrupt_records,
     "f16_label_window": q_f16_label_window,
+    "f16b_label_window_frames": q_f16b_label_window_frames,
     "a16_funnel": q_a16_funnel,
     "x18_negative_sampling": q_x18_negative_sampling,
     "pipe3_curation_pipeline": q_pipe3_curation_pipeline,
@@ -4655,6 +4792,38 @@ def _g2_sql(
 ORACLE_SQL["g2_pagerank"] = _g2_sql()
 ORACLE_SQL["g2b_pagerank_dangling"] = _g2_sql(dangling=True)
 
+# Same semantics as their parent queries, different physical plans (the
+# bucketed band join / the join-free range-frame window) — the oracle is
+# identical; what differs is plan-gated in tests/test_plans.py.
+ORACLE_SQL["f15b_decayed_bucketed"] = _F15_SQL
+ORACLE_SQL["f16b_label_window_frames"] = ORACLE_SQL["f16_label_window"]
+
+# Batch replay of the deterministic stateful streaming fold: cumulative
+# count/sum (integer cents — exact in doubles) + last row by (ts_us,
+# event_id). The Spark side runs the REAL applyInPandasWithState stream.
+ORACLE_SQL["sd2_running_state_snapshot"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100 + 0.5) AS DOUBLE) AS cents
+        FROM ({_EV})
+    ),
+    agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(cents) AS sum_cents
+        FROM ev GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, ts_us, cents, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM ev
+    )
+    SELECT a.user_id, a.n_events, a.sum_cents,
+           r.ts_us AS last_ts_us, r.cents AS last_cents,
+           r.event_id AS last_event_id
+    FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+"""
+
 
 def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> str:
     """Integer-Lloyd oracle: replays kmeans_quantized exactly. Assignment
@@ -5102,7 +5271,8 @@ _ROUND_PRIORITY = [
     "pipe3_curation_pipeline", "x19_pq_recall", "m6_modality_router",
     "x20_bpe_pair_counts", "dq4_referential_integrity",
     "x2_similar_pairs", "x11_embedding_dedup", "x15_dedup_components",
-    "g2b_pagerank_dangling",
+    "g2b_pagerank_dangling", "f15b_decayed_bucketed",
+    "f16b_label_window_frames", "sd2_running_state_snapshot",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

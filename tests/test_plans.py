@@ -364,6 +364,32 @@ class TestNewSurfacePlans:
         assert "label" in join_line
         assert "bucket" in join_line
 
+    def test_f15b_band_join_keyed_on_time_bucket(self, spark):
+        # the bucketed band join must shuffle on (user_id, band bucket),
+        # not user_id alone — the bucket in the key is what bounds a hot
+        # user's task to two band-widths of history instead of all of it
+        df = QUERIES["f15b_decayed_bucketed"](spark, SF)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        import re
+
+        join_line = next(
+            line
+            for line in plan.splitlines()
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", line)
+        )
+        assert "user_id" in join_line
+        assert "__band_bucket__" in join_line
+
+    def test_f16b_label_window_no_join_one_shuffle(self, spark):
+        # forward label window as a range frame: no join operator, one
+        # exchange (the window's user_id partition)
+        df = QUERIES["f16b_label_window_frames"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan
+        assert shuffle_count(df) == 1
+
     def test_x2_similar_pairs_blocked_on_bucket(self, spark):
         # same gate for the declared pair-similarity query
         df = QUERIES["x2_similar_pairs"](spark, SF)

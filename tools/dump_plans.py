@@ -113,9 +113,30 @@ COMMENT = {
         "project: zero exchanges; chunk extraction stays in codegen."
     ),
     "x11_embedding_dedup": (
-        "Blocked near-dup self-join: the join HASHES ON THE BLOCK KEY "
-        "(label) with vec_id< and the cosine threshold as residuals — "
-        "work bounded by block size, never |n|^2."
+        "Blocked near-dup self-join: the join HASHES ON THE COMPOUND "
+        "BLOCK KEY (label, sign-LSH bucket) with vec_id< and the cosine "
+        "threshold as residuals. The bucket makes the key's cardinality "
+        "data-scaled (2^bits, label alone is 10 values) — work bounded "
+        "by n/(10*2^bits) per block, never |n|^2 or a deferred |n/10|^2."
+    ),
+    "f15b_decayed_bucketed": (
+        "Bucketed band join: shuffle key is (user_id, floor(ts/7d)) — "
+        "the spine explodes to its 2 adjacent buckets, events partition "
+        "by their own bucket, band predicate is a residual. A hot user's "
+        "task is bounded by two band-widths of history, not all of it."
+    ),
+    "f16b_label_window_frames": (
+        "Label window with NO JOIN: value-based range frame (+1us, +7d] "
+        "over ts_us per user — one exchange + sort; frame evaluation is "
+        "incremental, so cost is sort-bound, not the band join's "
+        "density^2 pair generation."
+    ),
+    "g2b_pagerank_dangling": (
+        "PageRank + dangling-mass term (final iteration shown): the "
+        "per-iteration pool is ONE scalar aggregate crossJoin-broadcast "
+        "back into the rank update — the edge list and rank vector "
+        "shuffles are identical to g2's; textbook semantics cost one "
+        "extra single-row exchange per round."
     ),
     "a4_approx_distinct": (
         "approx_count_distinct + exact twin in one pass: both aggregates "
@@ -202,6 +223,29 @@ def main() -> None:
     for name, note in COMMENT.items():
         plan = executed_plan(QUERIES[name](spark, SF))
         out.append(f"## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+
+    # Serving-path read (not a suite query — needs store setup): the plan
+    # backing bench.py's online1_point_read row and BASELINE.md's
+    # "flat in history length" claim.
+    import tempfile
+
+    from ml_feature_store_spark.store import FeatureStore
+    from ml_feature_store_spark.suite import events_features
+
+    feats = events_features(spark, SF).drop("__row_id__")
+    fs = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="plans_online_"))
+    fs.register("ev", feats)
+    fs.materialize_online("ev")
+    plan = executed_plan(fs.get_online("ev", [0, 1, 2, 3, 4]))
+    out.append(
+        "## online1_point_read (get_online serving read)\n\n"
+        "Serving read over the materialized latest-per-entity snapshot: a "
+        "scan of ONE row per entity with the IN-list in PushedFilters — no "
+        "time filter, no window, no history. Cost is the job floor + "
+        "|entities| at any history length; history-length independence is "
+        "what materialize_online buys.\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
     Path("PLANS.md").write_text("\n".join(out))
     print("wrote PLANS.md")
 

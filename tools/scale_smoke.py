@@ -59,7 +59,10 @@ BENCH_QUERIES = [
     "shuf1_training_shards",  # hash-permutation window over 8x docs
     "b1_bucketed_join",     # bucketed write (8x data) + zero-exchange join
     "f15_decayed_features",  # band join + integer decay-table aggregation
+    "f15b_decayed_bucketed",  # same, shuffled on (user, time-bucket)
     "f16_label_window",     # forward-window label band join
+    "f16b_label_window_frames",  # same semantics, join-free range frame
+    "g2b_pagerank_dangling",  # pagerank + per-iter dangling-mass scalar
     "s3_bm25_search",       # explode + broadcast postings + top-k
     "x18_negative_sampling",  # hash draws + anti-join on the pair key
     "x20_bpe_pair_counts",  # adjacent-pair zip + partial-agg count
