@@ -1,0 +1,125 @@
+"""Feature-encoding operators for training pipelines.
+
+The reference engine stores features but offers no encoders (store.py is
+the whole engine); a feature platform at 100 TB needs the two workhorse
+categorical encoders, built so that they are (a) leakage-safe and (b)
+deterministic across engines, partitionings and runs:
+
+* ``target_encode_loo`` — leave-one-out target (mean) encoding. Naive
+  target encoding leaks the row's own label into its feature; the LOO
+  form subtracts the row's own contribution: ``(sum - own) / (count-1)``.
+  Exactness strategy: the target is quantized to integer units (cents)
+  BEFORE aggregation so the group sums are order-independent BIGINTs,
+  and the encoded value is emitted as an integer-scaled ratio
+  (``floor((sum-own)*10^4 / (cnt-1))``) — bit-identical in any engine,
+  no float summation anywhere. Plan shape: one partial-agg shuffle on
+  the (tiny) category key to build the stats dim, then a BROADCAST join
+  back — the fact table is never shuffled, the encode is map-side.
+
+* ``feature_hash`` — the hashing trick (Weinberger et al., ICML'09):
+  project arbitrary-cardinality categoricals into a fixed ``n_buckets``
+  signed vector. Bucket and sign are pure functions of md5 of
+  ``"<col>=<value>"`` (same portable family as sampling.hash_uniform),
+  so the vector is reproducible in any engine and stable under backfill.
+  Entirely map-only — no shuffle, no vocabulary build, no state — which
+  is the whole point of the trick at 100 TB: new category values need
+  no coordination.
+
+Overflow bounds (documented, checked by tests): target_encode_loo needs
+``sum(|target|*scale) * ratio_scale < 2^63`` per category — with cents
+(scale=100) and ratio_scale=10^4 that allows ~9.2e12 total target units
+per category, i.e. ~$92B per category group; raise to a two-level
+aggregate if a category can exceed it.
+
+Reference parity: none — extension operator (SURVEY.md §2.4 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_uniform
+
+_RATIO_SCALE = 10_000  # 4 implied decimal places in the encoded ratio
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    *,
+    target_scale: int = 100,
+    out_col: str = "te_loo_e4",
+) -> DataFrame:
+    """Leave-one-out target encoding, integer-exact.
+
+    Adds ``out_col`` = floor((cat_sum - own) * 10^4 / (cat_count - 1))
+    in integer target units (``target_scale`` units per 1.0 of the
+    target; 100 = cents), plus ``cat_count``. Rows in singleton
+    categories (count==1) get NULL — there is no leave-one-out mean to
+    speak of, and emitting the global mean silently would hide the
+    cold-start case the consumer must handle.
+
+    Plan: groupBy(category) partial-aggregates map-side into a dim of
+    |categories| rows, broadcast back onto the fact. The fact table is
+    never shuffled.
+    """
+    units = F.round(F.col(target_col) * target_scale).cast("long")
+    with_units = df.withColumn("__t_units__", units)
+    stats = with_units.groupBy(category_col).agg(
+        F.sum("__t_units__").alias("__cat_sum__"),
+        F.count("*").alias("cat_count"),
+    )
+    joined = with_units.join(F.broadcast(stats), category_col)
+    # Integer DIV, not float '/': the numerator can exceed 2^53 at scale
+    # (where doubles drop low bits); BIGINT division is exact at any size.
+    loo = F.when(
+        F.col("cat_count") > 1,
+        F.expr(
+            f"(__cat_sum__ - __t_units__) * {_RATIO_SCALE}L DIV (cat_count - 1)"
+        ),
+    )
+    return joined.withColumn(out_col, loo).drop("__t_units__", "__cat_sum__")
+
+
+def feature_hash(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    n_buckets: int = 16,
+    out_col: str = "fhash",
+) -> DataFrame:
+    """Hashing-trick projection of categorical columns into a fixed
+    signed integer vector of length ``n_buckets``.
+
+    For each feature column f with value v, ``u = hash_uniform(f"=v")``;
+    bucket ``u % n_buckets`` receives sign ``+1`` if bit 59 of u is 0
+    else ``-1`` (a bit independent of the low modulus bits). The output
+    vector element b is the sum of signs of features landing in b —
+    exactly the sparse random projection the hashing trick defines,
+    collision-tolerant by construction.
+
+    Map-only: every element is a codegen-resident CASE chain; no
+    vocabulary, no shuffle, no UDF. NULL feature values contribute
+    nothing (skip, not a "NULL" category — hash_uniform of NULL is NULL
+    and the CASE falls through to 0).
+    """
+    per_feat = [
+        (hash_uniform(F.concat(F.lit(c + "="), F.col(c).cast("string"))),)
+        for c in cols
+    ]
+    elems = []
+    for b in range(n_buckets):
+        contrib = [
+            F.when(
+                u % n_buckets == b,
+                F.when(F.shiftright(u, 59) % 2 == 0, 1).otherwise(-1),
+            ).otherwise(0)
+            for (u,) in per_feat
+        ]
+        total = contrib[0]
+        for c in contrib[1:]:
+            total = total + c
+        elems.append(total.cast("long"))
+    return df.withColumn(out_col, F.array(*elems))

@@ -124,3 +124,37 @@ def pagerank(
         if it < iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given as a directed edge
+    list (any orientation, duplicates allowed). Returns one row
+    ``(n_edges, n_triangles)``.
+
+    Algorithm: canonicalize each edge to (lo, hi) with lo < hi and
+    dedupe, then enumerate each triangle exactly once via the ordered
+    two-join: wedge (a<b) x (b<c) closed by (a<c). Self-loops vanish in
+    canonicalization (lo < hi strict).
+
+    Scale shape: the two joins shuffle on a single vertex key each and
+    the candidate set is sum-of-degree-squared over the wedge pivot.
+    The production refinement at 100 TB is degree ordering (orient each
+    edge from the lower-degree endpoint so the pivot is always the
+    lower-degree vertex — cuts the wedge count to O(m^1.5)); that is a
+    degree-table broadcast away from this plan and changes nothing
+    semantically, so the portable form stays join-on-vertex-id. AQE
+    handles the Zipf-hub skew on the pivot key at runtime."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )

@@ -276,3 +276,40 @@ def rolling_hash_fingerprint(
         hashes = F.transform(sh, lambda s: F.xxhash64(s))
     sketch = F.slice(F.array_sort(hashes), 1, keep)
     return df.withColumn("sketch", sketch)
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token n-gram count table — the KenLM-style statistic that language
+    model smoothing, contamination screens and collocation mining all
+    start from. Returns (gram, cnt) for whitespace tokens.
+
+    Plan shape: one scan; the shingle list is built per-row with
+    higher-order functions (sequence + transform + slice — JVM codegen,
+    no UDF), exploded, then counted with map-side partial aggregation,
+    so the shuffle carries (gram, partial_count), not raw grams. At
+    100 TB the gram key space is Zipf-skewed but partial agg collapses
+    the head before the exchange — the same reason word-count scales.
+    The n=1 case degenerates to a vocabulary count table."""
+    toks = F.split(F.lower(F.col(text_col)) if lowercase else F.col(text_col), " ")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    # Guard short docs explicitly: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], not an empty list, so the start-position list
+    # must only be built when at least one full n-gram fits.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -3042,6 +3042,191 @@ def q_io5_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fe1_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority by o_totalprice
+    (operators/encoding.py target_encode_loo) — the leakage-safe mean
+    encoder every tabular training pipeline needs. Integer-exact: target
+    quantized to cents before aggregation (order-independent BIGINT
+    sums), encode emitted as a 4-implied-decimal integer ratio via
+    BIGINT DIV. Plan: tiny category dim built with one partial-agg
+    shuffle, broadcast back; the fact table is never shuffled. The
+    reference has no encoder surface at all (store.py is storage only) —
+    §2.4 extension family."""
+    from .operators.encoding import target_encode_loo
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode_loo(o, "o_orderpriority", "o_totalprice")
+    return out.select("o_orderkey", "o_orderpriority", "cat_count", "te_loo_e4")
+
+
+def q_fe2_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick projection (operators/encoding.py feature_hash) of
+    (event_type, props) into a signed 16-bucket vector. Bucket and sign
+    are md5-derived (sampling.py portable family), so the DuckDB oracle
+    rebuilds every element with the same expressions. Map-only: no
+    vocabulary build, no shuffle — the property that makes the trick the
+    right categorical encoder at 100 TB."""
+    from .operators.encoding import feature_hash
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    out = feature_hash(ev, ["event_type", "props"], n_buckets=16)
+    return out.select("event_id", "fhash")
+
+
+def q_t9_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram count table over the documents corpus (operators/text.py
+    ngram_counts) — the KenLM-style LM statistic. One scan, higher-order
+    shingle build (no UDF), explode, map-side partial agg so the shuffle
+    carries (gram, partial_count); top-30 with a deterministic
+    tie-break."""
+    from .operators.text import ngram_counts
+
+    docs = table(spark, sf_dir, "documents")
+    out = ngram_counts(docs, "text", n=3)
+    return out.orderBy(F.col("cnt").desc(), "gram").limit(30)
+
+
+def q_t10_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: bigrams scored by the integer-scaled PMI
+    ratio c_xy * N * 10^4 DIV (c_x * c_y) — monotone in textbook PMI
+    (the log is monotone) but BIGINT-exact end to end, so no float
+    aggregation anywhere. Plan: one corpus scan feeds both count tables;
+    unigram counts broadcast onto the min-support-filtered bigrams (at
+    100 TB the broadcast side is the head vocabulary after the same
+    min-count cut; shuffle-join fallback if a tokenizer explodes it).
+    Overflow bound: c_xy * N * 10^4 < 2^63 — holds to ~9e14 token
+    corpora for head bigrams; shift the 10^4 into the divisor past
+    that."""
+    from .operators.text import ngram_counts
+
+    docs = table(spark, sf_dir, "documents")
+    uni = ngram_counts(docs, "text", n=1)
+    bi = ngram_counts(docs, "text", n=2).filter(F.col("cnt") >= 5)
+    n_total = uni.agg(F.sum("cnt").alias("n_tokens"))
+    w = bi.select(
+        "gram",
+        F.col("cnt").alias("c_xy"),
+        F.split("gram", " ").getItem(0).alias("x"),
+        F.split("gram", " ").getItem(1).alias("y"),
+    )
+    ux = uni.select(F.col("gram").alias("x"), F.col("cnt").alias("c_x"))
+    uy = uni.select(F.col("gram").alias("y"), F.col("cnt").alias("c_y"))
+    out = (
+        w.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "pmi_ratio_e4", F.expr("(c_xy * n_tokens * 10000) DIV (c_x * c_y)")
+        )
+    )
+    return out.select("gram", "c_xy", "c_x", "c_y", "pmi_ratio_e4").orderBy(
+        F.col("pmi_ratio_e4").desc(), "gram"
+    ).limit(20)
+
+
+def q_g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (operators/graph.py triangle_count) over the 1995
+    co-purchase graph: parts are adjacent when they share an order. Pair
+    generation is bounded per order (a handful of lineitems each), dedup
+    canonicalizes to lo<hi edges, and the ordered two-join enumerates
+    each triangle once. The graph-curation sibling of g2's PageRank and
+    x15's connected components."""
+    from .operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(edges)
+
+
+def q_a17_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance structure of the first 8 embedding dimensions — the
+    single pass that feeds a driver-side PCA/whitening solve (the d x d
+    Gram matrix is tiny; the data scan is the cost). Values quantized to
+    integer milliunits FIRST, so every sum is an order-independent
+    BIGINT and the emitted scaled covariance numerator
+    n*sum(qi*qj) - sum(qi)*sum(qj) is exact. One scan, 45 codegen
+    aggregates, no shuffle of rows (partial agg to one row), stack() to
+    tidy (i, j) form. Overflow bound: n^2 * maxq^2 < 2^63 -> n ~< 3e6 at
+    |q|<=1000; beyond that, shard the pass (sum pairs are mergeable) or
+    drop quantization scale."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        *[
+            F.floor(F.col("embedding").getItem(i).cast("double") * 1000)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(8)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"q{i}").alias(f"s{i}") for i in range(8)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    row = emb.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), p{i}_{j} * n - s{i} * s{j}"
+        for i in range(8)
+        for j in range(i, 8)
+    )
+    return row.select(
+        F.expr(f"stack(36, {stack_args}) AS (i, j, cov_num)"), "n"
+    )
+
+
+def q_rag1_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): fuse the
+    BM25 lexical arm (s3's scorer) with the dense cosine arm (x1's
+    scorer, doc_id==vec_id) and rank by the summed integer RRF score
+    1e6 DIV (60+rank) — ranks are exact integers, so fusion is
+    BIGINT-exact. The standard RAG retrieval pattern. Plan: both arms
+    are top-20 TakeOrderedAndProject reductions; the fusion full-outer
+    join touches <=40 rows regardless of corpus size."""
+    bm = q_s3_bm25_search(spark, sf_dir).select("doc_id", "score_micro")
+    bmr = bm.withColumn(
+        "r_lex",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "r_lex")
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim", _cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    semr = sem.withColumn(
+        "r_sem",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "vec_id"))
+        .cast("long"),
+    ).select(F.col("vec_id").alias("doc_id"), "r_sem")
+
+    fused = bmr.join(semr, "doc_id", "full_outer").withColumn(
+        "rrf_e6",
+        F.coalesce(F.expr("1000000 DIV (60 + r_lex)"), F.lit(0))
+        + F.coalesce(F.expr("1000000 DIV (60 + r_sem)"), F.lit(0)),
+    )
+    return (
+        fused.select("doc_id", "r_lex", "r_sem", "rrf_e6")
+        .orderBy(F.col("rrf_e6").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -3161,6 +3346,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f15_decayed_features": q_f15_decayed_features,
     "f15b_decayed_bucketed": q_f15b_decayed_bucketed,
     "sd2_running_state_snapshot": q_sd2_running_state_snapshot,
+    "fe1_target_encoding": q_fe1_target_encoding,
+    "fe2_feature_hash": q_fe2_feature_hash,
+    "t9_ngram_counts": q_t9_ngram_counts,
+    "t10_pmi_collocations": q_t10_pmi_collocations,
+    "g3_triangle_count": q_g3_triangle_count,
+    "a17_covariance_matrix": q_a17_covariance_matrix,
+    "rag1_hybrid_search": q_rag1_hybrid_search,
     "s3_bm25_search": q_s3_bm25_search,
     "io7_corrupt_records": q_io7_corrupt_records,
     "f16_label_window": q_f16_label_window,
@@ -5243,6 +5435,160 @@ ORACLE_SQL["io5_partitioned_pruning"] = f"""
 
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
+# fe1: the cents quantization makes every sum an order-independent BIGINT;
+# '//' is DuckDB's integer floor-div (positive operands -> same as Spark DIV).
+ORACLE_SQL["fe1_target_encoding"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS t
+        FROM orders
+    ), s AS (
+        SELECT o_orderkey, o_orderpriority, t,
+               SUM(t) OVER (PARTITION BY o_orderpriority) AS cs,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_count
+        FROM u
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(cat_count AS BIGINT) AS cat_count,
+           CASE WHEN cat_count > 1
+                THEN CAST((cs - t) * 10000 // (cat_count - 1) AS BIGINT)
+           END AS te_loo_e4
+    FROM s
+"""
+
+
+def _fh_oracle_elem(bucket: int, cols: list[str]) -> str:
+    """One element of the feature-hash vector: same md5-derived bucket and
+    sign-bit expressions as operators/encoding.py feature_hash."""
+    terms = []
+    for c in cols:
+        u = (
+            f"CAST(('0x' || substr(md5('{c}=' || CAST({c} AS VARCHAR)), 1, 15)) "
+            "AS BIGINT)"
+        )
+        terms.append(
+            f"CASE WHEN {u} % 16 = {bucket} THEN "
+            f"(CASE WHEN ({u} >> 59) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ORACLE_SQL["fe2_feature_hash"] = (
+    "SELECT event_id, ["
+    + ", ".join(_fh_oracle_elem(b, ["event_type", "props"]) for b in range(16))
+    + "] AS fhash FROM events"
+)
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    )
+"""
+
+ORACLE_SQL["t9_ngram_counts"] = f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT unnest(CASE WHEN len(tk) >= 3
+                      THEN list_transform(generate_series(1, len(tk) - 2),
+                           i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 30
+"""
+
+ORACLE_SQL["t10_pmi_collocations"] = f"""
+    WITH {_TOKS_CTE},
+    uc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(tk) AS gram FROM toks) GROUP BY gram),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uc),
+    bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy
+           FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                             i -> array_to_string(tk[i:i+1], ' '))
+                        ELSE CAST([] AS VARCHAR[]) END) AS gram
+                 FROM toks)
+           GROUP BY gram HAVING COUNT(*) >= 5),
+    w AS (SELECT gram, c_xy,
+                 string_split(gram, ' ')[1] AS x,
+                 string_split(gram, ' ')[2] AS y
+          FROM bc)
+    SELECT w.gram, w.c_xy, ux.cnt AS c_x, uy.cnt AS c_y,
+           CAST((w.c_xy * n.n_tokens * 10000) // (ux.cnt * uy.cnt) AS BIGINT)
+               AS pmi_ratio_e4
+    FROM w JOIN uc ux ON ux.gram = w.x
+           JOIN uc uy ON uy.gram = w.y
+           CROSS JOIN n
+    ORDER BY pmi_ratio_e4 DESC, w.gram LIMIT 20
+"""
+
+ORACLE_SQL["g3_triangle_count"] = """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= '1995-01-01'
+                  AND l_shipdate < '1996-01-01'),
+    e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT ab.lo FROM e ab
+            JOIN e bc ON ab.hi = bc.lo
+            JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+# a17: all-integer covariance numerators; every SUM wrapped back to BIGINT
+# (DuckDB sums BIGINT into HUGEINT).
+_A17_QCOLS = ", ".join(
+    f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q{i}"
+    for i in range(8)
+)
+_A17_AGGS = (
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(f"CAST(SUM(q{i}) AS BIGINT) AS s{i}" for i in range(8))
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(q{i} * q{j}) AS BIGINT) AS p{i}_{j}"
+        for i in range(8)
+        for j in range(i, 8)
+    )
+)
+_A17_ARMS = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+    f"CAST(p{i}_{j} * n - s{i} * s{j} AS BIGINT) AS cov_num, n FROM a"
+    for i in range(8)
+    for j in range(i, 8)
+)
+ORACLE_SQL["a17_covariance_matrix"] = (
+    f"WITH t AS (SELECT {_A17_QCOLS} FROM embeddings), "
+    f"a AS (SELECT {_A17_AGGS} FROM t) {_A17_ARMS}"
+)
+
+ORACLE_SQL["rag1_hybrid_search"] = f"""
+    WITH bm AS ({ORACLE_SQL["s3_bm25_search"]}),
+    bmr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                        AS BIGINT) AS r_lex
+            FROM bm),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    sem AS (SELECT vec_id, list_cosine_similarity(v, q) AS sim
+            FROM e CROSS JOIN qv WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 20),
+    semr AS (SELECT vec_id AS doc_id,
+                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                         AS BIGINT) AS r_sem
+             FROM sem)
+    SELECT COALESCE(bmr.doc_id, semr.doc_id) AS doc_id, r_lex, r_sem,
+           CAST(COALESCE(1000000 // (60 + r_lex), 0)
+                + COALESCE(1000000 // (60 + r_sem), 0) AS BIGINT) AS rrf_e6
+    FROM bmr FULL OUTER JOIN semr ON bmr.doc_id = semr.doc_id
+    ORDER BY rrf_e6 DESC, doc_id LIMIT 10
+"""
+
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
@@ -5273,6 +5619,7 @@ _ROUND_PRIORITY = [
     "x2_similar_pairs", "x11_embedding_dedup", "x15_dedup_components",
     "g2b_pagerank_dangling", "f15b_decayed_bucketed",
     "f16b_label_window_frames", "sd2_running_state_snapshot",
+    "fe1_target_encoding", "fe2_feature_hash",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1,0 +1,131 @@
+"""Round-3 operator tests: target encoding, feature hashing, n-gram
+counting, triangle counting — the edge cases the SQL oracles don't probe
+(singleton categories, NULLs, short docs, degenerate graphs)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_feature_store_spark.operators.encoding import feature_hash, target_encode_loo
+from ml_feature_store_spark.operators.graph import triangle_count
+from ml_feature_store_spark.operators.text import ngram_counts
+
+
+class TestTargetEncodeLOO:
+    def test_matches_hand_computed_loo_mean(self, spark):
+        rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0), ("b", 7.0)]
+        df = spark.createDataFrame(rows, ["cat", "y"])
+        out = {
+            (r.cat, r.y): r.te_loo_e4
+            for r in target_encode_loo(df, "cat", "y").collect()
+        }
+        # ("a", 10): mean(20, 30) = 25.0 -> cents 2500 -> e4 of cents: 2500*1e4
+        assert out[("a", 10.0)] == 25_00 * 10_000
+        assert out[("a", 20.0)] == 20_00 * 10_000
+        assert out[("b", 5.0)] == 7_00 * 10_000
+
+    def test_singleton_category_is_null_not_zero(self, spark):
+        df = spark.createDataFrame([("solo", 42.0), ("pair", 1.0), ("pair", 3.0)], ["cat", "y"])
+        rows = {r.cat: r for r in target_encode_loo(df, "cat", "y").collect()}
+        assert rows["solo"].te_loo_e4 is None
+        assert rows["solo"].cat_count == 1
+
+    def test_truncating_division_floor_parity(self, spark):
+        # (sum-own)/(cnt-1) non-integral: 1+2 over 2 rows -> 1.5 units
+        df = spark.createDataFrame(
+            [("c", 0.01), ("c", 0.02), ("c", 0.03)], ["cat", "y"]
+        )
+        out = {r.y: r.te_loo_e4 for r in target_encode_loo(df, "cat", "y").collect()}
+        # own=1 cent: (6-1)*1e4 DIV 2 = 25000
+        assert out[0.01] == 25000
+        assert out[0.02] == 20000
+
+    def test_fact_side_not_shuffled(self, spark):
+        df = spark.createDataFrame([("a", 1.0)] * 10, ["cat", "y"])
+        plan = target_encode_loo(df, "cat", "y")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestFeatureHash:
+    def test_deterministic_and_fixed_width(self, spark):
+        df = spark.createDataFrame([("click", "x"), ("view", "y")], ["a", "b"])
+        out1 = feature_hash(df, ["a", "b"], n_buckets=16).collect()
+        out2 = feature_hash(df, ["a", "b"], n_buckets=16).collect()
+        assert [r.fhash for r in out1] == [r.fhash for r in out2]
+        for r in out1:
+            assert len(r.fhash) == 16
+            # two features, each contributing +-1 to one bucket (sum < 2
+            # only if both land in one bucket with opposite signs)
+            assert sum(abs(v) for v in r.fhash) <= 2
+
+    def test_null_feature_contributes_nothing(self, spark):
+        df = spark.createDataFrame([("click", None)], "a string, b string")
+        (row,) = feature_hash(df, ["a", "b"], n_buckets=8).collect()
+        assert sum(abs(v) for v in row.fhash) == 1  # only the non-null feature
+
+    def test_collision_sums_signed(self, spark):
+        # same value in the same column twice -> identical bucket & sign,
+        # magnitudes add (the hashing-trick linearity property)
+        df = spark.createDataFrame([("v", "v")], ["a", "a2"])
+        # distinct col names hash differently; same (col, value) would collide
+        (row,) = feature_hash(df, ["a", "a"], n_buckets=8).collect()
+        assert sorted(abs(v) for v in row.fhash)[-1] == 2
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([("x", "y")], ["a", "b"])
+        plan = feature_hash(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestNgramCounts:
+    def test_bigrams_hand_checked(self, spark):
+        df = spark.createDataFrame([("the cat sat",), ("the cat ran",)], ["text"])
+        out = {r.gram: r.cnt for r in ngram_counts(df, "text", n=2).collect()}
+        assert out == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+
+    def test_doc_shorter_than_n_yields_nothing(self, spark):
+        df = spark.createDataFrame([("hello",), ("a b",)], ["text"])
+        out = {r.gram: r.cnt for r in ngram_counts(df, "text", n=3).collect()}
+        assert out == {}  # sequence(1,0) descending-pitfall guard
+
+    def test_multiple_spaces_and_case_folding(self, spark):
+        df = spark.createDataFrame([("The  CAT",)], ["text"])
+        out = {r.gram: r.cnt for r in ngram_counts(df, "text", n=2).collect()}
+        assert out == {"the cat": 1}  # empty tokens filtered, lowercased
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        (row,) = triangle_count(df).collect()
+        return row.n_edges, row.n_triangles
+
+    def test_single_triangle(self, spark):
+        assert self._count(spark, [(1, 2), (2, 3), (1, 3)]) == (3, 1)
+
+    def test_orientation_and_duplicates_canonicalized(self, spark):
+        # reversed edges + dupes + self-loop collapse to the same triangle
+        edges = [(2, 1), (1, 2), (3, 2), (3, 1), (1, 1)]
+        assert self._count(spark, edges) == (3, 1)
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._count(spark, k4) == (6, 4)
+
+    def test_path_has_none(self, spark):
+        assert self._count(spark, [(1, 2), (2, 3), (3, 4)]) == (3, 0)
+
+
+class TestOverflowBounds:
+    def test_loo_numerator_exact_past_double_precision(self, spark):
+        # category sum deliberately > 2^53 after the 1e4 ratio scale: a
+        # float-division implementation would round; BIGINT DIV must not.
+        big = 3_000_000_000.00  # 3e11 cents
+        df = spark.createDataFrame([("c", big), ("c", big), ("c", 0.0)], ["cat", "y"])
+        out = {r.y: r.te_loo_e4 for r in target_encode_loo(df, "cat", "y").collect()}
+        # own=0: (2*3e11 cents)*1e4 / 2 = 3e15 exactly
+        assert out[0.0] == 3 * 10**15
+        assert out[0.0] > 2**51  # the regime where doubles drop bits
+        assert math.isfinite(out[0.0])
