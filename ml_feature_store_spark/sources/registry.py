@@ -96,6 +96,18 @@ class MemoryVersionStore:
     def read_version(self, name: str, version: int) -> DataFrame:
         return self._data[name][version]
 
+    def rewrite_version(self, name: str, version: int, df: DataFrame,
+                        row_count: int) -> None:
+        """In-place replace a version's contents (GDPR erasure path) —
+        version number and created_at stay, data and row_count change."""
+        rec = self._meta[name].versions[version]
+        self._data[name][version] = df.localCheckpoint(eager=True)
+        self._meta[name].versions[version] = VersionRecord(
+            version=version, row_count=row_count, columns=df.columns,
+            created_at=rec.created_at,
+        )
+        self._meta[name].updated_at = _now_iso()
+
     def drop_version(self, name: str, version: int) -> None:
         self._data[name].pop(version, None)
         self._meta[name].versions.pop(version, None)
@@ -189,6 +201,37 @@ class ParquetVersionStore:
 
     def read_version(self, name: str, version: int) -> DataFrame:
         return self.spark.read.parquet(str(self._version_path(name, version)))
+
+    def rewrite_version(self, name: str, version: int, df: DataFrame,
+                        row_count: int) -> None:
+        """In-place replace a version's contents (GDPR erasure path).
+        Spark cannot overwrite a path it is lazily reading, so the new
+        contents land in a scratch sibling first, then the directories
+        swap — a metadata rename on real filesystems (on object stores
+        the rename is a copy, still bounded by one version's size).
+        Version number and created_at are preserved; only the data and
+        row_count change."""
+        final = self._version_path(name, version)
+        tmp = final.with_name(final.name + ".__rewrite__")
+        out = df
+        if self.sort_within_partitions:
+            cols = [c for c in self.sort_within_partitions if c in df.columns]
+            if cols:
+                out = out.sortWithinPartitions(*cols)
+        writer = out.write.mode("overwrite")
+        if self.partition_by and self.partition_by in df.columns:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(str(tmp))
+        shutil.rmtree(final, ignore_errors=True)
+        tmp.rename(final)
+        state = self._load_meta(name)
+        rec = state.versions[version]
+        state.versions[version] = VersionRecord(
+            version=version, row_count=row_count, columns=df.columns,
+            created_at=rec.created_at,
+        )
+        state.updated_at = _now_iso()
+        self._save_meta(state)
 
     def drop_version(self, name: str, version: int) -> None:
         shutil.rmtree(self._version_path(name, version), ignore_errors=True)

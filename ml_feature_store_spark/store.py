@@ -291,6 +291,47 @@ class FeatureStore:
         self._prune_history(name)
         return self.get_table_info(name)
 
+    def erase_entities(
+        self, name: str, entity_ids: Sequence[Any]
+    ) -> dict[tuple[str, int], int]:
+        """GDPR right-to-erasure: physically remove the given entities'
+        rows from EVERY retained version of the table and from its online
+        snapshot. Deliberately NOT copy-on-write — unlike ``upsert`` /
+        ``expire_features``, the point of erasure is that no
+        time-travelable copy survives, so each affected version is
+        rewritten in place (scratch-write + directory swap; see
+        ``ParquetVersionStore.rewrite_version``). Versions with no
+        matching rows are left untouched (no pointless rewrite of 100 TB
+        of history for an entity that appears in two versions).
+
+        Returns {(table, version): rows_removed} as the audit record.
+
+        Scale shape: the IN-list anti-filter is a map-only pushdown
+        predicate per version; cost is one read+write of only the
+        affected versions. Rollup views are aggregates and are NOT
+        rewritten (counts/sums over many entities are not personal data
+        under the aggregation exemption); call ``refresh_rollup`` after
+        erasure if the deployment's policy says otherwise."""
+        self._require_table(name)
+        ids = list(entity_ids)
+        if not ids:
+            raise FeatureValidationError(
+                f"erase_entities('{name}'): empty entity list."
+            )
+        removed: dict[tuple[str, int], int] = {}
+        for target in (name, name + self._ONLINE_SUFFIX):
+            if not self._backend.exists(target):
+                continue
+            for v in self._backend.versions(target):
+                df = self._backend.read_version(target, v)
+                before = self._backend.meta(target).versions[v].row_count
+                kept = df.filter(~F.col(ENTITY_COL).isin(ids))
+                after = kept.count()
+                if after != before:
+                    self._backend.rewrite_version(target, v, kept, after)
+                    removed[(target, v)] = before - after
+        return removed
+
     # ------------------------------------------------------------------ #
     # online serving view
     # ------------------------------------------------------------------ #

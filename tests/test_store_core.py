@@ -10,6 +10,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from ml_feature_store_spark import (
     FeatureStore,
@@ -726,3 +727,52 @@ class TestExpireFeatures:
         info = store.expire_features("f", "2024-01-02")
         # both entities' 2024-01-01 rows expire; 01-15, 01-20, 02-01 remain
         assert info.row_count == 3
+
+
+class TestEraseEntities:
+    def test_erases_across_all_versions_and_online(self, spark, tmp_path, feature_df):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("f", feature_df)
+        fs.append("f", feature_df.limit(1))  # second version
+        fs.materialize_online("f")
+        removed = fs.erase_entities("f", ["user_1"])
+        # version 1: 3 user_1 rows; version 2: 4 (3 + appended copy);
+        # online snapshot: 1 (latest-per-entity)
+        assert removed[("f", 1)] == 3
+        assert removed[("f", 2)] == 4
+        assert removed[("f__online", 1)] == 1
+        # erasure is NOT copy-on-write: time travel can no longer see them
+        for v in (1, 2):
+            assert (
+                fs.get_version("f", v).filter(F.col("entity_id") == "user_1").count()
+                == 0
+            )
+        assert fs.get_online("f").filter(F.col("entity_id") == "user_1").count() == 0
+        # the other entity's history is intact
+        assert fs.get_version("f", 1).count() == 2
+
+    def test_unaffected_versions_not_rewritten(self, spark, tmp_path, feature_df):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("f", feature_df)
+        before = fs._backend.meta("f").updated_at
+        removed = fs.erase_entities("f", ["ghost_entity"])
+        assert removed == {}  # no matching rows anywhere -> zero rewrites
+        assert fs._backend.meta("f").updated_at == before
+        assert fs.get_version("f", 1).count() == 5
+
+    def test_erase_all_rows_leaves_empty_version(self, store, feature_df):
+        store.register("f", feature_df)
+        removed = store.erase_entities("f", ["user_1", "user_2"])
+        assert removed[("f", 1)] == 5
+        assert store.get_version("f", 1).count() == 0
+
+    def test_empty_id_list_rejected(self, store, feature_df):
+        store.register("f", feature_df)
+        with pytest.raises(FeatureValidationError):
+            store.erase_entities("f", [])
+
+    def test_memory_backend_parity(self, store, feature_df):
+        store.register("f", feature_df)
+        removed = store.erase_entities("f", ["user_2"])
+        assert removed[("f", 1)] == 2
+        assert store.get("f", ["user_2"], ts("2024-03-01")).collect() == []
