@@ -599,3 +599,39 @@ class TestTrainingRowPlans:
         plan = executed_plan(QUERIES["pipe3_curation_pipeline"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound3FeatureOps:
+    def test_fe1_category_stats_broadcast_fact_not_shuffled(self, spark):
+        plan = executed_plan(QUERIES["fe1_target_encoding"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_fe2_feature_hash_is_map_only(self, spark):
+        df = QUERIES["fe2_feature_hash"](spark, SF)
+        assert shuffle_count(df) == 0
+        assert "BatchEvalPython" not in executed_plan(df)  # no Python UDF
+
+    def test_t10_unigram_counts_broadcast(self, spark):
+        # both unigram joins onto the bigram side must be broadcast —
+        # the corpus-derived bigram table is never re-shuffled on words
+        plan = executed_plan(QUERIES["t10_pmi_collocations"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_g3_triangle_joins_are_equi_not_cartesian(self, spark):
+        plan = executed_plan(QUERIES["g3_triangle_count"](spark, SF))
+        assert "CartesianProduct" not in plan
+        # the final 1x1 count stitch is the only nested-loop allowed
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_a17_single_pass_no_data_shuffle(self, spark):
+        # partial agg collapses to one row per task before the single
+        # all-to-one exchange; no join, no per-row shuffle
+        df = QUERIES["a17_covariance_matrix"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan
+        assert shuffle_count(df) <= 1
+
+    def test_rag1_arms_are_topk_reductions(self, spark):
+        plan = executed_plan(QUERIES["rag1_hybrid_search"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
