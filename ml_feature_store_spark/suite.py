@@ -3042,6 +3042,50 @@ def q_io5_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq5_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the click
+    and view populations of `value` — the distribution-level check dq3's
+    per-bin PSI can't give (KS is binning-free up to the cent
+    quantization and catches shape drift PSI smooths over). Exact
+    integer math end to end: D's numerator is max |c1*n2 - c2*n1| over
+    the pooled support (cross-multiplied empirical CDFs — no float
+    division until the final scalar, emitted as BIGINT ks_e6).
+
+    Plan: one scan -> groupBy(cent-quantized value) partial-agg -> one
+    ordered cumulative window over the DISTINCT support (bounded by
+    quantization: |support| <= value_range * 100, independent of row
+    count — that bound is what makes the global cumulative window safe
+    at 100 TB; the raw-row sort a naive rank-based KS needs is not).
+    Overflow: c*n products < n1*n2 <= (rows/2)^2 -> exact below ~3e9
+    rows per side."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("c1").over(w).alias("cc1"), F.sum("c2").over(w).alias("cc2")
+    )
+    totals = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))).alias(
+                "d_num"
+            ),
+        )
+        .withColumn("ks_e6", F.expr("(d_num * 1000000) DIV (n1 * n2)"))
+    )
+
+
 def q_fe1_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of o_orderpriority by o_totalprice
     (operators/encoding.py target_encode_loo) — the leakage-safe mean
@@ -3348,6 +3392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sd2_running_state_snapshot": q_sd2_running_state_snapshot,
     "fe1_target_encoding": q_fe1_target_encoding,
     "fe2_feature_hash": q_fe2_feature_hash,
+    "dq5_ks_statistic": q_dq5_ks_statistic,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5435,6 +5480,28 @@ ORACLE_SQL["io5_partitioned_pruning"] = f"""
 
 # TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
 # correlated subqueries, disjunctive predicates) lives in relational.py.
+# dq5: cross-multiplied CDF comparison — the supremum runs over the pooled
+# (quantized) support; both engines quantize identically so the supports match.
+ORACLE_SQL["dq5_ks_statistic"] = """
+    WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+          FROM events WHERE event_type IN ('click', 'view')),
+    g AS (SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+                 CAST(SUM(1 - is1) AS BIGINT) AS c2
+          FROM b GROUP BY v),
+    cum AS (SELECT CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cc1,
+                   CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cc2
+            FROM g),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(cc1 * t.n2 - cc2 * t.n1)) AS BIGINT) AS d_num,
+           CAST((MAX(abs(cc1 * t.n2 - cc2 * t.n1)) * 1000000)
+                // (t.n1 * t.n2) AS BIGINT) AS ks_e6
+    FROM cum CROSS JOIN t
+    GROUP BY t.n1, t.n2
+"""
+
 # fe1: the cents quantization makes every sum an order-independent BIGINT;
 # '//' is DuckDB's integer floor-div (positive operands -> same as Spark DIV).
 ORACLE_SQL["fe1_target_encoding"] = """
