@@ -313,3 +313,96 @@ def ngram_counts(
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _tokens(text_col: str, lowercase: bool = True):
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.filter(F.split(t, " "), lambda s: F.length(s) > 0)
+
+
+def _apply_merge(tok_col, x: str, y: str, joined: str):
+    """Greedy left-to-right merge of adjacent (x, y) into ``joined`` — one
+    BPE merge pass as a JVM-side array fold (no UDF). Requires x != y:
+    with distinct halves, (x,y) adjacencies can never overlap, so the
+    fold equals merge-all-marked-pairs (the property the relational
+    oracle replay depends on)."""
+    return F.aggregate(
+        tok_col,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == x) & (t == y),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    joiner: str = "+",
+) -> list[dict]:
+    """The BPE tokenizer-training loop, distributed: ``rounds`` times,
+    (1) count adjacent token-pair frequencies corpus-wide (zip-with-tail
+    explode, map-side partial agg — x20's pass), (2) pick the most
+    frequent pair (driver collects ONE row per round — the same k-scalars
+    pattern as k-means centroids / PQ codebooks), (3) merge every
+    occurrence with a codegen array fold (map-only, no shuffle).
+
+    Pair selection is restricted to x != y (equal-halves rules have
+    run-parity greedy semantics that need a run-length formulation; the
+    fold and its relational oracle both rely on non-overlap) and
+    tie-broken (count DESC, x, y) so the learned rules are deterministic
+    in any engine.
+
+    Returns one dict per round: {round, x, y, cnt, n_merges} where
+    n_merges is recomputed from token-count shrinkage — an independent
+    cross-check that must equal cnt (non-overlap makes every counted
+    adjacency mergeable).
+
+    Scale shape per round: one count shuffle on (x, y) pairs + three
+    scalar collects; the corpus rows are never shuffled, and each merge
+    pass pipelines onto the next round's scan. At 100 TB this is the
+    canonical way BPE is actually fit (Spark/MapReduce pair counting);
+    the merged-token vocabulary stays on the driver where the tokenizer
+    artifact lives."""
+    toks = df.select(_tokens(text_col).alias("tk"))
+    results: list[dict] = []
+    current = toks
+    for r in range(1, rounds + 1):
+        n = F.size(F.col("tk"))
+        pairs = current.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, n - 1),
+                    F.slice(F.col("tk"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+        top = (
+            pairs.filter(F.col("x") != F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0].x, top[0].y, top[0].cnt
+        joined = x + joiner + y
+        merged = current.select(_apply_merge(F.col("tk"), x, y, joined).alias("tk"))
+        # Lineage grows one fold per round; checkpoint like the other
+        # iterative operators (pagerank / connected components) so round
+        # k's pair count does not replay rounds 1..k-1's folds.
+        merged = merged.localCheckpoint(eager=True)
+        before = current.agg(F.sum(F.size("tk"))).collect()[0][0]
+        after = merged.agg(F.sum(F.size("tk"))).collect()[0][0]
+        results.append(
+            {"round": r, "x": x, "y": y, "cnt": cnt, "n_merges": before - after}
+        )
+        current = merged
+    return results

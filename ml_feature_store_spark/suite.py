@@ -3086,6 +3086,26 @@ def q_dq5_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x21_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer-training loop (operators/text.py
+    bpe_train_merges): 3 rounds of corpus-wide pair counting (x20's
+    pass), driver-side argmax of ONE row (the k-means/PQ scalar-collect
+    pattern), and a codegen array-fold merge applied corpus-wide. The
+    DuckDB oracle replays all three rounds as chained CTEs — per-round
+    argmax as a 1-row CTE, the greedy merge as window-function
+    mark/drop/renumber (exactly equivalent to the left-to-right fold
+    because x != y rules can never overlap), with n_merges recomputed
+    from token-count shrinkage as an independent cross-check of cnt."""
+    from .operators.text import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents")
+    res = bpe_train_merges(docs, "text", rounds=3)
+    return spark.createDataFrame(
+        [(r["round"], r["x"], r["y"], r["cnt"], r["n_merges"]) for r in res],
+        "round long, x string, y string, cnt long, n_merges long",
+    ).orderBy("round")
+
+
 def q_fe1_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of o_orderpriority by o_totalprice
     (operators/encoding.py target_encode_loo) — the leakage-safe mean
@@ -3393,6 +3413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fe1_target_encoding": q_fe1_target_encoding,
     "fe2_feature_hash": q_fe2_feature_hash,
     "dq5_ks_statistic": q_dq5_ks_statistic,
+    "x21_bpe_train": q_x21_bpe_train,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5501,6 +5522,60 @@ ORACLE_SQL["dq5_ks_statistic"] = """
     FROM cum CROSS JOIN t
     GROUP BY t.n1, t.n2
 """
+
+# x21: per-round CTE chain — counts -> 1-row argmax -> window mark/drop/
+# renumber merge. Parallel unnest (positions + tokens) zips in lockstep.
+def _x21_round(r: int) -> str:
+    return f"""
+    c{r} AS (SELECT tok AS x,
+                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+             FROM p{r}),
+    r{r} AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM c{r}
+             WHERE y IS NOT NULL AND x <> y GROUP BY x, y
+             ORDER BY cnt DESC, x, y LIMIT 1),
+    m{r} AS (SELECT p.doc_id, p.pos,
+                    CASE WHEN p.tok = r.x AND lead(p.tok) OVER w = r.y
+                         THEN r.x || '+' || r.y ELSE p.tok END AS tok,
+                    CASE WHEN p.tok = r.y AND lag(p.tok) OVER w = r.x
+                         THEN 1 ELSE 0 END AS dropped
+             FROM p{r} p CROSS JOIN r{r} r
+             WINDOW w AS (PARTITION BY p.doc_id ORDER BY p.pos)),
+    p{r + 1} AS (SELECT doc_id,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS pos,
+                        tok
+                 FROM m{r} WHERE dropped = 0)"""
+
+
+ORACLE_SQL["x21_bpe_train"] = (
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS pos,
+               unnest(tk) AS tok
+        FROM d
+    ),"""
+    + ",".join(_x21_round(r) for r in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS BIGINT) AS round, x, y, cnt,
+           (SELECT COUNT(*) FROM p1) - (SELECT COUNT(*) FROM p2) AS n_merges
+    FROM r1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), x, y, cnt,
+           (SELECT COUNT(*) FROM p2) - (SELECT COUNT(*) FROM p3)
+    FROM r2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), x, y, cnt,
+           (SELECT COUNT(*) FROM p3) - (SELECT COUNT(*) FROM p4)
+    FROM r3
+"""
+)
 
 # fe1: the cents quantization makes every sum an order-independent BIGINT;
 # '//' is DuckDB's integer floor-div (positive operands -> same as Spark DIV).

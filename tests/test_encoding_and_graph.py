@@ -129,3 +129,39 @@ class TestOverflowBounds:
         assert out[0.0] == 3 * 10**15
         assert out[0.0] > 2**51  # the regime where doubles drop bits
         assert math.isfinite(out[0.0])
+
+
+class TestBpeMerge:
+    def _fold(self, spark, toks, x, y):
+        from ml_feature_store_spark.operators.text import _apply_merge
+
+        df = spark.createDataFrame([(toks,)], "tk array<string>")
+        (row,) = df.select(_apply_merge(F.col("tk"), x, y, x + "+" + y).alias("m")).collect()
+        return row.m
+
+    def test_greedy_left_to_right(self, spark):
+        assert self._fold(spark, ["a", "b", "a", "b"], "a", "b") == ["a+b", "a+b"]
+
+    def test_merged_token_not_rematched(self, spark):
+        assert self._fold(spark, ["a", "b", "b"], "a", "b") == ["a+b", "b"]
+
+    def test_prefix_not_consumed(self, spark):
+        assert self._fold(spark, ["a", "a", "b"], "a", "b") == ["a", "a+b"]
+
+    def test_no_match_identity(self, spark):
+        assert self._fold(spark, ["x", "y", "z"], "a", "b") == ["x", "y", "z"]
+
+    def test_train_loop_rounds_chain(self, spark):
+        from ml_feature_store_spark.operators.text import bpe_train_merges
+
+        df = spark.createDataFrame(
+            [("new york city is big",), ("new york city hall",), ("new york wins",)],
+            ["text"],
+        )
+        res = bpe_train_merges(df, "text", rounds=2)
+        assert res[0]["x"] == "new" and res[0]["y"] == "york"
+        assert res[0]["cnt"] == 3 and res[0]["n_merges"] == 3
+        # round 2 operates on the merged sequence: (new+york, city) now
+        # the most frequent pair
+        assert (res[1]["x"], res[1]["y"]) == ("new+york", "city")
+        assert res[1]["cnt"] == 2 == res[1]["n_merges"]
