@@ -206,6 +206,58 @@ COMMENT = {
         "between rounds. broadcast_ranks=False restores the shuffle join "
         "for billion-node graphs."
     ),
+    "fe1_target_encoding": (
+        "LOO target encoding: the category stats dim (one partial-agg "
+        "shuffle over a 5-key groupBy) broadcasts back onto the fact — "
+        "the fact table itself is never exchanged, and the encode is a "
+        "codegen BIGINT DIV (exact past 2^53 where float division "
+        "rounds)."
+    ),
+    "fe2_feature_hash": (
+        "Hashing trick: 16 CASE-chain elements over md5-derived bucket/"
+        "sign — a pure Project, zero exchanges, no vocabulary state. The "
+        "whole point of the encoder at 100 TB: new category values need "
+        "no coordination."
+    ),
+    "t10_pmi_collocations": (
+        "PMI: one corpus scan per count table; min-support cuts the "
+        "bigram side BEFORE the two unigram joins, which broadcast (the "
+        "post-cut head vocabulary). Score is a BIGINT ratio — no float "
+        "aggregation anywhere."
+    ),
+    "g3_triangle_count": (
+        "Triangle enumeration: canonicalized distinct edges, then two "
+        "vertex-keyed equi joins (wedge build + closure probe) — no "
+        "cartesian anywhere; the 1x1 count stitch is the only "
+        "nested-loop. Degree-ordering is the documented refinement that "
+        "bounds wedge count at Zipf-skewed scale; AQE handles hub skew."
+    ),
+    "a17_covariance_matrix": (
+        "Covariance Gram pass: 45 integer aggregates partial-agg to one "
+        "row per task before the single all-to-one exchange; stack() "
+        "tidies 36 (i,j) rows from the 1-row result. The data rows are "
+        "never shuffled — the only thing that moves is 45 longs."
+    ),
+    "rag1_hybrid_search": (
+        "RRF fusion: both retrieval arms end in TakeOrderedAndProject "
+        "top-20 reductions; the full-outer fusion join sees <= 40 rows "
+        "total regardless of corpus size. Integer reciprocal-rank "
+        "scores keep the fused ordering engine-exact."
+    ),
+    "x21_bpe_train": (
+        "BPE training round (merge pass shown): the fold is a Project "
+        "over the scan — the corpus is never shuffled; only the pair "
+        "COUNT exchanges, map-side combined, and the per-round argmax "
+        "collect is ONE row. localCheckpoint stops round k replaying "
+        "rounds 1..k-1's folds."
+    ),
+    "dq5_ks_statistic": (
+        "KS statistic: groupBy(quantized value) partial-aggregates "
+        "before the exchange, so the ordered cumulative window runs "
+        "over the DISTINCT support (bounded by quantization, not row "
+        "count) — the global window is safe because its input is small "
+        "by construction."
+    ),
 }
 
 
