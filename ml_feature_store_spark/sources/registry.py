@@ -35,6 +35,11 @@ class VersionRecord:
     row_count: int
     columns: list[str]
     created_at: str
+    # Free-form provenance. The streaming sink writes its micro-batch
+    # marker here, which makes the meta save the ATOMIC commit point for
+    # both data visibility and batch bookkeeping — the property the
+    # exactly-once restart check in streaming_register relies on.
+    description: str = ""
 
 
 @dataclass
@@ -90,7 +95,8 @@ class MemoryVersionStore:
         state.version = version
         state.updated_at = now
         state.versions[version] = VersionRecord(
-            version=version, row_count=row_count, columns=df.columns, created_at=now
+            version=version, row_count=row_count, columns=df.columns,
+            created_at=now, description=description,
         )
 
     def read_version(self, name: str, version: int) -> DataFrame:
@@ -104,7 +110,7 @@ class MemoryVersionStore:
         self._data[name][version] = df.localCheckpoint(eager=True)
         self._meta[name].versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
-            created_at=rec.created_at,
+            created_at=rec.created_at, description=rec.description,
         )
         self._meta[name].updated_at = _now_iso()
 
@@ -195,7 +201,8 @@ class ParquetVersionStore:
         state.version = version
         state.updated_at = now
         state.versions[version] = VersionRecord(
-            version=version, row_count=row_count, columns=df.columns, created_at=now
+            version=version, row_count=row_count, columns=df.columns,
+            created_at=now, description=description,
         )
         self._save_meta(state)
 
@@ -228,7 +235,7 @@ class ParquetVersionStore:
         rec = state.versions[version]
         state.versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
-            created_at=rec.created_at,
+            created_at=rec.created_at, description=rec.description,
         )
         state.updated_at = _now_iso()
         self._save_meta(state)

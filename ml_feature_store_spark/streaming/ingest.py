@@ -203,6 +203,7 @@ def streaming_register(
     table_name: str,
     checkpoint_dir: str,
     mode: str = "snapshot",
+    idempotent: bool = True,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """foreachBatch upsert: per micro-batch, fold the batch into the
     feature table as a new version.
@@ -219,14 +220,37 @@ def streaming_register(
 
     Either way the streaming->PIT bridge makes the version history a
     sequence of consistent snapshots.
+
+    ``idempotent=True`` (default) makes the sink EXACTLY-ONCE under
+    micro-batch replay: foreachBatch re-delivers a batch when the job
+    dies between the sink commit and the checkpoint write, which would
+    double-append history. Each committed version records its
+    ``stream batch <id>`` marker in the version metadata, whose save is
+    the store's atomic commit point (data parquet lands first; a crash
+    before the meta save leaves the version invisible and the rerun
+    overwrites it) — so "marker present" == "batch fully applied", and
+    the replayed batch is skipped. Assumes one writer per table and a
+    version-retention window at least as deep as the replay window (a
+    replay only ever re-delivers the most recent batches).
     """
     from ..operators.pit import latest_per_entity
 
     if mode not in ("snapshot", "append"):
         raise ValueError(f"mode must be 'snapshot' or 'append', got {mode!r}")
 
+    def batch_already_applied(batch_id: int) -> bool:
+        if not store._backend.exists(table_name):
+            return False
+        marker = f"stream batch {batch_id}"
+        return any(
+            rec.description == marker
+            for rec in store._backend.meta(table_name).versions.values()
+        )
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if idempotent and batch_already_applied(batch_id):
             return
         feats = batch_df.select(
             F.col("user_id").alias("entity_id"),

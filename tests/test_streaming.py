@@ -463,3 +463,44 @@ class TestStreamStaticEnrich:
             .collect()
         }
         assert got == want
+
+
+class TestExactlyOnceSink:
+    def _run(self, stream, store, name, idempotent):
+        ck = tempfile.mkdtemp(prefix="mlfs_ck_")
+        q = streaming_register(
+            stream, store, name, ck, mode="append", idempotent=idempotent
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def test_replayed_batch_skipped(self, spark, events_dir):
+        """A fresh checkpoint re-delivers the same files as micro-batch 0 —
+        exactly the foreachBatch replay case. The version-metadata batch
+        marker must make the second delivery a no-op."""
+        store = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_eo_"))
+        stream = stream_events(spark, events_dir)
+        self._run(stream, store, "eo", idempotent=True)
+        v1 = store.get_table_info("eo").version
+        n1 = store._current("eo").count()
+        self._run(stream_events(spark, events_dir), store, "eo", idempotent=True)
+        assert store.get_table_info("eo").version == v1  # no new version
+        assert store._current("eo").count() == n1  # no duplicated history
+
+    def test_non_idempotent_sink_duplicates_on_replay(self, spark, events_dir):
+        """Control: with the marker check off, the replay double-appends —
+        the failure mode idempotent=True exists to prevent."""
+        store = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_eo2_"))
+        self._run(stream_events(spark, events_dir), store, "eo2", idempotent=False)
+        n1 = store._current("eo2").count()
+        self._run(stream_events(spark, events_dir), store, "eo2", idempotent=False)
+        assert store._current("eo2").count() == 2 * n1
+
+    def test_marker_recorded_in_version_metadata(self, spark, events_dir):
+        store = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_eo3_"))
+        self._run(stream_events(spark, events_dir), store, "eo3", idempotent=True)
+        descs = [
+            rec.description
+            for rec in store._backend.meta("eo3").versions.values()
+        ]
+        assert any(d.startswith("stream batch ") for d in descs)
