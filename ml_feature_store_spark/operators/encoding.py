@@ -105,6 +105,10 @@ def feature_hash(
     nothing (skip, not a "NULL" category — hash_uniform of NULL is NULL
     and the CASE falls through to 0).
     """
+    if not cols:
+        raise ValueError("feature_hash: need at least one feature column")
+    if n_buckets < 1:
+        raise ValueError(f"feature_hash: n_buckets must be >= 1, got {n_buckets}")
     per_feat = [
         (hash_uniform(F.concat(F.lit(c + "="), F.col(c).cast("string"))),)
         for c in cols

@@ -75,3 +75,46 @@ class TestEmptyInputs:
         ev = spark.createDataFrame([(1, d(1), 0.5)], ["user_id", "ts", "value"])
         out = sessionize(ev, entity_col="user_id", ts_col="ts").collect()
         assert len(out) == 1
+
+
+class TestRound3EdgeInputs:
+    def test_triangle_count_empty_edges(self, spark):
+        from ml_feature_store_spark.operators.graph import triangle_count
+
+        e = spark.createDataFrame([], "src long, dst long")
+        (row,) = triangle_count(e).collect()
+        assert (row.n_edges, row.n_triangles) == (0, 0)
+
+    def test_target_encode_empty_input(self, spark):
+        from ml_feature_store_spark.operators.encoding import target_encode_loo
+
+        df = spark.createDataFrame([], "cat string, y double")
+        assert target_encode_loo(df, "cat", "y").collect() == []
+
+    def test_ngram_counts_empty_corpus(self, spark):
+        from ml_feature_store_spark.operators.text import ngram_counts
+
+        df = spark.createDataFrame([], "text string")
+        assert ngram_counts(df, "text", n=2).collect() == []
+
+    def test_ngram_counts_null_text(self, spark):
+        from ml_feature_store_spark.operators.text import ngram_counts
+
+        df = spark.createDataFrame([(None,), ("a b",)], "text string")
+        out = {r.gram: r.cnt for r in ngram_counts(df, "text", n=2).collect()}
+        assert out == {"a b": 1}  # null doc contributes nothing, no crash
+
+    def test_bpe_train_no_qualifying_pairs(self, spark):
+        from ml_feature_store_spark.operators.text import bpe_train_merges
+
+        # every adjacency is an equal pair (x == y excluded) -> no rules
+        df = spark.createDataFrame([("a a a",), ("b b",)], ["text"])
+        assert bpe_train_merges(df, "text", rounds=3) == []
+
+    def test_feature_hash_empty_cols_rejected_or_zero(self, spark):
+        from ml_feature_store_spark.operators.encoding import feature_hash
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("x",)], ["a"])
+        with _pytest.raises(Exception):
+            feature_hash(df, [], n_buckets=4).collect()
