@@ -371,6 +371,7 @@ def bpe_train_merges(
     toks = df.select(_tokens(text_col).alias("tk"))
     results: list[dict] = []
     current = toks
+    before: int | None = None  # round r's 'before' == round r-1's 'after'
     for r in range(1, rounds + 1):
         n = F.size(F.col("tk"))
         pairs = current.select(
@@ -399,10 +400,12 @@ def bpe_train_merges(
         # iterative operators (pagerank / connected components) so round
         # k's pair count does not replay rounds 1..k-1's folds.
         merged = merged.localCheckpoint(eager=True)
-        before = current.agg(F.sum(F.size("tk"))).collect()[0][0]
+        if before is None:
+            before = current.agg(F.sum(F.size("tk"))).collect()[0][0]
         after = merged.agg(F.sum(F.size("tk"))).collect()[0][0]
         results.append(
             {"round": r, "x": x, "y": y, "cnt": cnt, "n_merges": before - after}
         )
         current = merged
+        before = after
     return results

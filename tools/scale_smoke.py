@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "x18_negative_sampling",  # hash draws + anti-join on the pair key
     "x20_bpe_pair_counts",  # adjacent-pair zip + partial-agg count
     "pipe3_curation_pipeline",  # 5-stage curation composite
+    "fe1_target_encoding",  # broadcast category stats, fact never shuffled
+    "t9_ngram_counts",      # shingle explode + partial-agg count (8x docs)
+    "t10_pmi_collocations",  # two count tables + broadcast joins
+    "g3_triangle_count",    # wedge join over the 8x co-purchase graph
+    "a17_covariance_matrix",  # 45-aggregate single pass, no row shuffle
+    "dq5_ks_statistic",     # quantized-support cumulative window
+    "x21_bpe_train",        # 3 count+argmax+merge rounds over 8x docs
 ]
 KEY_OFFSET = 100_000_000
 
@@ -128,6 +135,30 @@ def main() -> None:
         lines.append(f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}x |")
     lines.append("")
     lines.append(f"Generated by `python tools/scale_smoke.py {n}`.")
+    lines.append("")
+    lines.append(
+        "Reading notes (persisted with the generator so regeneration keeps "
+        "them):\n"
+        "\n"
+        "* Sub-second base times make individual ratios noisy on a shared "
+        "VM — job-scheduling overhead is a large share of both sides. "
+        "Judge trends, not single cells; rerun twice before believing a "
+        "regression.\n"
+        "* Band joins (f15/f16/r2): growth above the data factor is the "
+        "SEMANTIC pair count (replication deepens per-entity density on "
+        "both sides, so every in-band pair must still be formed). The two "
+        "scale-outs are measured here: `f16b_label_window_frames` "
+        "rewrites the band aggregate as a value-range window frame (NO "
+        "join — sort-bound, ~1x), which applies to any plain sum/count "
+        "band aggregate; `f15b_decayed_bucketed` re-keys the shuffle on "
+        "(user_id, floor(ts/7d)) so a hot user's task is bounded to two "
+        "band-widths of history. r2 emits the pairs themselves, so its "
+        "growth IS output size, not a plan defect. Equivalence and "
+        "boundary cases are pinned in tests/test_band.py.\n"
+        "* pipe2's near-dup stages see replicas as genuine near-dups — "
+        "candidate pairs grow by construction; the LSH banding bounds "
+        "them to same-bucket pairs."
+    )
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     shutil.rmtree(big_dir, ignore_errors=True)
