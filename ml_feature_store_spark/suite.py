@@ -3106,6 +3106,52 @@ def q_x21_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-dedup): every embedding
+    is assigned to its nearest of 16 deterministic centroids (broadcast
+    codebook + max_by argmax — the same write-time map-only pass as x10),
+    candidate pairs form ONLY within a cell, and the higher vec_id of any
+    pair with cosine >= 0.35 is marked dropped. Completes the dedup
+    family: x3 exact, x6 MinHash, x9 SimHash, x11 LSH-blocked cosine, x22
+    CLUSTER-blocked cosine — the variant whose block key is learned from
+    the data rather than hashed. At corpus scale the cell count is the
+    knob (SemDeDup uses k ~ n/1e3, keeping within-cell work bounded);
+    here k=16 on the test corpus. Output is per-cell accounting —
+    (n_vecs, n_dropped, n_kept) — the dedup-rate report a curation run
+    ships."""
+    from .operators.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, cents).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cosine(F.col("a.v"), F.col("b.v")) >= 0.35)
+        .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+    )
+    per_cell_drops = dropped.groupBy("cell").agg(F.count("*").alias("n_dropped"))
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        per_cell.join(per_cell_drops, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
 def q_fe1_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of o_orderpriority by o_totalprice
     (operators/encoding.py target_encode_loo) — the leakage-safe mean
@@ -3414,6 +3460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fe2_feature_hash": q_fe2_feature_hash,
     "dq5_ks_statistic": q_dq5_ks_statistic,
     "x21_bpe_train": q_x21_bpe_train,
+    "x22_semdedup": q_x22_semdedup,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5576,6 +5623,28 @@ ORACLE_SQL["x21_bpe_train"] = (
     FROM r3
 """
 )
+
+# x22: assignment replayed with the x10 scalar-subquery argmax; the
+# within-cell pair join and per-cell accounting are direct.
+ORACLE_SQL["x22_semdedup"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    a AS (SELECT e.vec_id, e.v,
+                 (SELECT cid FROM cents
+                  ORDER BY list_cosine_similarity(e.v, cv) DESC, cid ASC
+                  LIMIT 1) AS cell
+          FROM e),
+    d AS (SELECT DISTINCT y.cell AS cell, y.vec_id AS drop_id
+          FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+    pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a GROUP BY cell),
+    pd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped
+           FROM d GROUP BY cell)
+    SELECT pc.cell, pc.n_vecs,
+           CAST(COALESCE(pd.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(pc.n_vecs - COALESCE(pd.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM pc LEFT JOIN pd USING (cell)
+"""
 
 # fe1: the cents quantization makes every sum an order-independent BIGINT;
 # '//' is DuckDB's integer floor-div (positive operands -> same as Spark DIV).
