@@ -409,3 +409,32 @@ def bpe_train_merges(
         current = merged
         before = after
     return results
+
+
+def bpe_encode(
+    df: DataFrame,
+    rules: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "+",
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document — the tokenizer
+    APPLY step (``bpe_train_merges`` is the fit step; reference has no
+    tokenizer surface, §2.4 extension). Rules are applied in training
+    order, each as one greedy left-to-right ``_apply_merge`` array fold —
+    map-only, no shuffle, the whole encode pipelines into a single
+    codegen stage per document batch.
+
+    Returns (id_col, tk) with the merged token array. At 100 TB this is
+    the canonical shape: the merge table is a driver-side artifact of a
+    few 10k rules broadcast with the plan; the corpus is never shuffled,
+    and encode throughput is scan-bound.
+    """
+    out = df.select(id_col, _tokens(text_col).alias("tk"))
+    for x, y in rules:
+        if x == y:
+            raise ValueError("equal-halves merge rules are not supported")
+        out = out.select(
+            id_col, _apply_merge(F.col("tk"), x, y, x + joiner + y).alias("tk")
+        )
+    return out

@@ -3341,6 +3341,35 @@ def q_rag1_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------- #
 
+def q_x23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of x21's fit: train 3 BPE merge
+    rules, then encode EVERY document with them (operators/text.py
+    bpe_encode — one greedy array fold per rule, map-only, no shuffle).
+    Output is the per-doc encoding manifest: token count plus an
+    order-DEPENDENT sequence checksum (sum of pos * 31-bit md5 term,
+    shuf1's overflow-safe family — bounded terms keep the BIGINT sum
+    exact to ~2^21 tokens/doc) so the oracle pins the exact token
+    sequence, not just its length. The DuckDB twin replays the train
+    rounds as x21's mark/drop/renumber CTEs and reads the final token
+    table straight out of the last renumber. At 100 TB: the merge table
+    is a small driver artifact shipped with the plan; encode is
+    scan-bound — the corpus is never shuffled."""
+    from .operators.text import bpe_encode, bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents")
+    rules = [(r["x"], r["y"]) for r in bpe_train_merges(docs, "text", rounds=3)]
+    enc = bpe_encode(docs, rules)
+    tok = enc.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
+    h31 = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(1 << 31)
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("pos0") + 1) * h31).alias("seq_check"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3461,6 +3490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq5_ks_statistic": q_dq5_ks_statistic,
     "x21_bpe_train": q_x21_bpe_train,
     "x22_semdedup": q_x22_semdedup,
+    "x23_bpe_encode": q_x23_bpe_encode,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5621,6 +5651,31 @@ ORACLE_SQL["x21_bpe_train"] = (
     SELECT CAST(3 AS BIGINT), x, y, cnt,
            (SELECT COUNT(*) FROM p3) - (SELECT COUNT(*) FROM p4)
     FROM r3
+"""
+)
+
+# x23: same train CTEs as x21; the encoded corpus IS p4 (the renumber
+# after round 3), so the per-doc manifest is one GROUP BY over it.
+ORACLE_SQL["x23_bpe_encode"] = (
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS pos,
+               unnest(tk) AS tok
+        FROM d
+    ),"""
+    + ",".join(_x21_round(r) for r in (1, 2, 3))
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(pos * (('0x' || substr(md5(tok), 1, 8))::BIGINT
+                           % 2147483648)) AS BIGINT) AS seq_check
+    FROM p4 GROUP BY doc_id
 """
 )
 
