@@ -3370,6 +3370,73 @@ def q_x23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries, exact-verified — the mergeable
+    heavy-hitter sketch for streams/shards too big to count exactly.
+    Build: each event row hashes into d=3 sketch rows x w=64 buckets
+    (portable md5 family, seeds inlined) and the sketch is ONE partial-agg
+    groupBy over (r, b) — 192 cells total, so the shuffle carries a
+    bounded sketch no matter how many input rows (count-min's guarantee:
+    est >= exact, est <= exact + eps*N w.h.p.). Probe: a fixed 20-user
+    candidate list reads min-over-rows of its cells; exact counts join in
+    as ground truth (the x19-style trust-but-verify step — at 100 TB
+    you'd spot-check a sample this way, not count every key). Asserts the
+    one-sided error bound as a column so the oracle checks the INVARIANT,
+    not just the numbers."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    probes = spark.range(20).select(F.col("id").cast("string").alias("k"))
+
+    def bucket(d: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{d},"), col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("r"), bucket(d, F.col("k")).alias("b")
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.b")
+    sketch = cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+    probe_cells = probes.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("r"), bucket(d, F.col("k")).alias("b")
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("c"),
+    ).select("k", "c.r", "c.b")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.join(F.broadcast(probes), "k").groupBy("k").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("bound_holds"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3491,6 +3558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x21_bpe_train": q_x21_bpe_train,
     "x22_semdedup": q_x22_semdedup,
     "x23_bpe_encode": q_x23_bpe_encode,
+    "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5678,6 +5746,32 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# a18: sketch build + probe replayed cell-for-cell (same md5 bucket family).
+ORACLE_SQL["a18_cms_heavy_hitters"] = """
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+    cells AS (
+        SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ',' || k), 1, 8))
+                      ::BIGINT % 64 AS b
+        FROM ev CROSS JOIN rows_
+    ),
+    sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM cells GROUP BY r, b),
+    probes AS (SELECT CAST(range AS VARCHAR) AS k FROM range(20)),
+    pc AS (
+        SELECT k, r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ',' || k), 1, 8))
+                         ::BIGINT % 64 AS b
+        FROM probes CROSS JOIN rows_
+    ),
+    est AS (SELECT k, CAST(MIN(cnt) AS BIGINT) AS cms_est
+            FROM pc JOIN sketch USING (r, b) GROUP BY k),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM ev JOIN probes USING (k) GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS user_id, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS bound_holds
+    FROM est JOIN exact USING (k)
+"""
 
 # x22: assignment replayed with the x10 scalar-subquery argmax; the
 # within-cell pair join and per-cell accounting are direct.
