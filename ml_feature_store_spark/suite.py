@@ -3437,6 +3437,35 @@ def q_a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq6_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data LEAKAGE audit — the data-quality check that makes
+    PIT joins (f7) worth their cost. For every training-spine row
+    (purchase events), compare what a PIT-correct pipeline reads (latest
+    feature <= spine ts; f4's argmax) against what the sloppy-but-common
+    pipeline reads (the CURRENT feature table — latest event overall):
+    a spine row is CONTAMINATED when the user's latest event is newer
+    than the spine timestamp, i.e. a plain join would silently train on
+    the future. Output is the per-user audit report (rows, contaminated
+    rows, integer leak rate). Plan: one partial-agg max(ts) per user
+    joined back on the user key — no window over history, scales as the
+    key count; the spine is scanned once. The reference's PIT cutoff
+    (store.py:218-259 timestamp filter) is the behavior whose absence
+    this op quantifies."""
+    ev = table(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("spine_ts")
+    )
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("latest_ts"))
+    flagged = spine.join(latest, "user_id").select(
+        "user_id", (F.col("latest_ts") > F.col("spine_ts")).cast("long").alias("leak")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("leak").alias("n_contaminated"),
+        F.expr("sum(leak) * 1000000L div count(*)").alias("leak_rate_e6"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3559,6 +3588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x22_semdedup": q_x22_semdedup,
     "x23_bpe_encode": q_x23_bpe_encode,
     "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
+    "dq6_leakage_audit": q_dq6_leakage_audit,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5746,6 +5776,22 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# dq6: contamination = latest-overall newer than the spine row's cutoff.
+ORACLE_SQL["dq6_leakage_audit"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT user_id, ts AS spine_ts FROM ev
+              WHERE event_type = 'purchase'),
+    latest AS (SELECT user_id, MAX(ts) AS latest_ts FROM ev GROUP BY user_id),
+    flagged AS (SELECT s.user_id,
+                       CASE WHEN l.latest_ts > s.spine_ts THEN 1 ELSE 0 END
+                           AS leak
+                FROM spine s JOIN latest l USING (user_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(leak) AS BIGINT) AS n_contaminated,
+           CAST(SUM(leak) * 1000000 // COUNT(*) AS BIGINT) AS leak_rate_e6
+    FROM flagged GROUP BY user_id
+"""
 
 # a18: sketch build + probe replayed cell-for-cell (same md5 bucket family).
 ORACLE_SQL["a18_cms_heavy_hitters"] = """
