@@ -20,6 +20,7 @@ Parity conventions (see FIXTURES.md "timestamp caveat"):
 
 from __future__ import annotations
 
+import math
 import tempfile
 from collections.abc import Callable
 
@@ -3466,6 +3467,69 @@ def q_dq6_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_DISC_E6 = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+
+
+def q_rag2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval of the sign-LSH ANN arm (x8) against exact
+    cosine ground truth: nDCG@10 + MRR — the metrics a retrieval stack
+    reports, complementing x19's set-overlap recall with ORDER
+    sensitivity. Relevance = membership in the exact brute-force top-10
+    (self excluded); the log2 rank discounts are Python-precomputed
+    integer micro-units inlined into both engines (f15's decay-table
+    recipe), so DCG/IDCG/MRR are all BIGINT-exact. Plan: both arms are
+    top-k reductions (TakeOrderedAndProject); the metric join touches
+    <= 20 rows. At 100 TB this runs per query over a sampled query set —
+    the eval loop that tunes bits/multiprobe before shipping the index."""
+    from .operators.similarity import knn_lsh, rp_lsh_bucketize
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qvec = [float(x) for x in qrow.collect()[0]["qv"]]
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("sim", _cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("rel"))
+    )
+    bucketed = rp_lsh_bucketize(emb, dim=64, bits=6)
+    ann = knn_lsh(bucketed, qvec, dim=64, k=11, bits=6, multiprobe=2).filter(
+        F.col("vec_id") != 0
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ranked = (
+        ann.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(exact10, "vec_id", "left")
+        .select(
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+            "rnk",
+            F.element_at(
+                F.array(*[F.lit(d) for d in _NDCG_DISC_E6]), F.col("rnk")
+            ).alias("disc"),
+        )
+    )
+    idcg = sum(_NDCG_DISC_E6)
+    agg = ranked.agg(
+        F.sum((F.col("rel") * F.col("disc")).cast("long")).alias("dcg_e6"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("fr"),
+    )
+    return agg.select(
+        F.lit(10).cast("long").alias("k"),
+        "dcg_e6",
+        F.lit(idcg).cast("long").alias("idcg_e6"),
+        F.expr(f"dcg_e6 * 1000000L div {idcg}L").alias("ndcg_e6"),
+        F.coalesce("fr", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.expr("CASE WHEN fr IS NULL THEN 0L ELSE 1000000L div fr END").alias(
+            "mrr_e6"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3589,6 +3653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x23_bpe_encode": q_x23_bpe_encode,
     "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
     "dq6_leakage_audit": q_dq6_leakage_audit,
+    "rag2_ndcg_eval": q_rag2_ndcg_eval,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5154,6 +5219,65 @@ def _x8_sql() -> str:
 
 
 ORACLE_SQL["x8_ann_lsh"] = _x8_sql()
+
+
+def _rag2_sql() -> str:
+    """rag2's oracle: x8's inlined-hyperplane candidate set, ranked and
+    scored against the x1 exact top-10 with the same integer discount
+    table the Spark side inlines."""
+    planes = _random_hyperplanes(dim=64, bits=6, seed=42)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + v[{j + 1}] * {p!r})"
+        return expr
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    disc = "[" + ", ".join(str(d) for d in _NDCG_DISC_E6) + "]"
+    idcg = sum(_NDCG_DISC_E6)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+        exact10 AS (
+            SELECT vec_id, 1 AS rel FROM e CROSS JOIN q
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+        ),
+        cand AS (
+            SELECT vec_id, list_cosine_similarity(v, qv) AS s
+            FROM b CROSS JOIN q
+            WHERE bucket IN (qb, xor(qb, 1), xor(qb, 2)) AND vec_id <> 0
+        ),
+        ranked AS (
+            SELECT c.vec_id, COALESCE(x.rel, 0) AS rel,
+                   rnk, ({disc})[rnk] AS disc
+            FROM (SELECT vec_id, s,
+                         row_number() OVER (ORDER BY s DESC, vec_id ASC)
+                             AS rnk
+                  FROM cand) c
+            LEFT JOIN exact10 x USING (vec_id)
+            WHERE rnk <= 10
+        ),
+        a AS (SELECT CAST(SUM(rel * disc) AS BIGINT) AS dcg_e6,
+                     MIN(CASE WHEN rel = 1 THEN rnk END) AS fr
+              FROM ranked)
+        SELECT CAST(10 AS BIGINT) AS k, dcg_e6,
+               CAST({idcg} AS BIGINT) AS idcg_e6,
+               CAST(dcg_e6 * 1000000 // {idcg} AS BIGINT) AS ndcg_e6,
+               CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+               CAST(CASE WHEN fr IS NULL THEN 0
+                         ELSE 1000000 // fr END AS BIGINT) AS mrr_e6
+        FROM a
+    """
+
+
+ORACLE_SQL["rag2_ndcg_eval"] = _rag2_sql()
 
 # b1/io5: the bucketed/partitioned layouts are physical-plan properties;
 # the oracle checks the join/scan SEMANTICS on the raw tables.
