@@ -3530,6 +3530,45 @@ def q_rag2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing — downsample every language domain to the
+    smallest domain's size (uniform target mixture), the step a pretraining
+    run does before interleaving corpora. Per-domain keep rates are
+    integer micro-unit ratios (min_count*1e6 DIV count) computed from ONE
+    tiny partial-agg dim and broadcast back (q15's scalar-broadcast
+    recipe — no collect); each doc keeps iff its portable md5 draw
+    (x12/x18's rand()-free family) falls under its domain's rate, so the
+    subsample is deterministic across engines, retries and partitionings.
+    Output is the mixture manifest: before/rate/after per domain. At
+    100 TB the fact table is filtered map-side in one scan — the only
+    shuffles are the two tiny count aggregations."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_before",
+        F.expr("mn * 1000000L div n_before").alias("keep_rate_e6"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "keep_rate_e6")), "lang")
+        .filter(draw < F.col("keep_rate_e6"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_before",
+        "keep_rate_e6",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3654,6 +3693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a18_cms_heavy_hitters": q_a18_cms_heavy_hitters,
     "dq6_leakage_audit": q_dq6_leakage_audit,
     "rag2_ndcg_eval": q_rag2_ndcg_eval,
+    "mix1_domain_mixture": q_mix1_domain_mixture,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5900,6 +5940,24 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# mix1: same md5 draw + integer rates; n_after recounted independently.
+ORACLE_SQL["mix1_domain_mixture"] = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_before) AS mn FROM c),
+    r AS (SELECT lang, n_before,
+                 CAST(mn * 1000000 // n_before AS BIGINT) AS keep_rate_e6
+          FROM c CROSS JOIN m),
+    k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_after
+          FROM documents d JOIN r USING (lang)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < r.keep_rate_e6
+          GROUP BY d.lang)
+    SELECT lang, n_before, keep_rate_e6,
+           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after
+    FROM r LEFT JOIN k USING (lang)
+"""
 
 # dq6: contamination = latest-overall newer than the spine row's cutoff.
 ORACLE_SQL["dq6_leakage_audit"] = f"""
