@@ -3569,6 +3569,54 @@ def q_mix1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x24_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance scoring for domain-targeted data
+    selection: score every document by how much its hashed-unigram
+    distribution looks like a TARGET domain (lang='en') vs the full
+    corpus. Per-bucket probabilities (add-1 smoothed, 64 md5 buckets —
+    fe2's hashing-trick family) become integer ratios via staged BIGINT
+    division: p_e9 per distribution, then w_e6 = p_tgt*1e6 DIV p_src —
+    each stage bounded (< 1e15), so no overflow at ANY corpus size, and
+    both engines replay identical operations (cross-engine determinism is
+    the contract; DSIR's log-space weights are a driver-side artifact at
+    deployment, this is the linear-space in-engine variant). Plan: ONE
+    token scan builds the 64-row source+target count dim (map-side
+    partial agg), totals via tiny crossJoin broadcasts, weights broadcast
+    back onto the token stream — the corpus is never shuffled; per-doc
+    score is one partial-agg sum. Top-20 via TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    b = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 64,
+    )
+    dim = b.groupBy("bucket").agg(
+        F.count("*").alias("n_src"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
+    )
+    tot = dim.agg(
+        F.sum("n_src").alias("s_tot"), F.sum("n_tgt").alias("t_tot")
+    )
+    weights = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "((n_tgt + 1) * 1000000000L div (t_tot + 64)) * 1000000L "
+            "div ((n_src + 1) * 1000000000L div (s_tot + 64))"
+        ).alias("w_e6"),
+    )
+    perdoc = (
+        b.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(w_e6) div count(*)").alias("dsir_e6"),
+        )
+    )
+    return perdoc.orderBy(F.col("dsir_e6").desc(), "doc_id").limit(20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3694,6 +3742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq6_leakage_audit": q_dq6_leakage_audit,
     "rag2_ndcg_eval": q_rag2_ndcg_eval,
     "mix1_domain_mixture": q_mix1_domain_mixture,
+    "x24_importance_score": q_x24_importance_score,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5940,6 +5989,35 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# x24: staged integer divisions replayed operation-for-operation; '//' on
+# positive BIGINTs == Spark DIV.
+ORACLE_SQL["x24_importance_score"] = """
+    WITH t AS (
+        SELECT doc_id, lang, u.tok
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+              FROM documents),
+             LATERAL unnest(tk) AS u(tok)
+        WHERE length(u.tok) > 0
+    ),
+    b AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+          FROM t),
+    dim AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tgt
+            FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_src) AS s_tot, SUM(n_tgt) AS t_tot FROM dim),
+    w AS (SELECT bucket,
+                 ((n_tgt + 1) * 1000000000 // (t_tot + 64)) * 1000000
+                     // ((n_src + 1) * 1000000000 // (s_tot + 64)) AS w_e6
+          FROM dim CROSS JOIN tot),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(w_e6) // COUNT(*) AS BIGINT) AS dsir_e6
+           FROM b JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, dsir_e6 FROM pd
+    ORDER BY dsir_e6 DESC, doc_id LIMIT 20
+"""
 
 # mix1: same md5 draw + integer rates; n_after recounted independently.
 ORACLE_SQL["mix1_domain_mixture"] = """
