@@ -158,3 +158,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+
+
+def triangle_count_degree_ordered(edges: DataFrame) -> DataFrame:
+    """``triangle_count`` with the production degree-ordering refinement:
+    orient every canonical edge from its lower-(degree, id) endpoint, so
+    wedge pivots are always the LOWER-degree vertex and per-pivot fanout
+    is O(sqrt(m)) — total wedge work O(m^1.5) regardless of hub skew
+    (the arboricity bound of Chiba-Nishizeki / the MapReduce triangle
+    literature), where the id-ordered form degrades to sum(deg^2) on
+    Zipf graphs. Costs one extra degree aggregation + two broadcast-able
+    joins of the degree table onto the edge list; semantics identical
+    (pytest-pinned equal to ``triangle_count``).
+
+    The (degree, id) total order is encoded as deg * 2^32 + id — exact
+    while ids stay below 2^32 and degrees below 2^30 (any graph whose
+    edge list a single cluster can hold)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .select("v", (F.col("d") * F.lit(1 << 32) + F.col("v")).alias("ord"))
+    )
+    oriented = (
+        e.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("ord", "olo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("ord", "ohi"), "hi")
+        .select(
+            F.when(F.col("olo") < F.col("ohi"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(F.col("olo") < F.col("ohi"), F.col("ohi"))
+            .otherwise(F.col("olo"))
+            .alias("dst_ord"),
+            F.when(F.col("olo") < F.col("ohi"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("dst"),
+        )
+    )
+    x = oriented.select("src", F.col("dst").alias("b"), F.col("dst_ord").alias("ob"))
+    y = oriented.select("src", F.col("dst").alias("c"), F.col("dst_ord").alias("oc"))
+    wedges = x.join(y, "src").filter(F.col("ob") < F.col("oc")).select("b", "c")
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )

@@ -3617,6 +3617,26 @@ def q_x24_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.orderBy(F.col("dsir_e6").desc(), "doc_id").limit(20)
 
 
+def q_g3b_triangle_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3's triangle count through the degree-ordered plan
+    (operators/graph.py triangle_count_degree_ordered): edges oriented
+    from the lower-(degree, id) endpoint so every wedge pivots on the
+    LOWER-degree vertex — O(m^1.5) wedge work on any degree distribution,
+    where g3's id-ordered join degrades to sum(deg^2) on Zipf hubs. The
+    oracle deliberately replays the SIMPLE id-ordered algorithm (g3's
+    SQL): two different enumeration orders, one answer — the x9-style
+    independent cross-check."""
+    from .operators.graph import triangle_count_degree_ordered
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count_degree_ordered(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3743,6 +3763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag2_ndcg_eval": q_rag2_ndcg_eval,
     "mix1_domain_mixture": q_mix1_domain_mixture,
     "x24_importance_score": q_x24_importance_score,
+    "g3b_triangle_degree_ordered": q_g3b_triangle_degree_ordered,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6205,6 +6226,10 @@ ORACLE_SQL["g3_triangle_count"] = """
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
 """
+
+# g3b: intentionally the id-ordered replay — independent algorithm, same
+# count (see q_g3b docstring).
+ORACLE_SQL["g3b_triangle_degree_ordered"] = ORACLE_SQL["g3_triangle_count"]
 
 # a17: all-integer covariance numerators; every SUM wrapped back to BIGINT
 # (DuckDB sums BIGINT into HUGEINT).

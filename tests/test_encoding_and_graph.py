@@ -118,6 +118,46 @@ class TestTriangleCount:
         assert self._count(spark, [(1, 2), (2, 3), (3, 4)]) == (3, 0)
 
 
+class TestTriangleDegreeOrdered:
+    """Degree-ordered enumeration must equal the id-ordered plan on any
+    graph — including the Zipf-hub shape it exists to make cheap."""
+
+    def _both(self, spark, edges):
+        from ml_feature_store_spark.operators.graph import (
+            triangle_count_degree_ordered,
+        )
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        (a,) = triangle_count(df).collect()
+        (b,) = triangle_count_degree_ordered(df).collect()
+        return (a.n_edges, a.n_triangles), (b.n_edges, b.n_triangles)
+
+    def test_k4(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        a, b = self._both(spark, k4)
+        assert a == b == (6, 4)
+
+    def test_hub_star_plus_rim(self, spark):
+        # hub 0 connects to 1..8; rim edges close some triangles — the
+        # skewed shape where the pivot must NOT be the hub
+        edges = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4), (5, 6)]
+        a, b = self._both(spark, edges)
+        assert a == b == (11, 3)
+
+    def test_pseudorandom_graph(self, spark):
+        # deterministic ~40-edge graph on 12 nodes via a modular rule
+        edges = [
+            (i % 12, (i * 7 + 3) % 12) for i in range(60) if i % 12 != (i * 7 + 3) % 12
+        ]
+        a, b = self._both(spark, edges)
+        assert a == b
+
+    def test_reversed_duplicate_edges(self, spark):
+        edges = [(2, 1), (1, 2), (3, 2), (3, 1), (1, 1), (4, 1), (4, 2)]
+        a, b = self._both(spark, edges)
+        assert a == b == (5, 2)
+
+
 class TestOverflowBounds:
     def test_loo_numerator_exact_past_double_precision(self, spark):
         # category sum deliberately > 2^53 after the 1e4 ratio scale: a
