@@ -3637,6 +3637,68 @@ def q_g3b_triangle_degree_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
     return triangle_count_degree_ordered(edges)
 
 
+def q_t11_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN profiling (the Lee-et-al substring-dedup
+    statistic, n-gram formulation): an 8-token shingle is 'duplicated'
+    when it appears in more than one document; each doc reports how much
+    of it is covered by cross-doc duplicated spans. The span-level
+    complement of doc-level dedup (x3/x6): corpora pass doc-dedup yet
+    still carry boilerplate — this measures it. Plan: one scan builds
+    distinct (doc, shingle) pairs; shingle multiplicities are ONE
+    partial-agg groupBy on the 16-byte md5 of the shingle (never the
+    string — shuffle carries fixed-width keys); the per-doc rollup joins
+    doc-shingles to the duplicated-key set. Docs shorter than 8 tokens
+    profile as 0-span rows kept via left join (coverage must report on
+    EVERY doc, not silently drop the short ones). Top-30 most-duplicated
+    docs, integer coverage rate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i, F.lit(8))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    ).select("doc_id", F.md5("s").alias("h")).distinct()
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    per_doc = (
+        sh.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    prof = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.expr(
+                "CASE WHEN coalesce(n_spans, 0) = 0 THEN 0L "
+                "ELSE coalesce(n_dup_spans, 0) * 1000000L div n_spans END"
+            ).alias("dup_rate_e6"),
+        )
+    )
+    return prof.orderBy(
+        F.col("dup_rate_e6").desc(), F.col("n_dup_spans").desc(), "doc_id"
+    ).limit(30)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3764,6 +3826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix1_domain_mixture": q_mix1_domain_mixture,
     "x24_importance_score": q_x24_importance_score,
     "g3b_triangle_degree_ordered": q_g3b_triangle_degree_ordered,
+    "t11_dup_span_profile": q_t11_dup_span_profile,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6010,6 +6073,42 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# t11: shingle set + multiplicity + coverage replayed relationally.
+ORACLE_SQL["t11_dup_span_profile"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh0 AS (SELECT doc_id,
+                   CASE WHEN len(tk) >= 8
+                        THEN list_transform(generate_series(1, len(tk) - 7),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+                                  || tk[i+5] || ' ' || tk[i+6] || ' '
+                                  || tk[i+7])
+                        ELSE CAST([] AS VARCHAR[]) END AS shs
+            FROM d),
+    sh AS (SELECT DISTINCT doc_id, md5(u.s) AS h
+           FROM sh0, LATERAL unnest(shs) AS u(s)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM sh GROUP BY doc_id),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+           FROM sh JOIN dup USING (h) GROUP BY doc_id),
+    prof AS (
+        SELECT doc_id,
+               COALESCE(n_spans, 0) AS n_spans,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0
+                    ELSE COALESCE(n_dup_spans, 0) * 1000000
+                         // n_spans END AS dup_rate_e6
+        FROM documents LEFT JOIN tot USING (doc_id)
+                       LEFT JOIN pd USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(dup_rate_e6 AS BIGINT) AS dup_rate_e6
+    FROM prof
+    ORDER BY dup_rate_e6 DESC, n_dup_spans DESC, doc_id LIMIT 30
+"""
 
 # x24: staged integer divisions replayed operation-for-operation; '//' on
 # positive BIGINTs == Spark DIV.
