@@ -291,6 +291,62 @@ class FeatureStore:
         self._prune_history(name)
         return self.get_table_info(name)
 
+    def compact_version(
+        self, name: str, version: int | None = None, target_files: int = 1
+    ) -> dict[str, int | None]:
+        """Small-file compaction: rewrite one version's storage into
+        ``target_files`` files, preserving rows, version number and
+        created_at exactly (verified by row accounting before the swap).
+        The 100 TB operational answer to streaming/append ingest: every
+        micro-batch ``append`` writes its own small files, and a table
+        that accumulates millions of them becomes listing- and
+        open()-bound long before it is IO-bound — periodic compaction is
+        what keeps scan parallelism governed by ``maxPartitionBytes``
+        instead of file count (what OPTIMIZE does on Delta/Iceberg;
+        here it is ``repartition`` + ``rewrite_version``'s
+        scratch-write-and-swap, so readers never see a half-compacted
+        version). In-memory backends compact to a no-op on file counts
+        (reported as None) but still validate the version.
+
+        Returns {"version", "rows", "files_before", "files_after"}.
+        """
+        self._require_table(name)
+        if target_files < 1:
+            raise FeatureValidationError(
+                f"compact_version('{name}'): target_files must be >= 1, "
+                f"got {target_files}"
+            )
+        versions = self._backend.versions(name)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FeatureTableNotFoundError(
+                f"Version {v} not found for table '{name}'. "
+                f"Available versions: {versions}"
+            )
+
+        def _file_count() -> int | None:
+            vp = getattr(self._backend, "_version_path", None)
+            if vp is None:
+                return None
+            return sum(1 for _ in vp(name, v).glob("**/*.parquet"))
+
+        files_before = _file_count()
+        expected = self._backend.meta(name).versions[v].row_count
+        compacted = self._backend.read_version(name, v).repartition(target_files)
+        rows = compacted.count()
+        if rows != expected:
+            raise FeatureValidationError(
+                f"compact_version('{name}' v{v}): row count changed "
+                f"({expected} -> {rows}); refusing to rewrite."
+            )
+        self._backend.rewrite_version(name, v, compacted, rows)
+        return {
+            "version": v,
+            "rows": rows,
+            "files_before": files_before,
+            "files_after": _file_count(),
+        }
+
     def erase_entities(
         self, name: str, entity_ids: Sequence[Any]
     ) -> dict[tuple[str, int], int]:

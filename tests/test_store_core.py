@@ -776,3 +776,36 @@ class TestEraseEntities:
         removed = store.erase_entities("f", ["user_2"])
         assert removed[("f", 1)] == 2
         assert store.get("f", ["user_2"], ts("2024-03-01")).collect() == []
+
+
+class TestCompactVersion:
+    def test_compacts_files_preserving_rows_and_pit(self, spark, tmp_path, feature_df):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("f", feature_df.repartition(8))  # small-file ingest shape
+        before = fs.get("f", ["user_1", "user_2"], ts("2024-03-01")).collect()
+        rep = fs.compact_version("f", target_files=1)
+        assert rep["version"] == 1 and rep["rows"] == 5
+        assert rep["files_before"] >= 2 and rep["files_after"] == 1
+        after = fs.get("f", ["user_1", "user_2"], ts("2024-03-01")).collect()
+        assert sorted(before) == sorted(after)
+
+    def test_defaults_to_latest_version(self, spark, tmp_path, feature_df):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("f", feature_df)
+        fs.append("f", feature_df.limit(1).repartition(4))
+        rep = fs.compact_version("f")
+        assert rep["version"] == 2 and rep["rows"] == 6
+
+    def test_missing_version_and_bad_target_rejected(self, spark, tmp_path, feature_df):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("f", feature_df)
+        with pytest.raises(FeatureTableNotFoundError):
+            fs.compact_version("f", version=99)
+        with pytest.raises(FeatureValidationError):
+            fs.compact_version("f", target_files=0)
+
+    def test_memory_backend_reports_none_files(self, store, feature_df):
+        store.register("f", feature_df)
+        rep = store.compact_version("f")
+        assert rep["rows"] == 5
+        assert rep["files_before"] is None and rep["files_after"] is None
