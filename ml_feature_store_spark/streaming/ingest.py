@@ -132,10 +132,11 @@ def stream_stream_join(
     right: DataFrame,
     band: str = "INTERVAL 2 HOURS",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: purchases within ``band``
-    AFTER a view by the same user (the streaming twin of the batch
-    r2_interval_join query in suite.py).
+    """Watermarked stream-stream join: purchases within ``band`` AFTER a
+    view by the same user (the streaming twin of the batch
+    r2_interval_join / r3_interval_left_join queries in suite.py).
 
     Both sides are watermarked and the join carries an explicit time-band
     condition — that is what lets Spark BOUND the join state: a buffered
@@ -143,7 +144,16 @@ def stream_stream_join(
     ``view.ts + band``, so state is O(rate x band), not O(stream). At
     cluster scale both streams shuffle on user_id once; the band
     predicate rides the equi join as a residual, exactly like the batch
-    plan."""
+    plan.
+
+    ``how="left_outer"`` adds the abandonment lane: a view with NO
+    purchase in its band is emitted null-padded — but only once the
+    watermark proves the band empty (eviction time), so null rows trail
+    real time by ``band + watermark``. That delay is the semantic price
+    of a correct streaming outer join; the batch twin
+    (r3_interval_left_join) emits the same rows with no delay."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     views = (
         left.filter(F.col("event_type") == "view")
         .select(
@@ -167,6 +177,7 @@ def stream_stream_join(
         (F.col("v_user") == F.col("b_user"))
         & (F.col("b_ts") > F.col("v_ts"))
         & (F.col("b_ts") <= F.col("v_ts") + F.expr(band)),
+        how,
     )
     return j.select(
         F.col("v_user").alias("user_id"),

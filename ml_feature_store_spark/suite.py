@@ -3699,6 +3699,43 @@ def q_t11_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(30)
 
 
+def q_r3_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r2's interval join as a LEFT OUTER — views with NO purchase in
+    their 2-hour band survive null-padded (the abandonment/no-conversion
+    lane a funnel analysis needs; a16 counts conversions, this keeps the
+    non-converters as rows). Batch twin of
+    stream_stream_join(how='left_outer') — the streaming side emits the
+    identical null rows, just delayed by band+watermark (state eviction);
+    pytest pins the subset relationship. Same plan shape as r2: one
+    shuffle on user_id, band residual on the SMJ — the null padding is
+    free."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    return j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        _US("v_ts").alias("view_us"),
+        _US("b_ts").alias("buy_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3827,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x24_importance_score": q_x24_importance_score,
     "g3b_triangle_degree_ordered": q_g3b_triangle_degree_ordered,
     "t11_dup_span_profile": q_t11_dup_span_profile,
+    "r3_interval_left_join": q_r3_interval_left_join,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6073,6 +6111,19 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+ORACLE_SQL["r3_interval_left_join"] = f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           b.event_id AS buy_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(b.ts) AS buy_us
+    FROM (SELECT * FROM ({_EV}) WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM ({_EV}) WHERE event_type = 'purchase') b
+      ON v.user_id = b.user_id
+     AND b.ts > v.ts
+     AND b.ts <= v.ts + INTERVAL 2 HOUR
+"""
 
 # t11: shingle set + multiplicity + coverage replayed relationally.
 ORACLE_SQL["t11_dup_span_profile"] = """

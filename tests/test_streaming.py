@@ -93,6 +93,85 @@ class TestStreamBatchEquivalence:
         }
         assert got == want
 
+    def test_stream_stream_left_outer_emits_null_lane(self, spark):
+        """left_outer stream-stream join: matched pairs == the inner/batch
+        pairs exactly; null-padded views appear only for bands the
+        watermark has PROVEN empty, and every one must exist in the batch
+        left join's null lane (r3_interval_left_join). A flush file one
+        batch later advances the watermark so eviction actually fires
+        (maxFilesPerTrigger=1 in stream_events)."""
+        import datetime as dt
+        import glob as _glob
+        import shutil as _sh
+        import tempfile as _tf
+
+        from ml_feature_store_spark.streaming import stream_stream_join
+        from ml_feature_store_spark.suite import QUERIES, table
+
+        d = _tf.mkdtemp(prefix="mlfs_ssleft_")
+        try:
+            _sh.copy(f"{SF}/events.parquet", f"{d}/0_events.parquet")
+            max_ts = table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+            flush = spark.createDataFrame(
+                [
+                    (-1, max_ts + dt.timedelta(hours=10), -1, "view", 0.0, "{}"),
+                    (-2, max_ts + dt.timedelta(hours=10), -1, "purchase", 0.0, "{}"),
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            )
+            tmp_out = _tf.mkdtemp(prefix="mlfs_flushw_")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            (part,) = _glob.glob(f"{tmp_out}/part-*.parquet")
+            _sh.copy(part, f"{d}/1_flush.parquet")
+            _sh.rmtree(tmp_out, ignore_errors=True)
+
+            joined = stream_stream_join(
+                stream_events(spark, d), stream_events(spark, d), how="left_outer"
+            )
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("ssleft_t")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            rows = [
+                r
+                for r in spark.sql("select * from ssleft_t").collect()
+                if r.user_id >= 0
+            ]
+            got_pairs = {
+                (r.user_id, r.view_id, r.buy_id)
+                for r in rows
+                if r.buy_id is not None
+            }
+            got_nulls = {(r.user_id, r.view_id) for r in rows if r.buy_id is None}
+            batch = QUERIES["r3_interval_left_join"](spark, SF).collect()
+            want_pairs = {
+                (r.user_id, r.view_id, r.buy_id)
+                for r in batch
+                if r.buy_id is not None
+            }
+            want_nulls = {(r.user_id, r.view_id) for r in batch if r.buy_id is None}
+            assert got_pairs == want_pairs
+            assert got_nulls  # watermark advanced -> eviction emitted some
+            assert got_nulls <= want_nulls  # never a spurious null row
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    def test_stream_stream_join_rejects_other_how(self, spark, events_dir):
+        from ml_feature_store_spark.streaming import stream_stream_join
+
+        with pytest.raises(ValueError):
+            stream_stream_join(
+                stream_events(spark, events_dir),
+                stream_events(spark, events_dir),
+                how="full_outer",
+            )
+
     def test_sessionize_stream_runs(self, spark, events_dir):
         stream = stream_events(spark, events_dir)
         q = _run_stream(streaming_sessionize(stream), "sessions_t")
