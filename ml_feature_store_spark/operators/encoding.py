@@ -36,7 +36,7 @@ Reference parity: none — extension operator (SURVEY.md §2.4 family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import hash_uniform
@@ -127,3 +127,47 @@ def feature_hash(
             total = total + c
         elems.append(total.cast("long"))
     return df.withColumn(out_col, F.array(*elems))
+
+
+def importance_score(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style hashed importance score: per-doc mean of per-token
+    integer likelihood ratios between the TARGET slice (rows where
+    ``is_target``) and the full corpus, over ``n_buckets`` md5 hash
+    buckets with add-1 smoothing. Staged BIGINT division keeps every
+    intermediate < 1e15 (overflow-safe at any corpus size) and
+    engine-portable; see suite q_x24 for the plan notes (weight dim
+    broadcast, corpus never shuffled)."""
+    toks = df.select(
+        id_col, is_target.cast("long").alias("__t__"),
+        F.explode(F.split(text_col, " ")).alias("__tok__"),
+    ).filter(F.length("__tok__") > 0)
+    b = toks.withColumn(
+        "__b__",
+        F.conv(F.substring(F.md5("__tok__"), 1, 15), 16, 10).cast("long")
+        % n_buckets,
+    )
+    dim = b.groupBy("__b__").agg(
+        F.count("*").alias("n_src"), F.sum("__t__").alias("n_tgt")
+    )
+    tot = dim.agg(F.sum("n_src").alias("s_tot"), F.sum("n_tgt").alias("t_tot"))
+    weights = dim.crossJoin(F.broadcast(tot)).select(
+        "__b__",
+        F.expr(
+            f"((n_tgt + 1) * 1000000000L div (t_tot + {n_buckets})) * 1000000L "
+            f"div ((n_src + 1) * 1000000000L div (s_tot + {n_buckets}))"
+        ).alias("w_e6"),
+    )
+    return (
+        b.join(F.broadcast(weights), "__b__")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(w_e6) div count(*)").alias("dsir_e6"),
+        )
+    )

@@ -104,3 +104,36 @@ def stratified_sample(
         )
     cut = case.otherwise(cut) if case is not None else cut
     return df.filter(u < cut)
+
+
+def uniform_mixture_rates(df: DataFrame, domain_col: str) -> DataFrame:
+    """Per-domain keep rates that downsample every domain to the smallest
+    domain's size (uniform target mixture): keep_rate_e6 =
+    min_count * 1e6 DIV count. One tiny partial-agg dim + a broadcast
+    scalar — no collect; the integer ratio makes the rate table
+    engine-portable."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("mn"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        domain_col,
+        "n_before",
+        F.expr("mn * 1000000L div n_before").alias("keep_rate_e6"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame, rates: DataFrame, domain_col: str, id_col: str
+) -> DataFrame:
+    """Filter ``df`` to its mixture subsample: a row keeps iff its
+    portable md5 draw (of ``id_col``, in [0, 1e6)) falls under its
+    domain's ``keep_rate_e6``. Map-side after a broadcast of the tiny
+    rate dim — deterministic across engines, retries and partitionings,
+    unlike ``df.sample``."""
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return df.join(
+        F.broadcast(rates.select(domain_col, "keep_rate_e6")), domain_col
+    ).filter(draw < F.col("keep_rate_e6"))

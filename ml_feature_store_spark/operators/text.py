@@ -374,15 +374,17 @@ def bpe_train_merges(
     before: int | None = None  # round r's 'before' == round r-1's 'after'
     for r in range(1, rounds + 1):
         n = F.size(F.col("tk"))
-        pairs = current.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("tk"), 1, n - 1),
-                    F.slice(F.col("tk"), 2, n - 1),
-                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
-                )
-            ).alias("p")
-        ).select("p.x", "p.y")
+        # guard: slice(tk, 1, n-1) errors on n == 0 (negative length) —
+        # zero/one-token docs contribute no adjacencies
+        adj = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(F.col("tk"), 1, n - 1),
+                F.slice(F.col("tk"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            ),
+        ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        pairs = current.select(F.explode(adj).alias("p")).select("p.x", "p.y")
         top = (
             pairs.filter(F.col("x") != F.col("y"))
             .groupBy("x", "y")
@@ -438,3 +440,61 @@ def bpe_encode(
             id_col, _apply_merge(F.col("tk"), x, y, x + joiner + y).alias("tk")
         )
     return out
+
+
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span coverage per document: an ``n``-token shingle
+    is duplicated when it appears in more than one doc; each doc reports
+    (n_spans, n_dup_spans, dup_rate_e6). Docs shorter than ``n`` tokens
+    keep a 0-span row (coverage reports on every doc). The span-level
+    complement of doc-level dedup — see suite q_t11 for the scale notes
+    (shuffle carries 16-byte shingle md5s, never strings)."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    sh = (
+        df.select(
+            id_col,
+            F.explode(
+                F.when(
+                    sz >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), sz - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("__s__"),
+        )
+        .select(id_col, F.md5("__s__").alias("__h__"))
+        .distinct()
+    )
+    dup = (
+        sh.groupBy("__h__")
+        .agg(F.count("*").alias("__nd__"))
+        .filter(F.col("__nd__") > 1)
+        .select("__h__")
+    )
+    totals = sh.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dups = (
+        sh.join(dup, "__h__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.expr(
+                "CASE WHEN coalesce(n_spans, 0) = 0 THEN 0L "
+                "ELSE coalesce(n_dup_spans, 0) * 1000000L div n_spans END"
+            ).alias("dup_rate_e6"),
+        )
+    )

@@ -3542,22 +3542,12 @@ def q_mix1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the mixture manifest: before/rate/after per domain. At
     100 TB the fact table is filtered map-side in one scan — the only
     shuffles are the two tiny count aggregations."""
+    from .operators.sampling import apply_mixture, uniform_mixture_rates
+
     docs = table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
-    mn = counts.agg(F.min("n_before").alias("mn"))
-    rates = counts.crossJoin(F.broadcast(mn)).select(
-        "lang",
-        "n_before",
-        F.expr("mn * 1000000L div n_before").alias("keep_rate_e6"),
-    )
-    draw = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 1000000
-    )
+    rates = uniform_mixture_rates(docs, "lang")
     kept = (
-        docs.join(F.broadcast(rates.select("lang", "keep_rate_e6")), "lang")
-        .filter(draw < F.col("keep_rate_e6"))
+        apply_mixture(docs, rates, "lang", "doc_id")
         .groupBy("lang")
         .agg(F.count("*").alias("n_after"))
     )
@@ -3584,36 +3574,10 @@ def q_x24_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg), totals via tiny crossJoin broadcasts, weights broadcast
     back onto the token stream — the corpus is never shuffled; per-doc
     score is one partial-agg sum. Top-20 via TakeOrderedAndProject."""
+    from .operators.encoding import importance_score
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.length("tok") > 0)
-    b = toks.withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 64,
-    )
-    dim = b.groupBy("bucket").agg(
-        F.count("*").alias("n_src"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
-    )
-    tot = dim.agg(
-        F.sum("n_src").alias("s_tot"), F.sum("n_tgt").alias("t_tot")
-    )
-    weights = dim.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            "((n_tgt + 1) * 1000000000L div (t_tot + 64)) * 1000000L "
-            "div ((n_src + 1) * 1000000000L div (s_tot + 64))"
-        ).alias("w_e6"),
-    )
-    perdoc = (
-        b.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.expr("sum(w_e6) div count(*)").alias("dsir_e6"),
-        )
-    )
+    perdoc = importance_score(docs, F.col("lang") == "en")
     return perdoc.orderBy(F.col("dsir_e6").desc(), "doc_id").limit(20)
 
 
@@ -3651,49 +3615,10 @@ def q_t11_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile as 0-span rows kept via left join (coverage must report on
     EVERY doc, not silently drop the short ones). Top-30 most-duplicated
     docs, integer coverage rate."""
+    from .operators.text import dup_span_profile
+
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                n >= 8,
-                F.transform(
-                    F.sequence(F.lit(1), n - 7),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(toks, i, F.lit(8))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("s"),
-    ).select("doc_id", F.md5("s").alias("h")).distinct()
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .select("h")
-    )
-    per_doc = (
-        sh.join(dup, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_spans"))
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    prof = (
-        docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.expr(
-                "CASE WHEN coalesce(n_spans, 0) = 0 THEN 0L "
-                "ELSE coalesce(n_dup_spans, 0) * 1000000L div n_spans END"
-            ).alias("dup_rate_e6"),
-        )
-    )
+    prof = dup_span_profile(docs, n=8)
     return prof.orderBy(
         F.col("dup_rate_e6").desc(), F.col("n_dup_spans").desc(), "doc_id"
     ).limit(30)
