@@ -635,3 +635,53 @@ class TestRound3FeatureOps:
     def test_rag1_arms_are_topk_reductions(self, spark):
         plan = executed_plan(QUERIES["rag1_hybrid_search"](spark, SF))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWave2Ops:
+    def test_a18_sketch_and_probes_broadcast(self, spark):
+        # the 192-cell sketch and the probe dim must broadcast; the only
+        # SMJ-scale work would be a bug
+        plan = executed_plan(QUERIES["a18_cms_heavy_hitters"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_dq6_latest_dim_joined_on_user_key(self, spark):
+        # per-user max(ts) is a partial-agg dim; no window over history
+        plan = executed_plan(QUERIES["dq6_leakage_audit"](spark, SF))
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mix1_rates_broadcast_fact_map_side(self, spark):
+        plan = executed_plan(QUERIES["mix1_domain_mixture"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_x24_weight_dim_broadcast_corpus_not_shuffled(self, spark):
+        # the 64-row weight dim broadcasts onto the token stream; the
+        # token stream itself is shuffled only to build the dim (1) and
+        # the per-doc rollup (1)
+        plan = executed_plan(QUERIES["x24_importance_score"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_t11_shuffles_carry_md5_not_strings(self, spark):
+        # every groupBy/join key on the shingle side is the 16-byte md5
+        plan = executed_plan(QUERIES["t11_dup_span_profile"](spark, SF))
+        assert "md5" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rag2_both_arms_topk(self, spark):
+        plan = executed_plan(QUERIES["rag2_ndcg_eval"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_g3b_joins_equi_not_cartesian(self, spark):
+        plan = executed_plan(QUERIES["g3b_triangle_degree_ordered"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_r3_left_join_single_shuffle_pair_band_residual(self, spark):
+        # same shape as r2: equi on user_id with the band as residual —
+        # left-outer must not degrade to a nested loop
+        plan = executed_plan(QUERIES["r3_interval_left_join"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
