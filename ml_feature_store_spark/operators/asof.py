@@ -288,3 +288,104 @@ def _asof_via_union(
     if keep_spine_ts:
         out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
     return matched.select(*out_cols)
+
+
+def asof_join_nearest(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str = ENTITY_COL,
+    ts_col: str = TIMESTAMP_COL,
+    tolerance_seconds: float | None = None,
+    keep_spine_ts: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join, NEAREST direction (pandas ``merge_asof``
+    ``direction='nearest'`` parity): each spine row takes the feature row
+    minimizing ``|feature.ts - spine.ts|``. Distance ties prefer the
+    BACKWARD (past) candidate — never silently prefer future data; ties
+    among equal feature timestamps on one side take the minimum
+    ``__row_id__`` (the backward contract of ``asof_join``).
+
+    Plan: the union strategy run in BOTH directions — one shuffle on the
+    entity key, two in-partition sorts (backward carry via
+    ``last(ignorenulls)`` over preceding, forward carry via
+    ``first(ignorenulls)`` over following), then a per-row CASE picks the
+    closer candidate. NO join, NO row explosion, cost independent of
+    per-entity fan-out — the same reason union is the 100 TB backward
+    strategy. ``tolerance_seconds`` bounds the distance post-hoc (drop
+    on ``inner``, null-pad on ``left``) with identical semantics in both
+    directions."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    payload = _feature_payload_cols(features, entity_col)
+    tb = ROW_ID_COL if ROW_ID_COL in payload else None
+
+    f_tagged = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(0).alias("__is_spine__"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload__"),
+    )
+    s_tagged = spine.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(1).alias("__is_spine__"),
+        F.lit(None).cast(f_tagged.schema["__payload__"].dataType).alias("__payload__"),
+    )
+    unioned = f_tagged.unionByName(s_tagged)
+
+    back_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    fwd_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    if tb:
+        # backward: desc so last() lands on the MIN row id (asof_join
+        # parity); forward: asc so first() lands on the MIN row id
+        back_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
+        fwd_order.append(F.col(f"__payload__.{tb}").asc_nulls_last())
+    w_back = (
+        Window.partitionBy(entity_col)
+        .orderBy(*back_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(entity_col)
+        .orderBy(*fwd_order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "__back__", F.last("__payload__", ignorenulls=True).over(w_back)
+    ).withColumn("__fwd__", F.first("__payload__", ignorenulls=True).over(w_fwd))
+    spine_rows = carried.filter(F.col("__is_spine__") == 1)
+
+    d_back = F.abs(
+        F.unix_micros(F.col("__evt_ts__"))
+        - F.unix_micros(F.col(f"__back__.{ts_col}"))
+    )
+    d_fwd = F.abs(
+        F.unix_micros(F.col(f"__fwd__.{ts_col}"))
+        - F.unix_micros(F.col("__evt_ts__"))
+    )
+    chosen = (
+        F.when(F.col("__back__").isNull(), F.col("__fwd__"))
+        .when(F.col("__fwd__").isNull(), F.col("__back__"))
+        .when(d_back <= d_fwd, F.col("__back__"))
+        .otherwise(F.col("__fwd__"))
+    )
+    picked = spine_rows.withColumn("__near__", chosen)
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.unix_micros(F.col(f"__near__.{ts_col}"))
+            - F.unix_micros(F.col("__evt_ts__"))
+        )
+        in_tol = dist <= F.lit(int(tolerance_seconds * 1_000_000))
+        picked = picked.withColumn(
+            "__near__", F.when(in_tol, F.col("__near__"))
+        )
+    if how == "inner":
+        picked = picked.filter(F.col("__near__").isNotNull())
+
+    out_cols = [F.col(entity_col)] + [
+        F.col(f"__near__.{c}").alias(c) for c in payload if c != ROW_ID_COL
+    ]
+    if keep_spine_ts:
+        out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
+    return picked.select(*out_cols)

@@ -3661,6 +3661,41 @@ def q_r3_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (operators/asof.py
+    asof_join_nearest — pandas merge_asof direction='nearest' parity,
+    property-tested against pandas itself): each purchase takes its
+    user's closest event within ±6h, past preferred on distance ties.
+    The sensor-alignment sibling of f7's backward join (F7 family). Plan:
+    union both directions — ONE shuffle on the entity key, two
+    in-partition sorts, no join, no row explosion (the 100 TB as-of
+    recipe); the oracle replays it as a banded argmin with the same
+    (distance, direction, row-id) tie chain."""
+    from .operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    # features exclude the purchases themselves (a spine row matching its
+    # own event at distance 0 would make the query a tautology)
+    feats = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_nearest(
+        spine, feats, tolerance_seconds=6 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("feature_us"),
+        "value",
+        _US("as_of_timestamp").alias("spine_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3790,6 +3825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3b_triangle_degree_ordered": q_g3b_triangle_degree_ordered,
     "t11_dup_span_profile": q_t11_dup_span_profile,
     "r3_interval_left_join": q_r3_interval_left_join,
+    "f18_asof_nearest": q_f18_asof_nearest,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6036,6 +6072,33 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# f18: banded argmin replay of the nearest as-of; tie chain
+# (distance, backward-first, event_id) matches the operator's
+# (|dt|, is_forward, __row_id__) exactly.
+ORACLE_SQL["f18_asof_nearest"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT event_id AS spine_id, user_id, ts AS sts
+              FROM ev WHERE event_type = 'purchase'),
+    cand AS (
+        SELECT s.spine_id, s.user_id, s.sts, f.ts AS fts, f.value,
+               abs(epoch_us(f.ts) - epoch_us(s.sts)) AS dist,
+               CASE WHEN f.ts <= s.sts THEN 0 ELSE 1 END AS fwd,
+               f.event_id
+        FROM spine s JOIN (SELECT * FROM ev WHERE event_type <> 'purchase') f
+             USING (user_id)
+        WHERE abs(epoch_us(f.ts) - epoch_us(s.sts)) <= 21600000000
+    ),
+    pick AS (
+        SELECT user_id, sts, fts, value,
+               row_number() OVER (PARTITION BY spine_id
+                                  ORDER BY dist, fwd, event_id) AS rn
+        FROM cand
+    )
+    SELECT user_id, epoch_us(fts) AS feature_us, value,
+           epoch_us(sts) AS spine_us
+    FROM pick WHERE rn = 1
+"""
 
 ORACLE_SQL["r3_interval_left_join"] = f"""
     SELECT v.user_id,

@@ -74,6 +74,14 @@ BENCH_QUERIES = [
     "a17_covariance_matrix",  # 45-aggregate single pass, no row shuffle
     "dq5_ks_statistic",     # quantized-support cumulative window
     "x21_bpe_train",        # 3 count+argmax+merge rounds over 8x docs
+    "x23_bpe_encode",       # train + corpus-wide merge folds over 8x docs
+    "a18_cms_heavy_hitters",  # 192-cell sketch build over 8x events
+    "dq6_leakage_audit",    # per-user max dim + key join over 8x events
+    "mix1_domain_mixture",  # rate dim broadcast + map-side thinning
+    "x24_importance_score",  # 64-bucket weight dim + token-stream rollup
+    "t11_dup_span_profile",  # shingle md5 multiplicity (replicas share spans)
+    "g3b_triangle_degree_ordered",  # degree-ordered wedge join, 8x graph
+    "r3_interval_left_join",  # left-outer band join (null lane adds no work)
 ]
 KEY_OFFSET = 100_000_000
 
