@@ -137,3 +137,47 @@ def apply_mixture(
     return df.join(
         F.broadcast(rates.select(domain_col, "keep_rate_e6")), domain_col
     ).filter(draw < F.col("keep_rate_e6"))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Deterministic uniform k-sample WITHOUT replacement per key: keep
+    the ``k`` rows with the smallest md5 draw of ``id_col`` (ties by id).
+    Equivalent to a per-key reservoir sample but reproducible across
+    engines, retries and partitionings, and MERGEABLE: bottom-k of a
+    union is the bottom-k of the per-shard bottom-ks, so shards/streams
+    can pre-sample locally and merge.
+
+    ``salt_buckets > 0`` runs that merge explicitly as a two-phase plan —
+    rank within (key, md5-salt bucket) first, then merge the per-bucket
+    bottom-ks — bounding any single task to ~rows/salt_buckets even when
+    one key holds most of the table (the a11 hot-key treatment; identical
+    output, property-tested). Adds ``__draw__`` so callers can re-rank.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    draw = hash_uniform(id_col).alias("__draw__")
+    base = df.withColumn("__draw__", draw)
+    order = [F.col("__draw__").asc(), F.col(id_col).asc()]
+    if salt_buckets > 0:
+        salt = (F.col("__draw__") % salt_buckets).alias("__salt__")
+        w1 = W.partitionBy(key_col, "__salt__").orderBy(*order)
+        base = (
+            base.withColumn("__salt__", salt)
+            .withColumn("__r1__", F.row_number().over(w1))
+            .filter(F.col("__r1__") <= k)
+            .drop("__r1__", "__salt__")
+        )
+    w = W.partitionBy(key_col).orderBy(*order)
+    return (
+        base.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .withColumnRenamed("__rk__", "sample_rank")
+    )

@@ -3696,6 +3696,76 @@ def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a19_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key bounded uniform sample (operators/sampling.py
+    bottomk_sample): the 5 events with the smallest md5 draw per
+    event_type — the deterministic distributed replacement for a per-key
+    reservoir. Runs the SALTED two-phase plan (salt_buckets=8): rank
+    within (key, salt) first so a key holding most of the table still
+    bounds every task, then merge the per-bucket bottom-ks — correct
+    because bottom-k is mergeable (bottom-k of a union == bottom-k of
+    bottom-ks). The oracle replays the single-phase ranking, so the
+    check also proves the two-phase == one-phase equivalence on real
+    data (the x9 independent-algorithm recipe)."""
+    from .operators.sampling import bottomk_sample
+
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id")
+    out = bottomk_sample(ev, "event_type", "event_id", k=5, salt_buckets=8)
+    return out.select("event_type", "sample_rank", "event_id")
+
+
+def q_dq7_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the statistic that DESIGNS a watermark.
+    Treating event_id as arrival order, each event's lateness is how far
+    its event time lags the per-user running maximum seen before it;
+    the bucketed histogram (on-time / <1m / <10m / <1h / <6h / >=6h)
+    tells you what `withWatermark` delay actually covers what fraction
+    of the feed — choose it blind and you either drop data or hold state
+    forever (streaming/ingest.py's watermark knobs cite this). The
+    testdata ships no arrival column (events are perfectly time-ordered),
+    so ARRIVAL IS SIMULATED: arrival = event time + a deterministic md5
+    delay in [0, 48h) — the documented harness part; the measurement
+    itself (running event-time max over arrival order) is exactly what
+    you'd run on a real feed's ingest timestamp. Plan: one window per
+    user over arrival order (single shuffle), integer microsecond
+    lateness, <=5-row output."""
+    ev = table(spark, sf_dir, "events")
+    delay = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 172_800_000_000
+    )
+    arr = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + delay).alias("arrival_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(
+            F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0).cast("long")
+        ),
+    )
+    bucketed = arr.select(
+        F.when(late == 0, "on_time")
+        .when(late < 3_600_000_000, "lt_1h")
+        .when(late < 21_600_000_000, "lt_6h")
+        .when(late < 86_400_000_000, "lt_24h")
+        .otherwise("ge_24h")
+        .alias("bucket"),
+        late.alias("late_us"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_events"), F.max("late_us").alias("max_late_us")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3826,6 +3896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_dup_span_profile": q_t11_dup_span_profile,
     "r3_interval_left_join": q_r3_interval_left_join,
     "f18_asof_nearest": q_f18_asof_nearest,
+    "a19_bottomk_sample": q_a19_bottomk_sample,
+    "dq7_lateness_profile": q_dq7_lateness_profile,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6072,6 +6144,53 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# dq7: running-max lateness replayed with the same exclusive frame.
+ORACLE_SQL["dq7_lateness_profile"] = f"""
+    WITH a AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                               1, 15))::BIGINT % 172800000000 AS arrival_us,
+               event_id
+        FROM ({_EV})
+    ),
+    l AS (
+        SELECT GREATEST(0, COALESCE(
+                   MAX(ts_us) OVER (PARTITION BY user_id
+                       ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - ts_us, 0)) AS late_us
+        FROM a
+    ),
+    b AS (
+        SELECT CASE WHEN late_us = 0 THEN 'on_time'
+                    WHEN late_us < 3600000000 THEN 'lt_1h'
+                    WHEN late_us < 21600000000 THEN 'lt_6h'
+                    WHEN late_us < 86400000000 THEN 'lt_24h'
+                    ELSE 'ge_24h' END AS bucket,
+               late_us
+        FROM l
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM b GROUP BY bucket
+"""
+
+# a19: single-phase ranking replay of the salted two-phase sample.
+ORACLE_SQL["a19_bottomk_sample"] = f"""
+    WITH d AS (
+        SELECT event_type, event_id,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS draw
+        FROM ({_EV})
+    ),
+    r AS (SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY draw, event_id) AS sample_rank
+          FROM d)
+    SELECT event_type, CAST(sample_rank AS INTEGER) AS sample_rank, event_id
+    FROM r WHERE sample_rank <= 5
+"""
 
 # f18: banded argmin replay of the nearest as-of; tie chain
 # (distance, backward-first, event_id) matches the operator's

@@ -165,7 +165,12 @@ def main() -> None:
         "boundary cases are pinned in tests/test_band.py.\n"
         "* pipe2's near-dup stages see replicas as genuine near-dups — "
         "candidate pairs grow by construction; the LSH banding bounds "
-        "them to same-bucket pairs."
+        "them to same-bucket pairs.\n"
+        "* g3 vs g3b is the degree-ordering experiment run on the same "
+        "8x graph: the id-ordered wedge join's work grows with "
+        "sum(deg^2) while the degree-ordered orientation holds near the "
+        "data factor — the O(m^1.5) bound showing up as a measured row, "
+        "not just a docstring."
     )
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
