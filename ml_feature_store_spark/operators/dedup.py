@@ -465,3 +465,52 @@ def detect_contamination(
         .agg(F.count("*").alias("n_shared"))
         .select(F.col("__id__").alias(id_col), "n_shared")
     )
+
+
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs — the asymmetric
+    complement of ``ngram_jaccard``: containment(A in B) = |A∩B| / |A|.
+    A short doc quoted wholesale inside a long one scores ~1.0 here while
+    its Jaccard (|A∩B|/|A∪B|) stays tiny — the near-superset/boilerplate-
+    inclusion case Jaccard-threshold dedup systematically misses (the
+    Broder resemblance-vs-containment distinction). Emits the larger
+    direction plus ``contained_id`` (the near-SUBSET side — the one a
+    keep-longest policy drops). Same plan as the Jaccard verify: two
+    joins of shingle sets onto the small candidate list."""
+    from .util import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(content_col), shingle_k)).alias("sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = (
+        pairs.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn("__c_ab__", inter / F.size("sh_a"))
+        .withColumn("__c_ba__", inter / F.size("sh_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.greatest("__c_ab__", "__c_ba__").alias("containment"),
+            F.when(F.col("__c_ab__") >= F.col("__c_ba__"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
+    return (
+        out.filter(F.col("containment") >= threshold) if threshold > 0 else out
+    )

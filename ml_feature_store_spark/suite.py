@@ -3766,6 +3766,26 @@ def q_dq7_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x25_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x6's LSH candidates verified with exact shingle CONTAINMENT
+    (operators/dedup.py ngram_containment): |A∩B|/|A| — asymmetric, so a
+    doc quoting another wholesale scores ~1.0 where the symmetric
+    Jaccard stays low (Broder's resemblance-vs-containment distinction;
+    the boilerplate-inclusion case x6b misses by design). Emits the
+    contained (near-subset) side a keep-longest dedup policy would drop.
+    Same portable md5-affine MinHash family as x6, so the oracle
+    regenerates candidates AND the containment arithmetic exactly."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_containment
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    out = ngram_containment(docs, pairs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment"),
+        "contained_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3898,6 +3918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f18_asof_nearest": q_f18_asof_nearest,
     "a19_bottomk_sample": q_a19_bottomk_sample,
     "dq7_lateness_profile": q_dq7_lateness_profile,
+    "x25_containment_dedup": q_x25_containment_dedup,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -5404,6 +5425,25 @@ ORACLE_SQL["x6b_jaccard_verify"] = f"""
         JOIN ds db ON db.doc_id = c.id_b
     )
     SELECT id_a, id_b, ROUND(rawj, 6) AS jaccard FROM j WHERE rawj >= 0.5
+"""
+
+ORACLE_SQL["x25_containment_dedup"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    c AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(da.d) AS c_ab,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(db.d) AS c_ba
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(GREATEST(c_ab, c_ba), 6) AS containment,
+           CASE WHEN c_ab >= c_ba THEN id_a ELSE id_b END AS contained_id
+    FROM c WHERE GREATEST(c_ab, c_ba) >= 0.5
 """
 
 # x9's oracle recomputes SimHash bits relationally (per-bit vote sums +
