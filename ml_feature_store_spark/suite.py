@@ -3786,6 +3786,47 @@ def q_x25_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f20_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time DIMENSION join — the warehouse dual of f7's as-of:
+    build the SCD2 validity intervals from each user's click history
+    (f11's lead() view: value valid [ts, next ts)), then join every
+    purchase to the dimension row VALID AT its event time via equi
+    (user) + half-open band residual. Classic 'dimension as of event
+    time'. Because an SCD2-interval join and a backward as-of join are
+    the same semantics expressed two ways, rows here must equal an
+    asof_join of purchases onto clicks — and the oracle checks interval
+    containment directly, a different formulation again. Plan: interval
+    dim built with one window shuffle; the fact join is equi on user_id
+    with the band as residual — never a cross product."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sentinel = F.lit("9999-12-31").cast("timestamp")
+    dim = clicks.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w), sentinel).alias("valid_to"),
+        F.col("value").alias("dim_value"),
+        F.col("event_id").alias("dim_event"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = buys.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        _US("ts").alias("buy_us"),
+        "dim_event",
+        "dim_value",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3919,6 +3960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a19_bottomk_sample": q_a19_bottomk_sample,
     "dq7_lateness_profile": q_dq7_lateness_profile,
     "x25_containment_dedup": q_x25_containment_dedup,
+    "f20_scd2_dim_join": q_f20_scd2_dim_join,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6184,6 +6226,26 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# f20: interval containment replayed over the same lead() dim.
+ORACLE_SQL["f20_scd2_dim_join"] = f"""
+    WITH ev AS ({_EV}),
+    dim AS (
+        SELECT user_id AS d_user, ts AS valid_from,
+               COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31') AS valid_to,
+               value AS dim_value, event_id AS dim_event
+        FROM ev WHERE event_type = 'click'
+    ),
+    buys AS (SELECT user_id, event_id, ts FROM ev
+             WHERE event_type = 'purchase')
+    SELECT b.user_id, b.event_id AS buy_id, epoch_us(b.ts) AS buy_us,
+           d.dim_event, d.dim_value
+    FROM buys b JOIN dim d
+      ON b.user_id = d.d_user
+     AND b.ts >= d.valid_from AND b.ts < d.valid_to
+"""
 
 # dq7: running-max lateness replayed with the same exclusive frame.
 ORACLE_SQL["dq7_lateness_profile"] = f"""
