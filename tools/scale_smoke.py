@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "t11_dup_span_profile",  # shingle md5 multiplicity (replicas share spans)
     "g3b_triangle_degree_ordered",  # degree-ordered wedge join, 8x graph
     "r3_interval_left_join",  # left-outer band join (null lane adds no work)
+    "f18_asof_nearest",     # double-window nearest as-of, join-free
+    "f20_scd2_dim_join",    # interval-dim band join over 8x events
+    "x25_containment_dedup",  # LSH candidates + containment verify
+    "a19_bottomk_sample",   # salted two-phase per-key bottom-k
 ]
 KEY_OFFSET = 100_000_000
 
