@@ -3827,6 +3827,50 @@ def q_f20_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-visible (store.py compact_version;
+    pytest pins the API, this query pins the DATA contract): register the
+    events feed fragmented into 16 files (micro-batch ingest shape),
+    compact to 1, and report the invariants that make compaction safe to
+    automate — row count and an order-independent content checksum, both
+    IDENTICAL before and after, plus the file counts. The oracle computes
+    the same rows/checksum straight from the source table, so a
+    compaction that dropped or duplicated ANY row hash-mismatches. At
+    100 TB this is the maintenance job that keeps scan parallelism
+    governed by maxPartitionBytes instead of file count."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(
+        spark, storage_path=_scratch_dir("io8_compact", sf_dir)
+    )
+    fs.register("ev", feats.repartition(16))
+    rep = fs.compact_version("ev", target_files=1)
+    after = fs.get_version("ev", 1)
+    chk = after.agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", "entity_id", F.unix_micros("timestamp"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 31)
+        ).alias("content_check"),
+    )
+    return chk.select(
+        "rows",
+        "content_check",
+        F.lit(rep["files_after"]).cast("long").alias("files_after"),
+        F.lit(rep["files_before"] > rep["files_after"]).alias("compacted"),
+        (F.lit(rep["rows"]) == F.col("rows")).alias("rows_preserved"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -3961,6 +4005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq7_lateness_profile": q_dq7_lateness_profile,
     "x25_containment_dedup": q_x25_containment_dedup,
     "f20_scd2_dim_join": q_f20_scd2_dim_join,
+    "io8_compaction": q_io8_compaction,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6226,6 +6271,19 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# io8: rows + content checksum recomputed straight from the source —
+# a lossy compaction hash-mismatches; layout facts are pinned as flags.
+ORACLE_SQL["io8_compaction"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+           CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ','
+                     || CAST(epoch_us(ts) AS VARCHAR)), 1, 8))::BIGINT
+                    % 2147483648) AS BIGINT) AS content_check,
+           CAST(1 AS BIGINT) AS files_after,
+           TRUE AS compacted,
+           TRUE AS rows_preserved
+    FROM ({_EV})
+"""
 
 # f20: interval containment replayed over the same lead() dim.
 ORACLE_SQL["f20_scd2_dim_join"] = f"""
