@@ -3871,6 +3871,51 @@ def q_io8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack2_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced sequence packing by RANK PAIRING — pack1's
+    concat-and-chunk sibling for pipelines that must keep documents
+    whole: within each md5 shard, rank docs by token count desc and pair
+    rank i with rank n+1-i (longest with shortest), so every 2-doc bin's
+    total is balanced around the shard mean — the classic sorted
+    pairing bound on padding waste, and unlike first-fit-decreasing it
+    is embarrassingly parallel. Sharding first (shuf1's md5 family) is
+    the scale move: ranking runs per shard (bounded task), not as one
+    global sort, and the expectation of the waste bound is unchanged.
+    Output: one row per bin with both doc ids + total tokens. Odd
+    shard sizes leave the middle rank as a singleton bin (id_short
+    NULL)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 4
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("n_tokens").desc(), "doc_id")
+    wc = Window.partitionBy("shard")
+    ranked = t.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wc).alias("n"),
+    ).withColumn(
+        "bin",
+        F.when(F.col("r") * 2 <= F.col("n") + 1, F.col("r")).otherwise(
+            F.col("n") + 1 - F.col("r")
+        ),
+    )
+    return ranked.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min_by("doc_id", "r").alias("id_long"),
+        F.when(F.count("*") == 2, F.max_by("doc_id", "r")).alias("id_short"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4006,6 +4051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_containment_dedup": q_x25_containment_dedup,
     "f20_scd2_dim_join": q_f20_scd2_dim_join,
     "io8_compaction": q_io8_compaction,
+    "pack2_rank_pairing": q_pack2_rank_pairing,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6271,6 +6317,35 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# pack2: same rank/pair arithmetic; min_by/max_by == argmin/argmax on r.
+ORACLE_SQL["pack2_rank_pairing"] = """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+                   AS shard
+        FROM documents
+    ),
+    r AS (
+        SELECT shard, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tokens DESC, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY shard) AS n
+        FROM t
+    ),
+    b AS (
+        SELECT shard, doc_id, n_tokens, r,
+               CASE WHEN r * 2 <= n + 1 THEN r ELSE n + 1 - r END AS bin
+        FROM r
+    )
+    SELECT shard, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_min(doc_id, r) AS BIGINT) AS id_long,
+           CASE WHEN COUNT(*) = 2 THEN CAST(arg_max(doc_id, r) AS BIGINT)
+           END AS id_short,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+    FROM b GROUP BY shard, bin
+"""
 
 # io8: rows + content checksum recomputed straight from the source —
 # a lossy compaction hash-mismatches; layout facts are pinned as flags.
