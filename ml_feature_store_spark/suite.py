@@ -3916,6 +3916,45 @@ def q_pack2_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts3_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting backtest — the baseline every demand/
+    load forecast must beat, and the third leg of the time-series family
+    (ts1 ffill, ts2 interpolate, ts3 backtest). Daily event counts per
+    event_type; forecast(day) = actual(day - 7); score the final 14 days
+    with integer absolute errors (counts are exact — no float metric).
+    Emits per-type MAE in e2 units plus the naive-1 (yesterday) MAE, so
+    the row also shows WHY weekly seasonality matters. Plan: one daily
+    partial-agg rollup, lag(7)/lag(1) over a per-type window ordered by
+    day — a single shuffle on event_type, 5-row output."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n", 7).over(w).alias("pred_seasonal"),
+        F.lag("n", 1).over(w).alias("pred_naive"),
+        F.max("day").over(Window.partitionBy("event_type")).alias("max_day"),
+    )
+    test = lagged.filter(
+        (F.col("day") > F.col("max_day") - F.expr("INTERVAL 14 DAYS"))
+        & F.col("pred_seasonal").isNotNull()
+        & F.col("pred_naive").isNotNull()
+    )
+    return test.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "sum(abs(n - pred_seasonal)) * 100L div count(*)"
+        ).alias("mae_seasonal_e2"),
+        F.expr("sum(abs(n - pred_naive)) * 100L div count(*)").alias(
+            "mae_naive_e2"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4052,6 +4091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f20_scd2_dim_join": q_f20_scd2_dim_join,
     "io8_compaction": q_io8_compaction,
     "pack2_rank_pairing": q_pack2_rank_pairing,
+    "ts3_seasonal_backtest": q_ts3_seasonal_backtest,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6317,6 +6357,35 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# ts3: identical daily rollup + lag frame; gaps in the daily grid shift
+# lag() rows identically in both engines (row-based, not day-based).
+ORACLE_SQL["ts3_seasonal_backtest"] = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({_EV}) GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+        SELECT event_type, day, n,
+               lag(n, 7) OVER w AS pred_seasonal,
+               lag(n, 1) OVER w AS pred_naive,
+               MAX(day) OVER (PARTITION BY event_type) AS max_day
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    test AS (
+        SELECT * FROM lagged
+        WHERE day > max_day - INTERVAL 14 DAY
+          AND pred_seasonal IS NOT NULL AND pred_naive IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(n - pred_seasonal)) * 100 // COUNT(*) AS BIGINT)
+               AS mae_seasonal_e2,
+           CAST(SUM(abs(n - pred_naive)) * 100 // COUNT(*) AS BIGINT)
+               AS mae_naive_e2
+    FROM test GROUP BY event_type
+"""
 
 # pack2: same rank/pair arithmetic; min_by/max_by == argmin/argmax on r.
 ORACLE_SQL["pack2_rank_pairing"] = """
