@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .errors import FeatureStoreError, FeatureTableNotFoundError, FeatureValidationError
-from .operators.asof import asof_join
+from .operators.asof import asof_join, asof_join_nearest
 from .operators.pit import (
     ENTITY_COL,
     ROW_ID_COL,
@@ -616,6 +616,7 @@ class FeatureStore:
         tolerance_seconds: float | None = None,
         bucket_seconds: int = 30 * 24 * 3600,
         how: str = "inner",
+        direction: str = "backward",
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
@@ -623,19 +624,37 @@ class FeatureStore:
         ``tolerance_seconds`` optionally bounds the lookback window;
         ``strategy="union_bucketed"`` with ``bucket_seconds`` is the
         hot-entity (skew) path; ``how="left"`` keeps unmatched spine rows
-        null-padded (Feast contract) — see operators/asof.py."""
+        null-padded (Feast contract) — see operators/asof.py.
+        ``direction="nearest"`` matches the CLOSEST feature row in either
+        direction (pandas merge_asof parity, ties prefer the past) —
+        sensor-alignment semantics; only meaningful with an explicit
+        ``tolerance_seconds`` in most deployments, and deliberately NOT
+        the default: backward is the only leakage-safe direction for
+        training labels."""
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
+        if direction not in ("backward", "nearest"):
+            raise FeatureValidationError(
+                f"direction must be 'backward' or 'nearest', got {direction!r}"
+            )
         if columns is not None:
             self._validate_columns(name, columns)
         feats = self._current(name).drop(DT_COL)
-        out = asof_join(
-            entity_timestamps,
-            feats,
-            strategy=strategy,
-            tolerance_seconds=tolerance_seconds,
-            bucket_seconds=bucket_seconds,
-            how=how,
-        )
+        if direction == "nearest":
+            out = asof_join_nearest(
+                entity_timestamps,
+                feats,
+                tolerance_seconds=tolerance_seconds,
+                how=how,
+            )
+        else:
+            out = asof_join(
+                entity_timestamps,
+                feats,
+                strategy=strategy,
+                tolerance_seconds=tolerance_seconds,
+                bucket_seconds=bucket_seconds,
+                how=how,
+            )
         out = project(out, columns)
         return out.drop(*HIDDEN_COLS)
 

@@ -809,3 +809,34 @@ class TestCompactVersion:
         rep = store.compact_version("f")
         assert rep["rows"] == 5
         assert rep["files_before"] is None and rep["files_after"] is None
+
+
+class TestTrainingSetNearest:
+    def test_nearest_direction_picks_closest_either_side(self, store, feature_df):
+        store.register("f", feature_df)
+        # spine at 2024-01-10: user_1 has rows at 01-01 (9d back) and
+        # 01-15 (5d forward) -> nearest is the FUTURE row
+        spine = feature_df.sparkSession.createDataFrame(
+            [("user_1", ts("2024-01-10"))], ["entity_id", "timestamp"]
+        )
+        (row,) = store.get_training_set("f", spine, direction="nearest").collect()
+        assert row.feature_a == 2.0 and row.timestamp == ts("2024-01-15")
+        # backward default would have taken the 01-01 row
+        (brow,) = store.get_training_set("f", spine).collect()
+        assert brow.feature_a == 1.0
+
+    def test_nearest_tolerance_drops_far_rows(self, store, feature_df):
+        store.register("f", feature_df)
+        spine = feature_df.sparkSession.createDataFrame(
+            [("user_1", ts("2024-03-01"))], ["entity_id", "timestamp"]
+        )  # nearest row (02-01) is 29 days away
+        got = store.get_training_set(
+            "f", spine, direction="nearest", tolerance_seconds=86400.0
+        ).collect()
+        assert got == []
+
+    def test_bad_direction_rejected(self, store, feature_df):
+        store.register("f", feature_df)
+        spine = feature_df.limit(1).select("entity_id", "timestamp")
+        with pytest.raises(FeatureValidationError):
+            store.get_training_set("f", spine, direction="forward")
