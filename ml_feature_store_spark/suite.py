@@ -3955,6 +3955,59 @@ def q_ts3_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality eval — x19's trust-but-verify applied to
+    MinHash-LSH instead of ANN: for 50 md5-sampled probe docs, compute
+    the EXACT ground truth (every corpus doc with 3-shingle Jaccard >=
+    0.5 against the probe — a probe x corpus scan, bounded at any SF by
+    the fixed probe count) and report how many of those true pairs the
+    banded LSH candidate generation (x6, same portable md5-affine
+    family) actually surfaced. Recall misses here mean real near-dups
+    silently survive dedup — the number you check before trusting
+    bands/hashes settings on 100 TB. Integer counts; recall defined
+    1e6 when no truth pairs exist."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    probes = (
+        docs.select("doc_id", draw.alias("d"))
+        .orderBy("d", "doc_id")
+        .limit(50)
+        .select(F.col("doc_id").alias("id_a"))
+    )
+    all_ids = docs.select(F.col("doc_id").alias("id_b"))
+    probe_pairs = (
+        probes.crossJoin(all_ids).filter(F.col("id_a") != F.col("id_b"))
+    )
+    truth = (
+        ngram_jaccard(docs, probe_pairs, threshold=0.5)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+    )
+    cand = dedup_minhash_lsh(
+        docs, num_hashes=16, bands=4, hash_family="md5_affine"
+    ).select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+    found = truth.join(cand, ["lo", "hi"])
+    return truth.agg(F.count("*").alias("n_truth")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        F.lit(50).cast("long").alias("n_probes"),
+        "n_truth",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 1000000L "
+            "ELSE n_found * 1000000L div n_truth END"
+        ).alias("recall_e6"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4092,6 +4145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io8_compaction": q_io8_compaction,
     "pack2_rank_pairing": q_pack2_rank_pairing,
     "ts3_seasonal_backtest": q_ts3_seasonal_backtest,
+    "x26_lsh_recall_eval": q_x26_lsh_recall_eval,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6357,6 +6411,39 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# x26: probe ground truth + LSH candidates both replayed from _MH_CTES.
+ORACLE_SQL["x26_lsh_recall_eval"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    probes AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS dr
+            FROM documents
+        ) ORDER BY dr, doc_id LIMIT 50
+    ),
+    truth AS (
+        SELECT DISTINCT LEAST(p.doc_id, o.doc_id) AS lo,
+                        GREATEST(p.doc_id, o.doc_id) AS hi
+        FROM probes p
+        JOIN ds da ON da.doc_id = p.doc_id
+        JOIN ds db ON db.doc_id <> p.doc_id
+        JOIN documents o ON o.doc_id = db.doc_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    found AS (SELECT t.lo, t.hi FROM truth t
+              JOIN cand c ON c.id_a = t.lo AND c.id_b = t.hi),
+    a AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found)
+    SELECT CAST(50 AS BIGINT) AS n_probes, n_truth, n_found,
+           CAST(CASE WHEN n_truth = 0 THEN 1000000
+                     ELSE n_found * 1000000 // n_truth END AS BIGINT)
+               AS recall_e6
+    FROM a
+"""
 
 # ts3: identical daily rollup + lag frame; gaps in the daily grid shift
 # lag() rows identically in both engines (row-based, not day-based).
