@@ -315,6 +315,47 @@ def asof_join_nearest(
     strategy. ``tolerance_seconds`` bounds the distance post-hoc (drop
     on ``inner``, null-pad on ``left``) with identical semantics in both
     directions."""
+    return _asof_directional(
+        spine, features, entity_col, ts_col, tolerance_seconds,
+        keep_spine_ts, how, "nearest",
+    )
+
+
+def asof_join_forward(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str = ENTITY_COL,
+    ts_col: str = TIMESTAMP_COL,
+    tolerance_seconds: float | None = None,
+    keep_spine_ts: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join, FORWARD direction (pandas ``merge_asof``
+    ``direction='forward'`` parity): each spine row takes the EARLIEST
+    feature row with ``feature.ts >= spine.ts`` (exact matches included,
+    pandas' allow_exact_matches default; min ``__row_id__`` among equal
+    timestamps). The time-to-next-event lookup — label-side joins look
+    forward the way f16's label windows do, but for a single match.
+    Same join-free single-shuffle plan as ``asof_join_nearest``; only
+    the forward carry is computed."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return _asof_directional(
+        spine, features, entity_col, ts_col, tolerance_seconds,
+        keep_spine_ts, how, "forward",
+    )
+
+
+def _asof_directional(
+    spine: DataFrame,
+    features: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    tolerance_seconds: float | None,
+    keep_spine_ts: bool,
+    how: str,
+    direction: str,
+) -> DataFrame:
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     payload = _feature_payload_cols(features, entity_col)
@@ -334,42 +375,58 @@ def asof_join_nearest(
     )
     unioned = f_tagged.unionByName(s_tagged)
 
+    # Spine position at equal ts decides whether exact matches reach the
+    # forward window: nearest keeps features BEFORE the spine (backward
+    # covers distance-0), pure forward puts them AFTER (pandas
+    # allow_exact_matches).
+    fwd_spine_pos = (
+        F.col("__is_spine__").asc()
+        if direction == "nearest"
+        else F.col("__is_spine__").desc()
+    )
     back_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
-    fwd_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    fwd_order = [F.col("__evt_ts__").asc(), fwd_spine_pos]
     if tb:
         # backward: desc so last() lands on the MIN row id (asof_join
         # parity); forward: asc so first() lands on the MIN row id
         back_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
         fwd_order.append(F.col(f"__payload__.{tb}").asc_nulls_last())
-    w_back = (
-        Window.partitionBy(entity_col)
-        .orderBy(*back_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     w_fwd = (
         Window.partitionBy(entity_col)
         .orderBy(*fwd_order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned.withColumn(
-        "__back__", F.last("__payload__", ignorenulls=True).over(w_back)
-    ).withColumn("__fwd__", F.first("__payload__", ignorenulls=True).over(w_fwd))
+        "__fwd__", F.first("__payload__", ignorenulls=True).over(w_fwd)
+    )
+    if direction == "nearest":
+        w_back = (
+            Window.partitionBy(entity_col)
+            .orderBy(*back_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = carried.withColumn(
+            "__back__", F.last("__payload__", ignorenulls=True).over(w_back)
+        )
     spine_rows = carried.filter(F.col("__is_spine__") == 1)
 
-    d_back = F.abs(
-        F.unix_micros(F.col("__evt_ts__"))
-        - F.unix_micros(F.col(f"__back__.{ts_col}"))
-    )
-    d_fwd = F.abs(
-        F.unix_micros(F.col(f"__fwd__.{ts_col}"))
-        - F.unix_micros(F.col("__evt_ts__"))
-    )
-    chosen = (
-        F.when(F.col("__back__").isNull(), F.col("__fwd__"))
-        .when(F.col("__fwd__").isNull(), F.col("__back__"))
-        .when(d_back <= d_fwd, F.col("__back__"))
-        .otherwise(F.col("__fwd__"))
-    )
+    if direction == "nearest":
+        d_back = F.abs(
+            F.unix_micros(F.col("__evt_ts__"))
+            - F.unix_micros(F.col(f"__back__.{ts_col}"))
+        )
+        d_fwd = F.abs(
+            F.unix_micros(F.col(f"__fwd__.{ts_col}"))
+            - F.unix_micros(F.col("__evt_ts__"))
+        )
+        chosen = (
+            F.when(F.col("__back__").isNull(), F.col("__fwd__"))
+            .when(F.col("__fwd__").isNull(), F.col("__back__"))
+            .when(d_back <= d_fwd, F.col("__back__"))
+            .otherwise(F.col("__fwd__"))
+        )
+    else:
+        chosen = F.col("__fwd__")
     picked = spine_rows.withColumn("__near__", chosen)
     if tolerance_seconds is not None:
         dist = F.abs(

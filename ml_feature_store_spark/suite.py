@@ -4008,6 +4008,40 @@ def q_x26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f21_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py asof_join_forward — pandas
+    merge_asof direction='forward' parity, property-tested against
+    pandas): each view takes its user's NEXT purchase within 12 hours —
+    one matched row per view with the exact time-to-convert, where a16's
+    funnel only counts conversions. Completes merge_asof surface parity:
+    f7 backward, f18 nearest, f21 forward. Same join-free single-shuffle
+    union plan; the oracle replays it as a banded forward argmin."""
+    from .operators.asof import asof_join_forward
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_forward(
+        spine, feats, tolerance_seconds=12 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("view_us"),
+        _US("timestamp").alias("buy_us"),
+        "value",
+        (F.unix_micros("timestamp") - F.unix_micros("as_of_timestamp")).alias(
+            "time_to_convert_us"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4146,6 +4180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack2_rank_pairing": q_pack2_rank_pairing,
     "ts3_seasonal_backtest": q_ts3_seasonal_backtest,
     "x26_lsh_recall_eval": q_x26_lsh_recall_eval,
+    "f21_asof_forward": q_f21_asof_forward,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6411,6 +6446,31 @@ ORACLE_SQL["x23_bpe_encode"] = (
     FROM p4 GROUP BY doc_id
 """
 )
+
+# f21: banded forward argmin; ties (same purchase ts) take min event_id,
+# matching asof_join_forward's min-__row_id__ contract.
+ORACLE_SQL["f21_asof_forward"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT event_id AS spine_id, user_id, ts AS sts
+              FROM ev WHERE event_type = 'view'),
+    cand AS (
+        SELECT s.spine_id, s.user_id, s.sts, f.ts AS fts, f.value, f.event_id
+        FROM spine s
+        JOIN (SELECT * FROM ev WHERE event_type = 'purchase') f
+             USING (user_id)
+        WHERE f.ts >= s.sts
+          AND epoch_us(f.ts) - epoch_us(s.sts) <= 43200000000
+    ),
+    pick AS (
+        SELECT user_id, sts, fts, value,
+               row_number() OVER (PARTITION BY spine_id
+                                  ORDER BY fts, event_id) AS rn
+        FROM cand
+    )
+    SELECT user_id, epoch_us(sts) AS view_us, epoch_us(fts) AS buy_us,
+           value, epoch_us(fts) - epoch_us(sts) AS time_to_convert_us
+    FROM pick WHERE rn = 1
+"""
 
 # x26: probe ground truth + LSH candidates both replayed from _MH_CTES.
 ORACLE_SQL["x26_lsh_recall_eval"] = f"""

@@ -317,3 +317,93 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, rows, spine):
             if not pd.isna(row.v)
         ]
     assert got == sorted(want)
+
+
+def spec_forward(rows, spine, tol_days=None):
+    """Forward spec: earliest feature with ts >= spine ts (exact matches
+    included), min-row-id among equal ts."""
+    out = []
+    for e, sd in spine:
+        fwd = None
+        for row_id, (e2, d, v) in enumerate(rows):
+            if e2 == e and d >= sd:
+                if fwd is None or d < fwd[0] or (d == fwd[0] and row_id < fwd[1]):
+                    if fwd is None or d < fwd[0]:
+                        fwd = (d, row_id, v)
+        if fwd is None:
+            continue
+        if tol_days is not None and fwd[0] - sd > tol_days:
+            continue
+        out.append((e, fwd[0], fwd[2]))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=feature_rows, spine=spine_rows, tol=st.none() | st.integers(0, 3))
+def test_asof_forward_matches_spec(spark, rows, spine, tol):
+    from ml_feature_store_spark.operators.asof import asof_join_forward
+
+    feats = _to_df(spark, rows)
+    spine_df = spark.createDataFrame(
+        [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
+        ["entity_id", "timestamp"],
+    )
+    got = sorted(
+        (r["entity_id"], (r["timestamp"] - BASE).days, r["val"])
+        for r in asof_join_forward(
+            spine_df,
+            feats,
+            tolerance_seconds=tol * 86400 if tol is not None else None,
+        ).collect()
+    )
+    assert got == spec_forward(rows, spine, tol)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(entities, day_offsets, values),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    spine=spine_rows,
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, rows, spine):
+    import pandas as pd
+
+    from ml_feature_store_spark.operators.asof import asof_join_forward
+
+    feats = _to_df(spark, rows)
+    spine_df = spark.createDataFrame(
+        [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
+        ["entity_id", "timestamp"],
+    )
+    got = sorted(
+        (r["entity_id"], (r["as_of_timestamp"] - BASE).days, r["val"])
+        for r in asof_join_forward(spine_df, feats, keep_spine_ts=True).collect()
+    )
+    want = []
+    for e in {e for e, _ in spine}:
+        left = pd.DataFrame(
+            {"t": sorted(BASE + dt.timedelta(days=d) for e2, d in spine if e2 == e)}
+        )
+        right = (
+            pd.DataFrame(
+                {
+                    "t": [BASE + dt.timedelta(days=d) for e2, d, v in rows if e2 == e],
+                    "v": [v for e2, d, v in rows if e2 == e],
+                }
+            )
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        if right.empty:
+            continue
+        m = pd.merge_asof(left, right, on="t", direction="forward")
+        want += [
+            (e, (row.t - BASE).days, int(row.v))
+            for row in m.itertuples(index=False)
+            if not pd.isna(row.v)
+        ]
+    assert got == sorted(want)
