@@ -685,3 +685,38 @@ class TestWave2Ops:
         plan = executed_plan(QUERIES["r3_interval_left_join"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestWave3Ops:
+    def test_f18_nearest_no_join_single_exchange(self, spark):
+        # double-window nearest: NO join operator anywhere; the only
+        # exchange partitions on the entity key
+        df = QUERIES["f18_asof_nearest"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan
+        assert shuffle_count(df) == 1
+
+    def test_f21_forward_no_join_single_exchange(self, spark):
+        df = QUERIES["f21_asof_forward"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan
+        assert shuffle_count(df) == 1
+
+    def test_f20_scd2_join_is_equi_with_band_residual(self, spark):
+        plan = executed_plan(QUERIES["f20_scd2_dim_join"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pack2_rank_pairing_is_window_only(self, spark):
+        df = QUERIES["pack2_rank_pairing"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan  # pairing via rank arithmetic, not self-join
+
+    def test_x25_containment_joins_are_blocked(self, spark):
+        plan = executed_plan(QUERIES["x25_containment_dedup"](spark, SF))
+        assert "CartesianProduct" not in plan
+
+    def test_ts3_single_shuffle_on_type_key(self, spark):
+        df = QUERIES["ts3_seasonal_backtest"](spark, SF)
+        plan = executed_plan(df)
+        assert "Join" not in plan
