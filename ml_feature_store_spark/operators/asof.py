@@ -446,3 +446,73 @@ def _asof_directional(
     if keep_spine_ts:
         out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
     return picked.select(*out_cols)
+
+
+def asof_join_nearest_banded(
+    spine: DataFrame,
+    features: DataFrame,
+    tolerance_seconds: float,
+    entity_col: str = ENTITY_COL,
+    ts_col: str = TIMESTAMP_COL,
+    keep_spine_ts: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """``asof_join_nearest`` through the banded plan — the HOT-ENTITY
+    variant (f15b's treatment applied to nearest). The union strategy's
+    per-entity window serializes one entity into one task; here the
+    shuffle key is (entity, floor(ts / tolerance)) via
+    ``band_join_bucketed(direction="nearest")``, so a hot entity's task
+    is bounded by three tolerance-widths of history, and the per-spine
+    argmin runs as a skew-immune partial-agg ``min_by`` on
+    (|dt|, is_forward, row_id) — the same tie chain as the union plan
+    (distance ties prefer the past; equal timestamps take min row id).
+    Property-tested equal to ``asof_join_nearest`` with the same
+    tolerance. Requires an explicit tolerance: an unbounded nearest has
+    no band to bucket on (use ``asof_join_nearest``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if tolerance_seconds is None or tolerance_seconds <= 0:
+        raise ValueError("asof_join_nearest_banded requires tolerance_seconds > 0")
+    from .band import band_join_bucketed
+
+    payload = _feature_payload_cols(features, entity_col)
+    tb = ROW_ID_COL if ROW_ID_COL in payload else None
+    band_us = int(tolerance_seconds * 1_000_000)
+
+    s = spine.select(
+        F.col(entity_col),
+        F.col(ts_col).alias(_SPINE_TS),
+    ).withColumn(_SPINE_ID, F.monotonically_increasing_id())
+    f = features.select(
+        F.col(entity_col),
+        *[F.col(c).alias(f"__f_{c}") for c in payload],
+    )
+    joined = band_join_bucketed(
+        s,
+        f,
+        keys=entity_col,
+        spine_ts=_SPINE_TS,
+        event_ts=f"__f_{ts_col}",
+        band_us=band_us,
+        direction="nearest",
+        how="inner" if how == "inner" else "left",
+    )
+    st = F.unix_micros(F.col(_SPINE_TS))
+    et = F.unix_micros(F.col(f"__f_{ts_col}"))
+    ord_fields = [
+        F.abs(et - st).alias("_d"),
+        (et > st).cast("int").alias("_f"),
+    ]
+    if tb:
+        ord_fields.append(F.col(f"__f_{tb}").alias("_n"))
+    best = F.min_by(
+        F.struct(*[F.col(f"__f_{c}").alias(c) for c in payload]),
+        F.struct(*ord_fields),
+    ).alias("_best")
+    agg = joined.groupBy(_SPINE_ID, _SPINE_TS, entity_col).agg(best)
+    out_cols = [F.col(entity_col)] + [
+        F.col(f"_best.{c}").alias(c) for c in payload if c != ROW_ID_COL
+    ]
+    if keep_spine_ts:
+        out_cols.append(F.col(_SPINE_TS).alias("as_of_timestamp"))
+    return agg.select(*out_cols)

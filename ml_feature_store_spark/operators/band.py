@@ -47,8 +47,11 @@ def band_join_bucketed(
 
     ``direction="backward"``: ``event_ts in (spine_ts - band, spine_ts]``
     (trailing features); ``"forward"``: ``(spine_ts, spine_ts + band]``
-    (label windows). ``band_us`` is the band width in microseconds and
-    also the bucket width — the spine is exploded to exactly 2 buckets.
+    (label windows); ``"nearest"``: ``|event_ts - spine_ts| <= band``
+    (both ways, inclusive — the tolerance band of a nearest as-of).
+    ``band_us`` is the band width in microseconds and also the bucket
+    width — the spine explodes to 2 buckets (directional) or 3
+    (nearest).
 
     Returns the joined frame with all spine columns plus the event
     side's non-key columns. With ``how="left"`` a no-match spine row
@@ -65,11 +68,18 @@ def band_join_bucketed(
             f"spine/events column overlap outside join keys: {sorted(overlap)}; "
             "rename (e.g. spine ts vs event ts) before the band join"
         )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     sb = F.floor(F.unix_micros(F.col(spine_ts)) / F.lit(band_us))
-    offsets = (-1, 0) if direction == "backward" else (0, 1)
+    # nearest looks BOTH ways (±band), so its window can span 3 buckets
+    offsets = {
+        "backward": (-1, 0),
+        "forward": (0, 1),
+        "nearest": (-1, 0, 1),
+    }[direction]
     s = spine.withColumn(
         "__band_bucket__",
         F.explode(F.array(*[(sb + F.lit(o)).cast("long") for o in offsets])),
@@ -88,8 +98,10 @@ def band_join_bucketed(
     et = F.unix_micros(F.col(f"e.{event_ts}"))
     if direction == "backward":
         cond = cond & (et <= st) & (et > st - F.lit(band_us))
-    else:
+    elif direction == "forward":
         cond = cond & (et > st) & (et <= st + F.lit(band_us))
+    else:  # nearest: symmetric inclusive band
+        cond = cond & (F.abs(et - st) <= F.lit(band_us))
 
     event_payload = [c for c in events.columns if c not in key_list]
     return s.join(e, cond, how).select(

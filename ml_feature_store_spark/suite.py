@@ -4042,6 +4042,38 @@ def q_f21_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f18b_asof_nearest_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f18 through the BANDED plan (operators/asof.py
+    asof_join_nearest_banded): shuffle re-keyed on (user, floor(ts/6h))
+    with the spine exploded to 3 tolerance buckets, per-spine argmin as
+    a partial-agg min_by — the hot-entity treatment (f15b's recipe)
+    applied to the nearest direction, where the union plan would
+    serialize a hot user into one window task. Same oracle as f18: two
+    different physical plans, one answer (the x9 independent-check
+    recipe); equivalence also property-tested."""
+    from .operators.asof import asof_join_nearest_banded
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_nearest_banded(
+        spine, feats, tolerance_seconds=6 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("feature_us"),
+        "value",
+        _US("as_of_timestamp").alias("spine_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4181,6 +4213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts3_seasonal_backtest": q_ts3_seasonal_backtest,
     "x26_lsh_recall_eval": q_x26_lsh_recall_eval,
     "f21_asof_forward": q_f21_asof_forward,
+    "f18b_asof_nearest_banded": q_f18b_asof_nearest_banded,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6669,6 +6702,9 @@ ORACLE_SQL["f18_asof_nearest"] = f"""
            epoch_us(sts) AS spine_us
     FROM pick WHERE rn = 1
 """
+
+# f18b: two physical plans, one oracle (see q_f18b docstring).
+ORACLE_SQL["f18b_asof_nearest_banded"] = ORACLE_SQL["f18_asof_nearest"]
 
 ORACLE_SQL["r3_interval_left_join"] = f"""
     SELECT v.user_id,

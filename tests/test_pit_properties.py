@@ -407,3 +407,35 @@ def test_asof_forward_matches_pandas_merge_asof(spark, rows, spine):
             if not pd.isna(row.v)
         ]
     assert got == sorted(want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=feature_rows, spine=spine_rows, tol=st.integers(1, 3))
+def test_asof_nearest_banded_equals_union_plan(spark, rows, spine, tol):
+    """The skew-safe banded nearest (3-bucket explode + min_by argmin)
+    must equal the union double-window plan for any data and tolerance —
+    day-granular timestamps with tolerance == bucket width park every
+    boundary case ON a bucket edge."""
+    from ml_feature_store_spark.operators.asof import (
+        asof_join_nearest,
+        asof_join_nearest_banded,
+    )
+
+    feats = _to_df(spark, rows)
+    spine_df = spark.createDataFrame(
+        [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
+        ["entity_id", "timestamp"],
+    )
+    want = sorted(
+        (r["entity_id"], (r["timestamp"] - BASE).days, r["val"])
+        for r in asof_join_nearest(
+            spine_df, feats, tolerance_seconds=tol * 86400.0
+        ).collect()
+    )
+    got = sorted(
+        (r["entity_id"], (r["timestamp"] - BASE).days, r["val"])
+        for r in asof_join_nearest_banded(
+            spine_df, feats, tolerance_seconds=tol * 86400.0
+        ).collect()
+    )
+    assert got == want

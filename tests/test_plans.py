@@ -720,3 +720,16 @@ class TestWave3Ops:
         df = QUERIES["ts3_seasonal_backtest"](spark, SF)
         plan = executed_plan(df)
         assert "Join" not in plan
+
+
+class TestNearestBanded:
+    def test_f18b_is_equi_join_on_bucket_key_no_window(self, spark):
+        # the banded nearest must be a plain equi join on (entity,
+        # bucket) with the band residual — no per-entity window, no
+        # cartesian, argmin as partial-agg min_by
+        df = QUERIES["f18b_asof_nearest_banded"](spark, SF)
+        plan = executed_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_min_by" in plan  # skew-immune map-side argmin
