@@ -118,3 +118,79 @@ class TestRound3EdgeInputs:
         df = spark.createDataFrame([("x",)], ["a"])
         with _pytest.raises(Exception):
             feature_hash(df, [], n_buckets=4).collect()
+
+
+class TestWave2EdgeInputs:
+    def test_dup_span_profile_empty_corpus(self, spark):
+        from ml_feature_store_spark.operators.text import dup_span_profile
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert dup_span_profile(df).count() == 0
+
+    def test_importance_score_no_target_rows(self, spark):
+        # t_tot = 0: add-1 smoothing keeps every weight finite and defined
+        from ml_feature_store_spark.operators.encoding import importance_score
+
+        df = spark.createDataFrame(
+            [(0, False, "a b"), (1, False, "b c")], ["doc_id", "is_t", "text"]
+        )
+        rows = importance_score(df, F.col("is_t")).collect()
+        assert len(rows) == 2
+        assert all(r.dsir_e6 is not None and r.dsir_e6 >= 0 for r in rows)
+
+    def test_mixture_single_domain_keeps_everything(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            apply_mixture,
+            uniform_mixture_rates,
+        )
+
+        df = spark.createDataFrame([("en", i) for i in range(9)], ["lang", "doc_id"])
+        rates = uniform_mixture_rates(df, "lang")
+        assert apply_mixture(df, rates, "lang", "doc_id").count() == 9
+
+    def test_bottomk_k_larger_than_group(self, spark):
+        from ml_feature_store_spark.operators.sampling import bottomk_sample
+
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["k", "id"])
+        out = bottomk_sample(df, "k", "id", k=10, salt_buckets=4)
+        assert out.count() == 3  # every row sampled, no duplication
+
+    def test_bpe_encode_empty_rules_is_plain_tokenize(self, spark):
+        from ml_feature_store_spark.operators.text import bpe_encode
+
+        df = spark.createDataFrame([(0, "A b  c")], ["doc_id", "text"])
+        (row,) = bpe_encode(df, []).collect()
+        assert row.tk == ["a", "b", "c"]  # lowercased, empties dropped
+
+    def test_asof_nearest_empty_features(self, spark):
+        from ml_feature_store_spark.operators.asof import (
+            asof_join_forward,
+            asof_join_nearest,
+        )
+
+        feats = spark.createDataFrame(
+            [], "entity_id string, timestamp timestamp, x double, __row_id__ long"
+        )
+        spine = spark.createDataFrame([("a", d(5))], ["entity_id", "timestamp"])
+        assert asof_join_nearest(spine, feats).count() == 0
+        assert asof_join_forward(spine, feats).count() == 0
+        left = asof_join_nearest(spine, feats, how="left").collect()
+        assert len(left) == 1 and left[0]["x"] is None
+
+    def test_nearest_banded_rejects_missing_tolerance(self, spark):
+        from ml_feature_store_spark.operators.asof import asof_join_nearest_banded
+
+        feats = spark.createDataFrame(
+            [("a", d(5), 1.0, 0)],
+            ["entity_id", "timestamp", "x", "__row_id__"],
+        )
+        spine = spark.createDataFrame([("a", d(5))], ["entity_id", "timestamp"])
+        with pytest.raises(ValueError):
+            asof_join_nearest_banded(spine, feats, tolerance_seconds=0)
+
+    def test_containment_no_candidates(self, spark):
+        from ml_feature_store_spark.operators.dedup import ngram_containment
+
+        docs = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert ngram_containment(docs, pairs).count() == 0

@@ -90,6 +90,23 @@ def main() -> None:
             el = round(time.time() - t0, 2)
             timings[strat] = min(timings.get(strat, el), el)
 
+    # Same hot key through the NEAREST direction: union double-window vs
+    # the banded (3-bucket + min_by) plan, 6h tolerance.
+    from ml_feature_store_spark.operators.asof import (  # noqa: E402
+        asof_join_nearest,
+        asof_join_nearest_banded,
+    )
+
+    for name, fn in (
+        ("nearest_union", lambda: asof_join_nearest(spine, feats, tolerance_seconds=21600)),
+        ("nearest_banded", lambda: asof_join_nearest_banded(spine, feats, tolerance_seconds=21600)),
+    ):
+        for _ in range(2):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            el = round(time.time() - t0, 2)
+            timings[name] = min(timings.get(name, el), el)
+
     lines = [
         "# SKEW — hot-entity as-of join strategies, measured",
         "",
@@ -101,11 +118,14 @@ def main() -> None:
         "|---|---|---|",
         f"| union | {timings['union']:.2f} | hot entity sorts on ONE task |",
         f"| union_bucketed | {timings['union_bucketed']:.2f} | one time-bucket of the hot entity |",
+        f"| nearest_union | {timings['nearest_union']:.2f} | hot entity: TWO window sorts on one task |",
+        f"| nearest_banded | {timings['nearest_banded']:.2f} | three tolerance-buckets of the hot entity |",
         "",
         "Below ~1M hot rows plain union wins (bucketing's carry-in pass is",
         "overhead); past it the single-task sort dominates and bucketed",
         "takes over — at 100 TB the union plan cannot finish at all, which",
-        'is why get_training_set exposes strategy="union_bucketed".',
+        'is why get_training_set exposes strategy="union_bucketed" and the',
+        "nearest direction ships asof_join_nearest_banded.",
         "",
         f"Generated by `python tools/skew_smoke.py {n}`.",
     ]
