@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "f20_scd2_dim_join",    # interval-dim band join over 8x events
     "x25_containment_dedup",  # LSH candidates + containment verify
     "a19_bottomk_sample",   # salted two-phase per-key bottom-k
+    "f18b_asof_nearest_banded",  # 3-bucket banded nearest + min_by argmin
+    "f21_asof_forward",     # forward as-of, join-free
+    "x26_lsh_recall_eval",  # probe ground truth x corpus + LSH recall
+    "pack2_rank_pairing",   # per-shard rank pairing windows
+    "ts3_seasonal_backtest",  # daily rollup + lag frames
 ]
 KEY_OFFSET = 100_000_000
 
