@@ -4074,6 +4074,39 @@ def q_f18b_asof_nearest_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the product-analytics staple: users
+    cohorted by first-seen ISO week; each later week reports how many of
+    the cohort were active (and the integer retention rate). Sessions
+    (x7) say how long visits last, funnels (a16) say how one visit
+    converts; retention says whether users COME BACK. Plan: per-user
+    first-week argmin (one partial-agg shuffle), distinct (user, week)
+    activity pairs, one key join + count — no window over history, all
+    exact integers. The triangle is |cohorts| x |weeks| rows no matter
+    the input size."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    tri = (
+        act.join(first, "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+    )
+    return tri.select(
+        _US("cohort").alias("cohort_us"),
+        F.floor(
+            (F.unix_micros("week") - F.unix_micros("cohort"))
+            / F.lit(7 * 86400 * 1_000_000)
+        ).alias("weeks_since"),
+        "n_active",
+        "cohort_size",
+        F.expr("n_active * 10000L div cohort_size").alias("retention_e4"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_explode_tokens": q_t6_explode_tokens,
     "dq1_column_profile": q_dq1_column_profile,
@@ -4214,6 +4247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x26_lsh_recall_eval": q_x26_lsh_recall_eval,
     "f21_asof_forward": q_f21_asof_forward,
     "f18b_asof_nearest_banded": q_f18b_asof_nearest_banded,
+    "a20_retention_cohorts": q_a20_retention_cohorts,
     "t9_ngram_counts": q_t9_ngram_counts,
     "t10_pmi_collocations": q_t10_pmi_collocations,
     "g3_triangle_count": q_g3_triangle_count,
@@ -6503,6 +6537,27 @@ ORACLE_SQL["f21_asof_forward"] = f"""
     SELECT user_id, epoch_us(sts) AS view_us, epoch_us(fts) AS buy_us,
            value, epoch_us(fts) - epoch_us(sts) AS time_to_convert_us
     FROM pick WHERE rn = 1
+"""
+
+# a20: identical ISO-week truncation both engines; join + count replay.
+ORACLE_SQL["a20_retention_cohorts"] = f"""
+    WITH ev AS ({_EV}),
+    first AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+              FROM ev GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort),
+    tri AS (
+        SELECT f.cohort, a.week, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY f.cohort, a.week
+    )
+    SELECT epoch_us(t.cohort) AS cohort_us,
+           CAST((epoch_us(t.week) - epoch_us(t.cohort))
+                // 604800000000 AS BIGINT) AS weeks_since,
+           t.n_active, s.cohort_size,
+           CAST(t.n_active * 10000 // s.cohort_size AS BIGINT) AS retention_e4
+    FROM tri t JOIN sizes s USING (cohort)
 """
 
 # x26: probe ground truth + LSH candidates both replayed from _MH_CTES.
