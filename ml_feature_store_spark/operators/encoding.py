@@ -171,3 +171,66 @@ def importance_score(
             F.expr("sum(w_e6) div count(*)").alias("dsir_e6"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 256,
+    pattern: str = "[A-Za-z0-9]+",
+) -> DataFrame:
+    """Frequency-ranked token vocabulary — the StringIndexer/tokenizer-
+    vocab fit step. Returns ``(token, cnt, token_id)`` for the ``top_v``
+    most frequent lowercased tokens, ids ``0..top_v-1`` assigned by
+    ``(count DESC, token ASC)`` so the mapping is deterministic under any
+    partitioning (ties cannot reorder ids).
+
+    Scale shape: token counts are one explode + partial-agg groupBy (the
+    shuffle carries one row per DISTINCT token, not per occurrence);
+    top_v selection is a TakeOrderedAndProject; the id-assigning window
+    runs over at most ``top_v`` rows on one partition — bounded by the
+    vocab size knob, never by corpus size."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int | None = None,
+    pattern: str = "[A-Za-z0-9]+",
+) -> DataFrame:
+    """Apply a ``build_vocab`` mapping corpus-wide: one output row per
+    token position ``(id, pos, token_id)`` with 1-based ``pos`` and
+    out-of-vocabulary tokens mapped to ``oov_id`` (default: vocab size,
+    i.e. one past the largest real id — the conventional UNK slot).
+
+    Scale shape: explode is map-only; the id lookup is a broadcast left
+    join against the (bounded, ``top_v``-row) vocab — the corpus is never
+    shuffled. Rows with zero tokens produce no output (callers wanting
+    0-token manifests left-join this back to the source, as
+    fe3_vocab_encode does)."""
+    if oov_id is None:
+        oov_id = vocab.count()
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    return pos.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id).cast("long")).alias("token_id"),
+    )

@@ -211,3 +211,53 @@ def triangle_count_degree_ordered(edges: DataFrame) -> DataFrame:
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly remove nodes whose degree
+    in the surviving subgraph is below ``k``. Returns ``(node, degree)``
+    for the subgraph after exactly ``rounds`` peels — the deterministic
+    bounded-iteration contract (same convergence stance as ``pagerank``:
+    peeling converges geometrically on real graphs; callers needing the
+    exact fixpoint loop until a peel removes nothing).
+
+    The k-core is the standard density filter before community detection
+    or influence analysis — in corpus curation it isolates the "densely
+    cross-linked" region of a domain/link graph that sampling should
+    treat differently from the long tail.
+
+    Input may be any directed edge list; it is canonicalized to a simple
+    undirected graph (self-loops dropped, duplicates collapsed) and then
+    symmetrized, so ``degree`` counts distinct neighbors.
+
+    Scale shape: each round is one degree aggregate (partial map-side
+    count on the node key) plus two semi joins of the adjacency against
+    the surviving-node set. Nothing is ever quadratic; every exchange
+    keys on a single node id, and AQE's runtime broadcast turns the
+    semi joins map-side as soon as the survivor set shrinks below the
+    broadcast threshold — which it does monotonically, since peeling only
+    removes nodes. localCheckpoint truncates the iterative lineage
+    between rounds (the connected_components pattern)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    adj = und.select(F.col("lo").alias("node"), F.col("hi").alias("peer")).unionByName(
+        und.select(F.col("hi").alias("node"), F.col("lo").alias("peer"))
+    )
+    for r in range(rounds):
+        deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        adj = adj.join(keep, "node", "left_semi").join(
+            keep.withColumnRenamed("node", "peer"), "peer", "left_semi"
+        )
+        if r < rounds - 1:
+            adj = adj.localCheckpoint(eager=True)
+    return adj.groupBy("node").agg(F.count("*").alias("degree"))

@@ -7079,6 +7079,347 @@ ORACLE_SQL["rag1_hybrid_search"] = f"""
     ORDER BY rrf_e6 DESC, doc_id LIMIT 10
 """
 
+# --------------------------------------------------------------------------- #
+# round-3 fourth wave: vocab encode, rolling anomaly, k-core, MMR rerank
+# --------------------------------------------------------------------------- #
+
+def q_fe3_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary indexing — the StringIndexer / tokenizer-vocab step of
+    every classic text pipeline: fit the top-256 token vocabulary (ids by
+    count DESC, token ASC — tie-proof), then encode the whole corpus to
+    ids with OOV mapped to id 256 (operators/encoding.py build_vocab /
+    encode_tokens). Output is the per-doc encoding manifest: token and
+    OOV counts, integer OOV rate, and an order-DEPENDENT positional
+    checksum sum(pos * (id+1)) that pins the exact id SEQUENCE (terms
+    <= 257 * n_tokens keep the BIGINT sum exact to ~2^44 tokens/doc).
+    Zero-token docs are retained with zeroed stats via a left join back
+    to the corpus. Scale shape: the count shuffle carries one row per
+    DISTINCT token; the id-assign window touches <= 256 rows; encode is
+    map-only against the broadcast vocab — the corpus is never
+    shuffled."""
+    from .operators.encoding import build_vocab, encode_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", top_v=256)
+    enc = encode_tokens(docs, vocab, "doc_id", "text", oov_id=256)
+    agg = enc.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
+        F.sum(F.when(F.col("token_id") == 256, 1).otherwise(0)).alias("no"),
+        F.sum(F.col("pos") * (F.col("token_id") + 1)).alias("sc"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nt", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("no", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.expr("no * 10000L div nt"), F.lit(0)).cast("long").alias("oov_e4"),
+        F.coalesce("sc", F.lit(0)).cast("long").alias("seq_check"),
+    )
+
+
+def q_ts4_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the daily revenue series per
+    event type — the monitoring primitive behind every metric alert. The
+    trailing window is the 7 PRIOR days (rows frame, current row
+    excluded, so the tested point never contaminates its own baseline).
+    All arithmetic is cross-multiplied integers on cent sums: with
+    x = today, S/Q = sum/sum-of-squares of the n prior days,
+    z^2 = (n*x - S)^2 / (n*Q - S^2) — so the 3-sigma flag is the exact
+    integer predicate (n*x-S)^2 > 9*(n*Q-S^2), no sqrt, no float
+    accumulation, bit-identical in any engine. z2_e2 (z^2 in
+    hundredths) is exact while daily cents < ~3e8 (then (n*x-S)^2 * 100
+    approaches 2^63; at larger scale drop the *100 or use DECIMAL).
+    Plan: one partial-agg groupBy to the daily grain, ONE window shuffle
+    on event_type — series length per key is days, not events."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    s = daily.select(
+        "event_type",
+        _US("day").alias("day_us"),
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("S"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0)).alias("Q"),
+    )
+    lhs = (F.col("n") * F.col("x") - F.col("S")) * (F.col("n") * F.col("x") - F.col("S"))
+    rhs = F.col("n") * F.col("Q") - F.col("S") * F.col("S")
+    return s.select(
+        "event_type",
+        "day_us",
+        F.col("x").alias("cents"),
+        F.col("n").cast("long").alias("n_prior"),
+        F.when((F.col("n") == 7) & (lhs > 9 * rhs), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+        F.when((F.col("n") == 7) & (rhs > 0), F.expr(
+            "((n*x - S) * (n*x - S) * 100L) div (n*Q - S*S)"
+        ))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("z2_e2"),
+    )
+
+
+def q_g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the customer->supplier purchase graph (g2's
+    edges): peel nodes with degree < k for 3 rounds
+    (operators/graph.py kcore — bounded-round contract). k is derived
+    from the data, not hard-coded: k = ceil(E/N) (half the average
+    degree), two scalar aggregates collected driver-side — the same
+    bounded-collect budget as the pagerank/k-means model parameters —
+    so the query self-adapts across scale factors. Output: the 30
+    highest-degree core members plus the surviving core size on every
+    row (one broadcast scalar). The DuckDB twin unrolls the identical
+    three peels as CTEs with the same derived k."""
+    from .operators.graph import kcore
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused for E, N and the peel itself
+    )
+    n_edges = und.count()
+    n_nodes = (
+        und.select(F.col("lo").alias("n"))
+        .unionByName(und.select(F.col("hi").alias("n")))
+        .distinct()
+        .count()
+    )
+    k = -(-n_edges // n_nodes)  # ceil(E/N)
+    core = kcore(und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")), k=k, rounds=3)
+    size = core.agg(F.count("*").alias("n_core"))
+    return (
+        core.orderBy(F.col("degree").desc(), "node")
+        .limit(30)
+        .crossJoin(F.broadcast(size))
+        .select("node", F.col("degree").cast("long"), F.col("n_core").cast("long"))
+    )
+
+
+def q_rag3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversification step
+    between retrieval (rag1) and the context window: from the top-20
+    cosine candidates for query vec_id=0, greedily select 5 maximizing
+    7*rel - 3*max_sim_to_already_selected (lambda=0.7 scaled by 10).
+    Every similarity is quantized to floor(round(sim,6)*1e6+0.5) BIGINT
+    BEFORE any comparison, so candidate order and all 5 greedy argmax
+    steps are exact integer decisions replayed verbatim by the oracle's
+    unrolled CTEs (ties broken by vec_id ASC). Plan: relevance arm is
+    one broadcast-query scan + TakeOrderedAndProject; the pair matrix is
+    a 20x20 broadcast self-join; the greedy loop runs driver-side over
+    those <=400 collected integers (the bounded-collect budget — at any
+    corpus size the loop sees k^2 numbers, never data)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    quant = lambda c: F.floor(F.round(c, 6) * 1_000_000 + F.lit(0.5)).cast("long")
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rel_e6", quant(_cosine(F.col("v"), F.col("qv"))))
+        .orderBy(F.col("rel_e6").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", "rel_e6", "v")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia", "ib", quant(_cosine(F.col("va"), F.col("vb"))).alias("sim_e6")
+    )
+    rels = {int(r["vec_id"]): int(r["rel_e6"]) for r in cand.select("vec_id", "rel_e6").collect()}
+    sims = {(int(r["ia"]), int(r["ib"])): int(r["sim_e6"]) for r in pairs.collect()}
+    selected: list[int] = []
+    out = []
+    for rank in range(1, 6):
+        best = None
+        for c in sorted(rels):
+            if c in selected:
+                continue
+            pen = max((sims[(c, s)] for s in selected), default=0)
+            score = 7 * rels[c] - 3 * pen
+            if best is None or score > best[1]:
+                best = (c, score)
+        if best is None:
+            break
+        selected.append(best[0])
+        out.append((rank, best[0], rels[best[0]], best[1]))
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, rel_e6 long, mmr_e6 long"
+    )
+
+
+QUERIES["fe3_vocab_encode"] = q_fe3_vocab_encode
+QUERIES["ts4_rolling_anomaly"] = q_ts4_rolling_anomaly
+QUERIES["g4_kcore"] = q_g4_kcore
+QUERIES["rag3_mmr_rerank"] = q_rag3_mmr_rerank
+
+ORACLE_SQL["fe3_vocab_encode"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token,
+               generate_subscripts(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), 1) AS pos
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                    AS BIGINT) AS token_id
+        FROM (SELECT * FROM counts ORDER BY cnt DESC, token ASC LIMIT 256)
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.token_id, 256) AS tid
+        FROM toks t LEFT JOIN vocab v USING (token)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN tid = 256 THEN 1 ELSE 0 END) AS BIGINT) AS no,
+               CAST(SUM(pos * (tid + 1)) AS BIGINT) AS sc
+        FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.nt, 0) AS n_tokens,
+           COALESCE(a.no, 0) AS n_oov,
+           CAST(COALESCE(a.no * 10000 // a.nt, 0) AS BIGINT) AS oov_e4,
+           COALESCE(a.sc, 0) AS seq_check
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+ORACLE_SQL["ts4_rolling_anomaly"] = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM ({_EV}) GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, epoch_us(day) AS day_us, x,
+               CAST(COUNT(x) OVER w AS BIGINT) AS n,
+               CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS S,
+               CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS Q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_us, x AS cents, n AS n_prior,
+           CAST(CASE WHEN n = 7
+                      AND (n*x - S) * (n*x - S) > 9 * (n*Q - S*S)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly,
+           CAST(CASE WHEN n = 7 AND (n*Q - S*S) > 0
+                     THEN ((n*x - S) * (n*x - S) * 100) // (n*Q - S*S)
+                     ELSE 0 END AS BIGINT) AS z2_e2
+    FROM s
+"""
+
+
+def _g4_sql(rounds: int = 3) -> str:
+    peels = []
+    prev = "adj0"
+    for i in range(1, rounds + 1):
+        peels.append(f"""
+        d{i} AS (SELECT node, COUNT(*) AS deg FROM {prev} GROUP BY node),
+        k{i} AS (SELECT node FROM d{i}, kv WHERE deg >= kv.k),
+        adj{i} AS (SELECT a.node, a.peer FROM {prev} a
+                   JOIN k{i} x ON a.node = x.node
+                   JOIN k{i} y ON a.peer = y.node)""")
+        prev = f"adj{i}"
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS lo,
+                            's' || CAST(l_suppkey AS VARCHAR) AS hi
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        adj0 AS (SELECT lo AS node, hi AS peer FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+        kv AS (
+            SELECT CAST(((SELECT COUNT(*) FROM e0)
+                         + (SELECT COUNT(DISTINCT node) FROM adj0) - 1)
+                        // (SELECT COUNT(DISTINCT node) FROM adj0)
+                   AS BIGINT) AS k
+        ),
+        {",".join(peels)},
+        core AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM {prev} GROUP BY node),
+        sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_core FROM core)
+        SELECT node, degree, sz.n_core
+        FROM core CROSS JOIN sz
+        ORDER BY degree DESC, node ASC LIMIT 30
+    """
+
+
+ORACLE_SQL["g4_kcore"] = _g4_sql()
+
+
+def _rag3_sql(n_select: int = 5) -> str:
+    q6 = "CAST(floor(round(list_cosine_similarity({a}, {b}), 6) * 1000000 + 0.5) AS BIGINT)"
+    rounds = []
+    for i in range(1, n_select + 1):
+        if i == 1:
+            rounds.append("""
+        s1 AS (SELECT vec_id, rel_e6, CAST(7 * rel_e6 AS BIGINT) AS mmr_e6
+               FROM cand ORDER BY 7 * rel_e6 DESC, vec_id ASC LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1)""")
+        else:
+            rounds.append(f"""
+        s{i} AS (
+            SELECT c.vec_id, c.rel_e6,
+                   CAST(7 * c.rel_e6 - 3 * (
+                       SELECT MAX(p.sim_e6) FROM pairs p
+                       JOIN sel{i - 1} s ON p.ib = s.vec_id
+                       WHERE p.ia = c.vec_id
+                   ) AS BIGINT) AS mmr_e6
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            ORDER BY mmr_e6 DESC, c.vec_id ASC LIMIT 1
+        ),
+        sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                   UNION ALL SELECT vec_id FROM s{i})""")
+        prev_sel = f"sel{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel_e6, mmr_e6 FROM s{i}"
+        for i in range(1, n_select + 1)
+    )
+    rel_q = q6.format(a="e.v", b="q.qv")
+    pair_q = q6.format(a="x.v", b="y.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id, {rel_q} AS rel_e6, e.v
+            FROM e CROSS JOIN q WHERE e.vec_id <> 0
+            ORDER BY rel_e6 DESC, e.vec_id ASC LIMIT 20
+        ),
+        pairs AS (
+            SELECT x.vec_id AS ia, y.vec_id AS ib, {pair_q} AS sim_e6
+            FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+        ),
+        {",".join(rounds)}
+        {finals}
+    """
+
+
+ORACLE_SQL["rag3_mmr_rerank"] = _rag3_sql()
+
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)

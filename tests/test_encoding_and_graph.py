@@ -205,3 +205,91 @@ class TestBpeMerge:
         # the most frequent pair
         assert (res[1]["x"], res[1]["y"]) == ("new+york", "city")
         assert res[1]["cnt"] == 2 == res[1]["n_merges"]
+
+
+class TestKcore:
+    """Bounded-round peel vs hand-computed cores on a triangle + tail:
+    a-b-c triangle, chain c-d-e."""
+
+    EDGES = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+
+    def test_two_rounds_reach_the_2core(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {r.node: r.degree for r in kcore(df, k=2, rounds=2).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_single_round_is_one_peel_not_fixpoint(self, spark):
+        # round 1 removes only e (deg 1 in the ORIGINAL graph); d survives
+        # with its degree dropped to 1 — the documented bounded-round
+        # contract, peeled next round.
+        from ml_feature_store_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        got = {r.node: r.degree for r in kcore(df, k=2, rounds=1).collect()}
+        assert got == {"a": 2, "b": 2, "c": 3, "d": 1}
+
+    def test_canonicalization_collapses_dupes_loops_direction(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        noisy = self.EDGES + [("b", "a"), ("a", "b"), ("c", "c")]
+        a = kcore(spark.createDataFrame(noisy, ["src", "dst"]), k=2, rounds=2)
+        b = kcore(spark.createDataFrame(self.EDGES, ["src", "dst"]), k=2, rounds=2)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_k_above_max_degree_empties_the_core(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        assert kcore(df, k=4, rounds=2).count() == 0
+
+    def test_invalid_params_raise(self, spark):
+        import pytest
+
+        from ml_feature_store_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        with pytest.raises(ValueError):
+            kcore(df, k=0)
+        with pytest.raises(ValueError):
+            kcore(df, k=2, rounds=0)
+
+
+class TestVocabEncode:
+    def test_ids_by_count_desc_token_asc(self, spark):
+        from ml_feature_store_spark.operators.encoding import build_vocab
+
+        docs = spark.createDataFrame(
+            [(1, "b b b a a c"), (2, "a c d")], ["doc_id", "text"]
+        )
+        vocab = {r.token: r.token_id for r in build_vocab(docs, top_v=3).collect()}
+        # counts: a=3, b=3, c=2, d=1 -> tie (a,b) broken token-asc
+        assert vocab == {"a": 0, "b": 1, "c": 2}
+
+    def test_encode_positions_oov_and_lowercase(self, spark):
+        from ml_feature_store_spark.operators.encoding import (
+            build_vocab,
+            encode_tokens,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "b b b a a c"), (2, "A c d")], ["doc_id", "text"]
+        )
+        vocab = build_vocab(docs, top_v=3)
+        enc = encode_tokens(docs, vocab, oov_id=3)
+        got = sorted(
+            (r.doc_id, r.pos, r.token_id) for r in enc.filter("doc_id = 2").collect()
+        )
+        # "A c d" -> a(id 0), c(id 2), d OOV(3); pos is 1-based
+        assert got == [(2, 1, 0), (2, 2, 2), (2, 3, 3)]
+
+    def test_zero_token_doc_yields_no_encode_rows(self, spark):
+        from ml_feature_store_spark.operators.encoding import (
+            build_vocab,
+            encode_tokens,
+        )
+
+        docs = spark.createDataFrame([(1, "hello"), (2, "!!! ...")], ["doc_id", "text"])
+        vocab = build_vocab(docs, top_v=8)
+        assert encode_tokens(docs, vocab).filter("doc_id = 2").count() == 0

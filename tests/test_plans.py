@@ -733,3 +733,25 @@ class TestNearestBanded:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "partial_min_by" in plan  # skew-immune map-side argmin
+
+
+class TestFourthWavePlans:
+    def test_fe3_vocab_lookup_broadcast_no_python(self, spark):
+        # the 256-row vocab must broadcast onto the exploded token stream;
+        # the whole encode path is JVM expressions (no Python eval)
+        plan = executed_plan(QUERIES["fe3_vocab_encode"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_ts4_two_exchanges_only(self, spark):
+        # daily rollup (1) + per-series window (1); the z-score math is
+        # pure projection on top
+        df = QUERIES["ts4_rolling_anomaly"](spark, SF)
+        assert shuffle_count(df) <= 2
+        assert "Join" not in executed_plan(df)
+
+    def test_g4_core_joins_are_equi_never_cartesian(self, spark):
+        plan = executed_plan(QUERIES["g4_kcore"](spark, SF))
+        assert "CartesianProduct" not in plan
+        # survivor-set semi joins + final top-30
+        assert "TakeOrderedAndProject" in plan
