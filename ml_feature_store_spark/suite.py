@@ -7430,8 +7430,9 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # driver row after r3 — dq5_ks_statistic, x21_bpe_train, x22_semdedup,
 # t9_ngram_counts, t10_pmi_collocations, g3_triangle_count,
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
-# r3's second/third waves (x23, a18, dq6, rag2, mix1, x24, g3b, t11,
-# r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21, a20) —
+# r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
+# t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
+# a20, fe3, ts4, g4, rag3) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus

@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "x26_lsh_recall_eval",  # probe ground truth x corpus + LSH recall
     "pack2_rank_pairing",   # per-shard rank pairing windows
     "ts3_seasonal_backtest",  # daily rollup + lag frames
+    "a20_retention_cohorts",  # first-week argmin + distinct activity join
+    "fe3_vocab_encode",     # token counts + broadcast-vocab encode over 8x docs
+    "ts4_rolling_anomaly",  # daily rollup + prior-7-row integer z-score
+    "g4_kcore",             # 3 peel rounds over the 8x purchase graph
 ]
 KEY_OFFSET = 100_000_000
 
