@@ -7420,6 +7420,254 @@ def _rag3_sql(n_select: int = 5) -> str:
 
 ORACLE_SQL["rag3_mmr_rerank"] = _rag3_sql()
 
+
+def q_j4_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning — the runtime-filter pattern for
+    when the dim key set is too large to ship as an IN-list but a bit
+    set is cheap: BUILDING-segment customers hash to 2 md5 positions in
+    an m=8192 space; orders pass the probe iff BOTH positions are set.
+    The no-false-negative guarantee and the measured false-positive rate
+    are both emitted as checked integers (candidates >= true matches by
+    construction; fp rate over true negatives in ppm). Plan: the
+    position table (<= m rows, deduped) broadcasts; the probe is two
+    broadcast semi joins — the fact is never shuffled, which is the
+    whole point at 100 TB. The exact-verify arm is the ground-truth semi
+    join the filter would precede in production. m scales with dim
+    cardinality (bits-per-key tunes fp; 2 hashes here keep the oracle
+    compact)."""
+    M = 8192
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def h(key_col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % M
+        )
+
+    bits = (
+        dim.select(F.explode(F.array(h(F.col("k"), 1), h(F.col("k"), 2))).alias("pos"))
+        .distinct()
+    )
+    probed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        h(F.col("o_custkey"), 1).alias("p1"),
+        h(F.col("o_custkey"), 2).alias("p2"),
+    )
+    cand = probed.join(
+        F.broadcast(bits.withColumnRenamed("pos", "p1")), "p1", "left_semi"
+    ).join(F.broadcast(bits.withColumnRenamed("pos", "p2")), "p2", "left_semi")
+    true_m = orders.join(
+        F.broadcast(dim.withColumnRenamed("k", "o_custkey")), "o_custkey", "left_semi"
+    )
+    return (
+        orders.agg(F.count("*").alias("n_orders"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(true_m.agg(F.count("*").alias("n_true")))
+        .select(
+            "n_orders",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+            F.when(
+                F.col("n_orders") > F.col("n_true"),
+                F.expr("(n_candidates - n_true) * 1000000L div (n_orders - n_true)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )
+
+
+def q_x27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production shape where a NEW batch
+    (doc_id % 5 == 0 here) is deduped AGAINST an existing reference
+    corpus, never old-vs-old: exact matches via normalized-hash semi
+    join, near-dups via the portable MinHash-LSH family (x6's machinery)
+    with candidates restricted to cross pairs and Jaccard-verified at
+    0.5. One manifest row per new doc: exact flag, verified fuzzy match
+    count, best Jaccard (e6 int). Plan: the exact arm shuffles 16-byte
+    hashes; LSH banding bounds pair generation exactly as in x6 — the
+    old corpus is re-signed but NEVER self-joined (the cross filter
+    drops old×old buckets before the verify); at 100 TB old signatures
+    are precomputed once and stored, making each increment's cost
+    proportional to the batch, not the corpus."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    h = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("hh"), is_new.alias("nw"))
+    exacts = (
+        h.filter("nw")
+        .join(
+            h.filter(~F.col("nw")).select("hh").distinct(),
+            "hh",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    cross = pairs.filter(
+        (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
+    ).select(
+        F.when(F.col("id_a") % 5 == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("id_a"),
+        F.when(F.col("id_a") % 5 == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("id_b"),
+    )
+    ver = ngram_jaccard(docs, cross, threshold=0.5).select(
+        F.col("id_a").alias("doc_id"),
+        F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)).cast("long").alias("j_e6"),
+    )
+    fz = ver.groupBy("doc_id").agg(
+        F.count("*").alias("n_fuzzy"), F.max("j_e6").alias("best_j_e6")
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exacts, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(0)).cast("long").alias("is_exact_dup"),
+            F.coalesce("n_fuzzy", F.lit(0)).cast("long").alias("n_fuzzy"),
+            F.coalesce("best_j_e6", F.lit(0)).cast("long").alias("best_j_e6"),
+        )
+    )
+
+
+def q_card1_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card — the one-page per-language summary every released
+    training set ships with (docs, token volume, mean length, exact-dup
+    and short-doc rates), computed in ONE pass over the corpus: per-doc
+    facts are map-side projections; the rollup is a single partial-agg
+    groupBy on language with countDistinct on the 16-byte normalized
+    hash (dup count = docs - distinct texts). All rates are integer e4.
+    The output is |languages| rows at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.md5(F.lower(F.trim("text"))).alias("hh"),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).cast("long").alias("short"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.expr("sum(nc) div count(*)").alias("mean_chars"),
+        (F.count("*") - F.countDistinct("hh")).cast("long").alias("n_exact_dups"),
+        F.expr("(count(*) - count(distinct hh)) * 10000L div count(*)").alias("dup_e4"),
+        F.sum("short").alias("n_short"),
+        F.expr("sum(short) * 10000L div count(*)").alias("short_e4"),
+    )
+
+
+QUERIES["j4_bloom_probe"] = q_j4_bloom_probe
+QUERIES["x27_incremental_dedup"] = q_x27_incremental_dedup
+QUERIES["card1_data_card"] = q_card1_data_card
+
+ORACLE_SQL["j4_bloom_probe"] = """
+    WITH dim AS (SELECT c_custkey AS k FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                         CAST(i AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+        FROM dim CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2) g
+    ),
+    probed AS (
+        SELECT o_orderkey, o_custkey,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15))::BIGINT
+                   % 8192 AS p1,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15))::BIGINT
+                   % 8192 AS p2
+        FROM orders
+    ),
+    cand AS (SELECT * FROM probed
+             WHERE p1 IN (SELECT pos FROM bits)
+               AND p2 IN (SELECT pos FROM bits)),
+    tru AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT k FROM dim)),
+    a AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_true)
+    SELECT n_orders, n_candidates, n_true,
+           n_candidates - n_true AS n_false_pos,
+           CAST(CASE WHEN n_orders > n_true
+                     THEN (n_candidates - n_true) * 1000000 // (n_orders - n_true)
+                     ELSE 0 END AS BIGINT) AS fp_ppm
+    FROM a
+"""
+
+ORACLE_SQL["x27_incremental_dedup"] = f"""
+    WITH {_MH_CTES},
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS hh,
+                 doc_id % 5 = 0 AS nw
+          FROM documents),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM h n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM h WHERE NOT nw)
+    ),
+    crossc AS (
+        SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+                  CAST(MAX(j_e6) AS BIGINT) AS best_j_e6
+           FROM ver GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           COALESCE(fz.best_j_e6, 0) AS best_j_e6
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN fz ON fz.new_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+"""
+
+ORACLE_SQL["card1_data_card"] = """
+    WITH d AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               md5(lower(trim(text))) AS hh,
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS short
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) // COUNT(*) AS BIGINT) AS mean_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT hh) AS BIGINT) AS n_exact_dups,
+           CAST((COUNT(*) - COUNT(DISTINCT hh)) * 10000 // COUNT(*) AS BIGINT)
+               AS dup_e4,
+           CAST(SUM(short) AS BIGINT) AS n_short,
+           CAST(SUM(short) * 10000 // COUNT(*) AS BIGINT) AS short_e4
+    FROM d GROUP BY lang
+"""
+
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
@@ -7432,7 +7680,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
 # r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
 # t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3) —
+# a20, fe3, ts4, g4, rag3, j4, x27, card1) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus

@@ -755,3 +755,30 @@ class TestFourthWavePlans:
         assert "CartesianProduct" not in plan
         # survivor-set semi joins + final top-30
         assert "TakeOrderedAndProject" in plan
+
+
+class TestFifthWavePlans:
+    def test_j4_probe_is_broadcast_never_smj(self, spark):
+        # bloom bit-set and dim broadcast; the fact side joins map-side
+        plan = executed_plan(QUERIES["j4_bloom_probe"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
+
+    def test_card1_single_pass_no_join(self, spark):
+        plan = executed_plan(QUERIES["card1_data_card"](spark, SF))
+        assert "Join" not in plan
+
+    def test_x27_manifest_invariants(self, spark):
+        rows = QUERIES["x27_incremental_dedup"](spark, SF).collect()
+        assert rows and all(r.doc_id % 5 == 0 for r in rows)
+        for r in rows:
+            assert r.is_exact_dup in (0, 1)
+            # verified matches are at/above the 0.5 Jaccard gate
+            assert (r.n_fuzzy == 0) == (r.best_j_e6 == 0)
+            if r.n_fuzzy:
+                assert r.best_j_e6 >= 500_000
+
+    def test_j4_bloom_has_no_false_negatives(self, spark):
+        row = QUERIES["j4_bloom_probe"](spark, SF).collect()[0]
+        assert row.n_candidates >= row.n_true
+        assert row.n_false_pos == row.n_candidates - row.n_true >= 0

@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "fe3_vocab_encode",     # token counts + broadcast-vocab encode over 8x docs
     "ts4_rolling_anomaly",  # daily rollup + prior-7-row integer z-score
     "g4_kcore",             # 3 peel rounds over the 8x purchase graph
+    "j4_bloom_probe",       # broadcast bit-set probe over 8x orders
+    "x27_incremental_dedup",  # cross-corpus LSH + verify (8x docs)
+    "card1_data_card",      # one-pass per-lang corpus rollup
 ]
 KEY_OFFSET = 100_000_000
 
