@@ -7668,6 +7668,110 @@ ORACLE_SQL["card1_data_card"] = """
     FROM d GROUP BY lang
 """
 
+def q_j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted shuffle join (operators/skew.py salted_join):
+    events join their per-user first-seen dim on (user_id, salt) with
+    the salt md5-derived from event_id — the structural answer when AQE's
+    skew split isn't enough because one hot entity still funnels into a
+    single reducer. The dim is replicated 16x (map-only explode); result
+    is EXACTLY the unsalted join, which is what the plain-join oracle
+    checks. The merge hint pins the shuffle-join shape the salt exists
+    for (at test scale the optimizer would otherwise broadcast the dim
+    and hide the salted exchange this query demonstrates); SKEW.md
+    measures the hot-key behavior."""
+    from .operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .hint("merge")
+    )
+    j = salted_join(ev, dim, "user_id", salt_by="event_id", n_salts=16)
+    age_days = F.expr(
+        "(unix_micros(ts) - unix_micros(first_ts)) div 86400000000L"
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(age_days).cast("long").alias("sum_age_days"),
+    )
+
+
+def q_fe4_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust-scaling profile per event type — the outlier-
+    insensitive cousin of mean/std normalization (and of dq2's IQR
+    fences): median via exact interpolated percentile (a7's
+    Spark==DuckDB parity), MAD as the median of absolute deviations
+    from it, and the count of |x - med| > 3 * 1.4826 * MAD (the normal-
+    consistent 3-sigma equivalent). Two grouped-percentile passes with
+    the per-type scalars BROADCAST back onto the fact — the fact is
+    never shuffled for the deviation or outlier steps; rates are
+    integer e4. At 100 TB both percentile passes swap to
+    percentile_approx (a14's contract) without changing the plan
+    shape."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.first("med"), 4).alias("med_cents"),
+        F.round(F.first("mad"), 4).alias("mad_cents"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.expr(
+            "sum(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END) * 10000L div count(*)"
+        ).cast("long").alias("outlier_e4"),
+    )
+
+
+QUERIES["j5_salted_join"] = q_j5_salted_join
+QUERIES["fe4_robust_scale"] = q_fe4_robust_scale
+
+ORACLE_SQL["j5_salted_join"] = f"""
+    WITH ev AS ({_EV}),
+    dim AS (SELECT user_id, MIN(ts) AS first_ts FROM ev GROUP BY user_id)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM((epoch_us(ev.ts) - epoch_us(dim.first_ts))
+                    // 86400000000) AS BIGINT) AS sum_age_days
+    FROM ev JOIN dim USING (user_id)
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["fe4_robust_scale"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM ev GROUP BY event_type),
+    dev AS (SELECT ev.event_type, abs(cents - med) AS dev, med
+            FROM ev JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(ANY_VALUE(d.med), 4) AS med_cents,
+           ROUND(ANY_VALUE(m.mad), 4) AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS outlier_e4
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
@@ -7680,7 +7784,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
 # r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
 # t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3, j4, x27, card1) —
+# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus

@@ -782,3 +782,15 @@ class TestFifthWavePlans:
         row = QUERIES["j4_bloom_probe"](spark, SF).collect()[0]
         assert row.n_candidates >= row.n_true
         assert row.n_false_pos == row.n_candidates - row.n_true >= 0
+
+
+class TestSaltedJoinPlan:
+    def test_j5_shuffle_join_keys_include_salt(self, spark):
+        plan = executed_plan(QUERIES["j5_salted_join"](spark, SF))
+        assert "SortMergeJoin" in plan
+        assert "__salt__" in plan
+
+    def test_fe4_fact_meets_scalars_by_broadcast(self, spark):
+        plan = executed_plan(QUERIES["fe4_robust_scale"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan

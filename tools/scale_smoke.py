@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "j4_bloom_probe",       # broadcast bit-set probe over 8x orders
     "x27_incremental_dedup",  # cross-corpus LSH + verify (8x docs)
     "card1_data_card",      # one-pass per-lang corpus rollup
+    "j5_salted_join",       # salted shuffle join over 8x events
+    "fe4_robust_scale",     # two grouped-percentile passes + broadcasts
 ]
 KEY_OFFSET = 100_000_000
 
