@@ -7736,8 +7736,61 @@ def q_fe4_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering — the layout
+    answer when ONE partition column isn't enough (io5 prunes on a
+    single dim; real feature scans filter on entity AND time). The
+    16-bit interleave of (user_id, day index) is pure JVM bit math;
+    repartitionByRange + sortWithinPartitions on the z-value co-locates
+    rows close in BOTH dims into the same files, so parquet row-group
+    min/max stats on the ORIGINAL columns skip most files for a 2-D
+    predicate — Delta/Iceberg OPTIMIZE ZORDER does exactly this. The
+    z-value is a write-time ordering key only (never stored); the read
+    back applies the 2-D predicate and aggregates, which the oracle
+    recomputes from the source table. tests/test_plans.py gates that
+    both predicates are PUSHED to the scan and that per-file day spans
+    are actually narrow (the clustering, not just the roundtrip)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    z = (
+        ev.withColumn("ux", (F.col("user_id") % 65536).cast("long"))
+        .withColumn(
+            "dy",
+            (F.expr("unix_micros(date_trunc('day', ts)) div 86400000000L") % 65536).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "z",
+            F.expr(
+                "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+                " + shiftleft(CAST(shiftright(ux, i) % 2 AS BIGINT), 2 * i)"
+                " + shiftleft(CAST(shiftright(dy, i) % 2 AS BIGINT), 2 * i + 1))"
+            ),
+        )
+    )
+    d = _scratch_dir("io10_zorder", sf_dir)
+    z.repartitionByRange(16, "z").sortWithinPartitions("z").drop(
+        "ux", "dy", "z"
+    ).write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d).filter(
+        (F.col("user_id").between(4, 11))
+        & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 QUERIES["j5_salted_join"] = q_j5_salted_join
 QUERIES["fe4_robust_scale"] = q_fe4_robust_scale
+QUERIES["io10_zorder_layout"] = q_io10_zorder_layout
 
 ORACLE_SQL["j5_salted_join"] = f"""
     WITH ev AS ({_EV}),
@@ -7747,6 +7800,16 @@ ORACLE_SQL["j5_salted_join"] = f"""
                     // 86400000000) AS BIGINT) AS sum_age_days
     FROM ev JOIN dim USING (user_id)
     GROUP BY event_type
+"""
+
+ORACLE_SQL["io10_zorder_layout"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ({_EV})
+    WHERE user_id BETWEEN 4 AND 11
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
 """
 
 ORACLE_SQL["fe4_robust_scale"] = f"""
@@ -7784,7 +7847,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
 # r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
 # t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4) —
+# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus

@@ -794,3 +794,39 @@ class TestSaltedJoinPlan:
         plan = executed_plan(QUERIES["fe4_robust_scale"](spark, SF))
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
+
+
+class TestZorderLayout:
+    def test_io10_predicates_pushed_and_files_clustered(self, spark):
+        df = QUERIES["io10_zorder_layout"](spark, SF)
+        plan = executed_plan(df)
+        # both dims of the 2-D predicate must reach the parquet scan —
+        # row-group min/max skipping is what the z-layout exists for
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(user_id,4)" in plan or "user_id" in plan.split(
+            "PushedFilters"
+        )[1][:400]
+        # clustering quality: per-file day spans must be materially
+        # narrower than the global span (the z-curve co-locates days)
+        # recompute the scratch path WITHOUT calling _scratch_dir (it
+        # wipes the directory on call)
+        import hashlib
+        import os
+        import tempfile
+
+        tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+        d = os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"io10_zorder_{tag}")
+        per_file = (
+            spark.read.parquet(d)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.expr(
+                    "datediff(max(date_trunc('day', ts)), min(date_trunc('day', ts)))"
+                ).alias("span")
+            )
+            .collect()
+        )
+        global_span = 29  # one month of events
+        avg_span = sum(r.span for r in per_file) / len(per_file)
+        assert len(per_file) > 4
+        assert avg_span <= global_span * 0.6

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "card1_data_card",      # one-pass per-lang corpus rollup
     "j5_salted_join",       # salted shuffle join over 8x events
     "fe4_robust_scale",     # two grouped-percentile passes + broadcasts
+    "io10_zorder_layout",   # z-order write + 2-D pruned read (8x events)
 ]
 KEY_OFFSET = 100_000_000
 
