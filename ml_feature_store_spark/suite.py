@@ -7788,9 +7788,109 @@ def q_io10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite — the Great-Expectations shape: a
+    config of row-level rules evaluated warehouse-wide in one pass per
+    table, one output row per rule with pass/fail accounting (rates as
+    integer e4). Rules cover the standard families: range, value-set,
+    regex, cross-column ordering, and key uniqueness. Plan: each rule is
+    a map-side CASE folded into its table's single aggregate — adding a
+    rule adds one expression, never a scan; uniqueness rides the same
+    aggregate as count - countDistinct. At 100 TB this is the nightly
+    contract check before data ships to training."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+
+    def rule(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("rule"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("p").cast("long").alias("n_pass"),
+            (F.col("n") - F.col("p")).cast("long").alias("n_fail"),
+            F.expr("p * 10000L div n").cast("long").alias("pass_e4"),
+        )
+
+    o_agg = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias(
+            "p2"
+        ),
+        F.countDistinct("o_orderkey").alias("p3"),
+    )
+    r1 = rule("orders_totalprice_positive", o_agg.select("n", "p"))
+    r2 = rule(
+        "orders_status_in_set", o_agg.select("n", F.col("p2").alias("p"))
+    )
+    r3 = rule(
+        "orders_orderkey_unique", o_agg.select("n", F.col("p3").alias("p"))
+    )
+    c_agg = cust.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("c_name").rlike("^Customer#[0-9]{9}$"), 1).otherwise(0)
+        ).alias("p"),
+    )
+    r4 = rule("customer_name_format", c_agg)
+    l_agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") >= 0)
+                & (F.col("l_discount") <= 1)
+                & (F.col("l_tax") >= 0),
+                1,
+            ).otherwise(0)
+        ).alias("p"),
+    )
+    r5 = rule("lineitem_rates_in_unit_range", l_agg)
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+
+
 QUERIES["j5_salted_join"] = q_j5_salted_join
 QUERIES["fe4_robust_scale"] = q_fe4_robust_scale
 QUERIES["io10_zorder_layout"] = q_io10_zorder_layout
+QUERIES["dq9_expectations"] = q_dq9_expectations
+
+ORACLE_SQL["dq9_expectations"] = """
+    WITH o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS p3
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM customer
+    ),
+    l AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                              AND l_tax >= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM lineitem
+    )
+    SELECT 'orders_totalprice_positive' AS rule, n AS n_rows, p1 AS n_pass,
+           n - p1 AS n_fail, CAST(p1 * 10000 // n AS BIGINT) AS pass_e4 FROM o
+    UNION ALL
+    SELECT 'orders_status_in_set', n, p2, n - p2,
+           CAST(p2 * 10000 // n AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'orders_orderkey_unique', n, p3, n - p3,
+           CAST(p3 * 10000 // n AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'customer_name_format', n, p, n - p,
+           CAST(p * 10000 // n AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'lineitem_rates_in_unit_range', n, p, n - p,
+           CAST(p * 10000 // n AS BIGINT) FROM l
+"""
 
 ORACLE_SQL["j5_salted_join"] = f"""
     WITH ev AS ({_EV}),
@@ -7847,7 +7947,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
 # r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
 # t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10) —
+# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10, dq9) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus

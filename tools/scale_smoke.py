@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "j5_salted_join",       # salted shuffle join over 8x events
     "fe4_robust_scale",     # two grouped-percentile passes + broadcasts
     "io10_zorder_layout",   # z-order write + 2-D pruned read (8x events)
+    "dq9_expectations",     # rule-suite single-pass aggregates per table
 ]
 KEY_OFFSET = 100_000_000
 
