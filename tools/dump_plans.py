@@ -296,6 +296,45 @@ COMMENT = {
         "second rank — correct because bottom-k is mergeable; the "
         "oracle's one-phase ranking proves the equivalence on data."
     ),
+    "j5_salted_join": (
+        "Salted shuffle join: the SortMergeJoin keys are (user_id, "
+        "__salt__) — a hot user's fact rows spread over 16 sub-partitions "
+        "instead of one reducer; the dim explode is map-only. Result "
+        "proven identical to the unsalted join by the plain-join oracle."
+    ),
+    "j4_bloom_probe": (
+        "Bloom-filter probe: the deduped position set broadcasts; the "
+        "fact meets it in two BroadcastHashJoin semi joins and is never "
+        "shuffled — the runtime-filter shape when the dim key set is too "
+        "big for an IN-list. False positives are counted against the "
+        "exact-verify arm in the same plan."
+    ),
+    "fe3_vocab_encode": (
+        "Vocabulary encode: distinct-token counts partial-agg; the "
+        "id-assign window touches <= 256 rows; the corpus-side lookup is "
+        "one BroadcastHashJoin over the exploded token stream — the "
+        "corpus is never shuffled before the per-doc manifest rollup."
+    ),
+    "g4_kcore": (
+        "k-core peel round: degree aggregate (partial map-side) + two "
+        "survivor semi joins per iteration, every exchange keyed on one "
+        "node id; AQE broadcasts the survivor set as it shrinks. "
+        "localCheckpoint truncates lineage between rounds."
+    ),
+    "io10_zorder_layout": (
+        "Z-ordered read-back: BOTH dims of the 2-D predicate in "
+        "PushedFilters — parquet row-group min/max stats on the original "
+        "columns do the skipping because the Morton sort co-located both "
+        "dims at write time; no filter survives to the data path that "
+        "the scan could have pruned."
+    ),
+    "x27_incremental_dedup": (
+        "Incremental dedup: the exact arm shuffles 16-byte hashes; LSH "
+        "banding bounds candidate generation; the cross filter drops "
+        "old-vs-old pairs before the Jaccard verify joins — each "
+        "increment costs proportional to the batch once old signatures "
+        "are stored."
+    ),
 }
 
 
