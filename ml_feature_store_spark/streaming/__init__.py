@@ -7,7 +7,7 @@ from .ingest import (
     streaming_register,
     streaming_sessionize,
 )
-from .stateful import streaming_running_features
+from .stateful import streaming_running_features, streaming_session_counts
 
 __all__ = [
     "stream_events",
@@ -17,5 +17,6 @@ __all__ = [
     "streaming_feature_agg",
     "streaming_register",
     "streaming_running_features",
+    "streaming_session_counts",
     "streaming_sessionize",
 ]

@@ -108,3 +108,82 @@ def streaming_running_features(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _update_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based session counting with cross-batch state carry: a row
+    opens a new session iff it is the key's first ever or follows the
+    previous event by more than 30 minutes. Rows are sorted by
+    (ts_us, event_id) within the accumulated batch; correctness across
+    batches requires the feed to be per-key time-ordered between
+    micro-batches (the standard structured-streaming assumption — late
+    rows would be watermark-dropped in production; the suite's feed is
+    split at a time boundary so the property holds exactly)."""
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = -1, 0, 0
+    frames = [pdf for pdf in pdfs if not pdf.empty]
+    if frames:
+        rows = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        ts = rows["ts_us"].to_numpy()
+        prev = ts[:-1]
+        first_gap = bool(last_ts < 0 or ts[0] - last_ts > _GAP_US)
+        n_sessions += int(first_gap) + int((ts[1:] - prev > _GAP_US).sum())
+        n_events += len(ts)
+        last_ts = int(ts[-1])
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+            "last_ts_us": [last_ts],
+        }
+    )
+
+
+def streaming_session_counts(events: DataFrame) -> DataFrame:
+    """Per-user running session count over a stream — the stateful twin of
+    the batch sessionize operator (operators/sessionize.py): state is one
+    (last_ts, counters) triple per user, NOT the event history, so the
+    state store is O(users) at any stream length. Emits the updated
+    snapshot per user per micro-batch (outputMode update); the latest
+    snapshot equals the batch answer, which is how the suite's sd3 query
+    oracles this surface with the SAME SQL as x7_sessionize."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -7203,6 +7203,8 @@ def q_g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    if n_nodes == 0:  # no edges at all -> empty core, same schema
+        return spark.createDataFrame([], "node string, degree long, n_core long")
     k = -(-n_edges // n_nodes)  # ceil(E/N)
     core = kcore(und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")), k=k, rounds=3)
     size = core.agg(F.count("*").alias("n_core"))
@@ -7847,6 +7849,55 @@ def q_dq9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5 = rule("lineitem_rates_in_unit_range", l_agg)
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
 
+
+def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SESSIONIZATION witness (streaming/stateful.py
+    streaming_session_counts): the events are split at the month's midpoint
+    into two parquet files and streamed through the REAL
+    applyInPandasWithState gap-fold with maxFilesPerTrigger=1 — so
+    sessions spanning the batch boundary exercise the state carry-over —
+    into a memory sink; the final per-user snapshot is returned. The
+    time-boundary split keeps the feed per-key ordered across batches
+    (the watermark assumption), making the fold deterministic; the
+    oracle is x7_sessionize's window SQL VERBATIM — the driver itself
+    witnesses that the streaming state machine and the batch
+    lag()/running-sum plan compute one answer."""
+    from .streaming.ingest import stream_events
+    from .streaming.stateful import streaming_session_counts
+
+    d = _scratch_dir("sd3_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
+    stream = stream_events(spark, d)
+    q = (
+        streaming_session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sd3_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd3_sessions")
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+QUERIES["sd3_streaming_sessionize"] = q_sd3_streaming_sessionize
+# same answer, two machines: the batch lag()/running-sum plan (x7) and
+# the streaming state fold must agree row-for-row
+ORACLE_SQL["sd3_streaming_sessionize"] = ORACLE_SQL["x7_sessionize"]
 
 QUERIES["j5_salted_join"] = q_j5_salted_join
 QUERIES["fe4_robust_scale"] = q_fe4_robust_scale

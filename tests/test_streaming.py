@@ -583,3 +583,56 @@ class TestExactlyOnceSink:
             for rec in store._backend.meta("eo3").versions.values()
         ]
         assert any(d.startswith("stream batch ") for d in descs)
+
+
+class TestStatefulSessionize:
+    def test_streaming_sessions_match_batch_sessionize(self, spark):
+        """The applyInPandasWithState gap-fold over two time-split
+        micro-batches must equal the batch sessionize window plan —
+        including sessions that SPAN the batch boundary (state
+        carry-over) and sessions split by it (gap check against the
+        carried last_ts)."""
+        from ml_feature_store_spark.operators.sessionize import sessionize
+        from ml_feature_store_spark.streaming import stream_events
+        from ml_feature_store_spark.streaming.stateful import streaming_session_counts
+        from ml_feature_store_spark.suite import table
+
+        d = tempfile.mkdtemp(prefix="mlfs_sess_")
+        ev = table(spark, SF, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        mid = F.lit("2024-01-16").cast("timestamp")
+        ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(d)
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
+
+        q = (
+            streaming_session_counts(stream_events(spark, d))
+            .writeStream.format("memory")
+            .queryName("sess_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in spark.sql(
+                """
+                SELECT user_id, max_by(n_sessions, n_events) AS n_sessions,
+                       max(n_events) AS n_events
+                FROM sess_t GROUP BY user_id
+                """
+            ).collect()
+        }
+        batch = sessionize(table(spark, SF, "events"))
+        want = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in batch.groupBy("user_id")
+            .agg(
+                F.max("session_id").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+            )
+            .collect()
+        }
+        assert got == want

@@ -183,6 +183,7 @@ def main() -> None:
         "band-widths of history. r2 emits the pairs themselves, so its "
         "growth IS output size, not a plan defect. Equivalence and "
         "boundary cases are pinned in tests/test_band.py.\n"
+        "* io10_zorder_layout near the data factor (~8x at 8x) is the WRITE: the op rewrites the whole dataset z-ordered, so linear-in-data is the correct shape (the read-back side is the part that shrinks with clustering). x27's ~2.4x is pipe2's effect in cross form — replicas are genuine near-dups, so new-vs-old candidate pairs grow by construction; banding still bounds them to same-bucket pairs.\n"
         "* pipe2's near-dup stages see replicas as genuine near-dups — "
         "candidate pairs grow by construction; the LSH banding bounds "
         "them to same-bucket pairs.\n"

@@ -107,6 +107,37 @@ def main() -> None:
             el = round(time.time() - t0, 2)
             timings[name] = min(timings.get(name, el), el)
 
+    # Same hot key through a plain equi join: one reducer carries 50% of
+    # the fact vs the salted join's 32-way spread (operators/skew.py).
+    from ml_feature_store_spark.operators.skew import salted_join  # noqa: E402
+
+    dim = (
+        feats.groupBy("entity_id")
+        .agg(F.min("timestamp").alias("first_ts"))
+        .hint("merge")
+    )
+
+    def _sink(df):
+        df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.unix_micros("timestamp") - F.unix_micros("first_ts")).alias("s"),
+        ).write.format("noop").mode("overwrite").save()
+
+    for name, fn in (
+        ("join_plain", lambda: feats.join(dim, "entity_id")),
+        (
+            "join_salted",
+            lambda: salted_join(
+                feats, dim, "entity_id", salt_by="__row_id__", n_salts=32
+            ),
+        ),
+    ):
+        for _ in range(2):
+            t0 = time.time()
+            _sink(fn())
+            el = round(time.time() - t0, 2)
+            timings[name] = min(timings.get(name, el), el)
+
     lines = [
         "# SKEW — hot-entity as-of join strategies, measured",
         "",
@@ -120,6 +151,8 @@ def main() -> None:
         f"| union_bucketed | {timings['union_bucketed']:.2f} | one time-bucket of the hot entity |",
         f"| nearest_union | {timings['nearest_union']:.2f} | hot entity: TWO window sorts on one task |",
         f"| nearest_banded | {timings['nearest_banded']:.2f} | three tolerance-buckets of the hot entity |",
+        f"| join_plain | {timings['join_plain']:.2f} | hot key: ONE SMJ reducer gets 50% of the fact |",
+        f"| join_salted | {timings['join_salted']:.2f} | hot key spread over 32 (key, salt) reducers |",
         "",
         "Below ~1M hot rows plain union wins (bucketing's carry-in pass is",
         "overhead); past it the single-task sort dominates and bucketed",
