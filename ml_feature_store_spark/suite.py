@@ -7998,7 +7998,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # a17_covariance_matrix, rag1_hybrid_search, plus everything added in
 # r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
 # t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10, dq9) —
+# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10, dq9, sd3) —
 # all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
 # this round-3 priority list front-loads the 41 queries no driver window
 # has ever witnessed (all judge-verified green in round 2), plus
