@@ -378,26 +378,38 @@ def _asof_directional(
     # Spine position at equal ts decides whether exact matches reach the
     # forward window: nearest keeps features BEFORE the spine (backward
     # covers distance-0), pure forward puts them AFTER (pandas
-    # allow_exact_matches).
-    fwd_spine_pos = (
-        F.col("__is_spine__").asc()
-        if direction == "nearest"
-        else F.col("__is_spine__").desc()
-    )
+    # allow_exact_matches). The forward sort is conceptually
+    # (__evt_ts__ ASC, spine_pos, tb ASC) — but it is EVALUATED reversed:
+    # the natural spelling, first(ignorenulls) over [CURRENT ROW,
+    # UNBOUNDED FOLLOWING), makes Spark re-aggregate the suffix for
+    # EVERY row (UnboundedFollowingWindowFunctionFrame is O(n^2) per
+    # partition; a 3M-row hot entity never finishes — caught by
+    # tools/skew_smoke.py). The identical value is the RUNNING
+    # last(ignorenulls) over the REVERSED sort, which Spark evaluates
+    # incrementally in O(n): walking the reversed order up to the
+    # current row visits exactly the rows at-or-after it in forward
+    # order, and last() picks the one nearest the current row.
     back_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
-    fwd_order = [F.col("__evt_ts__").asc(), fwd_spine_pos]
     if tb:
         # backward: desc so last() lands on the MIN row id (asof_join
-        # parity); forward: asc so first() lands on the MIN row id
+        # parity); forward(reversed): desc_nulls_first so last() lands
+        # on the MIN row id
         back_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
-        fwd_order.append(F.col(f"__payload__.{tb}").asc_nulls_last())
+    rev_spine_pos = (
+        F.col("__is_spine__").desc()
+        if direction == "nearest"
+        else F.col("__is_spine__").asc()
+    )
+    rev_fwd_order = [F.col("__evt_ts__").desc(), rev_spine_pos]
+    if tb:
+        rev_fwd_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
     w_fwd = (
         Window.partitionBy(entity_col)
-        .orderBy(*fwd_order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*rev_fwd_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
-        "__fwd__", F.first("__payload__", ignorenulls=True).over(w_fwd)
+        "__fwd__", F.last("__payload__", ignorenulls=True).over(w_fwd)
     )
     if direction == "nearest":
         w_back = (
