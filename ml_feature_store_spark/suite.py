@@ -1867,17 +1867,22 @@ def q_ts2_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-observation carry via the REVERSED running frame (same value
+    # as first(ignorenulls) over [0, UNBOUNDED FOLLOWING), but O(n) —
+    # Spark's following frame re-aggregates the suffix per row; see
+    # operators/asof.py's forward carry). day_idx is unique per user on
+    # the grid, so no tie-break is needed.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("day_idx")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("day_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     gated_day = F.when(F.col("obs").isNotNull(), F.col("day_idx"))
     j = (
         j.withColumn("pd", F.last(gated_day, ignorenulls=True).over(wp))
         .withColumn("pv", F.last("obs", ignorenulls=True).over(wp))
-        .withColumn("nd", F.first(gated_day, ignorenulls=True).over(wn))
-        .withColumn("nv", F.first("obs", ignorenulls=True).over(wn))
+        .withColumn("nd", F.last(gated_day, ignorenulls=True).over(wn))
+        .withColumn("nv", F.last("obs", ignorenulls=True).over(wn))
     )
     blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         (F.col("day_idx") - F.col("pd")) / (F.col("nd") - F.col("pd"))
