@@ -470,61 +470,132 @@ def asof_join_nearest_banded(
     how: str = "inner",
 ) -> DataFrame:
     """``asof_join_nearest`` through the banded plan — the HOT-ENTITY
-    variant (f15b's treatment applied to nearest). The union strategy's
-    per-entity window serializes one entity into one task; here the
-    shuffle key is (entity, floor(ts / tolerance)) via
-    ``band_join_bucketed(direction="nearest")``, so a hot entity's task
-    is bounded by three tolerance-widths of history, and the per-spine
-    argmin runs as a skew-immune partial-agg ``min_by`` on
-    (|dt|, is_forward, row_id) — the same tie chain as the union plan
-    (distance ties prefer the past; equal timestamps take min row id).
-    Property-tested equal to ``asof_join_nearest`` with the same
-    tolerance. Requires an explicit tolerance: an unbounded nearest has
-    no band to bucket on (use ``asof_join_nearest``)."""
+    variant. The union strategy's per-entity window serializes one
+    entity into one task; here everything shuffles on
+    ``(entity, floor(ts / tolerance))``, so a hot entity's task is
+    bounded by one tolerance-width of history.
+
+    Plan: the same double-window carry as the union strategy, but
+    partitioned per (entity, bucket); candidates that live in the
+    ADJACENT bucket are supplied by a per-bucket boundary table (each
+    bucket's first/last feature row under the union plan's exact tie
+    orders — a partial-agg min_by/max_by, skew-immune) joined back onto
+    the spine rows. Any in-tolerance candidate is in the spine row's own
+    or adjacent bucket (bucket width == tolerance), so
+    coalesce(in-bucket carry, neighbor boundary row) is the true
+    per-side nearest; per-side tolerance filtering equals the union
+    plan's post-hoc filter because each side's candidate is its minimum.
+    Per-task work is O((features + spine rows in bucket) log) — no
+    spine-x-feature pair formation. (The round-3 first formulation
+    materialized the in-band pairs and min_by-reduced them; fine for
+    sparse spines, but a dense spine on a hot entity made it quadratic
+    per bucket — tools/skew_smoke.py measured 245 s vs the union plan's
+    12.7 s on the 64x hot key, so it was replaced with this carry
+    design.) Property-tested equal to ``asof_join_nearest`` with the
+    same tolerance. Requires an explicit tolerance: an unbounded
+    nearest has no band to bucket on (use ``asof_join_nearest``)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if tolerance_seconds is None or tolerance_seconds <= 0:
         raise ValueError("asof_join_nearest_banded requires tolerance_seconds > 0")
-    from .band import band_join_bucketed
-
     payload = _feature_payload_cols(features, entity_col)
     tb = ROW_ID_COL if ROW_ID_COL in payload else None
     band_us = int(tolerance_seconds * 1_000_000)
 
-    s = spine.select(
+    f_tagged = features.select(
         F.col(entity_col),
-        F.col(ts_col).alias(_SPINE_TS),
-    ).withColumn(_SPINE_ID, F.monotonically_increasing_id())
-    f = features.select(
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(0).alias("__is_spine__"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload__"),
+    )
+    s_tagged = spine.select(
         F.col(entity_col),
-        *[F.col(c).alias(f"__f_{c}") for c in payload],
+        F.col(ts_col).alias("__evt_ts__"),
+        F.lit(1).alias("__is_spine__"),
+        F.lit(None).cast(f_tagged.schema["__payload__"].dataType).alias("__payload__"),
     )
-    joined = band_join_bucketed(
-        s,
-        f,
-        keys=entity_col,
-        spine_ts=_SPINE_TS,
-        event_ts=f"__f_{ts_col}",
-        band_us=band_us,
-        direction="nearest",
-        how="inner" if how == "inner" else "left",
+    u = (
+        f_tagged.unionByName(s_tagged)
+        .withColumn("__ts_us__", F.unix_micros(F.col("__evt_ts__")))
+        .withColumn("__bkt__", F.floor(F.col("__ts_us__") / F.lit(band_us)))
     )
-    st = F.unix_micros(F.col(_SPINE_TS))
-    et = F.unix_micros(F.col(f"__f_{ts_col}"))
-    ord_fields = [
-        F.abs(et - st).alias("_d"),
-        (et > st).cast("int").alias("_f"),
-    ]
+
+    # In-bucket carries: EXACTLY the union plan's orders, partitioned by
+    # (entity, bucket). Backward: running last over (ts ASC, spine LAST,
+    # tb DESC-nulls-first). Forward: evaluated as the reversed running
+    # frame (see _asof_directional — the O(n) formulation).
+    back_order = [F.col("__evt_ts__").asc(), F.col("__is_spine__").asc()]
+    rev_fwd_order = [F.col("__evt_ts__").desc(), F.col("__is_spine__").desc()]
     if tb:
-        ord_fields.append(F.col(f"__f_{tb}").alias("_n"))
-    best = F.min_by(
-        F.struct(*[F.col(f"__f_{c}").alias(c) for c in payload]),
-        F.struct(*ord_fields),
-    ).alias("_best")
-    agg = joined.groupBy(_SPINE_ID, _SPINE_TS, entity_col).agg(best)
+        back_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
+        rev_fwd_order.append(F.col(f"__payload__.{tb}").desc_nulls_first())
+    part = [entity_col, "__bkt__"]
+    w_back = (
+        Window.partitionBy(*part)
+        .orderBy(*back_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*part)
+        .orderBy(*rev_fwd_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "__back__", F.last("__payload__", ignorenulls=True).over(w_back)
+    ).withColumn("__fwd__", F.last("__payload__", ignorenulls=True).over(w_fwd))
+    sp = carried.filter(F.col("__is_spine__") == 1)
+
+    # Per-bucket boundary rows under the SAME tie orders: "first" is the
+    # row the forward carry would hand a spine row just before the
+    # bucket (min ts, then min tb); "last" is the backward pick at the
+    # bucket end (max ts, then min tb).
+    ts_us = F.unix_micros(F.col("__evt_ts__"))
+    if tb:
+        k_first = F.struct(ts_us, F.col(f"__payload__.{tb}"))
+        k_last = F.struct(ts_us, (-F.col(f"__payload__.{tb}")).alias("_ntb"))
+    else:
+        k_first = F.struct(ts_us)
+        k_last = F.struct(ts_us)
+    bounds = (
+        u.filter(F.col("__is_spine__") == 0)
+        .groupBy(entity_col, "__bkt__")
+        .agg(
+            F.min_by("__payload__", k_first).alias("__first__"),
+            F.max_by("__payload__", k_last).alias("__last__"),
+        )
+    )
+    prev_m = bounds.select(
+        F.col(entity_col),
+        (F.col("__bkt__") + 1).alias("__bkt__"),
+        F.col("__last__").alias("__prev_last__"),
+    )
+    next_m = bounds.select(
+        F.col(entity_col),
+        (F.col("__bkt__") - 1).alias("__bkt__"),
+        F.col("__first__").alias("__next_first__"),
+    )
+    sp = sp.join(prev_m, part, "left").join(next_m, part, "left")
+
+    def _dist(c):
+        return F.abs(F.unix_micros(c[ts_col]) - F.col("__ts_us__"))
+
+    back = F.coalesce(F.col("__back__"), F.col("__prev_last__"))
+    fwd = F.coalesce(F.col("__fwd__"), F.col("__next_first__"))
+    backc = F.when(back.isNotNull() & (_dist(back) <= F.lit(band_us)), back)
+    fwdc = F.when(fwd.isNotNull() & (_dist(fwd) <= F.lit(band_us)), fwd)
+    sp = sp.withColumn("__bc__", backc).withColumn("__fc__", fwdc)
+    chosen = (
+        F.when(F.col("__bc__").isNull(), F.col("__fc__"))
+        .when(F.col("__fc__").isNull(), F.col("__bc__"))
+        .when(_dist(F.col("__bc__")) <= _dist(F.col("__fc__")), F.col("__bc__"))
+        .otherwise(F.col("__fc__"))
+    )
+    picked = sp.withColumn("__near__", chosen)
+    if how == "inner":
+        picked = picked.filter(F.col("__near__").isNotNull())
     out_cols = [F.col(entity_col)] + [
-        F.col(f"_best.{c}").alias(c) for c in payload if c != ROW_ID_COL
+        F.col(f"__near__.{c}").alias(c) for c in payload if c != ROW_ID_COL
     ]
     if keep_spine_ts:
-        out_cols.append(F.col(_SPINE_TS).alias("as_of_timestamp"))
-    return agg.select(*out_cols)
+        out_cols.append(F.col("__evt_ts__").alias("as_of_timestamp"))
+    return picked.select(*out_cols)

@@ -723,16 +723,21 @@ class TestWave3Ops:
 
 
 class TestNearestBanded:
-    def test_f18b_is_equi_join_on_bucket_key_no_window(self, spark):
-        # the banded nearest must be a plain equi join on (entity,
-        # bucket) with the band residual — no per-entity window, no
-        # cartesian, argmin as partial-agg min_by
+    def test_f18b_windows_are_bucket_partitioned_no_pair_join(self, spark):
+        # the banded nearest runs the double-window carry per (entity,
+        # bucket) — NEVER a spine-x-feature pair join (the round-3 first
+        # formulation's min_by-over-band-join was quadratic per bucket
+        # under a dense hot spine; skew_smoke measured 245 s vs union's
+        # 12.7 s). Boundary candidates arrive via equi joins against the
+        # per-bucket min_by/max_by table.
         df = QUERIES["f18b_asof_nearest_banded"](spark, SF)
         plan = executed_plan(df)
-        assert "Window" not in plan
+        assert "__bkt__" in plan  # bucket key in the window partitioning
+        assert "Window" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "partial_min_by" in plan  # skew-immune map-side argmin
+        # boundary table is built with skew-immune partial aggregation
+        assert "partial_min_by" in plan or "partial_max_by" in plan
 
 
 class TestFourthWavePlans:
