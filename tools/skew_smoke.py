@@ -150,7 +150,7 @@ def main() -> None:
         f"| union | {timings['union']:.2f} | hot entity sorts on ONE task |",
         f"| union_bucketed | {timings['union_bucketed']:.2f} | one time-bucket of the hot entity |",
         f"| nearest_union | {timings['nearest_union']:.2f} | hot entity: TWO window sorts on one task |",
-        f"| nearest_banded | {timings['nearest_banded']:.2f} | three tolerance-buckets of the hot entity |",
+        f"| nearest_banded | {timings['nearest_banded']:.2f} | per-(entity, tolerance-bucket) carry windows |",
         f"| join_plain | {timings['join_plain']:.2f} | hot key: ONE SMJ reducer gets 50% of the fact |",
         f"| join_salted | {timings['join_salted']:.2f} | hot key spread over 32 (key, salt) reducers |",
         "",
