@@ -91,7 +91,7 @@ def main() -> None:
             timings[strat] = min(timings.get(strat, el), el)
 
     # Same hot key through the NEAREST direction: union double-window vs
-    # the banded (3-bucket + min_by) plan, 6h tolerance.
+    # the banded (bucket-partitioned carry windows) plan, 6h tolerance.
     from ml_feature_store_spark.operators.asof import (  # noqa: E402
         asof_join_nearest,
         asof_join_nearest_banded,
