@@ -1,4 +1,5 @@
 from .agg import count_distinct_salted, histogram_quantile_rollup, iqr_outlier_stats
+from .skew import salted_join
 from .asof import asof_join
 from .chunking import chunk_documents
 from .linkage import fuzzy_match_blocked
@@ -13,7 +14,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard,
 )
-from .graph import pagerank
+from .graph import kcore, pagerank, triangle_count, triangle_count_degree_ordered
 from .clustering import (
     assign_clusters,
     assign_clusters_int,
@@ -95,4 +96,8 @@ __all__ = [
     "chunk_documents",
     "redact_pii",
     "repetition_stats",
+    "kcore",
+    "triangle_count",
+    "triangle_count_degree_ordered",
+    "salted_join",
 ]

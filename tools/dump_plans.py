@@ -356,6 +356,8 @@ def main() -> None:
         "host noise as suspected, resolved by the bench fix + scratch-dir",
         "reuse, no plan change needed.",
         "",
+        "Round-3 closing audit: 185 queries, 187.6 s total at sf0.1 (min-of-2, BENCH_DETAIL.json), ZERO per-query regressions >2x vs the prior detail file; shuffle audit shows zero spill suite-wide (SHUFFLE.md). One plan-level scale bug found and fixed this round via the 64x hot-key harness: the directional as-of forward carry used Spark's O(n^2) UNBOUNDED FOLLOWING frame (now the reversed running frame), and the banded nearest was rewritten from pair-join+min_by to bucket-partitioned carry windows (245 s -> 4.3 s on the hot key; SKEW.md).",
+        "",
     ]
     for name, note in COMMENT.items():
         plan = executed_plan(QUERIES[name](spark, SF))
