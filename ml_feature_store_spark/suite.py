@@ -7997,19 +7997,27 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 NOTE: rotate this list to the names with no
-# driver row after r3 — dq5_ks_statistic, x21_bpe_train, x22_semdedup,
-# t9_ngram_counts, t10_pmi_collocations, g3_triangle_count,
-# a17_covariance_matrix, rag1_hybrid_search, plus everything added in
-# r3's second/third/fourth waves (x23, a18, dq6, rag2, mix1, x24, g3b,
-# t11, r3, f18, f18b, a19, dq7, x25, f20, io8, pack2, ts3, x26, f21,
-# a20, fe3, ts4, g4, rag3, j4, x27, card1, j5, fe4, io10, dq9, sd3) —
-# all judge-gate green locally via tools/check.py this round. Rounds 1+2 recorded green rows for 97 distinct queries;
-# this round-3 priority list front-loads the 41 queries no driver window
-# has ever witnessed (all judge-verified green in round 2), plus
-# x2/x11 — re-witnessed because round 3 changes their declared block key
-# to the scale-true (label, lsh_bucket) compound — plus the new round-3
-# additions. With r1+r2+r3 every declared query has a driver row.
+# order per round. ROUND-4 NOTE: rotate _ROUND_PRIORITY to EXACTLY the 41
+# names with no driver row after r3 (all judge-gate green locally via
+# tools/check.py this round; 41 <= 50, so one window covers them all):
+#   a17_covariance_matrix, a18_cms_heavy_hitters, a19_bottomk_sample,
+#   a20_retention_cohorts, card1_data_card, dq5_ks_statistic,
+#   dq6_leakage_audit, dq7_lateness_profile, dq9_expectations,
+#   f18_asof_nearest, f18b_asof_nearest_banded, f20_scd2_dim_join,
+#   f21_asof_forward, fe3_vocab_encode, fe4_robust_scale,
+#   g3_triangle_count, g3b_triangle_degree_ordered, g4_kcore,
+#   io10_zorder_layout, io8_compaction, j4_bloom_probe, j5_salted_join,
+#   mix1_domain_mixture, pack2_rank_pairing, r3_interval_left_join,
+#   rag1_hybrid_search, rag2_ndcg_eval, rag3_mmr_rerank,
+#   sd3_streaming_sessionize, t10_pmi_collocations, t11_dup_span_profile,
+#   t9_ngram_counts, ts3_seasonal_backtest, ts4_rolling_anomaly,
+#   x21_bpe_train, x22_semdedup, x23_bpe_encode, x24_importance_score,
+#   x25_containment_dedup, x26_lsh_recall_eval, x27_incremental_dedup.
+# With r1+r2+r3+r4 every declared query then has a driver row.
+# (History: rounds 1+2 recorded green rows for 97 distinct queries; the
+# round-3 list below front-loads the 41 queries those windows never
+# witnessed plus x2/x11/x15, re-witnessed because round 3 changed their
+# declared block key to the scale-true (label, lsh_bucket) compound.)
 _ROUND_PRIORITY = [
     "m3_image_features", "x6_dedup_fuzzy", "x6b_jaccard_verify",
     "x8_ann_lsh", "x9_simhash", "x14_kmeans", "a11_distinct_salted",
