@@ -362,12 +362,18 @@ def bpe_train_merges(
     cross-check that must equal cnt (non-overlap makes every counted
     adjacency mergeable).
 
-    Scale shape per round: one count shuffle on (x, y) pairs + three
-    scalar collects; the corpus rows are never shuffled, and each merge
-    pass pipelines onto the next round's scan. At 100 TB this is the
-    canonical way BPE is actually fit (Spark/MapReduce pair counting);
-    the merged-token vocabulary stays on the driver where the tokenizer
-    artifact lives."""
+    Scale shape per round: one count shuffle on (x, y) pairs + two
+    scalar collects (argmax pair, post-merge token count); the corpus
+    rows are never shuffled, and each merge pass pipelines onto the next
+    round's scan. At 100 TB this is the canonical way BPE is actually fit
+    (Spark/MapReduce pair counting); the merged-token vocabulary stays on
+    the driver where the tokenizer artifact lives. Honest bound: the
+    per-round driver round-trip means fitting a REAL 30k-rule tokenizer
+    this way costs 30k Spark jobs — past a few hundred rounds the
+    standard practice is to fit on a corpus SAMPLE (BPE rule quality
+    converges long before the full corpus is seen) or batch k rules per
+    round; the apply step (``bpe_encode``) handles 30k rules in one
+    Arrow pass regardless."""
     toks = df.select(_tokens(text_col).alias("tk"))
     results: list[dict] = []
     current = toks
@@ -413,33 +419,103 @@ def bpe_train_merges(
     return results
 
 
+BPE_EXPR_RULE_LIMIT = 64
+"""Above this many merge rules ``bpe_encode`` switches from chained
+codegen array folds (one expression per rule — plan and codegen size grow
+linearly with the rule count, untenable at a real tokenizer's 10k-30k
+rules) to a single Arrow-batched ``mapInPandas`` pass that applies the
+whole broadcast rule table per batch. Both paths implement the identical
+greedy left-to-right merge; ``tests/test_text_and_sessions.py`` pins them
+equal and pins the >=100-rule path."""
+
+
 def bpe_encode(
     df: DataFrame,
     rules: Sequence[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
     joiner: str = "+",
+    expr_rule_limit: int = BPE_EXPR_RULE_LIMIT,
 ) -> DataFrame:
     """Apply a trained BPE merge list to every document — the tokenizer
     APPLY step (``bpe_train_merges`` is the fit step; reference has no
     tokenizer surface, §2.4 extension). Rules are applied in training
-    order, each as one greedy left-to-right ``_apply_merge`` array fold —
-    map-only, no shuffle, the whole encode pipelines into a single
-    codegen stage per document batch.
+    order, each greedy left-to-right.
 
-    Returns (id_col, tk) with the merged token array. At 100 TB this is
-    the canonical shape: the merge table is a driver-side artifact of a
-    few 10k rules broadcast with the plan; the corpus is never shuffled,
-    and encode throughput is scan-bound.
+    Two physical strategies, same semantics, both map-only (the corpus is
+    never shuffled and encode throughput stays scan-bound):
+
+    * ``len(rules) <= expr_rule_limit``: one ``_apply_merge`` codegen
+      array fold per rule — zero Python, the whole encode pipelines into
+      a single codegen stage. Expression/codegen size grows linearly with
+      the rule count, so this path is capped.
+    * beyond the cap: one Arrow-batched ``mapInPandas`` pass; the rule
+      table ships with the serialized closure (equivalent to a broadcast
+      — a 30k-rule table is ~1 MB) and every rule is applied inside one
+      Python pass per batch. This is the real 10k-30k-rule recipe: plan
+      size is O(1) in the rule count.
+
+    Returns (id_col, tk) with the merged token array.
     """
-    out = df.select(id_col, _tokens(text_col).alias("tk"))
     for x, y in rules:
         if x == y:
             raise ValueError("equal-halves merge rules are not supported")
-        out = out.select(
-            id_col, _apply_merge(F.col("tk"), x, y, x + joiner + y).alias("tk")
-        )
-    return out
+    if len(rules) <= expr_rule_limit:
+        out = df.select(id_col, _tokens(text_col).alias("tk"))
+        for x, y in rules:
+            out = out.select(
+                id_col, _apply_merge(F.col("tk"), x, y, x + joiner + y).alias("tk")
+            )
+        return out
+    return _bpe_encode_arrow(df, rules, text_col, id_col, joiner)
+
+
+def _bpe_encode_arrow(
+    df: DataFrame,
+    rules: Sequence[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+    joiner: str,
+) -> DataFrame:
+    """Arrow-batched BPE encode: the whole rule table in one mapInPandas
+    pass. Tokenization (lower, split on space, drop empties) and the
+    greedy left-to-right merge replicate ``_tokens`` + ``_apply_merge``
+    exactly — property-tested equal to the expression path."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    rule_list = [(x, y, x + joiner + y) for x, y in rules]
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("tk", ArrayType(StringType()), False),
+        ]
+    )
+    src = df.select(id_col, F.col(text_col).alias("__text__"))
+
+    def encode(batches):
+        for pdf in batches:
+            merged = []
+            for text in pdf["__text__"]:
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                tokset = set(toks)
+                for x, y, j in rule_list:
+                    if x not in tokset or y not in tokset:
+                        continue
+                    out: list[str] = []
+                    for t in toks:
+                        if out and out[-1] == x and t == y:
+                            out[-1] = j
+                        else:
+                            out.append(t)
+                    toks = out
+                    tokset = set(toks)
+                merged.append(toks)
+            yield pd.DataFrame({id_col: pdf[id_col], "tk": merged})
+
+    return src.mapInPandas(encode, out_schema)
 
 
 def dup_span_profile(

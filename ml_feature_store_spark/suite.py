@@ -2608,18 +2608,18 @@ def q_h3_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (functions/vector.py
     quantize_int8): 4x smaller vectors for the ANN index; floor(x+0.5)
-    rounding is bit-identical across engines. Emits the quantized array
-    plus its element sum as an integer checksum."""
+    rounding is bit-identical across engines. The quantized vector is
+    emitted CSV-serialized (the driver's canonicalizer sorts output
+    cells with pandas and cannot hash raw array<> values), alongside its
+    element sum as an integer checksum."""
     from .functions.vector import quantize_int8
 
     emb = table(spark, sf_dir, "embeddings")
-    q = quantize_int8(F.col("embedding").cast("array<double>"))
-    return emb.select(
+    qa = quantize_int8(F.col("embedding").cast("array<double>"))
+    return emb.select("vec_id", qa.alias("qa")).select(
         "vec_id",
-        q.alias("q"),
-    ).withColumn(
-        "sum_q",
-        F.aggregate("q", F.lit(0).cast("long"), lambda s, x: s + x),
+        F.concat_ws(",", F.transform("qa", lambda x: x.cast("string"))).alias("q"),
+        F.aggregate("qa", F.lit(0).cast("long"), lambda s, x: s + x).alias("sum_q"),
     )
 
 
@@ -2780,7 +2780,14 @@ def q_t4b_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     out = rolling_hash_fingerprint(docs, window=4, keep=4, hash_family="md5_32")
-    return out.select("doc_id", "sketch")
+    # CSV-serialize the sketch: the driver's pandas canonicalizer cannot
+    # hash raw array<> cells.
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("sketch", lambda x: x.cast("string"))
+        ).alias("sketch"),
+    )
 
 
 def q_dq3_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3183,12 +3190,19 @@ def q_fe2_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5-derived (sampling.py portable family), so the DuckDB oracle
     rebuilds every element with the same expressions. Map-only: no
     vocabulary build, no shuffle — the property that makes the trick the
-    right categorical encoder at 100 TB."""
+    right categorical encoder at 100 TB. The 16-element vector is
+    emitted CSV-serialized (driver's pandas canonicalizer cannot hash
+    raw array<> cells)."""
     from .operators.encoding import feature_hash
 
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "props")
     out = feature_hash(ev, ["event_type", "props"], n_buckets=16)
-    return out.select("event_id", "fhash")
+    return out.select(
+        "event_id",
+        F.concat_ws(
+            ",", F.transform("fhash", lambda x: x.cast("string"))
+        ).alias("fhash"),
+    )
 
 
 def q_t9_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5547,7 +5561,9 @@ ORACLE_SQL: dict[str, str] = {
                    END AS q
             FROM m
         )
-        SELECT vec_id, q,
+        SELECT vec_id,
+               array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+                   AS q,
                CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
                    AS sum_q
         FROM qd
@@ -6290,8 +6306,10 @@ ORACLE_SQL["t4b_winnow_sketch"] = """
         FROM t
     )
     SELECT doc_id,
-           list_sort(list_transform(shs,
-               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))[1:4] AS sketch
+           array_to_string(list_transform(
+               list_sort(list_transform(shs,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))[1:4],
+               x -> CAST(x AS VARCHAR)), ',') AS sketch
     FROM sh
 """
 
@@ -6965,9 +6983,9 @@ def _fh_oracle_elem(bucket: int, cols: list[str]) -> str:
 
 
 ORACLE_SQL["fe2_feature_hash"] = (
-    "SELECT event_id, ["
+    "SELECT event_id, array_to_string(list_transform(["
     + ", ".join(_fh_oracle_elem(b, ["event_type", "props"]) for b in range(16))
-    + "] AS fhash FROM events"
+    + "], x -> CAST(x AS VARCHAR)), ',') AS fhash FROM events"
 )
 
 _TOKS_CTE = """
@@ -7997,46 +8015,31 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 NOTE: rotate _ROUND_PRIORITY to EXACTLY the 41
-# names with no driver row after r3 (all judge-gate green locally via
-# tools/check.py this round; 41 <= 50, so one window covers them all):
-#   a17_covariance_matrix, a18_cms_heavy_hitters, a19_bottomk_sample,
-#   a20_retention_cohorts, card1_data_card, dq5_ks_statistic,
-#   dq6_leakage_audit, dq7_lateness_profile, dq9_expectations,
-#   f18_asof_nearest, f18b_asof_nearest_banded, f20_scd2_dim_join,
-#   f21_asof_forward, fe3_vocab_encode, fe4_robust_scale,
-#   g3_triangle_count, g3b_triangle_degree_ordered, g4_kcore,
-#   io10_zorder_layout, io8_compaction, j4_bloom_probe, j5_salted_join,
-#   mix1_domain_mixture, pack2_rank_pairing, r3_interval_left_join,
-#   rag1_hybrid_search, rag2_ndcg_eval, rag3_mmr_rerank,
-#   sd3_streaming_sessionize, t10_pmi_collocations, t11_dup_span_profile,
-#   t9_ngram_counts, ts3_seasonal_backtest, ts4_rolling_anomaly,
-#   x21_bpe_train, x22_semdedup, x23_bpe_encode, x24_importance_score,
-#   x25_containment_dedup, x26_lsh_recall_eval, x27_incremental_dedup.
-# With r1+r2+r3+r4 every declared query then has a driver row.
-# (History: rounds 1+2 recorded green rows for 97 distinct queries; the
-# round-3 list below front-loads the 41 queries those windows never
-# witnessed plus x2/x11/x15, re-witnessed because round 3 changed their
-# declared block key to the scale-true (label, lsh_bucket) compound.)
+# order per round. ROUND-4 ROTATION (44 names <= 50, one window covers
+# all): the 41 queries with no driver row after r1-r3 (each judge-gate
+# green locally via tools/check.py) PLUS the 3 round-3 driver-reds
+# (emb1_quantize / t4b_winnow_sketch / fe2_feature_hash), whose array<>
+# output columns crashed the driver's pandas canonicalizer and are now
+# CSV-serialized on both the Spark and oracle sides. With r1+r2+r3+r4
+# every one of the declared queries then has a driver row.
+# (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
+# the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [
-    "m3_image_features", "x6_dedup_fuzzy", "x6b_jaccard_verify",
-    "x8_ann_lsh", "x9_simhash", "x14_kmeans", "a11_distinct_salted",
-    "a12_quantile_hist", "c1_doc_chunk", "t7_pii_redact", "t8_repetition",
-    "emb1_quantize", "h3_incremental_rollup", "f13_pit_window_agg",
-    "dq2_outliers", "ts2_interpolate", "er1_entity_resolution",
-    "b1_bucketed_join", "io5_partitioned_pruning",
-    "f14_multi_view_training_set", "pipe2_quality_dedup", "g2_pagerank",
-    "decon1_contamination", "a14_approx_percentile",
-    "shuf1_training_shards", "x17_pq_ann", "dq3_feature_drift",
-    "t4b_winnow_sketch", "io6_schema_evolution", "f7e_asof_left",
-    "f15_decayed_features", "s3_bm25_search", "io7_corrupt_records",
-    "f16_label_window", "a16_funnel", "x18_negative_sampling",
-    "pipe3_curation_pipeline", "x19_pq_recall", "m6_modality_router",
-    "x20_bpe_pair_counts", "dq4_referential_integrity",
-    "x2_similar_pairs", "x11_embedding_dedup", "x15_dedup_components",
-    "g2b_pagerank_dangling", "f15b_decayed_bucketed",
-    "f16b_label_window_frames", "sd2_running_state_snapshot",
-    "fe1_target_encoding", "fe2_feature_hash",
+    "a17_covariance_matrix", "a18_cms_heavy_hitters", "a19_bottomk_sample",
+    "a20_retention_cohorts", "card1_data_card", "dq5_ks_statistic",
+    "dq6_leakage_audit", "dq7_lateness_profile", "dq9_expectations",
+    "f18_asof_nearest", "f18b_asof_nearest_banded", "f20_scd2_dim_join",
+    "f21_asof_forward", "fe3_vocab_encode", "fe4_robust_scale",
+    "g3_triangle_count", "g3b_triangle_degree_ordered", "g4_kcore",
+    "io10_zorder_layout", "io8_compaction", "j4_bloom_probe",
+    "j5_salted_join", "mix1_domain_mixture", "pack2_rank_pairing",
+    "r3_interval_left_join", "rag1_hybrid_search", "rag2_ndcg_eval",
+    "rag3_mmr_rerank", "sd3_streaming_sessionize", "t10_pmi_collocations",
+    "t11_dup_span_profile", "t9_ngram_counts", "ts3_seasonal_backtest",
+    "ts4_rolling_anomaly", "x21_bpe_train", "x22_semdedup",
+    "x23_bpe_encode", "x24_importance_score", "x25_containment_dedup",
+    "x26_lsh_recall_eval", "x27_incremental_dedup",
+    "emb1_quantize", "t4b_winnow_sketch", "fe2_feature_hash",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

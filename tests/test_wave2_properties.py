@@ -247,3 +247,35 @@ class TestBpeEncodeProperty:
         df = spark.createDataFrame([(0, "a a")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             bpe_encode(df, [("a", "a")])
+
+    def test_arrow_path_equals_expr_path_at_120_rules(self, spark):
+        """>=100 merge rules must (a) run without a per-rule expression
+        chain (plan size O(1) in rule count via mapInPandas) and (b)
+        produce exactly what the codegen-fold path produces."""
+        from ml_feature_store_spark.operators.text import bpe_encode
+
+        docs = [
+            (0, "a b a b c d"),
+            (1, "a b c d e f a b"),
+            (2, "x y z"),
+            (3, ""),
+            (4, "a+b c a b"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        # 3 live rules (incl. a cascading one) + 117 no-op filler rules
+        rules = [("a", "b"), ("a+b", "c"), ("e", "f")]
+        rules += [(f"zz{i}", f"qq{i}") for i in range(117)]
+        assert len(rules) == 120
+
+        arrow = bpe_encode(df, rules)  # default limit 64 -> Arrow path
+        plan = arrow._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        expr = bpe_encode(df, rules, expr_rule_limit=1000)
+        assert "MapInPandas" not in (
+            expr._jdf.queryExecution().executedPlan().toString()
+        )
+        got_a = {r.doc_id: r.tk for r in arrow.collect()}
+        got_e = {r.doc_id: r.tk for r in expr.collect()}
+        assert got_a == got_e
+        assert got_a[0] == ["a+b", "a+b+c", "d"]
+        assert got_a[3] == []

@@ -25,6 +25,27 @@ TABLES = (
 )
 
 
+def unhashable_cols(df):
+    """Columns whose cells the DRIVER's canonicalizer cannot hash.
+
+    The driver canonicalizes with pandas ``sort_values`` over every output
+    column, which factorizes each column — list / ndarray / dict / set
+    cells raise ``TypeError: unhashable type``. Declared queries must
+    serialize such columns (e.g. ``concat_ws(",", ...)``); this gate makes
+    the local check fail the same way the driver would (round-3 lesson:
+    emb1_quantize / t4b_winnow_sketch / fe2_feature_hash passed locally
+    via stringification but crashed the driver)."""
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        for v in df[c].head(5):
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                bad.append(c)
+                break
+    return bad
+
+
 def normalize(df):
     """pandas frame -> canonical sorted list-of-tuples for comparison."""
     df = df.reindex(sorted(df.columns), axis=1)
@@ -83,6 +104,12 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        bad = unhashable_cols(sdf)
+        if bad:
+            problems.append(
+                f"driver-incompatible cells (unhashable array/list) in "
+                f"spark cols {bad} — serialize with concat_ws/to_json"
+            )
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
