@@ -3890,6 +3890,144 @@ def q_io8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events features with value quantized to integer cents — the
+    float-free shape every store-mutation witness query uses so the
+    DuckDB oracle can replay checksums and sums exactly."""
+    return (
+        events_features(spark, sf_dir)
+        .drop("__row_id__")
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .drop("value")
+    )
+
+
+def q_f22_upsert_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level correction through the public API (store.py upsert):
+    register events as a feature table, then upsert a patch that
+    replaces every (entity, ts) key of users < 20's purchases with a
+    corrected row (event_type 'purchase_fixed', value + 1000 cents).
+    Emits the ENTIRE corrected version, so the oracle — untouched rows
+    as a NOT EXISTS key anti-filter UNION ALL the patch — catches a
+    single dropped, duplicated or unreplaced row. Driver witness for the
+    mutation trio the reference cannot express at all (its only write is
+    whole-snapshot re-register, reference store.py:188-216). Plan: one
+    key anti-join + union; the old version's files are re-referenced,
+    never rewritten — the copy-on-write MERGE shape that holds at
+    100 TB."""
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f22_upsert", sf_dir))
+    fs.register("ev", feats)
+    patch = (
+        feats.filter((F.col("event_type") == "purchase") & (F.col("entity_id") < 20))
+        .groupBy("entity_id", "timestamp")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            (F.max_by("value_cents", "event_id") + 1000).alias("value_cents"),
+        )
+        .select(
+            "entity_id",
+            "timestamp",
+            "event_id",
+            F.lit("purchase_fixed").alias("event_type"),
+            "value_cents",
+        )
+    )
+    fs.upsert("ev", patch)
+    return fs.get_version("ev", 2).select(
+        "entity_id",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value_cents",
+    )
+
+
+def q_f23_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level TTL through the public API (store.py expire_features):
+    drop everything before Jan 20 as a NEW version, keeping the
+    pre-expiry version time-travelable (copy-on-write — expiry is a
+    recorded, auditable event, not a silent rewrite). Output: per-type
+    row accounting of the post-TTL version plus the v1 row count, which
+    pins BOTH sides — rows correctly dropped from v2 AND v1 left
+    intact. The TTL predicate is get()'s pushdown-friendly temporal
+    filter, so with date partitioning expired partitions prune at file
+    listing."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f23_expire", sf_dir))
+    fs.register("ev", feats)
+    fs.expire_features("ev", dt.datetime(2024, 1, 20))
+    kept = fs.get_version("ev", 2)
+    v1_rows = F.broadcast(
+        fs.get_version("ev", 1).agg(F.count("*").alias("v1_rows"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value_cents").alias("sum_value_cents"),
+            F.min(_US("timestamp")).alias("min_ts_us"),
+        )
+        .crossJoin(v1_rows)
+    )
+
+
+def q_f24_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure through the public API (store.py erase_entities):
+    build a 2-version table (even event_ids, then append the odd ones),
+    erase users {3, 7, 11} from EVERY retained version in place (NOT
+    copy-on-write — the point of erasure is that no time-travelable
+    copy survives), and emit the audit: per version, rows_removed plus
+    the post-erasure row count and an order-independent md5 content
+    checksum. The oracle recomputes each version's surviving multiset
+    straight from the source, so a row that survived erasure — or a
+    non-matching row that got dropped — hash-mismatches. Scale shape:
+    the IN-list anti-filter is a map-only predicate; only affected
+    versions are rewritten."""
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f24_erase", sf_dir))
+    fs.register("ev", feats.filter(F.col("event_id") % 2 == 0))
+    fs.append("ev", feats.filter(F.col("event_id") % 2 == 1))
+    removed = fs.erase_entities("ev", [3, 7, 11])
+    chk = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",", "entity_id", F.unix_micros("timestamp"), "event_id"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 31)
+    )
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            fs.get_version("ev", v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(removed.get(("ev", v), 0)).cast("long").alias("rows_removed"),
+                F.count("*").alias("n_rows"),
+                F.sum(chk).alias("content_check"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def q_pack2_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-balanced sequence packing by RANK PAIRING — pack1's
     concat-and-chunk sibling for pipelines that must keep documents
@@ -4261,6 +4399,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_containment_dedup": q_x25_containment_dedup,
     "f20_scd2_dim_join": q_f20_scd2_dim_join,
     "io8_compaction": q_io8_compaction,
+    "f22_upsert_patch": q_f22_upsert_patch,
+    "f23_expire_ttl": q_f23_expire_ttl,
+    "f24_erase_audit": q_f24_erase_audit,
     "pack2_rank_pairing": q_pack2_rank_pairing,
     "ts3_seasonal_backtest": q_ts3_seasonal_backtest,
     "x26_lsh_recall_eval": q_x26_lsh_recall_eval,
@@ -6687,6 +6828,73 @@ ORACLE_SQL["io8_compaction"] = f"""
     FROM ({_EV})
 """
 
+# Shared oracle view for the store-mutation witnesses (f22/f23/f24):
+# events in the feature-table shape with integer-cents values.
+_FEATS_CENTS = f"""
+    SELECT user_id AS entity_id, ts, event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM ({_EV})
+"""
+
+ORACLE_SQL["f22_upsert_patch"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    patch AS (
+        SELECT entity_id, ts,
+               CAST(MAX(event_id) AS BIGINT) AS event_id,
+               'purchase_fixed' AS event_type,
+               CAST(max_by(value_cents, event_id) + 1000 AS BIGINT)
+                   AS value_cents
+        FROM feats WHERE event_type = 'purchase' AND entity_id < 20
+        GROUP BY entity_id, ts
+    ),
+    untouched AS (
+        SELECT f.* FROM feats f
+        WHERE NOT EXISTS (SELECT 1 FROM patch p
+                          WHERE p.entity_id = f.entity_id AND p.ts = f.ts)
+    )
+    SELECT entity_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+           event_type, value_cents
+    FROM (SELECT * FROM untouched UNION ALL SELECT * FROM patch)
+"""
+
+ORACLE_SQL["f23_expire_ttl"] = f"""
+    WITH feats AS ({_FEATS_CENTS})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM feats) AS v1_rows
+    FROM feats
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+"""
+
+_F24_CHK = (
+    "CAST(SUM(('0x' || substr(md5(CAST(entity_id AS VARCHAR) || ',' "
+    "|| CAST(epoch_us(ts) AS VARCHAR) || ',' "
+    "|| CAST(event_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 2147483648) AS BIGINT)"
+)
+
+ORACLE_SQL["f24_erase_audit"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    v1 AS (SELECT * FROM feats WHERE event_id % 2 = 0),
+    v2 AS (SELECT * FROM feats)
+    SELECT CAST(1 AS BIGINT) AS version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1
+            WHERE entity_id IN (3, 7, 11)) AS rows_removed,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_F24_CHK} AS content_check
+    FROM v1 WHERE entity_id NOT IN (3, 7, 11)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2
+            WHERE entity_id IN (3, 7, 11)),
+           CAST(COUNT(*) AS BIGINT),
+           {_F24_CHK}
+    FROM v2 WHERE entity_id NOT IN (3, 7, 11)
+"""
+
 # f20: interval containment replayed over the same lead() dim.
 ORACLE_SQL["f20_scd2_dim_join"] = f"""
     WITH ev AS ({_EV}),
@@ -8015,13 +8223,16 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 ROTATION (44 names <= 50, one window covers
+# order per round. ROUND-4 ROTATION (47 names <= 50, one window covers
 # all): the 41 queries with no driver row after r1-r3 (each judge-gate
-# green locally via tools/check.py) PLUS the 3 round-3 driver-reds
+# green locally via tools/check.py), PLUS the 3 round-3 driver-reds
 # (emb1_quantize / t4b_winnow_sketch / fe2_feature_hash), whose array<>
 # output columns crashed the driver's pandas canonicalizer and are now
-# CSV-serialized on both the Spark and oracle sides. With r1+r2+r3+r4
-# every one of the declared queries then has a driver row.
+# CSV-serialized on both the Spark and oracle sides, PLUS the 3 NEW
+# store-mutation witnesses (f22_upsert_patch / f23_expire_ttl /
+# f24_erase_audit — upsert/expire_features/erase_entities previously had
+# pytest coverage only). With r1+r2+r3+r4 every one of the declared
+# queries then has a driver row.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
 # the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [
@@ -8040,6 +8251,7 @@ _ROUND_PRIORITY = [
     "x23_bpe_encode", "x24_importance_score", "x25_containment_dedup",
     "x26_lsh_recall_eval", "x27_incremental_dedup",
     "emb1_quantize", "t4b_winnow_sketch", "fe2_feature_hash",
+    "f22_upsert_patch", "f23_expire_ttl", "f24_erase_audit",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -186,7 +186,15 @@ def main() -> None:
         "* io10_zorder_layout near the data factor (~8x at 8x) is the WRITE: the op rewrites the whole dataset z-ordered, so linear-in-data is the correct shape (the read-back side is the part that shrinks with clustering). x27's ~2.4x is pipe2's effect in cross form — replicas are genuine near-dups, so new-vs-old candidate pairs grow by construction; banding still bounds them to same-bucket pairs.\n"
         "* pipe2's near-dup stages see replicas as genuine near-dups — "
         "candidate pairs grow by construction; the LSH banding bounds "
-        "them to same-bucket pairs.\n"
+        "them to same-bucket pairs. For x25 this attribution is MEASURED, "
+        "not argued (`tools/x25_scale_probe.py`): 8x verbatim replication "
+        "explodes LSH candidate pairs 530.7x (300 -> 159,200 — every "
+        "original gains 7 near-dup partners) yet time grows only 4.1x "
+        "(banding + partial aggregation absorb the pair explosion), while "
+        "8x NON-self-similar growth (fresh doc ids, per-replica token "
+        "perturbation so replicas share no shingles) yields the linear "
+        "7.1x candidates and 1.5x time. Same plan, duplicative data — "
+        "the semantics, not a plan defect.\n"
         "* g3 vs g3b is the degree-ordering experiment run on the same "
         "8x graph: the id-ordered wedge join's work grows with "
         "sum(deg^2) while the degree-ordered orientation holds near the "
