@@ -222,6 +222,12 @@ def encode_tokens(
     0-token manifests left-join this back to the source, as
     fe3_vocab_encode does)."""
     if oov_id is None:
+        # Materialize the (bounded, top_v-row) vocab ONCE before counting:
+        # a bare vocab.count() would eagerly re-execute the whole
+        # build_vocab plan (a corpus-wide token count) just to fetch the
+        # UNK id, and the plan would run a second time for the broadcast
+        # join below. After the checkpoint, both read the tiny result.
+        vocab = vocab.localCheckpoint(eager=True)
         oov_id = vocab.count()
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
     pos = df.select(

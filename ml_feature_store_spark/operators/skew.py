@@ -48,13 +48,17 @@ def salted_join(
     left joins: every fact row meets exactly the one dim replica that
     carries its salt. Right/full joins are refused — each dim row
     appears ``n_salts`` times, so unmatched dim rows would duplicate.
+    A NULL ``salt_by`` value hashes to NULL, which as part of the join
+    key would silently drop the row even when its join key matches — so
+    the salt is coalesced to bucket 0 (a NULL-salt row still joins; it
+    just doesn't spread).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if n_salts < 2:
         raise ValueError(f"n_salts must be >= 2, got {n_salts}")
     keys = [on] if isinstance(on, str) else list(on)
-    salt = (hash_uniform(salt_by) % n_salts).cast("int")
+    salt = (F.coalesce(hash_uniform(salt_by), F.lit(0)) % n_salts).cast("int")
     dim_x = dim.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -45,21 +45,54 @@ def ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def _scratch_path(name: str, sf_dir: str) -> str:
+    """The deterministic per-(query, sf_dir) scratch location, WITHOUT
+    wiping or creating it. Tests that inspect a query's written output
+    use this instead of duplicating the md5-tag layout (round-3 advice:
+    a private-scheme copy silently desynchronizes if the layout
+    changes)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"{name}_{tag}")
+
+
 def _scratch_dir(name: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf_dir) scratch path for sink round-trips
     and throwaway stores. Repeated bench/correctness runs reuse (wipe and
     rewrite) the same directory instead of leaking a fresh mkdtemp per
     invocation (round-2 advice). Not safe for two concurrent sessions
     running the SAME query on the SAME sf_dir — the suite never does."""
-    import hashlib
     import os
     import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"{name}_{tag}")
+    d = _scratch_path(name, sf_dir)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _write_ordered_feed(d: str, *batches: DataFrame) -> None:
+    """Write each batch as parquet part files into ``d`` with strictly
+    increasing file mtimes (all in the past). FileStreamSource orders
+    replay by modification time with undefined tie-breaking; two
+    sub-millisecond appends — or a coarse-mtime filesystem — could
+    otherwise feed the later time-slice first and break a state fold's
+    per-key-ordered assumption (round-3 advice)."""
+    import os
+    import time as _time
+
+    seen: set[str] = set()
+    base = _time.time()
+    n = len(batches)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(d)
+        mt = base - (n - i) * 10
+        for f in os.listdir(d):
+            if f.startswith("part-") and f not in seen:
+                os.utime(os.path.join(d, f), (mt, mt))
+                seen.add(f)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -672,8 +705,11 @@ def q_sd2_running_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("value"),
         "props",
     )
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(d)
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    _write_ordered_feed(
+        d,
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
     stream = stream_events(spark, d)
     q = (
         streaming_running_features(stream)
@@ -8101,8 +8137,9 @@ def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     mid = F.lit("2024-01-16").cast("timestamp")
-    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(d)
-    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
     stream = stream_events(spark, d)
     q = (
         streaming_session_counts(stream)

@@ -812,15 +812,12 @@ class TestZorderLayout:
             "PushedFilters"
         )[1][:400]
         # clustering quality: per-file day spans must be materially
-        # narrower than the global span (the z-curve co-locates days)
-        # recompute the scratch path WITHOUT calling _scratch_dir (it
-        # wipes the directory on call)
-        import hashlib
-        import os
-        import tempfile
+        # narrower than the global span (the z-curve co-locates days).
+        # _scratch_path resolves the query's write location without
+        # wiping it (unlike _scratch_dir).
+        from ml_feature_store_spark.suite import _scratch_path
 
-        tag = hashlib.md5(SF.encode()).hexdigest()[:8]
-        d = os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"io10_zorder_{tag}")
+        d = _scratch_path("io10_zorder", SF)
         per_file = (
             spark.read.parquet(d)
             .groupBy(F.input_file_name().alias("f"))

@@ -45,6 +45,25 @@ class TestSaltedJoin:
         )
         assert salts >= 8  # 80 md5 draws land in most of 16 buckets
 
+    def test_null_salt_by_rows_still_join(self, spark):
+        # A NULL salt_by value must not drop the row: it hashes to NULL,
+        # which as a join-key component would never match any dim salt.
+        fact = spark.createDataFrame(
+            [(1, "hot", 1.0), (None, "hot", 2.0), (None, "u85", 3.0),
+             (None, "nokey", 4.0)],
+            "event_id long, user_id string, v double",
+        )
+        dim = spark.createDataFrame(
+            [("hot", 1), ("u85", 2)], ["user_id", "grp"]
+        )
+        for how in ("inner", "left"):
+            got = salted_join(fact, dim, "user_id", salt_by="event_id", how=how)
+            want = fact.join(dim, "user_id", how)
+            key = lambda r: (r.user_id, r.v)
+            assert sorted(got.collect(), key=key) == sorted(
+                want.collect(), key=key
+            )
+
     def test_rejects_right_full_and_tiny_salts(self, spark):
         fact, dim = _skewed(spark)
         with pytest.raises(ValueError):

@@ -595,15 +595,16 @@ class TestStatefulSessionize:
         from ml_feature_store_spark.operators.sessionize import sessionize
         from ml_feature_store_spark.streaming import stream_events
         from ml_feature_store_spark.streaming.stateful import streaming_session_counts
-        from ml_feature_store_spark.suite import table
+        from ml_feature_store_spark.suite import _write_ordered_feed, table
 
         d = tempfile.mkdtemp(prefix="mlfs_sess_")
         ev = table(spark, SF, "events").select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
         mid = F.lit("2024-01-16").cast("timestamp")
-        ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(d)
-        ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
+        _write_ordered_feed(
+            d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+        )
 
         q = (
             streaming_session_counts(stream_events(spark, d))
