@@ -35,7 +35,7 @@ def _rev():
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from .suite import table
+    from .suite_common import table
 
     return table(spark, sf_dir, name)
 

@@ -1,0 +1,822 @@
+"""Shared helpers, constants and oracle-SQL fragments for the query
+suite family modules (split from the original single-module suite.py;
+see suite.py for assembly and SURVEY.md §2 for the inventory)."""
+
+from __future__ import annotations
+
+import math  # noqa: F401
+import tempfile  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .operators.asof import asof_join  # noqa: F401
+from .operators.pit import (  # noqa: F401
+    entity_filter,
+    latest_per_entity,
+    temporal_filter,
+    top_k_per_group,
+)
+
+
+# --------------------------------------------------------------------------- #
+# session + table helpers
+# --------------------------------------------------------------------------- #
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    """Runtime-settable conf the suite depends on — the driver builds its own
+    SparkSession, so we cannot rely on session.py's builder config."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps -> session-tz TIMESTAMP (UTC), never NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _scratch_path(name: str, sf_dir: str) -> str:
+    """The deterministic per-(query, sf_dir) scratch location, WITHOUT
+    wiping or creating it. Tests that inspect a query's written output
+    use this instead of duplicating the md5-tag layout (round-3 advice:
+    a private-scheme copy silently desynchronizes if the layout
+    changes)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "mlfs_scratch", f"{name}_{tag}")
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch path for sink round-trips
+    and throwaway stores. Repeated bench/correctness runs reuse (wipe and
+    rewrite) the same directory instead of leaking a fresh mkdtemp per
+    invocation (round-2 advice). Not safe for two concurrent sessions
+    running the SAME query on the SAME sf_dir — the suite never does."""
+    import os
+    import shutil
+
+    d = _scratch_path(name, sf_dir)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_ordered_feed(d: str, *batches: DataFrame) -> None:
+    """Write each batch as parquet part files into ``d`` with strictly
+    increasing file mtimes (all in the past). FileStreamSource orders
+    replay by modification time with undefined tie-breaking; two
+    sub-millisecond appends — or a coarse-mtime filesystem — could
+    otherwise feed the later time-slice first and break a state fold's
+    per-key-ordered assumption (round-3 advice)."""
+    import os
+    import time as _time
+
+    seen: set[str] = set()
+    base = _time.time()
+    n = len(batches)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(d)
+        mt = base - (n - i) * 10
+        for f in os.listdir(d):
+            if f.startswith("part-") and f not in seen:
+                os.utime(os.path.join(d, f), (mt, mt))
+                seen.add(f)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Keep the raw nanos long under __ts_ns__: temporal_filter uses it
+        # for a pushable scan predicate (see operators/pit.py docstring).
+        df = df.withColumn("__ts_ns__", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped to the feature-table shape: entity_id=user_id,
+    timestamp=ts, tie-break id = event_id (deterministic input order)."""
+    return table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("event_id").alias("__row_id__"),
+    )
+
+
+_US = F.unix_micros
+
+# Shared by t2's Spark query and its oracle (the synthetic corpus's
+# function words).
+STOPWORDS = ("a", "the", "of", "and")
+
+# Oracle-side view of events with us-truncated timestamp.
+_EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+
+# Hour-step exponential decay weights in integer micro-units, shared by
+# f15's Spark query and oracle: weight[h] = round(0.97^h * 1e6) for ages of
+# h whole hours, 7-day horizon. A Python-computed literal table makes the
+# decay BIT-EXACT on every engine (libm pow/exp differ in ulps across
+# engines; integer table lookups cannot).
+_DECAY_HOURS = 7 * 24
+_DECAY_MICRO = [int(round((0.97**h) * 1_000_000)) for h in range(_DECAY_HOURS + 1)]
+
+
+_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _cosine(a, b):  # double-precision cosine over two array<double> columns
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+_30MIN_US = 30 * 60 * 1_000_000
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+_BM25_TERMS = ("table", "query", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def build_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q_b1 and the plan gate: write orders+lineitem ONCE as
+    bucketed/sorted managed tables on the join key, return the joined
+    (pre-agg) frame. The `merge` hint pins SortMergeJoin so the plan
+    shape is the bucket zipper regardless of broadcast thresholds."""
+    import shutil
+    from urllib.parse import urlparse
+
+    n_buckets = 8
+    cols = {
+        "orders": ["o_orderkey", "o_orderpriority"],
+        "lineitem": ["l_orderkey", "l_extendedprice", "l_discount"],
+    }
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"b1_{name}_bkt"
+        # The catalog is in-memory per-session but the warehouse dir is on
+        # disk: drop both so a fresh session can recreate the table.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        (
+            table(spark, sf_dir, name)
+            .select(*cols[name])
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("b1_orders_bkt")
+    li = spark.table("b1_lineitem_bkt")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+
+
+_NDCG_DISC_E6 = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+
+
+def _cents_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events features with value quantized to integer cents — the
+    float-free shape every store-mutation witness query uses so the
+    DuckDB oracle can replay checksums and sums exactly."""
+    return (
+        events_features(spark, sf_dir)
+        .drop("__row_id__")
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .drop("value")
+    )
+
+
+_F15_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+          WHERE event_id % 10 = 0),
+    w AS (SELECT * FROM (VALUES {", ".join(f"({h}, {wgt})" for h, wgt in enumerate(_DECAY_MICRO))})
+               AS t(h, wt))
+    SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+           CAST(COUNT(e.cents) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(e.cents * w.wt), 0) AS BIGINT) AS decayed_micro
+    FROM s LEFT JOIN ev e
+      ON e.user_id = s.user_id
+     AND e.ts <= s.ts
+     AND e.ts > s.ts - INTERVAL 7 DAY
+    LEFT JOIN w
+      ON w.h = CAST(floor((epoch_us(s.ts) - epoch_us(e.ts)) / 3600000000.0)
+                    AS INT)
+    GROUP BY s.user_id, s.ts, s.spine_id
+"""
+
+
+# x2/x11/x15 block their pair self-joins on (label, sign-LSH bucket); the
+# oracle recomputes the bucket from the SAME seeded hyperplanes inlined as
+# SQL literals (Python float repr round-trips exactly) with the SAME
+# left-fold dot order as functions/vector.dot — the x8 recipe — so bucket
+# membership, and therefore the candidate-pair set, matches bit-for-bit.
+from .operators.similarity import _random_hyperplanes  # noqa: E402
+
+
+def _lsh_bucket_sql(vec: str = "v", dim: int = 64, bits: int = 4, seed: int = 42) -> str:
+    planes = _random_hyperplanes(dim=dim, bits=bits, seed=seed)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + {vec}[{j + 1}] * {p!r})"
+        return expr
+
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    ) + " AS BIGINT)"
+
+
+_LSH4_BUCKET = _lsh_bucket_sql()
+
+
+# m3's oracle reproduces the Python stub kernel bit-for-bit: hex bytes of
+# sha256 -> raw_i = byte/255 - 0.5, norm = sqrt of the LEFT-FOLD sum of
+# squares (same order as the kernel's sum()), float32 cast via REAL, then
+# the same floor(x*1e4 + 0.5) quantization as the Spark side.
+_M3_RAW = [
+    f"(('0x' || substr(hx, {2 * k + 1}, 2))::BIGINT / 255.0 - 0.5)" for k in range(16)
+]
+_M3_NORM_SUM = _M3_RAW[0] + " * " + _M3_RAW[0]
+for _k in range(1, 16):
+    _M3_NORM_SUM = f"({_M3_NORM_SUM} + {_M3_RAW[_k]} * {_M3_RAW[_k]})"
+
+# x6/x6b oracles regenerate the portable MinHash family exactly: h32 =
+# first 8 md5 hex digits, h_i = (A_i*h32 + B_i) mod P, per-doc mins,
+# md5 band buckets, bucket-equality candidate join (+ exact Jaccard
+# verify for x6b). Same constants as the Spark side by construction.
+from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
+
+_MH_MINS = ", ".join(
+    f"MIN((h32 * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(16)
+)
+_MH_BANDS = "\n            UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM m".format(
+        b=b,
+        key="||','||".join(f"CAST(mh{b * 4 + i} AS VARCHAR)" for i in range(4)),
+    )
+    for b in range(4)
+)
+def _mh_ctes(source: str = "documents") -> str:
+    """The portable MinHash CTE chain against an arbitrary source
+    relation (pipe3 runs it on the already-filtered corpus)."""
+    return _MH_CTES.replace("FROM documents)", f"FROM {source})", 1)
+
+
+_MH_CTES = f"""
+        t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 3
+                        THEN list_transform(generate_series(1, len(tk) - 2),
+                             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                        ELSE [array_to_string(tk, ' ')] END AS shs
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, ('0x' || substr(md5(u.s), 1, 8))::BIGINT AS h32
+            FROM sh, LATERAL unnest(shs) AS u(s)
+        ),
+        m AS (SELECT doc_id, {_MH_MINS} FROM e GROUP BY doc_id),
+        bd AS (
+            {_MH_BANDS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bd a JOIN bd b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        )"""
+
+# x9's oracle recomputes SimHash bits relationally (per-bit vote sums +
+# the 2*ones > n majority rule) over the same portable 60-bit md5 hash —
+# independent of the Spark side's SWAR lane packing.
+_SH_ONES = ", ".join(f"SUM((h >> {b}) & 1) AS o{b}" for b in range(60))
+_SH_SIG = " + ".join(
+    f"(CASE WHEN 2 * o{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(60)
+)
+
+# x8's oracle inlines the seeded hyperplanes as SQL literals (Python
+# float repr round-trips exactly) and rebuilds the bucket with the SAME
+# left-fold dot-product order as functions/vector.dot, so signs — and
+# therefore bucket membership and the probed candidate set — match
+# bit-for-bit. Cosine + top-k follow the x1 formulation.
+from .operators.similarity import _random_hyperplanes  # noqa: E402
+
+
+def _x8_sql() -> str:
+    planes = _random_hyperplanes(dim=64, bits=6, seed=42)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + v[{j + 1}] * {p!r})"
+        return expr
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS sim
+        FROM b CROSS JOIN q
+        WHERE bucket IN (qb, xor(qb, 1), xor(qb, 2))
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _rag2_sql() -> str:
+    """rag2's oracle: x8's inlined-hyperplane candidate set, ranked and
+    scored against the x1 exact top-10 with the same integer discount
+    table the Spark side inlines."""
+    planes = _random_hyperplanes(dim=64, bits=6, seed=42)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + v[{j + 1}] * {p!r})"
+        return expr
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    disc = "[" + ", ".join(str(d) for d in _NDCG_DISC_E6) + "]"
+    idcg = sum(_NDCG_DISC_E6)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+        exact10 AS (
+            SELECT vec_id, 1 AS rel FROM e CROSS JOIN q
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+        ),
+        cand AS (
+            SELECT vec_id, list_cosine_similarity(v, qv) AS s
+            FROM b CROSS JOIN q
+            WHERE bucket IN (qb, xor(qb, 1), xor(qb, 2)) AND vec_id <> 0
+        ),
+        ranked AS (
+            SELECT c.vec_id, COALESCE(x.rel, 0) AS rel,
+                   rnk, ({disc})[rnk] AS disc
+            FROM (SELECT vec_id, s,
+                         row_number() OVER (ORDER BY s DESC, vec_id ASC)
+                             AS rnk
+                  FROM cand) c
+            LEFT JOIN exact10 x USING (vec_id)
+            WHERE rnk <= 10
+        ),
+        a AS (SELECT CAST(SUM(rel * disc) AS BIGINT) AS dcg_e6,
+                     MIN(CASE WHEN rel = 1 THEN rnk END) AS fr
+              FROM ranked)
+        SELECT CAST(10 AS BIGINT) AS k, dcg_e6,
+               CAST({idcg} AS BIGINT) AS idcg_e6,
+               CAST(dcg_e6 * 1000000 // {idcg} AS BIGINT) AS ndcg_e6,
+               CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+               CAST(CASE WHEN fr IS NULL THEN 0
+                         ELSE 1000000 // fr END AS BIGINT) AS mrr_e6
+        FROM a
+    """
+def _g2_sql(
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 10**12,
+    dangling: bool = False,
+) -> str:
+    import math as _math
+
+    base = int(_math.floor((1 - damping) * scale))
+    iters = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        pool_cte = f"""
+        p{i} AS (
+            SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS pool
+            FROM {prev} JOIN dang USING (node)
+        ),""" if dangling else ""
+        incoming = (
+            f"(COALESCE(c{i}.s, 0) + p{i}.pool // nn.n)"
+            if dangling
+            else f"COALESCE(c{i}.s, 0)"
+        )
+        tail = " CROSS JOIN p" + str(i) + " CROSS JOIN nn" if dangling else ""
+        iters.append(f"""
+        {pool_cte}
+        c{i} AS (
+            SELECT e.dst AS node, CAST(SUM({prev}.r // d.deg) AS BIGINT) AS s
+            FROM e JOIN d ON e.src = d.src
+                   JOIN {prev} ON {prev}.node = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   CAST({base} + CAST(floor({damping!r} * {incoming})
+                                      AS BIGINT) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node{tail}
+        )""")
+        prev = f"r{i}"
+    dang_ctes = """
+        dang AS (SELECT node FROM nodes
+                 WHERE node NOT IN (SELECT src FROM e)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),""" if dangling else ""
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),{dang_ctes}
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
+        {",".join(iters)}
+        SELECT node, r AS rank FROM {prev}
+        ORDER BY r DESC, node ASC LIMIT 20
+    """
+
+
+def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> str:
+    """Integer-Lloyd oracle: replays kmeans_quantized exactly. Assignment
+    is an argmin over integer distances (cross join q x centroids, k rows
+    per vec); the update repacks per-dim floor(sum/n) components with
+    list(... ORDER BY i). Every arithmetic step is order-independent."""
+    dist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+
+    def assign(a: str, csrc: str) -> str:
+        return f"""
+    {a} AS (
+        SELECT vec_id, cluster, d FROM (
+            SELECT q.vec_id, c.cluster, {dist} AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rk
+            FROM q CROSS JOIN {csrc} c
+        ) WHERE rk = 1
+    )"""
+
+    def update(cnew: str, asrc: str, cprev: str) -> str:
+        return f"""
+    {cnew}_raw AS (
+        SELECT cluster, list(comp ORDER BY i) AS cv FROM (
+            SELECT a.cluster, g.i,
+                   CAST(floor(CAST(SUM(q.qv[g.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+            FROM {asrc} a JOIN q USING (vec_id),
+                 LATERAL unnest(generate_series(1, {dim})) AS g(i)
+            GROUP BY a.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    {cnew} AS (
+        SELECT p.cluster, COALESCE(r.cv, p.cv) AS cv
+        FROM {cprev} p LEFT JOIN {cnew}_raw r USING (cluster)
+    )"""
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))""",
+        assign("a0", "c0"),
+    ]
+    prev_c, prev_a = "c0", "a0"
+    for it in range(1, iters + 1):
+        parts.append(update(f"c{it}", prev_a, prev_c))
+        parts.append(assign(f"a{it}", f"c{it}"))
+        prev_c, prev_a = f"c{it}", f"a{it}"
+    return f"""
+    WITH {",".join(parts)}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vec,
+           CAST(SUM(d) AS BIGINT) AS inertia_q
+    FROM {prev_a} GROUP BY cluster
+    """
+
+
+def _x17_sql(
+    m: int = 4, sub_dim: int = 16, k_codes: int = 16, k: int = 10, grid: int = 10**6
+) -> str:
+    """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
+    codebook fit, encode every vector against the updated codebook, build
+    the query's distance table relationally, and rank by the joined sum.
+    All-integer arithmetic — same fixpoint as pq_ann_topk."""
+
+    def dist(xv: str, cv: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({xv}[i] - {cv}[i]) * ({xv}[i] - {cv}[i]))) AS BIGINT)"
+        )
+
+    chains = []
+    joins = []
+    for s in range(m):
+        a, b = s * sub_dim + 1, (s + 1) * sub_dim
+        d_qc0 = dist("x.sv", "c.cv")
+        chains.append(f"""
+    s{s}q AS (SELECT vec_id, list_slice(qv, {a}, {b}) AS sv FROM q),
+    s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                      sv AS cv
+               FROM (SELECT vec_id, sv FROM s{s}q ORDER BY vec_id
+                     LIMIT {k_codes})),
+    s{s}a0 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT x.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_qc0}, c.cluster) AS rk
+            FROM s{s}q x CROSS JOIN s{s}c0 c
+        ) WHERE rk = 1
+    ),
+    s{s}c1raw AS (
+        SELECT cluster, list(comp ORDER BY i) AS cv FROM (
+            SELECT a1.cluster, g.i,
+                   CAST(floor(CAST(SUM(x.sv[g.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+            FROM s{s}a0 a1 JOIN s{s}q x USING (vec_id),
+                 LATERAL unnest(generate_series(1, {sub_dim})) AS g(i)
+            GROUP BY a1.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    s{s}c1 AS (
+        SELECT p.cluster, COALESCE(r.cv, p.cv) AS cv
+        FROM s{s}c0 p LEFT JOIN s{s}c1raw r USING (cluster)
+    ),
+    s{s}code AS (
+        SELECT vec_id, cluster FROM (
+            SELECT x.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_qc0}, c.cluster) AS rk
+            FROM s{s}q x CROSS JOIN s{s}c1 c
+        ) WHERE rk = 1
+    ),
+    s{s}dt AS (
+        SELECT c.cluster, {dist("x.sv", "c.cv")} AS dd
+        FROM s{s}c1 c CROSS JOIN (SELECT vec_id, sv FROM s{s}q
+                                  WHERE vec_id = 0) x
+    ),
+    s{s}d AS (
+        SELECT e.vec_id, t.dd FROM s{s}code e JOIN s{s}dt t USING (cluster)
+    )""")
+        joins.append(f"JOIN s{s}d USING (vec_id)" if s else "s0d")
+    total = " + ".join(f"s{s}d.dd" for s in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    {",".join(chains)}
+    SELECT vec_id, CAST({total} AS BIGINT) AS adist
+    FROM {" ".join(joins)}
+    ORDER BY adist, vec_id LIMIT {k}
+    """
+
+# x21: per-round CTE chain — counts -> 1-row argmax -> window mark/drop/
+# renumber merge. Parallel unnest (positions + tokens) zips in lockstep.
+def _x21_round(r: int) -> str:
+    return f"""
+    c{r} AS (SELECT tok AS x,
+                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+             FROM p{r}),
+    r{r} AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM c{r}
+             WHERE y IS NOT NULL AND x <> y GROUP BY x, y
+             ORDER BY cnt DESC, x, y LIMIT 1),
+    m{r} AS (SELECT p.doc_id, p.pos,
+                    CASE WHEN p.tok = r.x AND lead(p.tok) OVER w = r.y
+                         THEN r.x || '+' || r.y ELSE p.tok END AS tok,
+                    CASE WHEN p.tok = r.y AND lag(p.tok) OVER w = r.x
+                         THEN 1 ELSE 0 END AS dropped
+             FROM p{r} p CROSS JOIN r{r} r
+             WINDOW w AS (PARTITION BY p.doc_id ORDER BY p.pos)),
+    p{r + 1} AS (SELECT doc_id,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS pos,
+                        tok
+                 FROM m{r} WHERE dropped = 0)"""
+
+# Shared oracle view for the store-mutation witnesses (f22/f23/f24):
+# events in the feature-table shape with integer-cents values.
+_FEATS_CENTS = f"""
+    SELECT user_id AS entity_id, ts, event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM ({_EV})
+"""
+
+_F24_CHK = (
+    "CAST(SUM(('0x' || substr(md5(CAST(entity_id AS VARCHAR) || ',' "
+    "|| CAST(epoch_us(ts) AS VARCHAR) || ',' "
+    "|| CAST(event_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 2147483648) AS BIGINT)"
+)
+
+
+def _fh_oracle_elem(bucket: int, cols: list[str]) -> str:
+    """One element of the feature-hash vector: same md5-derived bucket and
+    sign-bit expressions as operators/encoding.py feature_hash."""
+    terms = []
+    for c in cols:
+        u = (
+            f"CAST(('0x' || substr(md5('{c}=' || CAST({c} AS VARCHAR)), 1, 15)) "
+            "AS BIGINT)"
+        )
+        terms.append(
+            f"CASE WHEN {u} % 16 = {bucket} THEN "
+            f"(CASE WHEN ({u} >> 59) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    )
+"""
+
+# a17: all-integer covariance numerators; every SUM wrapped back to BIGINT
+# (DuckDB sums BIGINT into HUGEINT).
+_A17_QCOLS = ", ".join(
+    f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q{i}"
+    for i in range(8)
+)
+_A17_AGGS = (
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(f"CAST(SUM(q{i}) AS BIGINT) AS s{i}" for i in range(8))
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(q{i} * q{j}) AS BIGINT) AS p{i}_{j}"
+        for i in range(8)
+        for j in range(i, 8)
+    )
+)
+_A17_ARMS = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+    f"CAST(p{i}_{j} * n - s{i} * s{j} AS BIGINT) AS cov_num, n FROM a"
+    for i in range(8)
+    for j in range(i, 8)
+)
+
+
+def _g4_sql(rounds: int = 3) -> str:
+    peels = []
+    prev = "adj0"
+    for i in range(1, rounds + 1):
+        peels.append(f"""
+        d{i} AS (SELECT node, COUNT(*) AS deg FROM {prev} GROUP BY node),
+        k{i} AS (SELECT node FROM d{i}, kv WHERE deg >= kv.k),
+        adj{i} AS (SELECT a.node, a.peer FROM {prev} a
+                   JOIN k{i} x ON a.node = x.node
+                   JOIN k{i} y ON a.peer = y.node)""")
+        prev = f"adj{i}"
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS lo,
+                            's' || CAST(l_suppkey AS VARCHAR) AS hi
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        adj0 AS (SELECT lo AS node, hi AS peer FROM e0
+                 UNION ALL SELECT hi, lo FROM e0),
+        kv AS (
+            SELECT CAST(((SELECT COUNT(*) FROM e0)
+                         + (SELECT COUNT(DISTINCT node) FROM adj0) - 1)
+                        // (SELECT COUNT(DISTINCT node) FROM adj0)
+                   AS BIGINT) AS k
+        ),
+        {",".join(peels)},
+        core AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM {prev} GROUP BY node),
+        sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_core FROM core)
+        SELECT node, degree, sz.n_core
+        FROM core CROSS JOIN sz
+        ORDER BY degree DESC, node ASC LIMIT 30
+    """
+
+
+def _rag3_sql(n_select: int = 5) -> str:
+    q6 = "CAST(floor(round(list_cosine_similarity({a}, {b}), 6) * 1000000 + 0.5) AS BIGINT)"
+    rounds = []
+    for i in range(1, n_select + 1):
+        if i == 1:
+            rounds.append("""
+        s1 AS (SELECT vec_id, rel_e6, CAST(7 * rel_e6 AS BIGINT) AS mmr_e6
+               FROM cand ORDER BY 7 * rel_e6 DESC, vec_id ASC LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1)""")
+        else:
+            rounds.append(f"""
+        s{i} AS (
+            SELECT c.vec_id, c.rel_e6,
+                   CAST(7 * c.rel_e6 - 3 * (
+                       SELECT MAX(p.sim_e6) FROM pairs p
+                       JOIN sel{i - 1} s ON p.ib = s.vec_id
+                       WHERE p.ia = c.vec_id
+                   ) AS BIGINT) AS mmr_e6
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            ORDER BY mmr_e6 DESC, c.vec_id ASC LIMIT 1
+        ),
+        sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                   UNION ALL SELECT vec_id FROM s{i})""")
+        prev_sel = f"sel{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel_e6, mmr_e6 FROM s{i}"
+        for i in range(1, n_select + 1)
+    )
+    rel_q = q6.format(a="e.v", b="q.qv")
+    pair_q = q6.format(a="x.v", b="y.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT e.vec_id, {rel_q} AS rel_e6, e.v
+            FROM e CROSS JOIN q WHERE e.vec_id <> 0
+            ORDER BY rel_e6 DESC, e.vec_id ASC LIMIT 20
+        ),
+        pairs AS (
+            SELECT x.vec_id AS ia, y.vec_id AS ib, {pair_q} AS sim_e6
+            FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+        ),
+        {",".join(rounds)}
+        {finals}
+    """
+
+
+__all__ = [
+    '_BM25_K1',
+    '_BM25_B',
+    'ensure_conf',
+    '_scratch_path',
+    '_scratch_dir',
+    '_write_ordered_feed',
+    'table',
+    'events_features',
+    '_US',
+    'STOPWORDS',
+    '_EV',
+    '_DECAY_HOURS',
+    '_DECAY_MICRO',
+    '_7D_US',
+    '_cosine',
+    '_30MIN_US',
+    '_EVENT_TYPES',
+    '_BM25_TERMS',
+    'build_bucketed_join',
+    '_NDCG_DISC_E6',
+    '_cents_features',
+    '_F15_SQL',
+    '_lsh_bucket_sql',
+    '_LSH4_BUCKET',
+    '_M3_RAW',
+    '_M3_NORM_SUM',
+    '_MH_MINS',
+    '_MH_BANDS',
+    '_mh_ctes',
+    '_MH_CTES',
+    '_SH_ONES',
+    '_SH_SIG',
+    '_x8_sql',
+    '_rag2_sql',
+    '_g2_sql',
+    '_x14_sql',
+    '_x17_sql',
+    '_x21_round',
+    '_FEATS_CENTS',
+    '_F24_CHK',
+    '_fh_oracle_elem',
+    '_TOKS_CTE',
+    '_A17_QCOLS',
+    '_A17_AGGS',
+    '_A17_ARMS',
+    '_g4_sql',
+    '_rag3_sql',
+]

@@ -1,0 +1,2558 @@
+"""Relational / IO / aggregate / window / sort / set / scalar queries and the data-quality (dq) family.
+
+Split from suite.py (round 4); assembled by suite.py."""
+
+from __future__ import annotations
+
+import math  # noqa: F401
+import tempfile  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .operators.asof import asof_join  # noqa: F401
+from .operators.pit import (  # noqa: F401
+    entity_filter,
+    latest_per_entity,
+    temporal_filter,
+    top_k_per_group,
+)
+from .suite_common import *  # noqa: F401,F403
+
+
+
+def q_dq4_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across the star schema: orphan-row counts for
+    every foreign key (orders->customer, lineitem->orders/part/supplier)
+    as broadcast anti-join probes — the warehouse-wide integrity check a
+    lake runs after every load. Each constraint is one scan of the fact
+    with the (smaller) key side broadcast; counts are exact. Emitted as
+    one row per constraint so new constraints append without schema
+    change."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    checks = [
+        ("orders.o_custkey->customer", o, "o_custkey",
+         table(spark, sf_dir, "customer"), "c_custkey"),
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         table(spark, sf_dir, "supplier"), "s_suppkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in checks:
+        orphans = fact.select(F.col(fk).alias("__k__")).join(
+            F.broadcast(dim.select(F.col(pk).alias("__k__"))), "__k__", "left_anti"
+        )
+        row = orphans.agg(
+            F.lit(name).alias("constraint"),
+            F.count("*").alias("n_orphans"),
+        ).crossJoin(fact.agg(F.count("*").alias("n_fact_rows")))
+        out = row if out is None else out.unionByName(row)
+    return out.select("constraint", "n_orphans", "n_fact_rows")
+
+
+def q_a16_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the first `view` and whether
+    a `purchase` followed within 2 hours (plus the exact microsecond
+    time-to-convert). The product-analytics sequence query — stage
+    anchors via per-entity min-aggregates (map-side combined), then a
+    band-bounded left join exactly like f13/f16; no window over raw
+    events, no row explosion beyond purchases-per-2h."""
+    ev = table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    j = first_view.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("fv"))
+        & (F.col("b_ts") <= F.col("fv") + F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    agg = j.groupBy("user_id", "fv").agg(F.min("b_ts").alias("fb"))
+    return agg.select(
+        "user_id",
+        _US("fv").alias("first_view_us"),
+        F.col("fb").isNotNull().alias("converted"),
+        (_US("fb") - _US("fv")).alias("convert_us"),
+    )
+
+
+def q_j1_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-to-fact star join; region/nation are tiny -> explicit broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    out = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+    return out
+
+
+def q_j2_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi join (orders x lineitem) + aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_revenue"
+            ),
+        )
+    )
+
+
+def q_j3_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers with >=1 open order vs none."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    with_open = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey"
+    ).withColumn("has_open", F.lit(1))
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey"
+    ).withColumn("has_open", F.lit(0))
+    return with_open.unionByName(without)
+
+
+# --------------------------------------------------------------------------- #
+# Aggregations / windows
+# --------------------------------------------------------------------------- #
+
+
+def q_a1_agg_entity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q_a2_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day count/sum per user — the README's motivating
+    'txn count 7d' feature (reference README.md:75-76) as a range window."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_7D_US, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("cnt_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
+
+
+def q_a3_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_a4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct with an oracle-checkable contract: the HLL
+    estimate itself is engine-specific (DuckDB's sketch differs), so the
+    output carries the EXACT distinct count plus a ``within_tolerance``
+    boolean (|approx-exact|/exact <= 5*rsd); the DuckDB twin computes the
+    exact count and literal TRUE — a deterministic hash match that still
+    fails if Spark's estimator drifts outside its accuracy bound."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.10)
+        ).alias("within_tolerance"),
+    )
+
+
+def q_a5_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Sorts / top-k / set ops
+# --------------------------------------------------------------------------- #
+
+
+def q_s1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_s2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    out = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------- #
+# X-ops: JSON, text, dedup, similarity, sessionize, streaming-equivalent
+# --------------------------------------------------------------------------- #
+
+
+def q_x5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+def q_w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window agg — the batch equivalent of the streaming
+    ingest path (streaming/ runs the same plan via readStream)."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        _US(F.col("w.start")).alias("window_start_us"), "event_type", "n_events", "sum_value"
+    )
+
+
+def q_a6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event deltas (lag/lead window functions).
+    event_id tie-breaks the ordering: two same-user events on the same
+    microsecond would otherwise make delta_prev/delta_next depend on
+    partitioning."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+def q_p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_w2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day window (1-day slide) counts per event_type — each event
+    contributes to 7 windows; Spark aligns window starts to epoch days."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    return out.select(
+        _US(F.col("w.start")).alias("window_start_us"), "event_type", "n_events"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Analytics: TPC-H-style multi-join/agg benchmarks, range join, percentiles
+# --------------------------------------------------------------------------- #
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped orders for one market
+    segment, top-10 by revenue. Plan: the filtered customer key set is
+    broadcast; lineitem<->orders shuffle on orderkey; the limit runs as
+    TakeOrderedAndProject (per-partition top-k + merge, no global sort)."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        out.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            _US(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the lineitem's supplier and
+    the ordering customer share a nation inside one region. Five-way join:
+    region/nation broadcast, the fact joins shuffle on their keys, AQE free
+    to re-plan at runtime."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate reaches
+    the parquet reader (PushedFilters); partial agg per partition then a
+    single-row merge — zero shuffle of data rows at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_r1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: orders against a tiny quarter-calendar dim
+    (q_start <= o_orderdate < q_end). The dim is broadcast so Spark runs a
+    BroadcastNestedLoopJoin — the right plan at any fact scale (the fact
+    side streams; only the 8-row dim is replicated). Dim timestamps are cast
+    to TIMESTAMP_NTZ so the big side needs no per-row cast."""
+    rows = []
+    for y in (1996, 1997):
+        for qi, m in enumerate((1, 4, 7, 10), start=1):
+            end_y, end_m = (y, m + 3) if m < 10 else (y + 1, 1)
+            rows.append((f"{y}Q{qi}", f"{y}-{m:02d}-01", f"{end_y}-{end_m:02d}-01"))
+    quarters = spark.createDataFrame(rows, ["quarter", "q_start", "q_end"]).select(
+        "quarter",
+        F.col("q_start").cast("timestamp_ntz").alias("q_start"),
+        F.col("q_end").cast("timestamp_ntz").alias("q_end"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(quarters),
+        (F.col("o_orderdate") >= F.col("q_start")) & (F.col("o_orderdate") < F.col("q_end")),
+    )
+    return j.groupBy("quarter").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_d1_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-kernel coverage: trunc, year/quarter, day-of-week,
+    datediff — all whole-stage-codegen expressions over one scan."""
+    orders = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        _US(F.date_trunc("month", od)).alias("month_us"),
+        F.year(od).alias("yr"),
+        F.quarter(od).alias("qtr"),
+        F.dayofweek(od).alias("dow"),
+        F.datediff(F.lit("1999-01-01").cast("date"), od.cast("date")).alias("days_to_1999"),
+    )
+
+
+def q_a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of account balance per market segment
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation). The exact twin of a4's approx_count_distinct scale
+    story: exact here, ``percentile_approx`` at 100 TB."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+    )
+
+
+def q_g1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((rf), (ls), ()) with grouping() null-markers —
+    complements a5's cube/rollup (one expand + one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds a quantity
+    threshold (HAVING over a grouped sum, semi-joined back to the facts).
+    The HAVING subquery output (few keys) broadcasts into the main join."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    return j.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+
+
+def q_a2b_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README-motivating features ('avg txn 30d', 'count 7d') computed
+    in ONE pass: two range frames share the same partitionBy/orderBy, so
+    Spark sorts once and evaluates both frames over the same shuffle."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts_us", _US("ts"))
+        # sum exact integer cents: sliding-window sums of doubles differ in
+        # the last ulp between engines (incremental vs recomputed), which
+        # flips 4dp rounding; integer sums are order-independent
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    day_us = 24 * 3600 * 1_000_000
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * day_us, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-30 * day_us, 0)
+    )
+    # fixed-point average: (cents*100) div count — pure integer arithmetic,
+    # immune to the Spark-vs-DuckDB ROUND(double) half-value disagreement
+    # (Spark HALF_UPs the decimal repr, DuckDB rounds the binary double)
+    s30 = F.sum("cents").over(w30) * 100
+    c30 = F.count("*").over(w30)
+    avg_e4 = ((s30 - (s30 % c30)) / c30).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w7).alias("cnt_7d"),
+        F.round(F.sum("cents").over(w7) / 100.0, 2).alias("sum_7d"),
+        c30.alias("cnt_30d"),
+        avg_e4.alias("avg_30d_e4"),
+    )
+
+
+def q_u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: customers with orders in BOTH 1996 and 1997
+    (INTERSECT) minus any customer with an urgent 1997 order (EXCEPT)."""
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    urgent97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_custkey")
+    return y96.intersect(y97).exceptAll(urgent97.distinct())
+
+
+def q_io1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format coverage: project events, write CSV with a header,
+    read it back with an explicit schema, aggregate. Proves the non-parquet
+    I/O path end-to-end; the oracle sees only the logical result."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    d = _scratch_dir("io1_csv", sf_dir)
+    ev.write.mode("overwrite").option("header", "true").csv(d)
+    back = (
+        spark.read.option("header", "true")
+        .schema("event_id long, user_id long, event_type string, value double")
+        .csv(d)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def q_io7_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest accounting: a CSV feed where every row
+    whose event_id % 97 == 0 is corrupted (non-numeric id). PERMISSIVE
+    mode parses what it can, routes the rest to _corrupt_record, and the
+    aggregate reports good/corrupt counts plus sums over the clean rows —
+    the quarantine pattern every 100 TB ingest needs (fail-fast mode
+    would abort the whole feed for one bad producer)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    # corrupt deterministically: event_id -> 'bad<id>' (unparseable long)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("bad"), "event_id"))
+            .otherwise(F.col("event_id").cast("string")),
+            F.col("user_id").cast("string"),
+            F.round(F.col("value"), 2).cast("string"),
+        ).alias("value")
+    )
+    d = _scratch_dir("io7_badcsv", sf_dir)
+    lines.coalesce(4).write.mode("overwrite").text(d)
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("event_id").isNotNull().cast("long")).alias("n_good"),
+        F.round(F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))), 2).alias(
+            "sum_good_value"
+        ),
+    )
+
+
+def q_io2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source/sink coverage: write a projection as JSON lines, read it
+    back with an explicit schema, aggregate. The props column round-trips
+    as a raw JSON string and is re-parsed with get_json_object."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    d = _scratch_dir("io2_json", sf_dir)
+    ev.write.mode("overwrite").json(d)
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string, props string")
+        .json(d)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+def q_a8_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function family coverage: rank / dense_rank / percent_rank /
+    cume_dist / ntile over one window spec (per-customer order history,
+    (date, orderkey) total order so every rank is deterministic). One
+    shuffle + one sort serves all five functions."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 500).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_io3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source roundtrip (columnar alternative to parquet): project
+    lineitem, write ORC, read back, aggregate. Predicate pushdown and
+    column pruning work on the ORC reader the same as parquet."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    d = _scratch_dir("io3_orc", sf_dir)
+    li.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d).filter(F.col("l_quantity") >= 25)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_arr1_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-kernel coverage over the embedding column: max/min,
+    distinct-count, sort + element_at, position, slice, size — all JVM
+    codegen expressions, one scan, no shuffle (the array never explodes)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(e).cast("double"), 6).alias("v_max"),
+        F.round(F.array_min(e).cast("double"), 6).alias("v_min"),
+        F.size(F.array_distinct(e)).alias("n_distinct"),
+        F.round(F.element_at(F.sort_array(e), 2).cast("double"), 6).alias("second_min"),
+        F.array_position(e, F.array_max(e)).cast("int").alias("argmax_pos"),
+        F.size(e).alias("dim"),
+    )
+
+
+def q_a9_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: corr, covar_samp,
+    stddev_samp, var_samp, skewness, kurtosis — all single-pass
+    moment-based aggregates with map-side partial merge (Welford-style
+    combiners), so one shuffle of k moment tuples regardless of scale.
+    Higher moments rounded 4dp: both engines use one-pass moment
+    formulas whose last ulp differs with summation order."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )
+
+
+def q_p2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt / UNPIVOT: wide per-returnflag aggregates to long
+    (flag, metric, value) triples — the inverse of p1_pivot. Spark's
+    unpivot is a zero-shuffle Expand node over the 3-row agg output;
+    rounding happens BEFORE the melt so both engines emit identical
+    doubles per metric."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base", "sum_disc"], "metric", "value"
+    )
+
+
+def q_map1_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar kernel: build a map from event fields
+    (map_from_arrays), then map_filter / transform_values (higher-order
+    lambdas on the JVM), element_at and map_keys — one scan, zero
+    shuffle, all codegen; the oracle reproduces each lane with plain
+    CASE arithmetic. Insertion order of map_from_arrays is preserved,
+    so the key-join string is deterministic."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("double")
+    m = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("v2"), F.lit("k")),
+        F.array(F.col("value"), F.col("value") * 2, k),
+    )
+    big = F.map_filter(m, lambda _, v: v > F.lit(10.0))
+    scaled = F.transform_values(m, lambda _, v: F.round(v / 10.0, 4))
+    return ev.select(
+        "event_id",
+        F.size(big).alias("n_big"),
+        F.element_at(scaled, F.lit("v")).alias("v_scaled"),
+        F.element_at(scaled, F.lit("k")).alias("k_scaled"),
+        F.array_join(F.map_keys(big), ",").alias("big_keys"),
+    )
+
+
+def q_r2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (the batch twin of a watermarked stream-stream
+    join): every purchase within 2 hours AFTER a view by the same user.
+    Equi key (user_id) + time-range residual → one shuffle on user_id,
+    SMJ/hash with the band predicate evaluated as a residual; this is
+    exactly the state-bounding condition Structured Streaming derives
+    its stream-stream join watermark retention from
+    (streaming/ingest.py stream_stream_join)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    return j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        _US("v_ts").alias("view_us"),
+        _US("b_ts").alias("buy_us"),
+    )
+
+
+def q_arr2_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — elementwise mean over an
+    array<float> column, computed the SCALE way: one avg aggregate per
+    dimension over element_at (64 JVM-side aggregates, map-side partial
+    merge, ONE shuffle of 64 doubles per label). The naive rewrite —
+    posexplode to (row x dim) then groupBy — shuffles |rows| x 64
+    exploded rows; this plan shuffles nothing but the partial-agg
+    state. Output stays long-form (label, dim, coord) for a stable
+    oracle shape."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        *[
+            F.round(F.avg(F.element_at("embedding", i + 1)), 6).alias(f"c{i}")
+            for i in range(dim)
+        ],
+    )
+    stack = (
+        f"stack({dim}, "
+        + ", ".join(f"{i + 1}, c{i}" for i in range(dim))
+        + ") as (dim, coord)"
+    )
+    return cents.selectExpr("label", "n_vecs", stack).select(
+        "label", "n_vecs", F.col("dim").cast("int").alias("dim"), "coord"
+    )
+
+
+def q_io4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink: write document bodies as line-oriented text
+    files, read them back with spark.read.text, re-derive stats. The
+    documents corpus is newline-free so lines == documents; proves the
+    fourth non-parquet format end-to-end (CSV/JSON/ORC are io1-io3)."""
+    docs = table(spark, sf_dir, "documents")
+    d = _scratch_dir("io4_text", sf_dir)
+    docs.select("text").write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(F.split("value", " ")).cast("long")).alias("total_tokens"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
+def q_dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler — the first pass every training-data
+    pipeline runs on a new source: per column, row/null/distinct counts
+    and min/max/mean, computed in ONE scan. The 4 exact countDistincts
+    fold into one Expand-based aggregate (one pass over the data); the
+    wide one-row result is melted to one row per column with stack() —
+    a Generate over a 1-row plan, free. (A union-of-selects melt would
+    let column pruning split this into 4 independent scans of the fact
+    — measured and rejected.) At 100 TB the scan is the cost;
+    everything else is O(1)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    row = li.agg(*aggs)
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg"
+            for c in cols
+        )
+        + ") as (col_name, n_nulls, n_distinct, min_val, max_val, avg_val)"
+    )
+    return row.selectExpr("n_rows", stack).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
+    )
+
+
+def q_a10_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — THE scale pattern for distinct counts:
+    build a sketch per fine-grained group (returnflag x linestatus),
+    then MERGE sketches up to coarse groups (returnflag) without
+    touching the raw data again. At 100 TB the fine sketches are built
+    once (map-side partial agg, bytes per group) and every rollup level
+    reuses them; an exact countDistinct would re-shuffle the fact per
+    level. Rows-only check: the estimate is engine-specific (DuckDB's
+    HLL differs), but Spark's is deterministic for fixed input."""
+    li = table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"),
+        F.sum("n").alias("n_items"),
+    )
+    # Oracle contract (mirrors a4): the estimate is engine-specific, so emit
+    # the exact distinct count + a within_tolerance boolean instead of the
+    # raw estimate. Default lgConfigK=12 gives rsd ~1.6%; 10% is a safe,
+    # deterministic bound. The exact count is a second agg over the fact —
+    # at scale you'd skip it (the sketches ARE the product); here it is the
+    # cross-engine proof.
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_items",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.10)
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# round-2 additions: skew-safe aggs, chunking, PII, repetition, quantization
+# --------------------------------------------------------------------------- #
+
+
+def q_a11_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type through the explicit SALTED
+    two-stage plan (operators/agg.py count_distinct_salted): stage 1
+    groups by (key, hash(value) % 32), stage 2 sums the disjoint
+    per-salt counts. Same result as countDistinct — and the same skew-
+    safe shuffle shape Catalyst's own distinct rewrite produces, here
+    pinned explicitly (see agg.py for when the explicit form matters)."""
+    from .operators.agg import count_distinct_salted
+
+    ev = table(spark, sf_dir, "events")
+    return count_distinct_salted(ev, ["event_type"], "user_id", n_salts=32)
+
+
+def q_a12_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a mergeable equi-width histogram
+    (operators/agg.py histogram_quantile_rollup): n_bins rows per key
+    survive the shuffle regardless of fact size, and bin counts merge by
+    summation for coarser rollups. Estimate = lower edge of the bin
+    reaching the target rank — deterministic across engines (the oracle
+    computes the identical histogram), error <= one bin width. lo/hi
+    chosen so width = 64/1024 = 0.0625 is a power of two: every double
+    product below is exact."""
+    from .operators.agg import histogram_quantile_rollup
+
+    li = table(spark, sf_dir, "lineitem")
+    return histogram_quantile_rollup(
+        li, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=1024,
+        percentiles=(0.5, 0.95),
+    )
+
+
+def q_dq2_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per event type (operators/agg.py
+    iqr_outlier_stats): exact Q1/Q3 fences broadcast back onto the fact,
+    outlier count as a map-side filter — the fact is shuffled once (for
+    the percentiles), never re-shuffled for the count."""
+    from .operators.agg import iqr_outlier_stats
+
+    ev = table(spark, sf_dir, "events")
+    return iqr_outlier_stats(ev, ["event_type"], "value")
+
+
+def q_io6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the mid-stream producer
+    upgrade case: batch 1 lacks the ``discount_pct`` column batch 2 adds.
+    ``mergeSchema=true`` unions the footers (schema-on-read, no rewrite
+    of old files), old rows surface NULL, and the aggregate coalesces a
+    default. At 100 TB this is why you never rewrite history for an
+    additive schema change; per-file pruning and pushdown still work on
+    the shared columns."""
+    li = table(spark, sf_dir, "lineitem")
+    d = _scratch_dir("io6_evo", sf_dir)
+    li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").parquet(f"{d}/b1")
+    li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.round(F.col("l_discount") * 100, 2).alias("discount_pct"),
+    ).write.mode("overwrite").parquet(f"{d}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{d}/b1", f"{d}/b2")
+    return back.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("discount_pct").isNull(), 1).otherwise(0)).alias(
+            "n_legacy_rows"
+        ),
+        F.round(F.sum(F.coalesce("discount_pct", F.lit(0.0))), 2).alias(
+            "sum_discount_pct"
+        ),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_dq3_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature drift between two populations (PSI profile): compare the
+    distribution of `value` in the first vs second half of the events
+    stream per event_type, over 10 fixed-width bins. Output is per-bin —
+    integer counts plus a 6dp-rounded PSI term — so no cross-row float
+    aggregation exists anywhere (per-bin terms are deterministic scalar
+    math on exact counts; the headline PSI is the sum of a 10-row
+    column the consumer can take). Laplace +1 smoothing keeps empty bins
+    finite. One scan, one shuffle on (event_type, bin)."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.select(F.expr("percentile(unix_micros(ts), 0.5)").alias("m")).collect()[
+        0
+    ]["m"]
+    half = F.when(F.unix_micros("ts") <= F.lit(int(mid)), 0).otherwise(1)
+    bin_ = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9))
+    counts = (
+        ev.select(half.alias("half"), bin_.alias("bin"), "event_type")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_early"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_late"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("t_early"), F.sum("n_late").alias("t_late")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    p = (F.col("n_early") + 1) / (F.col("t_early") + 10)
+    q = (F.col("n_late") + 1) / (F.col("t_late") + 10)
+    return j.select(
+        "event_type",
+        "bin",
+        "n_early",
+        "n_late",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def q_a14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch — mergeable, bounded memory, the 100 TB
+    path a7's exact percentile can't walk) under the same cross-engine
+    contract as a4/a10: the hash-checked columns are the EXACT percentiles
+    plus a within_tolerance boolean asserting the sketch value lands
+    inside the exact [q-eps, q+eps] rank window (eps=0.01 >> 1/accuracy);
+    the oracle computes the exact values and literal TRUE."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("ap"),
+        F.expr("percentile(value, array(0.4900, 0.5, 0.5100, 0.8900, 0.9, 0.9100))").alias(
+            "ex"
+        ),
+    )
+    within = (
+        (F.col("ap")[0] >= F.col("ex")[0])
+        & (F.col("ap")[0] <= F.col("ex")[2])
+        & (F.col("ap")[1] >= F.col("ex")[3])
+        & (F.col("ap")[1] <= F.col("ex")[5])
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("ex")[1], 4).alias("exact_p50"),
+        F.round(F.col("ex")[4], 4).alias("exact_p90"),
+        within.alias("within_tolerance"),
+    )
+
+
+def q_b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the 100 TB fact-to-fact join story.
+
+    Both orders and lineitem are written once as bucketed+sorted managed
+    tables on the join key (``bucketBy(8, orderkey).sortBy(orderkey)``),
+    so the join itself needs NO exchange and NO sort on either side: each
+    task zips bucket i of orders with bucket i of lineitem. At scale the
+    shuffle is paid once at ingest; every subsequent join on the bucket
+    key is map-side. Plan-gated in tests/test_plans.py: exactly one
+    Exchange (the final groupBy), none below the SortMergeJoin.
+
+    Reference parity: the reference joins feature tables to spines by
+    sorted-merge over its pandas index (store.py:261-308 get_training_set);
+    bucketing is the distributed equivalent of keeping tables pre-sorted
+    on the entity key.
+    """
+    joined = build_bucketed_join(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def q_io5_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — the data-layout
+    primitive that makes 100 TB scans affordable. Events are written
+    ``partitionBy(event_type)`` (directory-per-value); the read back with
+    an event_type predicate lists ONLY that directory — pruning happens at
+    file listing, before any parquet footer is opened. Plan-gated: the
+    scan shows ``PartitionFilters: [... (event_type = purchase)]`` and the
+    predicate never appears as a data filter. Mirrors the store's
+    date-partition layout (sources/registry.py:174, store.py get())."""
+    ev = table(spark, sf_dir, "events")
+    d = _scratch_dir("io5_part", sf_dir)
+    ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d).filter(F.col("event_type") == "purchase")
+    return back.groupBy(_US(F.date_trunc("day", "ts")).alias("day_us")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_dq5_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the click
+    and view populations of `value` — the distribution-level check dq3's
+    per-bin PSI can't give (KS is binning-free up to the cent
+    quantization and catches shape drift PSI smooths over). Exact
+    integer math end to end: D's numerator is max |c1*n2 - c2*n1| over
+    the pooled support (cross-multiplied empirical CDFs — no float
+    division until the final scalar, emitted as BIGINT ks_e6).
+
+    Plan: one scan -> groupBy(cent-quantized value) partial-agg -> one
+    ordered cumulative window over the DISTINCT support (bounded by
+    quantization: |support| <= value_range * 100, independent of row
+    count — that bound is what makes the global cumulative window safe
+    at 100 TB; the raw-row sort a naive rank-based KS needs is not).
+    Overflow: c*n products < n1*n2 <= (rows/2)^2 -> exact below ~3e9
+    rows per side."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("c1").over(w).alias("cc1"), F.sum("c2").over(w).alias("cc2")
+    )
+    totals = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))).alias(
+                "d_num"
+            ),
+        )
+        .withColumn("ks_e6", F.expr("(d_num * 1000000) DIV (n1 * n2)"))
+    )
+
+
+def q_a17_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance structure of the first 8 embedding dimensions — the
+    single pass that feeds a driver-side PCA/whitening solve (the d x d
+    Gram matrix is tiny; the data scan is the cost). Values quantized to
+    integer milliunits FIRST, so every sum is an order-independent
+    BIGINT and the emitted scaled covariance numerator
+    n*sum(qi*qj) - sum(qi)*sum(qj) is exact. One scan, 45 codegen
+    aggregates, no shuffle of rows (partial agg to one row), stack() to
+    tidy (i, j) form. Overflow bound: n^2 * maxq^2 < 2^63 -> n ~< 3e6 at
+    |q|<=1000; beyond that, shard the pass (sum pairs are mergeable) or
+    drop quantization scale."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        *[
+            F.floor(F.col("embedding").getItem(i).cast("double") * 1000)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(8)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"q{i}").alias(f"s{i}") for i in range(8)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    row = emb.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), p{i}_{j} * n - s{i} * s{j}"
+        for i in range(8)
+        for j in range(i, 8)
+    )
+    return row.select(
+        F.expr(f"stack(36, {stack_args}) AS (i, j, cov_num)"), "n"
+    )
+
+
+def q_a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries, exact-verified — the mergeable
+    heavy-hitter sketch for streams/shards too big to count exactly.
+    Build: each event row hashes into d=3 sketch rows x w=64 buckets
+    (portable md5 family, seeds inlined) and the sketch is ONE partial-agg
+    groupBy over (r, b) — 192 cells total, so the shuffle carries a
+    bounded sketch no matter how many input rows (count-min's guarantee:
+    est >= exact, est <= exact + eps*N w.h.p.). Probe: a fixed 20-user
+    candidate list reads min-over-rows of its cells; exact counts join in
+    as ground truth (the x19-style trust-but-verify step — at 100 TB
+    you'd spot-check a sample this way, not count every key). Asserts the
+    one-sided error bound as a column so the oracle checks the INVARIANT,
+    not just the numbers."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    probes = spark.range(20).select(F.col("id").cast("string").alias("k"))
+
+    def bucket(d: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{d},"), col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("r"), bucket(d, F.col("k")).alias("b")
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.b")
+    sketch = cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+    probe_cells = probes.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("r"), bucket(d, F.col("k")).alias("b")
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("c"),
+    ).select("k", "c.r", "c.b")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.join(F.broadcast(probes), "k").groupBy("k").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("bound_holds"),
+        )
+    )
+
+
+def q_dq6_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data LEAKAGE audit — the data-quality check that makes
+    PIT joins (f7) worth their cost. For every training-spine row
+    (purchase events), compare what a PIT-correct pipeline reads (latest
+    feature <= spine ts; f4's argmax) against what the sloppy-but-common
+    pipeline reads (the CURRENT feature table — latest event overall):
+    a spine row is CONTAMINATED when the user's latest event is newer
+    than the spine timestamp, i.e. a plain join would silently train on
+    the future. Output is the per-user audit report (rows, contaminated
+    rows, integer leak rate). Plan: one partial-agg max(ts) per user
+    joined back on the user key — no window over history, scales as the
+    key count; the spine is scanned once. The reference's PIT cutoff
+    (store.py:218-259 timestamp filter) is the behavior whose absence
+    this op quantifies."""
+    ev = table(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("spine_ts")
+    )
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("latest_ts"))
+    flagged = spine.join(latest, "user_id").select(
+        "user_id", (F.col("latest_ts") > F.col("spine_ts")).cast("long").alias("leak")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("leak").alias("n_contaminated"),
+        F.expr("sum(leak) * 1000000L div count(*)").alias("leak_rate_e6"),
+    )
+
+
+def q_r3_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r2's interval join as a LEFT OUTER — views with NO purchase in
+    their 2-hour band survive null-padded (the abandonment/no-conversion
+    lane a funnel analysis needs; a16 counts conversions, this keeps the
+    non-converters as rows). Batch twin of
+    stream_stream_join(how='left_outer') — the streaming side emits the
+    identical null rows, just delayed by band+watermark (state eviction);
+    pytest pins the subset relationship. Same plan shape as r2: one
+    shuffle on user_id, band residual on the SMJ — the null padding is
+    free."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    return j.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        _US("v_ts").alias("view_us"),
+        _US("b_ts").alias("buy_us"),
+    )
+
+
+def q_a19_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key bounded uniform sample (operators/sampling.py
+    bottomk_sample): the 5 events with the smallest md5 draw per
+    event_type — the deterministic distributed replacement for a per-key
+    reservoir. Runs the SALTED two-phase plan (salt_buckets=8): rank
+    within (key, salt) first so a key holding most of the table still
+    bounds every task, then merge the per-bucket bottom-ks — correct
+    because bottom-k is mergeable (bottom-k of a union == bottom-k of
+    bottom-ks). The oracle replays the single-phase ranking, so the
+    check also proves the two-phase == one-phase equivalence on real
+    data (the x9 independent-algorithm recipe)."""
+    from .operators.sampling import bottomk_sample
+
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id")
+    out = bottomk_sample(ev, "event_type", "event_id", k=5, salt_buckets=8)
+    return out.select("event_type", "sample_rank", "event_id")
+
+
+def q_dq7_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the statistic that DESIGNS a watermark.
+    Treating event_id as arrival order, each event's lateness is how far
+    its event time lags the per-user running maximum seen before it;
+    the bucketed histogram (on-time / <1m / <10m / <1h / <6h / >=6h)
+    tells you what `withWatermark` delay actually covers what fraction
+    of the feed — choose it blind and you either drop data or hold state
+    forever (streaming/ingest.py's watermark knobs cite this). The
+    testdata ships no arrival column (events are perfectly time-ordered),
+    so ARRIVAL IS SIMULATED: arrival = event time + a deterministic md5
+    delay in [0, 48h) — the documented harness part; the measurement
+    itself (running event-time max over arrival order) is exactly what
+    you'd run on a real feed's ingest timestamp. Plan: one window per
+    user over arrival order (single shuffle), integer microsecond
+    lateness, <=5-row output."""
+    ev = table(spark, sf_dir, "events")
+    delay = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 172_800_000_000
+    )
+    arr = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + delay).alias("arrival_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(
+            F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0).cast("long")
+        ),
+    )
+    bucketed = arr.select(
+        F.when(late == 0, "on_time")
+        .when(late < 3_600_000_000, "lt_1h")
+        .when(late < 21_600_000_000, "lt_6h")
+        .when(late < 86_400_000_000, "lt_24h")
+        .otherwise("ge_24h")
+        .alias("bucket"),
+        late.alias("late_us"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_events"), F.max("late_us").alias("max_late_us")
+    )
+
+
+def q_a20_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the product-analytics staple: users
+    cohorted by first-seen ISO week; each later week reports how many of
+    the cohort were active (and the integer retention rate). Sessions
+    (x7) say how long visits last, funnels (a16) say how one visit
+    converts; retention says whether users COME BACK. Plan: per-user
+    first-week argmin (one partial-agg shuffle), distinct (user, week)
+    activity pairs, one key join + count — no window over history, all
+    exact integers. The triangle is |cohorts| x |weeks| rows no matter
+    the input size."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    tri = (
+        act.join(first, "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+    )
+    return tri.select(
+        _US("cohort").alias("cohort_us"),
+        F.floor(
+            (F.unix_micros("week") - F.unix_micros("cohort"))
+            / F.lit(7 * 86400 * 1_000_000)
+        ).alias("weeks_since"),
+        "n_active",
+        "cohort_size",
+        F.expr("n_active * 10000L div cohort_size").alias("retention_e4"),
+    )
+
+
+def q_j4_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning — the runtime-filter pattern for
+    when the dim key set is too large to ship as an IN-list but a bit
+    set is cheap: BUILDING-segment customers hash to 2 md5 positions in
+    an m=8192 space; orders pass the probe iff BOTH positions are set.
+    The no-false-negative guarantee and the measured false-positive rate
+    are both emitted as checked integers (candidates >= true matches by
+    construction; fp rate over true negatives in ppm). Plan: the
+    position table (<= m rows, deduped) broadcasts; the probe is two
+    broadcast semi joins — the fact is never shuffled, which is the
+    whole point at 100 TB. The exact-verify arm is the ground-truth semi
+    join the filter would precede in production. m scales with dim
+    cardinality (bits-per-key tunes fp; 2 hashes here keep the oracle
+    compact)."""
+    M = 8192
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def h(key_col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % M
+        )
+
+    bits = (
+        dim.select(F.explode(F.array(h(F.col("k"), 1), h(F.col("k"), 2))).alias("pos"))
+        .distinct()
+    )
+    probed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        h(F.col("o_custkey"), 1).alias("p1"),
+        h(F.col("o_custkey"), 2).alias("p2"),
+    )
+    cand = probed.join(
+        F.broadcast(bits.withColumnRenamed("pos", "p1")), "p1", "left_semi"
+    ).join(F.broadcast(bits.withColumnRenamed("pos", "p2")), "p2", "left_semi")
+    true_m = orders.join(
+        F.broadcast(dim.withColumnRenamed("k", "o_custkey")), "o_custkey", "left_semi"
+    )
+    return (
+        orders.agg(F.count("*").alias("n_orders"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(true_m.agg(F.count("*").alias("n_true")))
+        .select(
+            "n_orders",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+            F.when(
+                F.col("n_orders") > F.col("n_true"),
+                F.expr("(n_candidates - n_true) * 1000000L div (n_orders - n_true)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )
+
+
+def q_card1_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card — the one-page per-language summary every released
+    training set ships with (docs, token volume, mean length, exact-dup
+    and short-doc rates), computed in ONE pass over the corpus: per-doc
+    facts are map-side projections; the rollup is a single partial-agg
+    groupBy on language with countDistinct on the 16-byte normalized
+    hash (dup count = docs - distinct texts). All rates are integer e4.
+    The output is |languages| rows at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.md5(F.lower(F.trim("text"))).alias("hh"),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).cast("long").alias("short"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.expr("sum(nc) div count(*)").alias("mean_chars"),
+        (F.count("*") - F.countDistinct("hh")).cast("long").alias("n_exact_dups"),
+        F.expr("(count(*) - count(distinct hh)) * 10000L div count(*)").alias("dup_e4"),
+        F.sum("short").alias("n_short"),
+        F.expr("sum(short) * 10000L div count(*)").alias("short_e4"),
+    )
+
+def q_j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted shuffle join (operators/skew.py salted_join):
+    events join their per-user first-seen dim on (user_id, salt) with
+    the salt md5-derived from event_id — the structural answer when AQE's
+    skew split isn't enough because one hot entity still funnels into a
+    single reducer. The dim is replicated 16x (map-only explode); result
+    is EXACTLY the unsalted join, which is what the plain-join oracle
+    checks. The merge hint pins the shuffle-join shape the salt exists
+    for (at test scale the optimizer would otherwise broadcast the dim
+    and hide the salted exchange this query demonstrates); SKEW.md
+    measures the hot-key behavior."""
+    from .operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .hint("merge")
+    )
+    j = salted_join(ev, dim, "user_id", salt_by="event_id", n_salts=16)
+    age_days = F.expr(
+        "(unix_micros(ts) - unix_micros(first_ts)) div 86400000000L"
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(age_days).cast("long").alias("sum_age_days"),
+    )
+
+
+def q_io10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering — the layout
+    answer when ONE partition column isn't enough (io5 prunes on a
+    single dim; real feature scans filter on entity AND time). The
+    16-bit interleave of (user_id, day index) is pure JVM bit math;
+    repartitionByRange + sortWithinPartitions on the z-value co-locates
+    rows close in BOTH dims into the same files, so parquet row-group
+    min/max stats on the ORIGINAL columns skip most files for a 2-D
+    predicate — Delta/Iceberg OPTIMIZE ZORDER does exactly this. The
+    z-value is a write-time ordering key only (never stored); the read
+    back applies the 2-D predicate and aggregates, which the oracle
+    recomputes from the source table. tests/test_plans.py gates that
+    both predicates are PUSHED to the scan and that per-file day spans
+    are actually narrow (the clustering, not just the roundtrip)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    z = (
+        ev.withColumn("ux", (F.col("user_id") % 65536).cast("long"))
+        .withColumn(
+            "dy",
+            (F.expr("unix_micros(date_trunc('day', ts)) div 86400000000L") % 65536).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "z",
+            F.expr(
+                "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+                " + shiftleft(CAST(shiftright(ux, i) % 2 AS BIGINT), 2 * i)"
+                " + shiftleft(CAST(shiftright(dy, i) % 2 AS BIGINT), 2 * i + 1))"
+            ),
+        )
+    )
+    d = _scratch_dir("io10_zorder", sf_dir)
+    z.repartitionByRange(16, "z").sortWithinPartitions("z").drop(
+        "ux", "dy", "z"
+    ).write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d).filter(
+        (F.col("user_id").between(4, 11))
+        & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def q_dq9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite — the Great-Expectations shape: a
+    config of row-level rules evaluated warehouse-wide in one pass per
+    table, one output row per rule with pass/fail accounting (rates as
+    integer e4). Rules cover the standard families: range, value-set,
+    regex, cross-column ordering, and key uniqueness. Plan: each rule is
+    a map-side CASE folded into its table's single aggregate — adding a
+    rule adds one expression, never a scan; uniqueness rides the same
+    aggregate as count - countDistinct. At 100 TB this is the nightly
+    contract check before data ships to training."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+
+    def rule(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("rule"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("p").cast("long").alias("n_pass"),
+            (F.col("n") - F.col("p")).cast("long").alias("n_fail"),
+            F.expr("p * 10000L div n").cast("long").alias("pass_e4"),
+        )
+
+    o_agg = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias(
+            "p2"
+        ),
+        F.countDistinct("o_orderkey").alias("p3"),
+    )
+    r1 = rule("orders_totalprice_positive", o_agg.select("n", "p"))
+    r2 = rule(
+        "orders_status_in_set", o_agg.select("n", F.col("p2").alias("p"))
+    )
+    r3 = rule(
+        "orders_orderkey_unique", o_agg.select("n", F.col("p3").alias("p"))
+    )
+    c_agg = cust.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("c_name").rlike("^Customer#[0-9]{9}$"), 1).otherwise(0)
+        ).alias("p"),
+    )
+    r4 = rule("customer_name_format", c_agg)
+    l_agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") >= 0)
+                & (F.col("l_discount") <= 1)
+                & (F.col("l_tax") >= 0),
+                1,
+            ).otherwise(0)
+        ).alias("p"),
+    )
+    r5 = rule("lineitem_rates_in_unit_range", l_agg)
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+
+
+QUERIES = {
+    'dq1_column_profile': q_dq1_column_profile,
+    'arr2_vector_centroids': q_arr2_vector_centroids,
+    'io4_text_roundtrip': q_io4_text_roundtrip,
+    'a10_hll_sketch': q_a10_hll_sketch,
+    'p2_unpivot': q_p2_unpivot,
+    'map1_map_functions': q_map1_map_functions,
+    'r2_interval_join': q_r2_interval_join,
+    'j1_join_broadcast': q_j1_join_broadcast,
+    'j2_join_shuffle': q_j2_join_shuffle,
+    'j3_semi_anti': q_j3_semi_anti,
+    'a1_agg_entity_stats': q_a1_agg_entity_stats,
+    'a2_rolling_window': q_a2_rolling_window,
+    'a3_agg_distinct': q_a3_agg_distinct,
+    'a4_approx_distinct': q_a4_approx_distinct,
+    'a5_cube_rollup': q_a5_cube_rollup,
+    'q1_pricing_summary': q_q1_pricing_summary,
+    'q3_shipping_priority': q_q3_shipping_priority,
+    'q5_local_supplier': q_q5_local_supplier,
+    'q6_forecast_revenue': q_q6_forecast_revenue,
+    'r1_range_join': q_r1_range_join,
+    'd1_date_functions': q_d1_date_functions,
+    'a7_percentiles': q_a7_percentiles,
+    'g1_grouping_sets': q_g1_grouping_sets,
+    'q18_large_orders': q_q18_large_orders,
+    'a2b_multi_window': q_a2b_multi_window,
+    'io2_json_roundtrip': q_io2_json_roundtrip,
+    'u2_intersect_except': q_u2_intersect_except,
+    'io1_csv_roundtrip': q_io1_csv_roundtrip,
+    's1_topk_orders': q_s1_topk_orders,
+    's2_topk_per_group': q_s2_topk_per_group,
+    'u1_union_by_name': q_u1_union_by_name,
+    'x5_json_extract': q_x5_json_extract,
+    'w1_tumbling_window': q_w1_tumbling_window,
+    'a6_lag_lead': q_a6_lag_lead,
+    'p1_pivot': q_p1_pivot,
+    'w2_sliding_window': q_w2_sliding_window,
+    'a8_rank_family': q_a8_rank_family,
+    'io3_orc_roundtrip': q_io3_orc_roundtrip,
+    'arr1_array_functions': q_arr1_array_functions,
+    'a9_stats_agg': q_a9_stats_agg,
+    'a11_distinct_salted': q_a11_distinct_salted,
+    'a12_quantile_hist': q_a12_quantile_hist,
+    'dq2_outliers': q_dq2_outliers,
+    'b1_bucketed_join': q_b1_bucketed_join,
+    'io5_partitioned_pruning': q_io5_partitioned_pruning,
+    'a14_approx_percentile': q_a14_approx_percentile,
+    'dq3_feature_drift': q_dq3_feature_drift,
+    'io6_schema_evolution': q_io6_schema_evolution,
+    'dq5_ks_statistic': q_dq5_ks_statistic,
+    'a18_cms_heavy_hitters': q_a18_cms_heavy_hitters,
+    'dq6_leakage_audit': q_dq6_leakage_audit,
+    'r3_interval_left_join': q_r3_interval_left_join,
+    'a19_bottomk_sample': q_a19_bottomk_sample,
+    'dq7_lateness_profile': q_dq7_lateness_profile,
+    'a20_retention_cohorts': q_a20_retention_cohorts,
+    'a17_covariance_matrix': q_a17_covariance_matrix,
+    'io7_corrupt_records': q_io7_corrupt_records,
+    'a16_funnel': q_a16_funnel,
+    'dq4_referential_integrity': q_dq4_referential_integrity,
+    'j4_bloom_probe': q_j4_bloom_probe,
+    'card1_data_card': q_card1_data_card,
+    'j5_salted_join': q_j5_salted_join,
+    'io10_zorder_layout': q_io10_zorder_layout,
+    'dq9_expectations': q_dq9_expectations,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "io4_text_roundtrip": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(MIN(length(text)) AS BIGINT) AS min_len,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len
+        FROM documents
+    """,
+    "arr2_vector_centroids": """
+        WITH cnt AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY 1
+        ),
+        ex AS (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        SELECT ex.label, cnt.n_vecs, CAST(ex.dim AS INTEGER) AS dim,
+               ROUND(AVG(ex.v), 6) AS coord
+        FROM ex JOIN cnt USING (label)
+        GROUP BY ex.label, cnt.n_vecs, ex.dim
+    """,
+    "dq1_column_profile": """
+        SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+               ROUND(MIN(l_quantity), 4) AS min_val, ROUND(MAX(l_quantity), 4) AS max_val,
+               ROUND(AVG(l_quantity), 4) AS avg_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+               ROUND(AVG(l_extendedprice), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+               ROUND(AVG(l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+               ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4),
+               ROUND(AVG(l_tax), 4)
+        FROM lineitem
+    """,
+    "p2_unpivot": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base,
+                   ROUND(SUM(l_discount), 2) AS sum_disc
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, metric, value
+        FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_base, sum_disc))
+    """,
+    "map1_map_functions": f"""
+        SELECT event_id,
+               CAST(CASE WHEN value > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN value * 2 > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN k > 10 THEN 1 ELSE 0 END AS INTEGER) AS n_big,
+               ROUND(value / 10.0, 4) AS v_scaled,
+               ROUND(k / 10.0, 4) AS k_scaled,
+               COALESCE(array_to_string(list_filter(
+                   [CASE WHEN value > 10 THEN 'v' END,
+                    CASE WHEN value * 2 > 10 THEN 'v2' END,
+                    CASE WHEN k > 10 THEN 'k' END],
+                   x -> x IS NOT NULL), ','), '') AS big_keys
+        FROM (SELECT event_id, value,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+              FROM ({_EV}) WHERE event_id < 2000)
+    """,
+    "r2_interval_join": f"""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               b.event_id AS buy_id,
+               epoch_us(v.ts) AS view_us,
+               epoch_us(b.ts) AS buy_us
+        FROM ({_EV}) v
+        JOIN ({_EV}) b
+          ON v.user_id = b.user_id
+         AND b.ts > v.ts
+         AND b.ts <= v.ts + INTERVAL 2 HOUR
+        WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    "j1_join_broadcast": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "j2_join_shuffle": """
+        SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "j3_semi_anti": """
+        SELECT c_custkey, 1 AS has_open FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT c_custkey, 0 AS has_open FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    "a1_agg_entity_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "a2_rolling_window": f"""
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w AS cnt_7d,
+               ROUND(SUM(value) OVER w, 2) AS sum_7d
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM ({_EV}))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+    "a3_agg_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "a5_cube_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "s1_topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "s2_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders WHERE o_custkey < 50
+        ) WHERE rn <= 3
+    """,
+    "u1_union_by_name": """
+        SELECT DISTINCT c_custkey, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    "x5_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "w1_tumbling_window": f"""
+        SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM ({_EV}) GROUP BY 1, 2
+    """,
+    "a6_lag_lead": f"""
+        SELECT event_id, user_id, ts_us,
+               ROUND(value - lag(value) OVER w, 2) AS delta_prev,
+               ROUND(lead(value) OVER w - value, 2) AS delta_next
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM ({_EV}))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    "p1_pivot": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id
+    """,
+    "w2_sliding_window": f"""
+        SELECT epoch_us(date_trunc('day', ts) - (k || ' days')::INTERVAL)
+                   AS window_start_us,
+               event_type, COUNT(*) AS n_events
+        FROM ({_EV}) CROSS JOIN (SELECT unnest(range(7)) AS k)
+        GROUP BY 1, 2
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "r1_range_join": """
+        WITH quarters(quarter, q_start, q_end) AS (VALUES
+            ('1996Q1', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+            ('1996Q2', TIMESTAMP '1996-04-01', TIMESTAMP '1996-07-01'),
+            ('1996Q3', TIMESTAMP '1996-07-01', TIMESTAMP '1996-10-01'),
+            ('1996Q4', TIMESTAMP '1996-10-01', TIMESTAMP '1997-01-01'),
+            ('1997Q1', TIMESTAMP '1997-01-01', TIMESTAMP '1997-04-01'),
+            ('1997Q2', TIMESTAMP '1997-04-01', TIMESTAMP '1997-07-01'),
+            ('1997Q3', TIMESTAMP '1997-07-01', TIMESTAMP '1997-10-01'),
+            ('1997Q4', TIMESTAMP '1997-10-01', TIMESTAMP '1998-01-01'))
+        SELECT quarter, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders JOIN quarters
+          ON o_orderdate >= q_start AND o_orderdate < q_end
+        GROUP BY quarter
+    """,
+    "d1_date_functions": """
+        SELECT o_orderkey,
+               epoch_us(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS month_us,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                    AS INTEGER) AS days_to_1999
+        FROM orders
+    """,
+    "a7_percentiles": """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+               ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+               ROUND(AVG(c_acctbal), 4) AS mean_bal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "g1_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    """,
+    "a2b_multi_window": f"""
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w7 AS cnt_7d,
+               ROUND(SUM(cents) OVER w7 / 100.0, 2) AS sum_7d,
+               COUNT(*) OVER w30 AS cnt_30d,
+               CAST((SUM(cents) OVER w30 * 100) // (COUNT(*) OVER w30)
+                    AS BIGINT) AS avg_30d_e4
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents FROM ({_EV}))
+        WINDOW
+          w7 AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {7 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW),
+          w30 AS (PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN {30 * 24 * 3600 * 1_000_000} PRECEDING AND CURRENT ROW)
+    """,
+    "io2_json_roundtrip": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(event_id) AS min_event_id
+        FROM events GROUP BY event_type
+    """,
+    "u2_intersect_except": """
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01')
+        EXCEPT ALL
+        (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND o_orderpriority = '1-URGENT')
+    """,
+    "io1_csv_roundtrip": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+               MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        FROM events GROUP BY event_type
+    """,
+    "a8_rank_family": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "io3_orc_roundtrip": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_quantity >= 25
+        GROUP BY 1, 2
+    """,
+    "arr1_array_functions": """
+        SELECT vec_id,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+               CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct,
+               ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_min,
+               CAST(list_position(embedding, list_max(embedding)) AS INTEGER)
+                   AS argmax_pos,
+               CAST(len(embedding) AS INTEGER) AS dim
+        FROM embeddings
+    """,
+    "a9_stats_agg": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+               ROUND(var_samp(l_discount), 6) AS var_discount,
+               ROUND(skewness(l_extendedprice), 4) AS skew_price,
+               ROUND(kurtosis(l_extendedprice), 4) AS kurt_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # a4/a10: the HLL estimate is engine-specific, so the contract checked
+    # cross-engine is (exact distinct count, within_tolerance=TRUE); Spark
+    # computes the boolean from its own estimate, the oracle asserts it.
+    "a4_approx_distinct": f"""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tolerance
+        FROM ({_EV}) GROUP BY event_type
+    """,
+    "a10_hll_sketch": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_tolerance
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # salted two-stage distinct == plain COUNT(DISTINCT): the salt is a
+    # pure function of the value, so per-salt counts are disjoint
+    "a11_distinct_salted": f"""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM ({_EV}) GROUP BY event_type
+    """,
+    # identical equi-width histogram (width 0.0625 = 2^-4: exact doubles)
+    "a12_quantile_hist": """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CAST(LEAST(GREATEST(floor((l_quantity - 0.0) / 0.0625), 0), 1023)
+                        AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT l_returnflag, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+            FROM h
+        )
+        SELECT l_returnflag,
+               0.0 + MIN(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) * 0.0625 AS p50,
+               0.0 + MIN(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) * 0.0625 AS p95,
+               CAST(MAX(total) AS BIGINT) AS n_values
+        FROM c GROUP BY l_returnflag
+    """,
+    # identical fence arithmetic on identical exact quantiles (a7 proved
+    # percentile == quantile_cont); counts are integer-exact
+    "dq2_outliers": f"""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM ({_EV}) GROUP BY event_type
+        ),
+        f AS (
+            SELECT event_type,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(MIN(f.lo), 4) AS lo_fence,
+               ROUND(MIN(f.hi), 4) AS hi_fence
+        FROM ({_EV}) e JOIN f ON e.event_type = f.event_type
+        GROUP BY e.event_type
+    """,
+    "a16_funnel": f"""
+        WITH ev AS ({_EV}),
+        fv AS (SELECT user_id, MIN(ts) AS fv FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+        j AS (
+            SELECT fv.user_id, fv.fv, MIN(b.ts) AS fb
+            FROM fv LEFT JOIN ev b
+              ON b.user_id = fv.user_id
+             AND b.event_type = 'purchase'
+             AND b.ts > fv.fv
+             AND b.ts <= fv.fv + INTERVAL 2 HOUR
+            GROUP BY fv.user_id, fv.fv
+        )
+        SELECT user_id, epoch_us(fv) AS first_view_us,
+               fb IS NOT NULL AS converted,
+               epoch_us(fb) - epoch_us(fv) AS convert_us
+        FROM j
+    """,
+
+}
+
+
+# b1/io5: the bucketed/partitioned layouts are physical-plan properties;
+# the oracle checks the join/scan SEMANTICS on the raw tables.
+ORACLE_SQL["b1_bucketed_join"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["dq4_referential_integrity"] = """
+    SELECT 'orders.o_custkey->customer' AS constraint,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_fact_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
+
+ORACLE_SQL["io7_corrupt_records"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           ROUND(SUM(CASE WHEN event_id % 97 <> 0
+                          THEN round(value, 2) END), 2) AS sum_good_value
+    FROM ({_EV})
+"""
+
+ORACLE_SQL["io6_schema_evolution"] = """
+    SELECT l_orderkey % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy_rows,
+           ROUND(SUM(CASE WHEN l_orderkey % 2 = 1
+                          THEN round(l_discount * 100, 2) ELSE 0 END), 2)
+               AS sum_discount_pct,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_orderkey % 10
+"""
+
+# dq3: per-bin PSI terms from exact integer counts; the only float math is
+# a deterministic scalar expression per output row (no cross-row float agg)
+ORACLE_SQL["dq3_feature_drift"] = f"""
+    WITH ev AS ({_EV}),
+    m AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT)
+              AS mid FROM ev),
+    b AS (SELECT event_type,
+                 CASE WHEN epoch_us(ts) <= m.mid THEN 0 ELSE 1 END AS half,
+                 LEAST(CAST(floor(value / 50.0) AS INT), 9) AS bin
+          FROM ev, m),
+    c AS (SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_early,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late
+          FROM b GROUP BY event_type, bin),
+    t AS (SELECT event_type,
+                 CAST(SUM(n_early) AS BIGINT) AS t_early,
+                 CAST(SUM(n_late) AS BIGINT) AS t_late
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.bin, c.n_early, c.n_late,
+           ROUND(((c.n_early + 1) / (t.t_early + 10.0)
+                  - (c.n_late + 1) / (t.t_late + 10.0))
+                 * ln(((c.n_early + 1) / (t.t_early + 10.0))
+                      / ((c.n_late + 1) / (t.t_late + 10.0))), 6) AS psi_term
+    FROM c JOIN t USING (event_type)
+"""
+
+ORACLE_SQL["a14_approx_percentile"] = f"""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS exact_p90,
+           TRUE AS within_tolerance
+    FROM ({_EV}) GROUP BY event_type
+"""
+
+ORACLE_SQL["io5_partitioned_pruning"] = f"""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ({_EV})
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+# TPC-H-shaped relational coverage (EXISTS/NOT EXISTS, outer joins,
+# correlated subqueries, disjunctive predicates) lives in relational.py.
+# dq5: cross-multiplied CDF comparison — the supremum runs over the pooled
+# (quantized) support; both engines quantize identically so the supports match.
+ORACLE_SQL["dq5_ks_statistic"] = """
+    WITH b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+          FROM events WHERE event_type IN ('click', 'view')),
+    g AS (SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+                 CAST(SUM(1 - is1) AS BIGINT) AS c2
+          FROM b GROUP BY v),
+    cum AS (SELECT CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cc1,
+                   CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cc2
+            FROM g),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(cc1 * t.n2 - cc2 * t.n1)) AS BIGINT) AS d_num,
+           CAST((MAX(abs(cc1 * t.n2 - cc2 * t.n1)) * 1000000)
+                // (t.n1 * t.n2) AS BIGINT) AS ks_e6
+    FROM cum CROSS JOIN t
+    GROUP BY t.n1, t.n2
+"""
+
+# a20: identical ISO-week truncation both engines; join + count replay.
+ORACLE_SQL["a20_retention_cohorts"] = f"""
+    WITH ev AS ({_EV}),
+    first AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+              FROM ev GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort),
+    tri AS (
+        SELECT f.cohort, a.week, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY f.cohort, a.week
+    )
+    SELECT epoch_us(t.cohort) AS cohort_us,
+           CAST((epoch_us(t.week) - epoch_us(t.cohort))
+                // 604800000000 AS BIGINT) AS weeks_since,
+           t.n_active, s.cohort_size,
+           CAST(t.n_active * 10000 // s.cohort_size AS BIGINT) AS retention_e4
+    FROM tri t JOIN sizes s USING (cohort)
+"""
+
+# dq7: running-max lateness replayed with the same exclusive frame.
+ORACLE_SQL["dq7_lateness_profile"] = f"""
+    WITH a AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                               1, 15))::BIGINT % 172800000000 AS arrival_us,
+               event_id
+        FROM ({_EV})
+    ),
+    l AS (
+        SELECT GREATEST(0, COALESCE(
+                   MAX(ts_us) OVER (PARTITION BY user_id
+                       ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - ts_us, 0)) AS late_us
+        FROM a
+    ),
+    b AS (
+        SELECT CASE WHEN late_us = 0 THEN 'on_time'
+                    WHEN late_us < 3600000000 THEN 'lt_1h'
+                    WHEN late_us < 21600000000 THEN 'lt_6h'
+                    WHEN late_us < 86400000000 THEN 'lt_24h'
+                    ELSE 'ge_24h' END AS bucket,
+               late_us
+        FROM l
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM b GROUP BY bucket
+"""
+
+# a19: single-phase ranking replay of the salted two-phase sample.
+ORACLE_SQL["a19_bottomk_sample"] = f"""
+    WITH d AS (
+        SELECT event_type, event_id,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS draw
+        FROM ({_EV})
+    ),
+    r AS (SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY draw, event_id) AS sample_rank
+          FROM d)
+    SELECT event_type, CAST(sample_rank AS INTEGER) AS sample_rank, event_id
+    FROM r WHERE sample_rank <= 5
+"""
+
+ORACLE_SQL["r3_interval_left_join"] = f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           b.event_id AS buy_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(b.ts) AS buy_us
+    FROM (SELECT * FROM ({_EV}) WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM ({_EV}) WHERE event_type = 'purchase') b
+      ON v.user_id = b.user_id
+     AND b.ts > v.ts
+     AND b.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+# dq6: contamination = latest-overall newer than the spine row's cutoff.
+ORACLE_SQL["dq6_leakage_audit"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT user_id, ts AS spine_ts FROM ev
+              WHERE event_type = 'purchase'),
+    latest AS (SELECT user_id, MAX(ts) AS latest_ts FROM ev GROUP BY user_id),
+    flagged AS (SELECT s.user_id,
+                       CASE WHEN l.latest_ts > s.spine_ts THEN 1 ELSE 0 END
+                           AS leak
+                FROM spine s JOIN latest l USING (user_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(leak) AS BIGINT) AS n_contaminated,
+           CAST(SUM(leak) * 1000000 // COUNT(*) AS BIGINT) AS leak_rate_e6
+    FROM flagged GROUP BY user_id
+"""
+
+# a18: sketch build + probe replayed cell-for-cell (same md5 bucket family).
+ORACLE_SQL["a18_cms_heavy_hitters"] = """
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+    cells AS (
+        SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ',' || k), 1, 8))
+                      ::BIGINT % 64 AS b
+        FROM ev CROSS JOIN rows_
+    ),
+    sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM cells GROUP BY r, b),
+    probes AS (SELECT CAST(range AS VARCHAR) AS k FROM range(20)),
+    pc AS (
+        SELECT k, r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ',' || k), 1, 8))
+                         ::BIGINT % 64 AS b
+        FROM probes CROSS JOIN rows_
+    ),
+    est AS (SELECT k, CAST(MIN(cnt) AS BIGINT) AS cms_est
+            FROM pc JOIN sketch USING (r, b) GROUP BY k),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM ev JOIN probes USING (k) GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS user_id, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS bound_holds
+    FROM est JOIN exact USING (k)
+"""
+ORACLE_SQL["a17_covariance_matrix"] = (
+    f"WITH t AS (SELECT {_A17_QCOLS} FROM embeddings), "
+    f"a AS (SELECT {_A17_AGGS} FROM t) {_A17_ARMS}"
+)
+
+ORACLE_SQL["j4_bloom_probe"] = """
+    WITH dim AS (SELECT c_custkey AS k FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                         CAST(i AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+        FROM dim CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2) g
+    ),
+    probed AS (
+        SELECT o_orderkey, o_custkey,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15))::BIGINT
+                   % 8192 AS p1,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15))::BIGINT
+                   % 8192 AS p2
+        FROM orders
+    ),
+    cand AS (SELECT * FROM probed
+             WHERE p1 IN (SELECT pos FROM bits)
+               AND p2 IN (SELECT pos FROM bits)),
+    tru AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT k FROM dim)),
+    a AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_true)
+    SELECT n_orders, n_candidates, n_true,
+           n_candidates - n_true AS n_false_pos,
+           CAST(CASE WHEN n_orders > n_true
+                     THEN (n_candidates - n_true) * 1000000 // (n_orders - n_true)
+                     ELSE 0 END AS BIGINT) AS fp_ppm
+    FROM a
+"""
+
+ORACLE_SQL["card1_data_card"] = """
+    WITH d AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               md5(lower(trim(text))) AS hh,
+               CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS short
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) // COUNT(*) AS BIGINT) AS mean_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT hh) AS BIGINT) AS n_exact_dups,
+           CAST((COUNT(*) - COUNT(DISTINCT hh)) * 10000 // COUNT(*) AS BIGINT)
+               AS dup_e4,
+           CAST(SUM(short) AS BIGINT) AS n_short,
+           CAST(SUM(short) * 10000 // COUNT(*) AS BIGINT) AS short_e4
+    FROM d GROUP BY lang
+"""
+
+ORACLE_SQL["dq9_expectations"] = """
+    WITH o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS p3
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM customer
+    ),
+    l AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                              AND l_tax >= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM lineitem
+    )
+    SELECT 'orders_totalprice_positive' AS rule, n AS n_rows, p1 AS n_pass,
+           n - p1 AS n_fail, CAST(p1 * 10000 // n AS BIGINT) AS pass_e4 FROM o
+    UNION ALL
+    SELECT 'orders_status_in_set', n, p2, n - p2,
+           CAST(p2 * 10000 // n AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'orders_orderkey_unique', n, p3, n - p3,
+           CAST(p3 * 10000 // n AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'customer_name_format', n, p, n - p,
+           CAST(p * 10000 // n AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'lineitem_rates_in_unit_range', n, p, n - p,
+           CAST(p * 10000 // n AS BIGINT) FROM l
+"""
+
+ORACLE_SQL["j5_salted_join"] = f"""
+    WITH ev AS ({_EV}),
+    dim AS (SELECT user_id, MIN(ts) AS first_ts FROM ev GROUP BY user_id)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM((epoch_us(ev.ts) - epoch_us(dim.first_ts))
+                    // 86400000000) AS BIGINT) AS sum_age_days
+    FROM ev JOIN dim USING (user_id)
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["io10_zorder_layout"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ({_EV})
+    WHERE user_id BETWEEN 4 AND 11
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""

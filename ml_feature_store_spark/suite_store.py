@@ -1,0 +1,1521 @@
+"""Feature-store semantics: PIT/as-of (f-ops), versioned store mutations, rollups (h-ops), streaming-state witnesses (sd-ops), sessionization and store-backed IO maintenance.
+
+Split from suite.py (round 4); assembled by suite.py."""
+
+from __future__ import annotations
+
+import math  # noqa: F401
+import tempfile  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .operators.asof import asof_join  # noqa: F401
+from .operators.pit import (  # noqa: F401
+    entity_filter,
+    latest_per_entity,
+    temporal_filter,
+    top_k_per_group,
+)
+from .suite_common import *  # noqa: F401,F403
+
+
+# --------------------------------------------------------------------------- #
+# F-ops: reference feature-store semantics on the events table
+# --------------------------------------------------------------------------- #
+
+
+def q_f1_register_pit_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end store path: register events as a feature table (memory
+    backend), then PIT ``get`` for users 0-19 at a cutoff — exercises
+    validation, registration, temporal+entity filters, argmax and
+    projection through the public FeatureStore API (reference
+    store.py:129-157 + 218-259)."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__", "event_type")
+    fs = FeatureStore(spark)
+    fs.register("ev", feats)
+    out = fs.get("ev", list(range(20)), dt.datetime(2024, 1, 25), columns=["value"])
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "value",
+    )
+
+
+def q_f2_temporal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = temporal_filter(ev, "2024-01-10", ts_col="ts")
+    return out.select("event_id", "user_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f3_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = entity_filter(ev, [1, 3, 5, 7, 11], entity_col="user_id")
+    return out.select("event_id", "user_id", _US("ts").alias("ts_us"), "value")
+
+
+def q_f4_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = latest_per_entity(ev, entity_col="user_id", ts_col="ts", tiebreak_col="event_id")
+    return out.select("user_id", "event_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f6_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = temporal_filter(ev, "2024-01-20", ts_col="ts")
+    out = entity_filter(out, list(range(0, 10)), entity_col="user_id")
+    out = latest_per_entity(out, entity_col="user_id", ts_col="ts", tiebreak_col="event_id")
+    return out.select("user_id", "event_id", _US("ts").alias("ts_us"), "event_type", "value")
+
+
+def q_f7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = events_features(spark, sf_dir)
+    spine = feats.filter(F.col("event_type") == "purchase").select("entity_id", "timestamp")
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "event_type",
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f7_asof_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set construction against a (entity x date-grid) spine —
+    the canonical 'build me features as of these dates' query."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-08",), ("2024-01-15",), ("2024-01-22",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    users = feats.select("entity_id").distinct()
+    spine = users.crossJoin(dates)
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f7e_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of training set (Feast get_historical_features contract):
+    every (user x early grid date) spine row survives; users whose first
+    event is after the date carry NULL features instead of vanishing.
+    Same union strategy and single shuffle as f7 — only the final filter
+    differs (operators/asof.py how='left')."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-02",), ("2024-01-15",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    users = feats.select("entity_id").distinct()
+    spine = users.crossJoin(dates)
+    out = asof_join(spine, feats, strategy="union", keep_spine_ts=True, how="left")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f16_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe LABEL construction — the forward-window twin of the
+    as-of feature join: for each spine row, the label aggregates events
+    STRICTLY AFTER the spine timestamp within (t, t+7d] (did the user
+    purchase? how much?). Features look backward (f7/f13/f15), labels
+    look forward; together they make a training row with no time
+    leakage in either direction. Same band-join cost envelope as f13."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("spine_id")
+    )
+    e = ev.alias("e")
+    s = spine.alias("s")
+    j = s.join(
+        e,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") > F.col("s.ts"))
+        & (F.col("e.ts") <= F.col("s.ts") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    is_buy = F.col("e.event_type") == "purchase"
+    return j.groupBy(
+        F.col("s.user_id").alias("user_id"),
+        _US(F.col("s.ts")).alias("ts_us"),
+        F.col("s.spine_id").alias("spine_id"),
+    ).agg(
+        F.coalesce(F.sum(is_buy.cast("long")), F.lit(0)).alias("n_future_purchases"),
+        (F.coalesce(F.sum(is_buy.cast("long")), F.lit(0)) > 0).alias("label_converted"),
+        F.coalesce(F.sum(F.when(is_buy, F.col("e.cents"))), F.lit(0))
+        .cast("long")
+        .alias("future_purchase_cents"),
+    )
+
+
+def q_f15_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed feature aggregation as-of each spine row (the
+    Chronon-style decayed counter): every event in the trailing 7 days
+    contributes value * 0.97^age_hours, with the decay curve as an
+    integer micro-unit lookup table so the whole aggregate is integer
+    arithmetic — order-independent and engine-exact (see _DECAY_MICRO).
+
+    Formulated as the band-bounded pairwise join (explosion bounded by
+    events-per-entity-per-7d, the same cost envelope as f13); at
+    streaming scale the factorized incremental form (decay the running
+    sum by the batch gap, add new terms) maintains the same quantity
+    without re-scanning the band."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("spine_id")
+    )
+    e = ev.alias("e")
+    s = spine.alias("s")
+    j = s.join(
+        e,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") <= F.col("s.ts"))
+        & (F.col("e.ts") > F.col("s.ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    age_h = F.floor(
+        (F.unix_micros(F.col("s.ts")) - F.unix_micros(F.col("e.ts")))
+        / F.lit(3_600_000_000)
+    ).cast("int")
+    wtab = F.expr("array(" + ",".join(str(w) for w in _DECAY_MICRO) + ")")
+    term = F.col("e.cents") * F.element_at(wtab, age_h + F.lit(1))
+    return j.groupBy(
+        F.col("s.user_id").alias("user_id"),
+        _US(F.col("s.ts")).alias("ts_us"),
+        F.col("s.spine_id").alias("spine_id"),
+    ).agg(
+        F.count(F.col("e.cents")).alias("n_events"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("decayed_micro"),
+    )
+
+
+def q_f15b_decayed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f15's decayed features through the BUCKETED band join
+    (operators/band.py): the shuffle key is (user_id, floor(ts/7d))
+    instead of user_id alone, so per-task work is bounded by two
+    band-widths of one user's history — the skew/working-set fix for
+    band joins at 100 TB (round-2 verdict item 4). Same semantics, same
+    oracle as f15; plan-gated to join on the bucket key."""
+    from .operators.band import band_join_bucketed
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", F.col("ets").alias("sts"), F.col("event_id").alias("spine_id")
+    )
+    j = band_join_bucketed(
+        spine,
+        ev.drop("event_id"),
+        keys="user_id",
+        spine_ts="sts",
+        event_ts="ets",
+        band_us=7 * 24 * 3_600_000_000,
+        direction="backward",
+    )
+    age_h = F.floor(
+        (F.unix_micros(F.col("sts")) - F.unix_micros(F.col("ets"))) / F.lit(3_600_000_000)
+    ).cast("int")
+    wtab = F.expr("array(" + ",".join(str(w) for w in _DECAY_MICRO) + ")")
+    term = F.col("cents") * F.element_at(wtab, age_h + F.lit(1))
+    return j.groupBy(
+        "user_id",
+        _US(F.col("sts")).alias("ts_us"),
+        "spine_id",
+    ).agg(
+        F.count(F.col("cents")).alias("n_events"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("decayed_micro"),
+    )
+
+
+def q_f16b_label_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f16's forward label window with NO JOIN AT ALL: the spine rows are
+    a subset of events, so a value-based range frame over ts_us —
+    rangeBetween(+1us, +7d] per user — computes every event's forward
+    purchase count/sum in ONE shuffle + sort, then the spine filter keeps
+    the label rows. Window-frame evaluation is incremental (the frame
+    slides; rows are added/removed from running aggregates), so the cost
+    is O(n log n) for the sort, NOT the band join's density² pair
+    generation — this is the true scale-out for label windows whose
+    aggregate is sum/count (f13's union trick, pointed forward). The
+    decay-table variant (f15) cannot ride one frame — its weight depends
+    on the spine-event age — which is why it gets the bucketed band join
+    instead. Same semantics, same oracle as f16."""
+    sev = 7 * 24 * 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(1, sev)
+    is_buy = (F.col("event_type") == "purchase").cast("long")
+    n_buys = F.coalesce(F.sum(is_buy).over(w), F.lit(0))
+    buy_cents = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))).over(w), F.lit(0)
+    )
+    out = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        n_buys.alias("n_future_purchases"),
+        (n_buys > 0).alias("label_converted"),
+        buy_cents.cast("long").alias("future_purchase_cents"),
+    ).filter(F.col("event_id") % 10 == 0)
+    return out.select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("spine_id"),
+        "n_future_purchases",
+        "label_converted",
+        "future_purchase_cents",
+    )
+
+
+def q_sd2_running_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible witness for the applyInPandasWithState running-
+    features operator (streaming/stateful.py): the events are split into
+    two parquet files (event_id parity) and streamed through the REAL
+    stateful fold with maxFilesPerTrigger=1 — two micro-batches with
+    state carry-over — into a memory sink; the final per-user snapshot
+    (highest running count) is returned. Every accumulated quantity is
+    deterministic: values are integer cents in doubles (sums exact below
+    2^53, order-free) and the "last" row tie-breaks on (ts_us, event_id),
+    so the DuckDB oracle replays the fold as one batch groupBy + a
+    row_number window — the round-2 verdict's missing oracle-checked twin
+    for the stateful streaming surface."""
+    from .streaming.ingest import stream_events
+    from .streaming.stateful import streaming_running_features
+
+    d = _scratch_dir("sd2_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("value"),
+        "props",
+    )
+    _write_ordered_feed(
+        d,
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    stream = stream_events(spark, d)
+    q = (
+        streaming_running_features(stream)
+        .writeStream.format("memory")
+        .queryName("sd2_running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd2_running")
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_cents"),
+        F.max_by("last_ts_us", "n_events").alias("last_ts_us"),
+        F.max_by("last_value", "n_events").alias("last_cents"),
+        F.max_by("last_event_id", "n_events").alias("last_event_id"),
+    )
+
+
+def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register v1 (full) + v2 (purchases only), then time-travel to v1.
+    Oracle: v1 == the plain events projection."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("ver_store", sf_dir))
+    fs.register("ev", feats)
+    fs.register("ev", feats.filter(F.col("event_type") == "purchase"))
+    v1 = fs.get_version("ev", 1)
+    return v1.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Joins over the star schema
+# --------------------------------------------------------------------------- #
+
+
+def q_f6b_pit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT on a different domain: each customer's latest order strictly
+    before 1998 (entity=o_custkey, ts=o_orderdate; ties broken by min
+    orderkey via the __row_id__ convention)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        # parquet ms-timestamps surface as TIMESTAMP_NTZ; cast to session-TZ
+        # timestamp (UTC pinned, so values are unchanged)
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    out = temporal_filter(orders, "1997-12-31 23:59:59")
+    out = latest_per_entity(out)
+    return out.select(
+        F.col("entity_id").alias("o_custkey"),
+        _US("timestamp").alias("order_ts_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+def q_f7c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a bounded lookback (tolerance=48h): spine rows whose
+    nearest feature is older than the window get dropped."""
+    feats = events_features(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-01-05",), ("2024-01-20",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    spine = feats.select("entity_id").distinct().crossJoin(dates)
+    out = asof_join(
+        spine, feats, strategy="union", keep_spine_ts=True,
+        tolerance_seconds=48 * 3600,
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
+def q_f10_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog bridge: register a feature table, expose it as a temp view,
+    and answer with spark.sql — the SQL surface over the store."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(spark)
+    fs.register("ev_sql", feats)
+    fs.create_view("ev_sql")
+    return fs.sql(
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM ev_sql GROUP BY event_type
+        """
+    )
+
+
+def q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (batch; the streaming variant
+    uses session_window — see streaming/)."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", _US("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > _30MIN_US, 1
+        ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_x7b_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary via the sessionize operator."""
+    from .operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    return session_stats(ev, entity_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+def q_h1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour/day/month continuous
+    aggregates in ONE scan via GROUPING SETS over pre-truncated buckets
+    (one expand + one shuffle; the streaming twin maintains the same
+    rollup incrementally via foreachBatch)."""
+    ev = table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        _US(F.date_trunc("hour", "ts")).alias("hour_us"),
+        _US(F.date_trunc("day", "ts")).alias("day_us"),
+        _US(F.date_trunc("month", "ts")).alias("month_us"),
+        "value",
+    )
+    return bucketed.groupingSets(
+        [["hour_us"], ["day_us"], ["month_us"]], "hour_us", "day_us", "month_us"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_f11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from the append-only feature history:
+    each row's value is valid [its ts, next ts) per entity — lead()
+    over one window shuffle; open intervals closed with a sentinel.
+    This is the batch view the PIT lookup implicitly queries."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sentinel = F.lit("9999-12-31").cast("timestamp")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _US("ts").alias("valid_from_us"),
+        _US(F.coalesce(F.lead("ts").over(w), sentinel)).alias("valid_to_us"),
+        "value",
+    )
+
+
+def q_h2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price: bucket = floor(x/5000) —
+    a partial-agg'd groupBy over a codegen bucket expression; the
+    building block of every profiling / data-quality sweep."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+def q_f9_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version CDC through the store API (store.diff_versions): v1 = the
+    first two weeks of events, v2 = re-register through Jan 20 with
+    purchase values doubled — so the diff has all three change types:
+    later keys are added, and purchase keys inside the v1 window are
+    changed. Output is the per-change-type rollup (keys + row counts);
+    the oracle recomputes the same multiset classification with its own
+    hashing, so the check is of the SEMANTICS (which keys changed),
+    not of any engine-specific hash. On Delta this is Change Data Feed
+    read from the commit log instead of recomputed."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__").drop("event_id")
+    v1 = feats.filter(F.col("timestamp") < "2024-01-15")
+    v2 = feats.filter(F.col("timestamp") < "2024-01-20").withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    fs = FeatureStore(spark, storage_path=_scratch_dir("cdc_store", sf_dir))
+    fs.register("ev_cdc", v1)
+    fs.register("ev_cdc", v2)
+    d = fs.diff_versions("ev_cdc", 1, 2)
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("old_rows").alias("old_rows"),
+        F.sum("new_rows").alias("new_rows"),
+    )
+
+
+def q_f13_pit_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window features as-of spine timestamps (operators/
+    features.py pit_window_agg): for every 10th event (the "label" rows),
+    count/sum/min/max of that user's event values over the trailing 1
+    day and 7 days — computed leakage-free with union + shared-sort
+    range frames (ONE shuffle for both windows and all four aggregates;
+    a join formulation would explode spine x window rows). Values in
+    integer cents: sums are order-independent, so the LEFT-JOIN-based
+    oracle matches exactly."""
+    from .operators.features import pit_window_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    feats = ev.select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp"), "cents"
+    )
+    spine = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("spine_id"),
+    )
+    out = pit_window_agg(
+        spine, feats, "cents", window_seconds=(86400, 7 * 86400)
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "spine_id",
+        "n_86400s",
+        F.col("sum_86400s").cast("long").alias("sum_86400s"),
+        F.col("min_86400s").cast("long").alias("min_86400s"),
+        F.col("max_86400s").cast("long").alias("max_86400s"),
+        "n_604800s",
+        F.col("sum_604800s").cast("long").alias("sum_604800s"),
+    )
+
+
+def q_h3_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance through the store API: register the
+    first 1500 events, create a per-event-type rollup, append the rest,
+    then refresh — the refresh aggregates ONLY the appended delta and
+    merges mergeable state (count/sum/min/max; sums on integer cents so
+    partial-sum order can't perturb doubles). The oracle aggregates the
+    full event set directly: incremental == from-scratch."""
+    from .store import FeatureStore
+
+    feats = (
+        events_features(spark, sf_dir)
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .drop("value")
+    )
+    base = feats.filter(F.col("event_id") < 1500)
+    extra = feats.filter(F.col("event_id") >= 1500).drop("__row_id__")
+    fs = FeatureStore(spark)
+    fs.register("ev", base)
+    fs.create_rollup("ev", "by_type", ["event_type"], ["value_cents"])
+    fs.append("ev", extra)
+    fs.refresh_rollup("by_type")
+    return fs.get_rollup("by_type")
+
+
+def q_f14_multi_view_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feast/Chronon-style training set over TWO feature views: for each
+    spine (entity, ts) row pick up the latest event-view features AND the
+    latest order-view features as-of that timestamp — two independent
+    as-of joins (union strategy: one shuffle each, no row explosion)
+    stitched on the spine key. The multi-feature-view generalization of
+    the reference's single-table get_training_set (store.py:261-308);
+    inner semantics per view, so only spine rows with BOTH views present
+    survive (deterministic, oracle-expressible)."""
+    feats = events_features(spark, sf_dir)
+    spine = (
+        feats.filter(F.col("event_type") == "purchase")
+        .select("entity_id", "timestamp")
+        .distinct()
+    )
+    ev_out = asof_join(spine, feats, strategy="union", keep_spine_ts=True)
+    order_view = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    ord_out = asof_join(spine, order_view, strategy="union", keep_spine_ts=True)
+    left = ev_out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("as_of_us"),
+        "event_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        _US("timestamp").alias("event_ts_us"),
+    )
+    right = ord_out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("as_of_us"),
+        F.col("o_totalprice").alias("last_order_price"),
+        _US("timestamp").alias("order_ts_us"),
+    )
+    return left.join(right, ["user_id", "as_of_us"], "inner")
+
+
+def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (operators/asof.py
+    asof_join_nearest — pandas merge_asof direction='nearest' parity,
+    property-tested against pandas itself): each purchase takes its
+    user's closest event within ±6h, past preferred on distance ties.
+    The sensor-alignment sibling of f7's backward join (F7 family). Plan:
+    union both directions — ONE shuffle on the entity key, two
+    in-partition sorts, no join, no row explosion (the 100 TB as-of
+    recipe); the oracle replays it as a banded argmin with the same
+    (distance, direction, row-id) tie chain."""
+    from .operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    # features exclude the purchases themselves (a spine row matching its
+    # own event at distance 0 would make the query a tautology)
+    feats = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_nearest(
+        spine, feats, tolerance_seconds=6 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("feature_us"),
+        "value",
+        _US("as_of_timestamp").alias("spine_us"),
+    )
+
+
+def q_f20_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time DIMENSION join — the warehouse dual of f7's as-of:
+    build the SCD2 validity intervals from each user's click history
+    (f11's lead() view: value valid [ts, next ts)), then join every
+    purchase to the dimension row VALID AT its event time via equi
+    (user) + half-open band residual. Classic 'dimension as of event
+    time'. Because an SCD2-interval join and a backward as-of join are
+    the same semantics expressed two ways, rows here must equal an
+    asof_join of purchases onto clicks — and the oracle checks interval
+    containment directly, a different formulation again. Plan: interval
+    dim built with one window shuffle; the fact join is equi on user_id
+    with the band as residual — never a cross product."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sentinel = F.lit("9999-12-31").cast("timestamp")
+    dim = clicks.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w), sentinel).alias("valid_to"),
+        F.col("value").alias("dim_value"),
+        F.col("event_id").alias("dim_event"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = buys.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        _US("ts").alias("buy_us"),
+        "dim_event",
+        "dim_value",
+    )
+
+
+def q_io8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-visible (store.py compact_version;
+    pytest pins the API, this query pins the DATA contract): register the
+    events feed fragmented into 16 files (micro-batch ingest shape),
+    compact to 1, and report the invariants that make compaction safe to
+    automate — row count and an order-independent content checksum, both
+    IDENTICAL before and after, plus the file counts. The oracle computes
+    the same rows/checksum straight from the source table, so a
+    compaction that dropped or duplicated ANY row hash-mismatches. At
+    100 TB this is the maintenance job that keeps scan parallelism
+    governed by maxPartitionBytes instead of file count."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("__row_id__")
+    fs = FeatureStore(
+        spark, storage_path=_scratch_dir("io8_compact", sf_dir)
+    )
+    fs.register("ev", feats.repartition(16))
+    rep = fs.compact_version("ev", target_files=1)
+    after = fs.get_version("ev", 1)
+    chk = after.agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", "entity_id", F.unix_micros("timestamp"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 31)
+        ).alias("content_check"),
+    )
+    return chk.select(
+        "rows",
+        "content_check",
+        F.lit(rep["files_after"]).cast("long").alias("files_after"),
+        F.lit(rep["files_before"] > rep["files_after"]).alias("compacted"),
+        (F.lit(rep["rows"]) == F.col("rows")).alias("rows_preserved"),
+    )
+
+
+def q_f22_upsert_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level correction through the public API (store.py upsert):
+    register events as a feature table, then upsert a patch that
+    replaces every (entity, ts) key of users < 20's purchases with a
+    corrected row (event_type 'purchase_fixed', value + 1000 cents).
+    Emits the ENTIRE corrected version, so the oracle — untouched rows
+    as a NOT EXISTS key anti-filter UNION ALL the patch — catches a
+    single dropped, duplicated or unreplaced row. Driver witness for the
+    mutation trio the reference cannot express at all (its only write is
+    whole-snapshot re-register, reference store.py:188-216). Plan: one
+    key anti-join + union; the old version's files are re-referenced,
+    never rewritten — the copy-on-write MERGE shape that holds at
+    100 TB."""
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f22_upsert", sf_dir))
+    fs.register("ev", feats)
+    patch = (
+        feats.filter((F.col("event_type") == "purchase") & (F.col("entity_id") < 20))
+        .groupBy("entity_id", "timestamp")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            (F.max_by("value_cents", "event_id") + 1000).alias("value_cents"),
+        )
+        .select(
+            "entity_id",
+            "timestamp",
+            "event_id",
+            F.lit("purchase_fixed").alias("event_type"),
+            "value_cents",
+        )
+    )
+    fs.upsert("ev", patch)
+    return fs.get_version("ev", 2).select(
+        "entity_id",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value_cents",
+    )
+
+
+def q_f23_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level TTL through the public API (store.py expire_features):
+    drop everything before Jan 20 as a NEW version, keeping the
+    pre-expiry version time-travelable (copy-on-write — expiry is a
+    recorded, auditable event, not a silent rewrite). Output: per-type
+    row accounting of the post-TTL version plus the v1 row count, which
+    pins BOTH sides — rows correctly dropped from v2 AND v1 left
+    intact. The TTL predicate is get()'s pushdown-friendly temporal
+    filter, so with date partitioning expired partitions prune at file
+    listing."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f23_expire", sf_dir))
+    fs.register("ev", feats)
+    fs.expire_features("ev", dt.datetime(2024, 1, 20))
+    kept = fs.get_version("ev", 2)
+    v1_rows = F.broadcast(
+        fs.get_version("ev", 1).agg(F.count("*").alias("v1_rows"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value_cents").alias("sum_value_cents"),
+            F.min(_US("timestamp")).alias("min_ts_us"),
+        )
+        .crossJoin(v1_rows)
+    )
+
+
+def q_f24_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure through the public API (store.py erase_entities):
+    build a 2-version table (even event_ids, then append the odd ones),
+    erase users {3, 7, 11} from EVERY retained version in place (NOT
+    copy-on-write — the point of erasure is that no time-travelable
+    copy survives), and emit the audit: per version, rows_removed plus
+    the post-erasure row count and an order-independent md5 content
+    checksum. The oracle recomputes each version's surviving multiset
+    straight from the source, so a row that survived erasure — or a
+    non-matching row that got dropped — hash-mismatches. Scale shape:
+    the IN-list anti-filter is a map-only predicate; only affected
+    versions are rewritten."""
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f24_erase", sf_dir))
+    fs.register("ev", feats.filter(F.col("event_id") % 2 == 0))
+    fs.append("ev", feats.filter(F.col("event_id") % 2 == 1))
+    removed = fs.erase_entities("ev", [3, 7, 11])
+    chk = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ",", "entity_id", F.unix_micros("timestamp"), "event_id"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 31)
+    )
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            fs.get_version("ev", v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(removed.get(("ev", v), 0)).cast("long").alias("rows_removed"),
+                F.count("*").alias("n_rows"),
+                F.sum(chk).alias("content_check"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q_f21_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py asof_join_forward — pandas
+    merge_asof direction='forward' parity, property-tested against
+    pandas): each view takes its user's NEXT purchase within 12 hours —
+    one matched row per view with the exact time-to-convert, where a16's
+    funnel only counts conversions. Completes merge_asof surface parity:
+    f7 backward, f18 nearest, f21 forward. Same join-free single-shuffle
+    union plan; the oracle replays it as a banded forward argmin."""
+    from .operators.asof import asof_join_forward
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_forward(
+        spine, feats, tolerance_seconds=12 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("as_of_timestamp").alias("view_us"),
+        _US("timestamp").alias("buy_us"),
+        "value",
+        (F.unix_micros("timestamp") - F.unix_micros("as_of_timestamp")).alias(
+            "time_to_convert_us"
+        ),
+    )
+
+
+def q_f18b_asof_nearest_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f18 through the BANDED plan (operators/asof.py
+    asof_join_nearest_banded): shuffle re-keyed on (user, floor(ts/6h))
+    with the spine exploded to 3 tolerance buckets, per-spine argmin as
+    a partial-agg min_by — the hot-entity treatment (f15b's recipe)
+    applied to the nearest direction, where the union plan would
+    serialize a hot user into one window task. Same oracle as f18: two
+    different physical plans, one answer (the x9 independent-check
+    recipe); equivalence also property-tested."""
+    from .operators.asof import asof_join_nearest_banded
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    out = asof_join_nearest_banded(
+        spine, feats, tolerance_seconds=6 * 3600, keep_spine_ts=True
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("feature_us"),
+        "value",
+        _US("as_of_timestamp").alias("spine_us"),
+    )
+
+
+def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SESSIONIZATION witness (streaming/stateful.py
+    streaming_session_counts): the events are split at the month's midpoint
+    into two parquet files and streamed through the REAL
+    applyInPandasWithState gap-fold with maxFilesPerTrigger=1 — so
+    sessions spanning the batch boundary exercise the state carry-over —
+    into a memory sink; the final per-user snapshot is returned. The
+    time-boundary split keeps the feed per-key ordered across batches
+    (the watermark assumption), making the fold deterministic; the
+    oracle is x7_sessionize's window SQL VERBATIM — the driver itself
+    witnesses that the streaming state machine and the batch
+    lag()/running-sum plan compute one answer."""
+    from .streaming.ingest import stream_events
+    from .streaming.stateful import streaming_session_counts
+
+    d = _scratch_dir("sd3_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    stream = stream_events(spark, d)
+    q = (
+        streaming_session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sd3_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd3_sessions")
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+QUERIES = {
+    'f9_diff_versions': q_f9_diff_versions,
+    'f1_register_pit_get': q_f1_register_pit_get,
+    'f2_temporal_filter': q_f2_temporal_filter,
+    'f3_entity_filter': q_f3_entity_filter,
+    'f4_latest_per_entity': q_f4_latest_per_entity,
+    'f6_pit_lookup': q_f6_pit_lookup,
+    'f6b_pit_orders': q_f6b_pit_orders,
+    'f7_asof_join': q_f7_asof_join,
+    'f7_asof_join_grid': q_f7_asof_join_grid,
+    'f7c_asof_tolerance': q_f7c_asof_tolerance,
+    'f8_version_travel': q_f8_version_travel,
+    'f10_sql_over_views': q_f10_sql_over_views,
+    'h1_time_rollup': q_h1_time_rollup,
+    'x7_sessionize': q_x7_sessionize,
+    'x7b_session_stats': q_x7b_session_stats,
+    'f11_scd2_intervals': q_f11_scd2_intervals,
+    'h2_value_histogram': q_h2_value_histogram,
+    'h3_incremental_rollup': q_h3_incremental_rollup,
+    'f13_pit_window_agg': q_f13_pit_window_agg,
+    'f14_multi_view_training_set': q_f14_multi_view_training_set,
+    'f7e_asof_left': q_f7e_asof_left,
+    'f15_decayed_features': q_f15_decayed_features,
+    'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
+    'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
+    'f18_asof_nearest': q_f18_asof_nearest,
+    'f20_scd2_dim_join': q_f20_scd2_dim_join,
+    'io8_compaction': q_io8_compaction,
+    'f22_upsert_patch': q_f22_upsert_patch,
+    'f23_expire_ttl': q_f23_expire_ttl,
+    'f24_erase_audit': q_f24_erase_audit,
+    'f21_asof_forward': q_f21_asof_forward,
+    'f18b_asof_nearest_banded': q_f18b_asof_nearest_banded,
+    'f16_label_window': q_f16_label_window,
+    'f16b_label_window_frames': q_f16b_label_window_frames,
+    'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "f9_diff_versions": f"""
+        WITH base AS (
+            SELECT user_id AS entity_id, ts, event_type, value FROM ({_EV})
+        ),
+        v1 AS (SELECT * FROM base WHERE ts < TIMESTAMP '2024-01-15'),
+        v2 AS (
+            SELECT entity_id, ts, event_type,
+                   CASE WHEN event_type = 'purchase' THEN value * 2
+                        ELSE value END AS value
+            FROM base WHERE ts < TIMESTAMP '2024-01-20'
+        ),
+        o AS (
+            SELECT entity_id, ts,
+                   md5(array_to_string(list_sort(list(event_type || chr(1) || value::VARCHAR)), ',')) AS kh,
+                   COUNT(*) AS kn
+            FROM v1 GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT entity_id, ts,
+                   md5(array_to_string(list_sort(list(event_type || chr(1) || value::VARCHAR)), ',')) AS kh,
+                   COUNT(*) AS kn
+            FROM v2 GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT CASE WHEN o.kh IS NULL THEN 'added'
+                        WHEN n.kh IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   COALESCE(o.kn, 0) AS orw, COALESCE(n.kn, 0) AS nrw
+            FROM o FULL OUTER JOIN n USING (entity_id, ts)
+            WHERE o.kh IS NULL OR n.kh IS NULL OR o.kh <> n.kh
+        )
+        SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(orw) AS BIGINT) AS old_rows,
+               CAST(SUM(nrw) AS BIGINT) AS new_rows
+        FROM d GROUP BY 1
+    """,
+    "f1_register_pit_get": f"""
+        SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+            SELECT user_id, ts, value, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00' AND user_id < 20
+        ) WHERE rn = 1
+    """,
+    "f2_temporal_filter": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM ({_EV}) WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+    "f3_entity_filter": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM ({_EV}) WHERE user_id IN (1,3,5,7,11)
+    """,
+    "f4_latest_per_entity": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+        ) WHERE rn = 1
+    """,
+    "f6_pit_lookup": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ({_EV})
+            WHERE ts <= TIMESTAMP '2024-01-20 00:00:00' AND user_id BETWEEN 0 AND 9
+        ) WHERE rn = 1
+    """,
+    "f7_asof_join": f"""
+        WITH f AS ({_EV}),
+        s AS (SELECT user_id, ts AS sts FROM f WHERE event_type = 'purchase')
+        SELECT user_id, event_id, ts_us, event_type, value, as_of_us FROM (
+            SELECT s.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.event_type,
+                   f.value, epoch_us(s.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    """,
+    "f7e_asof_left": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-02'),
+                                    (TIMESTAMP '2024-01-15')) AS t(sts)),
+        s AS (SELECT DISTINCT user_id FROM f),
+        spine AS (SELECT s.user_id, g.sts FROM s CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine LEFT JOIN f
+              ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1
+    """,
+    "f7_asof_join_grid": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08'),
+                                    (TIMESTAMP '2024-01-15'),
+                                    (TIMESTAMP '2024-01-22')) AS t(sts)),
+        s AS (SELECT DISTINCT user_id FROM f),
+        spine AS (SELECT s.user_id, g.sts FROM s CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1
+    """,
+    "f6b_pit_orders": """
+        SELECT o_custkey, order_ts_us, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_ts_us,
+                   o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+            FROM orders
+            WHERE CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1997-12-31 23:59:59'
+        ) WHERE rn = 1
+    """,
+    "f7c_asof_tolerance": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-05'),
+                                    (TIMESTAMP '2024-01-20')) AS t(sts)),
+        spine AS (SELECT user_id, sts FROM (SELECT DISTINCT user_id FROM f) CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value, as_of_us FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   epoch_us(spine.sts) AS as_of_us, f.ts, spine.sts,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1 AND ts >= sts - INTERVAL 48 HOURS
+    """,
+    "f10_sql_over_views": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "f8_version_travel": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM ({_EV})
+    """,
+    "x7_sessionize": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM ({_EV})),
+        l AS (SELECT user_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                          WHEN ts_us - lag(ts_us) OVER w > {_30MIN_US} THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        s AS (SELECT user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "x7b_session_stats": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, ts FROM ({_EV})),
+        l AS (SELECT user_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                          WHEN ts_us - lag(ts_us) OVER w > {_30MIN_US} THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        s AS (SELECT user_id, ts_us,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l),
+        per_sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_s
+            FROM s GROUP BY user_id, session_id)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               ROUND(AVG(n_events), 4) AS avg_events_per_session,
+               ROUND(AVG(duration_s), 4) AS avg_duration_s
+        FROM per_sess GROUP BY user_id
+    """,
+    "h1_time_rollup": f"""
+        SELECT hour_us, day_us, month_us,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+                     epoch_us(date_trunc('day', ts)) AS day_us,
+                     epoch_us(date_trunc('month', ts)) AS month_us,
+                     value
+              FROM ({_EV}))
+        GROUP BY GROUPING SETS ((hour_us), (day_us), (month_us))
+    """,
+    "f11_scd2_intervals": f"""
+        SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+               epoch_us(COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31')) AS valid_to_us,
+               value
+        FROM ({_EV}) WHERE user_id < 50
+    """,
+    "h2_value_histogram": """
+        SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_discount
+        FROM lineitem GROUP BY 1
+    """,
+    # trailing-window PIT features: LEFT JOIN over the 7d band, CASE for
+    # the nested 1d window; integer-cent sums are order-independent
+    "f13_pit_window_agg": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM ({_EV})
+        ),
+        s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+              WHERE event_id % 10 = 0)
+        SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+               CAST(COUNT(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS n_86400s,
+               CAST(COALESCE(SUM(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY
+                                      THEN e.cents END), 0) AS BIGINT) AS sum_86400s,
+               CAST(MIN(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS min_86400s,
+               CAST(MAX(CASE WHEN e.ts > s.ts - INTERVAL 1 DAY THEN e.cents END)
+                    AS BIGINT) AS max_86400s,
+               CAST(COUNT(e.cents) AS BIGINT) AS n_604800s,
+               CAST(COALESCE(SUM(e.cents), 0) AS BIGINT) AS sum_604800s
+        FROM s LEFT JOIN ev e
+          ON e.user_id = s.user_id
+         AND e.ts > s.ts - INTERVAL 7 DAY
+         AND e.ts <= s.ts
+        GROUP BY s.user_id, s.ts, s.spine_id
+    """,
+    "f15_decayed_features": _F15_SQL,
+    "f16_label_window": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM ({_EV})
+        ),
+        s AS (SELECT user_id, ts, event_id AS spine_id FROM ev
+              WHERE event_id % 10 = 0)
+        SELECT s.user_id, epoch_us(s.ts) AS ts_us, s.spine_id,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_future_purchases,
+               COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN 1 ELSE 0 END), 0) > 0 AS label_converted,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                      THEN e.cents END), 0) AS BIGINT)
+                   AS future_purchase_cents
+        FROM s LEFT JOIN ev e
+          ON e.user_id = s.user_id
+         AND e.ts > s.ts
+         AND e.ts <= s.ts + INTERVAL 7 DAY
+        GROUP BY s.user_id, s.ts, s.spine_id
+    """,
+    # incremental rollup == from-scratch aggregate over the full fact
+    "h3_incremental_rollup": f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS min_value_cents,
+               CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS max_value_cents
+        FROM ({_EV}) GROUP BY event_type
+    """,
+
+}
+
+
+# Same semantics as their parent queries, different physical plans (the
+# bucketed band join / the join-free range-frame window) — the oracle is
+# identical; what differs is plan-gated in tests/test_plans.py.
+ORACLE_SQL["f15b_decayed_bucketed"] = _F15_SQL
+ORACLE_SQL["f16b_label_window_frames"] = ORACLE_SQL["f16_label_window"]
+
+# Batch replay of the deterministic stateful streaming fold: cumulative
+# count/sum (integer cents — exact in doubles) + last row by (ts_us,
+# event_id). The Spark side runs the REAL applyInPandasWithState stream.
+ORACLE_SQL["sd2_running_state_snapshot"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100 + 0.5) AS DOUBLE) AS cents
+        FROM ({_EV})
+    ),
+    agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(cents) AS sum_cents
+        FROM ev GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, ts_us, cents, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM ev
+    )
+    SELECT a.user_id, a.n_events, a.sum_cents,
+           r.ts_us AS last_ts_us, r.cents AS last_cents,
+           r.event_id AS last_event_id
+    FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+"""
+
+ORACLE_SQL["f14_multi_view_training_set"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT DISTINCT user_id, ts AS sts FROM f
+          WHERE event_type = 'purchase'),
+    ev AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts, f.event_id,
+                   f.event_type AS last_event_type, f.value AS last_value,
+                   epoch_us(f.ts) AS event_ts_us,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    ),
+    o AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts,
+                   ord.o_totalprice AS last_order_price,
+                   epoch_us(CAST(ord.o_orderdate AS TIMESTAMP)) AS order_ts_us,
+                   row_number() OVER (
+                       PARTITION BY s.user_id, s.sts
+                       ORDER BY CAST(ord.o_orderdate AS TIMESTAMP) DESC,
+                                ord.o_orderkey ASC) AS rn
+            FROM s JOIN orders ord
+              ON s.user_id = ord.o_custkey
+             AND CAST(ord.o_orderdate AS TIMESTAMP) <= s.sts
+        ) WHERE rn = 1
+    )
+    SELECT ev.user_id, epoch_us(ev.sts) AS as_of_us, ev.event_id,
+           ev.last_event_type, ev.last_value, ev.event_ts_us,
+           o.last_order_price, o.order_ts_us
+    FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
+"""
+
+# f21: banded forward argmin; ties (same purchase ts) take min event_id,
+# matching asof_join_forward's min-__row_id__ contract.
+ORACLE_SQL["f21_asof_forward"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT event_id AS spine_id, user_id, ts AS sts
+              FROM ev WHERE event_type = 'view'),
+    cand AS (
+        SELECT s.spine_id, s.user_id, s.sts, f.ts AS fts, f.value, f.event_id
+        FROM spine s
+        JOIN (SELECT * FROM ev WHERE event_type = 'purchase') f
+             USING (user_id)
+        WHERE f.ts >= s.sts
+          AND epoch_us(f.ts) - epoch_us(s.sts) <= 43200000000
+    ),
+    pick AS (
+        SELECT user_id, sts, fts, value,
+               row_number() OVER (PARTITION BY spine_id
+                                  ORDER BY fts, event_id) AS rn
+        FROM cand
+    )
+    SELECT user_id, epoch_us(sts) AS view_us, epoch_us(fts) AS buy_us,
+           value, epoch_us(fts) - epoch_us(sts) AS time_to_convert_us
+    FROM pick WHERE rn = 1
+"""
+
+# io8: rows + content checksum recomputed straight from the source —
+# a lossy compaction hash-mismatches; layout facts are pinned as flags.
+ORACLE_SQL["io8_compaction"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+           CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ','
+                     || CAST(epoch_us(ts) AS VARCHAR)), 1, 8))::BIGINT
+                    % 2147483648) AS BIGINT) AS content_check,
+           CAST(1 AS BIGINT) AS files_after,
+           TRUE AS compacted,
+           TRUE AS rows_preserved
+    FROM ({_EV})
+"""
+
+ORACLE_SQL["f22_upsert_patch"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    patch AS (
+        SELECT entity_id, ts,
+               CAST(MAX(event_id) AS BIGINT) AS event_id,
+               'purchase_fixed' AS event_type,
+               CAST(max_by(value_cents, event_id) + 1000 AS BIGINT)
+                   AS value_cents
+        FROM feats WHERE event_type = 'purchase' AND entity_id < 20
+        GROUP BY entity_id, ts
+    ),
+    untouched AS (
+        SELECT f.* FROM feats f
+        WHERE NOT EXISTS (SELECT 1 FROM patch p
+                          WHERE p.entity_id = f.entity_id AND p.ts = f.ts)
+    )
+    SELECT entity_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+           event_type, value_cents
+    FROM (SELECT * FROM untouched UNION ALL SELECT * FROM patch)
+"""
+
+ORACLE_SQL["f23_expire_ttl"] = f"""
+    WITH feats AS ({_FEATS_CENTS})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM feats) AS v1_rows
+    FROM feats
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["f24_erase_audit"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    v1 AS (SELECT * FROM feats WHERE event_id % 2 = 0),
+    v2 AS (SELECT * FROM feats)
+    SELECT CAST(1 AS BIGINT) AS version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1
+            WHERE entity_id IN (3, 7, 11)) AS rows_removed,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_F24_CHK} AS content_check
+    FROM v1 WHERE entity_id NOT IN (3, 7, 11)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2
+            WHERE entity_id IN (3, 7, 11)),
+           CAST(COUNT(*) AS BIGINT),
+           {_F24_CHK}
+    FROM v2 WHERE entity_id NOT IN (3, 7, 11)
+"""
+
+# f20: interval containment replayed over the same lead() dim.
+ORACLE_SQL["f20_scd2_dim_join"] = f"""
+    WITH ev AS ({_EV}),
+    dim AS (
+        SELECT user_id AS d_user, ts AS valid_from,
+               COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31') AS valid_to,
+               value AS dim_value, event_id AS dim_event
+        FROM ev WHERE event_type = 'click'
+    ),
+    buys AS (SELECT user_id, event_id, ts FROM ev
+             WHERE event_type = 'purchase')
+    SELECT b.user_id, b.event_id AS buy_id, epoch_us(b.ts) AS buy_us,
+           d.dim_event, d.dim_value
+    FROM buys b JOIN dim d
+      ON b.user_id = d.d_user
+     AND b.ts >= d.valid_from AND b.ts < d.valid_to
+"""
+
+# f18: banded argmin replay of the nearest as-of; tie chain
+# (distance, backward-first, event_id) matches the operator's
+# (|dt|, is_forward, __row_id__) exactly.
+ORACLE_SQL["f18_asof_nearest"] = f"""
+    WITH ev AS ({_EV}),
+    spine AS (SELECT event_id AS spine_id, user_id, ts AS sts
+              FROM ev WHERE event_type = 'purchase'),
+    cand AS (
+        SELECT s.spine_id, s.user_id, s.sts, f.ts AS fts, f.value,
+               abs(epoch_us(f.ts) - epoch_us(s.sts)) AS dist,
+               CASE WHEN f.ts <= s.sts THEN 0 ELSE 1 END AS fwd,
+               f.event_id
+        FROM spine s JOIN (SELECT * FROM ev WHERE event_type <> 'purchase') f
+             USING (user_id)
+        WHERE abs(epoch_us(f.ts) - epoch_us(s.sts)) <= 21600000000
+    ),
+    pick AS (
+        SELECT user_id, sts, fts, value,
+               row_number() OVER (PARTITION BY spine_id
+                                  ORDER BY dist, fwd, event_id) AS rn
+        FROM cand
+    )
+    SELECT user_id, epoch_us(fts) AS feature_us, value,
+           epoch_us(sts) AS spine_us
+    FROM pick WHERE rn = 1
+"""
+
+# f18b: two physical plans, one oracle (see q_f18b docstring).
+ORACLE_SQL["f18b_asof_nearest_banded"] = ORACLE_SQL["f18_asof_nearest"]
+# same answer, two machines: the batch lag()/running-sum plan (x7) and
+# the streaming state fold must agree row-for-row
+ORACLE_SQL["sd3_streaming_sessionize"] = ORACLE_SQL["x7_sessionize"]

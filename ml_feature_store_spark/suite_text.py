@@ -1,0 +1,2140 @@
+"""Text analysis, exact & near-dup dedup, tokenizer, sampling / mixing / packing and corpus-curation pipelines.
+
+Split from suite.py (round 4); assembled by suite.py."""
+
+from __future__ import annotations
+
+import math  # noqa: F401
+import tempfile  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .operators.asof import asof_join  # noqa: F401
+from .operators.pit import (  # noqa: F401
+    entity_filter,
+    latest_per_entity,
+    temporal_filter,
+    top_k_per_group,
+)
+from .suite_common import *  # noqa: F401,F403
+
+
+
+def q_x20_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: corpus-wide adjacent token-pair
+    frequencies — the statistic every BPE merge iteration ranks on. The
+    pair construction is a JVM-side zip of the token array with its own
+    tail (no UDF, no shuffle until the count), then one partial-agg
+    count and a top-20 TakeOrderedAndProject. At 100 TB this is exactly
+    how you'd fit a tokenizer on the corpus: each merge round = one
+    such counting pass over (re-segmented) tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = docs.select(F.explode(pairs).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+def q_pipe3_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL corpus-curation pipeline as ONE declarative plan — the
+    C4/Dolma reproduction flagship, chaining five stages the suite also
+    proves individually: (1) quality gate (>=30 tokens, distinct-token
+    ratio >=0.4), (2) exact dedup keep-first (md5 groupBy), (3) near-dup
+    clusters (MinHash-LSH candidates -> exact Jaccard >=0.5 -> connected
+    components) keeping the best-quality member, (4) decontamination
+    against the held-out slice (4-gram broadcast banlist), (5) md5 shard
+    deal. Output: per-shard manifests with order-independent id sums.
+    Every stage is shuffle-bounded exactly as its standalone query; the
+    oracle replays the entire chain in one WITH RECURSIVE statement."""
+    from .operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+        detect_contamination,
+        ngram_jaccard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+
+    toks = F.split(F.col("text"), " ")
+    uniq = F.size(F.array_distinct(toks)) / F.size(toks)
+    q1 = corpus.filter((F.size(toks) >= 30) & (uniq >= 0.4))
+
+    keep_first = q1.groupBy(F.md5("text").alias("__h__")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    q2 = q1.join(keep_first.select("doc_id"), "doc_id")
+
+    cand = dedup_minhash_lsh(q2, num_hashes=16, bands=4, hash_family="md5_affine")
+    edges = ngram_jaccard(q2, cand, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(edges)
+    members = comp.join(
+        q2.select("doc_id", uniq.alias("__uq__")), comp.node == F.col("doc_id")
+    )
+    w_keep = F.max_by(
+        "doc_id", F.struct(F.col("__uq__"), (-F.col("doc_id")).alias("n"))
+    )
+    kept = members.groupBy("component").agg(w_keep.alias("keep_id"))
+    drops = members.join(
+        kept, members.component == kept.component
+    ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    q3 = q2.join(drops, "doc_id", "left_anti")
+
+    hits = detect_contamination(q3, benchmark, shingle_k=4).select("doc_id")
+    q4 = q3.join(hits, "doc_id", "left_anti")
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 4
+    )
+    return q4.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_x18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: each
+    (customer, part) purchase positive spawns k=3 candidate negatives
+    drawn from the part id space by a portable md5 hash (rand()-free:
+    retries, partitionings and engines all sample the SAME negatives),
+    then collisions with ANY true positive of that customer are
+    anti-joined away. Map-only candidate generation + one anti-join on
+    (customer, part) — at 100 TB both sides shuffle once on the pair
+    key. Output pins the sampled set per customer via order-independent
+    integer sums."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    maxp = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxp"))
+    cand = (
+        pos.crossJoin(F.broadcast(maxp))
+        .select(
+            "cust",
+            "part",
+            "maxp",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("i"),
+        )
+        .select(
+            "cust",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", "cust", "part", "i")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("maxp")
+                + 1
+            ).alias("neg_part"),
+        )
+    )
+    negs = cand.join(
+        pos.select("cust", F.col("part").alias("neg_part")), ["cust", "neg_part"], "left_anti"
+    )
+    return negs.groupBy("cust").agg(
+        F.count("*").alias("n_neg"),
+        F.sum("neg_part").alias("sum_neg_parts"),
+        F.countDistinct("neg_part").alias("n_distinct_neg"),
+    )
+
+
+def q_x3_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the minimum doc_id per distinct
+    normalized text (SURVEY §2.4 X3)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def q_t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free stopword-ratio language heuristic (deterministic,
+    SQL-expressible on both engines)."""
+    stop = ["the", "a", "of", "and", "in", "to", "is"]
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    ratio = hits / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def q_t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality: token count, distinct-token ratio, chars/token,
+    stopword ratio (functions/text.stopword_ratio — the C4/Gopher-style
+    natural-language signal: too low means word salad, too high means
+    boilerplate)."""
+    from .functions.text import stopword_ratio
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_uniq / n_tok, 6).alias("uniq_ratio"),
+        F.round(F.col("n_chars") / n_tok, 6).alias("chars_per_token"),
+        F.round(stopword_ratio(F.col("text"), STOPWORDS), 6).alias("stopword_ratio"),
+    )
+
+
+def q_t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the first 8 sorted
+    distinct tokens (a cheap, order-insensitive content signature)."""
+    docs = table(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), 1, 8)
+        )
+    )
+    return docs.select("doc_id", sig.alias("fingerprint"))
+
+
+def q_x6_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs on documents, on the PORTABLE
+    hash family (md5 base + affine reseeding, operators/dedup.py
+    MINHASH_A/B/P): the DuckDB oracle regenerates signatures, band
+    buckets and the candidate join bit-for-bit — a full value-level check
+    of the LSH pipeline (round 1 was rows-only on xxhash64 seeds).
+    Production keeps hash_family="xxhash64" (same plan, faster hash)."""
+    from .operators.dedup import dedup_minhash_lsh
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+
+
+def q_x6b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= 0.5 (same
+    portable hash family as x6, so the oracle replicates candidates AND
+    the verify arithmetic)."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    out = ngram_jaccard(docs, pairs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_x9_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + duplicate groups on the PORTABLE 60-bit hash
+    (md5-derived; operators/dedup.py hash_family="md5_60"): the DuckDB
+    oracle recomputes every signature bit with relational per-bit vote
+    counts — a different algorithm (64 conditional sums) than the SWAR
+    lane fold, so the check also guards the SWAR decode. Production
+    keeps xxhash64 (round 1 was rows-only on it)."""
+    from .operators.dedup import dedup_simhash
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_simhash(docs, hash_family="md5_60")
+
+
+def q_t3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer (BPE-ish alnum runs) per document: total and distinct
+    token counts — JVM-side regexp/array kernels, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def q_t5_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-kernel coverage: case mapping, replace, concat_ws,
+    substring, reverse, regexp_extract, levenshtein — all JVM codegen
+    expressions over one scan of part (no shuffle at any scale)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.reverse("p_type").alias("type_rev"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev_b10"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q_x12_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train-test split + 5-fold assignment over
+    documents, by doc_id md5-hash bucketing (operators/sampling.py). A
+    map-only codegen predicate — reproducible across runs, engines and
+    partitionings, unlike rand(seed). Output: per (split, fold) counts
+    and length stats, which pin every row's assignment."""
+    from .operators.sampling import with_kfold, with_split
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = with_kfold(with_split(docs, "doc_id", 0.8), "doc_id", 5)
+    return tagged.groupBy("split", "fold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_x13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 25% of dominant 'en',
+    60% of 'es'/'de', all of the rest — the class-rebalancing pass of a
+    training corpus, as ONE filtered scan (per-stratum thresholds folded
+    into a single CASE predicate, no shuffle, no per-stratum jobs)."""
+    from .operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.25, "es": 0.6, "de": 0.6}, default_frac=1.0
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def q_x15_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components by
+    iterative min-label propagation over the x2 similarity edges
+    (operators/dedup.py connected_components). Transitive closure is
+    what turns pairwise 'a~b, b~c' into one dedup group {a,b,c}. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE —
+    both sides are deterministic (min node id per component). Round 3:
+    the edge generation blocks on (label, lsh_bucket) like x2/x11, so
+    the pair join's block key has data-scaled cardinality."""
+    from .operators.dedup import connected_components, dedup_embedding_cosine
+    from .operators.similarity import rp_lsh_bucketize
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb = rp_lsh_bucketize(emb, dim=64, bits=4, seed=42, bucket_col="bucket")
+    pairs = dedup_embedding_cosine(emb, threshold=0.35, block_col=["label", "bucket"])
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def q_t6_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view / UDTF surface: posexplode the token array of each
+    document into (doc_id, position, token) rows — the generator runs
+    inside codegen (Generate node), no Python. Row growth is bounded by
+    total token count, and the downstream filter on token length is
+    applied before anything shuffles (there is no shuffle at all: scan →
+    generate → filter → project, embarrassingly parallel at any SF)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    return tok.filter(F.length("token") >= 7).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        "token",
+    )
+
+
+def q_pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-style sequence packing (concat-and-chunk): docs are packed in
+    doc_id order into 2048-token bins via an EXCLUSIVE prefix sum —
+    bin = floor(tokens_before / budget) — the standard 'concatenate the
+    corpus, cut at the context length' shape. Packing is per shard
+    (pmod(doc_id, 8)): each shard's running sum is an independent
+    window partition, so the job parallelizes as shards x executors
+    with no global sort — exactly how a 100 TB corpus is packed in
+    practice (global greedy packing would serialize; per-shard is the
+    accepted approximation)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_pipe1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning pipeline composition — the C4-style recipe as ONE
+    declarative plan: length filter (10..2000 tokens), mean-token-length
+    filter (2..14 chars), exact dedup keep-first over the normalized
+    text hash, then per-lang survivor stats. Catalyst fuses the filters
+    into the scan; the only shuffles are the dedup window hash
+    partition and the final rollup. Every stage is a column expression
+    — no Python in the loop at any corpus size."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    filtered = docs.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 2000)
+        & ((F.col("n_chars") / F.col("n_tokens")).between(2.0, 14.0))
+    )
+    wdup = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(wdup)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_c1_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking (operators/chunking.py): overlapping 16-token
+    windows with 4-token overlap, map-only explode — no shuffle. md5 of
+    each chunk's text proves byte-exact window extraction cross-engine."""
+    from .operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py redact_pii): per-kind match counts
+    + the scrubbed text's md5. The corpus is synthetic-clean, so the query
+    plants one email/phone/ssn/ip per document (deterministic from doc_id)
+    and the oracle plants + scrubs the identical ones with the same RE2/
+    Java-compatible patterns."""
+    from .operators.text import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    out = redact_pii(planted, text_col="text2")
+    return out.select(
+        "doc_id",
+        "pii_email_count",
+        "pii_phone_count",
+        "pii_ssn_count",
+        "pii_ipv4_count",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def q_t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (operators/text.py
+    repetition_stats, MassiveText/Gopher-style): duplicate-line and
+    top-2-gram concentration per document, map-only. Integer signals +
+    a cross-multiplied threshold boolean — no float rounding anywhere
+    the oracle hashes."""
+    from .operators.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, ngram=2)
+    return out.select(
+        "doc_id", "n_lines", "dup_lines", "n_grams", "top_gram_count", "repetitious"
+    )
+
+
+def q_er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.py): customer names
+    deterministically corrupted (mutate/drop/append a character keyed on
+    custkey), then matched back to the clean table by levenshtein <= 2,
+    best candidate per dirty row by (distance, custkey). Blocking key =
+    (nation, 17-char name prefix): the prefix is STABLE under the
+    corruption model (all three modes only touch the name's tail), so
+    recall is unharmed while candidates drop from |nation| (~600 at
+    sf0.1: 9M levenshtein pairs, measured 22s) to ~10 per record — the
+    classic blocking-key design rule: derive the key from what the noise
+    cannot touch. The oracle replicates block, metric and tie-break
+    exactly."""
+    from .operators.linkage import fuzzy_match_blocked
+
+    cust = table(spark, sf_dir, "customer")
+    corrupted = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring("c_name", 1, 17), F.lit("X")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.substring("c_name", 1, 17))
+        .otherwise(F.concat(F.col("c_name"), F.lit("Z")))
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        corrupted.alias("c_name"),
+        "c_nationkey",
+    ).withColumn("name_blk", F.substring("c_name", 1, 17))
+    clean = cust.select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).withColumn("name_blk", F.substring("c_name", 1, 17))
+    out = fuzzy_match_blocked(
+        dirty, clean, ["c_nationkey", "name_blk"], "c_name", "c_custkey",
+        max_distance=2, dirty_id_col="d_key",
+    )
+    return out.select(
+        "d_key",
+        F.col("matched_c_custkey").alias("matched_key"),
+        "distance",
+    )
+
+
+def q_pipe2_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup — the full corpus-curation composite:
+    MinHash-LSH candidates (portable md5+affine family) -> exact shingle-
+    Jaccard verify >= 0.5 -> connected components -> per cluster KEEP the
+    member with the best quality score (distinct-token ratio; smallest
+    doc_id on ties) and drop the rest. The keep decision uses a partial-
+    aggregating max_by over (quality, -doc_id) — no per-cluster window,
+    map-side combinable. At 100 TB this is candidates-only pair work
+    (banded LSH), one CC fixpoint over near-dup edges (tiny vs corpus),
+    and one agg; quality is a map-only scan column."""
+    from .operators.dedup import connected_components, dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    edges = ngram_jaccard(docs, cand, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(edges)
+    toks = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq"),
+    )
+    members = comp.join(quality, comp.node == quality.doc_id)
+    return members.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("uniq"), (-F.col("doc_id")).alias("neg"))
+        ).alias("kept_doc_id"),
+        F.round(F.max("uniq"), 6).alias("kept_uniq_ratio"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+def q_shuf1_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training: permute the
+    corpus by md5(doc_id) — a reproducible pseudo-random order, invariant
+    to engine, partitioning and retries, unlike rand() — deal docs into 8
+    shards by a hash prefix (map-only), and emit per-shard manifests.
+    The manifest pins the PERMUTATION itself with two order-independent
+    checksums: sums of 31-bit md5 terms over (pos, doc_id) pairs —
+    partial-agg sums, no collect_list, and bounded terms mean no long
+    overflow until ~2^32 rows per shard (raw moments like
+    sum(pos^2*doc_id) overflow at 8x replicated ids — caught by
+    tools/scale_smoke.py). At 100 TB the in-shard ordering is a
+    range-partitioned sort on the hash (the standard shuffle-before-
+    training terasort); shard count just scales up."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    tagged = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = tagged.withColumn("pos", F.row_number().over(w))
+    ph = F.md5(F.concat_ws(",", F.col("pos"), F.col("doc_id")))
+    term1 = F.conv(F.substring(ph, 1, 8), 16, 10).cast("long") % F.lit(1 << 31)
+    term2 = F.conv(F.substring(ph, 9, 8), 16, 10).cast("long") % F.lit(1 << 31)
+    return pos.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(term1).alias("perm_s1"),
+        F.sum(term2).alias("perm_s2"),
+    )
+
+
+def q_t4b_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/rolling-hash fingerprint (operators/text.py
+    rolling_hash_fingerprint): per doc, the 4 smallest portable 32-bit
+    hashes over 4-token shingles — the content-region sketch used for
+    containment detection (MOSS-style), complementary to t4's whole-doc
+    fingerprint. Map-only; the sketch join to find overlapping docs is a
+    4-row explode + equi join at any scale."""
+    from .operators.text import rolling_hash_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    out = rolling_hash_fingerprint(docs, window=4, keep=4, hash_family="md5_32")
+    # CSV-serialize the sketch: the driver's pandas canonicalizer cannot
+    # hash raw array<> cells.
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("sketch", lambda x: x.cast("string"))
+        ).alias("sketch"),
+    )
+
+
+def q_decon1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination sweep (Dolma/GPT-3-style decontamination):
+    flag every training doc sharing at least one 4-token shingle with the
+    held-out benchmark slice (doc_id % 20 == 0 stands in for the eval
+    set). The benchmark n-gram banlist is deduped and BROADCAST, so the
+    containment check is map-side — the corpus is never shuffled, only
+    the tiny per-doc hit counts are."""
+    from .operators.dedup import detect_contamination
+
+    docs = table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return detect_contamination(train, benchmark, shingle_k=4)
+
+
+def q_x21_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer-training loop (operators/text.py
+    bpe_train_merges): 3 rounds of corpus-wide pair counting (x20's
+    pass), driver-side argmax of ONE row (the k-means/PQ scalar-collect
+    pattern), and a codegen array-fold merge applied corpus-wide. The
+    DuckDB oracle replays all three rounds as chained CTEs — per-round
+    argmax as a 1-row CTE, the greedy merge as window-function
+    mark/drop/renumber (exactly equivalent to the left-to-right fold
+    because x != y rules can never overlap), with n_merges recomputed
+    from token-count shrinkage as an independent cross-check of cnt."""
+    from .operators.text import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents")
+    res = bpe_train_merges(docs, "text", rounds=3)
+    return spark.createDataFrame(
+        [(r["round"], r["x"], r["y"], r["cnt"], r["n_merges"]) for r in res],
+        "round long, x string, y string, cnt long, n_merges long",
+    ).orderBy("round")
+
+
+def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-dedup): every embedding
+    is assigned to its nearest of 16 deterministic centroids (broadcast
+    codebook + max_by argmax — the same write-time map-only pass as x10),
+    candidate pairs form ONLY within a cell, and the higher vec_id of any
+    pair with cosine >= 0.35 is marked dropped. Completes the dedup
+    family: x3 exact, x6 MinHash, x9 SimHash, x11 LSH-blocked cosine, x22
+    CLUSTER-blocked cosine — the variant whose block key is learned from
+    the data rather than hashed. At corpus scale the cell count is the
+    knob (SemDeDup uses k ~ n/1e3, keeping within-cell work bounded);
+    here k=16 on the test corpus. Output is per-cell accounting —
+    (n_vecs, n_dropped, n_kept) — the dedup-rate report a curation run
+    ships."""
+    from .operators.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, cents).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cosine(F.col("a.v"), F.col("b.v")) >= 0.35)
+        .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+    )
+    per_cell_drops = dropped.groupBy("cell").agg(F.count("*").alias("n_dropped"))
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        per_cell.join(per_cell_drops, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+def q_fe1_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority by o_totalprice
+    (operators/encoding.py target_encode_loo) — the leakage-safe mean
+    encoder every tabular training pipeline needs. Integer-exact: target
+    quantized to cents before aggregation (order-independent BIGINT
+    sums), encode emitted as a 4-implied-decimal integer ratio via
+    BIGINT DIV. Plan: tiny category dim built with one partial-agg
+    shuffle, broadcast back; the fact table is never shuffled. The
+    reference has no encoder surface at all (store.py is storage only) —
+    §2.4 extension family."""
+    from .operators.encoding import target_encode_loo
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode_loo(o, "o_orderpriority", "o_totalprice")
+    return out.select("o_orderkey", "o_orderpriority", "cat_count", "te_loo_e4")
+
+
+def q_fe2_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick projection (operators/encoding.py feature_hash) of
+    (event_type, props) into a signed 16-bucket vector. Bucket and sign
+    are md5-derived (sampling.py portable family), so the DuckDB oracle
+    rebuilds every element with the same expressions. Map-only: no
+    vocabulary build, no shuffle — the property that makes the trick the
+    right categorical encoder at 100 TB. The 16-element vector is
+    emitted CSV-serialized (driver's pandas canonicalizer cannot hash
+    raw array<> cells)."""
+    from .operators.encoding import feature_hash
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    out = feature_hash(ev, ["event_type", "props"], n_buckets=16)
+    return out.select(
+        "event_id",
+        F.concat_ws(
+            ",", F.transform("fhash", lambda x: x.cast("string"))
+        ).alias("fhash"),
+    )
+
+
+def q_t9_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram count table over the documents corpus (operators/text.py
+    ngram_counts) — the KenLM-style LM statistic. One scan, higher-order
+    shingle build (no UDF), explode, map-side partial agg so the shuffle
+    carries (gram, partial_count); top-30 with a deterministic
+    tie-break."""
+    from .operators.text import ngram_counts
+
+    docs = table(spark, sf_dir, "documents")
+    out = ngram_counts(docs, "text", n=3)
+    return out.orderBy(F.col("cnt").desc(), "gram").limit(30)
+
+
+def q_t10_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: bigrams scored by the integer-scaled PMI
+    ratio c_xy * N * 10^4 DIV (c_x * c_y) — monotone in textbook PMI
+    (the log is monotone) but BIGINT-exact end to end, so no float
+    aggregation anywhere. Plan: one corpus scan feeds both count tables;
+    unigram counts broadcast onto the min-support-filtered bigrams (at
+    100 TB the broadcast side is the head vocabulary after the same
+    min-count cut; shuffle-join fallback if a tokenizer explodes it).
+    Overflow bound: c_xy * N * 10^4 < 2^63 — holds to ~9e14 token
+    corpora for head bigrams; shift the 10^4 into the divisor past
+    that."""
+    from .operators.text import ngram_counts
+
+    docs = table(spark, sf_dir, "documents")
+    uni = ngram_counts(docs, "text", n=1)
+    bi = ngram_counts(docs, "text", n=2).filter(F.col("cnt") >= 5)
+    n_total = uni.agg(F.sum("cnt").alias("n_tokens"))
+    w = bi.select(
+        "gram",
+        F.col("cnt").alias("c_xy"),
+        F.split("gram", " ").getItem(0).alias("x"),
+        F.split("gram", " ").getItem(1).alias("y"),
+    )
+    ux = uni.select(F.col("gram").alias("x"), F.col("cnt").alias("c_x"))
+    uy = uni.select(F.col("gram").alias("y"), F.col("cnt").alias("c_y"))
+    out = (
+        w.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "pmi_ratio_e4", F.expr("(c_xy * n_tokens * 10000) DIV (c_x * c_y)")
+        )
+    )
+    return out.select("gram", "c_xy", "c_x", "c_y", "pmi_ratio_e4").orderBy(
+        F.col("pmi_ratio_e4").desc(), "gram"
+    ).limit(20)
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
+
+def q_x23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of x21's fit: train 3 BPE merge
+    rules, then encode EVERY document with them (operators/text.py
+    bpe_encode — one greedy array fold per rule, map-only, no shuffle).
+    Output is the per-doc encoding manifest: token count plus an
+    order-DEPENDENT sequence checksum (sum of pos * 31-bit md5 term,
+    shuf1's overflow-safe family — bounded terms keep the BIGINT sum
+    exact to ~2^21 tokens/doc) so the oracle pins the exact token
+    sequence, not just its length. The DuckDB twin replays the train
+    rounds as x21's mark/drop/renumber CTEs and reads the final token
+    table straight out of the last renumber. At 100 TB: the merge table
+    is a small driver artifact shipped with the plan; encode is
+    scan-bound — the corpus is never shuffled."""
+    from .operators.text import bpe_encode, bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents")
+    rules = [(r["x"], r["y"]) for r in bpe_train_merges(docs, "text", rounds=3)]
+    enc = bpe_encode(docs, rules)
+    tok = enc.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
+    h31 = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(1 << 31)
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("pos0") + 1) * h31).alias("seq_check"),
+    )
+
+
+def q_mix1_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing — downsample every language domain to the
+    smallest domain's size (uniform target mixture), the step a pretraining
+    run does before interleaving corpora. Per-domain keep rates are
+    integer micro-unit ratios (min_count*1e6 DIV count) computed from ONE
+    tiny partial-agg dim and broadcast back (q15's scalar-broadcast
+    recipe — no collect); each doc keeps iff its portable md5 draw
+    (x12/x18's rand()-free family) falls under its domain's rate, so the
+    subsample is deterministic across engines, retries and partitionings.
+    Output is the mixture manifest: before/rate/after per domain. At
+    100 TB the fact table is filtered map-side in one scan — the only
+    shuffles are the two tiny count aggregations."""
+    from .operators.sampling import apply_mixture, uniform_mixture_rates
+
+    docs = table(spark, sf_dir, "documents")
+    rates = uniform_mixture_rates(docs, "lang")
+    kept = (
+        apply_mixture(docs, rates, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_before",
+        "keep_rate_e6",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+
+
+def q_x24_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance scoring for domain-targeted data
+    selection: score every document by how much its hashed-unigram
+    distribution looks like a TARGET domain (lang='en') vs the full
+    corpus. Per-bucket probabilities (add-1 smoothed, 64 md5 buckets —
+    fe2's hashing-trick family) become integer ratios via staged BIGINT
+    division: p_e9 per distribution, then w_e6 = p_tgt*1e6 DIV p_src —
+    each stage bounded (< 1e15), so no overflow at ANY corpus size, and
+    both engines replay identical operations (cross-engine determinism is
+    the contract; DSIR's log-space weights are a driver-side artifact at
+    deployment, this is the linear-space in-engine variant). Plan: ONE
+    token scan builds the 64-row source+target count dim (map-side
+    partial agg), totals via tiny crossJoin broadcasts, weights broadcast
+    back onto the token stream — the corpus is never shuffled; per-doc
+    score is one partial-agg sum. Top-20 via TakeOrderedAndProject."""
+    from .operators.encoding import importance_score
+
+    docs = table(spark, sf_dir, "documents")
+    perdoc = importance_score(docs, F.col("lang") == "en")
+    return perdoc.orderBy(F.col("dsir_e6").desc(), "doc_id").limit(20)
+
+
+def q_t11_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN profiling (the Lee-et-al substring-dedup
+    statistic, n-gram formulation): an 8-token shingle is 'duplicated'
+    when it appears in more than one document; each doc reports how much
+    of it is covered by cross-doc duplicated spans. The span-level
+    complement of doc-level dedup (x3/x6): corpora pass doc-dedup yet
+    still carry boilerplate — this measures it. Plan: one scan builds
+    distinct (doc, shingle) pairs; shingle multiplicities are ONE
+    partial-agg groupBy on the 16-byte md5 of the shingle (never the
+    string — shuffle carries fixed-width keys); the per-doc rollup joins
+    doc-shingles to the duplicated-key set. Docs shorter than 8 tokens
+    profile as 0-span rows kept via left join (coverage must report on
+    EVERY doc, not silently drop the short ones). Top-30 most-duplicated
+    docs, integer coverage rate."""
+    from .operators.text import dup_span_profile
+
+    docs = table(spark, sf_dir, "documents")
+    prof = dup_span_profile(docs, n=8)
+    return prof.orderBy(
+        F.col("dup_rate_e6").desc(), F.col("n_dup_spans").desc(), "doc_id"
+    ).limit(30)
+
+
+def q_x25_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x6's LSH candidates verified with exact shingle CONTAINMENT
+    (operators/dedup.py ngram_containment): |A∩B|/|A| — asymmetric, so a
+    doc quoting another wholesale scores ~1.0 where the symmetric
+    Jaccard stays low (Broder's resemblance-vs-containment distinction;
+    the boilerplate-inclusion case x6b misses by design). Emits the
+    contained (near-subset) side a keep-longest dedup policy would drop.
+    Same portable md5-affine MinHash family as x6, so the oracle
+    regenerates candidates AND the containment arithmetic exactly."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_containment
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    out = ngram_containment(docs, pairs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment"),
+        "contained_id",
+    )
+
+
+def q_pack2_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced sequence packing by RANK PAIRING — pack1's
+    concat-and-chunk sibling for pipelines that must keep documents
+    whole: within each md5 shard, rank docs by token count desc and pair
+    rank i with rank n+1-i (longest with shortest), so every 2-doc bin's
+    total is balanced around the shard mean — the classic sorted
+    pairing bound on padding waste, and unlike first-fit-decreasing it
+    is embarrassingly parallel. Sharding first (shuf1's md5 family) is
+    the scale move: ranking runs per shard (bounded task), not as one
+    global sort, and the expectation of the waste bound is unchanged.
+    Output: one row per bin with both doc ids + total tokens. Odd
+    shard sizes leave the middle rank as a singleton bin (id_short
+    NULL)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 4
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("n_tokens").desc(), "doc_id")
+    wc = Window.partitionBy("shard")
+    ranked = t.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wc).alias("n"),
+    ).withColumn(
+        "bin",
+        F.when(F.col("r") * 2 <= F.col("n") + 1, F.col("r")).otherwise(
+            F.col("n") + 1 - F.col("r")
+        ),
+    )
+    return ranked.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min_by("doc_id", "r").alias("id_long"),
+        F.when(F.count("*") == 2, F.max_by("doc_id", "r")).alias("id_short"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+
+
+def q_x26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality eval — x19's trust-but-verify applied to
+    MinHash-LSH instead of ANN: for 50 md5-sampled probe docs, compute
+    the EXACT ground truth (every corpus doc with 3-shingle Jaccard >=
+    0.5 against the probe — a probe x corpus scan, bounded at any SF by
+    the fixed probe count) and report how many of those true pairs the
+    banded LSH candidate generation (x6, same portable md5-affine
+    family) actually surfaced. Recall misses here mean real near-dups
+    silently survive dedup — the number you check before trusting
+    bands/hashes settings on 100 TB. Integer counts; recall defined
+    1e6 when no truth pairs exist."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    probes = (
+        docs.select("doc_id", draw.alias("d"))
+        .orderBy("d", "doc_id")
+        .limit(50)
+        .select(F.col("doc_id").alias("id_a"))
+    )
+    all_ids = docs.select(F.col("doc_id").alias("id_b"))
+    probe_pairs = (
+        probes.crossJoin(all_ids).filter(F.col("id_a") != F.col("id_b"))
+    )
+    truth = (
+        ngram_jaccard(docs, probe_pairs, threshold=0.5)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+    )
+    cand = dedup_minhash_lsh(
+        docs, num_hashes=16, bands=4, hash_family="md5_affine"
+    ).select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+    found = truth.join(cand, ["lo", "hi"])
+    return truth.agg(F.count("*").alias("n_truth")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        F.lit(50).cast("long").alias("n_probes"),
+        "n_truth",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 1000000L "
+            "ELSE n_found * 1000000L div n_truth END"
+        ).alias("recall_e6"),
+    )
+
+# --------------------------------------------------------------------------- #
+# round-3 fourth wave: vocab encode, rolling anomaly, k-core, MMR rerank
+# --------------------------------------------------------------------------- #
+
+def q_fe3_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary indexing — the StringIndexer / tokenizer-vocab step of
+    every classic text pipeline: fit the top-256 token vocabulary (ids by
+    count DESC, token ASC — tie-proof), then encode the whole corpus to
+    ids with OOV mapped to id 256 (operators/encoding.py build_vocab /
+    encode_tokens). Output is the per-doc encoding manifest: token and
+    OOV counts, integer OOV rate, and an order-DEPENDENT positional
+    checksum sum(pos * (id+1)) that pins the exact id SEQUENCE (terms
+    <= 257 * n_tokens keep the BIGINT sum exact to ~2^44 tokens/doc).
+    Zero-token docs are retained with zeroed stats via a left join back
+    to the corpus. Scale shape: the count shuffle carries one row per
+    DISTINCT token; the id-assign window touches <= 256 rows; encode is
+    map-only against the broadcast vocab — the corpus is never
+    shuffled."""
+    from .operators.encoding import build_vocab, encode_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", top_v=256)
+    enc = encode_tokens(docs, vocab, "doc_id", "text", oov_id=256)
+    agg = enc.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
+        F.sum(F.when(F.col("token_id") == 256, 1).otherwise(0)).alias("no"),
+        F.sum(F.col("pos") * (F.col("token_id") + 1)).alias("sc"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nt", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("no", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.expr("no * 10000L div nt"), F.lit(0)).cast("long").alias("oov_e4"),
+        F.coalesce("sc", F.lit(0)).cast("long").alias("seq_check"),
+    )
+
+
+def q_x27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production shape where a NEW batch
+    (doc_id % 5 == 0 here) is deduped AGAINST an existing reference
+    corpus, never old-vs-old: exact matches via normalized-hash semi
+    join, near-dups via the portable MinHash-LSH family (x6's machinery)
+    with candidates restricted to cross pairs and Jaccard-verified at
+    0.5. One manifest row per new doc: exact flag, verified fuzzy match
+    count, best Jaccard (e6 int). Plan: the exact arm shuffles 16-byte
+    hashes; LSH banding bounds pair generation exactly as in x6 — the
+    old corpus is re-signed but NEVER self-joined (the cross filter
+    drops old×old buckets before the verify); at 100 TB old signatures
+    are precomputed once and stored, making each increment's cost
+    proportional to the batch, not the corpus."""
+    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    h = docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("hh"), is_new.alias("nw"))
+    exacts = (
+        h.filter("nw")
+        .join(
+            h.filter(~F.col("nw")).select("hh").distinct(),
+            "hh",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    pairs = dedup_minhash_lsh(docs, num_hashes=16, bands=4, hash_family="md5_affine")
+    cross = pairs.filter(
+        (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
+    ).select(
+        F.when(F.col("id_a") % 5 == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("id_a"),
+        F.when(F.col("id_a") % 5 == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("id_b"),
+    )
+    ver = ngram_jaccard(docs, cross, threshold=0.5).select(
+        F.col("id_a").alias("doc_id"),
+        F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)).cast("long").alias("j_e6"),
+    )
+    fz = ver.groupBy("doc_id").agg(
+        F.count("*").alias("n_fuzzy"), F.max("j_e6").alias("best_j_e6")
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exacts, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(0)).cast("long").alias("is_exact_dup"),
+            F.coalesce("n_fuzzy", F.lit(0)).cast("long").alias("n_fuzzy"),
+            F.coalesce("best_j_e6", F.lit(0)).cast("long").alias("best_j_e6"),
+        )
+    )
+
+
+def q_fe4_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust-scaling profile per event type — the outlier-
+    insensitive cousin of mean/std normalization (and of dq2's IQR
+    fences): median via exact interpolated percentile (a7's
+    Spark==DuckDB parity), MAD as the median of absolute deviations
+    from it, and the count of |x - med| > 3 * 1.4826 * MAD (the normal-
+    consistent 3-sigma equivalent). Two grouped-percentile passes with
+    the per-type scalars BROADCAST back onto the fact — the fact is
+    never shuffled for the deviation or outlier steps; rates are
+    integer e4. At 100 TB both percentile passes swap to
+    percentile_approx (a14's contract) without changing the plan
+    shape."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.first("med"), 4).alias("med_cents"),
+        F.round(F.first("mad"), 4).alias("mad_cents"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.expr(
+            "sum(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END) * 10000L div count(*)"
+        ).cast("long").alias("outlier_e4"),
+    )
+
+
+QUERIES = {
+    't6_explode_tokens': q_t6_explode_tokens,
+    'pack1_sequence_packing': q_pack1_sequence_packing,
+    'pipe1_clean_corpus': q_pipe1_clean_corpus,
+    't3_token_count': q_t3_token_count,
+    'x3_dedup_exact': q_x3_dedup_exact,
+    'x4_text_stats': q_x4_text_stats,
+    't1_lang_id': q_t1_lang_id,
+    't2_quality_score': q_t2_quality_score,
+    't4_fingerprint': q_t4_fingerprint,
+    'x6_dedup_fuzzy': q_x6_dedup_fuzzy,
+    'x6b_jaccard_verify': q_x6b_jaccard_verify,
+    'x9_simhash': q_x9_simhash,
+    't5_string_functions': q_t5_string_functions,
+    'x12_hash_split': q_x12_hash_split,
+    'x13_stratified_sample': q_x13_stratified_sample,
+    'x15_dedup_components': q_x15_dedup_components,
+    'c1_doc_chunk': q_c1_doc_chunk,
+    't7_pii_redact': q_t7_pii_redact,
+    't8_repetition': q_t8_repetition,
+    'er1_entity_resolution': q_er1_entity_resolution,
+    'pipe2_quality_dedup': q_pipe2_quality_dedup,
+    'decon1_contamination': q_decon1_contamination,
+    'shuf1_training_shards': q_shuf1_training_shards,
+    't4b_winnow_sketch': q_t4b_winnow_sketch,
+    'fe1_target_encoding': q_fe1_target_encoding,
+    'fe2_feature_hash': q_fe2_feature_hash,
+    'x21_bpe_train': q_x21_bpe_train,
+    'x22_semdedup': q_x22_semdedup,
+    'x23_bpe_encode': q_x23_bpe_encode,
+    'mix1_domain_mixture': q_mix1_domain_mixture,
+    'x24_importance_score': q_x24_importance_score,
+    't11_dup_span_profile': q_t11_dup_span_profile,
+    'x25_containment_dedup': q_x25_containment_dedup,
+    'pack2_rank_pairing': q_pack2_rank_pairing,
+    'x26_lsh_recall_eval': q_x26_lsh_recall_eval,
+    't9_ngram_counts': q_t9_ngram_counts,
+    't10_pmi_collocations': q_t10_pmi_collocations,
+    'x18_negative_sampling': q_x18_negative_sampling,
+    'pipe3_curation_pipeline': q_pipe3_curation_pipeline,
+    'x20_bpe_pair_counts': q_x20_bpe_pair_counts,
+    'fe3_vocab_encode': q_fe3_vocab_encode,
+    'x27_incremental_dedup': q_x27_incremental_dedup,
+    'fe4_robust_scale': q_fe4_robust_scale,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pack1_sequence_packing": """
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % 8 AS BIGINT) AS shard
+            FROM documents
+        ),
+        binned AS (
+            SELECT shard, doc_id, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS bin
+            FROM docs
+        )
+        SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM binned GROUP BY 1, 2
+    """,
+    "pipe1_clean_corpus": """
+        WITH filtered AS (
+            SELECT *, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE length(string_split(text, ' ')) BETWEEN 10 AND 2000
+              AND n_chars * 1.0 / length(string_split(text, ' ')) BETWEEN 2.0 AND 14.0
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+                FROM filtered
+            ) WHERE rn = 1
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM deduped GROUP BY 1
+    """,
+    "t6_explode_tokens": """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+            WHERE doc_id < 100
+        )
+        WHERE length(token) >= 7
+    """,
+    "x3_dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    "x4_text_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "t1_lang_id": """
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stop_ratio,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.05
+                    THEN 'en' ELSE 'unk' END AS pred_lang
+        FROM documents
+    """,
+    "t2_quality_score": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio,
+               ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+                     AS chars_per_token,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ({",".join(f"'{w}'" for w in ("a", "the", "of", "and"))})))
+                         AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio
+        FROM documents
+    """,
+    "t4_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(
+                   (list_sort(list_distinct(string_split(text, ' '))))[1:8], ' '))
+                   AS fingerprint
+        FROM documents
+    """,
+    "t3_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER)
+                   AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                   AS INTEGER) AS n_distinct
+        FROM documents
+    """,
+    "t5_string_functions": """
+        SELECT p_partkey,
+               upper(p_name) AS name_up,
+               replace(p_name, ' ', '_') AS name_us,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               substring(p_name, 1, 4) AS name4,
+               reverse(p_type) AS type_rev,
+               regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+               CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER) AS lev_b10,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+    "x12_hash_split": """
+        WITH t AS (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+            FROM documents
+        )
+        SELECT CASE WHEN u < 922337203685477632 THEN 'train' ELSE 'test' END AS split,
+               CAST(u % 5 AS INTEGER) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM t GROUP BY 1, 2
+    """,
+    "x13_stratified_sample": """
+        WITH t AS (
+            SELECT *,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+            FROM documents
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc
+        FROM t
+        WHERE u < CASE lang WHEN 'de' THEN 691752902764108160 WHEN 'en' THEN 288230376151711744
+                            WHEN 'es' THEN 691752902764108160 ELSE 1152921504606846976 END
+        GROUP BY lang
+    """,
+    "x15_dedup_components": f"""
+        WITH RECURSIVE
+        e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, label, v, {_LSH4_BUCKET} AS bucket FROM e0),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        ),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(node) AS max_node
+        FROM (
+            SELECT s AS node, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        GROUP BY component
+    """,
+    # chunk windows: starts 0, 12, 24, ... ; slice is 1-based inclusive and
+    # clamps at the end exactly like Spark's slice()
+    "c1_doc_chunk": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        x AS (
+            SELECT doc_id, t,
+                   GREATEST(CAST(ceil((len(t) - 4) / 12.0) AS BIGINT), 1) AS nc
+            FROM d
+        ),
+        e AS (
+            SELECT doc_id, t, CAST(u.i AS INT) AS chunk_idx
+            FROM x, LATERAL unnest(generate_series(0, nc - 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS INT)
+                   AS chunk_n_tokens,
+               md5(array_to_string(t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' '))
+                   AS chunk_md5
+        FROM e
+    """,
+    # same planted PII, same RE2/Java-compatible patterns, global replace
+    "t7_pii_redact": """
+        WITH p AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                   AS pii_email_count,
+               CAST(len(regexp_extract_all(t2,
+                   '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS INT)
+                   AS pii_phone_count,
+               CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT)
+                   AS pii_ssn_count,
+               CAST(len(regexp_extract_all(t2,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
+                   AS pii_ipv4_count,
+               md5(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t2,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                       '[PHONE]', 'g'),
+                     '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '[IPV4]', 'g')
+               ) AS redacted_md5
+        FROM p
+    """,
+    "t8_repetition": """
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS ln,
+                   string_split(text, ' ') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(len(ln) AS BIGINT) AS n_lines,
+                   CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) AS dup_lines,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [array_to_string(tk, ' ')] END AS grams
+            FROM d
+        ),
+        -- relational top-gram count (unnest + group) == Spark's sorted
+        -- run-length fold; same result, different algorithm
+        tg AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram_count
+            FROM (
+                SELECT doc_id, u.g, COUNT(*) AS c
+                FROM g, LATERAL unnest(grams) AS u(g)
+                GROUP BY doc_id, u.g
+            ) GROUP BY doc_id
+        ),
+        s AS (
+            SELECT g.doc_id, n_lines, dup_lines,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   tg.top_gram_count
+            FROM g JOIN tg ON g.doc_id = tg.doc_id
+        )
+        SELECT doc_id, n_lines, dup_lines, n_grams, top_gram_count,
+               (dup_lines * 100 > n_lines * 30)
+                OR (top_gram_count * 100 > n_grams * 18) AS repetitious
+        FROM s
+    """,
+    # same corruption, same block predicate, same (distance, custkey)
+    # tie-break via row_number
+    "er1_entity_resolution": """
+        WITH dirty AS (
+            SELECT c_custkey AS d_key,
+                   CASE
+                     WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 17) || 'X'
+                     WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 17)
+                     ELSE c_name || 'Z'
+                   END AS d_name,
+                   c_nationkey
+            FROM customer
+        ),
+        cand AS (
+            SELECT d.d_key, c.c_custkey,
+                   CAST(levenshtein(d.d_name, c.c_name) AS INT) AS distance,
+                   row_number() OVER (
+                       PARTITION BY d.d_key
+                       ORDER BY levenshtein(d.d_name, c.c_name), c.c_custkey
+                   ) AS rk
+            FROM dirty d JOIN customer c
+              ON d.c_nationkey = c.c_nationkey
+             AND substr(d.d_name, 1, 17) = substr(c.c_name, 1, 17)
+            WHERE levenshtein(d.d_name, c.c_name) <= 2
+        )
+        SELECT d_key, c_custkey AS matched_key, distance
+        FROM cand WHERE rk = 1
+    """,
+    "x18_negative_sampling": """
+        WITH pos AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        mp AS (SELECT MAX(p_partkey) AS maxp FROM part),
+        cand AS (
+            SELECT p.cust,
+                   ('0x' || substr(md5(CAST(p.cust AS VARCHAR) || '-'
+                        || CAST(p.part AS VARCHAR) || '-'
+                        || CAST(g.i AS VARCHAR)), 1, 8))::BIGINT
+                       % mp.maxp + 1 AS neg_part
+            FROM pos p CROSS JOIN mp,
+                 LATERAL unnest([1, 2, 3]) AS g(i)
+        ),
+        negs AS (
+            SELECT c.cust, c.neg_part FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.cust = c.cust AND p.part = c.neg_part)
+        )
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_neg,
+               CAST(SUM(neg_part) AS BIGINT) AS sum_neg_parts,
+               CAST(COUNT(DISTINCT neg_part) AS BIGINT) AS n_distinct_neg
+        FROM negs GROUP BY cust
+    """,
+
+}
+
+ORACLE_SQL["x6_dedup_fuzzy"] = f"""
+    WITH {_MH_CTES}
+    SELECT id_a, id_b FROM cand
+"""
+ORACLE_SQL["pipe2_quality_dedup"] = f"""
+    WITH RECURSIVE {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (
+        SELECT s AS node, LEAST(s, MIN(d)) AS component
+        FROM reach GROUP BY s
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq
+        FROM documents
+    ),
+    sel AS (
+        SELECT comp.component, comp.node AS doc_id, q.uniq,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY q.uniq DESC, comp.node ASC) AS rk
+        FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+           ROUND(MAX(uniq), 6) AS kept_uniq_ratio,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM sel GROUP BY component
+"""
+
+ORACLE_SQL["pipe3_curation_pipeline"] = f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 20 <> 0),
+    qual AS (
+        SELECT * FROM base
+        WHERE len(string_split(text, ' ')) >= 30
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.4
+    ),
+    keep_first AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+    corpus_clean AS (SELECT q.* FROM qual q JOIN keep_first USING (doc_id)),
+    {_mh_ctes("corpus_clean")},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    uq AS (SELECT doc_id,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS u
+           FROM corpus_clean),
+    ranked AS (
+        SELECT comp.component, comp.node,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY uq.u DESC, comp.node ASC) AS rk
+        FROM comp JOIN uq ON uq.doc_id = comp.node
+    ),
+    drops AS (SELECT node AS doc_id FROM ranked WHERE rk > 1),
+    q3 AS (SELECT c.* FROM corpus_clean c
+           WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)),
+    bsh AS (
+        SELECT list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+              WHERE doc_id % 20 = 0)
+    ),
+    bset AS (SELECT DISTINCT u.s FROM bsh, LATERAL unnest(shs) AS u(s)),
+    q3sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM q3)
+    ),
+    hits AS (SELECT DISTINCT q.doc_id
+             FROM q3sh q, LATERAL unnest(q.shs) AS u(s)
+             JOIN bset b ON b.s = u.s),
+    final AS (SELECT * FROM q3
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+               AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM final GROUP BY 1
+"""
+
+ORACLE_SQL["x6b_jaccard_verify"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    j AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.d, db.d))) AS rawj
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(rawj, 6) AS jaccard FROM j WHERE rawj >= 0.5
+"""
+
+ORACLE_SQL["x25_containment_dedup"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    c AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(da.d) AS c_ab,
+               CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                   / len(db.d) AS c_ba
+        FROM cand c
+        JOIN ds da ON da.doc_id = c.id_a
+        JOIN ds db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(GREATEST(c_ab, c_ba), 6) AS containment,
+           CASE WHEN c_ab >= c_ba THEN id_a ELSE id_b END AS contained_id
+    FROM c WHERE GREATEST(c_ab, c_ba) >= 0.5
+"""
+ORACLE_SQL["x9_simhash"] = f"""
+    WITH tk AS (
+        SELECT doc_id, u.tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL unnest(t) AS u(tok)
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+    m AS (SELECT doc_id, COUNT(*) AS n, {_SH_ONES} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({_SH_SIG} AS BIGINT) AS simhash FROM m)
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size,
+           MIN(doc_id) OVER (PARTITION BY simhash) AS keep_id
+    FROM s
+"""
+
+ORACLE_SQL["x20_bpe_pair_counts"] = """
+    WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    p AS (
+        SELECT u.pair
+        FROM (SELECT list_transform(generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1]) AS ps
+              FROM t WHERE len(tk) >= 2),
+             LATERAL unnest(ps) AS u(pair)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+"""
+
+# t4b: same 4-token shingle domain and portable 32-bit hash as the Spark
+# side; list sort + slice replicate the keep-smallest sketch.
+ORACLE_SQL["t4b_winnow_sketch"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 4
+                    THEN list_transform(generate_series(1, len(tk) - 3),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3])
+                    ELSE [array_to_string(tk, ' ')] END AS shs
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+               list_sort(list_transform(shs,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))[1:4],
+               x -> CAST(x AS VARCHAR)), ',') AS sketch
+    FROM sh
+"""
+
+ORACLE_SQL["shuf1_training_shards"] = """
+    WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    s AS (SELECT doc_id, h,
+                 ('0x' || substr(h, 1, 4))::BIGINT % 8 AS shard FROM d),
+    p AS (SELECT shard, doc_id,
+                 row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+          FROM s),
+    t AS (SELECT shard,
+                 md5(CAST(pos AS VARCHAR) || ',' || CAST(doc_id AS VARCHAR)) AS ph
+          FROM p)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(('0x' || substr(ph, 1, 8))::BIGINT % 2147483648) AS BIGINT)
+               AS perm_s1,
+           CAST(SUM(('0x' || substr(ph, 9, 8))::BIGINT % 2147483648) AS BIGINT)
+               AS perm_s2
+    FROM t GROUP BY shard
+"""
+
+# decon1: same 4-token shingle domain as the Spark side (shingles() with
+# the whole-text fallback for docs shorter than k tokens).
+ORACLE_SQL["decon1_contamination"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tk) >= 4
+                        THEN list_transform(generate_series(1, len(tk) - 3),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])
+                        ELSE [array_to_string(tk, ' ')] END) AS shs
+        FROM t
+    ),
+    b AS (SELECT DISTINCT u.s
+          FROM sh, LATERAL unnest(shs) AS u(s) WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, u.s
+           FROM sh, LATERAL unnest(shs) AS u(s) WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN b ON tr.s = b.s
+    GROUP BY tr.doc_id
+"""
+
+
+ORACLE_SQL["x21_bpe_train"] = (
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS pos,
+               unnest(tk) AS tok
+        FROM d
+    ),"""
+    + ",".join(_x21_round(r) for r in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS BIGINT) AS round, x, y, cnt,
+           (SELECT COUNT(*) FROM p1) - (SELECT COUNT(*) FROM p2) AS n_merges
+    FROM r1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), x, y, cnt,
+           (SELECT COUNT(*) FROM p2) - (SELECT COUNT(*) FROM p3)
+    FROM r2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), x, y, cnt,
+           (SELECT COUNT(*) FROM p3) - (SELECT COUNT(*) FROM p4)
+    FROM r3
+"""
+)
+
+# x23: same train CTEs as x21; the encoded corpus IS p4 (the renumber
+# after round 3), so the per-doc manifest is one GROUP BY over it.
+ORACLE_SQL["x23_bpe_encode"] = (
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS pos,
+               unnest(tk) AS tok
+        FROM d
+    ),"""
+    + ",".join(_x21_round(r) for r in (1, 2, 3))
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(pos * (('0x' || substr(md5(tok), 1, 8))::BIGINT
+                           % 2147483648)) AS BIGINT) AS seq_check
+    FROM p4 GROUP BY doc_id
+"""
+)
+
+# x26: probe ground truth + LSH candidates both replayed from _MH_CTES.
+ORACLE_SQL["x26_lsh_recall_eval"] = f"""
+    WITH {_MH_CTES},
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    probes AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS dr
+            FROM documents
+        ) ORDER BY dr, doc_id LIMIT 50
+    ),
+    truth AS (
+        SELECT DISTINCT LEAST(p.doc_id, o.doc_id) AS lo,
+                        GREATEST(p.doc_id, o.doc_id) AS hi
+        FROM probes p
+        JOIN ds da ON da.doc_id = p.doc_id
+        JOIN ds db ON db.doc_id <> p.doc_id
+        JOIN documents o ON o.doc_id = db.doc_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    found AS (SELECT t.lo, t.hi FROM truth t
+              JOIN cand c ON c.id_a = t.lo AND c.id_b = t.hi),
+    a AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found)
+    SELECT CAST(50 AS BIGINT) AS n_probes, n_truth, n_found,
+           CAST(CASE WHEN n_truth = 0 THEN 1000000
+                     ELSE n_found * 1000000 // n_truth END AS BIGINT)
+               AS recall_e6
+    FROM a
+"""
+
+# pack2: same rank/pair arithmetic; min_by/max_by == argmin/argmax on r.
+ORACLE_SQL["pack2_rank_pairing"] = """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+                   AS shard
+        FROM documents
+    ),
+    r AS (
+        SELECT shard, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tokens DESC, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY shard) AS n
+        FROM t
+    ),
+    b AS (
+        SELECT shard, doc_id, n_tokens, r,
+               CASE WHEN r * 2 <= n + 1 THEN r ELSE n + 1 - r END AS bin
+        FROM r
+    )
+    SELECT shard, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_min(doc_id, r) AS BIGINT) AS id_long,
+           CASE WHEN COUNT(*) = 2 THEN CAST(arg_max(doc_id, r) AS BIGINT)
+           END AS id_short,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+    FROM b GROUP BY shard, bin
+"""
+
+# t11: shingle set + multiplicity + coverage replayed relationally.
+ORACLE_SQL["t11_dup_span_profile"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh0 AS (SELECT doc_id,
+                   CASE WHEN len(tk) >= 8
+                        THEN list_transform(generate_series(1, len(tk) - 7),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+                                  || tk[i+5] || ' ' || tk[i+6] || ' '
+                                  || tk[i+7])
+                        ELSE CAST([] AS VARCHAR[]) END AS shs
+            FROM d),
+    sh AS (SELECT DISTINCT doc_id, md5(u.s) AS h
+           FROM sh0, LATERAL unnest(shs) AS u(s)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM sh GROUP BY doc_id),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+           FROM sh JOIN dup USING (h) GROUP BY doc_id),
+    prof AS (
+        SELECT doc_id,
+               COALESCE(n_spans, 0) AS n_spans,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0
+                    ELSE COALESCE(n_dup_spans, 0) * 1000000
+                         // n_spans END AS dup_rate_e6
+        FROM documents LEFT JOIN tot USING (doc_id)
+                       LEFT JOIN pd USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(dup_rate_e6 AS BIGINT) AS dup_rate_e6
+    FROM prof
+    ORDER BY dup_rate_e6 DESC, n_dup_spans DESC, doc_id LIMIT 30
+"""
+
+# x24: staged integer divisions replayed operation-for-operation; '//' on
+# positive BIGINTs == Spark DIV.
+ORACLE_SQL["x24_importance_score"] = """
+    WITH t AS (
+        SELECT doc_id, lang, u.tok
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+              FROM documents),
+             LATERAL unnest(tk) AS u(tok)
+        WHERE length(u.tok) > 0
+    ),
+    b AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+          FROM t),
+    dim AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tgt
+            FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_src) AS s_tot, SUM(n_tgt) AS t_tot FROM dim),
+    w AS (SELECT bucket,
+                 ((n_tgt + 1) * 1000000000 // (t_tot + 64)) * 1000000
+                     // ((n_src + 1) * 1000000000 // (s_tot + 64)) AS w_e6
+          FROM dim CROSS JOIN tot),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(w_e6) // COUNT(*) AS BIGINT) AS dsir_e6
+           FROM b JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, dsir_e6 FROM pd
+    ORDER BY dsir_e6 DESC, doc_id LIMIT 20
+"""
+
+# mix1: same md5 draw + integer rates; n_after recounted independently.
+ORACLE_SQL["mix1_domain_mixture"] = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_before) AS mn FROM c),
+    r AS (SELECT lang, n_before,
+                 CAST(mn * 1000000 // n_before AS BIGINT) AS keep_rate_e6
+          FROM c CROSS JOIN m),
+    k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_after
+          FROM documents d JOIN r USING (lang)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < r.keep_rate_e6
+          GROUP BY d.lang)
+    SELECT lang, n_before, keep_rate_e6,
+           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after
+    FROM r LEFT JOIN k USING (lang)
+"""
+
+# x22: assignment replayed with the x10 scalar-subquery argmax; the
+# within-cell pair join and per-cell accounting are direct.
+ORACLE_SQL["x22_semdedup"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    a AS (SELECT e.vec_id, e.v,
+                 (SELECT cid FROM cents
+                  ORDER BY list_cosine_similarity(e.v, cv) DESC, cid ASC
+                  LIMIT 1) AS cell
+          FROM e),
+    d AS (SELECT DISTINCT y.cell AS cell, y.vec_id AS drop_id
+          FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+    pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a GROUP BY cell),
+    pd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped
+           FROM d GROUP BY cell)
+    SELECT pc.cell, pc.n_vecs,
+           CAST(COALESCE(pd.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(pc.n_vecs - COALESCE(pd.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM pc LEFT JOIN pd USING (cell)
+"""
+
+# fe1: the cents quantization makes every sum an order-independent BIGINT;
+# '//' is DuckDB's integer floor-div (positive operands -> same as Spark DIV).
+ORACLE_SQL["fe1_target_encoding"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS t
+        FROM orders
+    ), s AS (
+        SELECT o_orderkey, o_orderpriority, t,
+               SUM(t) OVER (PARTITION BY o_orderpriority) AS cs,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_count
+        FROM u
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(cat_count AS BIGINT) AS cat_count,
+           CASE WHEN cat_count > 1
+                THEN CAST((cs - t) * 10000 // (cat_count - 1) AS BIGINT)
+           END AS te_loo_e4
+    FROM s
+"""
+
+
+ORACLE_SQL["fe2_feature_hash"] = (
+    "SELECT event_id, array_to_string(list_transform(["
+    + ", ".join(_fh_oracle_elem(b, ["event_type", "props"]) for b in range(16))
+    + "], x -> CAST(x AS VARCHAR)), ',') AS fhash FROM events"
+)
+
+ORACLE_SQL["t9_ngram_counts"] = f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT unnest(CASE WHEN len(tk) >= 3
+                      THEN list_transform(generate_series(1, len(tk) - 2),
+                           i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 30
+"""
+
+ORACLE_SQL["t10_pmi_collocations"] = f"""
+    WITH {_TOKS_CTE},
+    uc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(tk) AS gram FROM toks) GROUP BY gram),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uc),
+    bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy
+           FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                             i -> array_to_string(tk[i:i+1], ' '))
+                        ELSE CAST([] AS VARCHAR[]) END) AS gram
+                 FROM toks)
+           GROUP BY gram HAVING COUNT(*) >= 5),
+    w AS (SELECT gram, c_xy,
+                 string_split(gram, ' ')[1] AS x,
+                 string_split(gram, ' ')[2] AS y
+          FROM bc)
+    SELECT w.gram, w.c_xy, ux.cnt AS c_x, uy.cnt AS c_y,
+           CAST((w.c_xy * n.n_tokens * 10000) // (ux.cnt * uy.cnt) AS BIGINT)
+               AS pmi_ratio_e4
+    FROM w JOIN uc ux ON ux.gram = w.x
+           JOIN uc uy ON uy.gram = w.y
+           CROSS JOIN n
+    ORDER BY pmi_ratio_e4 DESC, w.gram LIMIT 20
+"""
+
+ORACLE_SQL["fe3_vocab_encode"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token,
+               generate_subscripts(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), 1) AS pos
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                    AS BIGINT) AS token_id
+        FROM (SELECT * FROM counts ORDER BY cnt DESC, token ASC LIMIT 256)
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.token_id, 256) AS tid
+        FROM toks t LEFT JOIN vocab v USING (token)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN tid = 256 THEN 1 ELSE 0 END) AS BIGINT) AS no,
+               CAST(SUM(pos * (tid + 1)) AS BIGINT) AS sc
+        FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.nt, 0) AS n_tokens,
+           COALESCE(a.no, 0) AS n_oov,
+           CAST(COALESCE(a.no * 10000 // a.nt, 0) AS BIGINT) AS oov_e4,
+           COALESCE(a.sc, 0) AS seq_check
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+ORACLE_SQL["x27_incremental_dedup"] = f"""
+    WITH {_MH_CTES},
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS hh,
+                 doc_id % 5 = 0 AS nw
+          FROM documents),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM h n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM h WHERE NOT nw)
+    ),
+    crossc AS (
+        SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+                  CAST(MAX(j_e6) AS BIGINT) AS best_j_e6
+           FROM ver GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           COALESCE(fz.best_j_e6, 0) AS best_j_e6
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN fz ON fz.new_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+"""
+
+ORACLE_SQL["fe4_robust_scale"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM ev GROUP BY event_type),
+    dev AS (SELECT ev.event_type, abs(cents - med) AS dev, med
+            FROM ev JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(ANY_VALUE(d.med), 4) AS med_cents,
+           ROUND(ANY_VALUE(m.mad), 4) AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS outlier_e4
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
