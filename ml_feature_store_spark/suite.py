@@ -173,6 +173,7 @@ _CANONICAL = [
     'f22_upsert_patch',
     'f23_expire_ttl',
     'f24_erase_audit',
+    'f25_online_snapshot',
     'pack2_rank_pairing',
     'ts3_seasonal_backtest',
     'x26_lsh_recall_eval',
@@ -219,7 +220,7 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 ROTATION (47 names <= 50, one window covers
+# order per round. ROUND-4 ROTATION (48 names <= 50, one window covers
 # all): the 41 queries with no driver row after r1-r3 (each judge-gate
 # green locally via tools/check.py), PLUS the 3 round-3 driver-reds
 # (emb1_quantize / t4b_winnow_sketch / fe2_feature_hash), whose array<>
@@ -227,8 +228,10 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # CSV-serialized on both the Spark and oracle sides, PLUS the 3 NEW
 # store-mutation witnesses (f22_upsert_patch / f23_expire_ttl /
 # f24_erase_audit — upsert/expire_features/erase_entities previously had
-# pytest coverage only). With r1+r2+r3+r4 every one of the declared
-# queries then has a driver row.
+# pytest coverage only), PLUS the online-serving-path witness
+# (f25_online_snapshot — materialize_online/get_online end to end).
+# With r1+r2+r3+r4 every one of the declared queries then has a driver
+# row.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
 # the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [
@@ -248,6 +251,7 @@ _ROUND_PRIORITY = [
     "x26_lsh_recall_eval", "x27_incremental_dedup",
     "emb1_quantize", "t4b_winnow_sketch", "fe2_feature_hash",
     "f22_upsert_patch", "f23_expire_ttl", "f24_erase_audit",
+    "f25_online_snapshot",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -484,7 +484,7 @@ def q_emb1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = quantize_int8(F.col("embedding").cast("array<double>"))
     return emb.select("vec_id", qa.alias("qa")).select(
         "vec_id",
-        F.concat_ws(",", F.transform("qa", lambda x: x.cast("string"))).alias("q"),
+        F.array_join(F.col("qa").cast("array<string>"), ",").alias("q"),
         F.aggregate("qa", F.lit(0).cast("long"), lambda s, x: s + x).alias("sum_q"),
     )
 

@@ -894,6 +894,37 @@ def q_f24_erase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_f25_online_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online serving path, end to end through the public API
+    (store.py materialize_online + get_online): compact the table to its
+    latest-per-entity snapshot, then serve a 25-entity IN-list read from
+    the snapshot — one row per entity, history never touched. The
+    __row_id__ is pinned to event_id before register so the
+    max-ts/min-row-id tie-break is oracle-replayable (row_number over
+    ts DESC, event_id ASC). snapshot_rows carries materialize_online's
+    row accounting (must equal the distinct-entity count). This is the
+    BASELINE.md answer to Spark's ~0.6 s job floor on point reads: the
+    serving read costs |entities|, flat in history length, and exports
+    to a KV store unchanged."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).drop("value")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f25_online", sf_dir))
+    fs.register("ev", feats)
+    n = fs.materialize_online("ev")
+    out = fs.get_online("ev", list(range(25)))
+    return out.select(
+        "entity_id",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.lit(n).cast("long").alias("snapshot_rows"),
+    )
+
+
 def q_f21_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (operators/asof.py asof_join_forward — pandas
     merge_asof direction='forward' parity, property-tested against
@@ -1036,6 +1067,7 @@ QUERIES = {
     'f22_upsert_patch': q_f22_upsert_patch,
     'f23_expire_ttl': q_f23_expire_ttl,
     'f24_erase_audit': q_f24_erase_audit,
+    'f25_online_snapshot': q_f25_online_snapshot,
     'f21_asof_forward': q_f21_asof_forward,
     'f18b_asof_nearest_banded': q_f18b_asof_nearest_banded,
     'f16_label_window': q_f16_label_window,
@@ -1519,3 +1551,19 @@ ORACLE_SQL["f18b_asof_nearest_banded"] = ORACLE_SQL["f18_asof_nearest"]
 # same answer, two machines: the batch lag()/running-sum plan (x7) and
 # the streaming state fold must agree row-for-row
 ORACLE_SQL["sd3_streaming_sessionize"] = ORACLE_SQL["x7_sessionize"]
+
+ORACLE_SQL["f25_online_snapshot"] = f"""
+    WITH ev AS ({_EV}),
+    latest AS (
+        SELECT user_id AS entity_id, epoch_us(ts) AS ts_us, event_id,
+               event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM ev
+    )
+    SELECT entity_id, ts_us, event_id, event_type, value_cents,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
+               AS snapshot_rows
+    FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 24
+"""

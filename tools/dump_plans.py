@@ -335,6 +335,19 @@ COMMENT = {
         "increment costs proportional to the batch once old signatures "
         "are stored."
     ),
+    "f22_upsert_patch": (
+        "Copy-on-write upsert (MERGE shape): untouched rows come from ONE "
+        "key anti-join against the (small) patch, unioned with the patch "
+        "rows — the stored version's files are re-referenced, never "
+        "rewritten row-by-row. The duplicate-key guard is a limit(1) "
+        "existence probe, not a full count."
+    ),
+    "f25_online_snapshot": (
+        "Serving path: the snapshot build is the f4 partial_max_by argmax "
+        "(one shuffle); the get_online read scans ONE row per entity with "
+        "the IN-list pushed to the snapshot scan — flat in history length, "
+        "the BASELINE.md answer to the Spark job floor on point reads."
+    ),
 }
 
 
