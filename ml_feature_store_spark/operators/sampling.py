@@ -121,6 +121,51 @@ def uniform_mixture_rates(df: DataFrame, domain_col: str) -> DataFrame:
     )
 
 
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (alpha = 0.5, the multilingual-
+    pretraining exponential-smoothing recipe): each domain's sampling
+    weight is ``isqrt(count)`` — sub-linear in size, so head domains are
+    downweighted and tail domains upweighted relative to proportional
+    sampling — and a total budget of ``count_total * budget_num /
+    budget_den`` rows is allocated across domains by weight, capped at
+    each domain's actual size.
+
+    Integer-exact and engine-portable: ``floor(sqrt(double))`` is
+    deterministic everywhere (IEEE sqrt is correctly rounded; counts
+    < 2^52 are exact in a double), and every ratio is BIGINT ``DIV``.
+    Same plan shape as :func:`uniform_mixture_rates`: one tiny
+    partial-agg dim + a broadcast scalar, no collect; at 100 TB the
+    corpus itself is only touched by the ONE count scan and the map-side
+    :func:`apply_mixture` filter."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_before"))
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_before").cast("double"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_before").alias("n_total"), F.sum("weight").alias("w_total")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("n_before"),
+                F.expr(
+                    f"(n_total * {int(budget_num)}L div {int(budget_den)}L)"
+                    " * weight div w_total"
+                ),
+            ),
+        )
+        .withColumn("keep_rate_e6", F.expr("target * 1000000L div n_before"))
+        .select(domain_col, "n_before", "weight", "target", "keep_rate_e6")
+    )
+
+
 def apply_mixture(
     df: DataFrame, rates: DataFrame, domain_col: str, id_col: str
 ) -> DataFrame:

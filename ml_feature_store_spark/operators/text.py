@@ -574,3 +574,84 @@ def dup_span_profile(
             ).alias("dup_rate_e6"),
         )
     )
+
+
+def bigram_lm_doc_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency score under an add-one-smoothed bigram LM
+    trained on the corpus itself — the perplexity-style filter a
+    pretraining pipeline runs to drop disfluent/boilerplate documents
+    (KenLM-filter shape), kept integer-exact so every engine computes the
+    bit-identical answer: instead of summing float log-probs, each bigram
+    instance contributes the scaled conditional probability
+
+        p_e6 = (c_xy + 1) * 1e6 DIV (c_x + V)
+
+    (c_xy bigram count, c_x unigram count of the left token, V vocabulary
+    size), and a document reports the sum and the per-bigram mean. Both
+    are monotone quality signals like mean log-prob is (they order
+    documents by how probable their transitions are) without a float
+    aggregation anywhere.
+
+    Plan: ONE tokenize feeds three count tables (unigram, bigram, V) via
+    map-side partial agg; the per-doc bigram stream joins the bigram
+    count table on the gram (shuffle join — at 100 TB the bigram table is
+    corpus-sized, so it cannot broadcast; a production filter would cap
+    it to the head table behind a smoothed floor, which this operator's
+    smoothing already provides) and the unigram table on the left token.
+    The per-doc rollup is a partial-agg sum keyed by the id. Returns
+    (id, n_bigrams, lm_sum_e6, lm_avg_e6); short docs (< 2 tokens) report
+    0 bigrams with 0 scores.
+    """
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bi = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    # Collapse per-doc multiplicities BEFORE the count-table joins: the
+    # join then carries one row per distinct (doc, gram) instead of one
+    # per bigram instance (Zipf repeats collapse map-side), and the
+    # corpus-wide bigram table derives from the same aggregate.
+    doc_bi_m = doc_bi.groupBy(id_col, "gram").agg(F.count("*").alias("m"))
+
+    bi = doc_bi_m.groupBy("gram").agg(F.sum("m").cast("long").alias("c_xy"))
+    uni = ngram_counts(df, text_col, n=1).select(
+        F.col("gram").alias("x"), F.col("cnt").alias("c_x")
+    )
+    vocab = uni.agg(F.count("*").alias("v_size"))
+
+    scored = (
+        doc_bi_m.join(bi, "gram")
+        .withColumn("x", F.split("gram", " ").getItem(0))
+        .join(uni, "x")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("p_e6", F.expr("(c_xy + 1L) * 1000000L div (c_x + v_size)"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("p_e6")).cast("long").alias("lm_sum_e6"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_sum_e6", F.lit(0)).cast("long").alias("lm_sum_e6"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0L "
+                "ELSE lm_sum_e6 div n_bigrams END"
+            ).alias("lm_avg_e6"),
+        )
+    )

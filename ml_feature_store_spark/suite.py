@@ -208,6 +208,11 @@ _CANONICAL = [
     'fe4_robust_scale',
     'io10_zorder_layout',
     'dq9_expectations',
+    'mix2_temperature_mixture',
+    'lm1_bigram_doc_score',
+    'g5_copurchase_jaccard',
+    'geo1_radius_join',
+    'sd4_stream_dedup',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -220,18 +225,21 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 ROTATION (48 names <= 50, one window covers
+# order per round. ROUND-4 ROTATION (exactly 50 names, one window covers
 # all): the 41 queries with no driver row after r1-r3 (each judge-gate
 # green locally via tools/check.py), PLUS the 3 round-3 driver-reds
 # (emb1_quantize / t4b_winnow_sketch / fe2_feature_hash), whose array<>
 # output columns crashed the driver's pandas canonicalizer and are now
-# CSV-serialized on both the Spark and oracle sides, PLUS the 3 NEW
-# store-mutation witnesses (f22_upsert_patch / f23_expire_ttl /
-# f24_erase_audit — upsert/expire_features/erase_entities previously had
-# pytest coverage only), PLUS the online-serving-path witness
-# (f25_online_snapshot — materialize_online/get_online end to end).
-# With r1+r2+r3+r4 every one of the declared queries then has a driver
-# row.
+# CSV-serialized on both the Spark and oracle sides, PLUS the 4 NEW
+# store-API witnesses (f22_upsert_patch / f23_expire_ttl /
+# f24_erase_audit / f25_online_snapshot — upsert/expire_features/
+# erase_entities/materialize_online previously had pytest coverage
+# only), PLUS 2 of this round's 5 new-operator queries
+# (mix2_temperature_mixture, lm1_bigram_doc_score) filling the window.
+# With r1+r2+r3+r4 every query declared before round 4 then has a driver
+# row; the remaining 3 round-4 additions (g5_copurchase_jaccard,
+# geo1_radius_join, sd4_stream_dedup — all green under tools/check.py)
+# are PINNED FOR THE ROUND-5 WINDOW.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
 # the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [
@@ -252,6 +260,7 @@ _ROUND_PRIORITY = [
     "emb1_quantize", "t4b_winnow_sketch", "fe2_feature_hash",
     "f22_upsert_patch", "f23_expire_ttl", "f24_erase_audit",
     "f25_online_snapshot",
+    "mix2_temperature_mixture", "lm1_bigram_doc_score",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

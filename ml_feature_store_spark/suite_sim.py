@@ -934,7 +934,60 @@ def q_rag3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g5_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item link prediction over the order->part basket graph
+    (operators/graph.py cooccurrence_jaccard): rank candidate part pairs
+    by the Jaccard overlap of their order sets — the common-neighbor
+    link-prediction / co-purchase-recommendation statistic, integer-exact
+    (common * 1e6 DIV union). The scale contract is the operator's whole
+    point: candidate pairs come from the within-basket self-join, so pair
+    work is sum(basket_size^2) — bounded by the ~4-item baskets — never
+    n_items^2, and hub baskets are droppable via the documented
+    max_basket cap. Degrees broadcast onto the pair table. Top-20 pairs,
+    fully-ordered tie-break."""
+    from .operators.graph import cooccurrence_jaccard
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
+    return out.orderBy(
+        F.col("jaccard_e6").desc(), F.col("common").desc(), "item_a", "item_b"
+    ).limit(20)
+
+
+def q_geo1_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join (operators/spatial.py): every
+    supplier center reports how many customer points fall within R of it
+    on a synthetic md5-derived integer grid (the testdata carries no
+    geography; the construction is engine-replayable). The plan is the
+    scalable spatial-join shape: centers expand to their 9 neighbor cells
+    and BROADCAST; the point table computes its cell key map-side, joins
+    without shuffling, and rolls up with one partial agg — candidate
+    pairs are bounded by cell density, never |points| x |centers|, and
+    the distance predicate is exact BIGINT arithmetic. Suppliers with an
+    empty radius report 0 via the left join."""
+    from .operators.spatial import radius_count_join, synth_grid_points
+
+    cust = synth_grid_points(
+        table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        extent=10_000,
+        prefix="c",
+    )
+    supp = synth_grid_points(
+        table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        extent=10_000,
+        prefix="s",
+    )
+    out = radius_count_join(
+        cust, supp, radius=1000, point_key="c_custkey", center_key="s_suppkey"
+    )
+    return out.orderBy("s_suppkey")
+
+
 QUERIES = {
+    'g5_copurchase_jaccard': q_g5_copurchase_jaccard,
+    'geo1_radius_join': q_geo1_radius_join,
     'x16_tfidf_topk': q_x16_tfidf_topk,
     'm5_audio_decode': q_m5_audio_decode,
     'x10_ivf_ann': q_x10_ivf_ann,
@@ -1358,3 +1411,52 @@ ORACLE_SQL["g4_kcore"] = _g4_sql()
 
 
 ORACLE_SQL["rag3_mmr_rerank"] = _rag3_sql()
+
+
+ORACLE_SQL["g5_copurchase_jaccard"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item
+                   FROM lineitem),
+    deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM items GROUP BY item),
+    pairs AS (SELECT a.item AS item_a, c.item AS item_b
+              FROM items a JOIN items c ON a.b = c.b AND a.item < c.item),
+    common AS (SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS common
+               FROM pairs GROUP BY item_a, item_b HAVING COUNT(*) >= 2)
+    SELECT item_a, item_b, common, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common * 1000000 // (da.deg + db.deg - common) AS BIGINT)
+               AS jaccard_e6
+    FROM common JOIN deg da ON da.item = common.item_a
+                JOIN deg db ON db.item = common.item_b
+    ORDER BY jaccard_e6 DESC, common DESC, item_a, item_b LIMIT 20
+"""
+
+ORACLE_SQL["geo1_radius_join"] = """
+    WITH cust AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS x,
+               ('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS y
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               ('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS x,
+               ('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS y
+        FROM supplier
+    ),
+    hits AS (
+        SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_within,
+               CAST(SUM(c.c_custkey) AS BIGINT) AS sum_point_keys
+        FROM supp s JOIN cust c
+          ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 1000000
+        GROUP BY s.s_suppkey
+    )
+    SELECT s_suppkey,
+           CAST(COALESCE(n_within, 0) AS BIGINT) AS n_within,
+           CAST(COALESCE(sum_point_keys, 0) AS BIGINT) AS sum_point_keys
+    FROM supp LEFT JOIN hits USING (s_suppkey)
+    ORDER BY s_suppkey
+"""

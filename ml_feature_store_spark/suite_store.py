@@ -1036,6 +1036,51 @@ def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup witness — dropDuplicatesWithinWatermark over
+    a two-batch ordered file feed (streaming/ingest.py stream_events,
+    maxFilesPerTrigger=1), the Structured Streaming surface for "emit
+    each (user, event_type) once" with BOUNDED state: the watermark lets
+    Spark expire per-key state instead of holding every key forever (the
+    production requirement batch dropDuplicates cannot witness). The
+    60-day watermark exceeds the one-month corpus, so nothing expires
+    mid-run and the streaming answer must equal batch DISTINCT exactly —
+    which the oracle checks as per-type distinct-user counts and key
+    checksums. First-occurrence rows cross the batch boundary via state,
+    so batch 2's repeats of batch-1 keys are suppressed by carried state,
+    not batch-local dedup."""
+    from .streaming.ingest import stream_events
+
+    d = _scratch_dir("sd4_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    stream = stream_events(spark, d)
+    deduped = (
+        stream.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sd4_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd4_dedup")
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("user_id").cast("long").alias("sum_user_ids"),
+    )
+
+
 QUERIES = {
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
@@ -1073,6 +1118,7 @@ QUERIES = {
     'f16_label_window': q_f16_label_window,
     'f16b_label_window_frames': q_f16b_label_window_frames,
     'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
+    'sd4_stream_dedup': q_sd4_stream_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1566,4 +1612,13 @@ ORACLE_SQL["f25_online_snapshot"] = f"""
            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
                AS snapshot_rows
     FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 24
+"""
+
+
+ORACLE_SQL["sd4_stream_dedup"] = f"""
+    WITH ev AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_user_ids
+    FROM ev GROUP BY event_type
 """

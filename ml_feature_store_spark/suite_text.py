@@ -1148,8 +1148,60 @@ def q_fe4_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix2_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixture (alpha = 0.5) — mix1's sibling for
+    the OTHER standard pretraining recipe: instead of flattening every
+    domain to the smallest (uniform target), domains are sampled
+    proportionally to sqrt(count), the exponential-smoothing mixture
+    multilingual runs use so head domains shrink and tail domains keep
+    most of their data, under a half-corpus total budget. All-integer
+    (operators/sampling.py temperature_mixture_rates: isqrt weights,
+    BIGINT DIV allocation, md5-draw membership), so the manifest and the
+    subsample replay bit-identically on any engine. Same 100 TB shape as
+    mix1: two tiny count aggs + a broadcast rate dim; the corpus is
+    filtered map-side in one scan, never shuffled. Mixes over `source`
+    (mix1 mixes over `lang`) — the two queries together witness both
+    mixture axes a curation pipeline balances."""
+    from .operators.sampling import apply_mixture, temperature_mixture_rates
+
+    docs = table(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(docs, "source")
+    kept = (
+        apply_mixture(docs, rates, "source", "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_before",
+        "weight",
+        "target",
+        "keep_rate_e6",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+
+
+def q_lm1_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM fluency filter (operators/text.py
+    bigram_lm_doc_score): every document scored under an add-one-smoothed
+    bigram model trained on the corpus itself — the KenLM-filter step a
+    pretraining pipeline runs to drop disfluent text, made integer-exact
+    (summed scaled conditional probabilities instead of float log-probs)
+    so the DuckDB oracle replays it bit-for-bit. One tokenize feeds the
+    unigram/bigram/vocab count tables and the per-doc bigram stream; the
+    count joins are the only shuffles and carry collapsed (gram, count)
+    keys. Top-20 most-fluent docs by mean transition probability."""
+    from .operators.text import bigram_lm_doc_score
+
+    docs = table(spark, sf_dir, "documents")
+    out = bigram_lm_doc_score(docs)
+    return out.orderBy(F.col("lm_avg_e6").desc(), "doc_id").limit(20)
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
+    'mix2_temperature_mixture': q_mix2_temperature_mixture,
+    'lm1_bigram_doc_score': q_lm1_bigram_doc_score,
     'pack1_sequence_packing': q_pack1_sequence_packing,
     'pipe1_clean_corpus': q_pipe1_clean_corpus,
     't3_token_count': q_t3_token_count,
@@ -2138,3 +2190,67 @@ ORACLE_SQL["fe4_robust_scale"] = f"""
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
 """
+
+ORACLE_SQL["mix2_temperature_mixture"] = """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n_before,
+                 CAST(floor(sqrt(CAST(n_before AS DOUBLE))) AS BIGINT) AS weight
+          FROM c),
+    t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n_total,
+                 CAST(SUM(weight) AS BIGINT) AS w_total FROM w),
+    r AS (SELECT source, n_before, weight,
+                 CAST(LEAST(n_before,
+                      ((n_total * 1 // 2) * weight) // w_total) AS BIGINT)
+                     AS target
+          FROM w CROSS JOIN t),
+    r2 AS (SELECT *, CAST(target * 1000000 // n_before AS BIGINT)
+                         AS keep_rate_e6 FROM r),
+    k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_after
+          FROM documents d JOIN r2 USING (source)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < r2.keep_rate_e6
+          GROUP BY d.source)
+    SELECT source, n_before, weight, target, keep_rate_e6,
+           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after
+    FROM r2 LEFT JOIN k USING (source)
+"""
+
+ORACLE_SQL["lm1_bigram_doc_score"] = """
+    WITH dt AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   t -> length(t) > 0) AS tk
+        FROM documents
+    ),
+    docbi AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(generate_series(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM dt
+    ),
+    bi AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_xy
+           FROM docbi GROUP BY gram),
+    uni AS (SELECT gram AS x, CAST(COUNT(*) AS BIGINT) AS c_x
+            FROM (SELECT unnest(tk) AS gram FROM dt) GROUP BY gram),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+    sc AS (
+        SELECT d.doc_id,
+               ((b.c_xy + 1) * 1000000 // (u.c_x + v.v_size)) AS p_e6
+        FROM docbi d JOIN bi b USING (gram)
+        JOIN uni u ON u.x = string_split(d.gram, ' ')[1]
+        CROSS JOIN v
+    ),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(p_e6) AS BIGINT) AS lm_sum_e6
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(lm_sum_e6, 0) AS BIGINT) AS lm_sum_e6,
+           CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+                ELSE lm_sum_e6 // n_bigrams END AS BIGINT) AS lm_avg_e6
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+    ORDER BY lm_avg_e6 DESC, doc_id LIMIT 20
+"""
+

@@ -348,6 +348,29 @@ COMMENT = {
         "the IN-list pushed to the snapshot scan — flat in history length, "
         "the BASELINE.md answer to the Spark job floor on point reads."
     ),
+    "geo1_radius_join": (
+        "Grid-bucketed spatial radius join: the 9-cell-expanded centers "
+        "BROADCAST; the point table computes its cell key map-side and "
+        "reaches the BroadcastHashJoin straight from the scan — points are "
+        "never shuffled, candidate pairs are bounded by cell density "
+        "(never |points| x |centers|), and the distance residual is exact "
+        "BIGINT arithmetic inside codegen."
+    ),
+    "g5_copurchase_jaccard": (
+        "Link prediction with basket-bounded pair generation: the "
+        "within-basket self-join caps pair fanout at sum(basket_size^2) "
+        "— never n_items^2 — then ONE partial-agg groupBy on the pair key "
+        "counts common neighbors; the tiny degree dim broadcasts back "
+        "twice. Top-20 via TakeOrderedAndProject, no global sort."
+    ),
+    "lm1_bigram_doc_score": (
+        "Corpus-trained bigram-LM scoring: one tokenize feeds the "
+        "unigram/bigram/vocab count tables (map-side partial agg, "
+        "collapsed (gram, count) shuffle payloads); the per-doc bigram "
+        "stream joins the count tables (corpus-sized bigram table -> "
+        "shuffle join by design; unigrams/vocab broadcast) and rolls up "
+        "with one partial-agg sum per doc."
+    ),
 }
 
 
@@ -370,6 +393,19 @@ def main() -> None:
         "reuse, no plan change needed.",
         "",
         "Round-3 closing audit: 185 queries, 187.6 s total at sf0.1 (min-of-2, BENCH_DETAIL.json), ZERO per-query regressions >2x vs the prior detail file; shuffle audit shows zero spill suite-wide (SHUFFLE.md). One plan-level scale bug found and fixed this round via the 64x hot-key harness: the directional as-of forward carry used Spark's O(n^2) UNBOUNDED FOLLOWING frame (now the reversed running frame), and the banded nearest was rewritten from pair-join+min_by to bucket-partitioned carry windows (245 s -> 4.3 s on the hot key; SKEW.md).",
+        "",
+        "Round-4 bench regression audit (BENCH_DETAIL vs the round-3 detail",
+        "at commit 8fe013f, 185 common queries, min-of-2 both sides): ZERO",
+        "queries regressed >2x; common-query total 172.8 s vs 187.2 s (r4",
+        "faster). The suite grew to 194 queries: 4 store-API witnesses",
+        "(f22 upsert / f23 expire_features / f24 erase_entities / f25",
+        "materialize_online+get_online) and 5 new operators (mix2",
+        "temperature mixture, lm1 bigram-LM scoring, g5 co-occurrence link",
+        "prediction, geo1 grid spatial join, sd4 streaming dedup). The one",
+        "serialization-induced regression found mid-round (fe2 3.4x from a",
+        "transform(cast)+concat_ws re-inlining the 16-expression hash array",
+        "per element) was fixed by cast-to-array<string> + array_join",
+        "(single evaluation per row; fe2 back to 0.9 s).",
         "",
     ]
     for name, note in COMMENT.items():
