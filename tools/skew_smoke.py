@@ -138,6 +138,31 @@ def main() -> None:
             el = round(time.time() - t0, 2)
             timings[name] = min(timings.get(name, el), el)
 
+    # Hub-basket co-occurrence (round 4): one pathological basket with
+    # 3000 items adds ~4.5M within-basket pairs ON ONE JOIN KEY — the
+    # hot-key shape for g5's within-basket self-join. max_basket drops it
+    # (documented semantics: a 3000-item basket carries no co-purchase
+    # signal); the probe measures what the cap buys.
+    from ml_feature_store_spark.operators.graph import cooccurrence_jaccard  # noqa: E402
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    hub = spark.range(10_000).select(
+        F.lit(999_999_999).alias("l_orderkey"), F.col("id").alias("l_partkey")
+    )
+    baskets = li.unionByName(hub).localCheckpoint(eager=True)
+    for name, passes, fn in (
+        # single pass for the pathological arm: its cost IS the result
+        ("g5_uncapped", 1, lambda: cooccurrence_jaccard(
+            baskets, "l_orderkey", "l_partkey", min_common=2)),
+        ("g5_capped", 2, lambda: cooccurrence_jaccard(
+            baskets, "l_orderkey", "l_partkey", min_common=2, max_basket=100)),
+    ):
+        for _ in range(passes):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            el = round(time.time() - t0, 2)
+            timings[name] = min(timings.get(name, el), el)
+
     lines = [
         "# SKEW — hot-entity as-of join strategies, measured",
         "",
@@ -153,6 +178,8 @@ def main() -> None:
         f"| nearest_banded | {timings['nearest_banded']:.2f} | per-(entity, tolerance-bucket) carry windows |",
         f"| join_plain | {timings['join_plain']:.2f} | hot key: ONE SMJ reducer gets 50% of the fact |",
         f"| join_salted | {timings['join_salted']:.2f} | hot key spread over 32 (key, salt) reducers |",
+        f"| g5_uncapped | {timings['g5_uncapped']:.2f} | ONE 10k-item hub basket emits ~50M pairs on one key |",
+        f"| g5_capped | {timings['g5_capped']:.2f} | hub basket dropped by max_basket=100 (documented) |",
         "",
         "Below ~1M hot rows plain union wins (bucketing's carry-in pass is",
         "overhead); past it the single-task sort dominates and bucketed",
