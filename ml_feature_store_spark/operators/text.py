@@ -374,7 +374,11 @@ def bpe_train_merges(
     converges long before the full corpus is seen) or batch k rules per
     round; the apply step (``bpe_encode``) handles 30k rules in one
     Arrow pass regardless."""
-    toks = df.select(_tokens(text_col).alias("tk"))
+    # Materialize the tokenized corpus once: round 1 otherwise re-runs
+    # the parquet scan + tokenize for the pair count, the merge pass AND
+    # the before-count (three evaluations); every later round already
+    # starts from a checkpoint.
+    toks = df.select(_tokens(text_col).alias("tk")).localCheckpoint(eager=True)
     results: list[dict] = []
     current = toks
     before: int | None = None  # round r's 'before' == round r-1's 'after'
