@@ -326,3 +326,74 @@ def cooccurrence_jaccard(
             ).alias("jaccard_e6"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    seed_tag: str = "w",
+) -> DataFrame:
+    """Deterministic fixed-length walks over an undirected graph — the
+    graph-to-sequence-corpus step (DeepWalk/node2vec preprocessing):
+    each start node emits one walk of ``steps`` hops, and the walk
+    corpus feeds a downstream embedding trainer exactly like documents
+    feed a language model.
+
+    ``edges`` needs (src, dst); ``starts`` one column ``node``. Returns
+    (walker, n1..n<steps>) — the walker IS the start node, hops are
+    columns so one row is one training sequence.
+
+    Determinism contract (replaces rand()-based neighbor sampling, which
+    is partition-order dependent and engine-private): at step s, walker w
+    standing on node u moves to the neighbor v maximizing the md5 string
+    of "<tag>:<w>:<s>:<v>" (ties by v). A pure function of (walker,
+    step, neighbor) — bit-identical across engines, retries and
+    partitionings, and distinct walkers/steps draw independently, so the
+    walk corpus is as spread as a seeded-random one. (For UNIFORM
+    transition probabilities use the md5 of the neighbor's full identity
+    as here; biased node2vec p/q weights would scale the hash by integer
+    weight tiers — same shape.)
+
+    Scale design: each hop is one equi-join of the frontier against the
+    adjacency list followed by ONE partial-agg max_by per walker — no
+    window, no row explosion beyond the frontier's neighbor fan-in,
+    collapsed map-side. A bounded start set broadcasts the frontier
+    (adjacency never shuffles); corpus-scale walker sets flip to a
+    shuffle join keyed on the current node, the standard vertex-centric
+    shape. ``steps`` joins total — walk length is a small constant in
+    every embedding recipe."""
+    adj = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        # every hop probes the same adjacency: materialize it once
+        # instead of re-running the upstream edge derivation per hop
+        # (pagerank/kcore's checkpoint pattern)
+        .localCheckpoint(eager=True)
+    )
+    frontier = starts.select(
+        F.col("node").cast("string").alias("walker"),
+        F.col("node").cast("string").alias("cur"),
+    )
+    out = frontier.select("walker")
+    for s in range(1, steps + 1):
+        draw = F.md5(
+            F.concat_ws(":", F.lit(seed_tag), F.col("walker"), F.lit(str(s)), F.col("v"))
+            .cast("binary")
+        )
+        nxt = (
+            F.broadcast(frontier)
+            .join(adj, frontier.cur == adj.u)
+            .groupBy("walker")
+            .agg(F.max_by("v", F.struct(draw.alias("d"), F.col("v").alias("v"))).alias("nxt"))
+            # <= |starts| rows; without this, hop s re-evaluates hops
+            # 1..s-1 through the lineage (and the final column join
+            # re-evaluates every hop again)
+            .localCheckpoint(eager=True)
+        )
+        out = out.join(nxt.withColumnRenamed("nxt", f"n{s}"), "walker")
+        frontier = nxt.select("walker", F.col("nxt").alias("cur"))
+    return out

@@ -985,7 +985,39 @@ def q_geo1_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s_suppkey")
 
 
+def q_g6_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-to-sequence-corpus generation (operators/graph.py
+    random_walks): 3-hop deterministic walks over the customer-supplier
+    purchase graph from a 50-node start set — the DeepWalk/node2vec
+    preprocessing step that turns a graph into training sequences.
+    Neighbor choice is the md5-argmax of (walker, step, neighbor) — a
+    pure function, so the walk corpus replays bit-identically on any
+    engine (the rand()-free substitute for seeded sampling; x12's
+    portable-draw family). Plan: per hop, the bounded frontier
+    BROADCASTS onto the adjacency join and ONE partial-agg max_by picks
+    each walker's move — adjacency is never shuffled, no windows."""
+    from .operators.graph import random_walks
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    starts = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return random_walks(edges, starts, steps=3).orderBy("walker")
+
+
 QUERIES = {
+    'g6_random_walks': q_g6_random_walks,
     'g5_copurchase_jaccard': q_g5_copurchase_jaccard,
     'geo1_radius_join': q_geo1_radius_join,
     'x16_tfidf_topk': q_x16_tfidf_topk,
@@ -1459,4 +1491,40 @@ ORACLE_SQL["geo1_radius_join"] = """
            CAST(COALESCE(sum_point_keys, 0) AS BIGINT) AS sum_point_keys
     FROM supp LEFT JOIN hits USING (s_suppkey)
     ORDER BY s_suppkey
+"""
+
+
+ORACLE_SQL["g6_random_walks"] = """
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    adj AS (SELECT src AS u, dst AS v FROM e
+            UNION SELECT dst, src FROM e),
+    f0 AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS walker,
+                  'c' || CAST(c_custkey AS VARCHAR) AS cur
+           FROM customer WHERE c_custkey < 50),
+    p1 AS (SELECT walker, v,
+                  row_number() OVER (PARTITION BY walker
+                      ORDER BY md5('w:' || walker || ':1:' || v) DESC, v DESC)
+                      AS rn
+           FROM f0 JOIN adj ON f0.cur = adj.u),
+    f1 AS (SELECT walker, v AS cur FROM p1 WHERE rn = 1),
+    p2 AS (SELECT walker, v,
+                  row_number() OVER (PARTITION BY walker
+                      ORDER BY md5('w:' || walker || ':2:' || v) DESC, v DESC)
+                      AS rn
+           FROM f1 JOIN adj ON f1.cur = adj.u),
+    f2 AS (SELECT walker, v AS cur FROM p2 WHERE rn = 1),
+    p3 AS (SELECT walker, v,
+                  row_number() OVER (PARTITION BY walker
+                      ORDER BY md5('w:' || walker || ':3:' || v) DESC, v DESC)
+                      AS rn
+           FROM f2 JOIN adj ON f2.cur = adj.u),
+    f3 AS (SELECT walker, v AS cur FROM p3 WHERE rn = 1)
+    SELECT f0.walker, f1.cur AS n1, f2.cur AS n2, f3.cur AS n3
+    FROM f0 JOIN f1 USING (walker) JOIN f2 USING (walker)
+            JOIN f3 USING (walker)
+    ORDER BY f0.walker
 """

@@ -294,3 +294,50 @@ class TestStreamDedup:
         want = ev.select("user_id", "event_type").distinct()
         assert got.exceptAll(want).isEmpty()
         assert want.exceptAll(got).isEmpty()
+
+
+class TestRandomWalks:
+    def test_matches_python_replay(self, spark):
+        """Replay the md5-argmax policy in Python over a toy graph."""
+        import hashlib
+
+        from ml_feature_store_spark.operators.graph import random_walks
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+            "src string, dst string",
+        )
+        starts = spark.createDataFrame([("a",), ("d",)], "node string")
+        got = {
+            r["walker"]: (r["n1"], r["n2"], r["n3"])
+            for r in random_walks(edges, starts, steps=3).collect()
+        }
+
+        adj = {}
+        for s, d in [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+
+        def pick(walker, step, cur):
+            return max(
+                adj[cur],
+                key=lambda v: (
+                    hashlib.md5(f"w:{walker}:{step}:{v}".encode()).hexdigest(),
+                    v,
+                ),
+            )
+
+        for w in ("a", "d"):
+            cur, hops = w, []
+            for s in (1, 2, 3):
+                cur = pick(w, s, cur)
+                hops.append(cur)
+            assert got[w] == tuple(hops)
+
+    def test_walker_without_edges_dropped(self, spark):
+        from ml_feature_store_spark.operators.graph import random_walks
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        starts = spark.createDataFrame([("a",), ("z",)], "node string")
+        out = random_walks(edges, starts, steps=2).collect()
+        assert {r["walker"] for r in out} == {"a"}
