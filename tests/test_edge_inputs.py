@@ -194,3 +194,72 @@ class TestWave2EdgeInputs:
         docs = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert ngram_containment(docs, pairs).count() == 0
+
+
+class TestRound4EdgeInputs:
+    def test_temperature_mixture_single_domain(self, spark):
+        """One domain: budget num/den=1/2 halves it (no cap rescue)."""
+        from ml_feature_store_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = spark.createDataFrame([("a", i) for i in range(100)], "dom string, id long")
+        rows = temperature_mixture_rates(df, "dom").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_before"] == 100 and r["weight"] == 10
+        assert r["target"] == 50 and r["keep_rate_e6"] == 500_000
+
+    def test_temperature_mixture_empty_input(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = spark.createDataFrame([], "dom string, id long")
+        assert temperature_mixture_rates(df, "dom").count() == 0
+
+    def test_cooccurrence_empty_and_singleton_baskets(self, spark):
+        """Singleton baskets produce no pairs; empty input no rows."""
+        from ml_feature_store_spark.operators.graph import cooccurrence_jaccard
+
+        empty = spark.createDataFrame([], "b long, item long")
+        assert cooccurrence_jaccard(empty, "b", "item").count() == 0
+        singles = spark.createDataFrame([(1, 10), (2, 20)], "b long, item long")
+        assert cooccurrence_jaccard(singles, "b", "item", min_common=1).count() == 0
+
+    def test_radius_join_empty_points(self, spark):
+        """Centers with an empty point table report 0 via the left join."""
+        from ml_feature_store_spark.operators.spatial import radius_count_join
+
+        centers = spark.createDataFrame([(1, 0, 0), (2, 50, 50)], "k long, x long, y long")
+        points = spark.createDataFrame([], "p long, x long, y long")
+        rows = {r["k"]: r for r in radius_count_join(
+            points, centers, radius=10, point_key="p", center_key="k"
+        ).collect()}
+        assert rows[1]["n_within"] == 0 and rows[2]["sum_point_keys"] == 0
+
+    def test_radius_join_boundary_inclusive(self, spark):
+        """A point exactly at distance R is IN (<=, documented)."""
+        from ml_feature_store_spark.operators.spatial import radius_count_join
+
+        centers = spark.createDataFrame([(1, 0, 0)], "k long, x long, y long")
+        points = spark.createDataFrame(
+            [(10, 10, 0), (11, 10, 1)], "p long, x long, y long"
+        )
+        rows = radius_count_join(
+            points, centers, radius=10, point_key="p", center_key="k"
+        ).collect()
+        assert rows[0]["n_within"] == 1 and rows[0]["sum_point_keys"] == 10
+
+    def test_random_walks_empty_edges(self, spark):
+        from ml_feature_store_spark.operators.graph import random_walks
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        starts = spark.createDataFrame([("a",)], "node string")
+        assert random_walks(edges, starts, steps=2).count() == 0
+
+    def test_bigram_lm_empty_corpus(self, spark):
+        from ml_feature_store_spark.operators.text import bigram_lm_doc_score
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert bigram_lm_doc_score(df).count() == 0
