@@ -423,14 +423,19 @@ def bpe_train_merges(
     return results
 
 
-BPE_EXPR_RULE_LIMIT = 64
-"""Above this many merge rules ``bpe_encode`` switches from chained
-codegen array folds (one expression per rule — plan and codegen size grow
-linearly with the rule count, untenable at a real tokenizer's 10k-30k
-rules) to a single Arrow-batched ``mapInPandas`` pass that applies the
-whole broadcast rule table per batch. Both paths implement the identical
-greedy left-to-right merge; ``tests/test_text_and_sessions.py`` pins them
-equal and pins the >=100-rule path."""
+BPE_EXPR_RULE_LIMIT = 0
+"""Above this many merge rules ``bpe_encode`` uses the Arrow-batched
+``mapInPandas`` pass that applies the whole broadcast rule table per
+batch; at or below it, chained codegen array folds (one expression per
+rule). Default 0 — Arrow always — because the measurement beat the
+intuition: the codegen fold copies its accumulator array per element
+(quadratic per document), so even at THREE rules the Arrow pass is
+~3.5x faster at sf0.1 (0.7 s vs 2.6 s warm), and the fold's plan size
+additionally grows linearly with the rule count (untenable at a real
+tokenizer's 10k-30k rules). The expression path is kept for callers
+that must stay UDF-free (pass ``expr_rule_limit``); both paths
+implement the identical greedy left-to-right merge and
+``tests/test_wave2_properties.py`` pins them equal."""
 
 
 def bpe_encode(
