@@ -83,6 +83,43 @@ def q_x19_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb2_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-dimension retrieval tradeoff — x19's
+    trust-but-verify applied to DIMENSION REDUCTION instead of
+    quantization: recall@10 of cosine top-k using only the first
+    8/16/32 of 64 embedding dims against the full-dimension exact
+    ground truth (query vec_id=0, self-match excluded). The eval a team
+    runs before shipping truncated embeddings for cheap retrieval (MRL
+    serving); integer overlap counts make the check exact. Plan: the
+    query vector broadcasts; each arm is one scan + per-partition
+    top-k (TakeOrderedAndProject); at 100 TB ground truth runs on a
+    sampled query set exactly like x19."""
+    from .operators.similarity import knn_brute_force
+
+    emb = table(spark, sf_dir, "embeddings").cache()
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = knn_brute_force(rest, qvec, k=10).select("vec_id")
+    arms = []
+    for d in (8, 16, 32):
+        trunc = rest.withColumn("tv", F.slice(F.col("embedding"), 1, d))
+        topd = knn_brute_force(trunc, qvec[:d], k=10, vec_col="tv").select("vec_id")
+        arms.append(
+            exact.join(topd, "vec_id").agg(
+                F.lit(d).cast("long").alias("dims"),
+                F.lit(10).cast("long").alias("k"),
+                F.count("*").cast("long").alias("n_overlap"),
+                (F.count("*") * 10).cast("long").alias("recall_pct"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("dims")
+
+
 def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs query vec_id=0 — the exact-ANN baseline.
     At scale: broadcast the query, one scan, partial top-k per partition."""
@@ -1026,6 +1063,7 @@ QUERIES = {
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
     'x1_knn_cosine_topk': q_x1_knn_cosine_topk,
+    'emb2_matryoshka_recall': q_emb2_matryoshka_recall,
     'x2_similar_pairs': q_x2_similar_pairs,
     'm1_multimodal_decode': q_m1_multimodal_decode,
     'm3_image_features': q_m3_image_features,
@@ -1527,4 +1565,38 @@ ORACLE_SQL["g6_random_walks"] = """
     FROM f0 JOIN f1 USING (walker) JOIN f2 USING (walker)
             JOIN f3 USING (walker)
     ORDER BY f0.walker
+"""
+
+
+ORACLE_SQL["emb2_matryoshka_recall"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    exact AS (SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+              ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+    t8 AS (SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+           ORDER BY list_cosine_similarity(v[1:8], qv[1:8]) DESC, vec_id
+           LIMIT 10),
+    t16 AS (SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(v[1:16], qv[1:16]) DESC, vec_id
+            LIMIT 10),
+    t32 AS (SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(v[1:32], qv[1:32]) DESC, vec_id
+            LIMIT 10)
+    SELECT CAST(8 AS BIGINT) AS dims, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact JOIN t8 USING (vec_id))
+               AS n_overlap,
+           (SELECT CAST(COUNT(*) * 10 AS BIGINT)
+            FROM exact JOIN t8 USING (vec_id)) AS recall_pct
+    UNION ALL
+    SELECT 16, 10,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact JOIN t16 USING (vec_id)),
+           (SELECT CAST(COUNT(*) * 10 AS BIGINT)
+            FROM exact JOIN t16 USING (vec_id))
+    UNION ALL
+    SELECT 32, 10,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact JOIN t32 USING (vec_id)),
+           (SELECT CAST(COUNT(*) * 10 AS BIGINT)
+            FROM exact JOIN t32 USING (vec_id))
+    ORDER BY dims
 """

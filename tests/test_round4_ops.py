@@ -341,3 +341,32 @@ class TestRandomWalks:
         starts = spark.createDataFrame([("a",), ("z",)], "node string")
         out = random_walks(edges, starts, steps=2).collect()
         assert {r["walker"] for r in out} == {"a"}
+
+
+class TestMatryoshkaRecall:
+    def test_full_width_truncation_is_exact(self, spark):
+        """Slicing to the FULL dimension must reproduce the exact top-10
+        (identity case), and the declared arms stay within [0, 10]."""
+        from ml_feature_store_spark.operators.similarity import knn_brute_force
+        from ml_feature_store_spark.suite import QUERIES
+
+        emb = table(spark, SF, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        rest = emb.filter(F.col("vec_id") != 0)
+        dim = len(qvec)
+        trunc = rest.withColumn("tv", F.slice(F.col("embedding"), 1, dim))
+        exact = {r["vec_id"] for r in knn_brute_force(rest, qvec, k=10).collect()}
+        same = {
+            r["vec_id"]
+            for r in knn_brute_force(trunc, qvec, k=10, vec_col="tv").collect()
+        }
+        assert exact == same
+
+        rows = QUERIES["emb2_matryoshka_recall"](spark, SF).collect()
+        assert [r["dims"] for r in rows] == [8, 16, 32]
+        for r in rows:
+            assert 0 <= r["n_overlap"] <= 10
+            assert r["recall_pct"] == r["n_overlap"] * 10
