@@ -87,8 +87,15 @@ def radius_count_join(
             center_key,
             "cx",
             "cy",
-            (F.expr(f"cx div {cell}L") + F.col("dx")).alias("gx"),
-            (F.expr(f"cy div {cell}L") + F.col("dy")).alias("gy"),
+            # floor division, NOT `div`: `div` truncates toward zero,
+            # which makes cell 0 span (-cell, cell) — double-wide. That
+            # merges cells (never splits), so it cannot MISS a pair, but
+            # it doubles the candidate load around the origin; floor
+            # keeps every cell uniform. floor on a double quotient is
+            # exact while |coord| < 2^52 — far above any projected
+            # coordinate (micro-degrees ~1e9, metres ~1e7).
+            (F.floor(F.col("cx") / F.lit(cell)).cast("long") + F.col("dx")).alias("gx"),
+            (F.floor(F.col("cy") / F.lit(cell)).cast("long") + F.col("dy")).alias("gy"),
         )
     )
     if broadcast_centers:
@@ -97,8 +104,8 @@ def radius_count_join(
         F.col(point_key),
         F.col("x").alias("px"),
         F.col("y").alias("py"),
-        F.expr(f"x div {cell}L").alias("gx"),
-        F.expr(f"y div {cell}L").alias("gy"),
+        F.floor(F.col("x") / F.lit(cell)).cast("long").alias("gx"),
+        F.floor(F.col("y") / F.lit(cell)).cast("long").alias("gy"),
     )
     r2 = cell * cell
     hits = (

@@ -253,6 +253,40 @@ class TestRadiusJoin:
         # not SortMergeJoin (which would shuffle every point on cell key)
         assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
+    def test_negative_coordinates_match_bruteforce(self, spark):
+        """Floor cell keys keep the 9-cell cover exact on negative
+        coordinates (grid spanning the origin)."""
+        from ml_feature_store_spark.operators.spatial import radius_count_join
+
+        pts = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(
+                [(-25, -25), (-12, 0), (-1, -1), (0, 0), (3, -9), (11, 4),
+                 (-11, 9), (9, -11), (25, 25), (-19, 18)]
+            )],
+            "p long, x long, y long",
+        )
+        ctr = spark.createDataFrame(
+            [(1, -10, -10), (2, 0, 0), (3, 10, 10), (4, -20, 20)],
+            "k long, x long, y long",
+        )
+        fast = {
+            r["k"]: (r["n_within"], r["sum_point_keys"])
+            for r in radius_count_join(
+                pts, ctr, radius=10, point_key="p", center_key="k"
+            ).collect()
+        }
+        brute = {}
+        for k, cx, cy in [(1, -10, -10), (2, 0, 0), (3, 10, 10), (4, -20, 20)]:
+            hits = [
+                (i, x, y) for i, (x, y) in enumerate(
+                    [(-25, -25), (-12, 0), (-1, -1), (0, 0), (3, -9), (11, 4),
+                     (-11, 9), (9, -11), (25, 25), (-19, 18)]
+                )
+                if (x - cx) ** 2 + (y - cy) ** 2 <= 100
+            ]
+            brute[k] = (len(hits), sum(h[0] for h in hits))
+        assert fast == brute
+
     def test_radius_validation(self, spark):
         from ml_feature_store_spark.operators.spatial import radius_count_join
 

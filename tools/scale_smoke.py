@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "g5_copurchase_jaccard",  # basket-bounded pair join over 8x baskets
     "geo1_radius_join",     # 9-cell broadcast spatial join (points 1x: dims copied)
     "sd4_stream_dedup",     # streaming dedup over the 8x event feed
+    "g6_random_walks",      # 3-hop walks over the 8x purchase graph
+    "emb2_matryoshka_recall",  # sliced-cosine recall arms (embeddings 1x: dims copied)
 ]
 KEY_OFFSET = 100_000_000
 
@@ -200,7 +202,7 @@ def main() -> None:
         "perturbation so replicas share no shingles) yields the linear "
         "7.1x candidates and 1.5x time. Same plan, duplicative data — "
         "the semantics, not a plan defect.\n"
-        "* Round-4 ops at 8x: lm1 3.2x and g5 3.0x are sub-linear — lm1's count tables stay near-constant (replicated docs share the gram space) so only the per-doc stream grows; g5's pair work grows with basket COUNT (8x baskets of fixed size), absorbed by partial agg. geo1 ~1x: points/centers are unreplicated dims, the probe cost is density-bound. mix2/sd4 ~1.2x: rate-dim builds and per-key dedup state are corpus-size-light by design.\n"
+        "* Round-4 ops at 8x: all sub-linear. lm1 ~3x — its count tables stay near-constant (replicated docs share the gram space) so only the per-doc stream grows; g5 ~2-3x — pair work grows with basket COUNT (8x baskets of fixed size), absorbed by partial agg; g6 ~1.5x — walk cost is the adjacency build (8x edges), the hops are frontier-sized. geo1/emb2 ~1x: their points/centers/embeddings are unreplicated dims, probe cost density-/query-bound. mix2/sd4 ~1.2x: rate-dim builds and per-key dedup state are corpus-size-light by design.\n"
         "* g3 vs g3b is the degree-ordering experiment run on the same "
         "8x graph: the id-ordered wedge join's work grows with "
         "sum(deg^2) while the degree-ordered orientation holds near the "
