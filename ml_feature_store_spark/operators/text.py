@@ -374,11 +374,17 @@ def bpe_train_merges(
     converges long before the full corpus is seen) or batch k rules per
     round; the apply step (``bpe_encode``) handles 30k rules in one
     Arrow pass regardless."""
+    from .util import ensure_parallelism
+
     # Materialize the tokenized corpus once: round 1 otherwise re-runs
     # the parquet scan + tokenize for the pair count, the merge pass AND
     # the before-count (three evaluations); every later round already
-    # starts from a checkpoint.
-    toks = df.select(_tokens(text_col).alias("tk")).localCheckpoint(eager=True)
+    # starts from a checkpoint. ensure_parallelism first — the checkpoint
+    # FREEZES partitioning, and a one-row-group parquet scan would pin
+    # every round's explode to a single core.
+    toks = ensure_parallelism(df.select(_tokens(text_col).alias("tk"))).localCheckpoint(
+        eager=True
+    )
     results: list[dict] = []
     current = toks
     before: int | None = None  # round r's 'before' == round r-1's 'after'
@@ -502,7 +508,11 @@ def _bpe_encode_arrow(
             StructField("tk", ArrayType(StringType()), False),
         ]
     )
-    src = df.select(id_col, F.col(text_col).alias("__text__"))
+    from .util import ensure_parallelism
+
+    # one-row-group scans arrive as a single partition; the Python merge
+    # loop is the cost here, so spread the batches across cores
+    src = ensure_parallelism(df.select(id_col, F.col(text_col).alias("__text__")))
 
     def encode(batches):
         for pdf in batches:
@@ -539,6 +549,9 @@ def dup_span_profile(
     keep a 0-span row (coverage reports on every doc). The span-level
     complement of doc-level dedup — see suite q_t11 for the scale notes
     (shuffle carries 16-byte shingle md5s, never strings)."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.col(text_col), " ")
     sz = F.size(toks)
     sh = (
