@@ -126,7 +126,11 @@ def decode_image_stub(
             pdf["n_channels"] = [d[2] for d in decoded]
             yield pdf
 
-    return df.mapInPandas(kernel, out_schema)
+    from ..operators.util import ensure_parallelism
+
+    # one-row-group scans arrive as ONE partition; a real codec kernel is
+    # CPU-bound, so spread batches across cores before the Arrow pass
+    return ensure_parallelism(df).mapInPandas(kernel, out_schema)
 
 
 def extract_image_features(
@@ -159,7 +163,11 @@ def extract_image_features(
             pdf["features"] = feats
             yield pdf
 
-    return df.mapInPandas(kernel, out_schema)
+    from ..operators.util import ensure_parallelism
+
+    # one-row-group scans arrive as ONE partition; a real codec kernel is
+    # CPU-bound, so spread batches across cores before the Arrow pass
+    return ensure_parallelism(df).mapInPandas(kernel, out_schema)
 
 
 AUDIO_DECODE_SCHEMA = StructType(
@@ -226,7 +234,11 @@ def decode_audio_stub(
             pdf["n_windows"] = nwins
             yield pdf
 
-    return df.mapInPandas(kernel, out_schema)
+    from ..operators.util import ensure_parallelism
+
+    # one-row-group scans arrive as ONE partition; a real codec kernel is
+    # CPU-bound, so spread batches across cores before the Arrow pass
+    return ensure_parallelism(df).mapInPandas(kernel, out_schema)
 
 
 def resize_stub(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
