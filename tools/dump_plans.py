@@ -396,7 +396,7 @@ def main() -> None:
         "",
         "Round-4 bench regression audit (BENCH_DETAIL vs the round-3 detail",
         "at commit 8fe013f, 185 common queries, min-of-2 both sides): ZERO",
-        "queries regressed >2x; common-query total 172.8 s vs 187.2 s (r4",
+        "queries regressed >2x; common-query total 151.7 s vs 187.2 s (r4",
         "faster). The suite grew to 196 queries: 4 store-API witnesses",
         "(f22 upsert / f23 expire_features / f24 erase_entities / f25",
         "materialize_online+get_online) and 5 new operators (mix2",
