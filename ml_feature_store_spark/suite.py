@@ -215,6 +215,7 @@ _CANONICAL = [
     'sd4_stream_dedup',
     'g6_random_walks',
     'emb2_matryoshka_recall',
+    'io11_binary_ingest',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -241,8 +242,8 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # With r1+r2+r3+r4 every query declared before round 4 then has a driver
 # row; the remaining 3 round-4 additions (g5_copurchase_jaccard,
 # geo1_radius_join, sd4_stream_dedup — all green under tools/check.py)
-# are PINNED FOR THE ROUND-5 WINDOW, together with g6_random_walks and
-# emb2_matryoshka_recall.
+# are PINNED FOR THE ROUND-5 WINDOW, together with g6_random_walks,
+# emb2_matryoshka_recall and io11_binary_ingest.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
 # the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [

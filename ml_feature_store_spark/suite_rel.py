@@ -1541,6 +1541,53 @@ def q_j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io11_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file multimodal ingestion via the built-in ``binaryFile``
+    source — the step that brings image/audio/document FILES into the
+    engine as (path, length, content-bytes) rows before any decode
+    kernel runs (multimodal/columns.py consumes exactly this shape).
+    The witness writes one file per document (text write partitioned by
+    doc_id), reads the directory back with binaryFile +
+    recursiveFileLookup + a glob that skips _SUCCESS markers, parses the
+    id from the partition path, and reports per-doc file count, byte
+    size and content md5 — all replayable by the oracle because the file
+    bytes are exactly utf8(text) + a trailing newline. At 100 TB this
+    source lists and reads millions of objects with normal Spark
+    parallelism; the decode stays in the downstream Arrow kernel, and
+    tiny-file overhead is the documented reason production pipelines
+    compact raw files into parquet payload columns (m1-m6) after ONE
+    binaryFile pass."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d = _scratch_dir("io11_binfiles", sf_dir)
+    (
+        docs.select(F.col("doc_id"), F.col("text"))
+        .repartition("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(d)
+    )
+    back = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "false")
+        .option("pathGlobFilter", "*.txt")
+        .load(d)
+    )
+    return (
+        back.select(
+            F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+            F.length("content").alias("file_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("file_bytes").cast("long").alias("file_bytes"),
+            F.min("content_md5").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_io10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) multi-dimensional clustering — the layout
     answer when ONE partition column isn't enough (io5 prunes on a
@@ -1717,6 +1764,7 @@ QUERIES = {
     'card1_data_card': q_card1_data_card,
     'j5_salted_join': q_j5_salted_join,
     'io10_zorder_layout': q_io10_zorder_layout,
+    'io11_binary_ingest': q_io11_binary_ingest,
     'dq9_expectations': q_dq9_expectations,
 }
 
@@ -2555,4 +2603,14 @@ ORACLE_SQL["io10_zorder_layout"] = f"""
     FROM ({_EV})
     WHERE user_id BETWEEN 4 AND 11
       AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+
+ORACLE_SQL["io11_binary_ingest"] = """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS file_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents WHERE doc_id < 20
+    ORDER BY doc_id
 """
