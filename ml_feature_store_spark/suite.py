@@ -216,6 +216,7 @@ _CANONICAL = [
     'g6_random_walks',
     'emb2_matryoshka_recall',
     'io11_binary_ingest',
+    'io12_gzip_roundtrip',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -243,7 +244,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # row; the remaining 3 round-4 additions (g5_copurchase_jaccard,
 # geo1_radius_join, sd4_stream_dedup — all green under tools/check.py)
 # are PINNED FOR THE ROUND-5 WINDOW, together with g6_random_walks,
-# emb2_matryoshka_recall and io11_binary_ingest.
+# emb2_matryoshka_recall, io11_binary_ingest and io12_gzip_roundtrip.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
 # the 44 re-listed in git history at commit 8fe013f.)
 _ROUND_PRIORITY = [

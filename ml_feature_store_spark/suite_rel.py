@@ -1588,6 +1588,48 @@ def q_io11_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io12_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-feed ingestion: CSV written with gzip, read back
+    transparently by codec extension — the wire format most external
+    data drops arrive in. The 100 TB lesson this witness encodes: gzip
+    is NOT SPLITTABLE — a .gz file can never be divided across tasks
+    (tiny files still PACK together under maxPartitionBytes, but a
+    single 100 GB .gz is one task reading 100 GB), so the first thing a
+    real pipeline does after a gzip read is repartition (or re-land as
+    parquet/zstd) so downstream stages parallelize. Output:
+    per-event_type row accounting + integer checksums proving the
+    lossless roundtrip through the codec."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = _scratch_dir("io12_gz", sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("cents").cast("string"),
+        ).alias("value")
+    )
+    lines.coalesce(4).write.mode("overwrite").option("compression", "gzip").text(d)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, cents long"
+    ).csv(d)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_io10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) multi-dimensional clustering — the layout
     answer when ONE partition column isn't enough (io5 prunes on a
@@ -1765,6 +1807,7 @@ QUERIES = {
     'j5_salted_join': q_j5_salted_join,
     'io10_zorder_layout': q_io10_zorder_layout,
     'io11_binary_ingest': q_io11_binary_ingest,
+    'io12_gzip_roundtrip': q_io12_gzip_roundtrip,
     'dq9_expectations': q_dq9_expectations,
 }
 
@@ -2613,4 +2656,15 @@ ORACLE_SQL["io11_binary_ingest"] = """
            md5(text || chr(10)) AS content_md5
     FROM documents WHERE doc_id < 20
     ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["io12_gzip_roundtrip"] = f"""
+    WITH ev AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ev GROUP BY event_type ORDER BY event_type
 """
