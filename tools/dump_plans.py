@@ -396,18 +396,20 @@ def main() -> None:
         "",
         "Round-4 bench regression audit (BENCH_DETAIL vs the round-3 detail",
         "at commit 8fe013f, 185 common queries, min-of-2 both sides): ZERO",
-        "queries regressed >2x; common-query total 151.7 s vs 187.2 s (r4",
-        "faster). The suite grew to 196 queries: 4 store-API witnesses",
-        "(f22 upsert / f23 expire_features / f24 erase_entities / f25",
-        "materialize_online+get_online) and 5 new operators (mix2",
-        "temperature mixture, lm1 bigram-LM scoring, g5 co-occurrence link",
-        "prediction, geo1 grid spatial join, sd4 streaming dedup, g6",
-        "random-walk corpus generation, emb2 matryoshka recall eval). The",
-        " one",
-        "serialization-induced regression found mid-round (fe2 3.4x from a",
-        "transform(cast)+concat_ws re-inlining the 16-expression hash array",
-        "per element) was fixed by cast-to-array<string> + array_join",
-        "(single evaluation per row; fe2 back to 0.9 s).",
+        "queries regressed >2x in any refresh; common-query total 152-167 s",
+        "across r4 refreshes vs 187.2 s in r3 (host variance between runs —",
+        "the suite got ~15% faster). The suite grew to 198 queries: 4",
+        "store-API witnesses (f22 upsert / f23 expire_features / f24",
+        "erase_entities / f25 materialize_online+get_online), 7 new operators",
+        "(mix2 temperature mixture, lm1 bigram-LM scoring, g5 co-occurrence",
+        "link prediction, geo1 grid spatial join, sd4 streaming dedup, g6",
+        "random-walk corpus generation, emb2 matryoshka recall eval) and 2",
+        "new source-format witnesses (io11 binaryFile ingestion, io12 gzip",
+        "roundtrip). The one serialization-induced regression found mid-round",
+        "(fe2 3.4x from a transform(cast)+concat_ws re-inlining the",
+        "16-expression hash array per element) was fixed by",
+        "cast-to-array<string> + array_join (single evaluation per row; fe2",
+        "back to 0.9 s).",
         "",
     ]
     for name, note in COMMENT.items():
