@@ -968,14 +968,16 @@ def q_x26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-pipeline quality eval — x19's trust-but-verify applied to
     MinHash-LSH instead of ANN: for 50 md5-sampled probe docs, compute
     the EXACT ground truth (every corpus doc with 3-shingle Jaccard >=
-    0.5 against the probe — a probe x corpus scan, bounded at any SF by
-    the fixed probe count) and report how many of those true pairs the
-    banded LSH candidate generation (x6, same portable md5-affine
-    family) actually surfaced. Recall misses here mean real near-dups
-    silently survive dedup — the number you check before trusting
-    bands/hashes settings on 100 TB. Integer counts; recall defined
-    1e6 when no truth pairs exist."""
-    from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
+    0.5 against the probe, via an inverted shingle index — see inline
+    comment) and report how many of those true pairs the banded LSH
+    candidate generation (x6, same portable md5-affine family) actually
+    surfaced. Recall misses here mean real near-dups silently survive
+    dedup — the number you check before trusting bands/hashes settings
+    on 100 TB. Integer counts; recall defined 1e6 when no truth pairs
+    exist."""
+    from .operators.dedup import dedup_minhash_lsh
+    from .operators.util import ensure_parallelism
+    from .functions.text import shingles
 
     docs = table(spark, sf_dir, "documents")
     draw = (
@@ -988,12 +990,35 @@ def q_x26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select(F.col("doc_id").alias("id_a"))
     )
-    all_ids = docs.select(F.col("doc_id").alias("id_b"))
-    probe_pairs = (
-        probes.crossJoin(all_ids).filter(F.col("id_a") != F.col("id_b"))
+    # EXACT ground truth via an inverted shingle index instead of the
+    # probe x corpus brute-force scan: only documents SHARING >= 1
+    # shingle with a probe can have Jaccard > 0, so the (probe-shingle
+    # JOIN corpus-shingle) on the 16-byte shingle md5 materializes
+    # exactly the overlapping pairs, and the 0.5 threshold becomes the
+    # INTEGER test 3*common >= |A|+|B| (common/(|A|+|B|-common) >= 1/2).
+    # Same answer as per-pair array intersection, but work scales with
+    # shared-shingle volume, not |probes| x |corpus| — the shape that
+    # survives a corpus 1000x this size.
+    sh = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("__s__"),
+    ).select("doc_id", F.md5("__s__").alias("h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    probe_sh = sh.join(
+        F.broadcast(probes.withColumnRenamed("id_a", "doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("id_a"), "h")
+    common = (
+        probe_sh.join(sh.select(F.col("doc_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     truth = (
-        ngram_jaccard(docs, probe_pairs, threshold=0.5)
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("common") * 3 >= F.col("sz_a") + F.col("sz_b"))
         .select(
             F.least("id_a", "id_b").alias("lo"),
             F.greatest("id_a", "id_b").alias("hi"),
