@@ -217,6 +217,8 @@ _CANONICAL = [
     'emb2_matryoshka_recall',
     'io11_binary_ingest',
     'io12_gzip_roundtrip',
+    'io13_values_inline',
+    's4_tablesample',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))

@@ -1742,6 +1742,73 @@ def q_dq9_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
 
 
+def q_io13_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline ``VALUES`` relation as a first-class source (the last
+    unwitnessed source form after parquet/CSV/JSON/ORC/text/binaryFile/
+    gzip): a literal 3-row quantity-tier table declared in the query
+    text itself — the idiom for small config/bracket dims that live in
+    code, not storage (reference analog: the literal entity lists fed to
+    ``get`` at store.py:218). The tier table is a LocalRelation, so
+    Catalyst constant-folds it and the non-equi bracket join runs as a
+    BroadcastNestedLoopJoin over 3 rows — map-side, no shuffle, no scan;
+    at 100 TB the fact side streams through unchanged. Brackets are
+    half-open [lo, hi) so every quantity lands in exactly one tier."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("io13_lineitem")
+    return spark.sql(
+        """
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM io13_lineitem l
+        JOIN VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 1000)
+             AS t(tier, lo, hi)
+          ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )
+
+
+def q_s4_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Bernoulli ``df.sample`` (TABLESAMPLE) witnessed with a
+    tolerance oracle, a4-style: the draw itself is engine-specific (x13
+    is the deterministic md5 variant both engines can replay; THIS query
+    covers Spark's native sampler — map-only, no shuffle, the sampler
+    every pipeline reaches for first). Output carries the exact
+    population count plus two self-computed acceptance booleans: the
+    sampled fraction within 5 sigma of the target rate (binomial bound,
+    computed from the actual n — holds at every SF) and the sampled
+    mean of l_quantity within 5 standard errors of the population mean.
+    The DuckDB twin emits the exact count and literal TRUEs — a
+    deterministic hash match that still fails if Spark's sampler drifts
+    outside its statistical contract."""
+    li = table(spark, sf_dir, "lineitem").select("l_quantity")
+    frac = 0.2
+    s = li.sample(fraction=frac, seed=42)
+    pop = li.agg(
+        F.count("*").alias("n_total"),
+        F.avg("l_quantity").alias("mu"),
+        F.stddev_pop("l_quantity").alias("sd"),
+    )
+    samp = s.agg(
+        F.count("*").alias("n_samp"), F.avg("l_quantity").alias("mu_s")
+    )
+    j = pop.crossJoin(samp)  # two 1-row aggregates
+    return j.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        (
+            F.abs(F.col("n_samp") / F.col("n_total") - F.lit(frac))
+            <= F.lit(5.0)
+            * F.sqrt(F.lit(frac * (1 - frac)) / F.col("n_total"))
+        ).alias("frac_ok"),
+        (
+            F.abs(F.col("mu_s") - F.col("mu"))
+            <= F.lit(5.0) * F.col("sd") / F.sqrt(F.col("n_samp"))
+        ).alias("mean_ok"),
+    )
+
+
 QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
     'arr2_vector_centroids': q_arr2_vector_centroids,
@@ -1808,6 +1875,8 @@ QUERIES = {
     'io10_zorder_layout': q_io10_zorder_layout,
     'io11_binary_ingest': q_io11_binary_ingest,
     'io12_gzip_roundtrip': q_io12_gzip_roundtrip,
+    'io13_values_inline': q_io13_values_inline,
+    's4_tablesample': q_s4_tablesample,
     'dq9_expectations': q_dq9_expectations,
 }
 
@@ -2667,4 +2736,26 @@ ORACLE_SQL["io12_gzip_roundtrip"] = f"""
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_SQL["io13_values_inline"] = """
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 1000))
+         AS t(tier, lo, hi)
+      ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+"""
+
+
+ORACLE_SQL["s4_tablesample"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS frac_ok,
+           TRUE AS mean_ok
+    FROM lineitem
 """
