@@ -219,6 +219,7 @@ _CANONICAL = [
     'io12_gzip_roundtrip',
     'io13_values_inline',
     's4_tablesample',
+    'online1_point_read',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))

@@ -925,6 +925,36 @@ def q_f25_online_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_online1_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness twin of bench.py's ``online1_point_read`` row (the one
+    bench entry that previously had no oracle artifact — round-4 brief
+    item 2): the serving-path read, exactly as the bench times it — a
+    5-entity ``get_online`` IN-list against the materialized
+    latest-per-entity snapshot (store.py materialize_online + get_online;
+    reference semantics = ``get`` at reference store.py:218-259 with the
+    default as-of-now cutoff). One row per requested entity, read from
+    the |entities|-sized snapshot — history is never touched, which is
+    why the bench row stays flat as history grows. __row_id__ is pinned
+    to event_id pre-register so the max-ts/min-row-id tie-break is
+    oracle-replayable (row_number over ts DESC, event_id ASC)."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).drop("value")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("online1", sf_dir))
+    fs.register("ev", feats)
+    fs.materialize_online("ev")
+    out = fs.get_online("ev", [0, 1, 2, 3, 4])
+    return out.select(
+        "entity_id",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value_cents",
+    )
+
+
 def q_f21_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (operators/asof.py asof_join_forward — pandas
     merge_asof direction='forward' parity, property-tested against
@@ -1113,6 +1143,7 @@ QUERIES = {
     'f23_expire_ttl': q_f23_expire_ttl,
     'f24_erase_audit': q_f24_erase_audit,
     'f25_online_snapshot': q_f25_online_snapshot,
+    'online1_point_read': q_online1_point_read,
     'f21_asof_forward': q_f21_asof_forward,
     'f18b_asof_nearest_banded': q_f18b_asof_nearest_banded,
     'f16_label_window': q_f16_label_window,
@@ -1621,4 +1652,19 @@ ORACLE_SQL["sd4_stream_dedup"] = f"""
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_user_ids
     FROM ev GROUP BY event_type
+"""
+
+
+ORACLE_SQL["online1_point_read"] = f"""
+    WITH ev AS ({_EV}),
+    latest AS (
+        SELECT user_id AS entity_id, epoch_us(ts) AS ts_us, event_id,
+               event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM ev
+    )
+    SELECT entity_id, ts_us, event_id, event_type, value_cents
+    FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 4
 """
