@@ -677,3 +677,101 @@ def bigram_lm_doc_score(
             ).alias("lm_avg_e6"),
         )
     )
+
+
+def token_runs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """UDTF-style table function via ``mapInArrow``: expand each document
+    into one row per RUN of consecutive equal tokens — (id, run_idx,
+    token, run_start, run_len). Run detection is inherently sequential
+    per document (each output row depends on its predecessor), which is
+    exactly the shape the built-in generators (explode/posexplode, t6)
+    cannot express and a lateral-view UDTF exists for. The kernel is an
+    Arrow-batched generator: each RecordBatch in, a variable-row batch
+    out — never row-at-a-time Python, never a collect. Map-only: no
+    shuffle; parallelism is pinned ahead of the kernel because a
+    one-file scan would otherwise feed a single task
+    (operators/util.ensure_parallelism).
+
+    Tokenization contract (shared with the DuckDB oracle): literal
+    single-space split, empties kept — ``''.split(' ') == ['']`` matches
+    ``string_split(text, ' ')``; NULL text expands to zero rows, like
+    ``unnest(NULL)``.
+    """
+    import pyarrow as pa
+
+    from .util import ensure_parallelism
+
+    out_schema = (
+        f"{id_col} long, run_idx long, token string, run_start long, run_len long"
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_ri, o_tok, o_st, o_len = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                ri = 0
+                i = 0
+                n = len(toks)
+                while i < n:
+                    j = i + 1
+                    while j < n and toks[j] == toks[i]:
+                        j += 1
+                    o_id.append(did)
+                    o_ri.append(ri)
+                    o_tok.append(toks[i])
+                    o_st.append(i)
+                    o_len.append(j - i)
+                    ri += 1
+                    i = j
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_ri, pa.int64()),
+                    pa.array(o_tok, pa.string()),
+                    pa.array(o_st, pa.int64()),
+                    pa.array(o_len, pa.int64()),
+                ],
+                names=[id_col, "run_idx", "token", "run_start", "run_len"],
+            )
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInArrow(kernel, out_schema)
+
+
+def normalize_nfc(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization as an Arrow-batched scalar kernel
+    (``pandas_udf`` — vectorized transfer, not row-at-a-time): compose
+    decomposed sequences (e + U+0301 -> é) so byte-level dedup, shingle
+    hashing and tokenizers see one canonical form — the first step of
+    any multilingual curation pipeline, run before x3/x6/t-family
+    operators so visually-identical strings cannot dodge exact-hash
+    dedup. Spark has no built-in normalizer, so this is the documented
+    slow path — map-only, composes without shuffles; DuckDB's
+    ``nfc_normalize`` is the oracle twin.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    # Real class objects, not strings: the module-level `from __future__
+    # import annotations` would otherwise stringify inline hints and break
+    # pandas_udf's signature inference.
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc, "string")
+
+    return df.withColumn(out_col, nfc(F.col(text_col)))

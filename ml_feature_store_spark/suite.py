@@ -220,6 +220,9 @@ _CANONICAL = [
     'io13_values_inline',
     's4_tablesample',
     'online1_point_read',
+    'udtf1_token_runs',
+    't12_unicode_normalize',
+    'fe6_global_row_number',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -232,43 +235,25 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-4 ROTATION (exactly 50 names, one window covers
-# all): the 41 queries with no driver row after r1-r3 (each judge-gate
-# green locally via tools/check.py), PLUS the 3 round-3 driver-reds
-# (emb1_quantize / t4b_winnow_sketch / fe2_feature_hash), whose array<>
-# output columns crashed the driver's pandas canonicalizer and are now
-# CSV-serialized on both the Spark and oracle sides, PLUS the 4 NEW
-# store-API witnesses (f22_upsert_patch / f23_expire_ttl /
-# f24_erase_audit / f25_online_snapshot — upsert/expire_features/
-# erase_entities/materialize_online previously had pytest coverage
-# only), PLUS 2 of this round's 5 new-operator queries
-# (mix2_temperature_mixture, lm1_bigram_doc_score) filling the window.
-# With r1+r2+r3+r4 every query declared before round 4 then has a driver
-# row; the remaining 3 round-4 additions (g5_copurchase_jaccard,
-# geo1_radius_join, sd4_stream_dedup — all green under tools/check.py)
-# are PINNED FOR THE ROUND-5 WINDOW, together with g6_random_walks,
-# emb2_matryoshka_recall, io11_binary_ingest and io12_gzip_roundtrip.
-# (History: rounds 1+2 witnessed 97 distinct queries; round 3 witnessed
-# the 44 re-listed in git history at commit 8fe013f.)
+# order per round. ROUND-5 ROTATION: after round 4's 50/50-green window,
+# 191/199 queries had a driver row; the remainder are (a) the 7 queries
+# added after the round-4 list was pinned (g5, geo1, sd4, g6, emb2, io11,
+# io12 — all judge-verified green via tools/check.py in the round-4
+# VERDICT), (b) the 3 post-r4 commits (io13_values_inline, s4_tablesample,
+# online1_point_read — the latter closing the "bench-only, no oracle"
+# gap), and (c) every operator added in round 5 (udtf1 mapInArrow table
+# function, t12 NFC normalization, fe6 two-pass global row numbering, plus
+# later round-5 additions appended below as they land). The window's
+# remaining slots fall through to _CANONICAL order — already-green rows
+# being re-witnessed, which also serves as a regression watch.
+# (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
+# commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [
-    "a17_covariance_matrix", "a18_cms_heavy_hitters", "a19_bottomk_sample",
-    "a20_retention_cohorts", "card1_data_card", "dq5_ks_statistic",
-    "dq6_leakage_audit", "dq7_lateness_profile", "dq9_expectations",
-    "f18_asof_nearest", "f18b_asof_nearest_banded", "f20_scd2_dim_join",
-    "f21_asof_forward", "fe3_vocab_encode", "fe4_robust_scale",
-    "g3_triangle_count", "g3b_triangle_degree_ordered", "g4_kcore",
-    "io10_zorder_layout", "io8_compaction", "j4_bloom_probe",
-    "j5_salted_join", "mix1_domain_mixture", "pack2_rank_pairing",
-    "r3_interval_left_join", "rag1_hybrid_search", "rag2_ndcg_eval",
-    "rag3_mmr_rerank", "sd3_streaming_sessionize", "t10_pmi_collocations",
-    "t11_dup_span_profile", "t9_ngram_counts", "ts3_seasonal_backtest",
-    "ts4_rolling_anomaly", "x21_bpe_train", "x22_semdedup",
-    "x23_bpe_encode", "x24_importance_score", "x25_containment_dedup",
-    "x26_lsh_recall_eval", "x27_incremental_dedup",
-    "emb1_quantize", "t4b_winnow_sketch", "fe2_feature_hash",
-    "f22_upsert_patch", "f23_expire_ttl", "f24_erase_audit",
-    "f25_online_snapshot",
-    "mix2_temperature_mixture", "lm1_bigram_doc_score",
+    "g5_copurchase_jaccard", "geo1_radius_join", "sd4_stream_dedup",
+    "g6_random_walks", "emb2_matryoshka_recall", "io11_binary_ingest",
+    "io12_gzip_roundtrip",
+    "io13_values_inline", "s4_tablesample", "online1_point_read",
+    "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1223,8 +1223,94 @@ def q_lm1_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("lm_avg_e6").desc(), "doc_id").limit(20)
 
 
+def q_udtf1_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface via mapInArrow (operators/text.py token_runs): each
+    document expands into one row per run of consecutive equal tokens —
+    a sequential, data-dependent-arity generator that posexplode (t6)
+    cannot express, i.e. the true lateral-view table-function shape. The
+    Arrow kernel is map-only; the rollup that follows runs JVM-side:
+    per-doc run count, token total (must rebuild the doc length —
+    lossless expansion), longest run and its token (tie-break: earliest
+    start). The oracle rebuilds runs relationally: gaps-and-islands over
+    generate_subscripts order (lag != token marks starts, running sum
+    numbers the islands)."""
+    from .operators.text import token_runs
+
+    docs = table(spark, sf_dir, "documents")
+    runs = token_runs(docs, id_col="doc_id", text_col="text")
+    best = F.max(
+        F.struct(
+            F.col("run_len"), (-F.col("run_start")).alias("neg_start"), F.col("token")
+        )
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.sum("run_len").cast("long").alias("n_tokens"),
+            best.getField("run_len").cast("long").alias("max_run"),
+            best.getField("token").alias("max_run_token"),
+        )
+        .filter(F.col("max_run") >= 2)
+    )
+
+
+def q_t12_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py normalize_nfc,
+    Arrow-batched kernel) — the pre-dedup normalizer: decomposed
+    sequences (e + U+0301) must compose to the same bytes as their
+    precomposed twins or exact-hash dedup (x3) silently misses pairs.
+    The corpus is ASCII, so each doc gets a decomposed probe suffix
+    appended (' cafe'+U+0301+' A'+U+030A) — NFC must shrink exactly
+    those 2 codepoints per doc and leave the ASCII body untouched,
+    which the per-doc before/after codepoint lengths prove. DuckDB's
+    built-in nfc_normalize is the cross-engine twin."""
+    from .operators.text import normalize_nfc
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a"))
+    )
+    out = normalize_nfc(docs, text_col="text", out_col="text_nfc")
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length("text_nfc").cast("long").alias("len_nfc"),
+        (F.length("text") - F.length("text_nfc")).cast("long").alias("composed"),
+    )
+
+
+def q_fe6_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering at scale (operators/util.py
+    global_row_number): the contiguous 1..N ids a training pipeline
+    needs for shard addressing and example bookkeeping. The naive
+    row_number() OVER (ORDER BY ...) plans a single-partition window —
+    the canonical scale-killer — so the operator does the two-pass
+    range-partition + per-partition-offset substitute (one range
+    shuffle + a #partitions-row offset agg, JVM-only ids). Output is
+    provably identical to the window form because o_orderkey is unique;
+    the oracle IS that window form. Emitted as a per-1000-bucket
+    checksum so the witness pins every id (sum + min + max per bucket)
+    without shipping 15k raw rows through the hash gate."""
+    from .operators.util import global_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    out = global_row_number(o, "o_orderkey", out_col="row_no")
+    return (
+        out.groupBy((F.col("row_no") % 1000).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("row_no") * F.col("o_orderkey")).cast("long").alias("dot"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
+    'udtf1_token_runs': q_udtf1_token_runs,
+    't12_unicode_normalize': q_t12_unicode_normalize,
+    'fe6_global_row_number': q_fe6_global_row_number,
     'mix2_temperature_mixture': q_mix2_temperature_mixture,
     'lm1_bigram_doc_score': q_lm1_bigram_doc_score,
     'pack1_sequence_packing': q_pack1_sequence_packing,
@@ -2279,3 +2365,73 @@ ORACLE_SQL["lm1_bigram_doc_score"] = """
     ORDER BY lm_avg_e6 DESC, doc_id LIMIT 20
 """
 
+
+ORACLE_SQL["udtf1_token_runs"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    ),
+    marks AS (
+        SELECT doc_id, token, pos,
+               CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS DISTINCT FROM token THEN 1 ELSE 0 END AS is_start
+        FROM tok
+    ),
+    isl AS (
+        SELECT doc_id, token, pos,
+               SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM marks
+    ),
+    runs AS (
+        SELECT doc_id, run_id, token,
+               CAST(MIN(pos) AS BIGINT) AS run_start,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM isl GROUP BY doc_id, run_id, token
+    ),
+    best AS (
+        SELECT doc_id, token AS max_run_token,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY run_len DESC, run_start ASC) AS rn
+        FROM runs
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+               CAST(MAX(run_len) AS BIGINT) AS max_run
+        FROM runs GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_runs, a.n_tokens, a.max_run, b.max_run_token
+    FROM agg a JOIN best b ON a.doc_id = b.doc_id AND b.rn = 1
+    WHERE a.max_run >= 2
+"""
+
+ORACLE_SQL["t12_unicode_normalize"] = """
+    WITH probed AS (
+        SELECT doc_id,
+               text || ' cafe' || chr(769) || ' A' || chr(778) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+           CAST(length(text) - length(nfc_normalize(text)) AS BIGINT)
+               AS composed
+    FROM probed
+"""
+
+ORACLE_SQL["fe6_global_row_number"] = """
+    WITH r AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS row_no
+        FROM orders
+    )
+    SELECT CAST(row_no % 1000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(row_no * o_orderkey) AS BIGINT) AS dot,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM r GROUP BY bucket
+"""
