@@ -213,13 +213,26 @@ def triangle_count_degree_ordered(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    until_converged: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
     """Bounded-round k-core peeling: repeatedly remove nodes whose degree
     in the surviving subgraph is below ``k``. Returns ``(node, degree)``
     for the subgraph after exactly ``rounds`` peels — the deterministic
     bounded-iteration contract (same convergence stance as ``pagerank``:
-    peeling converges geometrically on real graphs; callers needing the
-    exact fixpoint loop until a peel removes nothing).
+    peeling converges geometrically on real graphs). Callers needing the
+    exact k-core pass ``until_converged=True``: the loop runs until a
+    peel removes nothing (capped at ``max_rounds``) and the output gains
+    a ``converged`` boolean column — True means the result IS the
+    fixpoint (stable under any further peel, the self-certifying
+    contract for the 100x story); False means ``max_rounds`` fired
+    first. The convergence probe per round is one bounded scalar action
+    (``LIMIT 1`` over the below-k nodes — same class as the store's
+    max-row-id watermark), never a data collect.
 
     The k-core is the standard density filter before community detection
     or influence analysis — in corpus curation it isolates the "densely
@@ -252,6 +265,26 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     adj = und.select(F.col("lo").alias("node"), F.col("hi").alias("peer")).unionByName(
         und.select(F.col("hi").alias("node"), F.col("lo").alias("peer"))
     )
+    if until_converged:
+        converged = False
+        for _ in range(max_rounds):
+            deg = adj.groupBy("node").agg(
+                F.count("*").alias("degree")
+            ).localCheckpoint(eager=True)
+            if deg.filter(F.col("degree") < k).limit(1).count() == 0:
+                converged = True
+                break
+            keep = deg.filter(F.col("degree") >= k).select("node")
+            adj = (
+                adj.join(keep, "node", "left_semi")
+                .join(keep.withColumnRenamed("node", "peer"), "peer", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        return (
+            adj.groupBy("node")
+            .agg(F.count("*").alias("degree"))
+            .withColumn("converged", F.lit(converged))
+        )
     for r in range(rounds):
         deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("node")

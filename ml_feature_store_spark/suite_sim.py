@@ -979,13 +979,20 @@ def q_g5_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (common * 1e6 DIV union). The scale contract is the operator's whole
     point: candidate pairs come from the within-basket self-join, so pair
     work is sum(basket_size^2) — bounded by the ~4-item baskets — never
-    n_items^2, and hub baskets are droppable via the documented
-    max_basket cap. Degrees broadcast onto the pair table. Top-20 pairs,
-    fully-ordered tie-break."""
+    n_items^2, and hub baskets are dropped by the max_basket=100 cap —
+    the declared query exercises the production hub-cap lane (SKEW.md
+    measured 17.4 s uncapped vs 2.4 s capped under one 10k-item hub
+    basket), and the oracle replays the cap, so the scale-safe path IS
+    the verified path. TPC-H baskets are <=7 items, so the cap drops
+    nothing here and results stay identical to the uncapped form.
+    Degrees broadcast onto the pair table. Top-20 pairs, fully-ordered
+    tie-break."""
     from .operators.graph import cooccurrence_jaccard
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    out = cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
+    out = cooccurrence_jaccard(
+        li, "l_orderkey", "l_partkey", min_common=2, max_basket=100
+    )
     return out.orderBy(
         F.col("jaccard_e6").desc(), F.col("common").desc(), "item_a", "item_b"
     ).limit(20)
@@ -1484,8 +1491,12 @@ ORACLE_SQL["rag3_mmr_rerank"] = _rag3_sql()
 
 
 ORACLE_SQL["g5_copurchase_jaccard"] = """
-    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item
-                   FROM lineitem),
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item
+                    FROM lineitem),
+    -- replay the max_basket=100 hub cap: baskets above the cap are DROPPED
+    items AS (SELECT i.b, i.item FROM items0 i
+              JOIN (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= 100) ok
+                ON i.b = ok.b),
     deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS deg
             FROM items GROUP BY item),
     pairs AS (SELECT a.item AS item_a, c.item AS item_b

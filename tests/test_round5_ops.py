@@ -155,3 +155,76 @@ class TestGlobalRowNumber:
         o = table(spark, SF, "orders").select("o_orderkey")
         plan = global_row_number(o, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+def brute_kcore(edges, k):
+    """Reference fixpoint k-core: peel until stable, return {node: degree}."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ps in adj.items() if len(ps) < k]:
+            for p in adj[n]:
+                adj[p].discard(n)
+            del adj[n]
+            changed = True
+    return {n: len(ps) for n, ps in adj.items()}
+
+
+class TestKcoreFixpoint:
+    # A chain hanging off a clique: peeling the chain takes one round per
+    # link, so the 4-round default is provably NOT the fixpoint here while
+    # until_converged is — the case the flag exists for.
+    EDGES = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique (3-core)
+        (4, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # chain
+        (20, 21), (21, 22), (20, 22),  # triangle (2-core)
+    ]
+
+    def test_matches_brute_force_and_flags_converged(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for k in (2, 3):
+            rows = kcore(e, k=k, until_converged=True).collect()
+            assert all(r["converged"] for r in rows)
+            got = {r["node"]: r["degree"] for r in rows}
+            assert got == brute_kcore(self.EDGES, k)
+
+    def test_fixpoint_stable_under_one_more_peel(self, spark):
+        """The self-certifying property: every surviving node already has
+        degree >= k, so one more peel removes nothing."""
+        from ml_feature_store_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        out = kcore(e, k=2, until_converged=True)
+        assert out.filter(F.col("degree") < 2).count() == 0
+        survivors = {r["node"] for r in out.collect()}
+        # replay one peel in python over the surviving subgraph
+        sub = [
+            (a, b) for a, b in self.EDGES
+            if a in survivors and b in survivors
+        ]
+        assert brute_kcore(sub, 2).keys() == survivors
+
+    def test_bounded_default_unchanged(self, spark):
+        """The oracle's contract — exactly `rounds` peels, no flag column."""
+        from ml_feature_store_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        out = kcore(e, k=2, rounds=2)
+        assert out.columns == ["node", "degree"]
+        # after only 2 peels the 6-link chain is not fully peeled yet
+        assert out.count() > len(brute_kcore(self.EDGES, 2))
+
+    def test_max_rounds_cap_reports_not_converged(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = kcore(e, k=2, until_converged=True, max_rounds=1).collect()
+        assert rows and all(r["converged"] is False for r in rows)
