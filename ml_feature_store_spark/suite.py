@@ -223,6 +223,9 @@ _CANONICAL = [
     'udtf1_token_runs',
     't12_unicode_normalize',
     'fe6_global_row_number',
+    'j6_nullsafe_join',
+    'a21_regr_family',
+    'x28_from_json_typed',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -254,6 +257,7 @@ _ROUND_PRIORITY = [
     "io12_gzip_roundtrip",
     "io13_values_inline", "s4_tablesample", "online1_point_read",
     "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
+    "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1809,6 +1809,100 @@ def q_s4_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j6_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / SQL ``<=>`` — the last
+    unwitnessed join predicate form): NULL join keys MATCH each other
+    instead of vanishing, the semantics dimension-lookup pipelines need
+    when 'unknown' is itself a dimension member (SCD dims keep an
+    explicit NULL/'unknown' row exactly for this). One customer segment
+    is mapped to NULL via nullif, the 5-row code dim (declared inline,
+    LocalRelation) carries a NULL member, and the null-safe broadcast
+    join routes the NULL-key customers to it — a plain equi-join would
+    silently drop all of them, which the n-per-code accounting would
+    expose. Physically identical to j1: broadcast hash join with the
+    null-safe comparator, fact side never shuffles."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg_key"),
+        "c_acctbal",
+    )
+    dim = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('MACHINERY', 1), ('AUTOMOBILE', 2), ('HOUSEHOLD', 3),
+            ('FURNITURE', 4), (CAST(NULL AS STRING), 0)
+            AS t(seg_key, seg_code)
+        """
+    )
+    j = cust.join(
+        F.broadcast(dim), cust["seg_key"].eqNullSafe(dim["seg_key"]), "inner"
+    )
+    return j.groupBy("seg_code").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+
+
+def q_a21_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept /
+    regr_r2 / regr_count / regr_avgx / regr_avgy) — the one-pass OLS
+    fit per group, the statistical-agg surface a9's corr/covar family
+    left unwitnessed. Price regressed on quantity per return flag: all
+    six moments come out of ONE partial-aggregable pass (each is
+    algebraic in sum/sum2/sumxy), so the plan is the same map-side
+    combine + tiny shuffle as any count — the way a 100 TB fit must
+    run: no second pass, no driver-side math. DuckDB implements the
+    identical SQL-standard family, making the oracle a direct twin."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("regr_count(l_extendedprice, l_quantity)")
+        .cast("long")
+        .alias("n_fit"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "slope"
+        ),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 2).alias(
+            "avg_price"
+        ),
+    )
+
+
+def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON parsing of a string COLUMN via ``from_json``
+    (x5 covers untyped path extraction; this is the typed production
+    lane: declared schema, struct output, malformed input -> NULL row
+    instead of a crash). A tenth of the feed is deliberately truncated
+    to invalid JSON ('{\"k\":' — unparseable in any engine), and the
+    per-type accounting separates parse failures from parsed values —
+    the quarantine-vs-accept split an ingestion pipeline reports. The
+    parse is a JVM codegen expression on the scan (no UDF, no
+    shuffle before the partial agg); DuckDB's json_valid +
+    json_extract_string replay both lanes exactly."""
+    ev = table(spark, sf_dir, "events")
+    js = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 5)
+    ).otherwise(F.col("props"))
+    p = F.from_json(js, "k long")
+    return ev.select("event_type", p.getField("k").alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
 QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
     'arr2_vector_centroids': q_arr2_vector_centroids,
@@ -1877,6 +1971,9 @@ QUERIES = {
     'io12_gzip_roundtrip': q_io12_gzip_roundtrip,
     'io13_values_inline': q_io13_values_inline,
     's4_tablesample': q_s4_tablesample,
+    'j6_nullsafe_join': q_j6_nullsafe_join,
+    'a21_regr_family': q_a21_regr_family,
+    'x28_from_json_typed': q_x28_from_json_typed,
     'dq9_expectations': q_dq9_expectations,
 }
 
@@ -2738,6 +2835,55 @@ ORACLE_SQL["io12_gzip_roundtrip"] = f"""
     FROM ev GROUP BY event_type ORDER BY event_type
 """
 
+
+ORACLE_SQL["j6_nullsafe_join"] = """
+    WITH c AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key, c_acctbal
+        FROM customer
+    )
+    SELECT d.seg_code,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM c
+    JOIN (VALUES ('MACHINERY', 1), ('AUTOMOBILE', 2), ('HOUSEHOLD', 3),
+                 ('FURNITURE', 4), (NULL, 0)) AS d(seg_key, seg_code)
+      ON c.seg_key IS NOT DISTINCT FROM d.seg_key
+    GROUP BY d.seg_code
+"""
+
+ORACLE_SQL["a21_regr_family"] = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_fit,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["x28_from_json_typed"] = """
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 5)
+                    ELSE props END AS js
+        FROM events
+    ),
+    p AS (
+        SELECT event_type,
+               CASE WHEN json_valid(js)
+                    THEN CAST(json_extract_string(js, '$.k') AS BIGINT)
+               END AS k
+        FROM j
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(AVG(k), 4) AS avg_k
+    FROM p GROUP BY event_type
+"""
 
 ORACLE_SQL["io13_values_inline"] = """
     SELECT t.tier,

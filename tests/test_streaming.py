@@ -218,6 +218,81 @@ class TestStreamingDedup:
             _os.remove(redelivered)
 
 
+class TestStreamingDedupExpiry:
+    def test_state_evicted_after_watermark_and_late_dup_dropped(self, spark):
+        """The failure-mode contract dropDuplicatesWithinWatermark actually
+        makes (sd4's docstring claim, pinned end-to-end over one shared
+        checkpoint across three availableNow runs):
+
+        1. a duplicate key arriving WITHIN the watermark delay is dropped;
+        2. once the watermark passes a key's expiry, its dedup state is
+           EVICTED — the same key re-arriving later is emitted AGAIN
+           (this is what bounds state to O(rate x window) at 100 TB:
+           dedup-forever would grow state without bound);
+        3. a row arriving entirely BELOW the watermark is dropped outright
+           (late-data exclusion, not just dedup)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="mlfs_dedupx_")
+        ckpt = tempfile.mkdtemp(prefix="mlfs_dedupx_ckpt_")
+        us = lambda h, m=0: (h * 3600 + m * 60) * 1_000_000  # noqa: E731
+
+        def write(name, rows):
+            t = pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.string()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                }
+            )
+            pq.write_table(t, os.path.join(d, name))
+
+        got = []
+
+        def run_once():
+            stream = spark.readStream.schema("k string, ts timestamp").parquet(d)
+            out = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+                ["k"]
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # run 1: A and B arrive -> both emitted; watermark = 10:05 - 30m = 9:35
+        write("b1.parquet", [("A", us(10, 0)), ("B", us(10, 5))])
+        run_once()
+        # run 2: duplicate A within the delay -> DROPPED (state live);
+        # D at 13:00 advances the watermark to 12:30, past A's expiry
+        write("b2.parquet", [("A", us(10, 10)), ("D", us(13, 0))])
+        run_once()
+        # run 3: A re-arrives AFTER its state was evicted -> emitted AGAIN;
+        # C sits below the 12:30 watermark -> dropped outright
+        write("b3.parquet", [("A", us(13, 10)), ("C", us(9, 0))])
+        run_once()
+
+        emissions = sorted((r["k"], r["ts"].hour, r["ts"].minute) for r in got)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        assert emissions == [
+            ("A", 10, 0),   # first arrival
+            ("A", 13, 10),  # re-emitted: state evicted, NOT deduped forever
+            ("B", 10, 5),
+            ("D", 13, 0),
+        ]
+        # and the within-window duplicate (10:10) plus the late row (9:00)
+        # appear nowhere
+        assert ("A", 10, 10) not in emissions and ("C", 9, 0) not in emissions
+
+
 class TestStreamingRegister:
     def test_foreachbatch_upsert_registers_versions(self, spark, events_dir):
         store = FeatureStore(spark, storage_path=tempfile.mkdtemp(prefix="mlfs_st_"))

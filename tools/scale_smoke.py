@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "sd4_stream_dedup",     # streaming dedup over the 8x event feed
     "g6_random_walks",      # 3-hop walks over the 8x purchase graph
     "emb2_matryoshka_recall",  # sliced-cosine recall arms (embeddings 1x: dims copied)
+    "io11_binary_ingest",   # binaryFile listing+read (bounded 20-file witness)
+    "io12_gzip_roundtrip",  # unsplittable-gzip CSV roundtrip over 8x events
+    "s4_tablesample",       # native Bernoulli sampler over 8x lineitem
+    "udtf1_token_runs",     # mapInArrow run-length generator over 8x docs
+    "t12_unicode_normalize",  # Arrow NFC kernel over 8x docs
+    "fe6_global_row_number",  # two-pass global numbering over 8x orders
 ]
 KEY_OFFSET = 100_000_000
 
@@ -142,7 +148,21 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # --only name1,name2: time just that subset at both scales and PRINT
+    # the markdown rows (for appending to SCALE.md) instead of rewriting
+    # the whole file — new queries get rows without a 70-query rerun.
+    only = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 8
+    global BENCH_QUERIES
+    if only:
+        missing = sorted(set(only) - set(QUERIES))
+        assert not missing, missing
+        BENCH_QUERIES = only
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     big_dir = tempfile.mkdtemp(prefix="mlfs_scale_")
@@ -151,6 +171,12 @@ def main() -> None:
 
     base = time_queries(spark, SF_DIR)
     big = time_queries(spark, big_dir)
+    if only:
+        for name in BENCH_QUERIES:
+            r = big[name] / base[name] if base[name] > 0 else float("nan")
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}x |")
+        shutil.rmtree(big_dir, ignore_errors=True)
+        return
 
     lines = [
         "# SCALE — measured growth of the headline plans",
@@ -207,7 +233,8 @@ def main() -> None:
         "8x graph: the id-ordered wedge join's work grows with "
         "sum(deg^2) while the degree-ordered orientation holds near the "
         "data factor — the O(m^1.5) bound showing up as a measured row, "
-        "not just a docstring."
+        "not just a docstring.\n"
+        "* io/round-5 witness rows: `io11_binary_ingest` is a BOUNDED 20-file witness by construction (doc_id < 20 survives replication key offsets), so its flat row proves only the fixed-cost floor — the real scaling axis for binaryFile is OBJECT COUNT, which parallelizes listing+read per normal task scheduling; the named cliff is tiny-file overhead, which is why m1–m6 compact raw files into parquet payload columns after one pass. `io12_gzip_roundtrip` grows ~1x here because its writer coalesces to 4 gzip files at BOTH scales — i.e. the 8x bytes ride the same 4 unsplittable tasks, which is exactly the gzip cliff the docstring names: at 100 TB the same plan would be 4 tasks reading 25 TB each; the documented mitigation (repartition or re-land as parquet/zstd immediately after the read) is the operator's contract, and the flat small-scale row is the overhead floor masking it, not evidence against it. `s4`/`t12` are map-only scans (~1x, correct shape); `udtf1`'s Arrow generator and `fe6`'s range-shuffle + offset-agg both hold ~1.1x — fe6's cost is ONE range exchange regardless of scale, the point of the two-pass design."
     )
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
