@@ -240,3 +240,47 @@ def encode_tokens(
         "pos",
         F.coalesce(F.col("token_id"), F.lit(oov_id).cast("long")).alias("token_id"),
     )
+
+
+def quantile_binning(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency discretization (the QuantileDiscretizer /
+    Bucketizer transform): assign each row the index of its quantile
+    bin, 0..n_bins-1 — the standard continuous->categorical encoder
+    before crossing, hashing, or monotonic-binning WOE pipelines.
+
+    Determinism strategy (the fe-family contract): the value is
+    quantized to integer CENTS before anything else, the n_bins-1
+    interior boundaries come from one exact ``percentile`` aggregate
+    over those integers, each boundary is rounded to an integer, and
+    the bin id is ``#boundaries < value`` via a higher-order filter
+    over the broadcast boundary array — all-integer comparisons, so
+    any engine that interpolates percentiles the same way (DuckDB
+    quantile_cont does; pinned by a7) bins every row identically.
+
+    Plan shape at 100 TB: ONE aggregate produces a single n_bins-1
+    element array (scalar dim), the assignment is a broadcast
+    crossJoin + map-side codegen expression — the fact table is never
+    shuffled, there is no per-row UDF, and no second pass. At extreme
+    scale swap the exact percentile for ``percentile_approx`` (same
+    one-agg shape, mergeable GK sketch — the a7 vs a14 tradeoff,
+    documented rather than silently chosen)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    fracs = ", ".join(str(k / n_bins) for k in range(1, n_bins))
+    bounds = df.select(cents.alias("__c__")).agg(
+        F.expr(f"percentile(__c__, array({fracs}))").alias("__bounds__")
+    )
+    withb = df.withColumn("__c__", cents).crossJoin(F.broadcast(bounds))
+    rounded = F.transform(
+        F.col("__bounds__"), lambda b: F.round(b, 0).cast("long")
+    )
+    return withb.withColumn(
+        out_col,
+        F.size(F.filter(rounded, lambda b: b < F.col("__c__"))).cast("long"),
+    ).drop("__c__", "__bounds__")

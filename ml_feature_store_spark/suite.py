@@ -226,6 +226,7 @@ _CANONICAL = [
     'j6_nullsafe_join',
     'a21_regr_family',
     'x28_from_json_typed',
+    'fe7_quantile_binning',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -258,6 +259,7 @@ _ROUND_PRIORITY = [
     "io13_values_inline", "s4_tablesample", "online1_point_read",
     "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
     "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
+    "fe7_quantile_binning",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1223,6 +1223,34 @@ def q_lm1_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("lm_avg_e6").desc(), "doc_id").limit(20)
 
 
+def q_fe7_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order value
+    (operators/encoding.py quantile_binning — the QuantileDiscretizer
+    transform): one exact-percentile aggregate yields the 9 interior
+    boundaries as a scalar array, the boundary dim broadcasts, and the
+    bin id is an all-integer map-side codegen expression (#boundaries <
+    cents) — the fact table is never shuffled. Witness output is the
+    per-bin row count and cents accounting (min/max/sum), which pins
+    every row's bin assignment; ~n/10 per bin up to boundary ties.
+    DuckDB replays boundaries with quantile_cont (interpolation parity
+    pinned by a7) and the same integer comparison."""
+    from .operators.encoding import quantile_binning
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = quantile_binning(o, "o_totalprice", n_bins=10)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        out.withColumn("cents", cents)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def q_udtf1_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surface via mapInArrow (operators/text.py token_runs): each
     document expands into one row per run of consecutive equal tokens —
@@ -1309,6 +1337,7 @@ def q_fe6_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
+    'fe7_quantile_binning': q_fe7_quantile_binning,
     't12_unicode_normalize': q_t12_unicode_normalize,
     'fe6_global_row_number': q_fe6_global_row_number,
     'mix2_temperature_mixture': q_mix2_temperature_mixture,
@@ -2434,4 +2463,30 @@ ORACLE_SQL["fe6_global_row_number"] = """
            CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key
     FROM r GROUP BY bucket
+"""
+
+ORACLE_SQL["fe7_quantile_binning"] = """
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT list_transform(
+                   quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> CAST(ROUND(x) AS BIGINT)
+               ) AS bounds
+        FROM c
+    ),
+    binned AS (
+        SELECT c.cents,
+               CAST(len(list_filter(b.bounds, x -> x < c.cents)) AS BIGINT)
+                   AS bin
+        FROM c, b
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM binned GROUP BY bin
 """

@@ -157,6 +157,47 @@ class TestGlobalRowNumber:
         assert "Window" not in plan
 
 
+class TestQuantileBinning:
+    def test_matches_brute_force(self, spark):
+        from ml_feature_store_spark.operators.encoding import quantile_binning
+
+        o = table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        got = {
+            r["o_orderkey"]: r["bin"]
+            for r in quantile_binning(o, "o_totalprice", n_bins=4).collect()
+        }
+        rows = o.collect()
+        cents = sorted(round(r["o_totalprice"] * 100) for r in rows)
+        n = len(cents)
+        # exact interpolated percentile (numpy 'linear' / SQL percentile)
+        def pct(f):
+            idx = f * (n - 1)
+            lo, hi = int(idx), min(int(idx) + 1, n - 1)
+            return round(cents[lo] + (cents[hi] - cents[lo]) * (idx - lo))
+        bounds = [pct(k / 4) for k in (1, 2, 3)]
+        for r in rows:
+            c = round(r["o_totalprice"] * 100)
+            assert got[r["o_orderkey"]] == sum(1 for b in bounds if b < c)
+
+    def test_equal_frequency_and_validation(self, spark):
+        from ml_feature_store_spark.operators.encoding import quantile_binning
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "x double"
+        )
+        counts = {
+            r["bin"]: r["n"]
+            for r in quantile_binning(df, "x", n_bins=5)
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(counts) == {0, 1, 2, 3, 4}
+        assert all(c == 20 for c in counts.values())
+        with pytest.raises(ValueError):
+            quantile_binning(df, "x", n_bins=1)
+
+
 def brute_kcore(edges, k):
     """Reference fixpoint k-core: peel until stable, return {node: degree}."""
     adj = {}
