@@ -284,3 +284,45 @@ def quantile_binning(
         out_col,
         F.size(F.filter(rounded, lambda b: b < F.col("__c__"))).cast("long"),
     ).drop("__c__", "__bounds__")
+
+
+def impute_median(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    cents_col: str = "cents",
+    out_col: str = "cents_imputed",
+) -> DataFrame:
+    """Missing-value imputation with the per-group median — the
+    workhorse numeric imputer (median over mean: robust to the heavy
+    tails real telemetry has). NULLs in ``value_col`` are filled with
+    the median of the non-null values in the row's ``group_col`` group.
+
+    fe-family determinism contract: values are quantized to integer
+    cents first, the group median comes from one exact ``percentile``
+    aggregate over those integers (interpolation parity with DuckDB
+    quantile_cont pinned by a7), and the filled column is the integer
+    ``coalesce(cents, median_cents)`` — no float arithmetic survives
+    into the output. At extreme scale the exact percentile swaps for
+    ``percentile_approx`` (a7-vs-a14 tradeoff, documented).
+
+    Plan shape: one partial-agg shuffle on the (small) group key builds
+    the median dim; the dim BROADCASTS back; the fill is a map-side
+    coalesce — the fact table is never shuffled, mirroring
+    ``target_encode_loo``."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    withc = df.withColumn(cents_col, cents)
+    med = (
+        withc.filter(F.col(cents_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.floor(F.expr(f"percentile({cents_col}, 0.5)") + F.lit(0.5))
+            .cast("long")
+            .alias("__med__")
+        )
+    )
+    return (
+        withc.join(F.broadcast(med), group_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(cents_col), F.col("__med__")))
+        .withColumnRenamed("__med__", "median_cents")
+    )

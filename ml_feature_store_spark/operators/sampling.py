@@ -226,3 +226,49 @@ def bottomk_sample(
         .filter(F.col("__rk__") <= k)
         .withColumnRenamed("__rk__", "sample_rank")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    u_col: str = "u",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Importance-weighted sampling without replacement via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM'07): each row draws
+    u ~ Uniform(0,1] and gets priority q = w/u; the top-k rows by q are
+    a weighted-without-replacement sample with near-optimal variance
+    for subset-sum estimation — the importance-sampling primitive for
+    corpus curation (sample long/high-quality documents preferentially,
+    with principled estimator weights).
+
+    Determinism and cross-engine parity: u comes from the md5
+    ``hash_uniform`` family (+1 so u > 0), and q is computed as ONE
+    IEEE-754 double division of exactly-represented operands
+    (w * 2^60 is exact for integer w < 2^53; long->double casts and
+    division are correctly rounded) — NO libm call anywhere, so any
+    IEEE engine produces bit-identical priorities and the SAME top-k
+    (ties broken by key). That is the difference from the textbook
+    exp/log Efraimidis-Spirakis keys, whose libm results differ by
+    ulps across engines and could flip marginal sample membership.
+
+    Plan shape: map-only priority computation (codegen md5 + one
+    division), then top-k — Spark plans TakeOrderedAndProject:
+    per-partition heap of k, merge of #partitions*k candidates, NO
+    global sort and no full shuffle, the same 100 TB shape as s1."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (hash_uniform(F.col(key_col)) + F.lit(1)).cast("long")
+    withu = df.withColumn(u_col, u)
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(_TWO60))
+        / F.col(u_col).cast("double")
+    )
+    return (
+        withu.withColumn(priority_col, q)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -227,6 +227,8 @@ _CANONICAL = [
     'a21_regr_family',
     'x28_from_json_typed',
     'fe7_quantile_binning',
+    'x29_weighted_sample',
+    'fe8_impute_median',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -260,6 +262,7 @@ _ROUND_PRIORITY = [
     "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
     "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
     "fe7_quantile_binning",
+    "x29_weighted_sample", "fe8_impute_median",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1251,6 +1251,55 @@ def q_fe7_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (operators/sampling.py
+    weighted_priority_sample — Duffield-Lund-Thorup priority sampling):
+    top-100 documents by priority w/u with w = n_chars, i.e. longer
+    documents proportionally likelier, sampled WITHOUT replacement with
+    principled estimator weights. Membership is bit-deterministic
+    cross-engine because the priority is one IEEE double division of
+    exact integers (md5-derived u, no libm) — the reason this query can
+    have a value-hash oracle at all. Plan: map-only priorities +
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+    Output pins the full sample: id, domain, weight and the draw."""
+    from .operators.sampling import weighted_priority_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_priority_sample(docs, "doc_id", "n_chars", k=100)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w"), "u"
+    )
+
+
+def q_fe8_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation (operators/encoding.py impute_median):
+    a seventh of the event values are deliberately NULLed (event_id % 7
+    — the synthetic tables carry no NULLs, same probe technique as
+    x28's corrupt lane) and refilled with the per-event-type median,
+    cents-exact. The witness accounting separates observed from imputed
+    mass per group and carries the median itself, so a drifted
+    percentile or a broadcast-join miss cannot hide. Median dim
+    broadcasts; the event stream is never shuffled before the final
+    rollup."""
+    from .operators.encoding import impute_median
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute_median(ev, "value", "event_type")
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_imputed"),
+        F.sum("cents_imputed").cast("long").alias("sum_cents"),
+        F.min("median_cents").cast("long").alias("med_cents"),
+    )
+
+
 def q_udtf1_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surface via mapInArrow (operators/text.py token_runs): each
     document expands into one row per run of consecutive equal tokens —
@@ -1338,6 +1387,8 @@ QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
     'fe7_quantile_binning': q_fe7_quantile_binning,
+    'x29_weighted_sample': q_x29_weighted_sample,
+    'fe8_impute_median': q_fe8_impute_median,
     't12_unicode_normalize': q_t12_unicode_normalize,
     'fe6_global_row_number': q_fe6_global_row_number,
     'mix2_temperature_mixture': q_mix2_temperature_mixture,
@@ -2489,4 +2540,41 @@ ORACLE_SQL["fe7_quantile_binning"] = """
            CAST(MAX(cents) AS BIGINT) AS max_cents,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM binned GROUP BY bin
+"""
+
+ORACLE_SQL["x29_weighted_sample"] = """
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 1 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w, u
+    FROM t
+    ORDER BY CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+                 / CAST(u AS DOUBLE) DESC,
+             doc_id
+    LIMIT 100
+"""
+
+ORACLE_SQL["fe8_impute_median"] = """
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(FLOOR(quantile_cont(cents, 0.5) + 0.5) AS BIGINT) AS med
+        FROM e WHERE cents IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           CAST(SUM(COALESCE(e.cents, m.med)) AS BIGINT) AS sum_cents,
+           CAST(MIN(m.med) AS BIGINT) AS med_cents
+    FROM e JOIN m USING (event_type)
+    GROUP BY e.event_type
 """

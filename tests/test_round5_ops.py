@@ -198,6 +198,83 @@ class TestQuantileBinning:
             quantile_binning(df, "x", n_bins=1)
 
 
+class TestWeightedPrioritySample:
+    def test_matches_brute_force_replay(self, spark):
+        import hashlib
+
+        from ml_feature_store_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        docs = table(spark, SF, "documents").select("doc_id", "n_chars")
+        got = [
+            r["doc_id"]
+            for r in weighted_priority_sample(docs, "doc_id", "n_chars", k=25)
+            .orderBy(F.col("priority").desc(), "doc_id")
+            .collect()
+        ]
+        rows = docs.collect()
+        def u(did):
+            return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) + 1
+        ranked = sorted(
+            rows, key=lambda r: (-(r["n_chars"] * float(1 << 60) / u(r["doc_id"])), r["doc_id"])
+        )
+        assert got == [r["doc_id"] for r in ranked[:25]]
+
+    def test_weighting_prefers_heavy_items(self, spark):
+        """A weight-1000 item set vs a weight-1 item set of equal size:
+        the heavy half must dominate the sample (the property that
+        distinguishes this from uniform bottom-k)."""
+        from ml_feature_store_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [(i, 1000 if i < 200 else 1) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        samp = weighted_priority_sample(df, "id", "w", k=100).collect()
+        heavy = sum(1 for r in samp if r["w"] == 1000)
+        assert heavy >= 90
+
+    def test_validates_k(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df = spark.createDataFrame([(1, 1)], "id long, w long")
+        with pytest.raises(ValueError):
+            weighted_priority_sample(df, "id", "w", k=0)
+
+
+class TestImputeMedian:
+    def test_fills_with_group_median(self, spark):
+        from ml_feature_store_spark.operators.encoding import impute_median
+
+        rows = [
+            ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+            ("b", 10.0), ("b", None), ("b", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {
+            (r["g"], r["cents"]): r["cents_imputed"]
+            for r in impute_median(df, "value", "g").collect()
+        }
+        assert out[("a", None)] == 200   # median of 100,200,300
+        assert out[("b", None)] == 2000  # median of 1000,3000
+        assert out[("a", 100)] == 100    # observed values untouched
+
+    def test_all_null_group_stays_null(self, spark):
+        from ml_feature_store_spark.operators.encoding import impute_median
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("z", None)], "g string, value double"
+        )
+        row = {
+            r["g"]: r for r in impute_median(df, "value", "g").collect()
+        }
+        assert row["z"]["cents_imputed"] is None
+        assert row["z"]["median_cents"] is None
+
+
 def brute_kcore(edges, k):
     """Reference fixpoint k-core: peel until stable, return {node: degree}."""
     adj = {}
