@@ -371,6 +371,44 @@ COMMENT = {
         "shuffle join by design; unigrams/vocab broadcast) and rolls up "
         "with one partial-agg sum per doc."
     ),
+    "udtf1_token_runs": (
+        "UDTF-style table function: mapInArrow generator (ArrowEvalPython "
+        "/ MapInArrow node) directly over the scan — map-only, zero "
+        "exchanges before the per-doc rollup's single partial-agg "
+        "shuffle; parallelism pinned ahead of the kernel so a one-file "
+        "scan cannot serialize the Arrow stage."
+    ),
+    "fe6_global_row_number": (
+        "Global 1..N numbering WITHOUT the single-partition Window: ONE "
+        "range exchange (repartitionByRange on the key), JVM "
+        "monotonically_increasing_id within partitions, and a "
+        "#partitions-row offset agg broadcast back. No Window node "
+        "anywhere in the plan — the gate tests/test_round5_ops.py pins."
+    ),
+    "fe7_quantile_binning": (
+        "Equal-frequency binning: one exact-percentile aggregate "
+        "produces a scalar boundary array, BroadcastNestedLoopJoin "
+        "attaches it (1-row build side), bin assignment is all-integer "
+        "codegen (higher-order filter over the broadcast array) — the "
+        "fact table is never shuffled before the witness rollup."
+    ),
+    "x29_weighted_sample": (
+        "Priority sampling: map-only md5 draw + ONE IEEE double division "
+        "per row (no libm), then TakeOrderedAndProject — per-partition "
+        "top-k heaps merged once, no global sort, no shuffle."
+    ),
+    "j6_nullsafe_join": (
+        "Null-safe dim lookup: BroadcastHashJoin on the <=> comparator "
+        "(knownfloatingpointnormalized/coalesce key rewrite) — the NULL "
+        "dimension member matches NULL fact keys map-side; the fact side "
+        "reaches the join straight from the scan."
+    ),
+    "x28_from_json_typed": (
+        "Typed JSON parsing: from_json is a codegen expression evaluated "
+        "inside the scan stage (no UDF, no Python); malformed rows "
+        "surface as NULL structs and the quarantine accounting is one "
+        "partial-agg groupBy."
+    ),
 }
 
 
@@ -410,6 +448,26 @@ def main() -> None:
         "16-expression hash array per element) was fixed by",
         "cast-to-array<string> + array_join (single evaluation per row; fe2",
         "back to 0.9 s).",
+        "",
+        "Round-5 bench regression audit (BENCH_DETAIL vs the round-4 detail",
+        "at commit 01fb07f, 198 common queries, min-of-2 both sides): ZERO",
+        "queries regressed >2x; common-query total 182.9 s vs 170.7 s",
+        "(median per-query ratio 1.09 — host drift, no plan changes to the",
+        "common set). The one deliberate slowdown is g5_copurchase_jaccard",
+        "2.03 -> 3.20 s: the declared query now runs WITH the",
+        "max_basket=100 hub cap (basket-size agg + anti-join), trading ~1 s",
+        "on TPC-H's bounded baskets for the lane SKEW.md measures at 2.4 s",
+        "vs 17.4 s uncapped under a 10k-item hub — the scale-safe path is",
+        "now the verified path, per the round-4 brief. The suite grew to",
+        "209 timed queries (+11): 3 source/sampler witnesses (io13 inline",
+        "VALUES, s4 native TABLESAMPLE, online1's new DuckDB point-read",
+        "twin), and 8 operators — udtf1 mapInArrow table function, t12 NFC",
+        "normalization, fe6 two-pass global row numbering, j6 null-safe",
+        "join, a21 regr_* OLS family, x28 typed from_json with a corrupt",
+        "lane, fe7 quantile binning, x29 priority-sampling weighted sample,",
+        "fe8 median imputation. All 11 land at 0.2-1.7 s; every one has a",
+        "green oracle row and (where plan-shaped) a plan gate in",
+        "tests/test_round5_ops.py.",
         "",
     ]
     for name, note in COMMENT.items():
