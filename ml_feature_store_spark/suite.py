@@ -229,6 +229,7 @@ _CANONICAL = [
     'fe7_quantile_binning',
     'x29_weighted_sample',
     'fe8_impute_median',
+    'dq11_observed_metrics',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -262,7 +263,7 @@ _ROUND_PRIORITY = [
     "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
     "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
     "fe7_quantile_binning",
-    "x29_weighted_sample", "fe8_impute_median",
+    "x29_weighted_sample", "fe8_impute_median", "dq11_observed_metrics",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

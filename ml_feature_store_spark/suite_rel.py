@@ -1809,6 +1809,48 @@ def q_s4_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq11_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass piggybacked QA metrics via the ``Dataset.observe`` /
+    ``Observation`` API — the production pattern dq9's second-scan
+    expectation suite cannot match at 100 TB: the metrics ride THE SAME
+    physical pass as the main job (here a noop sink standing in for the
+    training-shard write), so data ships and is audited in one scan,
+    with zero extra jobs (DISTINCT aggregates are disallowed by the API
+    — use approx_count_distinct there). The observed aggregates are
+    accumulator-style partial aggs merged on the driver — exactly-once per row regardless
+    of task retries (Spark's observe contract). The witness re-emits
+    the collected metrics as a 1-row frame; the oracle computes the
+    same aggregates directly — equality proves the piggybacked path
+    loses nothing vs a dedicated scan."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("dq11")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+    # the "real" job whose pass the metrics ride (noop training-shard write)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                int(m["min_event"]),
+                int(m["max_event"]),
+            )
+        ],
+        "n_rows long, sum_cents long, min_event long, max_event long",
+    )
+
+
 def q_j6_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``eqNullSafe`` / SQL ``<=>`` — the last
     unwitnessed join predicate form): NULL join keys MATCH each other
@@ -1972,6 +2014,7 @@ QUERIES = {
     'io13_values_inline': q_io13_values_inline,
     's4_tablesample': q_s4_tablesample,
     'j6_nullsafe_join': q_j6_nullsafe_join,
+    'dq11_observed_metrics': q_dq11_observed_metrics,
     'a21_regr_family': q_a21_regr_family,
     'x28_from_json_typed': q_x28_from_json_typed,
     'dq9_expectations': q_dq9_expectations,
@@ -2835,6 +2878,15 @@ ORACLE_SQL["io12_gzip_roundtrip"] = f"""
     FROM ev GROUP BY event_type ORDER BY event_type
 """
 
+
+ORACLE_SQL["dq11_observed_metrics"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events
+"""
 
 ORACLE_SQL["j6_nullsafe_join"] = """
     WITH c AS (

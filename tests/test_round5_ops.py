@@ -318,6 +318,32 @@ class TestRound5Plans:
         assert "SortMergeJoin" not in p8
 
 
+class TestObservedMetrics:
+    def test_observe_equals_direct_aggregate(self, spark):
+        """The dq11 contract: metrics piggybacked on a pass via observe()
+        equal a dedicated aggregate scan."""
+        from pyspark.sql import Observation
+
+        ev = table(spark, SF, "events")
+        obs = Observation("t_obs")
+        observed = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+        observed.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        direct = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        ).collect()[0]
+        assert (m["n"], m["lo"], m["hi"]) == (
+            direct["n"], direct["lo"], direct["hi"]
+        )
+
+
 def brute_kcore(edges, k):
     """Reference fixpoint k-core: peel until stable, return {node: degree}."""
     adj = {}
