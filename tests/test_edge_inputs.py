@@ -263,3 +263,65 @@ class TestRound4EdgeInputs:
 
         df = spark.createDataFrame([], "doc_id long, text string")
         assert bigram_lm_doc_score(df).count() == 0
+
+
+class TestRound5EdgeInputs:
+    def test_token_runs_empty_input(self, spark):
+        from ml_feature_store_spark.operators.text import token_runs
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert token_runs(docs).count() == 0
+
+    def test_normalize_nfc_empty_and_empty_string(self, spark):
+        from ml_feature_store_spark.operators.text import normalize_nfc
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert normalize_nfc(empty).count() == 0
+        rows = normalize_nfc(
+            spark.createDataFrame([(1, "")], "doc_id long, text string")
+        ).collect()
+        assert rows[0]["text_nfc"] == ""
+
+    def test_global_row_number_empty_and_single_row(self, spark):
+        from ml_feature_store_spark.operators.util import global_row_number
+
+        empty = spark.createDataFrame([], "k long")
+        assert global_row_number(empty, "k").count() == 0
+        one = global_row_number(
+            spark.createDataFrame([(42,)], "k long"), "k"
+        ).collect()
+        assert [(r["k"], r["row_no"]) for r in one] == [(42, 1)]
+
+    def test_quantile_binning_constant_column(self, spark):
+        """All-equal values: every boundary collapses to the same integer,
+        nothing is < anything, all rows land in bin 0 — no crash, no
+        empty bins fabricated."""
+        from ml_feature_store_spark.operators.encoding import quantile_binning
+
+        df = spark.createDataFrame([(5.0,)] * 10, "x double")
+        rows = quantile_binning(df, "x", n_bins=4).collect()
+        assert len(rows) == 10 and all(r["bin"] == 0 for r in rows)
+
+    def test_weighted_sample_k_exceeds_population(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id long, w long")
+        assert weighted_priority_sample(df, "id", "w", k=100).count() == 2
+
+    def test_impute_median_no_nulls_is_identity(self, spark):
+        from ml_feature_store_spark.operators.encoding import impute_median
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, value double"
+        )
+        rows = impute_median(df, "value", "g").collect()
+        assert all(r["cents_imputed"] == r["cents"] for r in rows)
+
+    def test_kcore_until_converged_empty_edges(self, spark):
+        from ml_feature_store_spark.operators.graph import kcore
+
+        edges = spark.createDataFrame([], "src long, dst long")
+        rows = kcore(edges, k=2, until_converged=True).collect()
+        assert rows == []
