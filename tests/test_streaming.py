@@ -712,3 +712,90 @@ class TestStatefulSessionize:
             .collect()
         }
         assert got == want
+
+
+class TestTransformWithState:
+    def test_record_tracker_matches_ordered_batch_replay(self, spark):
+        """TWS (Spark 4 typed-state API) witness: per-user record counter
+        whose output depends on fold order — proves micro-batches flow
+        through the typed ValueState in sequence. ENV-GATED: the TWS
+        state protocol needs protobuf, absent in this container (same
+        documented class as delta-spark/Avro); the test activates
+        wherever the dependency exists."""
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's state protocol requires protobuf "
+            "(env-blocked here; see streaming/stateful.py docstring)",
+        )
+        import tempfile as _tf
+
+        from ml_feature_store_spark.streaming.stateful import (
+            streaming_record_tracker,
+        )
+        from ml_feature_store_spark.suite_common import _write_ordered_feed
+
+        prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        from ml_feature_store_spark.sources.testdata import load_table
+        from ml_feature_store_spark.streaming.ingest import stream_events as _se
+
+        ev = load_table(spark, "events", SF).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        d = _tf.mkdtemp(prefix="mlfs_tws_")
+        try:
+            _write_ordered_feed(
+                d,
+                ev.filter(F.col("event_id") % 2 == 0),
+                ev.filter(F.col("event_id") % 2 == 1),
+            )
+            stream = _se(spark, d)
+            q = (
+                streaming_record_tracker(stream)
+                .writeStream.format("memory")
+                .queryName("tws_records")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+            got = {
+                r["user_id"]: (r["n_events"], r["n_records"], r["max_cents"])
+                for r in spark.table("tws_records")
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max_by("n_records", "n_events").alias("n_records"),
+                    F.max_by("max_cents", "n_events").alias("max_cents"),
+                )
+                .collect()
+            }
+            # batch replay in fold order (batch parity, ts_us, event_id)
+            rows = ev.select(
+                "user_id",
+                (F.col("event_id") % 2).alias("b"),
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ).collect()
+            want = {}
+            for r in sorted(rows, key=lambda r: (r["b"], r["ts_us"], r["event_id"])):
+                n, rec, mx = want.get(r["user_id"], (0, 0, None))
+                n += 1
+                if mx is None or r["cents"] > mx:
+                    mx, rec = r["cents"], rec + 1
+                want[r["user_id"]] = (n, rec, mx)
+            assert got == want
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+            if prior is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prior
+                )
