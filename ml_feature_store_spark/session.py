@@ -42,6 +42,9 @@ def get_spark(app_name: str = "ml-feature-store-spark", master: str | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source API: let the planner call pushFilters on
+        # Python connectors (sources/pyds.py prunes partitions with it).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Spark 4 cannot read parquet TIMESTAMP(NANOS) natively (errors with
         # PARQUET_TYPE_ILLEGAL); read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1809,6 +1809,67 @@ def q_s4_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io14_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API — Spark 4's
+    answer for feeds with no built-in reader (sources/pyds.py:
+    partition-planned, executor-side readers, planner-driven
+    pushFilters partition pruning). The witness reads the deterministic
+    synthetic feed (8 partitions x 2000 rows, pure integer formulas of
+    the global index) and rolls up per key; because the generator is
+    formula-defined, DuckDB replays it as range() algebra and the
+    value-hash gate proves the connector path loses nothing. The
+    pruning lane is pinned separately in tests (an EqualTo on `part`
+    drops 7 of 8 partitions before any task is scheduled)."""
+    from .sources.pyds import SyntheticFeedDataSource
+
+    spark.dataSource.register(SyntheticFeedDataSource)
+    df = (
+        spark.read.format("synthetic_feed")
+        .option("partitions", 8)
+        .option("rowsperpartition", 2000)
+        .load()
+    )
+    return df.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("amount_cents").cast("long").alias("sum_cents"),
+        F.min("i").cast("long").alias("first_i"),
+        F.max("i").cast("long").alias("last_i"),
+    )
+
+
+def q_x30_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT lane (Spark 4): ``try_parse_json`` turns
+    the JSON string column into the binary VARIANT encoding ONCE, and
+    ``variant_get`` extracts typed fields WITHOUT re-parsing — the
+    storage answer for JSON at 100 TB (parse at ingest, shredded
+    binary reads thereafter), vs x28's per-query from_json parse. The
+    same tenth-of-the-feed corrupt lane rides through: try_parse_json
+    yields NULL variant, variant_get propagates NULL, and the
+    accounting separates quarantine from values — proving the
+    try_/NULL contract of the variant path. All expressions are JVM
+    codegen on the scan; one partial-agg shuffle."""
+    ev = table(spark, sf_dir, "events")
+    js = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 5)
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(js)
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
 def q_dq11_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass piggybacked QA metrics via the ``Dataset.observe`` /
     ``Observation`` API — the production pattern dq9's second-scan
@@ -2015,6 +2076,8 @@ QUERIES = {
     's4_tablesample': q_s4_tablesample,
     'j6_nullsafe_join': q_j6_nullsafe_join,
     'dq11_observed_metrics': q_dq11_observed_metrics,
+    'io14_python_datasource': q_io14_python_datasource,
+    'x30_variant_extract': q_x30_variant_extract,
     'a21_regr_family': q_a21_regr_family,
     'x28_from_json_typed': q_x28_from_json_typed,
     'dq9_expectations': q_dq9_expectations,
@@ -2878,6 +2941,38 @@ ORACLE_SQL["io12_gzip_roundtrip"] = f"""
     FROM ev GROUP BY event_type ORDER BY event_type
 """
 
+
+ORACLE_SQL["io14_python_datasource"] = """
+    WITH g AS (SELECT range AS i FROM range(0, 16000))
+    SELECT i % 97 AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((i * i) % 10007) AS BIGINT) AS sum_cents,
+           CAST(MIN(i) AS BIGINT) AS first_i,
+           CAST(MAX(i) AS BIGINT) AS last_i
+    FROM g GROUP BY i % 97
+"""
+
+ORACLE_SQL["x30_variant_extract"] = """
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 5)
+                    ELSE props END AS js
+        FROM events
+    ),
+    p AS (
+        SELECT event_type,
+               CASE WHEN json_valid(js)
+                    THEN CAST(json_extract_string(js, \'$.k\') AS BIGINT)
+               END AS k
+        FROM j
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(AVG(k), 4) AS avg_k
+    FROM p GROUP BY event_type
+"""
 
 ORACLE_SQL["dq11_observed_metrics"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -344,6 +344,86 @@ class TestObservedMetrics:
         )
 
 
+class TestPythonDataSource:
+    def test_rows_match_formula(self, spark):
+        from ml_feature_store_spark.sources.pyds import (
+            SyntheticFeedDataSource,
+            synthetic_row,
+        )
+
+        spark.dataSource.register(SyntheticFeedDataSource)
+        rows = (
+            spark.read.format("synthetic_feed")
+            .option("partitions", 3)
+            .option("rowsperpartition", 50)
+            .load()
+            .collect()
+        )
+        assert len(rows) == 150
+        for r in rows:
+            i, key, cents = synthetic_row(r["i"])
+            assert (r["key"], r["amount_cents"]) == (key, cents)
+            assert r["part"] == r["i"] // 50
+
+    def test_pushdown_prunes_partitions(self, spark):
+        """pushFilters on part must drop non-matching partitions BEFORE
+        scheduling: asserted both at the reader level (partitions()
+        shrinks) and end-to-end (results still correct)."""
+        from pyspark.sql.datasource import EqualTo, InputPartition
+
+        from ml_feature_store_spark.sources.pyds import (
+            SyntheticFeedDataSource,
+            SyntheticFeedReader,
+        )
+
+        r = SyntheticFeedReader({"partitions": "8", "rowsperpartition": "10"})
+        leftover = list(r.pushFilters([EqualTo(("part",), 5)]))
+        assert leftover == []  # fully handled
+        assert [p.value for p in r.partitions()] == [5]
+        # an unsupported filter is returned to Spark untouched
+        r2 = SyntheticFeedReader({"partitions": "4", "rowsperpartition": "10"})
+        other = EqualTo(("key",), 1)
+        assert list(r2.pushFilters([other])) == [other]
+        assert len(r2.partitions()) == 4
+
+        spark.dataSource.register(SyntheticFeedDataSource)
+        df = (
+            spark.read.format("synthetic_feed")
+            .option("partitions", 8)
+            .option("rowsperpartition", 10)
+            .load()
+        )
+        got = df.filter(F.col("part") == 5).agg(
+            F.count("*").alias("n"), F.min("i").alias("lo"), F.max("i").alias("hi")
+        ).collect()[0]
+        assert (got["n"], got["lo"], got["hi"]) == (10, 50, 59)
+
+
+class TestVariantExtract:
+    def test_variant_equals_from_json_lane(self, spark):
+        """The x30 contract: variant_get over try_parse_json extracts the
+        same typed values as the from_json path, and malformed input
+        yields NULL through both."""
+        df = spark.createDataFrame(
+            [(1, '{"k": 7}'), (2, '{"k":'), (3, None), (4, '{"k": -3}')],
+            "id long, js string",
+        )
+        v = F.try_parse_json(F.col("js"))
+        got = {
+            r["id"]: r["k"]
+            for r in df.select(
+                "id", F.variant_get(v, "$.k", "long").alias("k")
+            ).collect()
+        }
+        want = {
+            r["id"]: r["k"]
+            for r in df.select(
+                "id", F.from_json("js", "k long").getField("k").alias("k")
+            ).collect()
+        }
+        assert got == want == {1: 7, 2: None, 3: None, 4: -3}
+
+
 def brute_kcore(edges, k):
     """Reference fixpoint k-core: peel until stable, return {node: degree}."""
     adj = {}
