@@ -594,7 +594,31 @@ def q_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q23_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard top-N-per-group idiom (s2 witnesses the window form;
+    this is the LATERAL surface itself, the last unwitnessed correlated-
+    subquery shape after EXISTS/IN/scalar). Per nation, the top-2
+    customers by balance. Catalyst decorrelates the limited lateral
+    into a ranked window over the join — no per-row re-execution, one
+    shuffle on the correlation key — so the declarative form costs the
+    same as the hand-written window at any scale. DuckDB runs the
+    IDENTICAL text."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q23_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q23_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM q23_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM q23_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q23_lateral_topn": q_q23_lateral_topn,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_profit": q_q9_product_profit,
     "q11_important_parts": q_q11_important_parts,
@@ -616,6 +640,13 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q23_lateral_topn": """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
     "q2_min_cost_supplier": """
         WITH pair_cost AS (
             SELECT l.l_partkey, l.l_suppkey,

@@ -266,7 +266,7 @@ _ROUND_PRIORITY = [
     "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
     "fe7_quantile_binning",
     "x29_weighted_sample", "fe8_impute_median", "dq11_observed_metrics",
-    "io14_python_datasource", "x30_variant_extract",
+    "io14_python_datasource", "x30_variant_extract", "q23_lateral_topn",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)
