@@ -1809,6 +1809,46 @@ def q_s4_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink (built into Spark 4 — the former spark-xml
+    package): write an event projection as <events><event>...</event>
+    rows, read it back with an explicit schema + rowTag, and aggregate
+    with integer checksums proving the lossless roundtrip — the last
+    text wire format after CSV/JSON/ORC/text/binaryFile/gzip. Values
+    ride as cents BIGINTs so float formatting can't leak into the
+    comparison. Scale note: like JSON lines, XML files split per FILE
+    (a row can't span files but one huge file parses as a stream);
+    land-as-parquet after one pass remains the steady-state answer."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = _scratch_dir("io15_xml", sf_dir)
+    (
+        ev.write.mode("overwrite")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .format("xml")
+        .save(d)
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, cents long"
+        )
+        .option("rowTag", "event")
+        .format("xml")
+        .load(d)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )
+
+
 def q_io14_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector via the Python Data Source API — Spark 4's
     answer for feeds with no built-in reader (sources/pyds.py:
@@ -2077,6 +2117,7 @@ QUERIES = {
     'j6_nullsafe_join': q_j6_nullsafe_join,
     'dq11_observed_metrics': q_dq11_observed_metrics,
     'io14_python_datasource': q_io14_python_datasource,
+    'io15_xml_roundtrip': q_io15_xml_roundtrip,
     'x30_variant_extract': q_x30_variant_extract,
     'a21_regr_family': q_a21_regr_family,
     'x28_from_json_typed': q_x28_from_json_typed,
@@ -2941,6 +2982,16 @@ ORACLE_SQL["io12_gzip_roundtrip"] = f"""
     FROM ev GROUP BY event_type ORDER BY event_type
 """
 
+
+ORACLE_SQL["io15_xml_roundtrip"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+"""
 
 ORACLE_SQL["io14_python_datasource"] = """
     WITH g AS (SELECT range AS i FROM range(0, 16000))
