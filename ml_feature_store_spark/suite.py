@@ -233,6 +233,7 @@ _CANONICAL = [
     'io14_python_datasource',
     'x30_variant_extract',
     'io15_xml_roundtrip',
+    'sd6_state_store_reader',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -268,7 +269,7 @@ _ROUND_PRIORITY = [
     "fe7_quantile_binning",
     "x29_weighted_sample", "fe8_impute_median", "dq11_observed_metrics",
     "io14_python_datasource", "x30_variant_extract", "q23_lateral_topn",
-    "io15_xml_roundtrip",
+    "io15_xml_roundtrip", "sd6_state_store_reader",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

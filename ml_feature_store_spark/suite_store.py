@@ -1111,7 +1111,55 @@ def q_sd4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd6_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Store batch READER (Spark 4 `statestore` format) — the ops/
+    debugging surface for stateful streaming: after a two-micro-batch
+    watermarked aggregation runs into a checkpoint, the checkpoint's
+    state store is opened as a plain batch DataFrame and inspected —
+    how production debugs "what does my streaming state actually hold"
+    without replaying the stream. The witness proves the inspection is
+    FAITHFUL: the state rows (per-user count + cents sum, accumulated
+    across both micro-batches through the store) must value-hash-equal
+    the batch aggregate of the whole feed, which is exactly what the
+    final state of an update-mode agg is. Feed and checkpoint live in
+    per-run-wiped scratch dirs so reruns start from empty state."""
+    from .streaming.ingest import stream_events
+
+    d = _scratch_dir("sd6_feed", sf_dir)
+    ck = _scratch_dir("sd6_ckpt", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    stream = stream_events(spark, d)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.user_id").cast("long").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.col("value.sum").cast("long").alias("sum_cents"),
+    )
+
+
 QUERIES = {
+    'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
     'f2_temporal_filter': q_f2_temporal_filter,
@@ -1667,4 +1715,12 @@ ORACLE_SQL["online1_point_read"] = f"""
     )
     SELECT entity_id, ts_us, event_id, event_type, value_cents
     FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 4
+"""
+
+ORACLE_SQL["sd6_state_store_reader"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY user_id
 """
