@@ -115,6 +115,17 @@ BENCH_QUERIES = [
     "udtf1_token_runs",     # mapInArrow run-length generator over 8x docs
     "t12_unicode_normalize",  # Arrow NFC kernel over 8x docs
     "fe6_global_row_number",  # two-pass global numbering over 8x orders
+    "fe7_quantile_binning",  # percentile boundary dim + broadcast binning (8x orders)
+    "fe8_impute_median",    # median dim broadcast + map-side fill over 8x events
+    "x29_weighted_sample",  # map-only priorities + top-k over 8x docs
+    "x28_from_json_typed",  # codegen from_json + corrupt lane over 8x events
+    "x30_variant_extract",  # parse-once VARIANT extraction over 8x events
+    "j6_nullsafe_join",     # null-safe broadcast dim lookup (customer 1x)
+    "a21_regr_family",      # one-pass OLS moments over 8x lineitem
+    "dq11_observed_metrics",  # observe() piggyback pass over 8x events
+    "io15_xml_roundtrip",   # XML write+read roundtrip over 8x events
+    "q23_lateral_topn",     # decorrelated lateral top-N (customer 1x)
+    "sd6_state_store_reader",  # streaming agg into checkpoint + state read (8x events)
 ]
 KEY_OFFSET = 100_000_000
 
