@@ -514,3 +514,56 @@ def ngram_containment(
     return (
         out.filter(F.col("containment") >= threshold) if threshold > 0 else out
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the CCNet / RefinedWeb pre-step:
+    most web duplication is boilerplate PARAGRAPHS — headers, footers,
+    cookie banners — repeated across documents whose full texts differ,
+    which document-level hashing (x3) cannot touch). Splits each doc on
+    ``delim``, trims, and keeps only the globally FIRST occurrence of
+    each normalized paragraph (first = min (id, pos) — deterministic,
+    replay-stable). Returns one row per non-empty paragraph: (id, pos,
+    par, keep).
+
+    Plan shape, chosen for 100 TB: the split/explode is map-only; first-
+    occurrence is a min-STRUCT aggregate on the paragraph's sha-256 —
+    partial aggregation absorbs the hot keys (THE boilerplate paragraph
+    appears in billions of docs; a row_number window over that partition
+    would sort one reducer's worth of the corpus) — followed by one hash
+    join back on the digest, where AQE skew-split handles the same hot
+    keys on the probe side. Joining on the 64-char digest instead of the
+    paragraph body keeps the shuffle rows narrow. Reference scope: the
+    reference engine has no text pipeline; extension operator per
+    SURVEY.md §2.4.
+    """
+    import re
+
+    pars = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(content_col), re.escape(delim))
+            ).alias("pos", "par"),
+        )
+        .withColumn("par", F.trim("par"))
+        .filter(F.col("par") != "")
+    )
+    keyed = pars.withColumn("__h__", F.sha2("par", 256))
+    first = keyed.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first__")
+    )
+    return (
+        keyed.join(first, "__h__")
+        .withColumn(
+            "keep",
+            (F.col(id_col) == F.col(f"__first__.{id_col}"))
+            & (F.col("pos") == F.col("__first__.pos")),
+        )
+        .drop("__h__", "__first__")
+    )

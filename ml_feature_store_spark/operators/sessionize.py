@@ -134,3 +134,56 @@ def session_stats(
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
     )
+
+
+def register_session_gaps_udtf(spark) -> str:
+    """Register the ``session_gaps`` Python UDTF (Spark 4 ``@udtf`` with a
+    TABLE argument) and return its SQL name.
+
+    The REAL user-defined-table-function surface — distinct from the
+    mapInArrow generator in operators/text.py token_runs: a class-based
+    UDTF invoked from SQL as ``session_gaps(TABLE(v) PARTITION BY user
+    ORDER BY ts)``, where Catalyst plans the partitioning (one shuffle on
+    the key, Arrow-batched rows into a per-partition Python instance) and
+    the class folds state row-by-row, emitting on ``terminate()``. This is
+    the escape hatch for per-entity sequential logic that window functions
+    cannot express; for anything a window CAN express (like this demo's
+    gap stats — see ``sessionize``) the declarative form is the production
+    path, which is exactly what the oracle twin proves.
+
+    Contract: input rows (user_id BIGINT, us BIGINT ascending within the
+    partition); output one row per partition: n_events, n_sessions
+    (30-minute gap rule, >= 1), max_gap_us (0 for single-event users).
+    All-BIGINT output keeps the cross-engine schema gate type-stable.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id: bigint, n_events: bigint, n_sessions: bigint, max_gap_us: bigint")
+    class SessionGaps:
+        GAP_US = 30 * 60 * 1_000_000
+
+        def __init__(self) -> None:
+            self.uid = None
+            self.prev = None
+            self.n = 0
+            self.breaks = 0
+            self.max_gap = 0
+
+        def eval(self, row) -> None:
+            self.uid = row["user_id"]
+            self.n += 1
+            t = row["us"]
+            if self.prev is not None:
+                gap = t - self.prev
+                if gap > self.GAP_US:
+                    self.breaks += 1
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev = t
+
+        def terminate(self):
+            if self.n:
+                yield (self.uid, self.n, 1 + self.breaks, self.max_gap)
+
+    spark.udtf.register("session_gaps", SessionGaps)
+    return "session_gaps"

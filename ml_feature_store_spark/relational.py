@@ -617,8 +617,50 @@ def q_q23_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q24_SQL = """
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey, 0 AS depth,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS path_cents
+            FROM {customer} WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1,
+                   t.path_cents + CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+            FROM {customer} c JOIN tree t
+              ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.c_custkey
+            WHERE c.c_custkey > 1
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(path_cents) AS BIGINT) AS sum_path_cents,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_key
+        FROM tree GROUP BY depth
+"""
+
+
+def q_q24_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4 recursive CTE, SPARK-24497) —
+    the iterative-traversal surface the engine previously reached only
+    through driver-side loops (graph.py) while the ORACLES already leaned
+    on DuckDB recursion; this witnesses Spark's own declarative
+    fixpoint, IDENTICAL SQL text on both engines. The hierarchy is the
+    implicit binary tree over c_custkey (parent = floor(k/2) — a
+    deterministic org-chart stand-in requiring no new data), walked from
+    the root carrying the root-to-node balance path-sum (recursion-order-
+    dependent, so the hash gate pins the traversal itself, not just
+    reachability), then rolled up per depth. Execution shape: each
+    recursive step is ONE equi-join of the (shrinking) frontier against
+    the base relation — the frontier is broadcastable at every real
+    hierarchy's scale, and the anchor/step/union plan is exactly the
+    frontier-driven BFS graph.py hand-builds; depth is log2(N) (~11 at
+    sf0.01), far under Spark's 100-level recursion guard."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q24_customer")
+    return spark.sql(_Q24_SQL.format(customer="q24_customer"))
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_lateral_topn": q_q23_lateral_topn,
+    "q24_recursive_tree": q_q24_recursive_tree,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_profit": q_q9_product_profit,
     "q11_important_parts": q_q11_important_parts,
@@ -640,6 +682,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q24_recursive_tree": _Q24_SQL.format(customer="customer"),
     "q23_lateral_topn": """
         SELECT n.n_name, t.c_custkey, t.c_acctbal
         FROM nation n,

@@ -234,6 +234,8 @@ _CANONICAL = [
     'x30_variant_extract',
     'io15_xml_roundtrip',
     'sd6_state_store_reader',
+    't13_paragraph_dedup',
+    'udtf2_session_gaps',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -258,11 +260,13 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # from_json, fe7 quantile binning, x29 priority-sampling weighted sample,
 # fe8 median imputation, dq11 observe() piggybacked metrics, io14 Python
 # Data Source connector, x30 VARIANT extraction, q23 LATERAL top-N, io15
-# native XML roundtrip, sd6 state-store batch reader. That's 25 priority
-# names; the window's remaining 25 slots fall through to _CANONICAL order
-# — already-green rows being re-witnessed, a regression watch. All 25
-# pass the local tools/check.py gate (full-suite run this round:
-# 216/216).
+# native XML roundtrip, sd6 state-store batch reader — plus q24 native
+# recursive CTE, t13 paragraph-granular dedup, udtf2 TABLE-argument
+# stateful UDTF. That's 28 priority names; the window's remaining 22
+# slots fall through to _CANONICAL order — already-green rows being
+# re-witnessed, a regression watch. All 28 pass the local
+# tools/check.py gate (full-suite run this round: 216/216 before the
+# last 3, which pass tools/check.py --only).
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [
@@ -276,6 +280,7 @@ _ROUND_PRIORITY = [
     "x29_weighted_sample", "fe8_impute_median", "dq11_observed_metrics",
     "io14_python_datasource", "x30_variant_extract", "q23_lateral_topn",
     "io15_xml_roundtrip", "sd6_state_store_reader",
+    "q24_recursive_tree", "t13_paragraph_dedup", "udtf2_session_gaps",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

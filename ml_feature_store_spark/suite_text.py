@@ -1383,9 +1383,75 @@ def q_fe6_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T13_BOILER_HEAD = "join our mailing list today"
+_T13_BOILER_TAIL = "unsubscribe link lives in this footer"
+
+
+def q_t13_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup (operators/dedup.py paragraph_dedup — the
+    CCNet/RefinedWeb pre-step: web duplication is mostly boilerplate
+    PARAGRAPHS repeated across otherwise-distinct documents, invisible to
+    whole-doc hashing x3 and below the radar of doc-level MinHash x6).
+    The corpus is synthetic token soup with no paragraph marks, so the
+    witness (a) splits on the sentinel token ``' the '`` — a delimiter
+    both engines split identically — and (b) wraps every doc in two fixed
+    boilerplate paragraphs, so the operator must provably strip ~2
+    paragraphs from every doc but the first-occurrence holder while also
+    catching the corpus's natural segment collisions. Per-doc rollup:
+    paragraphs seen, kept (globally-first), and kept-chars. Plan: map-only
+    explode, min-struct first-occurrence agg on the sha-256 digest
+    (partial agg absorbs the billion-doc hot boilerplate key), one
+    AQE-skew-handled join back."""
+    from .operators.dedup import paragraph_dedup
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit(_T13_BOILER_HEAD + " the "),
+            F.col("text"),
+            F.lit(" the " + _T13_BOILER_TAIL),
+        ),
+    )
+    pars = paragraph_dedup(docs, id_col="doc_id", content_col="text", delim=" the ")
+    return pars.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pars"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.length("par")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+def q_udtf2_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF with a TABLE argument (operators/
+    sessionize.py register_session_gaps_udtf): SQL invokes
+    ``session_gaps(TABLE(v) PARTITION BY user_id ORDER BY us)`` and
+    Catalyst plans the shuffle + per-partition ordering, streaming each
+    user's rows through a fresh stateful Python instance that emits on
+    terminate() — the OTHER udtf surface after udtf1's mapInArrow
+    generator (per-row lateral expansion there; per-GROUP stateful fold
+    here, the applyInPandas alternative for row-at-a-time state
+    machines). Gap stats are deliberately window-expressible so the
+    oracle's lag() twin proves the exotic path computes exactly what the
+    declarative path would — and its tie-insensitivity (equal-ts gaps
+    are 0; count/max see values, not orders) makes the witness
+    replay-stable."""
+    from .operators.sessionize import register_session_gaps_udtf
+
+    name = register_session_gaps_udtf(spark)
+    table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).createOrReplaceTempView("udtf2_ev")
+    return spark.sql(
+        f"SELECT * FROM {name}(TABLE(udtf2_ev) PARTITION BY user_id ORDER BY us)"
+    )
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
+    't13_paragraph_dedup': q_t13_paragraph_dedup,
+    'udtf2_session_gaps': q_udtf2_session_gaps,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
     'fe8_impute_median': q_fe8_impute_median,
@@ -2500,6 +2566,47 @@ ORACLE_SQL["t12_unicode_normalize"] = """
            CAST(length(text) - length(nfc_normalize(text)) AS BIGINT)
                AS composed
     FROM probed
+"""
+
+ORACLE_SQL["t13_paragraph_dedup"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               string_split('{_T13_BOILER_HEAD}' || ' the ' || text ||
+                            ' the ' || '{_T13_BOILER_TAIL}', ' the ') AS arr
+        FROM documents
+    ),
+    pars AS (
+        SELECT doc_id,
+               generate_subscripts(arr, 1) AS pos,
+               trim(unnest(arr)) AS par
+        FROM s
+    ),
+    ranked AS (
+        SELECT doc_id, par,
+               row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn
+        FROM pars WHERE par <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pars,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN length(par) ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM ranked GROUP BY doc_id
+"""
+
+ORACLE_SQL["udtf2_session_gaps"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
 """
 
 ORACLE_SQL["fe6_global_row_number"] = """

@@ -495,3 +495,129 @@ class TestKcoreFixpoint:
         e = spark.createDataFrame(self.EDGES, "src long, dst long")
         rows = kcore(e, k=2, until_converged=True, max_rounds=1).collect()
         assert rows and all(r["converged"] is False for r in rows)
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_keep(self, spark):
+        """Globally-first occurrence (min doc_id, then min pos) is kept;
+        every other occurrence of the same trimmed paragraph is dropped,
+        including repeats WITHIN one document."""
+        from ml_feature_store_spark.operators.dedup import paragraph_dedup
+
+        rows = [
+            (1, "alpha beta|boiler|gamma"),
+            (2, "boiler|alpha beta|delta"),
+            (3, "boiler|boiler|  alpha beta "),  # trim normalizes
+            (4, "unique only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["pos"]): (r["par"], r["keep"])
+            for r in paragraph_dedup(df, delim="|").collect()
+        }
+        assert out[(1, 0)] == ("alpha beta", True)
+        assert out[(1, 1)] == ("boiler", True)
+        assert out[(1, 2)] == ("gamma", True)
+        assert out[(2, 0)] == ("boiler", False)
+        assert out[(2, 1)] == ("alpha beta", False)
+        assert out[(2, 2)] == ("delta", True)
+        assert out[(3, 0)] == ("boiler", False)
+        assert out[(3, 1)] == ("boiler", False)
+        assert out[(3, 2)] == ("alpha beta", False)
+        assert out[(4, 0)] == ("unique only", True)
+
+    def test_empty_and_null_segments_dropped(self, spark):
+        from ml_feature_store_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a|| |b"), (2, None)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["doc_id"], r["pos"], r["par"])
+            for r in paragraph_dedup(df, delim="|").collect()
+        )
+        # empties (from '||' and ' ') vanish; NULL text expands to no rows
+        assert got == [(1, 0, "a"), (1, 3, "b")]
+
+    def test_no_paragraph_window_sort(self, spark):
+        """The first-occurrence rule must be the min-struct AGGREGATE, not
+        a row_number window partitioned by paragraph — the hot-boilerplate
+        key would serialize a corpus-sized partition through one task's
+        sort. No Window node may appear in the plan."""
+        from ml_feature_store_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame([(1, "a|b")], "doc_id long, text string")
+        plan = paragraph_dedup(df, delim="|")._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+
+
+class TestSessionGapsUdtf:
+    def test_matches_window_brute_force(self, spark):
+        from ml_feature_store_spark.operators.sessionize import (
+            register_session_gaps_udtf,
+        )
+
+        gap = 30 * 60 * 1_000_000
+        rows = [
+            (1, 0), (1, 100), (1, 100 + gap),          # ==gap: same session
+            (1, 100 + gap + gap + 1),                   # >gap: break
+            (2, 50),                                    # single event
+            (3, 7), (3, 7),                             # tie: gap 0
+        ]
+        df = spark.createDataFrame(rows, "user_id long, us long")
+        df.createOrReplaceTempView("tsg_ev")
+        name = register_session_gaps_udtf(spark)
+        got = {
+            r["user_id"]: (r["n_events"], r["n_sessions"], r["max_gap_us"])
+            for r in spark.sql(
+                f"SELECT * FROM {name}(TABLE(tsg_ev) "
+                "PARTITION BY user_id ORDER BY us)"
+            ).collect()
+        }
+        assert got == {
+            1: (4, 2, gap + 1),
+            2: (1, 1, 0),
+            3: (2, 1, 0),
+        }
+
+    def test_partition_isolation(self, spark):
+        """State must reset per partition: two users with interleaved
+        timestamps never leak gaps across the boundary."""
+        from ml_feature_store_spark.operators.sessionize import (
+            register_session_gaps_udtf,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 10**12), (1, 5), (2, 10**12 + 5)],
+            "user_id long, us long",
+        )
+        df.createOrReplaceTempView("tsg_iso")
+        name = register_session_gaps_udtf(spark)
+        got = {
+            r["user_id"]: (r["n_events"], r["n_sessions"], r["max_gap_us"])
+            for r in spark.sql(
+                f"SELECT * FROM {name}(TABLE(tsg_iso) "
+                "PARTITION BY user_id ORDER BY us)"
+            ).collect()
+        }
+        assert got == {1: (2, 1, 5), 2: (2, 1, 5)}
+
+
+class TestRecursiveTree:
+    def test_depth_counts_are_binary_tree(self, spark):
+        """Over keys 1..N the parent=floor(k/2) tree has exactly
+        min(2^d, remaining) nodes per depth, and path sums accumulate
+        along the recursion."""
+        from ml_feature_store_spark.relational import q_q24_recursive_tree
+
+        out = {
+            r["depth"]: (r["n_nodes"], r["min_key"], r["max_key"])
+            for r in q_q24_recursive_tree(spark, SF).collect()
+        }
+        assert out[0] == (1, 1, 1)
+        assert out[1] == (2, 2, 3)
+        assert out[2] == (4, 4, 7)
+        # every level is the contiguous key block [2^d, 2^(d+1))
+        for d, (n, lo, hi) in out.items():
+            assert lo == 2**d
+            assert n == hi - lo + 1
