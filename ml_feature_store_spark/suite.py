@@ -236,6 +236,10 @@ _CANONICAL = [
     'sd6_state_store_reader',
     't13_paragraph_dedup',
     'udtf2_session_gaps',
+    'w3_session_window_batch',
+    'a22_listagg',
+    'q25_sql_variables',
+    'num1_decimal_exact',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -281,6 +285,8 @@ _ROUND_PRIORITY = [
     "io14_python_datasource", "x30_variant_extract", "q23_lateral_topn",
     "io15_xml_roundtrip", "sd6_state_store_reader",
     "q24_recursive_tree", "t13_paragraph_dedup", "udtf2_session_gaps",
+    "w3_session_window_batch", "a22_listagg", "q25_sql_variables",
+    "num1_decimal_exact",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -2046,8 +2046,170 @@ def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w3_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` gap-merge aggregation in BATCH mode —
+    the declarative sibling of the hand-built lag/cumsum sessionizer
+    (x7) and the streaming form (sd3): Catalyst's SessionWindow node
+    merges adjacent rows within the 30-minute gap during ONE
+    sort-aggregate per key partition, no self-join, no window-function
+    pass — the built-in every gap-sessionization should reach for
+    first. Per (user, session): event count, cents total, and the
+    session bounds (end = last event + gap by definition). The oracle
+    replays with textbook gaps-and-islands, proving the built-in's
+    merge semantics equal the manual form. Plan: one shuffle on
+    user_id, sort, streaming session-merge aggregate — skew bounded by
+    per-user event counts (the x7b bucketed variant is the hot-entity
+    escape)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def q_a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` (new in
+    Spark 4) — deterministic ordered string aggregation, the
+    report/export lane where row sets become delimited strings; until
+    4.x Spark needed collect_list + array_sort + array_join. Both the
+    plain and DISTINCT forms are witnessed: per nation, the ordered
+    roster of distinct market segments present and an ordered digest of
+    the 3 highest-balance customer keys (top-k pre-limited per group —
+    bounding listagg input is how the string agg stays scale-safe; an
+    unbounded listagg over a hot group builds a gigabyte string and is
+    the documented anti-pattern). DuckDB's ordered string_agg is the
+    direct twin."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    segs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT c_mktsegment, ',') "
+                "WITHIN GROUP (ORDER BY c_mktsegment)"
+            ).alias("segments"),
+            F.count("*").cast("long").alias("n_cust"),
+        )
+    )
+    top3 = top_k_per_group(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        k=3,
+    )
+    digest = (
+        top3.join(F.broadcast(n), top3.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name"))
+        .agg(
+            F.expr(
+                "listagg(CAST(c_custkey AS STRING), ',') "
+                "WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)"
+            ).alias("top3_keys")
+        )
+    )
+    return segs.join(digest, "n_name")
+
+
+def q_q25_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE`` / ``SET VARIABLE``) —
+    the parameterized-query surface: a data-dependent scalar is computed
+    ONCE into a typed session variable (here the round-to-cents median
+    order price), then referenced by name in the consuming query, where
+    Catalyst folds it as a literal — so the filter is a constant
+    predicate pushed to the scan, NOT a rerun subquery per reference.
+    The oracle inlines the identical scalar via a cross-joined 1-row
+    CTE (DuckDB has no session variables — the semantic twin, not the
+    syntax). Output: per order-status counts/cents above the median
+    cutoff."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q25_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE q25_cutoff BIGINT")
+    spark.sql(
+        """SET VARIABLE q25_cutoff =
+             (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (
+                        ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)) AS BIGINT)
+              FROM q25_orders)"""
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               q25_cutoff AS cutoff_cents
+        FROM q25_orders
+        WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > q25_cutoff
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_num1_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic — the financial-correctness lane
+    every double-based aggregate in this suite sidesteps by rounding:
+    prices cast to DECIMAL(12,2) at the scan, the Q1-style revenue
+    expression computed under exact decimal multiplication (scale grows
+    2->4->6 per SQL rules), and the group sums emitted as STRINGS so
+    the value-hash gate pins every last digit — no float jitter, no
+    tolerance, bit-identical across engines and across partition
+    orders (decimal addition is associative; double addition is not).
+    Plan-wise decimals ride whole-stage codegen (Decimal128 ops) with
+    ordinary partial aggregation: exactness costs a constant factor,
+    not a shape change — the reason a 100 TB ledger aggregates in
+    decimal, not double."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price).cast("decimal(38,2)").alias("s1"),
+            F.sum((price * (one - disc)).cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .alias("s2"),
+            F.sum(
+                ((price * (one - disc)).cast("decimal(38,4)") * (one + tax)).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("s3"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("s1").cast("string").alias("sum_base"),
+            F.col("s2").cast("string").alias("sum_disc"),
+            F.col("s3").cast("string").alias("sum_charge"),
+            "n",
+        )
+    )
+
+
 QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
+    'w3_session_window_batch': q_w3_session_window_batch,
+    'a22_listagg': q_a22_listagg,
+    'q25_sql_variables': q_q25_sql_variables,
+    'num1_decimal_exact': q_num1_decimal_exact,
     'arr2_vector_centroids': q_arr2_vector_centroids,
     'io4_text_roundtrip': q_io4_text_roundtrip,
     'a10_hll_sketch': q_a10_hll_sketch,
@@ -3102,4 +3264,101 @@ ORACLE_SQL["s4_tablesample"] = """
            TRUE AS frac_ok,
            TRUE AS mean_ok
     FROM lineitem
+"""
+
+
+ORACLE_SQL["w3_session_window_batch"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, us, cents,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+        SELECT user_id, us, cents,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY user_id, sid
+"""
+
+ORACLE_SQL["a22_listagg"] = """
+    WITH segs AS (
+        SELECT n.n_name,
+               string_agg(DISTINCT c.c_mktsegment, ','
+                          ORDER BY c.c_mktsegment) AS segments,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    ranked AS (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ),
+    digest AS (
+        SELECT n.n_name,
+               string_agg(CAST(t.c_custkey AS VARCHAR), ','
+                          ORDER BY t.c_acctbal DESC, t.c_custkey) AS top3_keys
+        FROM ranked t JOIN nation n ON t.c_nationkey = n.n_nationkey
+        WHERE t.rn <= 3
+        GROUP BY n.n_name
+    )
+    SELECT s.n_name, s.segments, s.n_cust, d.top3_keys
+    FROM segs s JOIN digest d ON s.n_name = d.n_name
+"""
+
+ORACLE_SQL["q25_sql_variables"] = """
+    WITH cents AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    cut AS (
+        SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                    AS BIGINT) AS cutoff
+        FROM cents
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           cut.cutoff AS cutoff_cents
+    FROM cents, cut
+    WHERE c > cut.cutoff
+    GROUP BY o_orderstatus, cut.cutoff
+"""
+
+ORACLE_SQL["num1_decimal_exact"] = """
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_tax AS DECIMAL(4,2)) AS tax
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+           CAST(CAST(SUM(CAST(price * (CAST(1.00 AS DECIMAL(3,2)) - disc)
+                              AS DECIMAL(38,4))) AS DECIMAL(38,4))
+                AS VARCHAR) AS sum_disc,
+           CAST(CAST(SUM(CAST(CAST(price * (CAST(1.00 AS DECIMAL(3,2)) - disc)
+                                   AS DECIMAL(38,4))
+                              * (CAST(1.00 AS DECIMAL(3,2)) + tax)
+                              AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                AS VARCHAR) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY l_returnflag, l_linestatus
 """

@@ -621,3 +621,93 @@ class TestRecursiveTree:
         for d, (n, lo, hi) in out.items():
             assert lo == 2**d
             assert n == hi - lo + 1
+
+
+class TestSessionWindowBatch:
+    def test_gap_boundary_is_inclusive(self, spark):
+        """An event arriving EXACTLY gap after the previous one MERGES
+        into the session (merge condition: new start <= session end =
+        last+gap); only a strictly larger gap breaks — the boundary
+        semantic the w3 oracle's strict-> break replays. Pinned by
+        experiment: the half-open-[start, end) intuition is about
+        TUMBLING window membership, not session merging."""
+        gap_s = 30 * 60
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),  # == gap after -> SAME session
+            (1, "2024-01-01 11:00:01"),  # gap+1s after -> NEW session
+            (2, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 10:29:59"),  # < gap -> same session
+        ]
+        df = spark.createDataFrame(rows, "u long, s string").select(
+            "u", F.col("s").cast("timestamp").alias("ts")
+        )
+        out = (
+            df.groupBy("u", F.session_window("ts", f"{gap_s} seconds"))
+            .count()
+            .groupBy("u")
+            .agg(F.count("*").alias("n_sessions"))
+        )
+        got = {r["u"]: r["n_sessions"] for r in out.collect()}
+        assert got == {1: 2, 2: 1}
+
+
+class TestDecimalExact:
+    def test_sum_is_exact_and_order_independent(self, spark):
+        """Decimal aggregation must yield the same digits under any
+        partitioning (associative); the witness emits strings so this is
+        the property the hash gate rides on."""
+        from ml_feature_store_spark.suite_rel import q_num1_decimal_exact
+
+        a = {
+            (r["l_returnflag"], r["l_linestatus"]): (
+                r["sum_base"], r["sum_disc"], r["sum_charge"], r["n"]
+            )
+            for r in q_num1_decimal_exact(spark, SF).collect()
+        }
+        # brute-force with python Decimal (exact) over the raw rows
+        from decimal import Decimal
+
+        rows = (
+            table(spark, SF, "lineitem")
+            .select("l_returnflag", "l_linestatus",
+                    "l_extendedprice", "l_discount", "l_tax")
+            .collect()
+        )
+        want = {}
+        q2 = Decimal("0.01")
+        for r in rows:
+            k = (r["l_returnflag"], r["l_linestatus"])
+            p = Decimal(str(r["l_extendedprice"])).quantize(q2)
+            d = Decimal(str(r["l_discount"])).quantize(q2)
+            t = Decimal(str(r["l_tax"])).quantize(q2)
+            s1, s2, s3, n = want.get(k, (Decimal(0), Decimal(0), Decimal(0), 0))
+            disc = p * (1 - d)
+            want[k] = (s1 + p, s2 + disc, s3 + disc * (1 + t), n + 1)
+        for k, (s1, s2, s3, n) in want.items():
+            g1, g2, g3, gn = a[k]
+            assert Decimal(g1) == s1
+            assert Decimal(g2) == s2
+            assert Decimal(g3) == s3
+            assert gn == n
+
+
+class TestSqlVariables:
+    def test_variable_folds_to_literal(self, spark):
+        """The consuming query must not re-run the cutoff subquery: the
+        variable reference resolves to a foldable literal, so the
+        optimized plan contains no scalar subquery."""
+        from ml_feature_store_spark.suite_rel import q_q25_sql_variables
+
+        df = q_q25_sql_variables(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Subquery" not in plan
+        rows = df.collect()
+        assert len(rows) >= 1
+        cut = rows[0]["cutoff_cents"]
+        # cutoff is the discrete median: an actual observed cents value
+        cents = [
+            int(r["o_totalprice"] * 100 + 0.5)
+            for r in table(spark, SF, "orders").select("o_totalprice").collect()
+        ]
+        assert cut in cents
