@@ -240,6 +240,8 @@ _CANONICAL = [
     'a22_listagg',
     'q25_sql_variables',
     'num1_decimal_exact',
+    'io16_dynamic_overwrite',
+    't14_url_parse',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -286,7 +288,7 @@ _ROUND_PRIORITY = [
     "io15_xml_roundtrip", "sd6_state_store_reader",
     "q24_recursive_tree", "t13_paragraph_dedup", "udtf2_session_gaps",
     "w3_session_window_batch", "a22_listagg", "q25_sql_variables",
-    "num1_decimal_exact",
+    "num1_decimal_exact", "io16_dynamic_overwrite", "t14_url_parse",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -2046,6 +2046,46 @@ def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io16_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``) —
+    THE idempotent-backfill primitive for partitioned lakes: rewriting
+    one recomputed partition must replace exactly the partitions the
+    incoming frame contains and leave every other partition's files
+    untouched (static mode — the default — would truncate the whole
+    table root first; the witness would collapse to the click rows
+    only and the hash gate would catch it). Lane: land events
+    partitioned by event_type, recompute the 'click' partition with
+    corrected (doubled) cents, dynamic-overwrite it, read the table
+    back. At 100 TB this is the daily-reprocess pattern: the overwrite
+    job's cost is the recomputed partition's size, not the table's,
+    and concurrent readers of other partitions never see missing
+    files. Oracle replays the final state arithmetically (clicks
+    doubled, rest intact)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = _scratch_dir("io16_dynovr", sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    fixed = ev.filter(F.col("event_type") == "click").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def q_w3_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in ``session_window`` gap-merge aggregation in BATCH mode —
     the declarative sibling of the hand-built lag/cumsum sessionizer
@@ -2207,6 +2247,7 @@ def q_num1_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
     'w3_session_window_batch': q_w3_session_window_batch,
+    'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a22_listagg': q_a22_listagg,
     'q25_sql_variables': q_q25_sql_variables,
     'num1_decimal_exact': q_num1_decimal_exact,
@@ -3361,4 +3402,21 @@ ORACLE_SQL["num1_decimal_exact"] = """
                 AS VARCHAR) AS sum_charge,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM d GROUP BY l_returnflag, l_linestatus
+"""
+
+
+ORACLE_SQL["io16_dynamic_overwrite"] = """
+    WITH c AS (
+        SELECT event_type, user_id,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+               END AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY event_type
 """

@@ -1447,11 +1447,55 @@ def q_udtf2_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t14_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via the built-in ``parse_url`` (HOST / PATH /
+    QUERY-parameter extraction, JVM codegen) — web-corpus curation's
+    workhorse: domain-level mixing weights, per-host dedup keys, and
+    tracking-param stripping all start by splitting the URL. The corpus
+    has no URL column, so each doc gets a deterministic one constructed
+    from its own (source, lang, doc_id) — and the witness's point is
+    that parse_url must INVERT that construction exactly (host back to
+    the source-derived authority, path segments to lang/doc, the ?ref=
+    param to doc_id mod 7, with the utm noise param ignored). Per-host
+    rollup; the oracle re-derives the fields from the same raw columns,
+    so any parse drift breaks the hash. Map-only + one partial-agg
+    shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?ref="),
+        F.col("doc_id") % 7,
+        F.lit("&utm=mail"),
+    )
+    u = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref"))
+        .cast("long")
+        .alias("ref"),
+    )
+    return u.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.split(F.col("path"), "/").getItem(1))
+        .cast("long")
+        .alias("n_langs"),
+        F.sum("ref").cast("long").alias("sum_ref"),
+        F.min("path").alias("min_path"),
+    )
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
     't13_paragraph_dedup': q_t13_paragraph_dedup,
     'udtf2_session_gaps': q_udtf2_session_gaps,
+    't14_url_parse': q_t14_url_parse,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
     'fe8_impute_median': q_fe8_impute_median,
@@ -2592,6 +2636,15 @@ ORACLE_SQL["t13_paragraph_dedup"] = f"""
            CAST(SUM(CASE WHEN rn = 1 THEN length(par) ELSE 0 END) AS BIGINT)
                AS kept_chars
     FROM ranked GROUP BY doc_id
+"""
+
+ORACLE_SQL["t14_url_parse"] = """
+    SELECT source || '.example.org' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(doc_id % 7) AS BIGINT) AS sum_ref,
+           MIN('/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)) AS min_path
+    FROM documents GROUP BY source
 """
 
 ORACLE_SQL["udtf2_session_gaps"] = """

@@ -711,3 +711,45 @@ class TestSqlVariables:
             for r in table(spark, SF, "orders").select("o_totalprice").collect()
         ]
         assert cut in cents
+
+
+class TestDynamicPartitionOverwrite:
+    def test_untouched_partitions_survive(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30)], "id long, p string, v long"
+        )
+        df.write.partitionBy("p").parquet(d)
+        fix = spark.createDataFrame([(9, "a", 99)], "id long, p string, v long")
+        (
+            fix.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p")
+            .parquet(d)
+        )
+        got = sorted(
+            (r["id"], r["p"], r["v"]) for r in spark.read.parquet(d).collect()
+        )
+        # partition a replaced wholesale; partition b untouched
+        assert got == [(2, "b", 20), (3, "b", 30), (9, "a", 99)]
+
+    def test_static_mode_would_wipe(self, spark, tmp_path):
+        """Contrast pin: the default static overwrite truncates ALL
+        partitions — the failure mode io16's dynamic lane exists to
+        avoid."""
+        d = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        )
+        df.write.partitionBy("p").parquet(d)
+        fix = spark.createDataFrame([(9, "a", 99)], "id long, p string, v long")
+        (
+            fix.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("p")
+            .parquet(d)
+        )
+        got = sorted(
+            (r["id"], r["p"], r["v"]) for r in spark.read.parquet(d).collect()
+        )
+        assert got == [(9, "a", 99)]
