@@ -658,7 +658,85 @@ def q_q24_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q24_SQL.format(customer="q24_customer"))
 
 
+def q_q26_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators, the GoogleSQL-paper
+    linear form): FROM ... |> WHERE ... |> EXTEND ... |> AGGREGATE —
+    each stage reads top-to-bottom in execution order instead of the
+    inside-out nesting of classic SELECT. Catalyst lowers pipes to the
+    SAME logical plan as the classic form (filter pushdown, partial
+    agg — nothing changes physically), which is precisely what the
+    oracle proves: DuckDB has no pipe syntax, so the twin is the
+    classic-SQL spelling of the identical semantics, and the hash gate
+    pins that the sugar is only sugar. Revenue rollup per return flag
+    over a shipdate window."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q26_lineitem")
+    return spark.sql(
+        """
+        FROM q26_lineitem
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+                 AND l_shipdate < DATE '1998-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS revenue
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     ROUND(SUM(revenue), 2) AS sum_revenue,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           GROUP BY l_returnflag
+        """
+    )
+
+
+def q_q27_param_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (``spark.sql(sql, args={...})``) — the
+    injection-safe client-side binding surface, distinct from q25's
+    server-side session variables: the literal is spliced by the PARSER
+    as a typed constant (never string-concatenated), so the plan is a
+    constant predicate with full pushdown, and the same text is
+    reusable across bindings. The oracle inlines the identical
+    constants — proving binding changes nothing semantically."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q27_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM q27_orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "O", "floor_price": 1000.0},
+    )
+
+
+def q_q28_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases — referencing a SELECT-list alias from a
+    later item in the SAME select (classic SQL forces a subquery or
+    repetition; both engines resolve the chain left-to-right, including
+    over AGGREGATE results). The chained money math (cents -> net ->
+    margin) is written ONCE and reused by name; IDENTICAL text runs on
+    both engines, so the witness pins that alias resolution (not
+    expression duplication with drift) produces the values."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q28_lineitem")
+    return spark.sql(_Q28_SQL.format(lineitem="q28_lineitem"))
+
+
+_Q28_SQL = """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               cents - CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100
+                                           + 0.5) AS BIGINT)) AS BIGINT)
+                   AS net_cents,
+               net_cents - cents / 2 AS margin_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {lineitem}
+        GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q26_pipe_syntax": q_q26_pipe_syntax,
+    "q27_param_markers": q_q27_param_markers,
+    "q28_lateral_alias": q_q28_lateral_alias,
     "q23_lateral_topn": q_q23_lateral_topn,
     "q24_recursive_tree": q_q24_recursive_tree,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -683,6 +761,26 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 RELATIONAL_ORACLE: dict[str, str] = {
     "q24_recursive_tree": _Q24_SQL.format(customer="customer"),
+    "q26_pipe_syntax": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    "q27_param_markers": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+    """,
+    "q28_lateral_alias": _Q28_SQL.format(lineitem="lineitem"),
     "q23_lateral_topn": """
         SELECT n.n_name, t.c_custkey, t.c_acctbal
         FROM nation n,

@@ -289,6 +289,7 @@ _ROUND_PRIORITY = [
     "q24_recursive_tree", "t13_paragraph_dedup", "udtf2_session_gaps",
     "w3_session_window_batch", "a22_listagg", "q25_sql_variables",
     "num1_decimal_exact", "io16_dynamic_overwrite", "t14_url_parse",
+    "q26_pipe_syntax", "q27_param_markers", "q28_lateral_alias",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)
