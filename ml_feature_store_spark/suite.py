@@ -242,6 +242,9 @@ _CANONICAL = [
     'num1_decimal_exact',
     'io16_dynamic_overwrite',
     't14_url_parse',
+    'a24_bitmap_distinct',
+    't15_aes_tokenize',
+    't16_collation',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -290,6 +293,7 @@ _ROUND_PRIORITY = [
     "w3_session_window_batch", "a22_listagg", "q25_sql_variables",
     "num1_decimal_exact", "io16_dynamic_overwrite", "t14_url_parse",
     "q26_pipe_syntax", "q27_param_markers", "q28_lateral_alias",
+    "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

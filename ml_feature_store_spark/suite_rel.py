@@ -2046,6 +2046,49 @@ def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates
+    (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
+    Spark 3.5+) — the Doris/ClickHouse-style complement of a10's
+    APPROXIMATE HLL rollup: integer ids land in fixed 32768-bit bucket
+    bitmaps, fine-grained bitmaps OR-merge to coarser groups byte-wise,
+    and the count stays exact at every level. The witness runs the real
+    two-level discipline — bucket number stays IN the grouping key all
+    the way up (OR-ing bitmaps across different buckets would conflate
+    positions; a toy corpus fits one bucket and hides that bug, so the
+    shape matters more than the row count) — and proves
+    per-(flag,status,bucket) bitmaps OR-merged up to flag equal a
+    direct COUNT DISTINCT. At 100 TB the bitmaps are the stored rollup
+    state: kilobytes per (group,bucket), re-aggregated without
+    re-touching facts — exact where sketches are fuzzy, at the price of
+    dense-id domains (hence bitmap_bucket_number sharding)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_partkey") + 1).alias("k"),  # bitmap positions are 1-based
+    )
+    fine = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(k)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    merged = (
+        fine.groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("cnt"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("cnt").cast("long").alias("n_parts_bitmap"))
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.countDistinct("k").cast("long").alias("n_parts_direct")
+    )
+    return merged.join(direct, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts_bitmap",
+        "n_parts_direct",
+        (F.col("n_parts_bitmap") == F.col("n_parts_direct")).alias("merge_exact"),
+    )
+
+
 def q_io16_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``) —
     THE idempotent-backfill primitive for partitioned lakes: rewriting
@@ -2248,6 +2291,7 @@ QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
     'w3_session_window_batch': q_w3_session_window_batch,
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
+    'a24_bitmap_distinct': q_a24_bitmap_distinct,
     'a22_listagg': q_a22_listagg,
     'q25_sql_variables': q_q25_sql_variables,
     'num1_decimal_exact': q_num1_decimal_exact,
@@ -3419,4 +3463,13 @@ ORACLE_SQL["io16_dynamic_overwrite"] = """
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM c GROUP BY event_type
+"""
+
+
+ORACLE_SQL["a24_bitmap_distinct"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey + 1) AS BIGINT) AS n_parts_bitmap,
+           CAST(COUNT(DISTINCT l_partkey + 1) AS BIGINT) AS n_parts_direct,
+           TRUE AS merge_exact
+    FROM lineitem GROUP BY l_returnflag
 """

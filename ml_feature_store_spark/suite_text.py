@@ -1490,12 +1490,94 @@ def q_t14_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t15_aes_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII tokenization via ``aes_encrypt`` (CBC, FIXED
+    IV) — the reversible complement of t7's destructive redaction: a
+    synthetic email (user_id@domain) is encrypted into a stable token
+    that (a) round-trips exactly through aes_decrypt, (b) is
+    deterministic, so equal plaintexts yield equal tokens — the
+    property that keeps GROUP BY/JOIN working on tokenized columns —
+    and (c) never collides distinct plaintexts. Fixing the IV is the
+    deliberate tradeoff: equal-plaintext leakage IS the joinability
+    (format-preserving tokenization's contract); the
+    confidentiality-grade mode (GCM, random IV, non-deterministic) is
+    pinned by pytest as the contrast. All expressions are JVM codegen;
+    the oracle computes the same counts from the plaintext — encrypted
+    and plain lanes must agree on every group size."""
+    ev = table(spark, sf_dir, "events")
+    email = F.concat(
+        F.lit("user"),
+        F.col("user_id"),
+        F.lit("@"),
+        F.col("event_type"),
+        F.lit(".example.org"),
+    )
+    tok = F.base64(F.expr(
+        "aes_encrypt(concat('user', user_id, '@', event_type, "
+        "'.example.org'), '0123456789abcdef', 'CBC', 'DEFAULT', "
+        "unhex('00000000000000000000000000000000'))"
+    ))
+    back = F.expr(
+        "CAST(aes_decrypt(unbase64(base64(aes_encrypt(concat('user', "
+        "user_id, '@', event_type, '.example.org'), '0123456789abcdef', "
+        "'CBC', 'DEFAULT', unhex('00000000000000000000000000000000')))), "
+        "'0123456789abcdef', 'CBC') AS STRING)"
+    )
+    t = ev.select(
+        "event_type",
+        email.alias("email"),
+        tok.alias("token"),
+        back.alias("roundtrip"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+        F.countDistinct("email").cast("long").alias("n_emails"),
+        F.min(F.col("roundtrip") == F.col("email")).alias("roundtrip_ok"),
+    )
+
+
+def q_t16_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 ``COLLATE UTF8_LCASE``)
+    — case-insensitive equality as a COLUMN TYPE property instead of
+    lower() scattered at every use site: grouping, DISTINCT and
+    comparison all honor the collation natively (and keep codegen,
+    unlike a UDF normalizer). The corpus is single-case, so each
+    customer's segment is deterministically re-cased by key parity —
+    under binary collation that doubles the group count; under
+    UTF8_LCASE the witness must fold the variants back together.
+    Output normalizes the representative via lower() because the
+    collated GROUP BY legitimately surfaces WHICHEVER case variant it
+    meets first (pinned in the docstring so nobody 'fixes' it); the
+    oracle is the classic lower() spelling."""
+    c = table(spark, sf_dir, "customer").withColumn(
+        "seg_cased",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    c.createOrReplaceTempView("t16_customer")
+    return spark.sql(
+        """
+        SELECT lower(seg_collated) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM (SELECT c_nationkey,
+                     seg_cased COLLATE UTF8_LCASE AS seg_collated
+              FROM t16_customer)
+        GROUP BY seg_collated
+        """
+    )
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
     't13_paragraph_dedup': q_t13_paragraph_dedup,
     'udtf2_session_gaps': q_udtf2_session_gaps,
     't14_url_parse': q_t14_url_parse,
+    't15_aes_tokenize': q_t15_aes_tokenize,
+    't16_collation': q_t16_collation,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
     'fe8_impute_median': q_fe8_impute_median,
@@ -2636,6 +2718,34 @@ ORACLE_SQL["t13_paragraph_dedup"] = f"""
            CAST(SUM(CASE WHEN rn = 1 THEN length(par) ELSE 0 END) AS BIGINT)
                AS kept_chars
     FROM ranked GROUP BY doc_id
+"""
+
+ORACLE_SQL["t15_aes_tokenize"] = """
+    WITH e AS (
+        SELECT event_type,
+               'user' || CAST(user_id AS VARCHAR) || '@' || event_type
+                      || '.example.org' AS email
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT email) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT email) AS BIGINT) AS n_emails,
+           TRUE AS roundtrip_ok
+    FROM e GROUP BY event_type
+"""
+
+ORACLE_SQL["t16_collation"] = """
+    WITH c AS (
+        SELECT c_nationkey,
+               CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg_cased
+        FROM customer
+    )
+    SELECT lower(seg_cased) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM c GROUP BY lower(seg_cased)
 """
 
 ORACLE_SQL["t14_url_parse"] = """

@@ -753,3 +753,56 @@ class TestDynamicPartitionOverwrite:
             (r["id"], r["p"], r["v"]) for r in spark.read.parquet(d).collect()
         )
         assert got == [(9, "a", 99)]
+
+
+class TestAesTokenize:
+    def test_gcm_random_iv_is_nondeterministic_but_roundtrips(self, spark):
+        """The confidentiality-grade contrast to t15's deterministic CBC
+        lane: GCM draws a random IV per call, so equal plaintexts yield
+        DIFFERENT ciphertexts (no joinability — by design), while
+        decrypt still recovers the plaintext."""
+        df = spark.sql(
+            """SELECT aes_encrypt('secret', '0123456789abcdef', 'GCM') AS c1,
+                      aes_encrypt('secret', '0123456789abcdef', 'GCM') AS c2"""
+        ).collect()[0]
+        assert bytes(df["c1"]) != bytes(df["c2"])
+        back = spark.sql(
+            """SELECT CAST(aes_decrypt(
+                 aes_encrypt('secret', '0123456789abcdef', 'GCM'),
+                 '0123456789abcdef', 'GCM') AS STRING) AS p"""
+        ).collect()[0]["p"]
+        assert back == "secret"
+
+    def test_cbc_fixed_iv_deterministic(self, spark):
+        r = spark.sql(
+            """SELECT base64(aes_encrypt('x', '0123456789abcdef', 'CBC',
+                     'DEFAULT', unhex('00000000000000000000000000000000'))) AS a,
+                      base64(aes_encrypt('x', '0123456789abcdef', 'CBC',
+                     'DEFAULT', unhex('00000000000000000000000000000000'))) AS b"""
+        ).collect()[0]
+        assert r["a"] == r["b"]
+
+
+class TestBitmapDistinct:
+    def test_multibucket_ids_need_bucket_in_key(self, spark):
+        """ids 32768 apart share a bit POSITION but live in different
+        buckets: the two-level (group, bucket) discipline counts both;
+        OR-ing bitmaps across buckets would conflate them to one. This
+        is the bug a single-bucket toy corpus can never catch."""
+        df = spark.createDataFrame(
+            [(1,), (1 + 32768,), (1 + 2 * 32768,)], "k long"
+        )
+        df.createOrReplaceTempView("bm_t")
+        two_level = spark.sql(
+            """SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM (
+                 SELECT bitmap_count(bitmap_construct_agg(
+                          bitmap_bit_position(k))) AS cnt
+                 FROM bm_t GROUP BY bitmap_bucket_number(k))"""
+        ).collect()[0]["n"]
+        assert two_level == 3
+        conflated = spark.sql(
+            """SELECT bitmap_count(bitmap_or_agg(bm)) AS n FROM (
+                 SELECT bitmap_construct_agg(bitmap_bit_position(k)) AS bm
+                 FROM bm_t GROUP BY bitmap_bucket_number(k))"""
+        ).collect()[0]["n"]
+        assert conflated == 1  # the documented anti-pattern, pinned
