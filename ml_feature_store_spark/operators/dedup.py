@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
@@ -567,3 +567,76 @@ def paragraph_dedup(
         )
         .drop("__h__", "__first__")
     )
+
+
+def cross_doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the k-gram-anchored form
+    of exact-substring dedup (the "Deduplicating Training Data Makes
+    Language Models Better" suffix-array operation, re-expressed as
+    joins): a span repeated across >= 2 documents is exactly a maximal
+    chain of k-grams each of which appears in >= 2 documents. Stages,
+    all distributed:
+
+    1. map-only k-gram generation per doc — the token array is sliced
+       in place (``transform(sequence(...), slice(...))``), no
+       window/lag pass, no shuffle;
+    2. shared-gram detection: partial-agg ``count(distinct doc)`` per
+       gram digest (two-round distinct — hot boilerplate grams are
+       absorbed map-side), filtered to >= 2, semi-joined back (AQE
+       splits the hot-gram probe);
+    3. per-doc gaps-and-islands over the surviving gram positions
+       (window partitioned BY DOC — bounded by doc length, never
+       corpus-sized): grams more than k apart cannot overlap, so a
+       break at ``pos - prev > k`` yields maximal spans
+       ``[min_pos, max_pos + k - 1]``.
+
+    Returns one row per (doc, span): span_start, span_len (tokens),
+    n_grams. A true suffix array finds repeats of ANY length >= its
+    threshold; the k-gram anchor trades that for pure map/agg/join
+    shape — spans shorter than k are invisible, which is the standard
+    production compromise (choose k = the minimum span worth removing).
+    """
+    toks = F.split(F.col(content_col), " ")
+    n = F.size(toks)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        (i - 1).alias("pos"),
+                        F.sha2(
+                            F.array_join(F.slice(toks, i, k), " "), 256
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.h")
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = grams.join(shared, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    breaks = F.when(
+        F.col("pos") - F.lag("pos").over(w) > k, 1
+    ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = hits.withColumn("__b__", breaks).withColumn(
+        "__span__", F.sum("__b__").over(run)
+    )
+    return islands.groupBy(id_col, "__span__").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("__span__")

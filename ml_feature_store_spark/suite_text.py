@@ -1570,6 +1570,44 @@ def q_t16_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X31_QUOTE = (
+    "every model deserves clean data and clean data deserves careful "
+    "review before any token reaches the loss"
+)  # 17 tokens, outside the corpus vocabulary
+
+
+def q_x31_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (operators/dedup.py
+    cross_doc_spans — the k-gram re-expression of suffix-array exact-
+    substring dedup, Lee et al.'s operation): spans repeated across
+    documents are exactly maximal chains of k-grams each shared by >= 2
+    docs. The token-soup corpus shares no natural 8-grams (30-word
+    vocabulary, ~6e11 8-gram space), so every doc with doc_id % 5 == 0
+    gets the same 17-token quote appended — the witness must report for
+    exactly those docs exactly one span of exactly 17 tokens (10
+    anchored grams) starting at the doc's own length, and nothing for
+    anyone else; any off-by-one in gram slicing, island chaining or the
+    span arithmetic shifts a column. Rolled up per doc; oracle replays
+    gram/shared/island relationally on DuckDB list slices."""
+    from .operators.dedup import cross_doc_spans
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _X31_QUOTE)),
+        ).otherwise(F.col("text")),
+    )
+    spans = cross_doc_spans(docs, id_col="doc_id", content_col="text", k=8)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span"),
+        F.sum("span_len").cast("long").alias("covered_tokens"),
+        F.min("span_start").cast("long").alias("first_start"),
+        F.sum("n_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
 QUERIES = {
     't6_explode_tokens': q_t6_explode_tokens,
     'udtf1_token_runs': q_udtf1_token_runs,
@@ -1578,6 +1616,7 @@ QUERIES = {
     't14_url_parse': q_t14_url_parse,
     't15_aes_tokenize': q_t15_aes_tokenize,
     't16_collation': q_t16_collation,
+    'x31_crossdoc_spans': q_x31_crossdoc_spans,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
     'fe8_impute_median': q_fe8_impute_median,
@@ -2718,6 +2757,54 @@ ORACLE_SQL["t13_paragraph_dedup"] = f"""
            CAST(SUM(CASE WHEN rn = 1 THEN length(par) ELSE 0 END) AS BIGINT)
                AS kept_chars
     FROM ranked GROUP BY doc_id
+"""
+
+ORACLE_SQL["x31_crossdoc_spans"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' ' || '{_X31_QUOTE}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM d),
+    grams AS (
+        SELECT doc_id, gs - 1 AS pos,
+               array_to_string(arr[gs:gs+7], ' ') AS gram
+        FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS gs FROM t)
+        WHERE gs <= len(arr) - 7
+    ),
+    shared AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT g.doc_id, g.pos,
+               CASE WHEN lag(g.pos) OVER w IS NULL
+                         OR g.pos - lag(g.pos) OVER w > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM grams g JOIN shared s ON g.gram = s.gram
+        WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.pos)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS span
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, span, MIN(pos) AS span_start,
+               MAX(pos) - MIN(pos) + 8 AS span_len,
+               COUNT(*) AS n_grams
+        FROM isl GROUP BY doc_id, span
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_len) AS BIGINT) AS max_span,
+           CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
+           CAST(MIN(span_start) AS BIGINT) AS first_start,
+           CAST(SUM(n_grams) AS BIGINT) AS n_shared_grams
+    FROM spans GROUP BY doc_id
 """
 
 ORACLE_SQL["t15_aes_tokenize"] = """

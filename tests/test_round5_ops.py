@@ -806,3 +806,58 @@ class TestBitmapDistinct:
                  FROM bm_t GROUP BY bitmap_bucket_number(k))"""
         ).collect()[0]["n"]
         assert conflated == 1  # the documented anti-pattern, pinned
+
+
+class TestCrossDocSpans:
+    def test_finds_injected_shared_span(self, spark):
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"  # 10 tokens
+        rows = [
+            (1, "a b c d e f g h i j " + quote),
+            (2, quote + " k l m n o p q r s t"),
+            (3, "u v w x y z aa bb cc dd"),  # no overlap
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = {
+            (r["doc_id"]): (r["span_start"], r["span_len"], r["n_grams"])
+            for r in cross_doc_spans(df, k=8).collect()
+        }
+        # 10-token quote with k=8 -> 3 anchored grams per doc
+        assert spans == {1: (10, 10, 3), 2: (0, 10, 3)}
+
+    def test_short_docs_and_sub_k_spans_invisible(self, spark):
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        rows = [
+            (1, "shared seven tokens only right here now"),   # 7 tokens < k
+            (2, "shared seven tokens only right here now"),
+            (3, "x y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert cross_doc_spans(df, k=8).count() == 0
+        # at k=7 the same pair IS found (span == whole doc)
+        got = {
+            r["doc_id"]: (r["span_start"], r["span_len"])
+            for r in cross_doc_spans(df, k=7).collect()
+        }
+        assert got == {1: (0, 7), 2: (0, 7)}
+
+    def test_two_separate_spans_not_merged(self, spark):
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+        s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+        gap = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"
+        rows = [
+            (1, s1 + " " + gap + " " + s2),
+            (2, s1 + " v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 " + s2),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by_doc = {}
+        for r in cross_doc_spans(df, k=8).collect():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_len"])
+            )
+        for d in (1, 2):
+            assert sorted(by_doc[d]) == [(0, 8), (20, 8)]
