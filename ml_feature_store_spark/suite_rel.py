@@ -2046,6 +2046,47 @@ def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x32_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_``-prefixed arithmetic quarantine lanes (try_divide /
+    try_element_at / try_to_number) — the NULL-on-error contract that
+    keeps a 100 TB job ALIVE through the bad rows ANSI mode would kill
+    it on, while still accounting for every quarantined value (the
+    x28/x30 JSON philosophy applied to arithmetic). Three deliberate
+    failure populations: a fifth of denominators forced to zero
+    (try_divide -> NULL, not SIGFPE-style abort), element_at(3) probed
+    against 1–4-element arrays (short arrays -> NULL, not
+    out-of-bounds), and a mixed-format numeric string where only one
+    shape matches the '999.99' grammar. All codegen expressions; the
+    oracle replays each lane as explicit CASE guards — proving try_ is
+    exactly sugar for the guard, never value-altering."""
+    ev = table(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 5).cast("double")
+    arr = F.sequence(F.lit(1), (F.col("event_id") % 4 + 1).cast("int"))
+    t = ev.select(
+        "event_type",
+        F.try_divide(F.col("value"), denom).alias("rate"),
+        F.try_element_at(arr, F.lit(3)).alias("third"),
+        F.expr(
+            "try_to_number(CASE WHEN event_id % 3 = 0 THEN "
+            "concat(CAST(event_id % 100 AS STRING), '.5') "
+            "ELSE 'n/a' END, '999.99')"
+        ).alias("parsed"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rate").isNull().cast("long")).cast("long").alias("n_div0"),
+        F.round(F.sum("rate"), 2).alias("sum_rate"),
+        F.sum(F.col("third").isNull().cast("long"))
+        .cast("long")
+        .alias("n_short"),
+        F.sum("third").cast("long").alias("sum_third"),
+        F.sum(F.col("parsed").isNull().cast("long"))
+        .cast("long")
+        .alias("n_unparsed"),
+        F.sum("parsed").cast("decimal(38,2)").cast("string").alias("sum_parsed"),
+    )
+
+
 def q_a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct counts via bitmap aggregates
     (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
@@ -2292,6 +2333,7 @@ QUERIES = {
     'w3_session_window_batch': q_w3_session_window_batch,
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a24_bitmap_distinct': q_a24_bitmap_distinct,
+    'x32_try_family': q_x32_try_family,
     'a22_listagg': q_a22_listagg,
     'q25_sql_variables': q_q25_sql_variables,
     'num1_decimal_exact': q_num1_decimal_exact,
@@ -3472,4 +3514,31 @@ ORACLE_SQL["a24_bitmap_distinct"] = """
            CAST(COUNT(DISTINCT l_partkey + 1) AS BIGINT) AS n_parts_direct,
            TRUE AS merge_exact
     FROM lineitem GROUP BY l_returnflag
+"""
+
+
+ORACLE_SQL["x32_try_family"] = """
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE value / CAST(event_id % 5 AS DOUBLE) END AS rate,
+               CASE WHEN event_id % 4 + 1 >= 3 THEN 3 ELSE NULL END AS third,
+               CASE WHEN event_id % 3 = 0
+                    THEN TRY_CAST(CAST(event_id % 100 AS VARCHAR) || '.5'
+                                  AS DECIMAL(5,2))
+                    ELSE NULL END AS parsed
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div0,
+           ROUND(SUM(rate), 2) AS sum_rate,
+           CAST(SUM(CASE WHEN third IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(third) AS BIGINT) AS sum_third,
+           CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unparsed,
+           CAST(CAST(SUM(parsed) AS DECIMAL(38,2)) AS VARCHAR) AS sum_parsed
+    FROM t GROUP BY event_type
 """
