@@ -271,13 +271,17 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # from_json, fe7 quantile binning, x29 priority-sampling weighted sample,
 # fe8 median imputation, dq11 observe() piggybacked metrics, io14 Python
 # Data Source connector, x30 VARIANT extraction, q23 LATERAL top-N, io15
-# native XML roundtrip, sd6 state-store batch reader — plus q24 native
-# recursive CTE, t13 paragraph-granular dedup, udtf2 TABLE-argument
-# stateful UDTF. That's 28 priority names; the window's remaining 22
-# slots fall through to _CANONICAL order — already-green rows being
-# re-witnessed, a regression watch. All 28 pass the local
-# tools/check.py gate (full-suite run this round: 216/216 before the
-# last 3, which pass tools/check.py --only).
+# native XML roundtrip, sd6 state-store batch reader — plus the 17
+# operators added later in round 5: q24 recursive CTE, t13 paragraph
+# dedup, udtf2 TABLE-argument UDTF, w3 batch session windows, a22
+# LISTAGG, q25 SQL variables, num1 exact decimals, io16 dynamic
+# partition overwrite, t14 parse_url, q26 pipe syntax, q27 parameter
+# markers, q28 lateral aliases, a24 bitmap exact distinct, t15 AES
+# tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes.
+# That is 42 priority names; the window's remaining 8 slots fall
+# through to _CANONICAL order — already-green rows being re-witnessed,
+# a regression watch. Full-suite tools/check.py gate this round:
+# 232/232 (+x32 via --only).
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [
