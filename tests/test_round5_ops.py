@@ -861,3 +861,42 @@ class TestCrossDocSpans:
             )
         for d in (1, 2):
             assert sorted(by_doc[d]) == [(0, 8), (20, 8)]
+
+
+class TestRound5LatePlans:
+    def test_w3_session_merge_has_no_join(self, spark):
+        """session_window must merge during the sort-aggregate — a plan
+        with a Join (the self-join sessionization workaround) or a
+        Window (the lag/cumsum form) means the built-in lane regressed."""
+        from ml_feature_store_spark.suite_rel import q_w3_session_window_batch
+
+        plan = (
+            q_w3_session_window_batch(spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_x31_gram_generation_is_map_only(self, spark):
+        """Gram slicing must ride transform/slice on the token array —
+        no Window before the shared-gram aggregate (the lag-concat form
+        would add a per-doc sort pass ahead of the explode)."""
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        df = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+        # The islands pass is two Window NODES (lag + running sum) sharing
+        # ONE doc-partitioned sort; what must never appear is a window
+        # partitioned by the gram/content (corpus-sized hot partition) or
+        # a third pass from gram generation.
+        plan = (
+            cross_doc_spans(df, k=8)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert 1 <= len(win_lines) <= 2
+        for l in win_lines:
+            assert "windowspecdefinition(doc_id" in l

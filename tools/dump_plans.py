@@ -409,6 +409,50 @@ COMMENT = {
         "surface as NULL structs and the quarantine accounting is one "
         "partial-agg groupBy."
     ),
+    "q24_recursive_tree": (
+        "Native WITH RECURSIVE: UnionLoop anchor/step — each iteration is "
+        "ONE equi-join of the shrinking frontier against the base scan, "
+        "depth log(N); the declarative twin of graph.py's driver-loop BFS "
+        "with the same physical shape per step."
+    ),
+    "t13_paragraph_dedup": (
+        "Paragraph dedup: map-only split/explode, first-occurrence via "
+        "min-STRUCT partial aggregate on the sha-256 digest (NO "
+        "content-partitioned Window — the hot boilerplate key "
+        "partial-aggregates map-side; crossover measured in SKEW.md), "
+        "then one AQE-skew-handled join back on the digest."
+    ),
+    "x31_crossdoc_spans": (
+        "Cross-doc spans: k-grams sliced IN PLACE from the token array "
+        "(transform+slice — no window/lag pass), shared-gram detection "
+        "as a two-round count-distinct partial agg, left-semi join back, "
+        "and per-DOC islands (window bounded by doc length, never "
+        "corpus-sized)."
+    ),
+    "w3_session_window_batch": (
+        "Built-in session_window: ONE exchange on user_id + sort, then "
+        "the session-merge aggregate (updating/merging session structs "
+        "in the same pass) — no self-join, no second window, per-user "
+        "cost bounded by that user's events."
+    ),
+    "a24_bitmap_distinct": (
+        "Bitmap exact distinct: (group, bucket) bitmap_construct_agg is "
+        "a partial agg carrying 4KB-max bitmap payloads; OR-merge + "
+        "count ride a second tiny exchange keyed by group — facts are "
+        "shuffled once, rollups re-aggregate bitmaps only."
+    ),
+    "num1_decimal_exact": (
+        "Exact decimal money: Decimal128 ops stay inside whole-stage "
+        "codegen with ordinary partial aggregation — exactness is a "
+        "constant-factor cost, not a shape change; associative addition "
+        "makes output partition-order-invariant."
+    ),
+    "io16_dynamic_overwrite": (
+        "Dynamic partition overwrite: the recomputed partition's files "
+        "are replaced atomically per partition; untouched partitions' "
+        "files never enter the job — backfill cost is proportional to "
+        "the recomputed slice, not the table."
+    ),
 }
 
 
