@@ -513,6 +513,28 @@ def main() -> None:
         "green oracle row and (where plan-shaped) a plan gate in",
         "tests/test_round5_ops.py.",
         "",
+        "Round-5 closing audit: 232 timed queries, 222.2 s total at sf0.1",
+        "(min-of-2, BENCH_DETAIL.json; sd2 correctness-only as ever). vs",
+        "the mid-round 209-query detail: ZERO queries regressed >2x; the",
+        "209 common queries total 198.8 s vs 189.8 s (+4.7%, host drift,",
+        "no plan changes to the common set). The suite grew by 17 more",
+        "operators: q24 native recursive CTE (UnionLoop frontier joins),",
+        "t13 paragraph dedup + x31 cross-doc span detection (both",
+        "min-struct/partial-agg on content digests — the hot-boilerplate",
+        "window measured and rejected in SKEW.md's new probe: naive wins",
+        "below ~1M hot rows, aggregate flat above), udtf2 TABLE-argument",
+        "stateful UDTF, w3 built-in batch session windows (merge boundary",
+        "pinned inclusive), a22 LISTAGG, q25 SQL variables + q27 parameter",
+        "markers (both fold to pushed literals, plan-gated), q26 pipe",
+        "syntax, q28 lateral aliases, num1 exact-decimal money (digit-",
+        "exact strings), io16 dynamic partition overwrite (static wipe",
+        "pinned as contrast), t14 parse_url, a24 bitmap exact distinct",
+        "(bucket-conflation anti-pattern pinned), t15 deterministic AES",
+        "tokenization (GCM contrast pinned), t16 collations, x32 try_",
+        "quarantine lanes. All 17 land at 0.2-4.5 s with green oracle",
+        "rows; slowest suite queries remain the iterative graph family",
+        "(g4 6.8 s, g2 4.1 s — round-trip latency, not shuffle volume).",
+        "",
     ]
     for name, note in COMMENT.items():
         plan = executed_plan(QUERIES[name](spark, SF))
