@@ -157,3 +157,81 @@ def histogram_quantile_rollup(
     agg_cols = [q(p).alias(f"p{int(round(p * 100)):02d}") for p in percentiles]
     agg_cols.append(F.max("__total__").cast("long").alias("n_values"))
     return cum.groupBy(*keys).agg(*agg_cols)
+
+
+def kmv_segment_overlap(
+    df,
+    segment_col: str,
+    element_col: str,
+    k: int = 256,
+):
+    """Pairwise segment OVERLAP estimation via KMV (k-minimum-values)
+    sketches — the set-intersection capability HLL does not have (HLL
+    unions losslessly but cannot intersect; a10's rollup stops at
+    distinct-of-union). Beyer et al.'s estimator, distributed:
+
+    1. per segment, the sketch = the k smallest ``hash_uniform`` draws
+       over DISTINCT elements — built with the salted two-phase
+       bottom-k (operators/sampling.py), so a segment holding most of
+       the table still bounds every task; sketches are MERGEABLE
+       (bottom-k of a union = bottom-k of bottom-ks), which is what
+       makes them a storable rollup state at 100 TB: kilobytes per
+       segment, re-combined without re-touching facts;
+    2. sketch arrays (k-bounded) pair up via a broadcast self-join over
+       segments — work is O(|segments|^2 * k), independent of corpus;
+    3. per pair: theta = k-th smallest of the DISTINCT union of draws;
+       union_est = (k-1) * 2^60 / theta (exact when the union sketch
+       is not full); rho = |shared draws <= theta| / k; inter_est =
+       rho * union_est.
+
+    Returns one row per (seg_a < seg_b) pair with estimates plus the
+    sketch-exact flag. Error: rsd ~ 1/sqrt(k) on the union, plus
+    binomial noise on rho for the intersection — callers size k to the
+    overlap precision they need; the suite witness checks the analytic
+    bound against exact counts on both engines."""
+    from .sampling import bottomk_sample
+
+    el = df.select(segment_col, element_col).distinct()
+    sk = bottomk_sample(el, segment_col, element_col, k=k, salt_buckets=8)
+    sketches = sk.groupBy(segment_col).agg(
+        F.array_sort(F.collect_list("__draw__")).alias("sk"),
+        F.count("*").cast("long").alias("sk_n"),
+    )
+    a = sketches.select(
+        F.col(segment_col).alias("seg_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("sk_n").alias("n_a"),
+    )
+    b = sketches.select(
+        F.col(segment_col).alias("seg_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("sk_n").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    scale = float(1 << 60)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, k
+    )
+    p = pairs.withColumn("__m__", merged).withColumn(
+        "__full__", F.size("__m__") >= k
+    )
+    theta = F.element_at("__m__", F.least(F.lit(k), F.size("__m__"))).cast(
+        "double"
+    )
+    union_est = F.when(
+        F.col("__full__"), (F.lit(float(k - 1)) * F.lit(scale)) / theta
+    ).otherwise(F.size("__m__").cast("double"))
+    shared = F.size(
+        F.filter(
+            F.array_intersect("sk_a", "sk_b"),
+            lambda h: h.cast("double") <= theta,
+        )
+    )
+    denom = F.least(F.lit(k), F.size("__m__")).cast("double")
+    return p.select(
+        "seg_a",
+        "seg_b",
+        union_est.alias("union_est"),
+        (shared.cast("double") / denom * union_est).alias("inter_est"),
+        (~F.col("__full__")).alias("sketch_exact"),
+    )

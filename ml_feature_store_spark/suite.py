@@ -247,6 +247,7 @@ _CANONICAL = [
     't16_collation',
     'x31_crossdoc_spans',
     'x32_try_family',
+    'a25_kmv_intersection',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -300,7 +301,7 @@ _ROUND_PRIORITY = [
     "num1_decimal_exact", "io16_dynamic_overwrite", "t14_url_parse",
     "q26_pipe_syntax", "q27_param_markers", "q28_lateral_alias",
     "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
-    "x31_crossdoc_spans", "x32_try_family",
+    "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

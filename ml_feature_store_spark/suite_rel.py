@@ -2046,6 +2046,65 @@ def q_x28_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a25_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap estimation via KMV sketches (operators/agg.py
+    kmv_segment_overlap) — the set-INTERSECTION capability the sketch
+    family lacked: a10's HLL can union but not intersect; KMV bottom-k
+    sketches support both (Beyer et al.), stay mergeable (bottom-k of
+    bottom-ks — the storable-rollup property), and build with the
+    salted two-phase bottom-k so a dominant segment bounds every task.
+    Segments = event types, elements = (user, day) activity cells;
+    the witness computes BOTH the sketch estimates and the exact
+    overlaps, and checks the estimates land inside the analytic error
+    (k=512: rsd ~4.4% union, ~1/sqrt(rho*k) intersection; bounds set
+    at >=2.3x the one-sigma figures). Exact counts anchor the cross-engine
+    hash; the tolerance booleans certify the estimator. At 100 TB the
+    exact arm disappears and the kilobyte sketches ARE the product."""
+    from .operators.agg import kmv_segment_overlap
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("cell"),
+    )
+    est = kmv_segment_overlap(ev, "event_type", "cell", k=512)
+    el = ev.distinct()
+    n = el.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    ja = el.select(F.col("event_type").alias("seg_a"), "cell")
+    jb = el.select(F.col("event_type").alias("seg_b"), "cell")
+    inter = (
+        ja.join(jb, "cell")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    na = n.select(F.col("event_type").alias("seg_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("seg_b"), F.col("n").alias("n_b"))
+    exact = (
+        inter.join(F.broadcast(na), "seg_a")
+        .join(F.broadcast(nb), "seg_b")
+        .withColumn(
+            "exact_union", (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+        )
+    )
+    out = est.join(exact, ["seg_a", "seg_b"])
+    return out.select(
+        "seg_a",
+        "seg_b",
+        F.col("exact_union").cast("long").alias("exact_union"),
+        "exact_inter",
+        (
+            F.abs(F.col("union_est") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= 0.15
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("inter_est") - F.col("exact_inter"))
+            / F.greatest(F.col("exact_inter"), F.lit(1))
+            <= 0.30
+        ).alias("inter_ok"),
+    )
+
+
 def q_x32_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``try_``-prefixed arithmetic quarantine lanes (try_divide /
     try_element_at / try_to_number) — the NULL-on-error contract that
@@ -2334,6 +2393,7 @@ QUERIES = {
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a24_bitmap_distinct': q_a24_bitmap_distinct,
     'x32_try_family': q_x32_try_family,
+    'a25_kmv_intersection': q_a25_kmv_intersection,
     'a22_listagg': q_a22_listagg,
     'q25_sql_variables': q_q25_sql_variables,
     'num1_decimal_exact': q_num1_decimal_exact,
@@ -3541,4 +3601,30 @@ ORACLE_SQL["x32_try_family"] = """
                AS n_unparsed,
            CAST(CAST(SUM(parsed) AS DECIMAL(38,2)) AS VARCHAR) AS sum_parsed
     FROM t GROUP BY event_type
+"""
+
+
+ORACLE_SQL["a25_kmv_intersection"] = """
+    WITH el AS (
+        SELECT DISTINCT event_type,
+               user_id * 100 + day(CAST(ts AS TIMESTAMP)) AS cell
+        FROM events
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM el
+          GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM el a JOIN el b ON a.cell = b.cell
+        WHERE a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.seg_a, i.seg_b,
+           CAST(na.n + nb.n - i.exact_inter AS BIGINT) AS exact_union,
+           i.exact_inter,
+           TRUE AS union_ok,
+           TRUE AS inter_ok
+    FROM inter i
+    JOIN n na ON na.event_type = i.seg_a
+    JOIN n nb ON nb.event_type = i.seg_b
 """

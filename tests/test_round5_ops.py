@@ -900,3 +900,46 @@ class TestRound5LatePlans:
         assert 1 <= len(win_lines) <= 2
         for l in win_lines:
             assert "windowspecdefinition(doc_id" in l
+
+
+class TestKmvOverlap:
+    def test_exact_mode_small_sets(self, spark):
+        """Sets smaller than k: the sketch IS the set, estimates are
+        exact and sketch_exact flags it."""
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        rows = [("A", i) for i in range(40)] + [("B", i) for i in range(20, 70)]
+        df = spark.createDataFrame(rows, "seg string, el long")
+        r = kmv_segment_overlap(df, "seg", "el", k=256).collect()[0]
+        assert r["sketch_exact"]
+        assert r["union_est"] == 70.0
+        assert r["inter_est"] == 20.0
+
+    def test_duplicates_do_not_crowd_the_sketch(self, spark):
+        """The same element repeated a million-ish times must occupy ONE
+        sketch slot (distinct-before-sample), or heavy hitters destroy
+        the estimate."""
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        rows = [("A", 1)] * 500 + [("A", i) for i in range(50)] + [
+            ("B", i) for i in range(30, 80)
+        ]
+        df = spark.createDataFrame(rows, "seg string, el long")
+        r = kmv_segment_overlap(df, "seg", "el", k=256).collect()[0]
+        assert r["sketch_exact"]
+        assert r["union_est"] == 80.0
+        assert r["inter_est"] == 20.0
+
+    def test_estimation_mode_within_analytic_error(self, spark):
+        """Past k the estimator engages; on a known 3000/1000-overlap
+        construction the estimates must land within 3 sigma of truth."""
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        rows = [("A", i) for i in range(2000)] + [
+            ("B", i) for i in range(1000, 4000)
+        ]
+        df = spark.createDataFrame(rows, "seg string, el long")
+        r = kmv_segment_overlap(df, "seg", "el", k=256).collect()[0]
+        assert not r["sketch_exact"]
+        assert abs(r["union_est"] - 4000) / 4000 < 0.20
+        assert abs(r["inter_est"] - 1000) / 1000 < 0.40
