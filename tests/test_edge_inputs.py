@@ -325,3 +325,76 @@ class TestRound5EdgeInputs:
         edges = spark.createDataFrame([], "src long, dst long")
         rows = kcore(edges, k=2, until_converged=True).collect()
         assert rows == []
+
+
+class TestRound5LateEdgeInputs:
+    def test_paragraph_dedup_empty_corpus(self, spark):
+        from ml_feature_store_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert paragraph_dedup(docs).count() == 0
+
+    def test_paragraph_dedup_all_empty_paragraphs(self, spark):
+        from ml_feature_store_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "|| | ||"), (2, "")], "doc_id long, text string"
+        )
+        assert paragraph_dedup(docs, delim="|").count() == 0
+
+    def test_cross_doc_spans_empty_and_singleton(self, spark):
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert cross_doc_spans(empty).count() == 0
+        # one doc alone can never share a gram with another doc
+        solo = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        assert cross_doc_spans(solo, k=8).count() == 0
+
+    def test_cross_doc_spans_null_text(self, spark):
+        from ml_feature_store_spark.operators.dedup import cross_doc_spans
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string"
+        )
+        assert cross_doc_spans(docs, k=8).count() == 0
+
+    def test_kmv_overlap_single_segment_no_pairs(self, spark):
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        df = spark.createDataFrame([("A", 1), ("A", 2)], "seg string, el long")
+        assert kmv_segment_overlap(df, "seg", "el", k=16).count() == 0
+
+    def test_kmv_overlap_empty_input(self, spark):
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        df = spark.createDataFrame([], "seg string, el long")
+        assert kmv_segment_overlap(df, "seg", "el", k=16).count() == 0
+
+    def test_kmv_disjoint_segments_zero_intersection(self, spark):
+        from ml_feature_store_spark.operators.agg import kmv_segment_overlap
+
+        rows = [("A", i) for i in range(30)] + [("B", i + 1000) for i in range(30)]
+        df = spark.createDataFrame(rows, "seg string, el long")
+        r = kmv_segment_overlap(df, "seg", "el", k=256).collect()[0]
+        assert r["inter_est"] == 0.0
+        assert r["union_est"] == 60.0
+
+    def test_session_gaps_udtf_empty_stream(self, spark):
+        from ml_feature_store_spark.operators.sessionize import (
+            register_session_gaps_udtf,
+        )
+
+        spark.createDataFrame([], "user_id long, us long").createOrReplaceTempView(
+            "edge_sg_empty"
+        )
+        name = register_session_gaps_udtf(spark)
+        assert (
+            spark.sql(
+                f"SELECT * FROM {name}(TABLE(edge_sg_empty) "
+                "PARTITION BY user_id ORDER BY us)"
+            ).count()
+            == 0
+        )
