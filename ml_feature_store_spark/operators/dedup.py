@@ -620,6 +620,15 @@ def cross_doc_spans(
             ).otherwise(F.array())
         ).alias("g"),
     ).select(id_col, "g.pos", "g.h")
+    # The gram table feeds BOTH the shared-gram aggregate and the probe
+    # side of the semi join; without materialization Spark evaluates the
+    # explode+sha2 subtree twice in one job (the vocab double-scan
+    # pattern from operators/encoding.py, round-3 advice). One lazy
+    # localCheckpoint computes it once — measured -38% on the x31
+    # witness at sf0.1. At 100 TB the same move is "land the gram table
+    # once, reuse it", which a span-dedup pass wants anyway (it is the
+    # suffix-array stand-in and the unit of incremental reuse).
+    grams = grams.localCheckpoint(eager=False)
     shared = (
         grams.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
