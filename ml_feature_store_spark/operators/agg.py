@@ -197,6 +197,12 @@ def kmv_segment_overlap(
         F.array_sort(F.collect_list("__draw__")).alias("sk"),
         F.count("*").cast("long").alias("sk_n"),
     )
+    # Both sides of the pairwise self-join read the sketch table; without
+    # materialization the distinct + two-phase bottom-k subtree runs twice
+    # in one job. The sketch table is |segments| rows of k longs —
+    # checkpointing it is exactly the "sketches are storable rollup
+    # state" contract.
+    sketches = sketches.localCheckpoint(eager=False)
     a = sketches.select(
         F.col(segment_col).alias("seg_a"),
         F.col("sk").alias("sk_a"),

@@ -2067,7 +2067,10 @@ def q_a25_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("cell"),
     )
     est = kmv_segment_overlap(ev, "event_type", "cell", k=512)
-    el = ev.distinct()
+    # The exact arm (witness-only — absent at 100 TB) reads the distinct
+    # cell set three times (pair join both sides + per-seg counts);
+    # materialize it once.
+    el = ev.distinct().localCheckpoint(eager=False)
     n = el.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     ja = el.select(F.col("event_type").alias("seg_a"), "cell")
     jb = el.select(F.col("event_type").alias("seg_b"), "cell")
