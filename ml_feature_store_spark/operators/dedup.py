@@ -554,7 +554,13 @@ def paragraph_dedup(
         .withColumn("par", F.trim("par"))
         .filter(F.col("par") != "")
     )
-    keyed = pars.withColumn("__h__", F.sha2("par", 256))
+    # keyed feeds BOTH the first-occurrence aggregate and the join-back
+    # probe; materialize once (same single-evaluation move as
+    # cross_doc_spans' gram table — the exploded paragraph table is the
+    # reuse unit a paragraph-level pass lands anyway).
+    keyed = pars.withColumn("__h__", F.sha2("par", 256)).localCheckpoint(
+        eager=False
+    )
     first = keyed.groupBy("__h__").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first__")
     )
