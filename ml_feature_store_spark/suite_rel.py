@@ -2149,6 +2149,56 @@ def q_x32_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io17_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostile-CSV roundtrip: fields containing embedded NEWLINES, the
+    delimiter, and the quote character itself — the shape that silently
+    corrupts naive line-split ingestion (every web-scraped CSV has it).
+    Each doc's text gets newlines injected plus a quoted/comma-laden
+    wrapper; the write quotes RFC-4180-style (escape = quote) and the
+    read runs ``multiLine=true`` with the matching options; per-source
+    checksums (chars, newline count, id-weighted digest) prove the
+    parse loses nothing — the oracle recomputes them from the raw
+    columns, never touching CSV. THE SCALE CLIFF, named: multiLine=true
+    makes a CSV file UNSPLITTABLE (a record may span any line, so one
+    task parses each whole file — io12's gzip cliff in text form);
+    production either guarantees newline-free fields (then the default
+    line-splittable reader is safe) or lands multiline feeds as
+    parquet in one pass. The witness writes per-source files so even
+    the unsplittable parse keeps task-level parallelism."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit('say "'),
+            F.regexp_replace(F.col("text"), " the ", "\n"),
+            F.lit('", okay'),
+        ).alias("body"),
+    )
+    d = _scratch_dir("io17_csvml", sf_dir)
+    (
+        docs.repartition("source")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .partitionBy("source")
+        .csv(d)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id long, body string, source string")
+        .csv(d)
+    )
+    nl = F.size(F.split(F.col("body"), "\n", -1)) - 1
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("body")).cast("long").alias("sum_chars"),
+        F.sum(nl).cast("long").alias("sum_newlines"),
+        F.sum(F.col("doc_id") * F.length("body")).cast("long").alias("digest"),
+    )
+
+
 def q_a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct counts via bitmap aggregates
     (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
@@ -2395,6 +2445,7 @@ QUERIES = {
     'w3_session_window_batch': q_w3_session_window_batch,
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a24_bitmap_distinct': q_a24_bitmap_distinct,
+    'io17_csv_multiline': q_io17_csv_multiline,
     'x32_try_family': q_x32_try_family,
     'a25_kmv_intersection': q_a25_kmv_intersection,
     'a22_listagg': q_a22_listagg,
@@ -3630,4 +3681,20 @@ ORACLE_SQL["a25_kmv_intersection"] = """
     FROM inter i
     JOIN n na ON na.event_type = i.seg_a
     JOIN n nb ON nb.event_type = i.seg_b
+"""
+
+
+ORACLE_SQL["io17_csv_multiline"] = """
+    WITH d AS (
+        SELECT doc_id, source,
+               'say "' || replace(text, ' the ', chr(10)) || '", okay' AS body
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(body)) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(body) - length(replace(body, chr(10), '')))
+                AS BIGINT) AS sum_newlines,
+           CAST(SUM(doc_id * length(body)) AS BIGINT) AS digest
+    FROM d GROUP BY source
 """
