@@ -39,8 +39,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _KEY_MOD = 97
@@ -100,3 +102,97 @@ class SyntheticFeedDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticFeedReader:
         return SyntheticFeedReader(self.options)
+
+
+class _FileCommit(WriterCommitMessage):
+    """Picklable per-task commit message: the staged file this task
+    produced and its row count. Only files named in a commit message
+    are promoted — stray files from failed/speculative attempts stay
+    in staging and are discarded."""
+
+    def __init__(self, staged: str, rows: int) -> None:
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonLinesSinkWriter(DataSourceWriter):
+    """Executor-side writer with the real two-phase commit discipline:
+
+    * ``write(iterator)`` (per task, ON EXECUTORS) stages the
+      partition's rows as JSON lines under ``<path>/_staging/`` with a
+      task-attempt-unique name and returns a :class:`_FileCommit`.
+      A retried or speculative attempt stages its OWN file; nothing is
+      visible to readers yet.
+    * ``commit(messages)`` (driver, exactly once, only after every task
+      succeeded) promotes exactly the staged files named in the commit
+      messages into ``<path>`` and writes a ``_SUCCESS`` manifest with
+      the total row count — the atomic-visibility step every real sink
+      (parquet committer, Delta txn log) performs.
+    * ``abort`` removes the staging dir — a failed job leaves no
+      partial output.
+
+    This is the OTHER half of the Python Data Source story beside
+    ``SyntheticFeedDataSource``'s read path: bespoke EGRESS (a vendor
+    API, an internal index) made exactly-once by staging + manifest.
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlines_sink requires a path option")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else uuid.uuid4().hex
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"task-{attempt}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+        import shutil
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            shutil.move(m.staged, final)
+            total += m.rows
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps({"rows": total}))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``format("jsonlines_sink")`` — custom Python egress connector."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines_sink"
+
+    def writer(self, schema, overwrite: bool):
+        import os
+        import shutil
+
+        path = self.options.get("path")
+        if overwrite and path and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        return JsonLinesSinkWriter(self.options)

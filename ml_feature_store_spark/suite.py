@@ -249,6 +249,7 @@ _CANONICAL = [
     'x32_try_family',
     'a25_kmv_intersection',
     'io17_csv_multiline',
+    'io18_python_datasource_writer',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -303,7 +304,7 @@ _ROUND_PRIORITY = [
     "q26_pipe_syntax", "q27_param_markers", "q28_lateral_alias",
     "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
-    "io17_csv_multiline",
+    "io17_csv_multiline", "io18_python_datasource_writer",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -2199,6 +2199,51 @@ def q_io17_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io18_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom EGRESS connector via the Python Data Source writer API
+    (sources/pyds.py JsonLinesSinkDataSource) — io14's other half: when
+    the destination has no built-in sink (vendor API, internal index),
+    the Python writer still gets the real exactly-once discipline:
+    per-task executor-side staging, driver-side commit() that promotes
+    ONLY the files named in task commit messages (retried/speculative
+    attempts stage dead files that are never promoted — pinned by
+    pytest), atomic _SUCCESS manifest, abort() cleanup. The witness
+    pushes an orders projection through the connector, reads the
+    committed JSON back, and rolls it up; the oracle computes the same
+    rollup from the table directly — byte-loss or double-commit breaks
+    the hash. Scale: parallelism = task count (one staged file each);
+    commit is O(#tasks) renames on the driver, the same shape as the
+    parquet committer."""
+    from .sources.pyds import JsonLinesSinkDataSource
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    d = _scratch_dir("io18_pyds_w", sf_dir) + "/out"
+    (
+        o.repartition(8)
+        .write.format("jsonlines_sink")
+        .option("path", d)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, cents long"
+    ).json(d + "/part-*.jsonl")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("o_orderkey") * (F.col("cents") % 1000))
+        .cast("long")
+        .alias("digest"),
+    )
+
+
 def q_a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct counts via bitmap aggregates
     (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
@@ -2446,6 +2491,7 @@ QUERIES = {
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a24_bitmap_distinct': q_a24_bitmap_distinct,
     'io17_csv_multiline': q_io17_csv_multiline,
+    'io18_python_datasource_writer': q_io18_python_datasource_writer,
     'x32_try_family': q_x32_try_family,
     'a25_kmv_intersection': q_a25_kmv_intersection,
     'a22_listagg': q_a22_listagg,
@@ -3697,4 +3743,18 @@ ORACLE_SQL["io17_csv_multiline"] = """
                 AS BIGINT) AS sum_newlines,
            CAST(SUM(doc_id * length(body)) AS BIGINT) AS digest
     FROM d GROUP BY source
+"""
+
+
+ORACLE_SQL["io18_python_datasource_writer"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(o_orderkey * (cents % 1000)) AS BIGINT) AS digest
+    FROM o GROUP BY o_orderstatus
 """

@@ -943,3 +943,49 @@ class TestKmvOverlap:
         assert not r["sketch_exact"]
         assert abs(r["union_est"] - 4000) / 4000 < 0.20
         assert abs(r["inter_est"] - 1000) / 1000 < 0.40
+
+
+class TestPythonDataSourceWriter:
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        import json
+        import os
+
+        from ml_feature_store_spark.sources.pyds import JsonLinesSinkDataSource
+
+        spark.dataSource.register(JsonLinesSinkDataSource)
+        d = str(tmp_path / "out")
+        df = spark.range(50).selectExpr("id", "id * 2 AS v")
+        df.repartition(4).write.format("jsonlines_sink").option(
+            "path", d
+        ).mode("overwrite").save()
+        files = sorted(os.listdir(d))
+        assert "_SUCCESS" in files and "_staging" not in files
+        manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+        assert manifest["rows"] == 50
+        back = spark.read.schema("id long, v long").json(d + "/part-*.jsonl")
+        assert back.count() == 50
+        assert back.selectExpr("sum(v)").collect()[0][0] == 2450
+
+    def test_stray_staged_file_never_promoted(self, spark, tmp_path):
+        """Exactly-once pin: a file staged by a failed/speculative task
+        attempt (simulated as a pre-existing stray in _staging) is NOT
+        promoted by commit() — only task-commit-message files are."""
+        import os
+
+        from ml_feature_store_spark.sources.pyds import JsonLinesSinkDataSource
+
+        spark.dataSource.register(JsonLinesSinkDataSource)
+        d = str(tmp_path / "out2")
+        staging = os.path.join(d, "_staging")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "task-DEAD.jsonl"), "w") as f:
+            f.write('{"id": 999999, "v": 999999}\n')
+        df = spark.range(10).selectExpr("id", "id AS v")
+        # append mode: the pre-staged stray survives until commit cleanup
+        df.repartition(2).write.format("jsonlines_sink").option(
+            "path", d
+        ).mode("append").save()
+        back = spark.read.schema("id long, v long").json(d + "/part-*.jsonl")
+        assert back.count() == 10
+        assert back.filter("id = 999999").count() == 0
+        assert not os.path.exists(staging)
