@@ -280,11 +280,13 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # LISTAGG, q25 SQL variables, num1 exact decimals, io16 dynamic
 # partition overwrite, t14 parse_url, q26 pipe syntax, q27 parameter
 # markers, q28 lateral aliases, a24 bitmap exact distinct, t15 AES
-# tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes.
-# That is 42 priority names; the window's remaining 8 slots fall
+# tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
+# a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
+# Data Source writer.
+# That is 45 priority names; the window's remaining 5 slots fall
 # through to _CANONICAL order — already-green rows being re-witnessed,
-# a regression watch. Full-suite tools/check.py gate this round:
-# 232/232 (+x32 via --only).
+# a regression watch. Full-suite tools/check.py gates this round:
+# 232/232 mid-round, 234/234 near close (+io17/io18 via --only).
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [
