@@ -733,8 +733,42 @@ _Q28_SQL = """
 """
 
 
+_U3_SQL = """
+        WITH a AS (SELECT o_orderpriority AS p FROM {orders}
+                   WHERE o_orderdate < DATE '1997-01-01'),
+             b AS (SELECT o_orderpriority AS p FROM {orders}
+                   WHERE o_orderstatus = 'O'),
+             i AS (SELECT 'intersect_all' AS op, p
+                   FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)),
+             e AS (SELECT 'except_all' AS op, p
+                   FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)),
+             u AS (SELECT 'union_all' AS op, p
+                   FROM (SELECT p FROM a UNION ALL SELECT p FROM b))
+        SELECT op, p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM i UNION ALL SELECT * FROM e
+              UNION ALL SELECT * FROM u)
+        GROUP BY op, p
+"""
+
+
+def q_u3_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL /
+    UNION ALL) — the multiplicity-preserving forms u1/u2's DISTINCT
+    variants skip: per value, INTERSECT ALL keeps min(m_a, m_b) copies
+    and EXCEPT ALL max(0, m_a - m_b) — semantics that matter whenever
+    rows are observations, not members (event streams, label sets).
+    Both engines implement the SQL-standard forms and run the
+    IDENTICAL text; the multiplicity counts per (op, value) pin the
+    bag arithmetic exactly. Catalyst plans ALL-variants as
+    hash-partitioned count-and-replicate — one shuffle per operand,
+    no distinct collapse."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("u3_orders")
+    return spark.sql(_U3_SQL.format(orders="u3_orders"))
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_pipe_syntax": q_q26_pipe_syntax,
+    "u3_bag_setops": q_u3_bag_setops,
     "q27_param_markers": q_q27_param_markers,
     "q28_lateral_alias": q_q28_lateral_alias,
     "q23_lateral_topn": q_q23_lateral_topn,
@@ -761,6 +795,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 RELATIONAL_ORACLE: dict[str, str] = {
     "q24_recursive_tree": _Q24_SQL.format(customer="customer"),
+    "u3_bag_setops": _U3_SQL.format(orders="orders"),
     "q26_pipe_syntax": """
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -164,10 +164,14 @@ class JsonLinesSinkWriter(DataSourceWriter):
         import json as _json
         import os
         import shutil
+        import uuid
 
+        # commit-scoped prefix: a second (append-mode) commit can never
+        # silently replace an earlier commit's part files.
+        tag = uuid.uuid4().hex[:8]
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{tag}-{i:05d}.jsonl")
             shutil.move(m.staged, final)
             total += m.rows
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -286,7 +286,7 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # That is 45 priority names; the window's remaining 5 slots fall
 # through to _CANONICAL order — already-green rows being re-witnessed,
 # a regression watch. Full-suite tools/check.py gates this round:
-# 232/232 mid-round, 234/234 near close (+io17/io18 via --only).
+# 232/232 mid-round, 234/234 near close, 236/236 final.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [
@@ -307,6 +307,7 @@ _ROUND_PRIORITY = [
     "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
     "io17_csv_multiline", "io18_python_datasource_writer",
+    "u3_bag_setops",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)
