@@ -250,6 +250,7 @@ _CANONICAL = [
     'a25_kmv_intersection',
     'io17_csv_multiline',
     'io18_python_datasource_writer',
+    'dq13_benford_audit',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -307,7 +308,7 @@ _ROUND_PRIORITY = [
     "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
     "io17_csv_multiline", "io18_python_datasource_writer",
-    "u3_bag_setops",
+    "u3_bag_setops", "dq13_benford_audit",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

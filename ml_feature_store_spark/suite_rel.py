@@ -2108,6 +2108,50 @@ def q_a25_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_PPM = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def q_dq13_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit — the classic fabricated-
+    numbers detector (forensic accounting's screen, equally useful for
+    catching synthetic/defaulted values polluting a money column): the
+    leading digit of naturally-occurring multiplicative amounts follows
+    log10(1+1/d), and a column whose digit histogram deviates hard is
+    worth a human look. Integer-exact everywhere: digits come from the
+    BIGINT floor's decimal string, observed shares are ppm via BIGINT
+    DIV, and the expected table is a 9-row broadcast dim of
+    pre-computed ppm literals (inlined IDENTICALLY into the oracle —
+    no cross-engine log10 rounding surface). One scan + one 9-row
+    partial agg; the deviation column is plain integer arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    total = o.count()
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "digit long, exp_ppm long"
+    )
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(f"coalesce(n_obs, 0) * 1000000 DIV {total}")
+            .cast("long")
+            .alias("obs_ppm"),
+            "exp_ppm",
+        )
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long")
+        )
+    )
+
+
 def q_x32_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``try_``-prefixed arithmetic quarantine lanes (try_divide /
     try_element_at / try_to_number) — the NULL-on-error contract that
@@ -2491,6 +2535,7 @@ QUERIES = {
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'a24_bitmap_distinct': q_a24_bitmap_distinct,
     'io17_csv_multiline': q_io17_csv_multiline,
+    'dq13_benford_audit': q_dq13_benford_audit,
     'io18_python_datasource_writer': q_io18_python_datasource_writer,
     'x32_try_family': q_x32_try_family,
     'a25_kmv_intersection': q_a25_kmv_intersection,
@@ -3757,4 +3802,23 @@ ORACLE_SQL["io18_python_datasource_writer"] = """
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CAST(SUM(o_orderkey * (cents % 1000)) AS BIGINT) AS digest
     FROM o GROUP BY o_orderstatus
+"""
+
+
+ORACLE_SQL["dq13_benford_audit"] = """
+    WITH exp(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+    obs AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT e.digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(o.n_obs, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs(COALESCE(o.n_obs, 0) * 1000000 // t.total - e.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM exp e LEFT JOIN obs o ON e.digit = o.digit, t
 """
