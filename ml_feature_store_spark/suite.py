@@ -283,11 +283,11 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # markers, q28 lateral aliases, a24 bitmap exact distinct, t15 AES
 # tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
 # a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
-# Data Source writer.
-# That is 45 priority names; the window's remaining 5 slots fall
+# Data Source writer, u3 bag-semantics set ops, dq13 Benford audit.
+# That is 47 priority names; the window's remaining 3 slots fall
 # through to _CANONICAL order — already-green rows being re-witnessed,
 # a regression watch. Full-suite tools/check.py gates this round:
-# 232/232 mid-round, 234/234 near close, 236/236 final.
+# 232/232 mid-round, 234/234 and 236/236 near close, 238/238 final.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
 _ROUND_PRIORITY = [

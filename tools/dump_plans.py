@@ -513,19 +513,19 @@ def main() -> None:
         "green oracle row and (where plan-shaped) a plan gate in",
         "tests/test_round5_ops.py.",
         "",
-        "Round-5 closing audit: 235 timed queries, 215.7 s total at sf0.1",
+        "Round-5 closing audit: 237 timed queries, 233.2 s total at sf0.1",
         "(min-of-2, BENCH_DETAIL.json; sd2 correctness-only as ever;",
-        "0.92 s/query mean). Across the three closing refreshes the",
-        "common-query totals moved 222 -> 231 -> 214 s (host drift, no",
-        "plan changes; the one cell that crossed 2x mid-sequence, io14",
-        "0.71 -> 1.82 s, re-measures at 0.75 s min-of-3 in isolation —",
+        "~0.98 s/query mean). Across the four closing refreshes the",
+        "common-query totals moved within a 216-233 s envelope (host",
+        "drift, no plan changes; the one cell that crossed 2x twice,",
+        "io14, re-measures at 0.75 s min-of-3 in isolation —",
         "Python-worker churn). Targeted win: x31_crossdoc_spans 4.49 ->",
         "3.18 s via a lazy localCheckpoint of the gram table (the",
         "explode+sha2 subtree fed two join branches and was evaluated",
         "twice; the same single-evaluation fix is applied to t13's keyed",
         "paragraphs and a25's sketch table — the round-3",
         "vocab-double-scan pattern, hunted deliberately this time). The",
-        "suite grew by 20 more",
+        "suite grew by 22 more",
         "operators: q24 native recursive CTE (UnionLoop frontier joins),",
         "t13 paragraph dedup + x31 cross-doc span detection (both",
         "min-struct/partial-agg on content digests — the hot-boilerplate",
@@ -542,8 +542,10 @@ def main() -> None:
         "quarantine lanes, a25 KMV sketch set-intersection (the overlap",
         "capability HLL lacks, mergeable bottom-k state), io17 hostile",
         "multiline-CSV roundtrip (unsplittable-parse cliff named), io18",
-        "Python Data Source WRITER (two-phase commit, stray-attempt pin).",
-        "All 20 land at 0.2-4.5 s with green oracle rows; slowest suite",
+        "Python Data Source WRITER (two-phase commit, stray-attempt pin),",
+        "u3 bag-semantics set ops, dq13 Benford first-digit audit.",
+        "All 22 land at 0.2-4.5 s with green oracle rows (final full",
+        "gate: 238/238); slowest suite",
         "queries remain the iterative graph family (round-trip latency,",
         "not shuffle volume).",
         "",
