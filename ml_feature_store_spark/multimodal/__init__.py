@@ -4,6 +4,7 @@ from .columns import (
     decode_image_stub,
     extract_image_features,
     frame_sample_stub,
+    perceptual_hash_stub,
     resize_stub,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "decode_image_stub",
     "extract_image_features",
     "frame_sample_stub",
+    "perceptual_hash_stub",
     "resize_stub",
 ]

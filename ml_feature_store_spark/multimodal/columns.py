@@ -259,3 +259,56 @@ def frame_sample_stub(
     n_frames = (F.octet_length(F.col(payload_col)) % 270 + 30).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.withColumn("sampled_frames", idx)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("ph_b0", IntegerType()),
+        StructField("ph_b1", IntegerType()),
+        StructField("ph_b2", IntegerType()),
+        StructField("ph_b3", IntegerType()),
+    ]
+)
+
+
+def perceptual_hash_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """64-bit perceptual hash of an image payload as four 16-bit bands,
+    via the Arrow/mapInPandas batch path.
+
+    STUB kernel: the 64 bits are content-hash-derived (sha-256 prefix),
+    so only byte-identical payloads collide — a REAL deployment replaces
+    the body with resize->grayscale->DCT-low-frequency dHash (PIL/cv2,
+    absent in this container); batch shape, Arrow transfer, band layout
+    and every downstream stage (band blocking, hamming verify,
+    clustering) are production-identical. Bands are emitted separately
+    because band EQUALITY is the blocking key: two codes within hamming
+    distance d collide on >= 1 of 4 bands whenever d <= 3*16 (the
+    pigeonhole guarantee banded LSH runs on — x9's SimHash machinery,
+    fed from the multimodal lane).
+    """
+    out_schema = StructType(df.schema.fields + list(PHASH_SCHEMA.fields))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "no image codec in this environment; the real kernel "
+                    "is resize->DCT dHash over decoded pixels"
+                )
+            bands: list[list[int]] = [[], [], [], []]
+            for p in pdf[payload_col]:
+                hx = hashlib.sha256(bytes(p)).hexdigest()
+                for b in range(4):
+                    bands[b].append(int(hx[4 * b : 4 * b + 4], 16))
+            pdf = pdf.copy()
+            for b in range(4):
+                pdf[f"ph_b{b}"] = bands[b]
+            yield pdf
+
+    from ..operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(kernel, out_schema)

@@ -251,6 +251,7 @@ _CANONICAL = [
     'io17_csv_multiline',
     'io18_python_datasource_writer',
     'dq13_benford_audit',
+    'm7_phash_dedup',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -308,7 +309,7 @@ _ROUND_PRIORITY = [
     "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
     "io17_csv_multiline", "io18_python_datasource_writer",
-    "u3_bag_setops", "dq13_benford_audit",
+    "u3_bag_setops", "dq13_benford_audit", "m7_phash_dedup",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -223,6 +223,102 @@ def q_m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m7_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal pipeline's missing
+    last stage after decode (m1) / features (m3) / modality routing
+    (m6): near-identical images collapse via a 64-bit pHash, banded
+    into 4x16-bit blocks so candidate pairs come from band-bucket
+    collisions (pigeonhole: hamming <= 48 guarantees >= 1 shared band —
+    x9's SimHash machinery fed from the Arrow kernel lane), then
+    hamming-verified with bit_count(xor) and clustered by min-neighbor
+    (exact-equality cliques need no iterative CC). Dup structure is
+    constructed: every 3-doc group shares its leader's payload, so the
+    op must find exactly the ~167 groups and nothing else — while the
+    corpus's random band collisions exercise the verify-REJECT path
+    (codes ~32 bits apart fail the <=8 threshold). The pHash kernel is
+    the documented stub (content-hash bits; real kernel = DCT dHash —
+    same bands, same everything downstream); the oracle replays the
+    hex arithmetic and the full band/verify/cluster pipeline."""
+    from .multimodal import attach_binary_payload, perceptual_hash_stub
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(
+        F.col("doc_id").alias("gid"), F.col("text").alias("gtext")
+    ).filter(F.col("gid") % 3 == 0)
+    grouped = docs.withColumn("gid", F.col("doc_id") - F.col("doc_id") % 3).join(
+        F.broadcast(leaders), "gid"
+    )
+    payload = attach_binary_payload(
+        grouped.select("doc_id", "gtext"), "gtext"
+    )
+    ph = perceptual_hash_stub(payload).select(
+        "doc_id", "ph_b0", "ph_b1", "ph_b2", "ph_b3"
+    )
+    ph = ph.localCheckpoint(eager=False)  # feeds bands, both pair sides, rollup
+    bands = ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"ph_b{b}").alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pa = ph.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"ph_b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    pb = ph.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"ph_b{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    )
+    verified = (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("ham", ham)
+        .filter(F.col("ham") <= 8)
+        .select("id_a", "id_b")
+    )
+    neigh = verified.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("n")
+    ).unionByName(
+        verified.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("n"))
+    )
+    canon = (
+        ph.select("doc_id")
+        .join(neigh, "doc_id", "left")
+        .groupBy("doc_id")
+        # Spark's least() skips NULLs, so a neighborless image keeps itself
+        .agg(F.least(F.min("n"), F.col("doc_id")).alias("canonical"))
+    )
+    return canon.groupBy("canonical").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("doc_id").cast("long").alias("member_sum"),
+    )
+
+
 def q_x8_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors of vec 0 via sign-LSH buckets. Round
     2: exact oracle — the seeded hyperplanes are inlined into the DuckDB
@@ -1069,6 +1165,7 @@ QUERIES = {
     'x10_ivf_ann': q_x10_ivf_ann,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
+    'm7_phash_dedup': q_m7_phash_dedup,
     'x1_knn_cosine_topk': q_x1_knn_cosine_topk,
     'emb2_matryoshka_recall': q_emb2_matryoshka_recall,
     'x2_similar_pairs': q_x2_similar_pairs,
@@ -1610,4 +1707,59 @@ ORACLE_SQL["emb2_matryoshka_recall"] = """
            (SELECT CAST(COUNT(*) * 10 AS BIGINT)
             FROM exact JOIN t32 USING (vec_id))
     ORDER BY dims
+"""
+
+
+ORACLE_SQL["m7_phash_dedup"] = """
+    WITH leaders AS (
+        SELECT doc_id AS gid, text AS gtext FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    g AS (
+        SELECT d.doc_id, l.gtext
+        FROM documents d
+        JOIN leaders l ON d.doc_id - d.doc_id % 3 = l.gid
+    ),
+    ph AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256(gtext), 1, 4))::INTEGER AS b0,
+               ('0x' || substr(sha256(gtext), 5, 4))::INTEGER AS b1,
+               ('0x' || substr(sha256(gtext), 9, 4))::INTEGER AS b2,
+               ('0x' || substr(sha256(gtext), 13, 4))::INTEGER AS b3
+        FROM g
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, b0 AS val FROM ph
+        UNION ALL SELECT doc_id, 1, b1 FROM ph
+        UNION ALL SELECT doc_id, 2, b2 FROM ph
+        UNION ALL SELECT doc_id, 3, b3 FROM ph
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN ph pa ON pa.doc_id = c.id_a
+        JOIN ph pb ON pb.doc_id = c.id_b
+        WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+              + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+              <= 8
+    ),
+    neigh AS (
+        SELECT id_a AS doc_id, id_b AS n FROM ver
+        UNION ALL SELECT id_b, id_a FROM ver
+    ),
+    canon AS (
+        SELECT p.doc_id,
+               COALESCE(LEAST(MIN(n.n), p.doc_id), p.doc_id) AS canonical
+        FROM ph p LEFT JOIN neigh n ON n.doc_id = p.doc_id
+        GROUP BY p.doc_id
+    )
+    SELECT CAST(canonical AS BIGINT) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(doc_id) AS BIGINT) AS member_sum
+    FROM canon GROUP BY canonical
 """

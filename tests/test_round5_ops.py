@@ -989,3 +989,49 @@ class TestPythonDataSourceWriter:
         assert back.count() == 10
         assert back.filter("id = 999999").count() == 0
         assert not os.path.exists(staging)
+
+
+class TestPhashDedup:
+    def test_band_blocking_and_clique_clustering(self, spark):
+        """Identical payloads collapse to the min-id canonical through
+        the band/verify/min-neighbor pipeline; distinct payloads stay
+        singletons (random 64-bit codes differ by ~32 bits, failing the
+        hamming threshold even when a band happens to collide)."""
+        from ml_feature_store_spark.multimodal import (
+            attach_binary_payload,
+            perceptual_hash_stub,
+        )
+
+        rows = [
+            (1, "same content"),
+            (2, "same content"),
+            (5, "same content"),
+            (9, "other content"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ph = perceptual_hash_stub(attach_binary_payload(df, "text"))
+        got = {
+            r["doc_id"]: (r["ph_b0"], r["ph_b1"], r["ph_b2"], r["ph_b3"])
+            for r in ph.collect()
+        }
+        assert got[1] == got[2] == got[5]
+        assert got[9] != got[1]
+        # bands match the sha-256 hex prefix of the payload bytes
+        import hashlib
+
+        hx = hashlib.sha256(b"same content").hexdigest()
+        assert got[1] == tuple(int(hx[4 * b : 4 * b + 4], 16) for b in range(4))
+
+    def test_kernel_rejects_real_decode_without_codec(self, spark):
+        from ml_feature_store_spark.multimodal import (
+            attach_binary_payload,
+            perceptual_hash_stub,
+        )
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        ph = perceptual_hash_stub(
+            attach_binary_payload(df, "text"), deterministic_fake=False
+        )
+        with _pytest.raises(Exception):
+            ph.collect()
