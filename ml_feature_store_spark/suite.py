@@ -284,8 +284,9 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # markers, q28 lateral aliases, a24 bitmap exact distinct, t15 AES
 # tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
 # a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
-# Data Source writer, u3 bag-semantics set ops, dq13 Benford audit.
-# That is 47 priority names; the window's remaining 3 slots fall
+# Data Source writer, u3 bag-semantics set ops, dq13 Benford audit,
+# m7 perceptual-hash image dedup.
+# That is 48 priority names; the window's remaining 2 slots fall
 # through to _CANONICAL order — already-green rows being re-witnessed,
 # a regression watch. Full-suite tools/check.py gates this round:
 # 232/232 mid-round, 234/234 and 236/236 near close, 238/238 final.
