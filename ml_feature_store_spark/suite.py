@@ -252,6 +252,7 @@ _CANONICAL = [
     'io18_python_datasource_writer',
     'dq13_benford_audit',
     'm7_phash_dedup',
+    'g7_bfs_distances',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -285,9 +286,9 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
 # a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
 # Data Source writer, u3 bag-semantics set ops, dq13 Benford audit,
-# m7 perceptual-hash image dedup.
-# That is 48 priority names; the window's remaining 2 slots fall
-# through to _CANONICAL order — already-green rows being re-witnessed,
+# m7 perceptual-hash image dedup, g7 multi-source BFS distances.
+# That is 49 priority names; the window's remaining slot falls
+# through to _CANONICAL order — an already-green row being re-witnessed,
 # a regression watch. Full-suite tools/check.py gates this round:
 # 232/232 mid-round, 234/234 and 236/236 near close, 238/238 final.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
@@ -311,6 +312,7 @@ _ROUND_PRIORITY = [
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
     "io17_csv_multiline", "io18_python_datasource_writer",
     "u3_bag_setops", "dq13_benford_audit", "m7_phash_dedup",
+    "g7_bfs_distances",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

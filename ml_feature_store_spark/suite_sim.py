@@ -1156,8 +1156,47 @@ def q_g6_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, starts, steps=3).orderBy("walker")
 
 
+def q_g7_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reach profile (operators/graph.py bfs_distances):
+    exact min-hop distances from the nation-0 supplier set over the
+    undirected customer-supplier purchase graph, depth-bounded at 4 —
+    the blast-radius question ("every customer and supplier within N
+    trading hops of this region's suppliers") that pagerank/kcore/walks
+    do not answer. Output is the per-distance layer profile (node count
+    + lexicographic first node), a bounded 5-row result. Plan: per hop
+    ONE frontier-adjacency equi-join + distinct (fan-in collapsed
+    map-side) + anti-join against visited; adjacency checkpointed once,
+    never re-derived. The DuckDB twin replays the identical bound as a
+    depth-guarded recursive CTE (UNION-deduped, cycle-safe) and takes
+    MIN(dist) per node — first-visit BFS and bounded-walk-min are the
+    same function at the same depth cap."""
+    from .operators.graph import bfs_distances
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    d = bfs_distances(edges, seeds, max_hops=4)
+    return d.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").alias("first_node"),
+    )
+
+
 QUERIES = {
     'g6_random_walks': q_g6_random_walks,
+    'g7_bfs_distances': q_g7_bfs_distances,
     'g5_copurchase_jaccard': q_g5_copurchase_jaccard,
     'geo1_radius_join': q_geo1_radius_join,
     'x16_tfidf_topk': q_x16_tfidf_topk,
@@ -1762,4 +1801,33 @@ ORACLE_SQL["m7_phash_dedup"] = """
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(doc_id) AS BIGINT) AS member_sum
     FROM canon GROUP BY canonical
+"""
+
+
+ORACLE_SQL["g7_bfs_distances"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT dst AS u, src AS v FROM e
+    ),
+    seeds AS (
+        SELECT DISTINCT 's' || s_suppkey AS node
+        FROM supplier WHERE s_nationkey = 0
+    ),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT und.v, walk.dist + 1
+        FROM walk JOIN und ON und.u = walk.node
+        WHERE walk.dist < 4
+    ),
+    d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS first_node
+    FROM d GROUP BY dist
 """

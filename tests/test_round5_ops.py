@@ -1035,3 +1035,70 @@ class TestPhashDedup:
         )
         with _pytest.raises(Exception):
             ph.collect()
+
+
+def brute_bfs(edges, seeds, max_hops):
+    """Reference multi-source BFS: {node: min hop distance <= max_hops}."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+class TestBfsDistances:
+    # Two components: a path graph seeded at one end (distances 0..n,
+    # capped), plus an unreachable triangle; a second seed inside the path
+    # exercises the MIN-over-seeds semantics.
+    EDGES = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+        ("x", "y"), ("y", "z"), ("x", "z"),  # unreachable component
+    ]
+
+    def _run(self, spark, seeds, max_hops):
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        s = spark.createDataFrame([(n,) for n in seeds], "node string")
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(e, s, max_hops=max_hops).collect()
+        }
+        assert got == brute_bfs(self.EDGES, seeds, max_hops)
+        return got
+
+    def test_single_seed_depth_cap(self, spark):
+        got = self._run(spark, ["a"], 3)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e, f beyond cap
+
+    def test_multi_seed_takes_min(self, spark):
+        got = self._run(spark, ["a", "e"], 2)
+        # d is 3 hops from a but 1 from e -> min wins; f adjacent to e
+        assert got["d"] == 1 and got["f"] == 1 and got["a"] == 0
+
+    def test_early_exit_when_frontier_drains(self, spark):
+        # component exhausted in 2 hops; max_hops=10 must still terminate
+        got = self._run(spark, ["x"], 10)
+        assert got == {"x": 0, "y": 1, "z": 1}
+
+    def test_isolated_seed_and_empty_seeds(self, spark):
+        got = self._run(spark, ["ghost"], 4)  # seed with no edges
+        assert got == {"ghost": 0}
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        empty = spark.createDataFrame([], "node string")
+        assert bfs_distances(e, empty, max_hops=3).count() == 0
