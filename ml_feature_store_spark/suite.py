@@ -234,6 +234,7 @@ _CANONICAL = [
     'x30_variant_extract',
     'io15_xml_roundtrip',
     'sd6_state_store_reader',
+    'sd7_file_sink_exactly_once',
     't13_paragraph_dedup',
     'udtf2_session_gaps',
     'w3_session_window_batch',
@@ -286,10 +287,10 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
 # a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
 # Data Source writer, u3 bag-semantics set ops, dq13 Benford audit,
-# m7 perceptual-hash image dedup, g7 multi-source BFS distances.
-# That is 49 priority names; the window's remaining slot falls
-# through to _CANONICAL order — an already-green row being re-witnessed,
-# a regression watch. Full-suite tools/check.py gates this round:
+# m7 perceptual-hash image dedup, g7 multi-source BFS distances,
+# sd7 file-sink exactly-once (orphan part-file exclusion).
+# That is 50 priority names — the window is exactly full.
+# Full-suite tools/check.py gates this round:
 # 232/232 mid-round, 234/234 and 236/236 near close, 238/238 final.
 # (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
 # commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
@@ -312,7 +313,7 @@ _ROUND_PRIORITY = [
     "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
     "io17_csv_multiline", "io18_python_datasource_writer",
     "u3_bag_setops", "dq13_benford_audit", "m7_phash_dedup",
-    "g7_bfs_distances",
+    "g7_bfs_distances", "sd7_file_sink_exactly_once",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -1158,7 +1158,75 @@ def q_sd6_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd7_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING file-sink exactly-once witness — FileStreamSink's
+    ``_spark_metadata`` transaction log is what turns an at-least-once
+    execution engine into an exactly-once parquet sink: a retried task or
+    a batch that died after writing leaves ORPHAN part files on disk, and
+    table membership is defined by the commit log, never the directory
+    listing. The witness replays that failure mode: after a two-batch
+    availableNow stream commits to the sink, a poison part file (valid
+    schema, 64 duplicated rows — a plausible abandoned task attempt) is
+    planted directly in the sink directory, bypassing the log. The batch
+    read back over the sink must resolve membership from _spark_metadata
+    and exclude the orphan, so per-type counts and checksums equal the
+    pure source-side oracle; a listing-based reader would double-count
+    the planted rows and shift every aggregate. At 100 TB this is the
+    difference between a sink that survives preemption and one that
+    silently duplicates training data (SCALE-100TB.md, streaming lane)."""
+    import os
+
+    from .streaming.ingest import stream_events
+
+    d = _scratch_dir("sd7_feed", sf_dir)
+    ck = _scratch_dir("sd7_ckpt", sf_dir)
+    sink = _scratch_dir("sd7_sink", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    stream = stream_events(spark, d).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    # Plant the orphan: duplicate 64 committed rows into a part file the
+    # commit log has never heard of (schema-exact via pyarrow roundtrip).
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        f for f in os.listdir(sink)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    committed = pq.read_table(os.path.join(sink, parts[0]))
+    orphan = committed.slice(0, min(64, committed.num_rows))
+    assert orphan.num_rows > 0, "sd7 feed produced an empty first part file"
+    pq.write_table(
+        orphan, os.path.join(sink, "part-99999-orphan-attempt.snappy.parquet")
+    )
+    read_back = spark.read.parquet(sink)
+    return read_back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("user_id").cast("long").alias("sum_user_ids"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
 QUERIES = {
+    'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
     'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
@@ -1715,6 +1783,16 @@ ORACLE_SQL["online1_point_read"] = f"""
     )
     SELECT entity_id, ts_us, event_id, event_type, value_cents
     FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 4
+"""
+
+ORACLE_SQL["sd7_file_sink_exactly_once"] = f"""
+    WITH ev AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_ids,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ev GROUP BY event_type
 """
 
 ORACLE_SQL["sd6_state_store_reader"] = """

@@ -1102,3 +1102,45 @@ class TestBfsDistances:
         e = spark.createDataFrame(self.EDGES, "src string, dst string")
         empty = spark.createDataFrame([], "node string")
         assert bfs_distances(e, empty, max_hops=3).count() == 0
+
+
+class TestFileSinkExactlyOnce:
+    """sd7 semantics: FileStreamSink table membership is the _spark_metadata
+    commit log, not the directory listing. The orphan must carry rows (the
+    witness has teeth) yet be invisible to the log-based batch read."""
+
+    def test_orphan_part_file_excluded(self, spark, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        feed, sink, ck = str(tmp_path / "feed"), str(tmp_path / "sink"), str(
+            tmp_path / "ck"
+        )
+        src = spark.createDataFrame(
+            [(i, f"k{i % 2}") for i in range(8)], "id long, k string"
+        )
+        src.coalesce(1).write.parquet(feed)
+        q = (
+            spark.readStream.schema("id long, k string")
+            .parquet(feed)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        parts = [
+            f
+            for f in os.listdir(sink)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        orphan = os.path.join(sink, "part-99999-orphan.snappy.parquet")
+        pq.write_table(pq.read_table(os.path.join(sink, parts[0])), orphan)
+        # teeth: the orphan really holds rows a listing-based reader would see
+        assert spark.read.parquet(orphan).count() > 0
+        # log-based read: membership from _spark_metadata, orphan excluded
+        assert os.path.isdir(os.path.join(sink, "_spark_metadata"))
+        assert spark.read.parquet(sink).count() == 8
