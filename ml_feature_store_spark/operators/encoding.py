@@ -282,7 +282,13 @@ def quantile_binning(
     )
     return withb.withColumn(
         out_col,
-        F.size(F.filter(rounded, lambda b: b < F.col("__c__"))).cast("long"),
+        # NULL input stays NULL: without the guard the filter predicate
+        # is NULL per boundary, size() returns 0, and missing data would
+        # silently land in the lowest bin
+        F.when(
+            F.col("__c__").isNotNull(),
+            F.size(F.filter(rounded, lambda b: b < F.col("__c__"))).cast("long"),
+        ),
     ).drop("__c__", "__bounds__")
 
 

@@ -267,24 +267,40 @@ def kcore(
     )
     if until_converged:
         converged = False
+        prev_adj = None
+        deg = None
         for _ in range(max_rounds):
+            prev_deg = deg
             deg = adj.groupBy("node").agg(
                 F.count("*").alias("degree")
             ).localCheckpoint(eager=True)
+            # eager checkpoint above materialized deg, so the round
+            # before last's checkpointed blocks are dead — release them
+            # (otherwise up to 2*max_rounds checkpointed RDDs accumulate
+            # in executor storage for the life of the lineage)
+            if prev_deg is not None:
+                prev_deg.unpersist()
+            if prev_adj is not None:
+                prev_adj.unpersist()
+                prev_adj = None
             if deg.filter(F.col("degree") < k).limit(1).count() == 0:
                 converged = True
                 break
             keep = deg.filter(F.col("degree") >= k).select("node")
+            prev_adj = adj
             adj = (
                 adj.join(keep, "node", "left_semi")
                 .join(keep.withColumnRenamed("node", "peer"), "peer", "left_semi")
                 .localCheckpoint(eager=True)
             )
+        if deg is not None:
+            deg.unpersist()
         return (
             adj.groupBy("node")
             .agg(F.count("*").alias("degree"))
             .withColumn("converged", F.lit(converged))
         )
+    prev_adj = None
     for r in range(rounds):
         deg = adj.groupBy("node").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("node")
@@ -292,7 +308,10 @@ def kcore(
             keep.withColumnRenamed("node", "peer"), "peer", "left_semi"
         )
         if r < rounds - 1:
-            adj = adj.localCheckpoint(eager=True)
+            nxt = adj.localCheckpoint(eager=True)
+            if prev_adj is not None:
+                prev_adj.unpersist()
+            prev_adj, adj = nxt, nxt
     return adj.groupBy("node").agg(F.count("*").alias("degree"))
 
 
@@ -395,11 +414,21 @@ def random_walks(
     (adjacency never shuffles); corpus-scale walker sets flip to a
     shuffle join keyed on the current node, the standard vertex-centric
     shape. ``steps`` joins total — walk length is a small constant in
-    every embedding recipe."""
+    every embedding recipe.
+
+    Node ids are cast to string on BOTH the frontier and the adjacency so
+    every hop join compares like types (mixed string-vs-bigint equality
+    coerces to double and corrupts ids >= 2^53 — see bfs_distances)."""
     adj = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        edges.select(
+            F.col("src").cast("string").alias("u"),
+            F.col("dst").cast("string").alias("v"),
+        )
         .unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            edges.select(
+                F.col("dst").cast("string").alias("u"),
+                F.col("src").cast("string").alias("v"),
+            )
         )
         .distinct()
         # every hop probes the same adjacency: materialize it once
@@ -464,11 +493,23 @@ def bfs_distances(
     frontier-adjacency join — the standard vertex-centric BFS shape whose
     exchanges are keyed on node id, so skewed hubs land in one partition
     only as single rows of the frontier, while their neighbor fan-out is
-    spread by the distinct's partial aggregation."""
+    spread by the distinct's partial aggregation.
+
+    Node-id typing: seeds and adjacency are BOTH cast to string before
+    any join.  Mixed string-vs-bigint equality would be coerced by Spark
+    to double — silently corrupting matches for ids >= 2^53 and for
+    non-canonical string forms ('07' vs 7) — so the cast happens on both
+    sides, never one."""
     adj = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        edges.select(
+            F.col("src").cast("string").alias("u"),
+            F.col("dst").cast("string").alias("v"),
+        )
         .unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+            edges.select(
+                F.col("dst").cast("string").alias("u"),
+                F.col("src").cast("string").alias("v"),
+            )
         )
         .distinct()
         .localCheckpoint(eager=True)

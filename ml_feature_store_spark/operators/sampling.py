@@ -246,13 +246,21 @@ def weighted_priority_sample(
 
     Determinism and cross-engine parity: u comes from the md5
     ``hash_uniform`` family (+1 so u > 0), and q is computed as ONE
-    IEEE-754 double division of exactly-represented operands
-    (w * 2^60 is exact for integer w < 2^53; long->double casts and
-    division are correctly rounded) — NO libm call anywhere, so any
-    IEEE engine produces bit-identical priorities and the SAME top-k
-    (ties broken by key). That is the difference from the textbook
-    exp/log Efraimidis-Spirakis keys, whose libm results differ by
-    ulps across engines and could flip marginal sample membership.
+    IEEE-754 double division of operands that round IDENTICALLY on any
+    IEEE engine (w * 2^60 may exceed 2^53 and round, but both engines
+    round the same way; long->double casts and division are correctly
+    rounded) — NO libm call anywhere, so any IEEE engine produces
+    bit-identical priorities and the SAME top-k (ties broken by key).
+    That is the difference from the textbook exp/log
+    Efraimidis-Spirakis keys, whose libm results differ by ulps across
+    engines and could flip marginal sample membership.
+
+    CONTRACT: ``key_col`` must be UNIQUE per row. The draw u is a pure
+    function of the key, so duplicate keys share one draw (correlated
+    priorities) and the desc/key tie-break becomes nondeterministic
+    among duplicates — the sampling guarantee only holds for unique
+    keys. Callers with duplicate keys should salt the draw with a
+    second distinguishing column first.
 
     Plan shape: map-only priority computation (codegen md5 + one
     division), then top-k — Spark plans TakeOrderedAndProject:

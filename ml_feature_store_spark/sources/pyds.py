@@ -134,12 +134,27 @@ class JsonLinesSinkWriter(DataSourceWriter):
     This is the OTHER half of the Python Data Source story beside
     ``SyntheticFeedDataSource``'s read path: bespoke EGRESS (a vendor
     API, an internal index) made exactly-once by staging + manifest.
+
+    DEPLOYMENT ASSUMPTION: ``path`` must be a filesystem shared between
+    driver and executors (local mode, NFS, a FUSE-mounted object store)
+    — tasks stage on executors and ``commit`` promotes from the driver.
+    On a cluster without a shared mount this sink cannot commit; the
+    production analogue stages to the object store itself. The staging
+    directory is scoped PER WRITER INSTANCE (``_staging-<job-uuid>``) so
+    concurrent append jobs into the same path can never promote or
+    delete each other's staged files.
     """
 
     def __init__(self, options) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlines_sink requires a path option")
+        # one staging namespace per logical write job; the instance (and
+        # this id) is pickled to executors, so every task of this job
+        # stages under the same dir and no other job's
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -150,7 +165,7 @@ class JsonLinesSinkWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         attempt = ctx.taskAttemptId() if ctx else uuid.uuid4().hex
-        staging = os.path.join(self.path, "_staging")
+        staging = os.path.join(self.path, f"_staging-{self.job_id}")
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"task-{attempt}.jsonl")
         n = 0
@@ -174,7 +189,10 @@ class JsonLinesSinkWriter(DataSourceWriter):
             final = os.path.join(self.path, f"part-{tag}-{i:05d}.jsonl")
             shutil.move(m.staged, final)
             total += m.rows
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.path, f"_staging-{self.job_id}"),
+            ignore_errors=True,
+        )
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(_json.dumps({"rows": total}))
 
@@ -182,7 +200,10 @@ class JsonLinesSinkWriter(DataSourceWriter):
         import os
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.path, f"_staging-{self.job_id}"),
+            ignore_errors=True,
+        )
 
 
 class JsonLinesSinkDataSource(DataSource):

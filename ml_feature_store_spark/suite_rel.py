@@ -1862,6 +1862,11 @@ def q_io14_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops 7 of 8 partitions before any task is scheduled)."""
     from .sources.pyds import SyntheticFeedDataSource
 
+    # Runtime-settable SQL conf: the reader implements pushFilters(), and
+    # Spark 4 refuses to plan such a source unless the pushdown conf is on.
+    # The builder session enables it (session.py:47); a vanilla session
+    # (the correctness driver's) does not, so set it here explicitly.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticFeedDataSource)
     df = (
         spark.read.format("synthetic_feed")

@@ -959,7 +959,8 @@ class TestPythonDataSourceWriter:
             "path", d
         ).mode("overwrite").save()
         files = sorted(os.listdir(d))
-        assert "_SUCCESS" in files and "_staging" not in files
+        assert "_SUCCESS" in files
+        assert not any(f.startswith("_staging") for f in files)
         manifest = json.load(open(os.path.join(d, "_SUCCESS")))
         assert manifest["rows"] == 50
         back = spark.read.schema("id long, v long").json(d + "/part-*.jsonl")
@@ -967,28 +968,36 @@ class TestPythonDataSourceWriter:
         assert back.selectExpr("sum(v)").collect()[0][0] == 2450
 
     def test_stray_staged_file_never_promoted(self, spark, tmp_path):
-        """Exactly-once pin: a file staged by a failed/speculative task
-        attempt (simulated as a pre-existing stray in _staging) is NOT
-        promoted by commit() — only task-commit-message files are."""
+        """Exactly-once pin: a file staged by ANOTHER job (simulated as
+        a pre-existing stray in a foreign _staging-* dir) is NOT
+        promoted by commit() — only this job's task-commit-message
+        files are — and the foreign job's staging dir is left alone
+        (per-job staging scoping: concurrent appends into the same path
+        cannot delete each other's staged files)."""
         import os
 
         from ml_feature_store_spark.sources.pyds import JsonLinesSinkDataSource
 
         spark.dataSource.register(JsonLinesSinkDataSource)
         d = str(tmp_path / "out2")
-        staging = os.path.join(d, "_staging")
-        os.makedirs(staging)
-        with open(os.path.join(staging, "task-DEAD.jsonl"), "w") as f:
+        foreign = os.path.join(d, "_staging-otherjob")
+        os.makedirs(foreign)
+        with open(os.path.join(foreign, "task-DEAD.jsonl"), "w") as f:
             f.write('{"id": 999999, "v": 999999}\n')
         df = spark.range(10).selectExpr("id", "id AS v")
-        # append mode: the pre-staged stray survives until commit cleanup
         df.repartition(2).write.format("jsonlines_sink").option(
             "path", d
         ).mode("append").save()
         back = spark.read.schema("id long, v long").json(d + "/part-*.jsonl")
         assert back.count() == 10
         assert back.filter("id = 999999").count() == 0
-        assert not os.path.exists(staging)
+        # this job's staging dir is cleaned up; the foreign one survives
+        own = [
+            f for f in os.listdir(d)
+            if f.startswith("_staging") and f != "_staging-otherjob"
+        ]
+        assert own == []
+        assert os.path.exists(os.path.join(foreign, "task-DEAD.jsonl"))
 
 
 class TestPhashDedup:
