@@ -7,11 +7,17 @@ multimodal plumbing, streaming ingest).
 """
 
 from .errors import FeatureStoreError, FeatureTableNotFoundError, FeatureValidationError
-from .store import DEFAULT_MAX_VERSIONS, FeatureStore, FeatureTableInfo
+from .store import (
+    DEFAULT_MAX_VERSIONS,
+    FeatureStore,
+    FeatureTableInfo,
+    SnapshotManifest,
+)
 
 __all__ = [
     "FeatureStore",
     "FeatureTableInfo",
+    "SnapshotManifest",
     "FeatureStoreError",
     "FeatureTableNotFoundError",
     "FeatureValidationError",

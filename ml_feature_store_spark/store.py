@@ -65,6 +65,42 @@ class FeatureTableInfo:
     updated_at: str
 
 
+@dataclass(frozen=True)
+class SnapshotManifest:
+    """Cross-table snapshot: a pinned (table -> version) mapping taken at
+    ``snapshot()`` time, making a training set bit-reproducible after
+    later registers (the multi-table generalization of the reference's
+    single-table ``get_version`` time travel, store.py:377-401 — Feast's
+    saved-dataset / registry-pin idea).
+
+    ``tables`` is a sorted tuple of (table, version) pairs so the
+    manifest hashes/compares deterministically. Versions pinned by a
+    live manifest are PROTECTED from ``max_versions`` retention pruning;
+    dropping the manifest releases them (next register prunes)."""
+
+    snapshot_id: str
+    created_at: str
+    description: str
+    tables: tuple[tuple[str, int], ...]
+
+    def version_of(self, name: str) -> int:
+        for t, v in self.tables:
+            if t == name:
+                return v
+        raise FeatureTableNotFoundError(
+            f"Table '{name}' is not pinned by snapshot '{self.snapshot_id}'. "
+            f"Pinned tables: {[t for t, _ in self.tables]}"
+        )
+
+    def as_dict(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "created_at": self.created_at,
+            "description": self.description,
+            "tables": {t: v for t, v in self.tables},
+        }
+
+
 class FeatureStore:
     """Point-in-time correct feature store on Spark.
 
@@ -115,6 +151,9 @@ class FeatureStore:
         # rollup specs live in-process (spec + delta watermark); the rollup
         # STATE itself is versioned in the backend like any table
         self._rollups: dict[str, dict[str, Any]] = {}
+        # cross-table snapshot manifests: persisted beside the Parquet
+        # backend (survive the process) or in-process for the memory one
+        self._snapshots: dict[str, SnapshotManifest] = self._load_snapshots()
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -563,10 +602,24 @@ class FeatureStore:
         return out
 
     def _prune_history(self, name: str) -> None:
+        # versions pinned by a live snapshot manifest are retention-exempt:
+        # pruning them would silently break the manifest's reproducibility
+        # contract. Dropping the manifest releases the pin (next prune).
+        pinned = {
+            v
+            for m in self._snapshots.values()
+            for t, v in m.tables
+            if t == name
+        }
         versions = self._backend.versions(name)
         excess = len(versions) - self.max_versions
-        for v in versions[:max(excess, 0)]:
+        for v in versions[:-1]:  # never consider the current version
+            if excess <= 0:
+                break
+            if v in pinned:
+                continue
             self._backend.drop_version(name, v)
+            excess -= 1
 
     # ------------------------------------------------------------------ #
     # query
@@ -617,6 +670,7 @@ class FeatureStore:
         bucket_seconds: int = 30 * 24 * 3600,
         how: str = "inner",
         direction: str = "backward",
+        manifest: SnapshotManifest | str | None = None,
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
@@ -630,7 +684,9 @@ class FeatureStore:
         sensor-alignment semantics; only meaningful with an explicit
         ``tolerance_seconds`` in most deployments, and deliberately NOT
         the default: backward is the only leakage-safe direction for
-        training labels."""
+        training labels. ``manifest`` (a :class:`SnapshotManifest` or its
+        id) resolves the feature table through a pinned version instead
+        of the current one — bit-reproducible training sets."""
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if direction not in ("backward", "nearest"):
             raise FeatureValidationError(
@@ -638,7 +694,7 @@ class FeatureStore:
             )
         if columns is not None:
             self._validate_columns(name, columns)
-        feats = self._current(name).drop(DT_COL)
+        feats = self._resolve(name, manifest).drop(DT_COL)
         if direction == "nearest":
             out = asof_join_nearest(
                 entity_timestamps,
@@ -663,6 +719,7 @@ class FeatureStore:
         names: Sequence[str],
         entity_timestamps: DataFrame,
         strategy: str = "union",
+        manifest: SnapshotManifest | str | None = None,
     ) -> DataFrame:
         """Training set over SEVERAL feature views at once (the Feast/
         Chronon multi-feature-view generalization of the reference's
@@ -678,6 +735,11 @@ class FeatureStore:
 
         One union-strategy as-of join per view (one shuffle each, no row
         explosion) + (n_views - 1) equi joins on the spine key.
+
+        ``manifest`` (a :class:`SnapshotManifest` or its id) resolves
+        EVERY view through its pinned version — the cross-table
+        reproducibility contract: re-running with the same manifest after
+        intervening registers returns the identical training set.
         """
         if not names:
             raise ValueError("names must be a non-empty sequence of table names")
@@ -685,7 +747,7 @@ class FeatureStore:
         self._validate_dataframe(spine, context="get_multi_view_training_set(spine)")
         out: DataFrame | None = None
         for name in names:
-            feats = self._current(name).drop(DT_COL)
+            feats = self._resolve(name, manifest).drop(DT_COL)
             view = asof_join(spine, feats, strategy=strategy, keep_spine_ts=True)
             payload = [
                 c
@@ -701,6 +763,116 @@ class FeatureStore:
                 view, [ENTITY_COL, "as_of_timestamp"], "inner"
             )
         return out.withColumnRenamed("as_of_timestamp", TIMESTAMP_COL)
+
+    # ------------------------------------------------------------------ #
+    # cross-table snapshot manifests
+    # ------------------------------------------------------------------ #
+    def snapshot(
+        self, names: Sequence[str] | None = None, description: str = ""
+    ) -> SnapshotManifest:
+        """Pin the CURRENT version of every named table (default: the whole
+        catalog) into a :class:`SnapshotManifest`. Passing the manifest to
+        ``get_training_set`` / ``get_multi_view_training_set`` later
+        re-resolves reads through the pinned versions, so the training set
+        is bit-reproducible after intervening registers. Pinned versions
+        are protected from ``max_versions`` retention until the manifest
+        is dropped (``drop_snapshot``); ``delete(table)`` still removes
+        the table outright, and resolution through a dangling manifest
+        raises ``FeatureTableNotFoundError`` rather than silently reading
+        something else."""
+        table_list = list(names) if names is not None else self.table_names
+        if not table_list:
+            raise FeatureValidationError(
+                "snapshot() requires at least one table (the catalog is empty)"
+            )
+        pins = []
+        for name in table_list:
+            self._require_table(name)
+            pins.append((name, self._backend.meta(name).version))
+        n = 1 + max(
+            (int(s.rsplit("-", 1)[1]) for s in self._snapshots
+             if s.startswith("snap-")),
+            default=0,
+        )
+        manifest = SnapshotManifest(
+            snapshot_id=f"snap-{n}",
+            created_at=datetime.now(timezone.utc).isoformat(),
+            description=description,
+            tables=tuple(sorted(pins)),
+        )
+        self._snapshots[manifest.snapshot_id] = manifest
+        self._save_snapshots()
+        return manifest
+
+    def list_snapshots(self) -> list[SnapshotManifest]:
+        return [self._snapshots[k] for k in sorted(self._snapshots)]
+
+    def get_snapshot(self, snapshot_id: str) -> SnapshotManifest:
+        if snapshot_id not in self._snapshots:
+            raise FeatureTableNotFoundError(
+                f"Snapshot '{snapshot_id}' not found. "
+                f"Available snapshots: {sorted(self._snapshots)}"
+            )
+        return self._snapshots[snapshot_id]
+
+    def drop_snapshot(self, snapshot_id: str) -> bool:
+        """Release a manifest (and its retention pins). Returns False if
+        absent — never raises (the ``delete`` contract)."""
+        if self._snapshots.pop(snapshot_id, None) is None:
+            return False
+        self._save_snapshots()
+        return True
+
+    def _resolve(
+        self, name: str, manifest: SnapshotManifest | str | None
+    ) -> DataFrame:
+        """Current version, or the manifest-pinned version (with hidden
+        columns retained — callers drop them exactly like ``_current``)."""
+        if manifest is None:
+            return self._current(name)
+        if isinstance(manifest, str):
+            manifest = self.get_snapshot(manifest)
+        self._require_table(name)
+        version = manifest.version_of(name)
+        if version not in self._backend.versions(name):
+            raise FeatureTableNotFoundError(
+                f"Snapshot '{manifest.snapshot_id}' pins version {version} of "
+                f"table '{name}', which no longer exists (table dropped and "
+                f"re-registered?). Available: {self._backend.versions(name)}"
+            )
+        return self._backend.read_version(name, version)
+
+    def _load_snapshots(self) -> dict[str, SnapshotManifest]:
+        path = self._snapshots_path()
+        if path is None or not path.exists():
+            return {}
+        import json
+
+        raw = json.loads(path.read_text())
+        return {
+            sid: SnapshotManifest(
+                snapshot_id=sid,
+                created_at=m["created_at"],
+                description=m.get("description", ""),
+                tables=tuple(sorted((t, int(v)) for t, v in m["tables"].items())),
+            )
+            for sid, m in raw.items()
+        }
+
+    def _save_snapshots(self) -> None:
+        path = self._snapshots_path()
+        if path is None:
+            return
+        import json
+
+        path.write_text(
+            json.dumps({sid: m.as_dict() for sid, m in self._snapshots.items()},
+                       indent=2)
+        )
+
+    def _snapshots_path(self):
+        root = getattr(self._backend, "root", None)
+        return None if root is None else root / "_snapshots.json"
 
     def create_view(self, name: str, view_name: str | None = None) -> str:
         """Expose the current version as a Spark temp view so users can

@@ -254,6 +254,7 @@ _CANONICAL = [
     'dq13_benford_audit',
     'm7_phash_dedup',
     'g7_bfs_distances',
+    'f26_snapshot_manifest',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -266,54 +267,66 @@ QUERIES.update(RELATIONAL_QUERIES)
 ORACLE_SQL.update(RELATIONAL_ORACLE)
 
 # The correctness driver hashes the FIRST 50 entries of queries() in dict
-# order per round. ROUND-5 ROTATION: after round 4's 50/50-green window,
-# 191/199 queries had a driver row; the remainder are (a) the 7 queries
-# added after the round-4 list was pinned (g5, geo1, sd4, g6, emb2, io11,
-# io12 — all judge-verified green via tools/check.py in the round-4
-# VERDICT), (b) the 3 post-r4 commits (io13_values_inline, s4_tablesample,
-# online1_point_read — the latter closing the "bench-only, no oracle"
-# gap), and (c) all 15 operators added during round 5: udtf1 mapInArrow
-# table function, t12 NFC normalization, fe6 two-pass global row
-# numbering, j6 null-safe join, a21 regr_* OLS family, x28 typed
-# from_json, fe7 quantile binning, x29 priority-sampling weighted sample,
-# fe8 median imputation, dq11 observe() piggybacked metrics, io14 Python
-# Data Source connector, x30 VARIANT extraction, q23 LATERAL top-N, io15
-# native XML roundtrip, sd6 state-store batch reader — plus the 17
-# operators added later in round 5: q24 recursive CTE, t13 paragraph
-# dedup, udtf2 TABLE-argument UDTF, w3 batch session windows, a22
-# LISTAGG, q25 SQL variables, num1 exact decimals, io16 dynamic
-# partition overwrite, t14 parse_url, q26 pipe syntax, q27 parameter
-# markers, q28 lateral aliases, a24 bitmap exact distinct, t15 AES
-# tokenization, t16 collations, x31 cross-doc spans, x32 try_ lanes,
-# a25 KMV sketch overlap, io17 multiline-CSV roundtrip, io18 Python
-# Data Source writer, u3 bag-semantics set ops, dq13 Benford audit,
-# m7 perceptual-hash image dedup, g7 multi-source BFS distances,
-# sd7 file-sink exactly-once (orphan part-file exclusion).
-# That is 50 priority names — the window is exactly full.
-# Full-suite tools/check.py gates this round:
-# 232/232 mid-round, 234/234 and 236/236 near close, 238/238 final.
-# (History: rounds 1+2 witnessed 97 distinct queries; round 3 the 44 at
-# commit 8fe013f; round 4 the 50 pinned at commit 01fb07f.)
+# order per round. ROUND-6 ROTATION: after round 5, every registered query
+# has a driver CORRECTNESS row (240/241 green; io14 red on the vanilla
+# session's pushdown conf, fixed this round at the query site). The window's
+# job is now (a) re-witnessing the round-6 FIXES (io14) and ADDITIONS
+# (f26 snapshot manifests), and (b) regression re-witness of the STALEST
+# green rows: the 47 queries whose only driver row is from round 1 —
+# 3-4 rounds and several refactors ago (suite split, microsecond-timestamp
+# migration, materialization changes) — topped up with the oldest round-2
+# rows to fill 50. Remaining round-2-witnessed queries rotate in round 7.
 _ROUND_PRIORITY = [
-    "g5_copurchase_jaccard", "geo1_radius_join", "sd4_stream_dedup",
-    "g6_random_walks", "emb2_matryoshka_recall", "io11_binary_ingest",
-    "io12_gzip_roundtrip",
-    "io13_values_inline", "s4_tablesample", "online1_point_read",
-    "udtf1_token_runs", "t12_unicode_normalize", "fe6_global_row_number",
-    "j6_nullsafe_join", "a21_regr_family", "x28_from_json_typed",
-    "fe7_quantile_binning",
-    "x29_weighted_sample", "fe8_impute_median", "dq11_observed_metrics",
-    "io14_python_datasource", "x30_variant_extract", "q23_lateral_topn",
-    "io15_xml_roundtrip", "sd6_state_store_reader",
-    "q24_recursive_tree", "t13_paragraph_dedup", "udtf2_session_gaps",
-    "w3_session_window_batch", "a22_listagg", "q25_sql_variables",
-    "num1_decimal_exact", "io16_dynamic_overwrite", "t14_url_parse",
-    "q26_pipe_syntax", "q27_param_markers", "q28_lateral_alias",
-    "a24_bitmap_distinct", "t15_aes_tokenize", "t16_collation",
-    "x31_crossdoc_spans", "x32_try_family", "a25_kmv_intersection",
-    "io17_csv_multiline", "io18_python_datasource_writer",
-    "u3_bag_setops", "dq13_benford_audit", "m7_phash_dedup",
-    "g7_bfs_distances", "sd7_file_sink_exactly_once",
+    "io14_python_datasource",
+    "f26_snapshot_manifest",
+    "t6_explode_tokens",
+    "dq1_column_profile",
+    "arr2_vector_centroids",
+    "x16_tfidf_topk",
+    "f9_diff_versions",
+    "pack1_sequence_packing",
+    "pipe1_clean_corpus",
+    "io4_text_roundtrip",
+    "m5_audio_decode",
+    "p2_unpivot",
+    "map1_map_functions",
+    "r2_interval_join",
+    "f1_register_pit_get",
+    "f2_temporal_filter",
+    "f3_entity_filter",
+    "f4_latest_per_entity",
+    "f6_pit_lookup",
+    "f6b_pit_orders",
+    "f7_asof_join",
+    "f7_asof_join_grid",
+    "f7c_asof_tolerance",
+    "f8_version_travel",
+    "f10_sql_over_views",
+    "j1_join_broadcast",
+    "j2_join_shuffle",
+    "j3_semi_anti",
+    "a1_agg_entity_stats",
+    "a2_rolling_window",
+    "a3_agg_distinct",
+    "a5_cube_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "r1_range_join",
+    "d1_date_functions",
+    "a7_percentiles",
+    "g1_grouping_sets",
+    "t3_token_count",
+    "q18_large_orders",
+    "a2b_multi_window",
+    "h1_time_rollup",
+    "io2_json_roundtrip",
+    "x10_ivf_ann",
+    "m2_frame_sample",
+    "u2_intersect_except",
+    "io1_csv_roundtrip",
+    "a10_hll_sketch",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -650,6 +650,55 @@ def q_f14_multi_view_training_set(spark: SparkSession, sf_dir: str) -> DataFrame
     return left.join(right, ["user_id", "as_of_us"], "inner")
 
 
+def q_f26_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table snapshot manifests (store.py SnapshotManifest — the
+    multi-table generalization of the reference's single-table
+    get_version time travel, reference store.py:377-401; Feast's
+    saved-dataset registry pin): pin (table -> version) pairs for BOTH
+    feature views at snapshot() time, then CORRUPT the current versions
+    with intervening registers (ev values negated, half the orders
+    dropped), and build the multi-view training set THROUGH the
+    manifest. The result must be the v1 computation bit-for-bit — the
+    oracle replays the v1 as-of joins on the raw tables, so any leak of
+    the corrupted current versions through the pin flips the value hash.
+    Storage is the Parquet backend: the manifest (and its retention
+    exemption) is persisted JSON beside the version dirs."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark, storage_path=_scratch_dir("snap_store", sf_dir))
+    fs.register("ev", feats)
+    fs.register("ord", orders)
+    m = fs.snapshot(description="training-release")
+    # intervening registers: tiny corrupted v2s — reading CURRENT instead
+    # of the pin would collapse the training set to ~1 spine row (row-count
+    # mismatch), so the pin is load-bearing at negligible register cost
+    fs.register("ev", feats.limit(1).withColumn("value", -F.col("value")))
+    fs.register("ord", orders.limit(1))
+    spine = (
+        feats.filter(F.col("event_type") == "purchase")
+        .select("entity_id", "timestamp")
+        .distinct()
+    )
+    out = fs.get_multi_view_training_set(["ev", "ord"], spine, manifest=m)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("as_of_us"),
+        F.col("ev__event_id").alias("event_id"),
+        F.col("ev__event_type").alias("last_event_type"),
+        F.col("ev__value").alias("last_value"),
+        _US("ev__timestamp").alias("event_ts_us"),
+        F.col("ord__o_totalprice").alias("last_order_price"),
+        _US("ord__timestamp").alias("order_ts_us"),
+    )
+
+
 def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, NEAREST direction (operators/asof.py
     asof_join_nearest — pandas merge_asof direction='nearest' parity,
@@ -1248,6 +1297,7 @@ QUERIES = {
     'h3_incremental_rollup': q_h3_incremental_rollup,
     'f13_pit_window_agg': q_f13_pit_window_agg,
     'f14_multi_view_training_set': q_f14_multi_view_training_set,
+    'f26_snapshot_manifest': q_f26_snapshot_manifest,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -1569,6 +1619,45 @@ ORACLE_SQL["sd2_running_state_snapshot"] = f"""
 """
 
 ORACLE_SQL["f14_multi_view_training_set"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT DISTINCT user_id, ts AS sts FROM f
+          WHERE event_type = 'purchase'),
+    ev AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts, f.event_id,
+                   f.event_type AS last_event_type, f.value AS last_value,
+                   epoch_us(f.ts) AS event_ts_us,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    ),
+    o AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts,
+                   ord.o_totalprice AS last_order_price,
+                   epoch_us(CAST(ord.o_orderdate AS TIMESTAMP)) AS order_ts_us,
+                   row_number() OVER (
+                       PARTITION BY s.user_id, s.sts
+                       ORDER BY CAST(ord.o_orderdate AS TIMESTAMP) DESC,
+                                ord.o_orderkey ASC) AS rn
+            FROM s JOIN orders ord
+              ON s.user_id = ord.o_custkey
+             AND CAST(ord.o_orderdate AS TIMESTAMP) <= s.sts
+        ) WHERE rn = 1
+    )
+    SELECT ev.user_id, epoch_us(ev.sts) AS as_of_us, ev.event_id,
+           ev.last_event_type, ev.last_value, ev.event_ts_us,
+           o.last_order_price, o.order_ts_us
+    FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
+"""
+
+# f26: the oracle replays the PINNED (v1) computation on the raw tables —
+# identical as-of math to f14; the Spark side must surface v1 through the
+# manifest even though both current versions were corrupted after the pin.
+# Different spine output (spine ts, not per-view), same tie-break contract
+# (ts DESC, row-id ASC == event_id / o_orderkey ASC).
+ORACLE_SQL["f26_snapshot_manifest"] = f"""
     WITH f AS ({_EV}),
     s AS (SELECT DISTINCT user_id, ts AS sts FROM f
           WHERE event_type = 'purchase'),
