@@ -24,12 +24,12 @@ from collections.abc import Callable  # noqa: F401
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
-from . import suite_rel, suite_sim, suite_store, suite_text
+from . import suite_io, suite_rel, suite_sim, suite_store, suite_text
 from .suite_common import *  # noqa: F401,F403 — re-export table/events_features/...
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
-for _mod in (suite_store, suite_rel, suite_text, suite_sim):
+for _mod in (suite_store, suite_rel, suite_io, suite_text, suite_sim):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -398,3 +398,154 @@ class TestRound5LateEdgeInputs:
             ).count()
             == 0
         )
+
+
+class TestRound6EdgeInputs:
+    # -- m7: perceptual-hash pipeline pieces ---------------------------------
+    def test_phash_empty_and_singleton(self, spark):
+        from ml_feature_store_spark.multimodal import (
+            attach_binary_payload,
+            perceptual_hash_stub,
+        )
+
+        empty = attach_binary_payload(
+            spark.createDataFrame([], "doc_id long, text string"), "text"
+        )
+        assert perceptual_hash_stub(empty).count() == 0
+        one = attach_binary_payload(
+            spark.createDataFrame([(1, "lonely doc")], ["doc_id", "text"]), "text"
+        )
+        rows = perceptual_hash_stub(one).collect()
+        assert len(rows) == 1
+        assert all(0 <= rows[0][f"ph_b{b}"] < 2**16 for b in range(4))
+
+    def test_phash_identical_payloads_identical_bands(self, spark):
+        from ml_feature_store_spark.multimodal import (
+            attach_binary_payload,
+            perceptual_hash_stub,
+        )
+
+        df = attach_binary_payload(
+            spark.createDataFrame(
+                [(1, "same"), (2, "same"), (3, "different")], ["doc_id", "text"]
+            ),
+            "text",
+        )
+        out = {r["doc_id"]: tuple(r[f"ph_b{b}"] for b in range(4))
+               for r in perceptual_hash_stub(df).collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+    # -- g7: BFS degenerate seed sets ----------------------------------------
+    def test_bfs_empty_seeds(self, spark):
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        seeds = spark.createDataFrame([], "node string")
+        assert bfs_distances(edges, seeds).count() == 0
+
+    def test_bfs_seeds_disjoint_from_graph(self, spark):
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+        seeds = spark.createDataFrame([("z",)], ["node"])
+        rows = bfs_distances(edges, seeds).collect()
+        assert [(r["node"], r["dist"]) for r in rows] == [("z", 0)]
+
+    def test_bfs_seeds_cover_graph(self, spark):
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+        rows = bfs_distances(edges, seeds, max_hops=3).collect()
+        assert sorted((r["node"], r["dist"]) for r in rows) == [("a", 0), ("b", 0)]
+
+    def test_bfs_empty_edges(self, spark):
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], ["node"])
+        rows = bfs_distances(edges, seeds).collect()
+        assert [(r["node"], r["dist"]) for r in rows] == [("a", 0)]
+
+    def test_bfs_no_mixed_type_coercion(self, spark):
+        """Integer seed 7 must NOT match string node '07' (mixed-type
+        equality would coerce both to double 7.0 — the silent-corruption
+        lane the string-cast-on-both-sides fix closes)."""
+        from ml_feature_store_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame([("07", "x")], ["src", "dst"])
+        seeds = spark.createDataFrame([(7,)], ["node"])
+        rows = bfs_distances(edges, seeds).collect()
+        assert [(r["node"], r["dist"]) for r in rows] == [("7", 0)]
+
+    # -- io17/io18: hostile-CSV and custom-writer degenerate shapes ----------
+    def test_csv_multiline_quote_only_field(self, spark, tmp_path):
+        d = str(tmp_path / "csvml")
+        df = spark.createDataFrame(
+            [(1, '"'), (2, ""), (3, '",\n"')], ["id", "body"]
+        )
+        (df.repartition(4)  # includes empty partitions
+         .write.mode("overwrite").option("header", "true")
+         .option("escape", '"').csv(d))
+        back = (
+            spark.read.option("header", "true").option("multiLine", "true")
+            .option("escape", '"').schema("id long, body string").csv(d)
+        )
+        got = {r["id"]: r["body"] for r in back.collect()}
+        # empty string round-trips as NULL under Spark CSV defaults; the
+        # quote-bearing fields must come back byte-identical
+        assert got[1] == '"' and got[3] == '",\n"'
+        assert got[2] in ("", None)
+
+    def test_jsonlines_writer_empty_dataframe(self, spark, tmp_path):
+        import json
+        import os
+
+        from ml_feature_store_spark.sources.pyds import JsonLinesSinkDataSource
+
+        spark.dataSource.register(JsonLinesSinkDataSource)
+        d = str(tmp_path / "empty_sink")
+        spark.createDataFrame([], "id long, v long").repartition(2).write.format(
+            "jsonlines_sink"
+        ).option("path", d).mode("overwrite").save()
+        manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+        assert manifest["rows"] == 0
+        assert not any(f.startswith("_staging") for f in os.listdir(d))
+
+    # -- u3: duplicate-free inputs make ALL == DISTINCT ----------------------
+    def test_bag_setops_duplicate_free(self, spark):
+        spark.createDataFrame(
+            [("A",), ("B",), ("C",)], ["p"]
+        ).createOrReplaceTempView("edge_u3_a")
+        spark.createDataFrame([("B",), ("C",)], ["p"]).createOrReplaceTempView(
+            "edge_u3_b"
+        )
+        rows = spark.sql(
+            """
+            SELECT 'i' AS op, p FROM
+              (SELECT p FROM edge_u3_a INTERSECT ALL SELECT p FROM edge_u3_b)
+            UNION ALL
+            SELECT 'e' AS op, p FROM
+              (SELECT p FROM edge_u3_a EXCEPT ALL SELECT p FROM edge_u3_b)
+            """
+        ).collect()
+        got = sorted((r["op"], r["p"]) for r in rows)
+        assert got == [("e", "A"), ("i", "B"), ("i", "C")]
+
+    # -- dq13: degenerate digit domains --------------------------------------
+    def test_benford_single_digit_domain(self, spark):
+        """All values share leading digit 5: obs_ppm lands entirely on 5;
+        sub-1 values (leading digit 0) are counted in the total but appear
+        on no expected-digit row — no crash, no spurious digit row."""
+        vals = spark.createDataFrame(
+            [(5.1,), (55.0,), (599.9,), (0.4,)], ["amount"]
+        )
+        digit = F.substring(
+            F.floor("amount").cast("long").cast("string"), 1, 1
+        ).cast("long")
+        obs = vals.select(digit.alias("digit")).groupBy("digit").agg(
+            F.count("*").alias("n")
+        )
+        got = {r["digit"]: r["n"] for r in obs.collect()}
+        assert got == {5: 3, 0: 1}
