@@ -720,6 +720,7 @@ class FeatureStore:
         entity_timestamps: DataFrame,
         strategy: str = "union",
         manifest: SnapshotManifest | str | None = None,
+        how: str = "inner",
     ) -> DataFrame:
         """Training set over SEVERAL feature views at once (the Feast/
         Chronon multi-feature-view generalization of the reference's
@@ -728,9 +729,13 @@ class FeatureStore:
 
         Per-view feature columns are prefixed ``<name>__`` to avoid
         collisions; each view's matched feature timestamp arrives as
-        ``<name>__timestamp``. Inner semantics per view — only spine rows
+        ``<name>__timestamp``. ``how="inner"`` (default) — only spine rows
         matched in EVERY view survive (the deterministic contract the f14
-        oracle checks). Spine duplicates are dropped (the stitch key is
+        oracle checks); ``how="left"`` — EVERY spine row survives, views
+        with no qualifying feature row contribute NULLs (the Feast
+        get_historical_features contract, and the shape training labels
+        usually need: a missing feature is an imputation decision, not a
+        dropped example). Spine duplicates are dropped (the stitch key is
         the spine row itself).
 
         One union-strategy as-of join per view (one shuffle each, no row
@@ -743,12 +748,18 @@ class FeatureStore:
         """
         if not names:
             raise ValueError("names must be a non-empty sequence of table names")
+        if how not in ("inner", "left"):
+            raise FeatureValidationError(
+                f"how must be 'inner' or 'left', got {how!r}"
+            )
         spine = entity_timestamps.select(ENTITY_COL, TIMESTAMP_COL).distinct()
         self._validate_dataframe(spine, context="get_multi_view_training_set(spine)")
         out: DataFrame | None = None
         for name in names:
             feats = self._resolve(name, manifest).drop(DT_COL)
-            view = asof_join(spine, feats, strategy=strategy, keep_spine_ts=True)
+            view = asof_join(
+                spine, feats, strategy=strategy, keep_spine_ts=True, how=how
+            )
             payload = [
                 c
                 for c in view.columns

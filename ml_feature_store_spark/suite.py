@@ -255,6 +255,8 @@ _CANONICAL = [
     'm7_phash_dedup',
     'g7_bfs_distances',
     'f26_snapshot_manifest',
+    'f27_multi_view_left',
+    'sd8_stream_static_enrich',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -270,15 +272,18 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # order per round. ROUND-6 ROTATION: after round 5, every registered query
 # has a driver CORRECTNESS row (240/241 green; io14 red on the vanilla
 # session's pushdown conf, fixed this round at the query site). The window's
-# job is now (a) re-witnessing the round-6 FIXES (io14) and ADDITIONS
-# (f26 snapshot manifests), and (b) regression re-witness of the STALEST
-# green rows: the 47 queries whose only driver row is from round 1 —
-# 3-4 rounds and several refactors ago (suite split, microsecond-timestamp
-# migration, materialization changes) — topped up with the oldest round-2
-# rows to fill 50. Remaining round-2-witnessed queries rotate in round 7.
+# job is now (a) witnessing the round-6 FIXES (io14) and ADDITIONS (f26
+# snapshot manifests, f27 left multi-view, sd8 stream-static enrich), and
+# (b) regression re-witness of the STALEST green rows: 46 of the 47
+# queries whose only driver row is from round 1 — 3-4 rounds and several
+# refactors ago (suite split, microsecond-timestamp migration,
+# materialization changes). io1_csv_roundtrip plus the round-2-witnessed
+# queries rotate in round 7.
 _ROUND_PRIORITY = [
     "io14_python_datasource",
     "f26_snapshot_manifest",
+    "f27_multi_view_left",
+    "sd8_stream_static_enrich",
     "t6_explode_tokens",
     "dq1_column_profile",
     "arr2_vector_centroids",
@@ -325,8 +330,6 @@ _ROUND_PRIORITY = [
     "x10_ivf_ann",
     "m2_frame_sample",
     "u2_intersect_except",
-    "io1_csv_roundtrip",
-    "a10_hll_sketch",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

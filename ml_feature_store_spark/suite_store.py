@@ -699,6 +699,45 @@ def q_f26_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f27_multi_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-semantics multi-view training set (store.py
+    get_multi_view_training_set how='left' — the Feast
+    get_historical_features contract f14's inner variant drops): EVERY
+    spine row survives; a view with no qualifying feature row as-of the
+    spine timestamp contributes NULLs. The spine is every customer with
+    a purchase event — users whose order view has no order before the
+    spine ts are exactly the rows inner loses and left must keep
+    null-padded; the per-view null counts in the output pin the padding
+    arithmetic. Plan: one union-strategy LEFT as-of join per view (one
+    shuffle each, no row explosion) stitched on the spine key."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        "o_totalprice",
+        F.col("o_orderkey").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register("ev", feats)
+    fs.register("ord", orders)
+    spine = (
+        feats.filter(F.col("event_type") == "purchase")
+        .select("entity_id", "timestamp")
+        .distinct()
+    )
+    out = fs.get_multi_view_training_set(["ev", "ord"], spine, how="left")
+    return out.groupBy((F.col("entity_id") % 16).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ord__o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_order"),
+        F.round(F.sum("ord__o_totalprice"), 2).alias("sum_order_price"),
+        F.sum("ev__event_id").cast("long").alias("sum_event_id"),
+    )
+
+
 def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, NEAREST direction (operators/asof.py
     asof_join_nearest — pandas merge_asof direction='nearest' parity,
@@ -1274,8 +1313,59 @@ def q_sd7_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment witness (streaming/ingest.py
+    stream_static_enrich): a live event stream joined per micro-batch
+    against a STATIC dimension snapshot (customer market segments) —
+    the serving-side pattern for attaching slowly-changing features to
+    events in flight. The join is STATELESS (unlike stream-stream sd
+    witnesses): Spark re-plans the static side every micro-batch, the
+    broadcast keeps it map-side with no stream shuffle, and append mode
+    needs no watermark. Two ordered feed batches prove enrichment works
+    across micro-batch boundaries; the memory sink accumulates the
+    enriched rows and a batch rollup per (segment, event_type) is
+    compared against the oracle's plain JOIN + GROUP BY — stream-join
+    == batch-join on the same data, the determinism contract."""
+    from .streaming.ingest import stream_events, stream_static_enrich
+
+    d = _scratch_dir("sd8_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    stream = stream_events(spark, d)
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("sd8_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd8_enriched")
+    return snap.groupBy("segment", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("nation").cast("long").alias("sum_nation"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
 QUERIES = {
     'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
+    'sd8_stream_static_enrich': q_sd8_stream_static_enrich,
     'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
@@ -1298,6 +1388,7 @@ QUERIES = {
     'f13_pit_window_agg': q_f13_pit_window_agg,
     'f14_multi_view_training_set': q_f14_multi_view_training_set,
     'f26_snapshot_manifest': q_f26_snapshot_manifest,
+    'f27_multi_view_left': q_f27_multi_view_left,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -1691,6 +1782,43 @@ ORACLE_SQL["f26_snapshot_manifest"] = f"""
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
 """
 
+# f27: left multi-view — the order view's LEFT JOIN keeps unmatched spine
+# rows as one all-NULL candidate (rn = 1 over the single null row), the
+# exact null-padding the Spark side's how='left' as-of join produces.
+ORACLE_SQL["f27_multi_view_left"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT DISTINCT user_id, ts AS sts FROM f
+          WHERE event_type = 'purchase'),
+    ev AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts, f.event_id,
+                   f.event_type AS last_event_type,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+        ) WHERE rn = 1
+    ),
+    o AS (
+        SELECT * FROM (
+            SELECT s.user_id, s.sts, ord.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY s.user_id, s.sts
+                       ORDER BY CAST(ord.o_orderdate AS TIMESTAMP) DESC,
+                                ord.o_orderkey ASC) AS rn
+            FROM s LEFT JOIN orders ord
+              ON s.user_id = ord.o_custkey
+             AND CAST(ord.o_orderdate AS TIMESTAMP) <= s.sts
+        ) WHERE rn = 1
+    )
+    SELECT ev.user_id % 16 AS bucket, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_order,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_order_price,
+           CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
+    FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
+    GROUP BY ev.user_id % 16
+"""
+
 # f21: banded forward argmin; ties (same purchase ts) take min event_id,
 # matching asof_join_forward's min-__row_id__ contract.
 ORACLE_SQL["f21_asof_forward"] = f"""
@@ -1872,6 +2000,17 @@ ORACLE_SQL["online1_point_read"] = f"""
     )
     SELECT entity_id, ts_us, event_id, event_type, value_cents
     FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 4
+"""
+
+ORACLE_SQL["sd8_stream_static_enrich"] = f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(c.c_nationkey) AS BIGINT) AS sum_nation,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ({_EV}) e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
 """
 
 ORACLE_SQL["sd7_file_sink_exactly_once"] = f"""

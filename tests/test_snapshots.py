@@ -177,3 +177,32 @@ class TestSnapshotManifest:
         # ids continue from the persisted max, no collision
         m2 = fs2.snapshot(["t"])
         assert m2.snapshot_id != m.snapshot_id
+
+
+class TestMultiViewLeft:
+    def test_left_keeps_unmatched_spine_rows(self, spark, two_view_store):
+        """how='left': spine rows with no qualifying row in SOME view
+        survive null-padded; inner drops them (Feast contract)."""
+        fs = two_view_store
+        # u3 has no rows in either view: dropped by inner, null-padded by left
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-31")), ("u3", ts("2024-01-31"))],
+            ["entity_id", "timestamp"],
+        )
+        inner = fs.get_multi_view_training_set(["clicks", "spend"], spine)
+        left = fs.get_multi_view_training_set(
+            ["clicks", "spend"], spine, how="left"
+        )
+        assert inner.count() == 1  # only u1 matches both views
+        rows = {r["entity_id"]: r for r in left.collect()}
+        assert set(rows) == {"u1", "u3"}
+        assert rows["u3"]["clicks__clicks"] is None
+        assert rows["u3"]["spend__cents"] is None
+        assert rows["u1"]["clicks__clicks"] == 2.0
+        assert rows["u1"]["spend__cents"] == 100
+
+    def test_left_rejects_bad_how(self, spark, two_view_store):
+        with pytest.raises(FeatureValidationError):
+            two_view_store.get_multi_view_training_set(
+                ["clicks"], _spine(spark), how="full"
+            )
