@@ -630,6 +630,7 @@ class FeatureStore:
         entity_ids: Sequence[Any],
         timestamp: Any,
         columns: Sequence[str] | None = None,
+        manifest: SnapshotManifest | str | None = None,
     ) -> DataFrame:
         """Point-in-time lookup: for each requested entity, the latest feature
         row with ``timestamp <= cutoff``. Entities with no qualifying row are
@@ -637,9 +638,10 @@ class FeatureStore:
 
         Compiles to: scan -> filter(ts<=T) -> filter(entity IN ...) ->
         map-side-combined argmax -> project. Both filters reach the Parquet
-        scan as pushed predicates.
+        scan as pushed predicates. ``manifest`` resolves the read through a
+        pinned version (same contract as the training-set methods).
         """
-        df = self._current(name)
+        df = self._resolve(name, manifest)
         if columns is not None:
             self._validate_columns(name, columns)
         cutoff = self._normalize_timestamp(timestamp)

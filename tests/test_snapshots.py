@@ -206,3 +206,23 @@ class TestMultiViewLeft:
             two_view_store.get_multi_view_training_set(
                 ["clicks"], _spine(spark), how="full"
             )
+
+
+class TestGetWithManifest:
+    def test_pit_get_through_pin(self, spark, two_view_store):
+        fs = two_view_store
+        m = fs.snapshot(["clicks"])
+        before = sorted(fs.get("clicks", ["u1", "u2"], ts("2024-01-31")).collect())
+        fs.register(
+            "clicks",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-30"), 777.0)],
+                ["entity_id", "timestamp", "clicks"],
+            ),
+        )
+        assert sorted(
+            fs.get("clicks", ["u1", "u2"], ts("2024-01-31"), manifest=m).collect()
+        ) == before
+        assert sorted(
+            fs.get("clicks", ["u1", "u2"], ts("2024-01-31")).collect()
+        ) != before

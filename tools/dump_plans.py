@@ -453,6 +453,20 @@ COMMENT = {
         "files never enter the job — backfill cost is proportional to "
         "the recomputed slice, not the table."
     ),
+    "f26_snapshot_manifest": (
+        "Snapshot-manifest training set: resolution through the pin is "
+        "metadata-only — the plan is ordinary version-dir scans feeding "
+        "the same union-strategy as-of joins as f14 (one exchange per "
+        "view, no row explosion); the corrupted CURRENT versions appear "
+        "nowhere in the scan paths — the reproducibility proof is "
+        "visible in the FileScan locations (v=1, not v=2)."
+    ),
+    "f27_multi_view_left": (
+        "LEFT multi-view: identical exchange structure to the inner "
+        "form — null padding rides the same union-strategy carry and "
+        "spine-key stitch; keeping unmatched spine rows adds no "
+        "operator, no extra shuffle."
+    ),
 }
 
 
