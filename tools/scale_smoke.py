@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "io15_xml_roundtrip",   # XML write+read roundtrip over 8x events
     "q23_lateral_topn",     # decorrelated lateral top-N (customer 1x)
     "sd6_state_store_reader",  # streaming agg into checkpoint + state read (8x events)
+    "g7_bfs_distances",     # level-sync BFS over the 8x purchase graph
+    "sd7_file_sink_exactly_once",  # exactly-once file sink over 8x events
+    "f26_snapshot_manifest",  # pinned-version multi-view (2 registers + as-of joins)
+    "f27_multi_view_left",  # LEFT multi-view as-of stitch over 8x events/orders
+    "sd8_stream_static_enrich",  # per-micro-batch broadcast dim join, 8x feed
 ]
 KEY_OFFSET = 100_000_000
 
@@ -208,45 +213,15 @@ def main() -> None:
     lines.append("")
     lines.append(f"Generated by `python tools/scale_smoke.py {n}`.")
     lines.append("")
+    # Reading notes live in tools/scale_notes.md — the single source of
+    # truth, so full regeneration and hand-appended --only rows stay in
+    # sync (the notes used to be inline here and drifted from SCALE.md).
     lines.append(
         "Reading notes (persisted with the generator so regeneration keeps "
-        "them):\n"
-        "\n"
-        "* Sub-second base times make individual ratios noisy on a shared "
-        "VM — job-scheduling overhead is a large share of both sides. "
-        "Judge trends, not single cells; rerun twice before believing a "
-        "regression.\n"
-        "* Band joins (f15/f16/r2): growth above the data factor is the "
-        "SEMANTIC pair count (replication deepens per-entity density on "
-        "both sides, so every in-band pair must still be formed). The two "
-        "scale-outs are measured here: `f16b_label_window_frames` "
-        "rewrites the band aggregate as a value-range window frame (NO "
-        "join — sort-bound, ~1x), which applies to any plain sum/count "
-        "band aggregate; `f15b_decayed_bucketed` re-keys the shuffle on "
-        "(user_id, floor(ts/7d)) so a hot user's task is bounded to two "
-        "band-widths of history. r2 emits the pairs themselves, so its "
-        "growth IS output size, not a plan defect. Equivalence and "
-        "boundary cases are pinned in tests/test_band.py.\n"
-        "* io10_zorder_layout near the data factor (~8x at 8x) is the WRITE: the op rewrites the whole dataset z-ordered, so linear-in-data is the correct shape (the read-back side is the part that shrinks with clustering). x27's ~2.4x is pipe2's effect in cross form — replicas are genuine near-dups, so new-vs-old candidate pairs grow by construction; banding still bounds them to same-bucket pairs.\n"
-        "* pipe2's near-dup stages see replicas as genuine near-dups — "
-        "candidate pairs grow by construction; the LSH banding bounds "
-        "them to same-bucket pairs. For x25 this attribution is MEASURED, "
-        "not argued (`tools/x25_scale_probe.py`): 8x verbatim replication "
-        "explodes LSH candidate pairs 530.7x (300 -> 159,200 — every "
-        "original gains 7 near-dup partners) yet time grows only 4.1x "
-        "(banding + partial aggregation absorb the pair explosion), while "
-        "8x NON-self-similar growth (fresh doc ids, per-replica token "
-        "perturbation so replicas share no shingles) yields the linear "
-        "7.1x candidates and 1.5x time. Same plan, duplicative data — "
-        "the semantics, not a plan defect.\n"
-        "* Round-4 ops at 8x: all sub-linear. lm1 ~3x — its count tables stay near-constant (replicated docs share the gram space) so only the per-doc stream grows; g5 ~2-3x — pair work grows with basket COUNT (8x baskets of fixed size), absorbed by partial agg; g6 ~1.5x — walk cost is the adjacency build (8x edges), the hops are frontier-sized. geo1/emb2 ~1x: their points/centers/embeddings are unreplicated dims, probe cost density-/query-bound. mix2/sd4 ~1.2x: rate-dim builds and per-key dedup state are corpus-size-light by design.\n"
-        "* g3 vs g3b is the degree-ordering experiment run on the same "
-        "8x graph: the id-ordered wedge join's work grows with "
-        "sum(deg^2) while the degree-ordered orientation holds near the "
-        "data factor — the O(m^1.5) bound showing up as a measured row, "
-        "not just a docstring.\n"
-        "* io/round-5 witness rows: `io11_binary_ingest` is a BOUNDED 20-file witness by construction (doc_id < 20 survives replication key offsets), so its flat row proves only the fixed-cost floor — the real scaling axis for binaryFile is OBJECT COUNT, which parallelizes listing+read per normal task scheduling; the named cliff is tiny-file overhead, which is why m1–m6 compact raw files into parquet payload columns after one pass. `io12_gzip_roundtrip` grows ~1x here because its writer coalesces to 4 gzip files at BOTH scales — i.e. the 8x bytes ride the same 4 unsplittable tasks, which is exactly the gzip cliff the docstring names: at 100 TB the same plan would be 4 tasks reading 25 TB each; the documented mitigation (repartition or re-land as parquet/zstd immediately after the read) is the operator's contract, and the flat small-scale row is the overhead floor masking it, not evidence against it. `s4`/`t12` are map-only scans (~1x, correct shape); `udtf1`'s Arrow generator and `fe6`'s range-shuffle + offset-agg both hold ~1.1x — fe6's cost is ONE range exchange regardless of scale, the point of the two-pass design."
+        "them):"
     )
+    lines.append("")
+    lines.append((Path(__file__).parent / "scale_notes.md").read_text().rstrip())
     Path("SCALE.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     shutil.rmtree(big_dir, ignore_errors=True)
