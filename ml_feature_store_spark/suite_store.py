@@ -738,6 +738,73 @@ def q_f27_multi_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f28_online_offline_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online/offline consistency audit — the skew check every production
+    feature store ships (Feast calls it online/offline skew; the serving
+    snapshot must equal what the training path would compute "as of
+    now"). Two INDEPENDENT code paths compute latest-per-entity features:
+    the serving lane (store.py materialize_online -> get_online, the
+    compacted snapshot) and the training lane (get_training_set backward
+    as-of join against the FULL history at a cutoff beyond all data).
+    The witness full-outer joins the two row sets and counts per-column
+    mismatches — a correct store reports zero, and the headline rollup
+    is computed FROM THE ONLINE SIDE so the oracle's replay of the
+    latest-per-entity semantics (reference store.py:516-530 idxmax) pins
+    the snapshot content, not just the comparison. At 100 TB both lanes
+    stay shaped: the snapshot is one map-side-combined argmax, the
+    training lane is the union-strategy as-of join, and the audit join
+    is |entities| vs |entities| on the entity key."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).drop("value")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f28", sf_dir))
+    fs.register("ev", feats)
+    fs.materialize_online("ev")
+    online = fs.get_online("ev").select(
+        "entity_id",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value_cents",
+    )
+    spine = (
+        feats.select("entity_id")
+        .distinct()
+        .withColumn("timestamp", F.to_timestamp(F.lit("2030-01-01 00:00:00")))
+    )
+    offline = fs.get_training_set("ev", spine).select(
+        "entity_id",
+        _US("timestamp").alias("o_ts_us"),
+        F.col("event_id").alias("o_event_id"),
+        F.col("event_type").alias("o_event_type"),
+        F.col("value_cents").alias("o_value_cents"),
+    )
+    cmp = online.join(offline, "entity_id", "full_outer")
+    bad = (
+        F.col("ts_us").isNull()
+        | F.col("o_ts_us").isNull()
+        | (F.col("ts_us") != F.col("o_ts_us"))
+        | (F.col("event_id") != F.col("o_event_id"))
+        | (F.col("event_type") != F.col("o_event_type"))
+        | (F.col("value_cents") != F.col("o_value_cents"))
+    )
+    n_bad = cmp.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_mismatch")
+    )
+    return (
+        online.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+            F.min("ts_us").cast("long").alias("min_ts_us"),
+            F.max("ts_us").cast("long").alias("max_ts_us"),
+        )
+        .crossJoin(F.broadcast(n_bad))
+    )
+
+
 def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, NEAREST direction (operators/asof.py
     asof_join_nearest — pandas merge_asof direction='nearest' parity,
@@ -1389,6 +1456,7 @@ QUERIES = {
     'f14_multi_view_training_set': q_f14_multi_view_training_set,
     'f26_snapshot_manifest': q_f26_snapshot_manifest,
     'f27_multi_view_left': q_f27_multi_view_left,
+    'f28_online_offline_consistency': q_f28_online_offline_consistency,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -1817,6 +1885,31 @@ ORACLE_SQL["f27_multi_view_left"] = f"""
            CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
     GROUP BY ev.user_id % 16
+"""
+
+# f28: the oracle replays the latest-per-entity semantics both store lanes
+# must agree on (max ts, then min row id — reference store.py:516-530), and
+# asserts the audit's mismatch count is zero: a correct engine's two paths
+# cannot diverge, so any skew flips both the counter and the value hash.
+ORACLE_SQL["f28_online_offline_consistency"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    latest AS (
+        SELECT entity_id, epoch_us(ts) AS ts_us, event_id, event_type,
+               value_cents
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY entity_id
+                  ORDER BY ts DESC, event_id ASC) AS rn
+              FROM feats)
+        WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+           CAST(MIN(ts_us) AS BIGINT) AS min_ts_us,
+           CAST(MAX(ts_us) AS BIGINT) AS max_ts_us,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM latest
+    GROUP BY event_type
 """
 
 # f21: banded forward argmin; ties (same purchase ts) take min event_id,
