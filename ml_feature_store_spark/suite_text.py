@@ -1570,6 +1570,72 @@ def q_t16_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t17_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the step ahead of every web-corpus
+    pipeline's per-URL dedup (CommonCrawl-style: the same logical page
+    arrives as casing/port/tracking-param/fragment/param-order variants,
+    and naive string dedup misses all of them). Each doc emits THREE raw
+    variants of its t14-style URL (upper-cased scheme+host with an
+    explicit :443, a utm_source-polluted form, an fbclid-polluted form
+    with reversed param order); the canonicalizer must parse the RAW
+    STRING back — strip the fragment, lowercase scheme+host only (paths
+    stay case-sensitive), drop the default https port, remove utm_*/
+    fbclid params, and byte-sort the survivors — collapsing 3N raw rows
+    to N canonical URLs. Everything is built-in string/higher-order
+    array functions (regexp_extract, filter, array_sort, concat_ws) —
+    whole-stage codegen, no UDF; dedup is one partial-agg groupBy on the
+    canonical string. The oracle replays the identical parse with
+    DuckDB's list_filter/list_sort, so any drift in the canonical form
+    breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/doc-"), F.col("doc_id")
+    )
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                F.concat(F.lit("HTTPS://"), F.upper(host), F.lit(":443"),
+                         path, F.lit("?b=2&a=1#sec-3")),
+                F.concat(F.lit("https://"), host, path,
+                         F.lit("?a=1&utm_source=feed&b=2")),
+                F.concat(F.lit("https://"), host, path,
+                         F.lit("?b=2&a=1&fbclid=x"), F.col("doc_id")),
+            )
+        ).alias("url"),
+    )
+    no_frag = F.split(F.col("url"), "#").getItem(0)
+    scheme_host = F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/?]*)", 1)
+    path = F.regexp_extract(no_frag, r"^[a-zA-Z]+://[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    host_c = F.regexp_replace(F.lower(scheme_host), ":443$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~p.startswith("utm_") & ~p.startswith("fbclid="),
+        )
+    )
+    canon = F.concat(
+        host_c,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept)))
+        .otherwise(F.lit("")),
+    )
+    per_url = (
+        raw.select("source", canon.alias("canon_url"))
+        .groupBy("source", "canon_url")
+        .agg(F.count("*").cast("long").alias("n_raw"))
+    )
+    return per_url.groupBy("source").agg(
+        F.sum("n_raw").cast("long").alias("n_raw"),
+        F.count("*").cast("long").alias("n_canonical"),
+        F.min("canon_url").alias("min_url"),
+        F.max("canon_url").alias("max_url"),
+    )
+
+
 _X31_QUOTE = (
     "every model deserves clean data and clean data deserves careful "
     "review before any token reaches the loss"
@@ -1616,6 +1682,7 @@ QUERIES = {
     't14_url_parse': q_t14_url_parse,
     't15_aes_tokenize': q_t15_aes_tokenize,
     't16_collation': q_t16_collation,
+    't17_url_canonicalize': q_t17_url_canonicalize,
     'x31_crossdoc_spans': q_x31_crossdoc_spans,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
@@ -2833,6 +2900,53 @@ ORACLE_SQL["t16_collation"] = """
            CAST(COUNT(*) AS BIGINT) AS n_cust,
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
     FROM c GROUP BY lower(seg_cased)
+"""
+
+# t17: identical raw-URL construction and canonicalization replayed with
+# DuckDB's list_filter / list_sort — any drift in the canonical form (case
+# folding scope, port strip, tracking-param set, param order) flips the hash.
+ORACLE_SQL["t17_url_canonicalize"] = """
+    WITH raw AS (
+        SELECT source, unnest([
+            'HTTPS://' || upper(source || '.example.org') || ':443/' ||
+                lang || '/doc-' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#sec-3',
+            'https://' || source || '.example.org/' || lang || '/doc-' ||
+                CAST(doc_id AS VARCHAR) || '?a=1&utm_source=feed&b=2',
+            'https://' || source || '.example.org/' || lang || '/doc-' ||
+                CAST(doc_id AS VARCHAR) || '?b=2&a=1&fbclid=x' ||
+                CAST(doc_id AS VARCHAR)
+        ]) AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT source, nf,
+               list_sort(list_filter(
+                   string_split(regexp_extract(nf, '\\?(.*)$', 1), '&'),
+                   p -> NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'fbclid='))) AS kept
+        FROM (SELECT source, string_split(url, '#')[1] AS nf FROM raw)
+    ),
+    canon AS (
+        SELECT source,
+               regexp_replace(lower(regexp_extract(nf,
+                   '^([a-zA-Z]+://[^/?]*)', 1)), ':443$', '')
+               || regexp_extract(nf, '^[a-zA-Z]+://[^/?]*([^?]*)', 1)
+               || CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&') ELSE '' END
+                   AS canon_url
+        FROM parsed
+    ),
+    per_url AS (
+        SELECT source, canon_url, COUNT(*) AS n_raw
+        FROM canon GROUP BY source, canon_url
+    )
+    SELECT source,
+           CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_canonical,
+           MIN(canon_url) AS min_url,
+           MAX(canon_url) AS max_url
+    FROM per_url
+    GROUP BY source
 """
 
 ORACLE_SQL["t14_url_parse"] = """
