@@ -1430,9 +1430,57 @@ def q_sd8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming upsert into the feature store
+    (streaming/ingest.py streaming_register, mode='snapshot' — the
+    production bridge from a stream to a continuously-updated online
+    view; pytest-covered since round 2 but previously without a driver
+    witness). Two ordered micro-batches (maxFilesPerTrigger=1) fold into
+    the store: each batch registers latest-per-entity of everything seen
+    so far, so after batch 2 the current version must equal the batch
+    engine's latest-per-user over the WHOLE feed — users updated in
+    batch 2 overwrite their batch-1 row (n_latest_from_b2 counts them),
+    users silent in batch 2 keep their batch-1 row. n_versions pins the
+    micro-batch count (one store version per batch, the idempotent
+    replay marker's unit). The upsert itself is one argmax over
+    |entities|+|batch| rows per micro-batch — never a rescan of history;
+    at 100 TB the batch-proportional cost is the point."""
+    from .store import FeatureStore
+    from .streaming.ingest import stream_events, streaming_register
+
+    d = _scratch_dir("sd9_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    fs = FeatureStore(spark, storage_path=_scratch_dir("sd9_store", sf_dir))
+    q = streaming_register(
+        stream_events(spark, d), fs, "live", _scratch_dir("sd9_ck", sf_dir)
+    )
+    q.awaitTermination(300)
+    q.stop()
+    info = fs.get_table_info("live")
+    snap = fs.get_version("live", info.version)
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min(_US("timestamp")).cast("long").alias("min_ts_us"),
+        F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
+        F.sum(F.when(F.col("timestamp") >= mid, 1).otherwise(0))
+        .cast("long")
+        .alias("n_latest_from_b2"),
+    ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
+
+
 QUERIES = {
     'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
     'sd8_stream_static_enrich': q_sd8_stream_static_enrich,
+    'sd9_foreach_batch_upsert': q_sd9_foreach_batch_upsert,
     'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
@@ -2104,6 +2152,31 @@ ORACLE_SQL["sd8_stream_static_enrich"] = f"""
                AS sum_cents
     FROM ({_EV}) e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment, e.event_type
+"""
+
+# sd9: the stream's two-batch fold must equal the batch engine's
+# latest-per-user over the whole feed ((user_id, ts) pairs are unique in
+# the corpus, so the max-ts argmax is deterministic); n_versions pins one
+# store version per micro-batch.
+ORACLE_SQL["sd9_foreach_batch_upsert"] = f"""
+    WITH e AS ({_EV}),
+    latest AS (
+        SELECT user_id, ts, event_type, value
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC) AS rn
+              FROM e)
+        WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_latest_from_b2,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM latest GROUP BY event_type
 """
 
 ORACLE_SQL["sd7_file_sink_exactly_once"] = f"""
