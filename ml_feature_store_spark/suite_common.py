@@ -722,6 +722,60 @@ def _g4_sql(rounds: int = 3) -> str:
     """
 
 
+def _bt1_sql(
+    iterations: int = 3, scale: int = 1_000_000, precision: int = 10**12
+) -> str:
+    """Unrolled fixed-point Bradley-Terry MM rounds — the DuckDB twin of
+    operators/preference.py bradley_terry over the bt1 matchup build.
+    Every floor division (`//` here, `div` in Spark) is replayed on the
+    same int64 values, so the strengths must match bit-for-bit."""
+    pu = precision // scale
+    rounds = []
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+        d{i} AS MATERIALIZED (SELECT m.item,
+                        SUM(m.n * {precision} // (si.s + sj.s)) AS d,
+                        CAST(SUM(m.w) AS BIGINT) AS wins,
+                        CAST(SUM(m.n) AS BIGINT) AS n_matches
+                 FROM m JOIN {prev} si ON m.item = si.item
+                        JOIN {prev} sj ON m.opp = sj.item
+                 GROUP BY m.item),
+        r{i} AS MATERIALIZED (SELECT item, wins, n_matches,
+                        (wins * {scale}) // GREATEST(d // {pu}, 1) AS s_raw
+                 FROM d{i}),
+        s{i} AS MATERIALIZED (SELECT item,
+                        GREATEST((s_raw * (SELECT COUNT(*) FROM r{i})
+                                  * {scale})
+                                 // (SELECT SUM(s_raw) FROM r{i}), 1) AS s
+                 FROM r{i})""")
+        prev = f"s{i}"
+    return f"""
+        WITH ob AS MATERIALIZED (
+            SELECT l_orderkey AS ok, p_brand AS brand,
+                   MAX(l_extendedprice) AS price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        pm AS MATERIALIZED (
+            SELECT x.brand AS a, y.brand AS b,
+                   CAST(COUNT(*) + 2 AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN x.price >= y.price THEN 1 ELSE 0 END)
+                        + 1 AS BIGINT) AS w
+            FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+            GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (SELECT a AS item, b AS opp, n, w FROM pm
+              UNION ALL SELECT b, a, n, n - w FROM pm),
+        s0 AS MATERIALIZED (SELECT DISTINCT item, CAST({scale} AS BIGINT) AS s FROM m),
+        {",".join(rounds)}
+        SELECT r.item AS brand,
+               CAST(s.s AS BIGINT) AS strength,
+               r.wins, r.n_matches
+        FROM r{iterations} r JOIN s{iterations} s ON r.item = s.item
+    """
+
+
 def _rag3_sql(n_select: int = 5) -> str:
     q6 = "CAST(floor(round(list_cosine_similarity({a}, {b}), 6) * 1000000 + 0.5) AS BIGINT)"
     rounds = []
@@ -818,5 +872,6 @@ __all__ = [
     '_A17_AGGS',
     '_A17_ARMS',
     '_g4_sql',
+    '_bt1_sql',
     '_rag3_sql',
 ]

@@ -1194,9 +1194,67 @@ def q_g7_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bt1_preference_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation (operators/preference.py
+    bradley_terry) — the RLHF reward-data operator: billions of pairwise
+    "A beat B" records collapse to one strength per item via Hunter's MM
+    updates in int64 fixed-point. Matchups are derived deterministically
+    from the corpus: within each order, every pair of distinct part
+    brands competes and the brand with the higher max line price wins
+    (price ties go to the lexicographically smaller brand); counts are
+    Laplace-smoothed (n+2 / w+1). The heavy stage is the comparison
+    aggregation — one broadcast join to part (a dim), one bounded
+    within-order self-join (orders hold <= 7 lines), one partial-agg
+    shuffle down to the |brands|^2 matrix; the 3 MM rounds then touch
+    only that tiny matrix (two broadcast joins + an agg per round). The
+    oracle unrolls the identical fixed-point rounds as CTEs
+    (suite_common._bt1_sql), so every floor division must replay."""
+    from .operators.preference import bradley_terry
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    pb = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.max("l_extendedprice").alias("price"))
+    )
+    x, y = ob.alias("x"), ob.alias("y")
+    pm = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("a"), F.col("y.p_brand").alias("b")
+        )
+        .agg(
+            (F.count("*") + 2).cast("long").alias("n"),
+            (
+                F.sum(
+                    F.when(F.col("x.price") >= F.col("y.price"), 1).otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    out = bradley_terry(pm, iterations=3)
+    return out.select(
+        F.col("item").alias("brand"),
+        F.col("strength").cast("long"),
+        F.col("wins").cast("long"),
+        F.col("n_matches").cast("long"),
+    )
+
+
 QUERIES = {
     'g6_random_walks': q_g6_random_walks,
     'g7_bfs_distances': q_g7_bfs_distances,
+    'bt1_preference_strengths': q_bt1_preference_strengths,
     'g5_copurchase_jaccard': q_g5_copurchase_jaccard,
     'geo1_radius_join': q_geo1_radius_join,
     'x16_tfidf_topk': q_x16_tfidf_topk,
@@ -1621,6 +1679,7 @@ ORACLE_SQL["ts4_rolling_anomaly"] = f"""
 
 
 ORACLE_SQL["g4_kcore"] = _g4_sql()
+ORACLE_SQL["bt1_preference_strengths"] = _bt1_sql()
 
 
 ORACLE_SQL["rag3_mmr_rerank"] = _rag3_sql()

@@ -549,3 +549,47 @@ class TestRound6EdgeInputs:
         )
         got = {r["digit"]: r["n"] for r in obs.collect()}
         assert got == {5: 3, 0: 1}
+
+    # -- bt1: Bradley-Terry degenerate matchups ------------------------------
+    def test_bradley_terry_single_pair(self, spark):
+        """Two items, one smoothed matchup: the stronger item must end
+        above the weaker, strengths normalized around the 1e6 mean."""
+        from ml_feature_store_spark.operators.preference import bradley_terry
+
+        m = spark.createDataFrame([("a", "b", 12, 10)], ["a", "b", "n", "w"])
+        rows = {r["item"]: r for r in bradley_terry(m, iterations=3).collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"]["strength"] > rows["b"]["strength"]
+        assert rows["a"]["wins"] == 10 and rows["a"]["n_matches"] == 12
+        # normalization: mean strength == scale (floor-div slack of cnt)
+        tot = rows["a"]["strength"] + rows["b"]["strength"]
+        assert abs(tot - 2_000_000) <= 2
+
+    def test_bradley_terry_empty(self, spark):
+        from ml_feature_store_spark.operators.preference import bradley_terry
+
+        m = spark.createDataFrame([], "a string, b string, n long, w long")
+        assert bradley_terry(m, iterations=2).count() == 0
+
+    def test_bradley_terry_dominant_item_bounded(self, spark):
+        """An item that wins every smoothed match stays finite and ranked
+        first; the all-losing item floors at >= 1 (never zero/negative,
+        which would divide-by-zero the next round)."""
+        from ml_feature_store_spark.operators.preference import bradley_terry
+
+        m = spark.createDataFrame(
+            [("a", "b", 100, 99), ("a", "c", 100, 99), ("b", "c", 100, 50)],
+            ["a", "b", "n", "w"],
+        )
+        rows = {r["item"]: r["strength"] for r in bradley_terry(m, 4).collect()}
+        assert rows["a"] > rows["b"] and rows["a"] > rows["c"]
+        assert min(rows.values()) >= 1
+
+    def test_bradley_terry_overflow_guard(self, spark):
+        from ml_feature_store_spark.operators.preference import bradley_terry
+
+        m = spark.createDataFrame(
+            [("a", "b", 2**52, 2**51)], ["a", "b", "n", "w"]
+        )
+        with pytest.raises(ValueError, match="overflow"):
+            bradley_terry(m, iterations=1)
