@@ -277,12 +277,14 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # has a driver CORRECTNESS row (240/241 green; io14 red on the vanilla
 # session's pushdown conf, fixed this round at the query site). The window's
 # job is now (a) witnessing the round-6 FIXES (io14) and ADDITIONS (f26
-# snapshot manifests, f27 left multi-view, sd8 stream-static enrich), and
-# (b) regression re-witness of the STALEST green rows: 46 of the 47
-# queries whose only driver row is from round 1 — 3-4 rounds and several
-# refactors ago (suite split, microsecond-timestamp migration,
-# materialization changes). io1_csv_roundtrip plus the round-2-witnessed
-# queries rotate in round 7.
+# snapshot manifests, f27 left multi-view, sd8 stream-static enrich, f28
+# online/offline audit, t17 URL canonicalization, sd9 foreachBatch
+# upsert, bt1 Bradley-Terry), and (b) regression re-witness of the
+# STALEST green rows: 42 of the 47 queries whose only driver row is from
+# round 1 — 3-4 rounds and several refactors ago (suite split,
+# microsecond-timestamp migration, materialization changes).
+# io1/io2_json, x10_ivf_ann, m2_frame_sample, u2_intersect_except plus
+# the round-2-witnessed queries rotate in round 7.
 _ROUND_PRIORITY = [
     "io14_python_datasource",
     "f26_snapshot_manifest",
@@ -334,10 +336,6 @@ _ROUND_PRIORITY = [
     "q18_large_orders",
     "a2b_multi_window",
     "h1_time_rollup",
-    "io2_json_roundtrip",
-    "x10_ivf_ann",
-    "m2_frame_sample",
-    "u2_intersect_except",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)
