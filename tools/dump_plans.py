@@ -467,6 +467,28 @@ COMMENT = {
         "spine-key stitch; keeping unmatched spine rows adds no "
         "operator, no extra shuffle."
     ),
+    "f28_online_offline_consistency": (
+        "Online/offline skew audit: the serving lane is the |entities|-"
+        "row snapshot scan, the training lane the union-strategy as-of "
+        "join; the audit itself is one entity-keyed join of two "
+        "|entities|-row sets plus a broadcast 1-row mismatch scalar — "
+        "the comparison never touches history twice."
+    ),
+    "t17_url_canonicalize": (
+        "URL canonicalization: regexp parse + higher-order filter/"
+        "array_sort/concat_ws all inside whole-stage codegen (no UDF); "
+        "the only exchange is the partial-agg groupBy on the canonical "
+        "string — map-side combine absorbs the 3:1 variant collapse "
+        "before the shuffle."
+    ),
+    "bt1_preference_strengths": (
+        "Bradley-Terry: the comparison volume collapses in the FIRST "
+        "exchange (order-brand partial agg, then the bounded <=7-line "
+        "within-order self-join, then the |brands|^2 matrix agg); the "
+        "MM rounds are broadcast joins over the checkpointed model "
+        "table — iteration cost is independent of corpus size, and all "
+        "arithmetic is int64 fixed-point (no float summation order)."
+    ),
 }
 
 

@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "f26_snapshot_manifest",  # pinned-version multi-view (2 registers + as-of joins)
     "f27_multi_view_left",  # LEFT multi-view as-of stitch over 8x events/orders
     "sd8_stream_static_enrich",  # per-micro-batch broadcast dim join, 8x feed
+    "f28_online_offline_consistency",  # snapshot vs as-of lane audit, 8x events
+    "t17_url_canonicalize",  # map-only parse + canonical-key agg over 8x docs
+    "sd9_foreach_batch_upsert",  # two-micro-batch store fold over 8x events
+    "bt1_preference_strengths",  # matchup agg + fixed MM rounds, 8x lineitem
 ]
 KEY_OFFSET = 100_000_000
 
