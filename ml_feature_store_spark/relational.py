@@ -733,6 +733,32 @@ _Q28_SQL = """
 """
 
 
+_Q29_SQL = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {lineitem}
+        WHERE l_shipdate < DATE '1998-09-01'
+        GROUP BY ALL
+        ORDER BY ALL
+"""
+
+
+def q_q29_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 adopted DuckDB's shorthand):
+    the grouping key set is inferred as every non-aggregate select item,
+    the ordering as the full select list left-to-right. IDENTICAL text
+    runs on both engines (the q28 identical-text pin), so the witness is
+    that both resolve the SAME inferred key set — a resolver divergence
+    (e.g. treating a lateral-aliased expression as a key) would change
+    the group count and break the hash. Plan-wise the sugar compiles to
+    the ordinary partial-agg + exchange + sort; nothing new at scale."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q29_lineitem")
+    return spark.sql(_Q29_SQL.format(lineitem="q29_lineitem"))
+
+
 _U3_SQL = """
         WITH a AS (SELECT o_orderpriority AS p FROM {orders}
                    WHERE o_orderdate < DATE '1997-01-01'),
@@ -771,6 +797,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u3_bag_setops": q_u3_bag_setops,
     "q27_param_markers": q_q27_param_markers,
     "q28_lateral_alias": q_q28_lateral_alias,
+    "q29_group_order_all": q_q29_group_order_all,
     "q23_lateral_topn": q_q23_lateral_topn,
     "q24_recursive_tree": q_q24_recursive_tree,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -816,6 +843,7 @@ RELATIONAL_ORACLE: dict[str, str] = {
         GROUP BY o_orderpriority
     """,
     "q28_lateral_alias": _Q28_SQL.format(lineitem="lineitem"),
+    "q29_group_order_all": _Q29_SQL.format(lineitem="lineitem"),
     "q23_lateral_topn": """
         SELECT n.n_name, t.c_custkey, t.c_acctbal
         FROM nation n,

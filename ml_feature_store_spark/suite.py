@@ -261,6 +261,8 @@ _CANONICAL = [
     't17_url_canonicalize',
     'sd9_foreach_batch_upsert',
     'bt1_preference_strengths',
+    'f29_training_freshness',
+    'lab1_majority_vote',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -294,6 +296,9 @@ _ROUND_PRIORITY = [
     "t17_url_canonicalize",
     "sd9_foreach_batch_upsert",
     "bt1_preference_strengths",
+    "q29_group_order_all",
+    "f29_training_freshness",
+    "lab1_majority_vote",
     "t6_explode_tokens",
     "dq1_column_profile",
     "arr2_vector_centroids",
@@ -333,9 +338,6 @@ _ROUND_PRIORITY = [
     "a7_percentiles",
     "g1_grouping_sets",
     "t3_token_count",
-    "q18_large_orders",
-    "a2b_multi_window",
-    "h1_time_rollup",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

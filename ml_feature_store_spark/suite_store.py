@@ -805,6 +805,49 @@ def q_f28_online_offline_consistency(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set freshness profile — the staleness audit every
+    feature-store monitoring page shows (Feast 'feature freshness'): for
+    each as-of matched training row, the age of the feature relative to
+    the spine timestamp, rolled into capped age-day buckets. A drifting
+    ingest pipeline shows up as mass migrating to the high buckets long
+    before models degrade. The ages come from the SAME union-strategy
+    as-of join f7 witnesses (keep_spine_ts=True exposes both
+    timestamps), so the profile costs one extra map-side projection +
+    one tiny-key partial agg over the training set; the oracle replays
+    the as-of match (rn=1 over ts DESC) and the identical integer
+    bucket math. The label event itself is EXCLUDED from the feature
+    side (features = non-purchase activity, labels = purchases) — with
+    it included every age is zero by the inclusive-cutoff self-match,
+    and the profile measures nothing."""
+    feats = events_features(spark, sf_dir)
+    spine = feats.filter(F.col("event_type") == "purchase").select(
+        "entity_id", "timestamp"
+    )
+    out = asof_join(
+        spine,
+        feats.filter(F.col("event_type") != "purchase"),
+        strategy="union",
+        keep_spine_ts=True,
+    )
+    age_us = _US("as_of_timestamp") - _US("timestamp")
+    return (
+        out.select(
+            F.expr(
+                f"least((unix_micros(as_of_timestamp) - unix_micros(timestamp))"
+                f" div {86_400_000_000}, 7)"
+            ).alias("age_days"),
+            age_us.alias("age_us"),
+        )
+        .groupBy("age_days")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("age_us").cast("long").alias("sum_age_us"),
+            F.max("age_us").cast("long").alias("max_age_us"),
+        )
+    )
+
+
 def q_f18_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, NEAREST direction (operators/asof.py
     asof_join_nearest — pandas merge_asof direction='nearest' parity,
@@ -1505,6 +1548,7 @@ QUERIES = {
     'f26_snapshot_manifest': q_f26_snapshot_manifest,
     'f27_multi_view_left': q_f27_multi_view_left,
     'f28_online_offline_consistency': q_f28_online_offline_consistency,
+    'f29_training_freshness': q_f29_training_freshness,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -1933,6 +1977,33 @@ ORACLE_SQL["f27_multi_view_left"] = f"""
            CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
     GROUP BY ev.user_id % 16
+"""
+
+# f29: replay of f7's as-of match plus identical integer age-bucket math.
+ORACLE_SQL["f29_training_freshness"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT user_id, ts AS sts FROM f WHERE event_type = 'purchase'),
+    nf AS (SELECT * FROM f WHERE event_type <> 'purchase'),
+    matched AS (
+        SELECT user_id, sts, ts FROM (
+            SELECT s.user_id, s.sts, nf.ts,
+                   row_number() OVER (PARTITION BY s.user_id, s.sts
+                                      ORDER BY nf.ts DESC, nf.event_id ASC)
+                       AS rn
+            FROM s JOIN nf ON s.user_id = nf.user_id AND nf.ts <= s.sts
+        ) WHERE rn = 1
+    ),
+    aged AS (
+        SELECT LEAST((epoch_us(sts) - epoch_us(ts)) // 86400000000, 7)
+                   AS age_days,
+               epoch_us(sts) - epoch_us(ts) AS age_us
+        FROM matched
+    )
+    SELECT age_days,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(age_us) AS BIGINT) AS sum_age_us,
+           CAST(MAX(age_us) AS BIGINT) AS max_age_us
+    FROM aged GROUP BY age_days
 """
 
 # f28: the oracle replays the latest-per-entity semantics both store lanes

@@ -1570,6 +1570,36 @@ def q_t16_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lab1_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation aggregation — majority vote with agreement rate, the
+    label-consolidation step of every human-feedback pipeline (multiple
+    noisy labels per item -> one training label + a confidence signal;
+    low-agreement items get routed back to annotators). Items are users,
+    votes are their events' types. Two window passes over ONE
+    user-keyed shuffle (count rank + vote total share the partition);
+    ties break deterministically (higher count, then lexicographic
+    label). agreement_e4 is integer basis points — floor-div replayed
+    identically by the oracle, no float ratios."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    votes = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    tot = Window.partitionBy("user_id")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_votes", F.sum("n").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("majority_label"),
+            F.col("n").cast("long").alias("n_majority"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            F.expr("(n * 10000) div n_votes").alias("agreement_e4"),
+        )
+    )
+
+
 def q_t17_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup — the step ahead of every web-corpus
     pipeline's per-URL dedup (CommonCrawl-style: the same logical page
@@ -1683,6 +1713,7 @@ QUERIES = {
     't15_aes_tokenize': q_t15_aes_tokenize,
     't16_collation': q_t16_collation,
     't17_url_canonicalize': q_t17_url_canonicalize,
+    'lab1_majority_vote': q_lab1_majority_vote,
     'x31_crossdoc_spans': q_x31_crossdoc_spans,
     'fe7_quantile_binning': q_fe7_quantile_binning,
     'x29_weighted_sample': q_x29_weighted_sample,
@@ -2900,6 +2931,29 @@ ORACLE_SQL["t16_collation"] = """
            CAST(COUNT(*) AS BIGINT) AS n_cust,
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
     FROM c GROUP BY lower(seg_cased)
+"""
+
+# lab1: the vote count, rank, and share replay as identical window math;
+# agreement is integer basis points (floor div), never a float ratio.
+ORACLE_SQL["lab1_majority_vote"] = f"""
+    WITH e AS ({_EV}),
+    votes AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM e GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type ASC) AS rn,
+               SUM(n) OVER (PARTITION BY user_id) AS n_votes
+        FROM votes
+    )
+    SELECT user_id,
+           event_type AS majority_label,
+           CAST(n AS BIGINT) AS n_majority,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST((n * 10000) // n_votes AS BIGINT) AS agreement_e4
+    FROM ranked WHERE rn = 1
 """
 
 # t17: identical raw-URL construction and canonicalization replayed with
