@@ -281,11 +281,12 @@ ORACLE_SQL.update(RELATIONAL_ORACLE)
 # job is now (a) witnessing the round-6 FIXES (io14) and ADDITIONS (f26
 # snapshot manifests, f27 left multi-view, sd8 stream-static enrich, f28
 # online/offline audit, t17 URL canonicalization, sd9 foreachBatch
-# upsert, bt1 Bradley-Terry), and (b) regression re-witness of the
-# STALEST green rows: 42 of the 47 queries whose only driver row is from
+# upsert, bt1 Bradley-Terry, q29 GROUP/ORDER BY ALL, f29 freshness
+# profile, lab1 majority vote), and (b) regression re-witness of the
+# STALEST green rows: 39 of the 47 queries whose only driver row is from
 # round 1 — 3-4 rounds and several refactors ago (suite split,
-# microsecond-timestamp migration, materialization changes).
-# io1/io2_json, x10_ivf_ann, m2_frame_sample, u2_intersect_except plus
+# microsecond-timestamp migration, materialization changes). io1/io2,
+# x10_ivf_ann, m2_frame_sample, u2_intersect_except, q18, a2b, h1 plus
 # the round-2-witnessed queries rotate in round 7.
 _ROUND_PRIORITY = [
     "io14_python_datasource",

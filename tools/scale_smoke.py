@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "t17_url_canonicalize",  # map-only parse + canonical-key agg over 8x docs
     "sd9_foreach_batch_upsert",  # two-micro-batch store fold over 8x events
     "bt1_preference_strengths",  # matchup agg + fixed MM rounds, 8x lineitem
+    "q29_group_order_all",  # GROUP BY ALL scan aggregate over 8x lineitem
+    "f29_training_freshness",  # as-of age profile over 8x events
+    "lab1_majority_vote",  # one user-keyed window shuffle over 8x events
 ]
 KEY_OFFSET = 100_000_000
 
