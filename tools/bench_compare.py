@@ -23,6 +23,9 @@ def prev_timings(path: Path) -> dict[str, float]:
     raw = json.loads(path.read_text())
     if isinstance(raw, dict) and isinstance(raw.get("parsed"), dict):
         return dict(raw["parsed"].get("queries", {}))
+    # a raw BENCH_DETAIL.json from a prior round (git show <sha>:BENCH_DETAIL.json)
+    if isinstance(raw, dict) and isinstance(raw.get("queries"), dict):
+        return dict(raw["queries"])
     text = raw.get("tail", "") if isinstance(raw, dict) else ""
     return {
         m.group(1): float(m.group(2))

