@@ -427,6 +427,93 @@ class FeatureStore:
                     removed[(target, v)] = before - after
         return removed
 
+    def merge_entities(
+        self, name: str, mapping: DataFrame, description: str = ""
+    ) -> FeatureTableInfo:
+        """Identity-resolution merge: rewrite every row whose entity id is
+        an ALIAS to its CANONICAL id, as a new copy-on-write version (the
+        post-ER step: linkage — er1's operator — produces the alias map;
+        this applies it to the store so PIT lookups and training-set
+        joins see one unified history per real-world entity). Unlike
+        ``erase_entities`` this IS time-travelable: the pre-merge version
+        stays readable via ``get_version``.
+
+        ``mapping`` is a DataFrame with columns ``alias_id`` and
+        ``canonical_id``. Guardrails (each one bounded-scalar on the
+        mapping dim, never on history): empty mapping, duplicate alias
+        rows (one alias must not map to two canonicals), and chained
+        mappings (an id appearing as both alias and canonical — ER output
+        must be transitively closed, e.g. by the connected-component
+        dedup's min-label convention) are all rejected.
+
+        Plan: one broadcast left join of history against the alias dim +
+        ``coalesce(canonical, entity_id)`` — map-side at any history
+        size when the mapping fits the broadcast threshold (ER alias
+        maps are entity-scale, not event-scale); beyond that AQE plans
+        the ordinary shuffle join on the entity key. History is read and
+        written exactly once."""
+        self._require_table(name)
+        cols = set(mapping.columns)
+        if not {"alias_id", "canonical_id"} <= cols:
+            raise FeatureValidationError(
+                f"merge_entities('{name}'): mapping needs alias_id and "
+                f"canonical_id columns, got {sorted(cols)}."
+            )
+        m = mapping.select("alias_id", "canonical_id")
+        if m.limit(1).count() == 0:
+            raise FeatureValidationError(
+                f"merge_entities('{name}'): empty mapping."
+            )
+        if (
+            m.groupBy("alias_id").count().filter(F.col("count") > 1).limit(1).count()
+        ):
+            raise FeatureValidationError(
+                f"merge_entities('{name}'): an alias maps to multiple "
+                f"canonical ids — resolve the mapping first."
+            )
+        if (
+            m.join(
+                m.select(F.col("canonical_id").alias("alias_id")),
+                "alias_id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        ):
+            raise FeatureValidationError(
+                f"merge_entities('{name}'): mapping contains chains (an id "
+                f"is both alias and canonical) — transitively close it "
+                f"first (connected-component min-label)."
+            )
+        current = self._current(name)
+        # carry __row_id__ through: merged histories keep their original
+        # ingest-order tie-break, so latest-per-entity over a merged
+        # entity stays deterministic (ids are unique across the union of
+        # the merged histories — a merge never duplicates rows)
+        cols = list(current.columns)
+        dim = F.broadcast(
+            m.select(
+                F.col("alias_id").alias(ENTITY_COL),
+                F.col("canonical_id").alias("__canonical__"),
+            )
+        )
+        merged = (
+            current.join(dim, ENTITY_COL, "left")
+            .withColumn(
+                ENTITY_COL, F.coalesce(F.col("__canonical__"), F.col(ENTITY_COL))
+            )
+            .drop("__canonical__")
+            .select(*cols)
+        )
+        row_count = merged.count()
+        prepared = self._prepare_dataframe(merged)
+        new_version = self._backend.meta(name).version + 1
+        self._backend.write_version(
+            name, new_version, prepared, row_count, description or "merge_entities"
+        )
+        self._prune_history(name)
+        return self.get_table_info(name)
+
     # ------------------------------------------------------------------ #
     # online serving view
     # ------------------------------------------------------------------ #

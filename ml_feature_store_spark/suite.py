@@ -263,6 +263,7 @@ _CANONICAL = [
     'bt1_preference_strengths',
     'f29_training_freshness',
     'lab1_majority_vote',
+    'f30_entity_merge',
 ]
 assert set(_CANONICAL) == set(QUERIES), (
     sorted(set(_CANONICAL) ^ set(QUERIES))
@@ -300,6 +301,7 @@ _ROUND_PRIORITY = [
     "q29_group_order_all",
     "f29_training_freshness",
     "lab1_majority_vote",
+    "f30_entity_merge",
     "t6_explode_tokens",
     "dq1_column_profile",
     "arr2_vector_centroids",
@@ -338,7 +340,6 @@ _ROUND_PRIORITY = [
     "d1_date_functions",
     "a7_percentiles",
     "g1_grouping_sets",
-    "t3_token_count",
 ]
 assert all(name in QUERIES for name in _ROUND_PRIORITY), sorted(
     set(_ROUND_PRIORITY) - set(QUERIES)

@@ -805,6 +805,53 @@ def q_f28_online_offline_consistency(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_f30_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-resolution merge applied to the store (store.py
+    merge_entities — the post-ER step; er1 produces alias maps, this
+    rewrites the history): every odd user id merges into its even
+    predecessor as a NEW copy-on-write version, so PIT reads see one
+    unified history per merged pair while time travel still reads the
+    pre-merge identities. The witness aggregates the CURRENT (merged)
+    version per entity bucket — entity count halves, row count does not
+    — and pins copy-on-write by counting odd-entity rows still present
+    in v1 (broadcast scalar). Plan: the merge is ONE broadcast alias
+    join + coalesce over history (map-side; history read and written
+    once); the rollup is an ordinary partial agg."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).drop("value")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f30", sf_dir))
+    fs.register("ev", feats)
+    mapping = (
+        feats.select("entity_id")
+        .distinct()
+        .filter(F.col("entity_id") % 2 == 1)
+        .select(
+            F.col("entity_id").alias("alias_id"),
+            (F.col("entity_id") - 1).alias("canonical_id"),
+        )
+    )
+    fs.merge_entities("ev", mapping)
+    merged = fs.get_version("ev", 2)
+    v1_odd = (
+        fs.get_version("ev", 1)
+        .filter(F.col("entity_id") % 2 == 1)
+        .agg(F.count("*").cast("long").alias("v1_odd_rows"))
+    )
+    return (
+        merged.groupBy((F.col("entity_id") % 16).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("entity_id").cast("long").alias("n_entities"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+            F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
+        )
+        .crossJoin(F.broadcast(v1_odd))
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1549,6 +1596,7 @@ QUERIES = {
     'f27_multi_view_left': q_f27_multi_view_left,
     'f28_online_offline_consistency': q_f28_online_offline_consistency,
     'f29_training_freshness': q_f29_training_freshness,
+    'f30_entity_merge': q_f30_entity_merge,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -1977,6 +2025,28 @@ ORACLE_SQL["f27_multi_view_left"] = f"""
            CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
     GROUP BY ev.user_id % 16
+"""
+
+# f30: the merge rewrite replays as a CASE over user parity; buckets key on
+# the CANONICAL id; v1_odd_rows replays as the raw odd-row count (the
+# copy-on-write proof — a destructive merge would zero it).
+ORACLE_SQL["f30_entity_merge"] = f"""
+    WITH feats AS ({_FEATS_CENTS}),
+    merged AS (
+        SELECT CASE WHEN entity_id % 2 = 1 THEN entity_id - 1
+                    ELSE entity_id END AS entity_id,
+               ts, value_cents
+        FROM feats
+    )
+    SELECT entity_id % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT entity_id) AS BIGINT) AS n_entities,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM feats
+            WHERE entity_id % 2 = 1) AS v1_odd_rows
+    FROM merged
+    GROUP BY entity_id % 16
 """
 
 # f29: replay of f7's as-of match plus identical integer age-bucket math.

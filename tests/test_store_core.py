@@ -840,3 +840,66 @@ class TestTrainingSetNearest:
         spine = feature_df.limit(1).select("entity_id", "timestamp")
         with pytest.raises(FeatureValidationError):
             store.get_training_set("f", spine, direction="forward")
+
+
+class TestMergeEntities:
+    def _map(self, spark, rows):
+        return spark.createDataFrame(rows, ["alias_id", "canonical_id"])
+
+    def test_merge_unifies_history_copy_on_write(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        info = store.merge_entities("f", self._map(spark, [("user_2", "user_1")]))
+        assert info.version == 2
+        assert info.row_count == 5  # merge never drops rows
+        # PIT over the merged entity sees BOTH histories interleaved:
+        # latest <= 2024-01-25 is user_2's old 2024-01-20 row
+        got = store.get("f", ["user_1"], ts("2024-01-25")).collect()
+        assert len(got) == 1 and got[0]["feature_a"] == 20.0
+        # ...and latest overall is user_1's own 2024-02-01 row
+        got = store.get("f", ["user_1"], ts("2024-02-05")).collect()[0]
+        assert got["feature_a"] == 3.0
+        # alias id is gone from the current version
+        assert store.get("f", ["user_2"], ts("2024-02-05")).count() == 0
+        # time travel still sees the pre-merge identities
+        v1 = store.get_version("f", 1)
+        assert v1.filter(v1.entity_id == "user_2").count() == 2
+
+    def test_unmapped_entities_untouched(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        store.merge_entities("f", self._map(spark, [("user_9", "user_1")]))
+        got = store.get("f", ["user_2"], ts("2024-02-05")).collect()[0]
+        assert got["feature_a"] == 20.0
+
+    def test_guardrails(self, store, feature_df, spark):
+        store.register("f", feature_df)
+        with pytest.raises(FeatureValidationError, match="empty"):
+            store.merge_entities(
+                "f",
+                spark.createDataFrame(
+                    [], "alias_id string, canonical_id string"
+                ),
+            )
+        with pytest.raises(FeatureValidationError, match="multiple"):
+            store.merge_entities(
+                "f", self._map(spark, [("a", "b"), ("a", "c")])
+            )
+        with pytest.raises(FeatureValidationError, match="chains"):
+            store.merge_entities(
+                "f", self._map(spark, [("a", "b"), ("b", "c")])
+            )
+        with pytest.raises(FeatureValidationError, match="alias_id"):
+            store.merge_entities("f", feature_df)
+
+    def test_tiebreak_preserved_across_merge(self, store, spark):
+        """Two merged histories sharing an exact timestamp: the winner is
+        the row with the smaller ORIGINAL ingest row id (user_a registered
+        first), proving __row_id__ survives the merge."""
+        rows = [
+            ("user_a", ts("2024-01-10"), 1.0),
+            ("user_b", ts("2024-01-10"), 2.0),
+        ]
+        df = spark.createDataFrame(rows, ["entity_id", "timestamp", "x"])
+        store.register("f", df)
+        store.merge_entities("f", self._map(spark, [("user_b", "user_a")]))
+        got = store.get("f", ["user_a"], ts("2024-01-11")).collect()
+        assert len(got) == 1 and got[0]["x"] == 1.0
