@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q29_group_order_all",  # GROUP BY ALL scan aggregate over 8x lineitem
     "f29_training_freshness",  # as-of age profile over 8x events
     "lab1_majority_vote",  # one user-keyed window shuffle over 8x events
+    "f30_entity_merge",  # broadcast alias rewrite + copy-on-write version, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
