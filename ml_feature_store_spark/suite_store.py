@@ -782,13 +782,18 @@ def q_f28_online_offline_consistency(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("value_cents").alias("o_value_cents"),
     )
     cmp = online.join(offline, "entity_id", "full_outer")
+    # null-safe (<=>) per column: a plain != yields NULL when either side
+    # is NULL, which when(...).otherwise(0) would silently count as a
+    # MATCH — exactly the wrong default for an audit. eqNullSafe treats
+    # NULL==NULL as equal and NULL vs value as a mismatch; the isNull
+    # terms still catch rows present on only one side.
     bad = (
         F.col("ts_us").isNull()
         | F.col("o_ts_us").isNull()
-        | (F.col("ts_us") != F.col("o_ts_us"))
-        | (F.col("event_id") != F.col("o_event_id"))
-        | (F.col("event_type") != F.col("o_event_type"))
-        | (F.col("value_cents") != F.col("o_value_cents"))
+        | ~F.col("ts_us").eqNullSafe(F.col("o_ts_us"))
+        | ~F.col("event_id").eqNullSafe(F.col("o_event_id"))
+        | ~F.col("event_type").eqNullSafe(F.col("o_event_type"))
+        | ~F.col("value_cents").eqNullSafe(F.col("o_value_cents"))
     )
     n_bad = cmp.agg(
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_mismatch")

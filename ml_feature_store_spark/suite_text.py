@@ -1641,17 +1641,26 @@ def q_t17_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = F.regexp_extract(no_frag, r"^[a-zA-Z]+://[^/?]*([^?]*)", 1)
     query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
     host_c = F.regexp_replace(F.lower(scheme_host), ":443$", "")
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: ~p.startswith("utm_") & ~p.startswith("fbclid="),
-        )
+    # Single-evaluation form (the fe2 lesson: a second reference to the
+    # filter/sort pipeline re-inlines it per row). concat_ws over the
+    # empty array is ""; nullif turns that into NULL, concat propagates
+    # the NULL past the "?" and coalesce restores "" — so the kept-params
+    # pipeline appears exactly ONCE in the projection.
+    joined_q = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~p.startswith("utm_") & ~p.startswith("fbclid="),
+            )
+        ),
     )
     canon = F.concat(
         host_c,
         path,
-        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept)))
-        .otherwise(F.lit("")),
+        F.coalesce(
+            F.concat(F.lit("?"), F.nullif(joined_q, F.lit(""))), F.lit("")
+        ),
     )
     per_url = (
         raw.select("source", canon.alias("canon_url"))
