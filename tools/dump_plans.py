@@ -481,6 +481,25 @@ COMMENT = {
         "string — map-side combine absorbs the 3:1 variant collapse "
         "before the shuffle."
     ),
+    "f29_training_freshness": (
+        "Freshness profile: rides f7's union-strategy as-of exchanges; "
+        "the profile itself is one projection + an 8-key partial agg — "
+        "the monitoring query costs one map stage more than the "
+        "training set it audits."
+    ),
+    "lab1_majority_vote": (
+        "Majority vote: the count rank and the vote total share ONE "
+        "user-keyed exchange (two Window specs over the same "
+        "partitioning collapse to a single shuffle + sort); per-item "
+        "cost is bounded by that item's distinct-label count after the "
+        "pre-aggregation, not its raw vote count."
+    ),
+    "f30_entity_merge": (
+        "Entity merge: the rewrite is one BroadcastHashJoin + coalesce "
+        "over history (map-side — history is never shuffled), written "
+        "once as a copy-on-write version; the witness rollup scans the "
+        "merged version dir with an ordinary partial agg."
+    ),
     "bt1_preference_strengths": (
         "Bradley-Terry: the comparison volume collapses in the FIRST "
         "exchange (order-brand partial agg, then the bounded <=7-line "
@@ -587,8 +606,9 @@ def main() -> None:
         "",
         "Round-6 bench regression audit (BENCH_DETAIL vs the round-5 detail",
         "at commit c5b0358, 237 common queries, min-of-2 both sides): ZERO",
-        "queries regressed >2x; common-query total 233.2 -> 221.3 s (median",
-        "per-query ratio 0.94 — the suite got slightly faster; no plan",
+        "queries regressed >2x in either closing refresh; common-query",
+        "total 221.3-236.7 s across the two refreshes vs 233.2 s in r5",
+        "(median per-query ratio 0.94 / 1.01 — host drift band; no plan",
         "changes to the common set beyond the ADVICE hardening). The round-5",
         "g4_kcore creep (5.6 -> 7.1 s) re-measures at 6.2 s in this pass and",
         "4.4-5.1 s warm in isolation — host load during the round-5 closing",
