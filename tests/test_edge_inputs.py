@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -593,3 +594,83 @@ class TestRound6EdgeInputs:
         )
         with pytest.raises(ValueError, match="overflow"):
             bradley_terry(m, iterations=1)
+
+    # -- t17-class canonicalizer: degenerate query strings --------------------
+    def test_url_canonicalize_all_params_tracking(self, spark):
+        """Every param filtered out: the canonical form must have NO '?'
+        at all (the nullif/coalesce single-evaluation lane), not a
+        trailing 'url?'."""
+        df = spark.createDataFrame(
+            [("https://h.example.org/p?utm_a=1&utm_b=2&fbclid=z",),
+             ("HTTPS://H.EXAMPLE.ORG:443/p#frag",)],
+            ["url"],
+        )
+        no_frag = F.split(F.col("url"), "#").getItem(0)
+        scheme_host = F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/?]*)", 1)
+        path = F.regexp_extract(no_frag, r"^[a-zA-Z]+://[^/?]*([^?]*)", 1)
+        query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+        host_c = F.regexp_replace(F.lower(scheme_host), ":443$", "")
+        joined_q = F.concat_ws(
+            "&",
+            F.array_sort(
+                F.filter(
+                    F.split(query, "&"),
+                    lambda p: ~p.startswith("utm_") & ~p.startswith("fbclid="),
+                )
+            ),
+        )
+        canon = F.concat(
+            host_c, path,
+            F.coalesce(F.concat(F.lit("?"), F.nullif(joined_q, F.lit(""))),
+                       F.lit("")),
+        )
+        got = sorted(r[0] for r in df.select(canon).collect())
+        assert got == ["https://h.example.org/p", "https://h.example.org/p"]
+
+    # -- lab1: tie-breaks and singletons --------------------------------------
+    def test_majority_vote_exact_tie_lexicographic(self, spark):
+        votes = spark.createDataFrame(
+            [(1, "view"), (1, "click"), (2, "buy")],
+            ["user_id", "event_type"],
+        )
+        counts = votes.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n")
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+        got = {
+            r["user_id"]: r["event_type"]
+            for r in counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        # tie (1 view vs 1 click) -> lexicographically smaller label wins
+        assert got == {1: "click", 2: "buy"}
+
+    # -- f30: merge collisions and absent aliases -----------------------------
+    def test_merge_into_existing_entity_and_absent_alias(self, spark, tmp_path):
+        import datetime as dt
+
+        from ml_feature_store_spark import FeatureStore
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1), 1.0),
+            ("a", dt.datetime(2024, 1, 3), 3.0),
+            ("b", dt.datetime(2024, 1, 2), 2.0),
+        ]
+        store = FeatureStore(spark, storage_path=str(tmp_path))
+        store.register(
+            "f",
+            spark.createDataFrame(rows, ["entity_id", "timestamp", "x"]),
+        )
+        # 'b' merges into existing 'a' (collision: histories interleave);
+        # 'ghost' maps to 'a' but has no rows (silent no-op)
+        m = spark.createDataFrame(
+            [("b", "a"), ("ghost", "a")], ["alias_id", "canonical_id"]
+        )
+        info = store.merge_entities("f", m)
+        assert info.row_count == 3
+        # as-of 2024-01-02T12: latest for merged 'a' is b's old row
+        got = store.get("f", ["a"], dt.datetime(2024, 1, 2, 12)).collect()
+        assert len(got) == 1 and got[0]["x"] == 2.0
