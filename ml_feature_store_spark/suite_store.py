@@ -1525,6 +1525,64 @@ def q_sd8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd10_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-driven INCREMENTAL processing across engine restarts —
+    the property that makes a streaming pipeline a cheap daily backfill:
+    run 1 (availableNow) drains the files present at start and commits
+    the file list to the checkpoint; new files land AFTER termination;
+    run 2 with the SAME checkpoint + sink processes ONLY the new files.
+    If the checkpoint were ignored, run 2 would re-ingest run 1's input
+    and every count/sum below would double — so the oracle's clean
+    source-side split (run1 = ts < mid, run2 = ts >= mid) pins both
+    exactly-once across restarts AND the batch-proportional backfill
+    cost (at 100 TB, the nightly increment is priced at O(new files),
+    never O(history) — SCALE-100TB streaming lane)."""
+    from .streaming.ingest import stream_events
+
+    d = _scratch_dir("sd10_feed", sf_dir)
+    ck = _scratch_dir("sd10_ckpt", sf_dir)
+    sink = _scratch_dir("sd10_sink", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+
+    def run_once() -> None:
+        q = (
+            stream_events(spark, d)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    _write_ordered_feed(d, ev.filter(F.col("ts") < mid))
+    run_once()
+    run1_rows = spark.read.parquet(sink).count()  # bounded scalar
+    # the increment lands after run 1 terminated (fresh mtime = now)
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
+    run_once()
+    total = spark.read.parquet(sink)
+    run2_new = total.count() - run1_rows
+    return (
+        total.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("run1_rows", F.lit(run1_rows).cast("long"))
+        .withColumn("run2_new_rows", F.lit(run2_new).cast("long"))
+    )
+
+
 def q_sd9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch streaming upsert into the feature store
     (streaming/ingest.py streaming_register, mode='snapshot' — the
@@ -1576,6 +1634,7 @@ QUERIES = {
     'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
     'sd8_stream_static_enrich': q_sd8_stream_static_enrich,
     'sd9_foreach_batch_upsert': q_sd9_foreach_batch_upsert,
+    'sd10_incremental_backfill': q_sd10_incremental_backfill,
     'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
@@ -2298,6 +2357,22 @@ ORACLE_SQL["sd8_stream_static_enrich"] = f"""
                AS sum_cents
     FROM ({_EV}) e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment, e.event_type
+"""
+
+# sd10: exactly-once across restarts — a checkpoint-ignoring rerun would
+# double every aggregate; the run splits replay as the clean ts partition.
+ORACLE_SQL["sd10_incremental_backfill"] = f"""
+    WITH e AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+            WHERE ts < TIMESTAMP '2024-01-16') AS run1_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+            WHERE ts >= TIMESTAMP '2024-01-16') AS run2_new_rows
+    FROM e GROUP BY event_type
 """
 
 # sd9: the stream's two-batch fold must equal the batch engine's
