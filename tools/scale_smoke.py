@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "f29_training_freshness",  # as-of age profile over 8x events
     "lab1_majority_vote",  # one user-keyed window shuffle over 8x events
     "f30_entity_merge",  # broadcast alias rewrite + copy-on-write version, 8x events
+    "sd10_incremental_backfill",  # two availableNow runs, checkpoint-priced increment
 ]
 KEY_OFFSET = 100_000_000
 
