@@ -606,16 +606,20 @@ def main() -> None:
         "",
         "Round-6 bench regression audit (BENCH_DETAIL vs the round-5 detail",
         "at commit c5b0358, 237 common queries, min-of-2 both sides): ZERO",
-        "queries regressed >2x in either closing refresh; common-query",
-        "total 221.3-236.7 s across the two refreshes vs 233.2 s in r5",
-        "(median per-query ratio 0.94 / 1.01 — host drift band; no plan",
-        "changes to the common set beyond the ADVICE hardening). The round-5",
+        "queries regressed >2x in the final refresh; common-query totals",
+        "ranged 221.3-260.9 s across four closing refreshes vs 233.2 s in",
+        "r5 (median per-query ratio 0.94-1.10 — a wide host-drift band this",
+        "session; no plan changes to the common set beyond the ADVICE",
+        "hardening). The one cell that crossed 2x in ONE loaded refresh,",
+        "f7_asof_join_grid (0.70 -> 1.45 s under load avg 3.4), re-measures",
+        "at 1.0 s min-of-3 in isolation — the io14-class churn pattern, not",
+        "a plan change (the query is untouched since round 1). The round-5",
         "g4_kcore creep (5.6 -> 7.1 s) re-measures at 6.2 s in this pass and",
         "4.4-5.1 s warm in isolation — host load during the round-5 closing",
         "refresh (the judge's concurrent verification runs), not a plan",
         "change; the bounded-round lane is byte-identical since round 4 and",
         "the until_converged lane now unpersists prior rounds' checkpoints",
-        "(ADVICE fix). The suite grew to 250 timed queries (+10): io14's",
+        "(ADVICE fix). The suite grew to 253 queries / 252 timed (+13): io14's",
         "pushdown conf fix, f26 snapshot manifests + f27 LEFT multi-view +",
         "sd8 stream-static enrich (early round 6), then f28 online/offline",
         "consistency audit, t17 URL canonicalization dedup, sd9 foreachBatch",
@@ -626,8 +630,11 @@ def main() -> None:
         "DuckDB twin needed MATERIALIZED CTE hints for the same reason —",
         "default CTE inlining re-evaluated the matchup build exponentially,",
         "79 s -> 0.07 s), q29 GROUP/ORDER BY ALL, f29 training-set",
-        "freshness profile, lab1 majority-vote label aggregation. All land",
-        "at 0.3-5.3 s with green oracle rows and 8x scale rows at 0.8-1.5x.",
+        "freshness profile, lab1 majority-vote label aggregation, f30 store",
+        "entity merge (new store.merge_entities, copy-on-write with",
+        "preserved row-id tie-breaks), sd10 incremental backfill (run 2",
+        "processes only post-restart files). All land at 0.3-5.3 s with",
+        "green oracle rows and 8x scale rows at 0.8-1.5x.",
         "",
     ]
     for name, note in COMMENT.items():
