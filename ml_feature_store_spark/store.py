@@ -451,13 +451,15 @@ class FeatureStore:
         size when the mapping fits the broadcast threshold (ER alias
         maps are entity-scale, not event-scale); beyond that AQE plans
         the ordinary shuffle join on the entity key. History is read and
-        written exactly once."""
+        written exactly once. Like ``upsert``/``expire_features`` (and
+        unlike ``erase_entities``), the materialized online view is NOT
+        rewritten — re-run ``materialize_online`` to refresh serving."""
         self._require_table(name)
-        cols = set(mapping.columns)
-        if not {"alias_id", "canonical_id"} <= cols:
+        mcols = set(mapping.columns)
+        if not {"alias_id", "canonical_id"} <= mcols:
             raise FeatureValidationError(
                 f"merge_entities('{name}'): mapping needs alias_id and "
-                f"canonical_id columns, got {sorted(cols)}."
+                f"canonical_id columns, got {sorted(mcols)}."
             )
         m = mapping.select("alias_id", "canonical_id")
         if m.limit(1).count() == 0:
