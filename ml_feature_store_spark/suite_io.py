@@ -561,6 +561,63 @@ def q_io18_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_io19_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket PRUNING — the hash-layout sibling of io5's partition
+    pruning: with events bucketed by user_id, an equality predicate on
+    the bucketing column lets the scan select ONE bucket's files
+    (``SelectedBucketsCount: 1 out of 8`` in the executed plan, gated in
+    tests/test_plans.py) instead of reading the table — the serving-read
+    layout for entity-keyed tables where date partitioning doesn't help.
+    b1 witnesses the JOIN side of bucketing (zero-exchange zipper);
+    this witnesses the SCAN side (point reads priced at 1/N of the
+    files at any table size). The oracle replays the filter over the
+    raw events, so the pruned read must still see every matching row —
+    a bucket-assignment drift (wrong hash, wrong modulus) loses rows
+    and breaks the hash.
+
+    Conf note (the io14 lesson, set at query time so the driver's
+    vanilla session behaves like the builder's): Spark's
+    DisableUnnecessaryBucketedScan rule turns OFF the bucketed read when
+    no downstream operator needs the distribution — which also forfeits
+    bucket pruning ('Bucketed: false (disabled by query planner)' and a
+    full-table scan). autoBucketedScan=false keeps the bucketed layout
+    active so the pruning fires; a real deployment sets this on
+    point-read serving sessions."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tbl = "io19_events_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    (
+        ev.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    t = spark.table(tbl)
+    return (
+        t.filter(F.col("user_id") == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+    )
+
+
 QUERIES = {
     'io1_csv_roundtrip': q_io1_csv_roundtrip,
     'io2_json_roundtrip': q_io2_json_roundtrip,
@@ -578,6 +635,7 @@ QUERIES = {
     'io16_dynamic_overwrite': q_io16_dynamic_overwrite,
     'io17_csv_multiline': q_io17_csv_multiline,
     'io18_python_datasource_writer': q_io18_python_datasource_writer,
+    'io19_bucket_pruning': q_io19_bucket_pruning,
 }
 
 ORACLE_SQL: dict[str, str] = {}
@@ -754,3 +812,18 @@ ORACLE_SQL["io18_python_datasource_writer"] = """
     FROM o GROUP BY o_orderstatus
 """
 
+
+# io19: the pruned bucketed read must see every matching row — the oracle
+# filters the raw events, so hash/modulus drift in bucket assignment
+# (rows landing in unselected buckets) breaks the hash.
+ORACLE_SQL["io19_bucket_pruning"] = f"""
+    WITH e AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM e WHERE user_id = 7
+    GROUP BY event_type
+"""

@@ -503,6 +503,13 @@ class TestDeclaredLayoutQueries:
         assert m, plan[:2000]
         assert not re.search(r"PushedFilters: \[[^\]]*purchase", plan)
 
+    def test_io19_equality_predicate_prunes_buckets(self, spark):
+        """io19's user_id=7 predicate must select ONE bucket's files at
+        the scan (bucket pruning), not read the table and filter rows."""
+        df = QUERIES["io19_bucket_pruning"](spark, SF)
+        plan = executed_plan(df)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
+
     def test_f14_multi_view_no_row_explosion(self, spark):
         """Both feature views ride the union as-of strategy (no join for
         the as-of itself); the only joins are the equi stitch on the
