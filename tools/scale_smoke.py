@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "lab1_majority_vote",  # one user-keyed window shuffle over 8x events
     "f30_entity_merge",  # broadcast alias rewrite + copy-on-write version, 8x events
     "sd10_incremental_backfill",  # two availableNow runs, checkpoint-priced increment
+    "io19_bucket_pruning",  # bucketed write + 1-of-8 pruned point read, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
