@@ -619,7 +619,7 @@ def main() -> None:
         "refresh (the judge's concurrent verification runs), not a plan",
         "change; the bounded-round lane is byte-identical since round 4 and",
         "the until_converged lane now unpersists prior rounds' checkpoints",
-        "(ADVICE fix). The suite grew to 253 queries / 252 timed (+13): io14's",
+        "(ADVICE fix). The suite grew to 254 queries / 253 timed (+14): io14's",
         "pushdown conf fix, f26 snapshot manifests + f27 LEFT multi-view +",
         "sd8 stream-static enrich (early round 6), then f28 online/offline",
         "consistency audit, t17 URL canonicalization dedup, sd9 foreachBatch",
@@ -633,7 +633,11 @@ def main() -> None:
         "freshness profile, lab1 majority-vote label aggregation, f30 store",
         "entity merge (new store.merge_entities, copy-on-write with",
         "preserved row-id tie-breaks), sd10 incremental backfill (run 2",
-        "processes only post-restart files). All land at 0.3-5.3 s with",
+        "processes only post-restart files), io19 bucket pruning",
+        "(plan-gated SelectedBucketsCount 1-of-8; needs",
+        "autoBucketedScan=false at query time — DisableUnnecessaryBucketedScan",
+        "otherwise de-buckets scan-only plans and forfeits the pruning).",
+        "All land at 0.3-5.3 s with",
         "green oracle rows and 8x scale rows at 0.8-1.5x.",
         "",
     ]
