@@ -1001,6 +1001,45 @@ class FeatureStore:
         df = self._backend.read_version(name, version)
         return df.drop(*HIDDEN_COLS)
 
+    def get_version_asof(self, name: str, timestamp: Any) -> DataFrame:
+        """Timestamp time travel — ``get_version``'s wall-clock sibling
+        (Delta's ``timestampAsOf`` next to ``versionAsOf``): read the
+        table as it existed at publication time ``timestamp``, i.e. the
+        latest retained version whose ``created_at`` <= the asked time.
+        The reproducibility question it answers is "what did the table
+        look like when that model trained last Tuesday?" without knowing
+        version numbers; for multi-table pins use snapshot manifests.
+
+        ``timestamp`` is a datetime (naive = UTC) or ISO-8601 string.
+        Raises if every retained version is newer than the asked time —
+        including when retention pruned the history past it; pruning
+        makes old wall-clock reads unanswerable, which is surfaced, not
+        silently rounded up. Resolution is metadata-only (the version
+        records already carry UTC ``created_at``); the read is an
+        ordinary version scan."""
+        self._require_table(name)
+        if isinstance(timestamp, str):
+            cutoff_dt = datetime.fromisoformat(timestamp)
+        else:
+            cutoff_dt = self._normalize_timestamp(timestamp)
+        if cutoff_dt.tzinfo is None:
+            cutoff_dt = cutoff_dt.replace(tzinfo=timezone.utc)
+        cutoff = cutoff_dt.astimezone(timezone.utc).isoformat()
+        meta = self._backend.meta(name)
+        candidates = [
+            (rec.created_at, v)
+            for v, rec in meta.versions.items()
+            if rec.created_at <= cutoff
+        ]
+        if not candidates:
+            earliest = min(rec.created_at for rec in meta.versions.values())
+            raise FeatureTableNotFoundError(
+                f"No version of '{name}' existed at {cutoff} (earliest "
+                f"retained version was created {earliest}; older history "
+                f"may have been retention-pruned)."
+            )
+        return self.get_version(name, max(candidates)[1])
+
     def diff_versions(self, name: str, old_version: int, new_version: int) -> DataFrame:
         """Change-data capture between two table versions: one row per
         (entity_id, timestamp) key whose row set differs, tagged

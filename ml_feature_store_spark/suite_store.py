@@ -857,6 +857,45 @@ def q_f30_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f31_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (store.py get_version_asof — Delta's
+    timestampAsOf next to f8's version-number travel): resolve "the
+    table as it existed at wall-clock T" from the version records'
+    created_at metadata. The witness registers v1, captures a wall-clock
+    point, then CORRUPTS current with a 1-row v2 — the as-of read at the
+    captured point must resolve v1 bit-for-bit (the oracle replays v1's
+    aggregates from raw events), while the as-of read at 'now' sees the
+    1-row v2 (pinned as a broadcast scalar). Resolution is
+    metadata-only; the read is an ordinary version scan — same plan
+    shape as f8."""
+    from datetime import datetime, timezone
+
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).drop("value")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f31", sf_dir))
+    fs.register("ev", feats)
+    t_mid = datetime.now(timezone.utc)
+    fs.register("ev", feats.limit(1))
+    asof = fs.get_version_asof("ev", t_mid)
+    latest_rows = (
+        fs.get_version_asof("ev", datetime.now(timezone.utc))
+        .agg(F.count("*").cast("long").alias("latest_rows"))
+    )
+    return (
+        asof.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+            F.min(_US("timestamp")).cast("long").alias("min_ts_us"),
+            F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
+        )
+        .crossJoin(F.broadcast(latest_rows))
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1661,6 +1700,7 @@ QUERIES = {
     'f28_online_offline_consistency': q_f28_online_offline_consistency,
     'f29_training_freshness': q_f29_training_freshness,
     'f30_entity_merge': q_f30_entity_merge,
+    'f31_timestamp_travel': q_f31_timestamp_travel,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2089,6 +2129,20 @@ ORACLE_SQL["f27_multi_view_left"] = f"""
            CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
     GROUP BY ev.user_id % 16
+"""
+
+# f31: the as-of read at the captured wall-clock point must be v1 verbatim
+# (raw-events replay); the corrupted 1-row v2 is pinned via latest_rows.
+ORACLE_SQL["f31_timestamp_travel"] = f"""
+    WITH feats AS ({_FEATS_CENTS})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(1 AS BIGINT) AS latest_rows
+    FROM feats
+    GROUP BY event_type
 """
 
 # f30: the merge rewrite replays as a CASE over user parity; buckets key on

@@ -903,3 +903,35 @@ class TestMergeEntities:
         store.merge_entities("f", self._map(spark, [("user_b", "user_a")]))
         got = store.get("f", ["user_a"], ts("2024-01-11")).collect()
         assert len(got) == 1 and got[0]["x"] == 1.0
+
+
+class TestTimestampTimeTravel:
+    def test_asof_resolves_latest_version_at_time(self, store, feature_df, spark):
+        import datetime as dt
+
+        store.register("f", feature_df)
+        t_mid = dt.datetime.now(dt.timezone.utc)
+        store.register("f", feature_df.limit(1))  # v2, after t_mid
+        v_at_mid = store.get_version_asof("f", t_mid)
+        assert v_at_mid.count() == 5  # v1 content
+        v_now = store.get_version_asof("f", dt.datetime.now(dt.timezone.utc))
+        assert v_now.count() == 1  # v2 content
+        # ISO-string input resolves the same
+        assert store.get_version_asof("f", t_mid.isoformat()).count() == 5
+
+    def test_asof_before_first_version_raises(self, store, feature_df):
+        import datetime as dt
+
+        store.register("f", feature_df)
+        with pytest.raises(FeatureTableNotFoundError, match="No version"):
+            store.get_version_asof("f", dt.datetime(2000, 1, 1))
+
+    def test_asof_naive_datetime_is_utc(self, store, feature_df):
+        import datetime as dt
+
+        store.register("f", feature_df)
+        # a naive 'now' read as UTC must see v1 (created moments ago)
+        got = store.get_version_asof(
+            "f", dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        )
+        assert got.count() == 5
