@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "f30_entity_merge",  # broadcast alias rewrite + copy-on-write version, 8x events
     "sd10_incremental_backfill",  # two availableNow runs, checkpoint-priced increment
     "io19_bucket_pruning",  # bucketed write + 1-of-8 pruned point read, 8x events
+    "f31_timestamp_travel",  # wall-clock version resolution, metadata-only
 ]
 KEY_OFFSET = 100_000_000
 
