@@ -619,7 +619,7 @@ def main() -> None:
         "refresh (the judge's concurrent verification runs), not a plan",
         "change; the bounded-round lane is byte-identical since round 4 and",
         "the until_converged lane now unpersists prior rounds' checkpoints",
-        "(ADVICE fix). The suite grew to 254 queries / 253 timed (+14): io14's",
+        "(ADVICE fix). The suite grew to 255 queries / 254 timed (+15): io14's",
         "pushdown conf fix, f26 snapshot manifests + f27 LEFT multi-view +",
         "sd8 stream-static enrich (early round 6), then f28 online/offline",
         "consistency audit, t17 URL canonicalization dedup, sd9 foreachBatch",
@@ -636,7 +636,9 @@ def main() -> None:
         "processes only post-restart files), io19 bucket pruning",
         "(plan-gated SelectedBucketsCount 1-of-8; needs",
         "autoBucketedScan=false at query time — DisableUnnecessaryBucketedScan",
-        "otherwise de-buckets scan-only plans and forfeits the pruning).",
+        "otherwise de-buckets scan-only plans and forfeits the pruning),",
+        "f31 timestamp time travel (new store.get_version_asof —",
+        "metadata-only wall-clock version resolution).",
         "All land at 0.3-5.3 s with",
         "green oracle rows and 8x scale rows at 0.8-1.5x.",
         "",
