@@ -198,6 +198,11 @@ def main() -> None:
         'input partition before the exchange — in-degree skew never concentrates',
         'rows on a task (the broadcast-ranks join side is skew-free by',
         'construction: it ships the rank vector, not edges).',
+        '',
+        # Hand-measured probe sections (t13 boilerplate, round-6 hot-key
+        # coverage notes) live in tools/skew_notes.md — the single source,
+        # so full regeneration keeps them (the SCALE.md lesson).
+        (Path(__file__).parent / "skew_notes.md").read_text().rstrip(),
     ]
     Path("SKEW.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
