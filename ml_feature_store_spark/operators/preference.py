@@ -48,10 +48,16 @@ def bradley_terry(
     Returns ``(item, strength, wins, n_matches)`` — ``strength`` in
     ``scale``-units after ``iterations`` rounds.
 
-    Overflow contract (all int64): requires ``max(n_ij) * precision`` and
-    ``sum(n) * scale`` below 2^62 — one bounded 2-scalar aggregate checks
-    this up front (same budget class as pagerank's ``n_nodes * scale``
-    guard) and raises instead of silently wrapping.
+    Overflow contract (all int64): requires ``max(n_ij) * precision``,
+    ``sum(n) * scale``, and ``8 * n_items^2 * scale^2`` below 2^62 (plus
+    ``n_items <= precision/scale``) — one bounded 3-scalar aggregate
+    checks this up front (same budget class as pagerank's
+    ``n_nodes * scale`` guard) and raises instead of silently wrapping.
+    The ``n_items^2`` term bounds the normalizer's intermediate product
+    ``s_raw * n_items * scale``: normalized strengths never exceed
+    ``n_items * scale`` (each ``s_raw <= tot_raw``), which caps the
+    next round's ``s_raw`` at ``~4 * n_items * scale`` including floor
+    slop, so factor 8 leaves a 2x margin.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -65,7 +71,9 @@ def bradley_terry(
         .localCheckpoint(eager=True)  # the matrix is joined every round
     )
     bounds = directed.agg(
-        F.max("n").alias("mx"), F.sum("n").alias("tot")
+        F.max("n").alias("mx"),
+        F.sum("n").alias("tot"),
+        F.countDistinct("item").alias("cnt"),
     ).collect()[0]
     if bounds.mx is None:
         return directed.select("item").withColumn(
@@ -73,11 +81,18 @@ def bradley_terry(
         ).withColumn("wins", F.lit(None).cast("long")).withColumn(
             "n_matches", F.lit(None).cast("long")
         )
-    if bounds.mx * precision >= 2**62 or bounds.tot * scale >= 2**62:
+    if (
+        bounds.mx * precision >= 2**62
+        or bounds.tot * scale >= 2**62
+        or 8 * bounds.cnt * bounds.cnt * scale * scale >= 2**62
+        or bounds.cnt > pu
+    ):
         raise ValueError(
-            f"max(n)={bounds.mx} / sum(n)={bounds.tot} risk int64 overflow "
-            f"at precision={precision}, scale={scale}; reduce precision or "
-            "downsample comparisons"
+            f"max(n)={bounds.mx} / sum(n)={bounds.tot} / "
+            f"n_items={bounds.cnt} risk int64 overflow at "
+            f"precision={precision}, scale={scale}; reduce precision/scale "
+            "or downsample comparisons (the normalizer's intermediate "
+            "s_raw * n_items * scale grows as ~n_items^2 * scale^2)"
         )
     s = directed.select("item").distinct().withColumn(
         "s", F.lit(scale).cast("long")

@@ -466,6 +466,21 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"merge_entities('{name}'): empty mapping."
             )
+        # NULLs would not fail loudly downstream: a NULL alias never joins
+        # and a NULL canonical coalesces back to the original id, so a
+        # malformed row would be silently ignored — reject like the other
+        # guardrails instead (bounded on the mapping dim).
+        if (
+            m.filter(
+                F.col("alias_id").isNull() | F.col("canonical_id").isNull()
+            )
+            .limit(1)
+            .count()
+        ):
+            raise FeatureValidationError(
+                f"merge_entities('{name}'): mapping contains NULL "
+                f"alias_id/canonical_id rows — drop or fix them first."
+            )
         if (
             m.groupBy("alias_id").count().filter(F.col("count") > 1).limit(1).count()
         ):
@@ -701,11 +716,17 @@ class FeatureStore:
             if t == name
         }
         versions = self._backend.versions(name)
-        excess = len(versions) - self.max_versions
-        for v in versions[:-1]:  # never consider the current version
+        # pins are EXEMPT from the retention count: the budget bounds the
+        # number of retained *unpinned* versions, so pinning an old version
+        # never causes a newer unpinned version to be pruned early (the
+        # most-recent-N unpinned window get_version users expect survives
+        # intact).
+        unpinned = [v for v in versions if v not in pinned]
+        excess = len(unpinned) - self.max_versions
+        for v in unpinned:
             if excess <= 0:
                 break
-            if v in pinned:
+            if v == versions[-1]:  # never consider the current version
                 continue
             self._backend.drop_version(name, v)
             excess -= 1
@@ -891,11 +912,21 @@ class FeatureStore:
         for name in table_list:
             self._require_table(name)
             pins.append((name, self._backend.meta(name).version))
-        n = 1 + max(
-            (int(s.rsplit("-", 1)[1]) for s in self._snapshots
-             if s.startswith("snap-")),
-            default=0,
+        # ids come from a persisted monotonic counter, NOT max(existing)+1:
+        # after drop_snapshot of the newest manifest, max+1 would REUSE its
+        # id, and an external consumer holding the old 'snap-N' string
+        # would silently resolve to a different pin — the exact
+        # misresolution manifests exist to prevent. The max() clamp guards
+        # legacy files written before the counter existed.
+        n = max(
+            self._snapshot_seq,
+            1 + max(
+                (int(s.rsplit("-", 1)[1]) for s in self._snapshots
+                 if s.startswith("snap-")),
+                default=0,
+            ),
         )
+        self._snapshot_seq = n + 1
         manifest = SnapshotManifest(
             snapshot_id=f"snap-{n}",
             created_at=datetime.now(timezone.utc).isoformat(),
@@ -945,12 +976,19 @@ class FeatureStore:
         return self._backend.read_version(name, version)
 
     def _load_snapshots(self) -> dict[str, SnapshotManifest]:
+        self._snapshot_seq = 1
         path = self._snapshots_path()
         if path is None or not path.exists():
             return {}
         import json
 
         raw = json.loads(path.read_text())
+        # current format: {"next_id": N, "manifests": {...}}; legacy files
+        # (pre-counter) are a flat {sid: manifest} map — next_id then falls
+        # back to max(existing)+1 via the clamp in snapshot().
+        if "manifests" in raw and isinstance(raw.get("manifests"), dict):
+            self._snapshot_seq = int(raw.get("next_id", 1))
+            raw = raw["manifests"]
         return {
             sid: SnapshotManifest(
                 snapshot_id=sid,
@@ -968,8 +1006,16 @@ class FeatureStore:
         import json
 
         path.write_text(
-            json.dumps({sid: m.as_dict() for sid, m in self._snapshots.items()},
-                       indent=2)
+            json.dumps(
+                {
+                    "next_id": self._snapshot_seq,
+                    "manifests": {
+                        sid: m.as_dict()
+                        for sid, m in self._snapshots.items()
+                    },
+                },
+                indent=2,
+            )
         )
 
     def _snapshots_path(self):

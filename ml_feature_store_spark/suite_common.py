@@ -26,12 +26,55 @@ from .operators.pit import (  # noqa: F401
 
 def ensure_conf(spark: SparkSession) -> None:
     """Runtime-settable conf the suite depends on — the driver builds its own
-    SparkSession, so we cannot rely on session.py's builder config."""
+    SparkSession, so we cannot rely on session.py's builder config. These
+    mirror session.py's builder values and form the suite's SESSION
+    CONTRACT: set identically before every query, so plans can never depend
+    on suite order. Confs that deliberately DIVERGE from this contract for
+    one query (io19's autoBucketedScan) must be query-scoped via
+    ``session_conf`` instead."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Naive parquet timestamps -> session-tz TIMESTAMP (UTC), never NTZ.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Python Data Source API pushdown (session.py:47): consulted at
+    # EXECUTION time in the Python planning worker, so it cannot be
+    # query-scoped-and-restored around io14 — it is part of the uniform
+    # contract instead (it only affects Python data sources).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def session_conf(spark: SparkSession, confs: dict):
+    """Query-scoped session confs: set for the duration of the block, then
+    restore the prior values, so suite order can never change a LATER
+    query's plan (round-6 advice — io14/io19 used to leak their confs into
+    the shared driver session).
+
+    Spark plans lazily at action time — AFTER the query function returns —
+    so any plan that depends on one of these confs must be pinned INSIDE
+    the block with :func:`pin_plan` before the restore runs."""
+    prior = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+
+
+def pin_plan(df: DataFrame) -> DataFrame:
+    """Force analysis + physical planning NOW, under the session confs
+    currently in effect. ``QueryExecution`` caches its plans (lazy vals on
+    the Dataset's one QE object), so a later action — or a plan-gate test
+    reading ``executedPlan`` — replays THIS plan even after a
+    ``session_conf`` block has restored the conf."""
+    df._jdf.queryExecution().executedPlan()
+    return df
 
 
 def _scratch_path(name: str, sf_dir: str) -> str:
@@ -829,6 +872,8 @@ __all__ = [
     '_BM25_K1',
     '_BM25_B',
     'ensure_conf',
+    'session_conf',
+    'pin_plan',
     '_scratch_path',
     '_scratch_dir',
     '_write_ordered_feed',

@@ -367,10 +367,12 @@ def q_io14_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pyds import SyntheticFeedDataSource
 
     # Runtime-settable SQL conf: the reader implements pushFilters(), and
-    # Spark 4 refuses to plan such a source unless the pushdown conf is on.
-    # The builder session enables it (session.py:47); a vanilla session
-    # (the correctness driver's) does not, so set it here explicitly.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Spark 4 refuses to EXECUTE such a source unless the pushdown conf is
+    # on — checked in the Python planning worker at action time, after
+    # this function returns, so it cannot be query-scoped-and-restored.
+    # It lives in the suite's uniform session contract instead
+    # (ensure_conf — set identically before every query, order-free).
+    ensure_conf(spark)
     spark.dataSource.register(SyntheticFeedDataSource)
     df = (
         spark.read.format("synthetic_feed")
@@ -575,20 +577,18 @@ def q_io19_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucket-assignment drift (wrong hash, wrong modulus) loses rows
     and breaks the hash.
 
-    Conf note (the io14 lesson, set at query time so the driver's
-    vanilla session behaves like the builder's): Spark's
-    DisableUnnecessaryBucketedScan rule turns OFF the bucketed read when
-    no downstream operator needs the distribution — which also forfeits
-    bucket pruning ('Bucketed: false (disabled by query planner)' and a
-    full-table scan). autoBucketedScan=false keeps the bucketed layout
-    active so the pruning fires; a real deployment sets this on
-    point-read serving sessions."""
+    Conf note (the io14 lesson, set QUERY-SCOPED so the driver's vanilla
+    session behaves like the builder's without leaking to later queries):
+    Spark's DisableUnnecessaryBucketedScan rule turns OFF the bucketed
+    read when no downstream operator needs the distribution — which also
+    forfeits bucket pruning ('Bucketed: false (disabled by query
+    planner)' and a full-table scan). autoBucketedScan=false keeps the
+    bucketed layout active so the pruning fires; a real deployment sets
+    this on point-read serving sessions. The physical plan is pinned
+    inside the conf scope (pin_plan) so the restore can't unplan it."""
     import shutil
     from urllib.parse import urlparse
 
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -603,19 +603,23 @@ def q_io19_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .saveAsTable(tbl)
     )
-    t = spark.table(tbl)
-    return (
-        t.filter(F.col("user_id") == 7)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-            ).alias("sum_cents"),
-            F.min("event_id").cast("long").alias("min_event_id"),
-            F.max("event_id").cast("long").alias("max_event_id"),
+    with session_conf(
+        spark,
+        {"spark.sql.sources.bucketing.autoBucketedScan.enabled": "false"},
+    ):
+        t = spark.table(tbl)
+        return pin_plan(
+            t.filter(F.col("user_id") == 7)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_cents"),
+                F.min("event_id").cast("long").alias("min_event_id"),
+                F.max("event_id").cast("long").alias("max_event_id"),
+            )
         )
-    )
 
 
 QUERIES = {

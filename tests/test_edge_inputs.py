@@ -595,6 +595,20 @@ class TestRound6EdgeInputs:
         with pytest.raises(ValueError, match="overflow"):
             bradley_terry(m, iterations=1)
 
+    def test_bradley_terry_item_count_guard(self, spark):
+        """The normalizer intermediate s_raw * n_items * scale grows as
+        ~n_items^2 * scale^2; past ~759 items at scale=1e6 it could wrap
+        int64 where the DuckDB twin would error — the guard must raise
+        up front instead (ADVICE r6)."""
+        from ml_feature_store_spark.operators.preference import bradley_terry
+
+        m = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", 4, 2) for i in range(500)],
+            ["a", "b", "n", "w"],
+        )  # 1000 distinct items > the ~759-item bound at scale=1e6
+        with pytest.raises(ValueError, match="n_items"):
+            bradley_terry(m, iterations=1)
+
     # -- t17-class canonicalizer: degenerate query strings --------------------
     def test_url_canonicalize_all_params_tracking(self, spark):
         """Every param filtered out: the canonical form must have NO '?'

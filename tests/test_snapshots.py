@@ -178,6 +178,50 @@ class TestSnapshotManifest:
         m2 = fs2.snapshot(["t"])
         assert m2.snapshot_id != m.snapshot_id
 
+    def test_snapshot_ids_never_reused_after_drop(self, spark, tmp_path):
+        """Ids come from a persisted monotonic counter: dropping the NEWEST
+        manifest must not recycle its id for the next snapshot — an
+        external consumer holding the old 'snap-N' string would silently
+        resolve to a different pin (ADVICE r6)."""
+        p = str(tmp_path / "store")
+        fs = FeatureStore(spark, storage_path=p)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1.0)], ["entity_id", "timestamp", "v"]
+        )
+        fs.register("t", df)
+        m1 = fs.snapshot(["t"])
+        m2 = fs.snapshot(["t"])
+        assert fs.drop_snapshot(m2.snapshot_id)
+        m3 = fs.snapshot(["t"])
+        assert m3.snapshot_id not in (m1.snapshot_id, m2.snapshot_id)
+        # ... and the counter survives a store reload
+        assert fs.drop_snapshot(m3.snapshot_id)
+        fs2 = FeatureStore(spark, storage_path=p)
+        m4 = fs2.snapshot(["t"])
+        assert m4.snapshot_id not in (
+            m1.snapshot_id, m2.snapshot_id, m3.snapshot_id
+        )
+
+    def test_pins_exempt_from_retention_count(self, spark):
+        """max_versions bounds the number of retained UNPINNED versions:
+        pinning old versions must never cause a NEWER unpinned version to
+        be pruned early (ADVICE r6 — the recent-history window
+        get_version users expect stays intact)."""
+        fs = FeatureStore(spark, max_versions=3)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1.0)], ["entity_id", "timestamp", "v"]
+        )
+        fs.register("t", df)  # v1
+        fs.snapshot(["t"])  # pins v1
+        fs.register("t", df)  # v2
+        fs.snapshot(["t"])  # pins v2
+        for _ in range(3):
+            fs.register("t", df)  # v3, v4, v5
+        # unpinned = [3,4,5] == budget 3: nothing pruned; pins retained too
+        assert fs._backend.versions("t") == [1, 2, 3, 4, 5]
+        fs.register("t", df)  # v6 -> unpinned [3,4,5,6]: prune v3 only
+        assert fs._backend.versions("t") == [1, 2, 4, 5, 6]
+
 
 class TestMultiViewLeft:
     def test_left_keeps_unmatched_spine_rows(self, spark, two_view_store):

@@ -889,6 +889,18 @@ class TestMergeEntities:
             )
         with pytest.raises(FeatureValidationError, match="alias_id"):
             store.merge_entities("f", feature_df)
+        # NULLs would be silently ignored downstream (a NULL alias never
+        # joins; a NULL canonical coalesces back) — must raise instead
+        null_schema = "alias_id string, canonical_id string"
+        with pytest.raises(FeatureValidationError, match="NULL"):
+            store.merge_entities(
+                "f",
+                spark.createDataFrame([(None, "b"), ("c", "d")], null_schema),
+            )
+        with pytest.raises(FeatureValidationError, match="NULL"):
+            store.merge_entities(
+                "f", spark.createDataFrame([("a", None)], null_schema)
+            )
 
     def test_tiebreak_preserved_across_merge(self, store, spark):
         """Two merged histories sharing an exact timestamp: the winner is
