@@ -55,7 +55,10 @@ HIDDEN_COLS = (ROW_ID_COL, DT_COL)
 @dataclass(frozen=True)
 class FeatureTableInfo:
     """Table metadata (reference store.py:30-48). ``columns`` lists the
-    feature columns (everything except entity_id/timestamp)."""
+    feature columns (everything except the entity key/timestamp).
+    ``entity_columns`` is the natural entity key — ``("entity_id",)`` for
+    classic scalar-keyed tables, the registered ``entity_cols`` tuple for
+    composite-key tables (user x merchant etc.)."""
 
     name: str
     columns: tuple[str, ...]
@@ -63,6 +66,7 @@ class FeatureTableInfo:
     row_count: int
     registered_at: str
     updated_at: str
+    entity_columns: tuple[str, ...] = (ENTITY_COL,)
 
 
 @dataclass(frozen=True)
@@ -175,6 +179,9 @@ class FeatureStore:
         feature_cols = tuple(
             c for c in rec.columns if c not in REQUIRED_COLUMNS and c not in HIDDEN_COLS
         )
+        key_cols = self._entity_key_cols(
+            self._backend.read_version(name, state.version)
+        )
         return FeatureTableInfo(
             name=state.name,
             columns=feature_cols,
@@ -182,6 +189,7 @@ class FeatureStore:
             row_count=rec.row_count,
             registered_at=state.registered_at,
             updated_at=state.updated_at,
+            entity_columns=key_cols or (ENTITY_COL,),
         )
 
     def delete(self, name: str) -> bool:
@@ -198,7 +206,13 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     # register
     # ------------------------------------------------------------------ #
-    def register(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        description: str = "",
+        entity_cols: Sequence[str] | None = None,
+    ) -> FeatureTableInfo:
         """Validate, normalize and store ``df`` as a new version of ``name``.
 
         Reference pipeline: validate -> coerce timestamp -> stable sort ->
@@ -206,7 +220,18 @@ class FeatureStore:
         ``__row_id__`` column capturing input order, which the PIT argmax
         uses as the tie-breaker (sorting a distributed dataset globally
         would be a pointless full shuffle; the argmax is order-free).
+
+        ``entity_cols`` registers a COMPOSITE entity key (user x merchant
+        etc., the Feast multi-entity view shape): ``df`` carries the
+        natural key columns instead of ``entity_id``, and every read —
+        ``get`` (tuple/dict ids), ``get_training_set`` (spine with the
+        natural columns), online view, merge — keys on the full tuple.
+        See the composite-key section below for the storage design.
         """
+        if entity_cols is not None:
+            df = self._compose_entity_key(
+                df, entity_cols, context=f"register('{name}')"
+            )
         self._validate_dataframe(df, context=f"register('{name}')")
         prepared = self._prepare_dataframe(df)
         row_count = prepared.count()
@@ -229,10 +254,19 @@ class FeatureStore:
         files are re-referenced by a union plan, not rewritten row-by-row,
         and the new batch is the only data shuffled in.
         """
-        self._validate_dataframe(df, context=f"append('{name}')")
         if not self._backend.exists(name):
+            self._validate_dataframe(df, context=f"append('{name}')")
             return self.register(name, df, description)
         current = self._current(name)
+        key_cols = self._entity_key_cols(current)
+        if key_cols:
+            df = self._compose_entity_key(
+                df, key_cols, context=f"append('{name}')"
+            ).withColumn(
+                ENTITY_COL,
+                F.col(ENTITY_COL).cast(current.schema[ENTITY_COL].dataType),
+            )
+        self._validate_dataframe(df, context=f"append('{name}')")
         visible = [c for c in current.columns if c not in HIDDEN_COLS]
         incoming = [c for c in df.columns if c not in HIDDEN_COLS]
         if set(visible) != set(incoming):
@@ -265,10 +299,19 @@ class FeatureStore:
         Plan: one union + one per-key argmax over (source priority);
         the old version's files are re-referenced, not rewritten.
         """
-        self._validate_dataframe(patch, context=f"upsert('{name}')")
         if not self._backend.exists(name):
+            self._validate_dataframe(patch, context=f"upsert('{name}')")
             return self.register(name, patch, description)
         current = self._current(name)
+        key_cols = self._entity_key_cols(current)
+        if key_cols:
+            patch = self._compose_entity_key(
+                patch, key_cols, context=f"upsert('{name}')"
+            ).withColumn(
+                ENTITY_COL,
+                F.col(ENTITY_COL).cast(current.schema[ENTITY_COL].dataType),
+            )
+        self._validate_dataframe(patch, context=f"upsert('{name}')")
         visible = [c for c in current.columns if c not in HIDDEN_COLS]
         incoming = [c for c in patch.columns if c not in HIDDEN_COLS]
         if set(visible) != set(incoming):
@@ -420,7 +463,19 @@ class FeatureStore:
             for v in self._backend.versions(target):
                 df = self._backend.read_version(target, v)
                 before = self._backend.meta(target).versions[v].row_count
-                kept = df.filter(~F.col(ENTITY_COL).isin(ids))
+                key_cols = self._entity_key_cols(df)
+                if key_cols:
+                    kept = df.join(
+                        F.broadcast(
+                            self._entity_ids_frame(
+                                key_cols, ids, df.schema[ENTITY_COL].dataType
+                            )
+                        ),
+                        ENTITY_COL,
+                        "left_anti",
+                    )
+                else:
+                    kept = df.filter(~F.col(ENTITY_COL).isin(ids))
                 after = kept.count()
                 if after != before:
                     self._backend.rewrite_version(target, v, kept, after)
@@ -508,10 +563,14 @@ class FeatureStore:
         # entity stays deterministic (ids are unique across the union of
         # the merged histories — a merge never duplicates rows)
         cols = list(current.columns)
+        # composite-key tables: alias_id/canonical_id are STRUCT columns
+        # matching the key schema (build with F.struct(...)); cast pins
+        # the join/coalesce types to the stored key type either way
+        key_type = current.schema[ENTITY_COL].dataType
         dim = F.broadcast(
             m.select(
-                F.col("alias_id").alias(ENTITY_COL),
-                F.col("canonical_id").alias("__canonical__"),
+                F.col("alias_id").cast(key_type).alias(ENTITY_COL),
+                F.col("canonical_id").cast(key_type).alias("__canonical__"),
             )
         )
         merged = (
@@ -576,10 +635,19 @@ class FeatureStore:
         if columns is not None:
             self._validate_columns(name, columns)
         df = self._backend.read_version(online, self._backend.versions(online)[-1])
+        key_cols = self._entity_key_cols(df)
         if entity_ids is not None:
-            df = entity_filter(df, entity_ids)
+            if key_cols:
+                df = entity_filter(
+                    df,
+                    self._entity_ids_frame(
+                        key_cols, entity_ids, df.schema[ENTITY_COL].dataType
+                    ),
+                )
+            else:
+                df = entity_filter(df, entity_ids)
         df = project(df, columns)
-        return df.drop(*HIDDEN_COLS)
+        return self._expand_entity_key(df.drop(*HIDDEN_COLS), key_cols)
 
     # ------------------------------------------------------------------ #
     # incremental rollup maintenance (materialized aggregate views)
@@ -750,8 +818,13 @@ class FeatureStore:
         map-side-combined argmax -> project. Both filters reach the Parquet
         scan as pushed predicates. ``manifest`` resolves the read through a
         pinned version (same contract as the training-set methods).
+
+        Composite-key tables: ``entity_ids`` is a sequence of TUPLES in
+        ``entity_cols`` order (or dicts keyed by column); the output
+        carries the natural key columns instead of ``entity_id``.
         """
         df = self._resolve(name, manifest)
+        key_cols = self._entity_key_cols(df)
         if columns is not None:
             self._validate_columns(name, columns)
         cutoff = self._normalize_timestamp(timestamp)
@@ -767,10 +840,18 @@ class FeatureStore:
                 cutoff.astimezone(timezone.utc) if cutoff.tzinfo else cutoff
             ).date()
             out = out.filter(F.col(DT_COL) <= F.lit(bound))
-        out = entity_filter(out, entity_ids)
+        if key_cols:
+            out = entity_filter(
+                out,
+                self._entity_ids_frame(
+                    key_cols, entity_ids, df.schema[ENTITY_COL].dataType
+                ),
+            )
+        else:
+            out = entity_filter(out, entity_ids)
         out = latest_per_entity(out)
         out = project(out, columns)
-        return out.drop(*HIDDEN_COLS)
+        return self._expand_entity_key(out.drop(*HIDDEN_COLS), key_cols)
 
     def get_training_set(
         self,
@@ -798,8 +879,10 @@ class FeatureStore:
         the default: backward is the only leakage-safe direction for
         training labels. ``manifest`` (a :class:`SnapshotManifest` or its
         id) resolves the feature table through a pinned version instead
-        of the current one — bit-reproducible training sets."""
-        self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
+        of the current one — bit-reproducible training sets.
+
+        Composite-key tables: the spine carries the natural key columns
+        (e.g. ``user_id, merchant_id, timestamp``); the output does too."""
         if direction not in ("backward", "nearest"):
             raise FeatureValidationError(
                 f"direction must be 'backward' or 'nearest', got {direction!r}"
@@ -807,6 +890,15 @@ class FeatureStore:
         if columns is not None:
             self._validate_columns(name, columns)
         feats = self._resolve(name, manifest).drop(DT_COL)
+        key_cols = self._entity_key_cols(feats)
+        if key_cols:
+            entity_timestamps = self._compose_entity_key(
+                entity_timestamps, key_cols, context="get_training_set(spine)"
+            ).withColumn(
+                ENTITY_COL,
+                F.col(ENTITY_COL).cast(feats.schema[ENTITY_COL].dataType),
+            )
+        self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
         if direction == "nearest":
             out = asof_join_nearest(
                 entity_timestamps,
@@ -824,7 +916,7 @@ class FeatureStore:
                 how=how,
             )
         out = project(out, columns)
-        return out.drop(*HIDDEN_COLS)
+        return self._expand_entity_key(out.drop(*HIDDEN_COLS), key_cols)
 
     def get_multi_view_training_set(
         self,
@@ -864,11 +956,29 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"how must be 'inner' or 'left', got {how!r}"
             )
+        resolved = [self._resolve(n, manifest).drop(DT_COL) for n in names]
+        keys = [self._entity_key_cols(f) for f in resolved]
+        if len(set(keys)) > 1:
+            raise FeatureValidationError(
+                "get_multi_view_training_set: every view must share the "
+                f"same entity key; got {dict(zip(names, keys))}."
+            )
+        key_cols = keys[0]
+        if key_cols:
+            entity_timestamps = self._compose_entity_key(
+                entity_timestamps,
+                key_cols,
+                context="get_multi_view_training_set(spine)",
+            ).withColumn(
+                ENTITY_COL,
+                F.col(ENTITY_COL).cast(
+                    resolved[0].schema[ENTITY_COL].dataType
+                ),
+            )
         spine = entity_timestamps.select(ENTITY_COL, TIMESTAMP_COL).distinct()
         self._validate_dataframe(spine, context="get_multi_view_training_set(spine)")
         out: DataFrame | None = None
-        for name in names:
-            feats = self._resolve(name, manifest).drop(DT_COL)
+        for name, feats in zip(names, resolved):
             view = asof_join(
                 spine, feats, strategy=strategy, keep_spine_ts=True, how=how
             )
@@ -885,7 +995,9 @@ class FeatureStore:
             out = view if out is None else out.join(
                 view, [ENTITY_COL, "as_of_timestamp"], "inner"
             )
-        return out.withColumnRenamed("as_of_timestamp", TIMESTAMP_COL)
+        return self._expand_entity_key(
+            out.withColumnRenamed("as_of_timestamp", TIMESTAMP_COL), key_cols
+        )
 
     # ------------------------------------------------------------------ #
     # cross-table snapshot manifests
@@ -1027,7 +1139,10 @@ class FeatureStore:
         query feature tables with ``spark.sql`` (catalog bridge; the
         reference has no SQL surface)."""
         vname = view_name or name
-        df = self._current(name).drop(*HIDDEN_COLS)
+        raw = self._current(name)
+        df = self._expand_entity_key(
+            raw.drop(*HIDDEN_COLS), self._entity_key_cols(raw)
+        )
         df.createOrReplaceTempView(vname)
         return vname
 
@@ -1037,6 +1152,14 @@ class FeatureStore:
 
     def get_version(self, name: str, version: int) -> DataFrame:
         """Time travel to a specific version (reference store.py:377-401)."""
+        df = self._get_version_raw(name, version)
+        return self._expand_entity_key(
+            df.drop(*HIDDEN_COLS), self._entity_key_cols(df)
+        )
+
+    def _get_version_raw(self, name: str, version: int) -> DataFrame:
+        """Validated version read with hidden columns and the (possibly
+        struct) key column intact — the internal form diff/erase work on."""
         self._require_table(name)
         available = self._backend.versions(name)
         if version not in available:
@@ -1044,8 +1167,7 @@ class FeatureStore:
                 f"Version {version} not found for table '{name}'. "
                 f"Available versions: {available}"
             )
-        df = self._backend.read_version(name, version)
-        return df.drop(*HIDDEN_COLS)
+        return self._backend.read_version(name, version)
 
     def get_version_asof(self, name: str, timestamp: Any) -> DataFrame:
         """Timestamp time travel — ``get_version``'s wall-clock sibling
@@ -1103,12 +1225,15 @@ class FeatureStore:
         On Delta-backed deployments this maps to Change Data Feed,
         which reads the change set from the commit log instead of
         recomputing it."""
-        old = self._key_grouped_hash(self.get_version(name, old_version))
-        new = self._key_grouped_hash(self.get_version(name, new_version))
+        raw_old = self._get_version_raw(name, old_version).drop(*HIDDEN_COLS)
+        raw_new = self._get_version_raw(name, new_version).drop(*HIDDEN_COLS)
+        key_cols = self._entity_key_cols(raw_old)
+        old = self._key_grouped_hash(raw_old)
+        new = self._key_grouped_hash(raw_new)
         o, n = old.alias("o"), new.alias("n")
         j = o.join(n, ["entity_id", "timestamp"], "full_outer")
         oh, nh = F.col("o._kh"), F.col("n._kh")
-        return (
+        out = (
             j.filter(oh.isNull() | nh.isNull() | (oh != nh))
             .select(
                 "entity_id",
@@ -1121,6 +1246,7 @@ class FeatureStore:
                 F.coalesce(F.col("n._kn"), F.lit(0)).alias("new_rows"),
             )
         )
+        return self._expand_entity_key(out, key_cols)
 
     @staticmethod
     def _key_grouped_hash(df: DataFrame) -> DataFrame:
@@ -1153,6 +1279,121 @@ class FeatureStore:
                 f"Feature table '{name}' not found. "
                 f"Available tables: {self.table_names}"
             )
+
+    # ------------------------------------------------------------------ #
+    # composite entity keys
+    # ------------------------------------------------------------------ #
+    # A table registered with entity_cols=["user_id","merchant_id"] stores
+    # its key as ONE struct-typed entity_id column whose fields are the
+    # key columns. Every internal operator (PIT argmax, as-of join, online
+    # snapshot, merge, upsert keys) then works untouched on struct
+    # equality — no second code path — and the key is SELF-DESCRIBING:
+    # any store instance reading the same storage rediscovers the key
+    # from the parquet schema footer (no side metadata to drift). Output
+    # frames expand the struct back to the natural columns, so users see
+    # (user_id, merchant_id, timestamp, features...), the Feast composite
+    # entity contract. Parquet stores struct fields columnar, so the
+    # layout costs nothing vs. flat columns and field predicates still
+    # push down (nested schema pruning is on by default in Spark 4).
+
+    @staticmethod
+    def _entity_key_cols(df: DataFrame) -> tuple[str, ...] | None:
+        """Natural key columns of a composite-key frame (struct-typed
+        ``entity_id``), or None for the classic scalar key."""
+        from pyspark.sql.types import StructType
+
+        dt = df.schema[ENTITY_COL].dataType
+        return tuple(dt.fieldNames()) if isinstance(dt, StructType) else None
+
+    @staticmethod
+    def _compose_entity_key(
+        df: Any, entity_cols: Sequence[str], context: str
+    ) -> DataFrame:
+        """Natural (user_id, merchant_id, ...) columns -> one struct
+        ``entity_id`` key column, validating the key spec."""
+        if not isinstance(df, DataFrame):
+            raise FeatureValidationError(
+                f"Expected a Spark DataFrame, got {type(df).__name__} ({context})"
+            )
+        cols = list(entity_cols)
+        if not cols:
+            raise FeatureValidationError(
+                f"{context}: entity_cols must be a non-empty sequence."
+            )
+        if len(set(cols)) != len(cols):
+            raise FeatureValidationError(
+                f"{context}: duplicate entity_cols {cols}."
+            )
+        if ENTITY_COL in cols or TIMESTAMP_COL in cols:
+            raise FeatureValidationError(
+                f"{context}: entity_cols cannot include the reserved "
+                f"columns '{ENTITY_COL}'/'{TIMESTAMP_COL}'."
+            )
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise FeatureValidationError(
+                f"{context}: entity_cols missing from DataFrame: {missing}. "
+                f"Available: {sorted(df.columns)}"
+            )
+        if ENTITY_COL in df.columns:
+            raise FeatureValidationError(
+                f"{context}: DataFrame already has an '{ENTITY_COL}' column; "
+                "composite keys derive it from entity_cols — drop or rename "
+                "the existing one."
+            )
+        rest = [c for c in df.columns if c not in cols]
+        return df.select(
+            F.struct(*[F.col(c) for c in cols]).alias(ENTITY_COL), *rest
+        )
+
+    @staticmethod
+    def _expand_entity_key(
+        df: DataFrame, key_cols: Sequence[str] | None
+    ) -> DataFrame:
+        """Inverse of ``_compose_entity_key`` for OUTPUT frames: replace
+        the struct key with its natural columns (no-op for scalar keys)."""
+        if not key_cols:
+            return df
+        rest = [c for c in df.columns if c != ENTITY_COL]
+        return df.select(
+            *[F.col(f"{ENTITY_COL}.{c}").alias(c) for c in key_cols], *rest
+        )
+
+    def _entity_ids_frame(
+        self, key_cols: Sequence[str], entity_ids: Sequence[Any], key_type
+    ) -> DataFrame:
+        """Requested composite keys (tuples in entity_cols order, or dicts
+        keyed by column) -> a one-column struct frame CAST to the stored
+        key type, so the semi/anti join compares equal types."""
+        rows = []
+        for t in entity_ids:
+            if isinstance(t, dict):
+                missing = [c for c in key_cols if c not in t]
+                if missing:
+                    raise FeatureValidationError(
+                        f"Composite entity id {t!r} missing key columns "
+                        f"{missing} (key is {tuple(key_cols)})."
+                    )
+                t = tuple(t[c] for c in key_cols)
+            elif isinstance(t, (tuple, list)):
+                t = tuple(t)
+            else:
+                raise FeatureValidationError(
+                    f"Composite-key table: entity ids must be tuples/dicts "
+                    f"matching {tuple(key_cols)}, got {t!r}."
+                )
+            if len(t) != len(key_cols):
+                raise FeatureValidationError(
+                    f"Composite entity id {t!r} has {len(t)} values; key "
+                    f"{tuple(key_cols)} needs {len(key_cols)}."
+                )
+            rows.append(t)
+        ids = self.spark.createDataFrame(rows, list(key_cols))
+        return ids.select(
+            F.struct(*[F.col(c) for c in key_cols])
+            .cast(key_type)
+            .alias(ENTITY_COL)
+        ).dropDuplicates()
 
     def _validate_dataframe(self, df: Any, context: str = "") -> None:
         if not isinstance(df, DataFrame):

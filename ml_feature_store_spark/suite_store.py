@@ -896,6 +896,52 @@ def q_f31_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f32_composite_key_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE entity keys end-to-end (store.py register(entity_cols=)
+    + the composite-key section): a view keyed on (user_id, event_type)
+    — the Feast multi-entity contract the reference's scalar entity_id
+    cannot express (reference src/ml_feature_store/store.py:22-24) —
+    registered from natural columns, then a training set against a
+    (key x 2-date grid) spine through the public get_training_set API.
+
+    Storage keys the history as ONE struct entity_id (struct equality
+    drives the same union-strategy as-of join and argmax as f7 — no
+    second code path), and the output expands back to natural columns.
+    The oracle replays the PIT match per (user, event_type, cutoff) with
+    rn=1 over ts DESC — deterministic because (user, type, us-ts) is
+    unique in the testdata (checked at sf0.01/sf0.1). Scale shape:
+    identical to f7 (one shuffle, no row explosion); the struct key adds
+    zero width vs. the flat columns in parquet."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register("ev_um", ev, entity_cols=["user_id", "event_type"])
+    keys = ev.select("user_id", "event_type").distinct()
+    dates = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10),), (dt.datetime(2024, 1, 20),)],
+        "timestamp timestamp",
+    )
+    spine = keys.crossJoin(dates)
+    out = fs.get_training_set("ev_um", spine)
+    return out.select(
+        "user_id",
+        "event_type",
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1701,6 +1747,7 @@ QUERIES = {
     'f29_training_freshness': q_f29_training_freshness,
     'f30_entity_merge': q_f30_entity_merge,
     'f31_timestamp_travel': q_f31_timestamp_travel,
+    'f32_composite_key_training_set': q_f32_composite_key_training_set,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2129,6 +2176,29 @@ ORACLE_SQL["f27_multi_view_left"] = f"""
            CAST(SUM(ev.event_id) AS BIGINT) AS sum_event_id
     FROM ev JOIN o ON ev.user_id = o.user_id AND ev.sts = o.sts
     GROUP BY ev.user_id % 16
+"""
+
+# f32: PIT match per (user_id, event_type, grid cutoff) — the composite
+# key replays as a two-column partition; rn=1 over ts DESC is
+# deterministic ((user, type, us-ts) unique in the testdata).
+ORACLE_SQL["f32_composite_key_training_set"] = f"""
+    WITH f AS ({_EV}),
+    g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-10'),
+                                (TIMESTAMP '2024-01-20')) AS t(sts)),
+    k AS (SELECT DISTINCT user_id, event_type FROM f),
+    spine AS (SELECT k.user_id, k.event_type, g.sts FROM k CROSS JOIN g)
+    SELECT user_id, event_type, ts_us, event_id, value FROM (
+        SELECT spine.user_id, spine.event_type,
+               epoch_us(f.ts) AS ts_us, f.event_id,
+               ROUND(f.value, 2) AS value,
+               row_number() OVER (
+                   PARTITION BY spine.user_id, spine.event_type, spine.sts
+                   ORDER BY f.ts DESC, f.event_id ASC) AS rn
+        FROM spine JOIN f
+          ON spine.user_id = f.user_id
+         AND spine.event_type = f.event_type
+         AND f.ts <= spine.sts
+    ) WHERE rn = 1
 """
 
 # f31: the as-of read at the captured wall-clock point must be v1 verbatim
