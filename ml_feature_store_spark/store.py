@@ -155,6 +155,9 @@ class FeatureStore:
         # rollup specs live in-process (spec + delta watermark); the rollup
         # STATE itself is versioned in the backend like any table
         self._rollups: dict[str, dict[str, Any]] = {}
+        # on-demand (derived) view specs — never materialized; see
+        # create_derived_view
+        self._derived: dict[str, dict[str, Any]] = {}
         # cross-table snapshot manifests: persisted beside the Parquet
         # backend (survive the process) or in-process for the memory one
         self._snapshots: dict[str, SnapshotManifest] = self._load_snapshots()
@@ -998,6 +1001,101 @@ class FeatureStore:
         return self._expand_entity_key(
             out.withColumnRenamed("as_of_timestamp", TIMESTAMP_COL), key_cols
         )
+
+    # ------------------------------------------------------------------ #
+    # on-demand (derived) feature views
+    # ------------------------------------------------------------------ #
+    def create_derived_view(
+        self,
+        name: str,
+        sources: Sequence[str],
+        exprs: dict[str, str],
+        how: str = "inner",
+    ) -> None:
+        """Register an ON-DEMAND feature view (Feast ODFV shape): a named
+        set of derived features computed from base views at training-set
+        BUILD time, never materialized. ``exprs`` maps output column ->
+        Spark SQL expression over the multi-view training-set columns
+        (``<view>__<col>`` prefixed payloads plus the entity key and
+        ``timestamp``), so the transformation stays declarative — pure
+        Catalyst codegen inside the same job as the as-of joins, no UDF,
+        and a DuckDB oracle can replay it verbatim.
+
+        The spec is store-process state (like rollup specs); the data
+        path is ``get_derived_training_set``, which resolves the base
+        views through an optional snapshot manifest — a derived view over
+        pinned versions is bit-reproducible (f26 contract)."""
+        if not sources:
+            raise FeatureValidationError(
+                f"create_derived_view('{name}'): sources must be non-empty."
+            )
+        if not exprs:
+            raise FeatureValidationError(
+                f"create_derived_view('{name}'): exprs must map at least "
+                "one output column to a SQL expression."
+            )
+        if how not in ("inner", "left"):
+            raise FeatureValidationError(
+                f"how must be 'inner' or 'left', got {how!r}"
+            )
+        for src in sources:
+            self._require_table(src)
+        reserved = {ENTITY_COL, TIMESTAMP_COL}
+        bad = sorted(set(exprs) & reserved)
+        if bad:
+            raise FeatureValidationError(
+                f"create_derived_view('{name}'): derived columns {bad} "
+                f"collide with the reserved key/timestamp columns."
+            )
+        self._derived[name] = {
+            "sources": tuple(sources),
+            "exprs": dict(exprs),
+            "how": how,
+        }
+
+    def get_derived_training_set(
+        self,
+        name: str,
+        entity_timestamps: DataFrame,
+        manifest: SnapshotManifest | str | None = None,
+        keep_base: bool = False,
+    ) -> DataFrame:
+        """Training set of a derived view: the entity key + spine
+        ``timestamp`` + the view's derived columns (``keep_base=True``
+        additionally keeps the prefixed base features). One multi-view
+        as-of build (one shuffle per source view) + a map-side
+        projection — deriving costs nothing beyond the base retrieval."""
+        spec = self._derived.get(name)
+        if spec is None:
+            raise FeatureStoreError(
+                f"Unknown derived view: '{name}'. "
+                f"Registered: {sorted(self._derived)}"
+            )
+        base = self.get_multi_view_training_set(
+            spec["sources"],
+            entity_timestamps,
+            manifest=manifest,
+            how=spec["how"],
+        )
+        key_cols = self._entity_key_cols(
+            self._resolve(spec["sources"][0], manifest)
+        ) or (ENTITY_COL,)
+        derived = [
+            F.expr(sql).alias(col) for col, sql in spec["exprs"].items()
+        ]
+        head = [*key_cols, TIMESTAMP_COL]
+        if keep_base:
+            rest = [c for c in base.columns if c not in head]
+            return base.select(*head, *derived, *rest)
+        return base.select(*head, *derived)
+
+    def list_derived_views(self) -> list[str]:
+        return sorted(self._derived)
+
+    def drop_derived_view(self, name: str) -> bool:
+        """Release a derived-view spec. Returns False if absent — never
+        raises (the ``delete`` contract)."""
+        return self._derived.pop(name, None) is not None
 
     # ------------------------------------------------------------------ #
     # cross-table snapshot manifests

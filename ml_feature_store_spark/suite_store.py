@@ -942,6 +942,61 @@ def q_f32_composite_key_training_set(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_odfv1_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-demand (derived) feature view — the Feast ODFV shape
+    (store.py create_derived_view / get_derived_training_set, round-7
+    verdict item 6): purchase-value and click-value base views from
+    events, a registered transformation (spend/click basis points,
+    spend-click delta, absolute freshness gap) evaluated at training-set
+    build time over the multi-view as-of columns. The transformation is
+    declarative Spark SQL — pure Catalyst codegen riding the SAME job as
+    the two as-of joins (zero extra shuffles, no UDF, nothing
+    materialized) — and the oracle replays the two PIT argmaxes plus the
+    identical integer expressions. Cross-engine note: the gap uses abs()
+    before integer division because Spark DIV truncates toward zero
+    while DuckDB // floors — identical only for non-negative operands.
+    All-integer outputs, so no float jitter."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register("purch", ev.filter(F.col("event_type") == "purchase").drop("event_type"))
+    fs.register("clicks", ev.filter(F.col("event_type") == "click").drop("event_type"))
+    fs.create_derived_view(
+        "odfv",
+        sources=["purch", "clicks"],
+        exprs={
+            "spend_click_bp": "purch__value_cents * 10000 DIV clicks__value_cents",
+            "spend_minus_click": "purch__value_cents - clicks__value_cents",
+            "fresh_gap_s":
+                "abs(unix_micros(purch__timestamp) "
+                "- unix_micros(clicks__timestamp)) DIV 1000000",
+        },
+    )
+    users = ev.select("entity_id").distinct()
+    spine = users.withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+    )
+    out = fs.get_derived_training_set("odfv", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("spend_click_bp").cast("long").alias("spend_click_bp"),
+        F.col("spend_minus_click").cast("long").alias("spend_minus_click"),
+        F.col("fresh_gap_s").cast("long").alias("fresh_gap_s"),
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1748,6 +1803,7 @@ QUERIES = {
     'f30_entity_merge': q_f30_entity_merge,
     'f31_timestamp_travel': q_f31_timestamp_travel,
     'f32_composite_key_training_set': q_f32_composite_key_training_set,
+    'odfv1_derived_view': q_odfv1_derived_view,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2199,6 +2255,37 @@ ORACLE_SQL["f32_composite_key_training_set"] = f"""
          AND spine.event_type = f.event_type
          AND f.ts <= spine.sts
     ) WHERE rn = 1
+"""
+
+# odfv1: two PIT argmaxes (purchase / click value as-of the grid date)
+# joined per user, then the derived expressions replayed with integer
+# semantics; // == DIV here because every operand is non-negative.
+ORACLE_SQL["odfv1_derived_view"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, ts, value_cents FROM (
+            SELECT user_id, ts, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+    c AS (SELECT user_id, ts, value_cents FROM (
+            SELECT user_id, ts, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1)
+    SELECT p.user_id,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us,
+           CAST(p.value_cents * 10000 // c.value_cents AS BIGINT)
+               AS spend_click_bp,
+           CAST(p.value_cents - c.value_cents AS BIGINT)
+               AS spend_minus_click,
+           CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+               AS fresh_gap_s
+    FROM p JOIN c ON p.user_id = c.user_id
 """
 
 # f31: the as-of read at the captured wall-clock point must be v1 verbatim

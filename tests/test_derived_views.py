@@ -1,0 +1,171 @@
+"""On-demand (derived) feature views — the Feast ODFV shape (round-7
+verdict item 6): a registered transformation over base views, evaluated
+at training-set build time, never materialized, resolving through
+snapshot manifests for reproducibility.
+
+The transformation is declarative Spark SQL over the multi-view
+training-set columns, so it rides the same Catalyst job as the as-of
+joins (no UDF) and replays on the DuckDB oracle verbatim.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ml_feature_store_spark import (
+    FeatureStore,
+    FeatureStoreError,
+    FeatureTableNotFoundError,
+    FeatureValidationError,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def store(spark):
+    fs = FeatureStore(spark)
+    clicks = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01"), 4),
+            ("u1", ts("2024-01-10"), 8),
+            ("u2", ts("2024-01-05"), 2),
+        ],
+        ["entity_id", "timestamp", "n_clicks"],
+    )
+    spend = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-02"), 100),
+            ("u2", ts("2024-01-03"), 300),
+        ],
+        ["entity_id", "timestamp", "cents"],
+    )
+    fs.register("clicks", clicks)
+    fs.register("spend", spend)
+    return fs
+
+
+def _spine(spark):
+    return spark.createDataFrame(
+        [("u1", ts("2024-01-06")), ("u2", ts("2024-01-06"))],
+        ["entity_id", "timestamp"],
+    )
+
+
+class TestDerivedViews:
+    def test_derived_columns(self, spark, store):
+        store.create_derived_view(
+            "value_profile",
+            sources=["spend", "clicks"],
+            exprs={
+                "cents_per_click": "spend__cents DIV clicks__n_clicks",
+                "is_engaged": "clicks__n_clicks >= 4",
+            },
+        )
+        out = store.get_derived_training_set("value_profile", _spine(spark))
+        assert out.columns == [
+            "entity_id", "timestamp", "cents_per_click", "is_engaged",
+        ]
+        rows = {r["entity_id"]: r for r in out.collect()}
+        # u1: spend 100 as-of 01-06, clicks 4 -> 25; u2: 300/2 -> 150
+        assert rows["u1"]["cents_per_click"] == 25
+        assert rows["u1"]["is_engaged"] is True
+        assert rows["u2"]["cents_per_click"] == 150
+        assert rows["u2"]["is_engaged"] is False
+        # spine timestamp is carried, not the matched feature ts
+        assert rows["u1"]["timestamp"] == ts("2024-01-06")
+
+    def test_keep_base(self, spark, store):
+        store.create_derived_view(
+            "v", sources=["spend"], exprs={"dollars": "spend__cents / 100.0"}
+        )
+        out = store.get_derived_training_set(
+            "v", _spine(spark), keep_base=True
+        )
+        assert "spend__cents" in out.columns and "dollars" in out.columns
+
+    def test_manifest_pins_base_views(self, spark, store):
+        """A derived view over a manifest replays IDENTICALLY after the
+        base view moves on — the f26 reproducibility contract composed
+        with ODFV."""
+        store.create_derived_view(
+            "v", sources=["spend"], exprs={"dollars": "spend__cents / 100.0"}
+        )
+        m = store.snapshot(["spend"])
+        before = sorted(
+            store.get_derived_training_set("v", _spine(spark), manifest=m)
+            .collect()
+        )
+        newer = spark.createDataFrame(
+            [("u1", ts("2024-01-04"), 900), ("u2", ts("2024-01-04"), 900)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        store.register("spend", newer)
+        pinned = sorted(
+            store.get_derived_training_set("v", _spine(spark), manifest=m)
+            .collect()
+        )
+        live = sorted(
+            store.get_derived_training_set("v", _spine(spark)).collect()
+        )
+        assert pinned == before
+        assert live != before
+
+    def test_left_how_null_padding(self, spark, store):
+        store.create_derived_view(
+            "v",
+            sources=["spend"],
+            exprs={"dollars": "spend__cents / 100.0"},
+            how="left",
+        )
+        early = spark.createDataFrame(
+            [("u1", ts("2024-01-01"))], ["entity_id", "timestamp"]
+        )  # before any spend row
+        rows = store.get_derived_training_set("v", early).collect()
+        assert len(rows) == 1 and rows[0]["dollars"] is None
+
+    def test_composite_key_sources(self, spark):
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", "m1", ts("2024-01-01"), 10)],
+            ["user_id", "merchant_id", "timestamp", "cents"],
+        )
+        fs.register("s", df, entity_cols=["user_id", "merchant_id"])
+        fs.create_derived_view(
+            "v", sources=["s"], exprs={"dollars": "s__cents / 100.0"}
+        )
+        spine = spark.createDataFrame(
+            [("u1", "m1", ts("2024-01-02"))],
+            ["user_id", "merchant_id", "timestamp"],
+        )
+        out = fs.get_derived_training_set("v", spine)
+        assert out.columns == ["user_id", "merchant_id", "timestamp", "dollars"]
+        assert float(out.collect()[0]["dollars"]) == 0.1
+
+    def test_guardrails(self, spark, store):
+        with pytest.raises(FeatureValidationError, match="non-empty"):
+            store.create_derived_view("v", sources=[], exprs={"x": "1"})
+        with pytest.raises(FeatureValidationError, match="at least"):
+            store.create_derived_view("v", sources=["spend"], exprs={})
+        with pytest.raises(FeatureTableNotFoundError):
+            store.create_derived_view("v", sources=["nope"], exprs={"x": "1"})
+        with pytest.raises(FeatureValidationError, match="reserved"):
+            store.create_derived_view(
+                "v", sources=["spend"], exprs={"timestamp": "1"}
+            )
+        with pytest.raises(FeatureValidationError, match="how"):
+            store.create_derived_view(
+                "v", sources=["spend"], exprs={"x": "1"}, how="outer"
+            )
+        with pytest.raises(FeatureStoreError, match="Unknown derived"):
+            store.get_derived_training_set("nope", _spine(spark))
+
+    def test_catalog_lifecycle(self, store):
+        store.create_derived_view("v", sources=["spend"], exprs={"x": "1"})
+        assert store.list_derived_views() == ["v"]
+        assert store.drop_derived_view("v") is True
+        assert store.drop_derived_view("v") is False
+        assert store.list_derived_views() == []
