@@ -5,6 +5,11 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and order-insensitive values. Usage:
 
     python tools/check.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+                          [--json CHECKFULL_r7.json]
+
+``--json`` writes the per-query results as a committable round artifact
+(round-6 verdict item 2: every round proves ALL queries locally, not
+just the driver window's 50).
 """
 
 from __future__ import annotations
@@ -67,7 +72,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from ml_feature_store_spark.session import get_spark
@@ -90,17 +97,24 @@ def main() -> int:
             sdf = fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": f"spark: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
             ok = len(sdf) >= 0
             print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "rows-only",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_rows_only += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = []
@@ -121,12 +135,34 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json:
+        import json
+
+        Path(args.json).write_text(
+            json.dumps(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                indent=1,
+            )
+        )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
