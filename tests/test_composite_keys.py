@@ -304,6 +304,66 @@ class TestMutationsAndServing:
         assert pinned[0]["spend"] == 20.0
 
 
+class TestCompositePitProperty:
+    """Hypothesis: the composite-key PIT get matches the §2.3 spec with
+    the entity generalized to a TUPLE — small domains force key and
+    timestamp collisions so the tie-break and partial-key semantics get
+    exercised, mirroring test_pit_properties.py's scalar spec."""
+
+    def test_pit_matches_spec_tuple_key(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        BASE = dt.datetime(2024, 1, 1)
+        users = st.sampled_from(["a", "b"])
+        merchants = st.sampled_from(["x", "y"])
+        days = st.integers(min_value=0, max_value=5)
+        vals = st.integers(min_value=0, max_value=99)
+        rows_st = st.lists(
+            st.tuples(users, merchants, days, vals), min_size=1, max_size=18
+        )
+
+        def spec(rows, cutoff_days):
+            best = {}
+            for row_id, (u, m, d, v) in enumerate(rows):
+                if d > cutoff_days:
+                    continue
+                cur = best.get((u, m))
+                if cur is None or d > cur[0]:
+                    best[(u, m)] = (d, row_id, v)
+            return {k: (d, v) for k, (d, row_id, v) in best.items()}
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(rows=rows_st, cutoff=days)
+        def run(rows, cutoff):
+            df = spark.createDataFrame(
+                [
+                    (u, m, BASE + dt.timedelta(days=d), v, i)
+                    for i, (u, m, d, v) in enumerate(rows)
+                ],
+                ["user_id", "merchant_id", "timestamp", "val", "__row_id__"],
+            ).coalesce(1)
+            fs = FeatureStore(spark)
+            fs.register("t", df, entity_cols=["user_id", "merchant_id"])
+            keys = sorted({(u, m) for u, m, _, _ in rows})
+            got = {
+                (r["user_id"], r["merchant_id"]): (
+                    (r["timestamp"] - BASE).days,
+                    r["val"],
+                )
+                for r in fs.get(
+                    "t", keys, BASE + dt.timedelta(days=cutoff)
+                ).collect()
+            }
+            assert got == spec(rows, cutoff)
+
+        run()
+
+
 class TestAsofParityWithPandas:
     def test_merge_asof_parity_composite(self, spark, cstore):
         """Backward as-of on the tuple key matches pandas merge_asof with

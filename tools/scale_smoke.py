@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "sd10_incremental_backfill",  # two availableNow runs, checkpoint-priced increment
     "io19_bucket_pruning",  # bucketed write + 1-of-8 pruned point read, 8x events
     "f31_timestamp_travel",  # wall-clock version resolution, metadata-only
+    "f32_composite_key_training_set",  # struct-key register + as-of, 8x events
+    "odfv1_derived_view",  # two as-of argmaxes + derived projection, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
