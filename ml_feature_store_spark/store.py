@@ -1064,26 +1064,62 @@ class FeatureStore:
         ``timestamp`` + the view's derived columns (``keep_base=True``
         additionally keeps the prefixed base features). One multi-view
         as-of build (one shuffle per source view) + a map-side
-        projection — deriving costs nothing beyond the base retrieval."""
+        projection — deriving costs nothing beyond the base retrieval.
+
+        REQUEST DATA (Feast's request source): any EXTRA spine column
+        beyond the entity key and ``timestamp`` rides along as a
+        per-row input the exprs can reference by name (e.g. a cart
+        value known only at request time). Request columns must be
+        unique per (key, timestamp) spine row — duplicates with
+        conflicting request values are rejected (which copy should win
+        would be arbitrary). Cost: one spine-sized equi join to stitch
+        the request columns back onto the as-of output (the multi-view
+        build dedups the spine to its key, so payload can't ride
+        through it)."""
         spec = self._derived.get(name)
         if spec is None:
             raise FeatureStoreError(
                 f"Unknown derived view: '{name}'. "
                 f"Registered: {sorted(self._derived)}"
             )
+        key_cols = self._entity_key_cols(
+            self._resolve(spec["sources"][0], manifest)
+        )
+        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        request_cols = [
+            c
+            for c in entity_timestamps.columns
+            if c not in (*natural_key, TIMESTAMP_COL)
+        ]
         base = self.get_multi_view_training_set(
             spec["sources"],
-            entity_timestamps,
+            entity_timestamps.select(*natural_key, TIMESTAMP_COL),
             manifest=manifest,
             how=spec["how"],
         )
-        key_cols = self._entity_key_cols(
-            self._resolve(spec["sources"][0], manifest)
-        ) or (ENTITY_COL,)
+        if request_cols:
+            req = entity_timestamps.select(
+                *natural_key, TIMESTAMP_COL, *request_cols
+            ).dropDuplicates()
+            stitch = [*natural_key, TIMESTAMP_COL]
+            dup = (
+                req.groupBy(*stitch)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise FeatureValidationError(
+                    f"get_derived_training_set('{name}'): conflicting "
+                    f"request-data values for the same spine "
+                    f"({stitch}) row — dedupe the spine first."
+                )
+            base = base.join(req, stitch, "inner")
         derived = [
             F.expr(sql).alias(col) for col, sql in spec["exprs"].items()
         ]
-        head = [*key_cols, TIMESTAMP_COL]
+        head = [*natural_key, TIMESTAMP_COL]
         if keep_base:
             rest = [c for c in base.columns if c not in head]
             return base.select(*head, *derived, *rest)

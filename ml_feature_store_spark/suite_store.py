@@ -997,6 +997,62 @@ def q_odfv1_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_odfv2_request_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request-data ODFV (Feast request source; store.py
+    get_derived_training_set request-column lane): the spine carries a
+    per-row request input — a budget known only at request time,
+    synthesized deterministically as (user_id % 7 + 1) * 2000 cents —
+    and the derived expressions combine it with the as-of purchase
+    value. Cost over odfv1: ONE spine-sized equi stitch join of the
+    request columns onto the as-of output (the multi-view build dedups
+    its spine to the key, so payload can't ride through it); conflicting
+    request values for one spine row are rejected, not averaged.
+    All-integer outputs."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register(
+        "purch2", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.create_derived_view(
+        "odfv_req",
+        sources=["purch2"],
+        exprs={
+            "affordable": "budget_cents >= purch2__value_cents",
+            "headroom_cents": "budget_cents - purch2__value_cents",
+        },
+    )
+    spine = (
+        ev.select("entity_id")
+        .distinct()
+        .withColumn(
+            "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+        )
+        .withColumn(
+            "budget_cents",
+            ((F.col("entity_id") % 7 + 1) * 2000).cast("long"),
+        )
+    )
+    out = fs.get_derived_training_set("odfv_req", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "affordable",
+        F.col("headroom_cents").cast("long").alias("headroom_cents"),
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1804,6 +1860,7 @@ QUERIES = {
     'f31_timestamp_travel': q_f31_timestamp_travel,
     'f32_composite_key_training_set': q_f32_composite_key_training_set,
     'odfv1_derived_view': q_odfv1_derived_view,
+    'odfv2_request_data': q_odfv2_request_data,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2286,6 +2343,28 @@ ORACLE_SQL["odfv1_derived_view"] = f"""
            CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
                AS fresh_gap_s
     FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# odfv2: the purchase PIT argmax + the deterministic request-budget
+# synthesis + identical integer expressions (headroom can be negative,
+# but it's subtraction, not division — no floor/trunc divergence).
+ORACLE_SQL["odfv2_request_data"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1)
+    SELECT p.user_id,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us,
+           (p.user_id % 7 + 1) * 2000 >= p.value_cents AS affordable,
+           CAST((p.user_id % 7 + 1) * 2000 - p.value_cents AS BIGINT)
+               AS headroom_cents
+    FROM p
 """
 
 # f31: the as-of read at the captured wall-clock point must be v1 verbatim

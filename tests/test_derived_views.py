@@ -145,6 +145,42 @@ class TestDerivedViews:
         assert out.columns == ["user_id", "merchant_id", "timestamp", "dollars"]
         assert float(out.collect()[0]["dollars"]) == 0.1
 
+    def test_request_data_columns(self, spark, store):
+        """Feast request-source shape: extra spine columns ride into the
+        derived expressions as per-row request inputs."""
+        store.create_derived_view(
+            "afford",
+            sources=["spend"],
+            exprs={"affordable": "budget_cents >= spend__cents"},
+        )
+        spine = spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-06"), 150),
+                ("u2", ts("2024-01-06"), 150),
+            ],
+            ["entity_id", "timestamp", "budget_cents"],
+        )
+        out = store.get_derived_training_set("afford", spine)
+        assert out.columns == ["entity_id", "timestamp", "affordable"]
+        rows = {r["entity_id"]: r["affordable"] for r in out.collect()}
+        assert rows == {"u1": True, "u2": False}  # spend 100 vs 300
+
+    def test_request_data_conflict_rejected(self, spark, store):
+        store.create_derived_view(
+            "afford",
+            sources=["spend"],
+            exprs={"affordable": "budget_cents >= spend__cents"},
+        )
+        spine = spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-06"), 150),
+                ("u1", ts("2024-01-06"), 999),  # same key+ts, different value
+            ],
+            ["entity_id", "timestamp", "budget_cents"],
+        )
+        with pytest.raises(FeatureValidationError, match="request-data"):
+            store.get_derived_training_set("afford", spine).collect()
+
     def test_guardrails(self, spark, store):
         with pytest.raises(FeatureValidationError, match="non-empty"):
             store.create_derived_view("v", sources=[], exprs={"x": "1"})
