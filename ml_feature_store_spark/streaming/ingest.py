@@ -215,9 +215,21 @@ def streaming_register(
     checkpoint_dir: str,
     mode: str = "snapshot",
     idempotent: bool = True,
+    feature_select=None,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """foreachBatch upsert: per micro-batch, fold the batch into the
     feature table as a new version.
+
+    ``feature_select`` optionally maps a raw micro-batch to the
+    feature-table shape (default: the events feed's
+    user_id/ts/event_type/value mapping). COMPOSITE-key tables work in
+    both modes: ``append`` composes the tuple key inside ``store.append``;
+    ``snapshot`` composes before the latest-per-entity argmax and
+    re-registers the struct-keyed snapshot directly (the struct key is
+    self-describing, so the re-register preserves the key with no
+    entity_cols round-trip). The table must be seeded with an initial
+    ``register(..., entity_cols=...)`` before streaming into it —
+    streaming cannot guess a tuple key from a first batch.
 
     ``mode="snapshot"`` (default): each version holds latest-per-entity of
     everything seen so far — a continuously-updated online view; PIT
@@ -263,21 +275,33 @@ def streaming_register(
             return
         if idempotent and batch_already_applied(batch_id):
             return
-        feats = batch_df.select(
-            F.col("user_id").alias("entity_id"),
-            F.col("ts").alias("timestamp"),
-            "event_type",
-            "value",
-        )
+        if feature_select is not None:
+            feats = feature_select(batch_df)
+        else:
+            feats = batch_df.select(
+                F.col("user_id").alias("entity_id"),
+                F.col("ts").alias("timestamp"),
+                "event_type",
+                "value",
+            )
         if mode == "append":
+            # append composes composite keys itself from the stored schema
             store.append(table_name, feats, description=f"stream batch {batch_id}")
             return
-        if store._backend.exists(table_name):
-            current = store._current(table_name).select(
-                "entity_id", "timestamp", "event_type", "value"
+        exists = store._backend.exists(table_name)
+        key_cols = (
+            store._entity_key_cols(store._current(table_name)) if exists else None
+        )
+        if key_cols:
+            feats = store._compose_entity_key(
+                feats, key_cols, f"streaming_register('{table_name}')"
             )
+        if exists:
+            current = store._current(table_name).select(*feats.columns)
             feats = current.unionByName(feats)
         snapshot = latest_per_entity(feats)
+        # a struct-keyed snapshot re-registers as composite directly: the
+        # key self-describes from the schema, no entity_cols needed
         store.register(table_name, snapshot, description=f"stream batch {batch_id}")
 
     return (

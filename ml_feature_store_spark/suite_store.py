@@ -1826,7 +1826,70 @@ def q_sd9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
 
 
+def q_sd11_composite_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a COMPOSITE-key table (round-7: sd9's
+    foreachBatch snapshot lane x f32's tuple keys): the table is seeded
+    with register(entity_cols=[user_id, event_type]), then a second
+    chunk of the feed streams in via streaming_register(snapshot) with a
+    natural-column feature_select — the micro-batch composes the struct
+    key, argmaxes latest-per-(user, type), and re-registers the
+    struct-keyed snapshot directly (the key self-describes from the
+    schema, so streaming needs no entity_cols round-trip). After the
+    stream drains, the current version must equal the batch engine's
+    latest-per-(user, type) over the WHOLE feed; n_from_stream counts
+    the keys whose latest row arrived in the streamed chunk. Per-batch
+    cost is one argmax over |keys|+|batch| rows — never a history
+    rescan."""
+    from .store import FeatureStore
+    from .streaming.ingest import stream_events, streaming_register
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    d = _scratch_dir("sd11_feed", sf_dir)
+    # the feed dir carries ONLY the post-mid chunk (one file -> one batch)
+    _write_ordered_feed(d, ev.filter(F.col("ts") >= mid))
+    fs = FeatureStore(spark, storage_path=_scratch_dir("sd11_store", sf_dir))
+    seed = ev.filter(F.col("ts") < mid).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("timestamp"),
+        "value",
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs.register("live_um", seed, entity_cols=["user_id", "event_type"])
+    q = streaming_register(
+        stream_events(spark, d),
+        fs,
+        "live_um",
+        _scratch_dir("sd11_ck", sf_dir),
+        feature_select=lambda b: b.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("timestamp"),
+            "value",
+        ),
+    )
+    q.awaitTermination(300)
+    q.stop()
+    info = fs.get_table_info("live_um")
+    snap = fs.get_version("live_um", info.version)
+    return snap.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min(_US("timestamp")).cast("long").alias("min_ts_us"),
+        F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
+        F.sum(F.when(F.col("timestamp") >= mid, 1).otherwise(0))
+        .cast("long")
+        .alias("n_from_stream"),
+    ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
+
+
 QUERIES = {
+    'sd11_composite_stream_snapshot': q_sd11_composite_stream_snapshot,
     'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
     'sd8_stream_static_enrich': q_sd8_stream_static_enrich,
     'sd9_foreach_batch_upsert': q_sd9_foreach_batch_upsert,
@@ -2669,6 +2732,31 @@ ORACLE_SQL["sd10_incremental_backfill"] = f"""
 # latest-per-user over the whole feed ((user_id, ts) pairs are unique in
 # the corpus, so the max-ts argmax is deterministic); n_versions pins one
 # store version per micro-batch.
+# sd11: latest per COMPOSITE (user, event_type) key over the whole feed —
+# seed register (v1) + one streamed micro-batch (v2); n_from_stream counts
+# keys whose winning row is post-mid. rn=1 over ts DESC is deterministic
+# ((user, type, us-ts) unique in the testdata).
+ORACLE_SQL["sd11_composite_stream_snapshot"] = f"""
+    WITH e AS ({_EV}),
+    latest AS (
+        SELECT user_id, event_type, ts, value
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts DESC) AS rn
+              FROM e)
+        WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_from_stream,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM latest GROUP BY event_type
+"""
+
 ORACLE_SQL["sd9_foreach_batch_upsert"] = f"""
     WITH e AS ({_EV}),
     latest AS (

@@ -364,6 +364,61 @@ class TestCompositePitProperty:
         run()
 
 
+class TestCompositeStreaming:
+    def test_streaming_snapshot_preserves_tuple_key(self, spark, tmp_path):
+        """streaming_register(snapshot) into a composite-key table: the
+        micro-batch composes the struct key before the argmax and the
+        re-registered snapshot keeps the key (self-describing schema) —
+        latest-per-(user, type) across seed + streamed batch."""
+        from ml_feature_store_spark.streaming.ingest import streaming_register
+
+        fs = FeatureStore(spark, storage_path=str(tmp_path / "store"))
+        seed = spark.createDataFrame(
+            [
+                ("u1", "click", ts("2024-01-01"), 1.0),
+                ("u1", "view", ts("2024-01-02"), 2.0),
+                ("u2", "click", ts("2024-01-03"), 3.0),
+            ],
+            ["user_id", "event_type", "timestamp", "value"],
+        )
+        fs.register("live", seed, entity_cols=["user_id", "event_type"])
+        feed = spark.createDataFrame(
+            [
+                # overwrites u1/click; u1/view silent; new key u2/view
+                ("u1", "click", ts("2024-01-10"), 10.0),
+                ("u2", "view", ts("2024-01-11"), 11.0),
+            ],
+            ["user_id", "event_type", "timestamp", "value"],
+        )
+        d = str(tmp_path / "feed")
+        feed.coalesce(1).write.parquet(d)
+        stream = spark.readStream.schema(feed.schema).parquet(d)
+        q = streaming_register(
+            stream,
+            fs,
+            "live",
+            str(tmp_path / "ck"),
+            feature_select=lambda b: b.select(
+                "user_id", "event_type", "timestamp", "value"
+            ),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        info = fs.get_table_info("live")
+        assert info.entity_columns == ("user_id", "event_type")
+        assert info.version == 2
+        got = {
+            (r["user_id"], r["event_type"]): r["value"]
+            for r in fs.get_version("live", 2).collect()
+        }
+        assert got == {
+            ("u1", "click"): 10.0,
+            ("u1", "view"): 2.0,
+            ("u2", "click"): 3.0,
+            ("u2", "view"): 11.0,
+        }
+
+
 class TestAsofParityWithPandas:
     def test_merge_asof_parity_composite(self, spark, cstore):
         """Backward as-of on the tuple key matches pandas merge_asof with
