@@ -1125,6 +1125,55 @@ class FeatureStore:
             return base.select(*head, *derived, *rest)
         return base.select(*head, *derived)
 
+    def get_online_derived(
+        self,
+        name: str,
+        entity_ids: Sequence[Any] | None = None,
+        keep_base: bool = False,
+    ) -> DataFrame:
+        """SERVING-path evaluation of a derived view (Feast's online ODFV
+        execution): the registered exprs applied over the sources'
+        materialized ONLINE snapshots — one row per entity, so the same
+        transformation that built the training set serves point reads
+        with no train/serve skew (each source must be
+        ``materialize_online``'d first; ``get_online``'s raise applies).
+
+        Sources join on the entity key: ``how='inner'`` keeps entities
+        present in EVERY source's snapshot; ``how='left'`` keeps every
+        entity of the FIRST source, null-padding the rest — mirroring
+        the training-lane contract. Each source's snapshot timestamp
+        arrives as ``<source>__timestamp``; there is no spine, so exprs
+        referencing request-data columns fail analysis here. Cost: one
+        \\|entities\\|-row join per extra source + a map-side projection."""
+        spec = self._derived.get(name)
+        if spec is None:
+            raise FeatureStoreError(
+                f"Unknown derived view: '{name}'. "
+                f"Registered: {sorted(self._derived)}"
+            )
+        key_cols = self._entity_key_cols(
+            self._resolve(spec["sources"][0], None)
+        )
+        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        out: DataFrame | None = None
+        for src in spec["sources"]:
+            view = self.get_online(src, entity_ids)
+            payload = [c for c in view.columns if c not in natural_key]
+            view = view.select(
+                *natural_key,
+                *[F.col(c).alias(f"{src}__{c}") for c in payload],
+            )
+            out = view if out is None else out.join(
+                view, natural_key, spec["how"]
+            )
+        derived = [
+            F.expr(sql).alias(col) for col, sql in spec["exprs"].items()
+        ]
+        if keep_base:
+            rest = [c for c in out.columns if c not in natural_key]
+            return out.select(*natural_key, *derived, *rest)
+        return out.select(*natural_key, *derived)
+
     def list_derived_views(self) -> list[str]:
         return sorted(self._derived)
 

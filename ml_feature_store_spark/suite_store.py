@@ -1053,6 +1053,55 @@ def q_odfv2_request_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_odfv3_online_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ODFV serving (store.py get_online_derived — Feast's online
+    ODFV execution): the same derived expressions that build training
+    sets evaluated over the sources' materialized online snapshots, one
+    row per entity — the transformation is defined once, so the serving
+    read cannot skew from the training lane (the f28 parity story
+    lifted to derived features; the pytest pins
+    online == training-at-beyond-data-cutoff). Plan: two latest-per-user
+    argmaxes at materialize time, then an |entities|-row equi join + a
+    map-side projection at read time — serving never touches history.
+    All-integer outputs."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register(
+        "purch3", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.register(
+        "clicks3", ev.filter(F.col("event_type") == "click").drop("event_type")
+    )
+    fs.materialize_online("purch3")
+    fs.materialize_online("clicks3")
+    fs.create_derived_view(
+        "odfv_online",
+        sources=["purch3", "clicks3"],
+        exprs={
+            "spend_click_bp":
+                "purch3__value_cents * 10000 DIV clicks3__value_cents",
+            "spend_minus_click":
+                "purch3__value_cents - clicks3__value_cents",
+        },
+    )
+    out = fs.get_online_derived("odfv_online")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("spend_click_bp").cast("long").alias("spend_click_bp"),
+        F.col("spend_minus_click").cast("long").alias("spend_minus_click"),
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1924,6 +1973,7 @@ QUERIES = {
     'f32_composite_key_training_set': q_f32_composite_key_training_set,
     'odfv1_derived_view': q_odfv1_derived_view,
     'odfv2_request_data': q_odfv2_request_data,
+    'odfv3_online_derived': q_odfv3_online_derived,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2428,6 +2478,31 @@ ORACLE_SQL["odfv2_request_data"] = f"""
            CAST((p.user_id % 7 + 1) * 2000 - p.value_cents AS BIGINT)
                AS headroom_cents
     FROM p
+"""
+
+# odfv3: latest-per-user of each event-type lane over the WHOLE feed
+# (online = no cutoff), inner join, identical integer expressions.
+ORACLE_SQL["odfv3_online_derived"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase') WHERE rn = 1),
+    c AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click') WHERE rn = 1)
+    SELECT p.user_id,
+           CAST(p.value_cents * 10000 // c.value_cents AS BIGINT)
+               AS spend_click_bp,
+           CAST(p.value_cents - c.value_cents AS BIGINT)
+               AS spend_minus_click
+    FROM p JOIN c ON p.user_id = c.user_id
 """
 
 # f31: the as-of read at the captured wall-clock point must be v1 verbatim

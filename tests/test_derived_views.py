@@ -199,6 +199,53 @@ class TestDerivedViews:
         with pytest.raises(FeatureStoreError, match="Unknown derived"):
             store.get_derived_training_set("nope", _spine(spark))
 
+    def test_online_derived_serving(self, spark, store):
+        """The online ODFV lane: exprs over the sources' materialized
+        online snapshots — and its output AGREES with the training lane
+        at a beyond-data cutoff (the f28 train/serve-parity story lifted
+        to derived features)."""
+        store.create_derived_view(
+            "v",
+            sources=["spend", "clicks"],
+            exprs={"cents_per_click": "spend__cents DIV clicks__n_clicks"},
+        )
+        store.materialize_online("spend")
+        store.materialize_online("clicks")
+        online = store.get_online_derived("v")
+        assert online.columns == ["entity_id", "cents_per_click"]
+        srv = {r["entity_id"]: r["cents_per_click"] for r in online.collect()}
+        # u1: latest clicks row is 8 (01-10) online -> 100 DIV 8 = 12
+        assert srv == {"u1": 12, "u2": 150}
+        # training lane at a beyond-data cutoff must agree
+        spine = spark.createDataFrame(
+            [("u1", ts("2025-01-01")), ("u2", ts("2025-01-01"))],
+            ["entity_id", "timestamp"],
+        )
+        trn = {
+            r["entity_id"]: r["cents_per_click"]
+            for r in store.get_derived_training_set("v", spine).collect()
+        }
+        assert trn == srv
+
+    def test_online_derived_requires_materialization(self, store):
+        store.create_derived_view(
+            "v", sources=["spend"], exprs={"d": "spend__cents / 100.0"}
+        )
+        with pytest.raises(FeatureTableNotFoundError, match="online"):
+            store.get_online_derived("v")
+
+    def test_online_derived_entity_filter_and_left(self, spark, store):
+        store.create_derived_view(
+            "v",
+            sources=["clicks", "spend"],
+            exprs={"n": "clicks__n_clicks"},
+            how="left",
+        )
+        store.materialize_online("clicks")
+        store.materialize_online("spend")
+        got = store.get_online_derived("v", entity_ids=["u1"]).collect()
+        assert len(got) == 1 and got[0]["n"] == 8
+
     def test_catalog_lifecycle(self, store):
         store.create_derived_view("v", sources=["spend"], exprs={"x": "1"})
         assert store.list_derived_views() == ["v"]
