@@ -625,11 +625,21 @@ class FeatureStore:
         name: str,
         entity_ids: Sequence[Any] | None = None,
         columns: Sequence[str] | None = None,
+        max_age_seconds: float | None = None,
+        as_of: Any = None,
     ) -> DataFrame:
         """Serving-path read over the materialized online view: no time
         filter, no window — a scan of one row per entity with the entity
         IN-list pushed to the scan. Raises if ``materialize_online`` has
-        not been called for the table."""
+        not been called for the table.
+
+        ``max_age_seconds`` is the serving-freshness SLA (Feast's
+        feature-view TTL applied at read time): rows whose feature
+        timestamp is older than ``as_of - max_age`` are withheld — a
+        missing feature is an imputation decision for the caller, a
+        silently stale one is an incident. ``as_of`` defaults to the
+        wall clock; pass it explicitly for deterministic reads/tests.
+        The filter is one more pushdown predicate on the snapshot scan."""
         online = name + self._ONLINE_SUFFIX
         if not self._backend.exists(online):
             raise FeatureTableNotFoundError(
@@ -638,6 +648,21 @@ class FeatureStore:
         if columns is not None:
             self._validate_columns(name, columns)
         df = self._backend.read_version(online, self._backend.versions(online)[-1])
+        if max_age_seconds is not None:
+            if max_age_seconds < 0:
+                raise FeatureValidationError(
+                    f"get_online('{name}'): max_age_seconds must be >= 0, "
+                    f"got {max_age_seconds}"
+                )
+            from datetime import timedelta
+
+            ref = (
+                self._normalize_timestamp(as_of)
+                if as_of is not None
+                else datetime.now(timezone.utc).replace(tzinfo=None)
+            )
+            bound = ref - timedelta(seconds=max_age_seconds)
+            df = df.filter(F.col(TIMESTAMP_COL) >= F.lit(bound))
         key_cols = self._entity_key_cols(df)
         if entity_ids is not None:
             if key_cols:
@@ -1130,6 +1155,8 @@ class FeatureStore:
         name: str,
         entity_ids: Sequence[Any] | None = None,
         keep_base: bool = False,
+        max_age_seconds: float | None = None,
+        as_of: Any = None,
     ) -> DataFrame:
         """SERVING-path evaluation of a derived view (Feast's online ODFV
         execution): the registered exprs applied over the sources'
@@ -1144,7 +1171,10 @@ class FeatureStore:
         the training-lane contract. Each source's snapshot timestamp
         arrives as ``<source>__timestamp``; there is no spine, so exprs
         referencing request-data columns fail analysis here. Cost: one
-        \\|entities\\|-row join per extra source + a map-side projection."""
+        \\|entities\\|-row join per extra source + a map-side projection.
+        ``max_age_seconds``/``as_of`` apply ``get_online``'s freshness
+        SLA to EVERY source — a derived feature computed from one fresh
+        and one stale input is itself stale."""
         spec = self._derived.get(name)
         if spec is None:
             raise FeatureStoreError(
@@ -1157,7 +1187,12 @@ class FeatureStore:
         natural_key = list(key_cols) if key_cols else [ENTITY_COL]
         out: DataFrame | None = None
         for src in spec["sources"]:
-            view = self.get_online(src, entity_ids)
+            view = self.get_online(
+                src,
+                entity_ids,
+                max_age_seconds=max_age_seconds,
+                as_of=as_of,
+            )
             payload = [c for c in view.columns if c not in natural_key]
             view = view.select(
                 *natural_key,

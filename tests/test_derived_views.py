@@ -227,6 +227,22 @@ class TestDerivedViews:
         }
         assert trn == srv
 
+    def test_online_derived_freshness_sla(self, spark, store):
+        """max_age applies to EVERY source: u1's latest clicks row
+        (01-10) inside a 7-day SLA at 01-12, but its spend row (01-02)
+        outside — the derived row for u1 is withheld (inner stitch)."""
+        store.create_derived_view(
+            "v",
+            sources=["spend", "clicks"],
+            exprs={"cents_per_click": "spend__cents DIV clicks__n_clicks"},
+        )
+        store.materialize_online("spend")
+        store.materialize_online("clicks")
+        got = store.get_online_derived(
+            "v", max_age_seconds=7 * 24 * 3600, as_of=ts("2024-01-12")
+        ).collect()
+        assert got == []  # u1 spend stale; u2 stale on both
+
     def test_online_derived_requires_materialization(self, store):
         store.create_derived_view(
             "v", sources=["spend"], exprs={"d": "spend__cents / 100.0"}

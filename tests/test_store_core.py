@@ -491,6 +491,28 @@ class TestOnlineServing:
         with pytest.raises(FeatureTableNotFoundError):
             store.get_online("t")
 
+    def test_online_max_age_withholds_stale_rows(self, spark, store, feature_df):
+        """Serving-freshness SLA (Feast TTL at read time): rows older
+        than as_of - max_age are withheld, not served stale. user_1's
+        latest is 02-01, user_2's is 01-20 — a 10-day SLA at 02-05
+        (bound 01-26) keeps user_1 and drops user_2."""
+        store.register("t", feature_df)
+        store.materialize_online("t")
+        fresh = store.get_online(
+            "t",
+            max_age_seconds=10 * 24 * 3600,
+            as_of=ts("2024-02-05"),
+        ).collect()
+        assert {r["entity_id"] for r in fresh} == {"user_1"}
+        # SLA of 0 with as_of exactly at a feature ts keeps that row
+        # (inclusive >= bound)
+        exact = store.get_online(
+            "t", max_age_seconds=0, as_of=ts("2024-02-01")
+        ).collect()
+        assert {r["entity_id"] for r in exact} == {"user_1"}
+        with pytest.raises(FeatureValidationError, match="max_age_seconds"):
+            store.get_online("t", max_age_seconds=-1)
+
     def test_online_refresh_after_append(self, spark, store, feature_df):
         store.register("t", feature_df)
         store.materialize_online("t")
