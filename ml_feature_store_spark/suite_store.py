@@ -300,54 +300,6 @@ def q_f16b_label_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sd2_running_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible witness for the applyInPandasWithState running-
-    features operator (streaming/stateful.py): the events are split into
-    two parquet files (event_id parity) and streamed through the REAL
-    stateful fold with maxFilesPerTrigger=1 — two micro-batches with
-    state carry-over — into a memory sink; the final per-user snapshot
-    (highest running count) is returned. Every accumulated quantity is
-    deterministic: values are integer cents in doubles (sums exact below
-    2^53, order-free) and the "last" row tie-breaks on (ts_us, event_id),
-    so the DuckDB oracle replays the fold as one batch groupBy + a
-    row_number window — the round-2 verdict's missing oracle-checked twin
-    for the stateful streaming surface."""
-    from .streaming.ingest import stream_events
-    from .streaming.stateful import streaming_running_features
-
-    d = _scratch_dir("sd2_feed", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double").alias("value"),
-        "props",
-    )
-    _write_ordered_feed(
-        d,
-        ev.filter(F.col("event_id") % 2 == 0),
-        ev.filter(F.col("event_id") % 2 == 1),
-    )
-    stream = stream_events(spark, d)
-    q = (
-        streaming_running_features(stream)
-        .writeStream.format("memory")
-        .queryName("sd2_running")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    snap = spark.table("sd2_running")
-    return snap.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max_by("sum_value", "n_events").alias("sum_cents"),
-        F.max_by("last_ts_us", "n_events").alias("last_ts_us"),
-        F.max_by("last_value", "n_events").alias("last_cents"),
-        F.max_by("last_event_id", "n_events").alias("last_event_id"),
-    )
 
 
 def q_f8_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,434 +1468,23 @@ def q_f18b_asof_nearest_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming SESSIONIZATION witness (streaming/stateful.py
-    streaming_session_counts): the events are split at the month's midpoint
-    into two parquet files and streamed through the REAL
-    applyInPandasWithState gap-fold with maxFilesPerTrigger=1 — so
-    sessions spanning the batch boundary exercise the state carry-over —
-    into a memory sink; the final per-user snapshot is returned. The
-    time-boundary split keeps the feed per-key ordered across batches
-    (the watermark assumption), making the fold deterministic; the
-    oracle is x7_sessionize's window SQL VERBATIM — the driver itself
-    witnesses that the streaming state machine and the batch
-    lag()/running-sum plan compute one answer."""
-    from .streaming.ingest import stream_events
-    from .streaming.stateful import streaming_session_counts
-
-    d = _scratch_dir("sd3_feed", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    stream = stream_events(spark, d)
-    q = (
-        streaming_session_counts(stream)
-        .writeStream.format("memory")
-        .queryName("sd3_sessions")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    snap = spark.table("sd3_sessions")
-    return (
-        snap.groupBy("user_id")
-        .agg(
-            F.max_by("n_sessions", "n_events").alias("n_sessions"),
-            F.max("n_events").alias("n_events"),
-        )
-        .select("user_id", "n_sessions", "n_events")
-    )
 
 
-def q_sd4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING exact dedup witness — dropDuplicatesWithinWatermark over
-    a two-batch ordered file feed (streaming/ingest.py stream_events,
-    maxFilesPerTrigger=1), the Structured Streaming surface for "emit
-    each (user, event_type) once" with BOUNDED state: the watermark lets
-    Spark expire per-key state instead of holding every key forever (the
-    production requirement batch dropDuplicates cannot witness). The
-    60-day watermark exceeds the one-month corpus, so nothing expires
-    mid-run and the streaming answer must equal batch DISTINCT exactly —
-    which the oracle checks as per-type distinct-user counts and key
-    checksums. First-occurrence rows cross the batch boundary via state,
-    so batch 2's repeats of batch-1 keys are suppressed by carried state,
-    not batch-local dedup."""
-    from .streaming.ingest import stream_events
-
-    d = _scratch_dir("sd4_feed", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    stream = stream_events(spark, d)
-    deduped = (
-        stream.withWatermark("ts", "60 days")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("sd4_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    snap = spark.table("sd4_dedup")
-    return snap.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum("user_id").cast("long").alias("sum_user_ids"),
-    )
 
 
-def q_sd6_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """State Store batch READER (Spark 4 `statestore` format) — the ops/
-    debugging surface for stateful streaming: after a two-micro-batch
-    watermarked aggregation runs into a checkpoint, the checkpoint's
-    state store is opened as a plain batch DataFrame and inspected —
-    how production debugs "what does my streaming state actually hold"
-    without replaying the stream. The witness proves the inspection is
-    FAITHFUL: the state rows (per-user count + cents sum, accumulated
-    across both micro-batches through the store) must value-hash-equal
-    the batch aggregate of the whole feed, which is exactly what the
-    final state of an update-mode agg is. Feed and checkpoint live in
-    per-run-wiped scratch dirs so reruns start from empty state."""
-    from .streaming.ingest import stream_events
-
-    d = _scratch_dir("sd6_feed", sf_dir)
-    ck = _scratch_dir("sd6_ckpt", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    stream = stream_events(spark, d)
-    agg = stream.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).alias("sum_cents"),
-    )
-    q = (
-        agg.writeStream.format("noop")
-        .option("checkpointLocation", ck)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    state = spark.read.format("statestore").load(ck)
-    return state.select(
-        F.col("key.user_id").cast("long").alias("user_id"),
-        F.col("value.count").cast("long").alias("n_events"),
-        F.col("value.sum").cast("long").alias("sum_cents"),
-    )
 
 
-def q_sd7_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING file-sink exactly-once witness — FileStreamSink's
-    ``_spark_metadata`` transaction log is what turns an at-least-once
-    execution engine into an exactly-once parquet sink: a retried task or
-    a batch that died after writing leaves ORPHAN part files on disk, and
-    table membership is defined by the commit log, never the directory
-    listing. The witness replays that failure mode: after a two-batch
-    availableNow stream commits to the sink, a poison part file (valid
-    schema, 64 duplicated rows — a plausible abandoned task attempt) is
-    planted directly in the sink directory, bypassing the log. The batch
-    read back over the sink must resolve membership from _spark_metadata
-    and exclude the orphan, so per-type counts and checksums equal the
-    pure source-side oracle; a listing-based reader would double-count
-    the planted rows and shift every aggregate. At 100 TB this is the
-    difference between a sink that survives preemption and one that
-    silently duplicates training data (SCALE-100TB.md, streaming lane)."""
-    import os
-
-    from .streaming.ingest import stream_events
-
-    d = _scratch_dir("sd7_feed", sf_dir)
-    ck = _scratch_dir("sd7_ckpt", sf_dir)
-    sink = _scratch_dir("sd7_sink", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    stream = stream_events(spark, d).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    # Plant the orphan: duplicate 64 committed rows into a part file the
-    # commit log has never heard of (schema-exact via pyarrow roundtrip).
-    import pyarrow.parquet as pq
-
-    parts = sorted(
-        f for f in os.listdir(sink)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    committed = pq.read_table(os.path.join(sink, parts[0]))
-    orphan = committed.slice(0, min(64, committed.num_rows))
-    assert orphan.num_rows > 0, "sd7 feed produced an empty first part file"
-    pq.write_table(
-        orphan, os.path.join(sink, "part-99999-orphan-attempt.snappy.parquet")
-    )
-    read_back = spark.read.parquet(sink)
-    return read_back.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.sum("user_id").cast("long").alias("sum_user_ids"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).alias("sum_cents"),
-    )
 
 
-def q_sd8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment witness (streaming/ingest.py
-    stream_static_enrich): a live event stream joined per micro-batch
-    against a STATIC dimension snapshot (customer market segments) —
-    the serving-side pattern for attaching slowly-changing features to
-    events in flight. The join is STATELESS (unlike stream-stream sd
-    witnesses): Spark re-plans the static side every micro-batch, the
-    broadcast keeps it map-side with no stream shuffle, and append mode
-    needs no watermark. Two ordered feed batches prove enrichment works
-    across micro-batch boundaries; the memory sink accumulates the
-    enriched rows and a batch rollup per (segment, event_type) is
-    compared against the oracle's plain JOIN + GROUP BY — stream-join
-    == batch-join on the same data, the determinism contract."""
-    from .streaming.ingest import stream_events, stream_static_enrich
-
-    d = _scratch_dir("sd8_feed", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    dim = table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").alias("nation"),
-    )
-    stream = stream_events(spark, d)
-    q = (
-        stream_static_enrich(stream, dim)
-        .writeStream.format("memory")
-        .queryName("sd8_enriched")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    snap = spark.table("sd8_enriched")
-    return snap.groupBy("segment", "event_type").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-        F.sum("nation").cast("long").alias("sum_nation"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).alias("sum_cents"),
-    )
 
 
-def q_sd10_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpoint-driven INCREMENTAL processing across engine restarts —
-    the property that makes a streaming pipeline a cheap daily backfill:
-    run 1 (availableNow) drains the files present at start and commits
-    the file list to the checkpoint; new files land AFTER termination;
-    run 2 with the SAME checkpoint + sink processes ONLY the new files.
-    If the checkpoint were ignored, run 2 would re-ingest run 1's input
-    and every count/sum below would double — so the oracle's clean
-    source-side split (run1 = ts < mid, run2 = ts >= mid) pins both
-    exactly-once across restarts AND the batch-proportional backfill
-    cost (at 100 TB, the nightly increment is priced at O(new files),
-    never O(history) — SCALE-100TB streaming lane)."""
-    from .streaming.ingest import stream_events
-
-    d = _scratch_dir("sd10_feed", sf_dir)
-    ck = _scratch_dir("sd10_ckpt", sf_dir)
-    sink = _scratch_dir("sd10_sink", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-
-    def run_once() -> None:
-        q = (
-            stream_events(spark, d)
-            .select("event_id", "ts", "user_id", "event_type", "value")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
-
-    _write_ordered_feed(d, ev.filter(F.col("ts") < mid))
-    run_once()
-    run1_rows = spark.read.parquet(sink).count()  # bounded scalar
-    # the increment lands after run 1 terminated (fresh mtime = now)
-    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(d)
-    run_once()
-    total = spark.read.parquet(sink)
-    run2_new = total.count() - run1_rows
-    return (
-        total.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-            ).alias("sum_cents"),
-        )
-        .withColumn("run1_rows", F.lit(run1_rows).cast("long"))
-        .withColumn("run2_new_rows", F.lit(run2_new).cast("long"))
-    )
 
 
-def q_sd9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch streaming upsert into the feature store
-    (streaming/ingest.py streaming_register, mode='snapshot' — the
-    production bridge from a stream to a continuously-updated online
-    view; pytest-covered since round 2 but previously without a driver
-    witness). Two ordered micro-batches (maxFilesPerTrigger=1) fold into
-    the store: each batch registers latest-per-entity of everything seen
-    so far, so after batch 2 the current version must equal the batch
-    engine's latest-per-user over the WHOLE feed — users updated in
-    batch 2 overwrite their batch-1 row (n_latest_from_b2 counts them),
-    users silent in batch 2 keep their batch-1 row. n_versions pins the
-    micro-batch count (one store version per batch, the idempotent
-    replay marker's unit). The upsert itself is one argmax over
-    |entities|+|batch| rows per micro-batch — never a rescan of history;
-    at 100 TB the batch-proportional cost is the point."""
-    from .store import FeatureStore
-    from .streaming.ingest import stream_events, streaming_register
-
-    d = _scratch_dir("sd9_feed", sf_dir)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    _write_ordered_feed(
-        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
-    )
-    fs = FeatureStore(spark, storage_path=_scratch_dir("sd9_store", sf_dir))
-    q = streaming_register(
-        stream_events(spark, d), fs, "live", _scratch_dir("sd9_ck", sf_dir)
-    )
-    q.awaitTermination(300)
-    q.stop()
-    info = fs.get_table_info("live")
-    snap = fs.get_version("live", info.version)
-    return snap.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
-            "sum_cents"
-        ),
-        F.min(_US("timestamp")).cast("long").alias("min_ts_us"),
-        F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
-        F.sum(F.when(F.col("timestamp") >= mid, 1).otherwise(0))
-        .cast("long")
-        .alias("n_latest_from_b2"),
-    ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
 
 
-def q_sd11_composite_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest into a COMPOSITE-key table (round-7: sd9's
-    foreachBatch snapshot lane x f32's tuple keys): the table is seeded
-    with register(entity_cols=[user_id, event_type]), then a second
-    chunk of the feed streams in via streaming_register(snapshot) with a
-    natural-column feature_select — the micro-batch composes the struct
-    key, argmaxes latest-per-(user, type), and re-registers the
-    struct-keyed snapshot directly (the key self-describes from the
-    schema, so streaming needs no entity_cols round-trip). After the
-    stream drains, the current version must equal the batch engine's
-    latest-per-(user, type) over the WHOLE feed; n_from_stream counts
-    the keys whose latest row arrived in the streamed chunk. Per-batch
-    cost is one argmax over |keys|+|batch| rows — never a history
-    rescan."""
-    from .store import FeatureStore
-    from .streaming.ingest import stream_events, streaming_register
-
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    mid = F.lit("2024-01-16").cast("timestamp")
-    d = _scratch_dir("sd11_feed", sf_dir)
-    # the feed dir carries ONLY the post-mid chunk (one file -> one batch)
-    _write_ordered_feed(d, ev.filter(F.col("ts") >= mid))
-    fs = FeatureStore(spark, storage_path=_scratch_dir("sd11_store", sf_dir))
-    seed = ev.filter(F.col("ts") < mid).select(
-        "user_id",
-        "event_type",
-        F.col("ts").alias("timestamp"),
-        "value",
-        F.col("event_id").alias("__row_id__"),
-    )
-    fs.register("live_um", seed, entity_cols=["user_id", "event_type"])
-    q = streaming_register(
-        stream_events(spark, d),
-        fs,
-        "live_um",
-        _scratch_dir("sd11_ck", sf_dir),
-        feature_select=lambda b: b.select(
-            "user_id",
-            "event_type",
-            F.col("ts").alias("timestamp"),
-            "value",
-        ),
-    )
-    q.awaitTermination(300)
-    q.stop()
-    info = fs.get_table_info("live_um")
-    snap = fs.get_version("live_um", info.version)
-    return snap.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
-            "sum_cents"
-        ),
-        F.min(_US("timestamp")).cast("long").alias("min_ts_us"),
-        F.max(_US("timestamp")).cast("long").alias("max_ts_us"),
-        F.sum(F.when(F.col("timestamp") >= mid, 1).otherwise(0))
-        .cast("long")
-        .alias("n_from_stream"),
-    ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
 
 
 QUERIES = {
-    'sd11_composite_stream_snapshot': q_sd11_composite_stream_snapshot,
-    'sd7_file_sink_exactly_once': q_sd7_file_sink_exactly_once,
-    'sd8_stream_static_enrich': q_sd8_stream_static_enrich,
-    'sd9_foreach_batch_upsert': q_sd9_foreach_batch_upsert,
-    'sd10_incremental_backfill': q_sd10_incremental_backfill,
-    'sd6_state_store_reader': q_sd6_state_store_reader,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
     'f2_temporal_filter': q_f2_temporal_filter,
@@ -1977,7 +1518,6 @@ QUERIES = {
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
-    'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
     'f18_asof_nearest': q_f18_asof_nearest,
     'f20_scd2_dim_join': q_f20_scd2_dim_join,
     'io8_compaction': q_io8_compaction,
@@ -1990,8 +1530,6 @@ QUERIES = {
     'f18b_asof_nearest_banded': q_f18b_asof_nearest_banded,
     'f16_label_window': q_f16_label_window,
     'f16b_label_window_frames': q_f16b_label_window_frames,
-    'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
-    'sd4_stream_dedup': q_sd4_stream_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2268,31 +1806,6 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["f15b_decayed_bucketed"] = _F15_SQL
 ORACLE_SQL["f16b_label_window_frames"] = ORACLE_SQL["f16_label_window"]
 
-# Batch replay of the deterministic stateful streaming fold: cumulative
-# count/sum (integer cents — exact in doubles) + last row by (ts_us,
-# event_id). The Spark side runs the REAL applyInPandasWithState stream.
-ORACLE_SQL["sd2_running_state_snapshot"] = f"""
-    WITH ev AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               CAST(floor(value * 100 + 0.5) AS DOUBLE) AS cents
-        FROM ({_EV})
-    ),
-    agg AS (
-        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-               SUM(cents) AS sum_cents
-        FROM ev GROUP BY user_id
-    ),
-    r AS (
-        SELECT user_id, ts_us, cents, event_id,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts_us DESC, event_id DESC) AS rn
-        FROM ev
-    )
-    SELECT a.user_id, a.n_events, a.sum_cents,
-           r.ts_us AS last_ts_us, r.cents AS last_cents,
-           r.event_id AS last_event_id
-    FROM agg a JOIN r ON a.user_id = r.user_id AND r.rn = 1
-"""
 
 ORACLE_SQL["f14_multi_view_training_set"] = f"""
     WITH f AS ({_EV}),
@@ -2732,9 +2245,6 @@ ORACLE_SQL["f18_asof_nearest"] = f"""
 
 # f18b: two physical plans, one oracle (see q_f18b docstring).
 ORACLE_SQL["f18b_asof_nearest_banded"] = ORACLE_SQL["f18_asof_nearest"]
-# same answer, two machines: the batch lag()/running-sum plan (x7) and
-# the streaming state fold must agree row-for-row
-ORACLE_SQL["sd3_streaming_sessionize"] = ORACLE_SQL["x7_sessionize"]
 
 ORACLE_SQL["f25_online_snapshot"] = f"""
     WITH ev AS ({_EV}),
@@ -2753,13 +2263,6 @@ ORACLE_SQL["f25_online_snapshot"] = f"""
 """
 
 
-ORACLE_SQL["sd4_stream_dedup"] = f"""
-    WITH ev AS ({_EV})
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_user_ids
-    FROM ev GROUP BY event_type
-"""
 
 
 ORACLE_SQL["online1_point_read"] = f"""
@@ -2776,97 +2279,8 @@ ORACLE_SQL["online1_point_read"] = f"""
     FROM latest WHERE rn = 1 AND entity_id BETWEEN 0 AND 4
 """
 
-ORACLE_SQL["sd8_stream_static_enrich"] = f"""
-    SELECT c.c_mktsegment AS segment, e.event_type,
-           COUNT(*) AS n_events,
-           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
-           CAST(SUM(c.c_nationkey) AS BIGINT) AS sum_nation,
-           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents
-    FROM ({_EV}) e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY c.c_mktsegment, e.event_type
-"""
 
-# sd10: exactly-once across restarts — a checkpoint-ignoring rerun would
-# double every aggregate; the run splits replay as the clean ts partition.
-ORACLE_SQL["sd10_incremental_backfill"] = f"""
-    WITH e AS ({_EV})
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-            WHERE ts < TIMESTAMP '2024-01-16') AS run1_rows,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-            WHERE ts >= TIMESTAMP '2024-01-16') AS run2_new_rows
-    FROM e GROUP BY event_type
-"""
 
-# sd9: the stream's two-batch fold must equal the batch engine's
-# latest-per-user over the whole feed ((user_id, ts) pairs are unique in
-# the corpus, so the max-ts argmax is deterministic); n_versions pins one
-# store version per micro-batch.
-# sd11: latest per COMPOSITE (user, event_type) key over the whole feed —
-# seed register (v1) + one streamed micro-batch (v2); n_from_stream counts
-# keys whose winning row is post-mid. rn=1 over ts DESC is deterministic
-# ((user, type, us-ts) unique in the testdata).
-ORACLE_SQL["sd11_composite_stream_snapshot"] = f"""
-    WITH e AS ({_EV}),
-    latest AS (
-        SELECT user_id, event_type, ts, value
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id, event_type ORDER BY ts DESC) AS rn
-              FROM e)
-        WHERE rn = 1
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
-           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
-           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_from_stream,
-           CAST(2 AS BIGINT) AS n_versions
-    FROM latest GROUP BY event_type
-"""
 
-ORACLE_SQL["sd9_foreach_batch_upsert"] = f"""
-    WITH e AS ({_EV}),
-    latest AS (
-        SELECT user_id, ts, event_type, value
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id ORDER BY ts DESC) AS rn
-              FROM e)
-        WHERE rn = 1
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
-           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
-           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_latest_from_b2,
-           CAST(2 AS BIGINT) AS n_versions
-    FROM latest GROUP BY event_type
-"""
 
-ORACLE_SQL["sd7_file_sink_exactly_once"] = f"""
-    WITH ev AS ({_EV})
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(user_id) AS BIGINT) AS sum_user_ids,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents
-    FROM ev GROUP BY event_type
-"""
 
-ORACLE_SQL["sd6_state_store_reader"] = """
-    SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents
-    FROM events GROUP BY user_id
-"""
