@@ -1580,9 +1580,26 @@ class FeatureStore:
     def _entity_ids_frame(
         self, key_cols: Sequence[str], entity_ids: Sequence[Any], key_type
     ) -> DataFrame:
-        """Requested composite keys (tuples in entity_cols order, or dicts
-        keyed by column) -> a one-column struct frame CAST to the stored
-        key type, so the semi/anti join compares equal types."""
+        """Requested composite keys (tuples in entity_cols order, dicts
+        keyed by column, or a DataFrame carrying the natural key columns
+        — the no-driver-roundtrip path for large id sets) -> a one-column
+        struct frame CAST to the stored key type, so the semi/anti join
+        compares equal types."""
+        if isinstance(entity_ids, DataFrame):
+            missing = [c for c in key_cols if c not in entity_ids.columns]
+            if missing:
+                raise FeatureValidationError(
+                    f"Composite entity-id DataFrame missing key columns "
+                    f"{missing} (key is {tuple(key_cols)})."
+                )
+            return (
+                entity_ids.select(
+                    F.struct(*[F.col(c) for c in key_cols])
+                    .cast(key_type)
+                    .alias(ENTITY_COL)
+                )
+                .dropDuplicates()
+            )
         rows = []
         for t in entity_ids:
             if isinstance(t, dict):

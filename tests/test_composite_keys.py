@@ -137,6 +137,25 @@ class TestPitGet:
             cstore.get("spend", [("u1", "m9")], ts("2024-01-31")).count() == 0
         )
 
+    def test_dataframe_ids(self, spark, cstore):
+        """Large id sets pass as a DataFrame of natural key columns — no
+        driver round-trip; extra columns are ignored."""
+        ids = spark.createDataFrame(
+            [("u1", "m1", 1), ("u2", "m2", 2)],
+            ["user_id", "merchant_id", "junk"],
+        )
+        got = {
+            (r["user_id"], r["merchant_id"]): r["spend"]
+            for r in cstore.get("spend", ids, ts("2024-01-31")).collect()
+        }
+        assert got == {("u1", "m1"): 11.0, ("u2", "m2"): 40.0}
+        with pytest.raises(FeatureValidationError, match="missing key"):
+            cstore.get(
+                "spend",
+                spark.createDataFrame([("u1",)], ["user_id"]),
+                ts("2024-01-31"),
+            )
+
     def test_bad_ids_raise(self, cstore):
         with pytest.raises(FeatureValidationError, match="tuples/dicts"):
             cstore.get("spend", ["u1"], ts("2024-01-31"))

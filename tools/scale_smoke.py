@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "f31_timestamp_travel",  # wall-clock version resolution, metadata-only
     "f32_composite_key_training_set",  # struct-key register + as-of, 8x events
     "odfv1_derived_view",  # two as-of argmaxes + derived projection, 8x events
+    "odfv2_request_data",  # PIT argmax + request-column stitch, 8x events
+    "odfv3_online_derived",  # online snapshot join + derived projection, 8x events
+    "sd11_composite_stream_snapshot",  # composite streaming snapshot fold, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
