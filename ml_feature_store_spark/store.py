@@ -158,6 +158,9 @@ class FeatureStore:
         # on-demand (derived) view specs — never materialized; see
         # create_derived_view
         self._derived: dict[str, dict[str, Any]] = {}
+        # feature-service specs (named retrieval contracts); see
+        # create_feature_service
+        self._services: dict[str, dict[str, Any]] = {}
         # cross-table snapshot manifests: persisted beside the Parquet
         # backend (survive the process) or in-process for the memory one
         self._snapshots: dict[str, SnapshotManifest] = self._load_snapshots()
@@ -953,6 +956,7 @@ class FeatureStore:
         strategy: str = "union",
         manifest: SnapshotManifest | str | None = None,
         how: str = "inner",
+        columns: dict[str, Sequence[str]] | None = None,
     ) -> DataFrame:
         """Training set over SEVERAL feature views at once (the Feast/
         Chronon multi-feature-view generalization of the reference's
@@ -977,6 +981,12 @@ class FeatureStore:
         EVERY view through its pinned version — the cross-table
         reproducibility contract: re-running with the same manifest after
         intervening registers returns the identical training set.
+
+        ``columns`` optionally maps view name -> the feature columns to
+        keep from that view (validated like ``get``'s projection). The
+        projection is applied BEFORE each as-of join, so deselected
+        columns never enter the shuffle — at 100 TB, asking for 3 of 80
+        features shuffles 3.
         """
         if not names:
             raise ValueError("names must be a non-empty sequence of table names")
@@ -984,7 +994,23 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"how must be 'inner' or 'left', got {how!r}"
             )
-        resolved = [self._resolve(n, manifest).drop(DT_COL) for n in names]
+        if columns:
+            unknown = sorted(set(columns) - set(names))
+            if unknown:
+                raise FeatureValidationError(
+                    f"columns selects unknown views {unknown}; "
+                    f"views in this set: {sorted(names)}"
+                )
+            for view_name, cols in columns.items():
+                self._validate_columns(view_name, cols)
+        resolved = []
+        for n in names:
+            feats = self._resolve(n, manifest).drop(DT_COL)
+            if columns and n in columns:
+                keep = [ENTITY_COL, TIMESTAMP_COL, *columns[n]]
+                keep += [c for c in HIDDEN_COLS if c in feats.columns]
+                feats = feats.select(*dict.fromkeys(keep))
+            resolved.append(feats)
         keys = [self._entity_key_cols(f) for f in resolved]
         if len(set(keys)) > 1:
             raise FeatureValidationError(
@@ -1208,6 +1234,79 @@ class FeatureStore:
             rest = [c for c in out.columns if c not in natural_key]
             return out.select(*natural_key, *derived, *rest)
         return out.select(*natural_key, *derived)
+
+    # ------------------------------------------------------------------ #
+    # feature services (named retrieval contracts)
+    # ------------------------------------------------------------------ #
+    def create_feature_service(
+        self,
+        name: str,
+        selections: dict[str, Sequence[str] | None],
+        how: str = "inner",
+    ) -> None:
+        """Register a FEATURE SERVICE (Feast's retrieval contract): a
+        named bundle of (view -> selected feature columns) a model
+        consumes, so training jobs and audits reference one stable name
+        instead of re-listing views/columns at every call site.
+        ``None`` selects all of a view's features. Selections are
+        validated NOW (unknown view/column fails registration, not the
+        3 a.m. training run); the data path is
+        ``get_service_training_set``."""
+        if not selections:
+            raise FeatureValidationError(
+                f"create_feature_service('{name}'): selections must map "
+                "at least one view."
+            )
+        if how not in ("inner", "left"):
+            raise FeatureValidationError(
+                f"how must be 'inner' or 'left', got {how!r}"
+            )
+        for view_name, cols in selections.items():
+            self._require_table(view_name)
+            if cols is not None:
+                self._validate_columns(view_name, cols)
+        self._services[name] = {
+            "selections": {
+                v: (tuple(c) if c is not None else None)
+                for v, c in selections.items()
+            },
+            "how": how,
+        }
+
+    def get_service_training_set(
+        self,
+        name: str,
+        entity_timestamps: DataFrame,
+        manifest: SnapshotManifest | str | None = None,
+    ) -> DataFrame:
+        """Training set for a feature service: the multi-view as-of build
+        restricted to the service's selected columns — the projection
+        happens BEFORE each as-of shuffle, so a service selecting 3 of a
+        view's 80 features shuffles 3. ``manifest`` pins versions
+        (service + manifest = a fully reproducible, named training
+        contract)."""
+        spec = self._services.get(name)
+        if spec is None:
+            raise FeatureStoreError(
+                f"Unknown feature service: '{name}'. "
+                f"Registered: {sorted(self._services)}"
+            )
+        sel = spec["selections"]
+        return self.get_multi_view_training_set(
+            list(sel),
+            entity_timestamps,
+            manifest=manifest,
+            how=spec["how"],
+            columns={v: list(c) for v, c in sel.items() if c is not None},
+        )
+
+    def list_feature_services(self) -> list[str]:
+        return sorted(self._services)
+
+    def drop_feature_service(self, name: str) -> bool:
+        """Release a service spec. Returns False if absent — never raises
+        (the ``delete`` contract)."""
+        return self._services.pop(name, None) is not None
 
     def list_derived_views(self) -> list[str]:
         return sorted(self._derived)

@@ -1054,6 +1054,56 @@ def q_odfv3_online_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fsvc1_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature service — Feast's named retrieval contract (store.py
+    create_feature_service / get_service_training_set, round-7): a
+    model's (view -> columns) bundle registered once with EAGER
+    validation, then a training build by service name. The service
+    selects value_cents from the purchase view and everything from the
+    click view; the deselected purchase columns (event_id) are projected
+    away BEFORE the as-of join, so they never enter the shuffle —
+    plan-gated in tests/test_feature_services.py; at 100 TB selecting
+    3 of 80 features shuffles 3. Oracle: the two PIT argmaxes with the
+    service's projection."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register(
+        "psvc", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.register(
+        "csvc", ev.filter(F.col("event_type") == "click").drop("event_type")
+    )
+    fs.create_feature_service(
+        "reward_model_v1", {"psvc": ["value_cents"], "csvc": None}
+    )
+    users = ev.select("entity_id").distinct()
+    spine = users.withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+    )
+    out = fs.get_service_training_set("reward_model_v1", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("psvc__value_cents").cast("long").alias("purch_cents"),
+        F.col("csvc__value_cents").cast("long").alias("click_cents"),
+        F.col("csvc__event_id").cast("long").alias("click_event_id"),
+        _US("csvc__timestamp").alias("click_ts_us"),
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1515,6 +1565,7 @@ QUERIES = {
     'odfv1_derived_view': q_odfv1_derived_view,
     'odfv2_request_data': q_odfv2_request_data,
     'odfv3_online_derived': q_odfv3_online_derived,
+    'fsvc1_feature_service': q_fsvc1_feature_service,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2015,6 +2066,34 @@ ORACLE_SQL["odfv3_online_derived"] = f"""
                AS spend_click_bp,
            CAST(p.value_cents - c.value_cents AS BIGINT)
                AS spend_minus_click
+    FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# fsvc1: two PIT argmaxes at the grid date with the service's projection
+# (purchase contributes only value_cents; click contributes everything).
+ORACLE_SQL["fsvc1_feature_service"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+    c AS (SELECT user_id, ts, event_id, value_cents FROM (
+            SELECT user_id, ts, event_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1)
+    SELECT p.user_id,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us,
+           p.value_cents AS purch_cents,
+           c.value_cents AS click_cents,
+           c.event_id AS click_event_id,
+           epoch_us(c.ts) AS click_ts_us
     FROM p JOIN c ON p.user_id = c.user_id
 """
 
