@@ -77,12 +77,23 @@ def walk(node, acc: dict[str, int]) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # --only name1,name2: audit just that subset and PRINT the markdown
+    # rows (no SHUFFLE.md rewrite) — for appending one new op's row
+    # without a full-suite sweep.
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     spark = get_spark("shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name, fn in QUERIES.items():
         if name in SKIP:
+            continue
+        if only is not None and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
@@ -106,6 +117,22 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - audit robustness
             rows.append((name, None))
             print(f"{name}: ERROR {exc}")
+
+    if only is not None:
+        for name, acc in rows:
+            if acc is None:
+                print(f"| {name} | ERROR | | | | | | |")
+                continue
+            print(
+                f"| {name} | {acc['exchanges']} "
+                f"| {acc['shuffle_bytes'] / 1e6:.2f} "
+                f"| {acc['shuffle_records']} "
+                f"| {acc['max_exchange_bytes'] / 1e6:.2f} "
+                f"| {acc['broadcasts']} "
+                f"| {acc['broadcast_bytes'] / 1e6:.2f} "
+                f"| {acc['spill_bytes'] / 1e6:.2f} |"
+            )
+        return
 
     out = Path(__file__).resolve().parent.parent / "SHUFFLE.md"
     with out.open("w") as f:
