@@ -218,6 +218,7 @@ class FeatureStore:
         df: DataFrame,
         description: str = "",
         entity_cols: Sequence[str] | None = None,
+        checks: dict[str, str] | None = None,
     ) -> FeatureTableInfo:
         """Validate, normalize and store ``df`` as a new version of ``name``.
 
@@ -233,12 +234,24 @@ class FeatureStore:
         ``get`` (tuple/dict ids), ``get_training_set`` (spine with the
         natural columns), online view, merge — keys on the full tuple.
         See the composite-key section below for the storage design.
+
+        ``checks`` is the ingest-time DATA CONTRACT (the dbt-test /
+        Great-Expectations gate applied where it can still refuse the
+        write): a dict of check name -> SQL boolean expression over the
+        incoming columns; registration counts violating rows for ALL
+        checks in one aggregate pass before anything is written,
+        and raises ``FeatureValidationError`` naming each failed
+        check and its violation count instead of publishing a bad
+        version. NULL check results count as violations (a check that
+        cannot evaluate a row has not passed it).
         """
         if entity_cols is not None:
             df = self._compose_entity_key(
                 df, entity_cols, context=f"register('{name}')"
             )
         self._validate_dataframe(df, context=f"register('{name}')")
+        if checks:
+            self._enforce_checks(df, checks, context=f"register('{name}')")
         prepared = self._prepare_dataframe(df)
         row_count = prepared.count()
         new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
@@ -1595,6 +1608,31 @@ class FeatureStore:
             raise FeatureTableNotFoundError(
                 f"Feature table '{name}' not found. "
                 f"Available tables: {self.table_names}"
+            )
+
+    @staticmethod
+    def _enforce_checks(
+        df: DataFrame, checks: dict[str, str], context: str
+    ) -> None:
+        """Ingest data contract: one aggregate pass counting violations
+        of every check expression; raises naming each failed check. NULL
+        check results count as violations (three-valued logic would
+        otherwise wave through rows the predicate could not judge)."""
+        names = list(checks)
+        aggs = [
+            F.sum(
+                F.when(F.expr(checks[n]).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        failed = {n: int(row[i]) for i, n in enumerate(names) if row[i]}
+        if failed:
+            raise FeatureValidationError(
+                f"{context}: data contract failed — violating rows per "
+                f"check: {failed}. Refusing to publish this version."
             )
 
     # ------------------------------------------------------------------ #

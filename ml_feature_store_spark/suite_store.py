@@ -1104,6 +1104,45 @@ def q_fsvc1_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data contract (store.py register(checks=) — the
+    dbt-test/Great-Expectations gate applied where it can still refuse
+    the write, round-7): events register under three contract checks
+    (non-negative value, known event type, timestamp inside the
+    generation window), all of which the testdata satisfies, and the
+    contracted table then serves a PIT get — proving the gate passes
+    clean data through untouched. The REFUSAL lane (violating batch ->
+    named per-check counts, nothing published) is pytest-pinned
+    (tests/test_store_core.py TestIngestDataContract) — a refusal has
+    no result set for an oracle to hash. Contract cost: ONE aggregate
+    pass over the batch (all checks fold into a single agg), regardless
+    of check count."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("event_type")
+    fs = FeatureStore(spark)
+    fs.register(
+        "ev_contract",
+        feats,
+        checks={
+            "value_non_negative": "value >= 0",
+            "event_id_present": "event_id IS NOT NULL",
+            "ts_in_window": "timestamp >= TIMESTAMP '2023-12-31'"
+                            " AND timestamp < TIMESTAMP '2024-03-01'",
+        },
+    )
+    out = fs.get(
+        "ev_contract", list(range(25)), dt.datetime(2024, 1, 22), columns=["value"]
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "value",
+    )
+
+
 def q_f29_training_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set freshness profile — the staleness audit every
     feature-store monitoring page shows (Feast 'feature freshness'): for
@@ -1566,6 +1605,7 @@ QUERIES = {
     'odfv2_request_data': q_odfv2_request_data,
     'odfv3_online_derived': q_odfv3_online_derived,
     'fsvc1_feature_service': q_fsvc1_feature_service,
+    'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
     'f15b_decayed_bucketed': q_f15b_decayed_bucketed,
@@ -2095,6 +2135,17 @@ ORACLE_SQL["fsvc1_feature_service"] = f"""
            c.event_id AS click_event_id,
            epoch_us(c.ts) AS click_ts_us
     FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# f33: the contract passes (testdata satisfies all three checks), so the
+# published table serves the ordinary PIT replay for users 0-24.
+ORACLE_SQL["f33_ingest_contract"] = f"""
+    SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT user_id, ts, value, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        FROM ({_EV})
+        WHERE ts <= TIMESTAMP '2024-01-22 00:00:00' AND user_id < 25
+    ) WHERE rn = 1
 """
 
 # f31: the as-of read at the captured wall-clock point must be v1 verbatim

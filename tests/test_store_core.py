@@ -939,6 +939,47 @@ class TestMergeEntities:
         assert len(got) == 1 and got[0]["x"] == 1.0
 
 
+class TestIngestDataContract:
+    """register(checks=...) — the dbt-test/Great-Expectations gate applied
+    at ingest, where it can still refuse the write."""
+
+    def test_passing_contract_publishes(self, store, feature_df):
+        info = store.register(
+            "f",
+            feature_df,
+            checks={
+                "a_positive": "feature_a > 0",
+                "b_bounded": "feature_b BETWEEN 0 AND 10000",
+            },
+        )
+        assert info.version == 1 and info.row_count == 5
+
+    def test_violations_counted_and_refused(self, store, feature_df):
+        with pytest.raises(FeatureValidationError) as ei:
+            store.register(
+                "f",
+                feature_df,
+                checks={
+                    "a_big": "feature_a >= 3.0",  # 2 of 5 rows violate
+                    "b_bounded": "feature_b < 2000",  # 1 row violates
+                },
+            )
+        msg = str(ei.value)
+        assert "'a_big': 2" in msg and "'b_bounded': 1" in msg
+        # nothing was published
+        assert store.table_names == []
+
+    def test_null_check_result_is_violation(self, store, spark):
+        """Three-valued logic must not wave rows through: NULL > 0 is
+        NULL, and a check that cannot judge a row has not passed it."""
+        df = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 1, 1), None), ("u2", dt.datetime(2024, 1, 1), 2.0)],
+            "entity_id string, timestamp timestamp, v double",
+        )
+        with pytest.raises(FeatureValidationError, match="'v_pos': 1"):
+            store.register("f", df, checks={"v_pos": "v > 0"})
+
+
 class TestTimestampTimeTravel:
     def test_asof_resolves_latest_version_at_time(self, store, feature_df, spark):
         import datetime as dt
