@@ -204,6 +204,29 @@ class TestTrainingSet:
         out = cstore.get_training_set("spend", spine, how="left").collect()
         assert len(out) == 1 and out[0]["spend"] is None
 
+    def test_skew_strategy_union_bucketed(self, spark, cstore):
+        """The hot-key path: strategy='union_bucketed' keys its windows
+        on (entity, time-bucket) — with a struct entity the bucketing
+        and carry-in must produce the SAME rows as plain union (the
+        SKEW.md scalar equivalence, pinned for tuple keys)."""
+        spine = spark.createDataFrame(
+            [
+                ("u1", "m1", ts("2024-01-04")),
+                ("u1", "m1", ts("2024-01-06")),
+                ("u2", "m2", ts("2024-01-09")),
+            ],
+            ["user_id", "merchant_id", "timestamp"],
+        )
+        plain = sorted(
+            cstore.get_training_set("spend", spine, strategy="union").collect()
+        )
+        bucketed = sorted(
+            cstore.get_training_set(
+                "spend", spine, strategy="union_bucketed", bucket_seconds=86400
+            ).collect()
+        )
+        assert plain == bucketed and len(plain) == 3
+
     def test_multi_view_composite(self, spark, cstore, cdf):
         clicks = cdf.selectExpr(
             "user_id", "merchant_id", "timestamp", "spend * 0 + 1 AS clicks"

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "odfv3_online_derived",  # online snapshot join + derived projection, 8x events
     "sd11_composite_stream_snapshot",  # composite streaming snapshot fold, 8x events
     "fsvc1_feature_service",  # service-projected multi-view as-of, 8x events
+    "f33_ingest_contract",  # contract agg pass + register + PIT get, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
