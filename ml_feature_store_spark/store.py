@@ -1232,6 +1232,13 @@ class FeatureStore:
                 max_age_seconds=max_age_seconds,
                 as_of=as_of,
             )
+            missing = [c for c in natural_key if c not in view.columns]
+            if missing:
+                raise FeatureValidationError(
+                    f"get_online_derived('{name}'): source '{src}' does "
+                    f"not share the entity key {natural_key} (missing "
+                    f"{missing}) — every source must be keyed alike."
+                )
             payload = [c for c in view.columns if c not in natural_key]
             view = view.select(
                 *natural_key,
@@ -1760,6 +1767,13 @@ class FeatureStore:
                     f"{tuple(key_cols)} needs {len(key_cols)}."
                 )
             rows.append(t)
+        if not rows:
+            # scalar parity: an empty id list filters to an empty result,
+            # it does not error (isin([]) semantics)
+            from pyspark.sql.types import StructField, StructType
+
+            empty = StructType([StructField(ENTITY_COL, key_type, True)])
+            return self.spark.createDataFrame([], empty)
         ids = self.spark.createDataFrame(rows, list(key_cols))
         return ids.select(
             F.struct(*[F.col(c) for c in key_cols])

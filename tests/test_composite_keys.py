@@ -156,6 +156,34 @@ class TestPitGet:
                 ts("2024-01-31"),
             )
 
+    def test_empty_ids_empty_result(self, cstore):
+        """Scalar parity: an empty id list filters to an empty result
+        (isin([]) semantics), it does not crash schema inference."""
+        out = cstore.get("spend", [], ts("2024-01-31"))
+        assert out.count() == 0
+        assert out.columns == ["user_id", "merchant_id", "timestamp", "spend"]
+
+    def test_nearest_direction_tuple_key(self, spark, cstore):
+        """direction='nearest' partitions its windows on the struct key:
+        (u1, m2)'s only row is 01-03 — nearest to an 01-04 spine point
+        within tolerance; (u1, m1) at 01-04 prefers 01-05 (1 day) over
+        01-01 (3 days)."""
+        spine = spark.createDataFrame(
+            [
+                ("u1", "m1", ts("2024-01-04")),
+                ("u1", "m2", ts("2024-01-04")),
+            ],
+            ["user_id", "merchant_id", "timestamp"],
+        )
+        got = {
+            (r["user_id"], r["merchant_id"]): r["spend"]
+            for r in cstore.get_training_set(
+                "spend", spine, direction="nearest",
+                tolerance_seconds=5 * 86400,
+            ).collect()
+        }
+        assert got == {("u1", "m1"): 11.0, ("u1", "m2"): 20.0}
+
     def test_bad_ids_raise(self, cstore):
         with pytest.raises(FeatureValidationError, match="tuples/dicts"):
             cstore.get("spend", ["u1"], ts("2024-01-31"))
