@@ -165,6 +165,31 @@ class TestDerivedViews:
         rows = {r["entity_id"]: r["affordable"] for r in out.collect()}
         assert rows == {"u1": True, "u2": False}  # spend 100 vs 300
 
+    def test_request_data_composite_key(self, spark):
+        """Request columns stitch on the NATURAL tuple key for
+        composite-key sources."""
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", "m1", ts("2024-01-01"), 100),
+             ("u1", "m2", ts("2024-01-01"), 300)],
+            ["user_id", "merchant_id", "timestamp", "cents"],
+        )
+        fs.register("s", df, entity_cols=["user_id", "merchant_id"])
+        fs.create_derived_view(
+            "v", sources=["s"], exprs={"ok": "budget >= s__cents"}
+        )
+        spine = spark.createDataFrame(
+            [("u1", "m1", ts("2024-01-02"), 150),
+             ("u1", "m2", ts("2024-01-02"), 150)],
+            ["user_id", "merchant_id", "timestamp", "budget"],
+        )
+        out = fs.get_derived_training_set("v", spine)
+        assert out.columns == ["user_id", "merchant_id", "timestamp", "ok"]
+        got = {
+            (r["user_id"], r["merchant_id"]): r["ok"] for r in out.collect()
+        }
+        assert got == {("u1", "m1"): True, ("u1", "m2"): False}
+
     def test_request_data_conflict_rejected(self, spark, store):
         store.create_derived_view(
             "afford",
