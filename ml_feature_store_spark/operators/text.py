@@ -148,6 +148,45 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+_HTML_DROP_TAGS = ("head", "nav", "aside", "footer", "script", "style")
+_HTML_ENTITIES = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+)
+
+
+def html_main_content(col):
+    """Main-content extraction from raw HTML — the trafilatura/readability
+    step every web-corpus pipeline runs before any quality or dedup pass
+    (the reference has no text operators; this joins t2/t8/pipe1's
+    curation lane). Four codegen stages, all JVM-side regexp/replace
+    algebra (no UDF, scan-speed at 100 TB):
+
+    1. drop whole non-content BLOCKS (head/nav/aside/footer/script/style,
+       dotall non-greedy);
+    2. strip residual tags ``<[^>]+>`` -> space (inline markup like
+       ``<b>`` keeps its text);
+    3. unescape the core entities — AFTER tag stripping, so escaped
+       markup in the text (``&lt;script&gt;``) stays text, per HTML
+       semantics;
+    4. collapse whitespace and trim.
+
+    Returns the extracted-text Column. Losslessness on synthetic markup
+    (wrap -> extract == original) is what the t18 oracle pins per doc.
+    """
+    out = col
+    for tag in _HTML_DROP_TAGS:
+        out = F.regexp_replace(out, f"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
+    out = F.regexp_replace(out, "<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

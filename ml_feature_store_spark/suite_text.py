@@ -1041,6 +1041,52 @@ def q_t16_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_t18_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/text.py
+    html_main_content — the trafilatura/readability step ahead of every
+    quality/dedup pass in a web-corpus pipeline, round-7): each document
+    is deterministically wrapped in full page chrome (head+style block,
+    entity-bearing nav, h1 title, inline <b> markup around the word
+    'table', an entity in the paragraph, unsubscribe footer), then the
+    extractor must recover EXACTLY title + body text + unescaped
+    entity — block drops, tag strip, entity unescape (after stripping,
+    per HTML semantics), whitespace collapse. roundtrip_ok pins
+    losslessness PER DOC against the independently-computed expected
+    string; the oracle replays the identical wrap + regexp algebra in
+    DuckDB. All four stages are JVM codegen regexp/replace — map-only,
+    zero shuffles before the final projection, scan-speed at 100 TB."""
+    from .operators.text import html_main_content
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"
+              "<nav>home &amp; about | contact</nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(
+            F.col("text"), F.lit(" table "), F.lit(" <b>table</b> ")
+        ),
+        F.lit(" &amp; more</p><footer>unsubscribe &copy; example</footer>"
+              "</body></html>"),
+    )
+    expected = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+        F.lit(" & more"),
+    )
+    extracted = html_main_content(html)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.size(F.split(extracted, " ")).cast("long").alias("n_tokens"),
+        (extracted == expected).alias("roundtrip_ok"),
+    )
+
+
 def q_t17_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup — the step ahead of every web-corpus
     pipeline's per-URL dedup (CommonCrawl-style: the same logical page
@@ -1155,6 +1201,7 @@ def q_x31_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    't18_html_extract': q_t18_html_extract,
     't6_explode_tokens': q_t6_explode_tokens,
     't13_paragraph_dedup': q_t13_paragraph_dedup,
     't14_url_parse': q_t14_url_parse,
@@ -2082,3 +2129,47 @@ ORACLE_SQL["t14_url_parse"] = """
 
 
 
+
+# t18: identical wrap + extraction algebra replayed in DuckDB (RE2 also
+# supports (?s) dotall and non-greedy); entities unescaped AFTER tag
+# stripping on both engines. roundtrip_ok must be TRUE for every doc.
+ORACLE_SQL["t18_html_extract"] = """
+    WITH h AS (
+        SELECT doc_id, text,
+               '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+               || '</title><style>p{margin:0}</style></head><body>'
+               || '<nav>home &amp; about | contact</nav><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>'
+               || replace(text, ' table ', ' <b>table</b> ')
+               || ' &amp; more</p><footer>unsubscribe &copy; example'
+               || '</footer></body></html>' AS html
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               html,
+                               '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+                               '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                               '(?s)<aside[^>]*>.*?</aside>', ' ', 'g'),
+                               '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                   '\\s+', ' ', 'g')) AS extracted
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+           extracted = ('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                        || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                        || ' & more') AS roundtrip_ok
+    FROM x
+"""

@@ -609,6 +609,44 @@ class TestRound6EdgeInputs:
         with pytest.raises(ValueError, match="n_items"):
             bradley_terry(m, iterations=1)
 
+    # -- t18 HTML extractor: the cases that break naive strippers ------------
+    def test_html_extract_escaped_markup_stays_text(self, spark):
+        """&lt;script&gt; in the TEXT is escaped markup, not a block to
+        drop: entities unescape AFTER tag stripping, so the extractor
+        must emit the literal '<script>alert(1)</script>' string."""
+        from ml_feature_store_spark.operators.text import html_main_content
+
+        df = spark.createDataFrame(
+            [("<p>safe &lt;script&gt;alert(1)&lt;/script&gt; text</p>",)],
+            ["h"],
+        )
+        got = df.select(html_main_content(F.col("h")).alias("x")).collect()
+        assert got[0]["x"] == "safe <script>alert(1)</script> text"
+
+    def test_html_extract_drops_real_script_keeps_inline(self, spark):
+        from ml_feature_store_spark.operators.text import html_main_content
+
+        df = spark.createDataFrame(
+            [(
+                "<body><script>var x=1;</script><p>keep "
+                "<b>bold</b>&nbsp;and <i>italic</i></p>"
+                "<footer>drop this</footer></body>",
+            )],
+            ["h"],
+        )
+        got = df.select(html_main_content(F.col("h")).alias("x")).collect()
+        assert got[0]["x"] == "keep bold and italic"
+
+    def test_html_extract_multiline_blocks(self, spark):
+        """(?s) dotall: nav/style blocks spanning newlines still drop."""
+        from ml_feature_store_spark.operators.text import html_main_content
+
+        df = spark.createDataFrame(
+            [("<style>\np { x: 1 }\n</style>\n<p>only\n this</p>",)], ["h"]
+        )
+        got = df.select(html_main_content(F.col("h")).alias("x")).collect()
+        assert got[0]["x"] == "only this"
+
     # -- t17-class canonicalizer: degenerate query strings --------------------
     def test_url_canonicalize_all_params_tracking(self, spark):
         """Every param filtered out: the canonical form must have NO '?'
