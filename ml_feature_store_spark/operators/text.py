@@ -149,13 +149,16 @@ PII_PATTERNS: dict[str, str] = {
 
 
 _HTML_DROP_TAGS = ("head", "nav", "aside", "footer", "script", "style")
+#: ``&amp;`` is unescaped LAST (standard unescape ordering): a
+#: double-escaped entity like ``&amp;lt;`` must come out as the literal
+#: text ``&lt;``, not be double-unescaped into ``<``.
 _HTML_ENTITIES = (
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 )
 
 
@@ -171,16 +174,24 @@ def html_main_content(col):
     2. strip residual tags ``<[^>]+>`` -> space (inline markup like
        ``<b>`` keeps its text);
     3. unescape the core entities — AFTER tag stripping, so escaped
-       markup in the text (``&lt;script&gt;``) stays text, per HTML
-       semantics;
+       markup in the text (``&lt;script&gt;``) stays text, and with
+       ``&amp;`` unescaped last so double-escaped entities
+       (``&amp;lt;``) come out as their single-unescaped literal;
     4. collapse whitespace and trim.
+
+    The drop-tag regex anchors the tag name at a boundary
+    (``<head>``/``<head attr=...>`` match; ``<header>`` does not), so
+    an HTML5 ``<header>`` element can never open a bogus ``head``
+    block that swallows body content.
 
     Returns the extracted-text Column. Losslessness on synthetic markup
     (wrap -> extract == original) is what the t18 oracle pins per doc.
     """
     out = col
     for tag in _HTML_DROP_TAGS:
-        out = F.regexp_replace(out, f"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
+        out = F.regexp_replace(
+            out, f"(?s)<{tag}(\\s[^>]*)?>.*?</{tag}\\s*>", " "
+        )
     out = F.regexp_replace(out, "<[^>]+>", " ")
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))

@@ -152,18 +152,33 @@ class FeatureStore:
                 partition_by=partition_by,
                 sort_within_partitions=sort_within_partitions,
             )
-        # rollup specs live in-process (spec + delta watermark); the rollup
-        # STATE itself is versioned in the backend like any table
-        self._rollups: dict[str, dict[str, Any]] = {}
-        # on-demand (derived) view specs — never materialized; see
-        # create_derived_view
-        self._derived: dict[str, dict[str, Any]] = {}
-        # feature-service specs (named retrieval contracts); see
-        # create_feature_service
-        self._services: dict[str, dict[str, Any]] = {}
+        # (table, version) -> natural key columns (or None for scalar
+        # keys). A version's schema is immutable, so sniffing the struct
+        # key from the backend ONCE per version is safe — without the
+        # cache every get_table_info/_validate_columns call would pay a
+        # backend version read (a Parquet footer fetch) just to discover
+        # the key (round-8 ADVICE fix). Invalidated per-table on delete().
+        self._key_cache: dict[tuple[str, int], tuple[str, ...] | None] = {}
         # cross-table snapshot manifests: persisted beside the Parquet
         # backend (survive the process) or in-process for the memory one
         self._snapshots: dict[str, SnapshotManifest] = self._load_snapshots()
+        # derived-view / feature-service / rollup specs + view TTLs: the
+        # REGISTRY (Feast's registry.db contract). Persisted to
+        # _registry.json beside the version store — the 3 a.m. training
+        # run is a NEW process, and a service name that dies with the
+        # process that registered it is not a contract. The rollup STATE
+        # itself is versioned in the backend like any table; only the
+        # spec (+ delta watermark) lives here. In-process for the memory
+        # backend, like snapshots.
+        reg = self._load_registry()
+        self._rollups: dict[str, dict[str, Any]] = reg["rollups"]
+        self._derived: dict[str, dict[str, Any]] = reg["derived"]
+        self._services: dict[str, dict[str, Any]] = reg["services"]
+        # table -> default TTL seconds (Feast FeatureView.ttl): defaults
+        # the as-of lookback in get_training_set and the freshness SLA
+        # in get_online for every read of that view; explicit per-call
+        # arguments override.
+        self._ttl: dict[str, float] = reg["ttl"]
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -185,9 +200,7 @@ class FeatureStore:
         feature_cols = tuple(
             c for c in rec.columns if c not in REQUIRED_COLUMNS and c not in HIDDEN_COLS
         )
-        key_cols = self._entity_key_cols(
-            self._backend.read_version(name, state.version)
-        )
+        key_cols = self._entity_key_cols_of(name, state.version)
         return FeatureTableInfo(
             name=state.name,
             columns=feature_cols,
@@ -198,15 +211,50 @@ class FeatureStore:
             entity_columns=key_cols or (ENTITY_COL,),
         )
 
-    def delete(self, name: str) -> bool:
+    def delete(self, name: str, cascade: bool = False) -> bool:
         """Drop a table and all its versions. Returns False if absent —
-        never raises (reference store.py:362-375)."""
+        never raises for a missing table (reference store.py:362-375).
+
+        A table still referenced by a registered derived view, feature
+        service or rollup is REFUSED (``FeatureValidationError`` naming
+        every referencing spec): the registry's eager-validation contract
+        would otherwise dangle silently until the 3 a.m. build. Pass
+        ``cascade=True`` to drop the referencing specs together with the
+        table. The table's TTL default and key cache are released either
+        way."""
         if not self._backend.exists(name):
             return False
+        refs = self._spec_references(name)
+        if refs:
+            if not cascade:
+                raise FeatureValidationError(
+                    f"delete('{name}'): table is referenced by "
+                    f"{sorted(refs)} — drop those specs first or pass "
+                    f"cascade=True to remove them with the table."
+                )
+            for n, s in list(self._derived.items()):
+                if name in s["sources"]:
+                    del self._derived[n]
+            for n, s in list(self._services.items()):
+                if name in s["selections"]:
+                    del self._services[n]
+            for n, s in list(self._rollups.items()):
+                if s["src"] == name:
+                    del self._rollups[n]
+                    rname = n + self._ROLLUP_SUFFIX
+                    if self._backend.exists(rname):
+                        self._backend.drop_table(rname)
         self._backend.drop_table(name)
         online = name + self._ONLINE_SUFFIX
         if self._backend.exists(online):
             self._backend.drop_table(online)
+        # a later re-register restarts at version 1, possibly with a
+        # different key shape — stale (name, version) entries must go
+        self._key_cache = {
+            k: v for k, v in self._key_cache.items() if k[0] != name
+        }
+        if self._ttl.pop(name, None) is not None or refs:
+            self._save_registry()
         return True
 
     # ------------------------------------------------------------------ #
@@ -219,6 +267,7 @@ class FeatureStore:
         description: str = "",
         entity_cols: Sequence[str] | None = None,
         checks: dict[str, str] | None = None,
+        ttl_seconds: float | None = None,
     ) -> FeatureTableInfo:
         """Validate, normalize and store ``df`` as a new version of ``name``.
 
@@ -243,21 +292,58 @@ class FeatureStore:
         and raises ``FeatureValidationError`` naming each failed
         check and its violation count instead of publishing a bad
         version. NULL check results count as violations (a check that
-        cannot evaluate a row has not passed it).
+        cannot evaluate a row has not passed it). Checks run on the
+        PRE-compose frame, so composite-key contracts reference the
+        natural key columns the caller actually sent (``user_id IS NOT
+        NULL``), not the folded struct.
+
+        ``ttl_seconds`` attaches a view-level TTL (Feast
+        ``FeatureView.ttl``): the default as-of lookback for every
+        ``get_training_set`` / multi-view read of this table and the
+        default ``max_age_seconds`` freshness SLA for ``get_online``.
+        Explicit per-call arguments override it; re-registering without
+        ``ttl_seconds`` keeps the existing TTL (it is a view property,
+        not a version property). Persisted in the registry.
         """
+        if checks and isinstance(df, DataFrame):
+            # a check expression that references a column the caller did
+            # not send is a spec bug, not a data violation — surface it
+            # as the same validation error, not a raw AnalysisException
+            try:
+                self._enforce_checks(df, checks, context=f"register('{name}')")
+            except FeatureValidationError:
+                raise
+            except Exception as exc:  # AnalysisException and friends
+                raise FeatureValidationError(
+                    f"register('{name}'): a contract check could not be "
+                    f"evaluated over the incoming columns "
+                    f"({sorted(df.columns)}): {exc}"
+                ) from exc
         if entity_cols is not None:
             df = self._compose_entity_key(
                 df, entity_cols, context=f"register('{name}')"
             )
         self._validate_dataframe(df, context=f"register('{name}')")
-        if checks:
-            self._enforce_checks(df, checks, context=f"register('{name}')")
         prepared = self._prepare_dataframe(df)
         row_count = prepared.count()
         new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
         self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
+        if ttl_seconds is not None:
+            if ttl_seconds <= 0:
+                raise FeatureValidationError(
+                    f"register('{name}'): ttl_seconds must be > 0, "
+                    f"got {ttl_seconds}"
+                )
+            self._ttl[name] = float(ttl_seconds)
+            self._save_registry()
         return self.get_table_info(name)
+
+    def get_view_ttl(self, name: str) -> float | None:
+        """The view-level TTL default registered for ``name`` (seconds),
+        or None when the view has no TTL."""
+        self._require_table(name)
+        return self._ttl.get(name)
 
     def append(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
         """Incremental registration: new version = current rows + ``df``.
@@ -584,8 +670,29 @@ class FeatureStore:
         cols = list(current.columns)
         # composite-key tables: alias_id/canonical_id are STRUCT columns
         # matching the key schema (build with F.struct(...)); cast pins
-        # the join/coalesce types to the stored key type either way
+        # the join/coalesce types to the stored key type either way.
+        # The cast rebinds struct fields BY POSITION, so a mapping built
+        # with the key fields in a different order (struct(merchant_id,
+        # user_id) for a (user_id, merchant_id) key) would silently swap
+        # columns — reject on field-name mismatch instead (round-8
+        # ADVICE fix).
         key_type = current.schema[ENTITY_COL].dataType
+        from pyspark.sql.types import StructType as _St
+
+        if isinstance(key_type, _St):
+            expected = tuple(key_type.fieldNames())
+            for mcol in ("alias_id", "canonical_id"):
+                dt = m.schema[mcol].dataType
+                got = (
+                    tuple(dt.fieldNames()) if isinstance(dt, _St) else dt
+                )
+                if got != expected:
+                    raise FeatureValidationError(
+                        f"merge_entities('{name}'): {mcol} must be a "
+                        f"struct with fields {expected} (the registered "
+                        f"entity key, in order); got {got}. A positional "
+                        f"cast would silently rebind mismatched fields."
+                    )
         dim = F.broadcast(
             m.select(
                 F.col("alias_id").cast(key_type).alias(ENTITY_COL),
@@ -664,6 +771,9 @@ class FeatureStore:
         if columns is not None:
             self._validate_columns(name, columns)
         df = self._backend.read_version(online, self._backend.versions(online)[-1])
+        if max_age_seconds is None:
+            # view-level TTL doubles as the serving freshness SLA
+            max_age_seconds = self._ttl.get(name)
         if max_age_seconds is not None:
             if max_age_seconds < 0:
                 raise FeatureValidationError(
@@ -732,6 +842,7 @@ class FeatureStore:
             "watermark": int(watermark),
             "src_rows": meta.versions[meta.version].row_count,
         }
+        self._save_registry()
         return row_count
 
     def refresh_rollup(self, rollup: str) -> int:
@@ -769,6 +880,7 @@ class FeatureStore:
         watermark = src.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
         spec["watermark"] = int(watermark)
         spec["src_rows"] = cur_rows
+        self._save_registry()
         return row_count
 
     def get_rollup(self, rollup: str) -> DataFrame:
@@ -776,6 +888,21 @@ class FeatureStore:
             raise FeatureStoreError(f"Unknown rollup: '{rollup}'")
         rname = rollup + self._ROLLUP_SUFFIX
         return self._backend.read_version(rname, self._backend.versions(rname)[-1])
+
+    def list_rollups(self) -> list[str]:
+        return sorted(self._rollups)
+
+    def drop_rollup(self, rollup: str) -> bool:
+        """Release a rollup spec AND its materialized state table.
+        Returns False if absent — never raises (the ``delete``
+        contract)."""
+        if self._rollups.pop(rollup, None) is None:
+            return False
+        rname = rollup + self._ROLLUP_SUFFIX
+        if self._backend.exists(rname):
+            self._backend.drop_table(rname)
+        self._save_registry()
+        return True
 
     @staticmethod
     def _rollup_state(df: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
@@ -943,6 +1070,10 @@ class FeatureStore:
                 F.col(ENTITY_COL).cast(feats.schema[ENTITY_COL].dataType),
             )
         self._validate_dataframe(entity_timestamps, context="get_training_set(spine)")
+        if tolerance_seconds is None:
+            # view-level TTL (Feast FeatureView.ttl): the registered
+            # default lookback bound; an explicit argument overrides
+            tolerance_seconds = self._ttl.get(name)
         if direction == "nearest":
             out = asof_join_nearest(
                 entity_timestamps,
@@ -1046,8 +1177,15 @@ class FeatureStore:
         self._validate_dataframe(spine, context="get_multi_view_training_set(spine)")
         out: DataFrame | None = None
         for name, feats in zip(names, resolved):
+            # per-view TTL: each view's as-of join gets its own lookback
+            # bound (the joins are per-view anyway, so this is free)
             view = asof_join(
-                spine, feats, strategy=strategy, keep_spine_ts=True, how=how
+                spine,
+                feats,
+                strategy=strategy,
+                keep_spine_ts=True,
+                how=how,
+                tolerance_seconds=self._ttl.get(name),
             )
             payload = [
                 c
@@ -1116,6 +1254,7 @@ class FeatureStore:
             "exprs": dict(exprs),
             "how": how,
         }
+        self._save_registry()
 
     def get_derived_training_set(
         self,
@@ -1166,19 +1305,34 @@ class FeatureStore:
                 *natural_key, TIMESTAMP_COL, *request_cols
             ).dropDuplicates()
             stitch = [*natural_key, TIMESTAMP_COL]
-            dup = (
-                req.groupBy(*stitch)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+            # Duplicate guard FUSED into the stitch job (round-8: the old
+            # separate count() was a second full spine aggregation per
+            # build): dropDuplicates removed identical rows, so any key
+            # still duplicated carries CONFLICTING request values. The
+            # per-key count rides a window over the stitch key — the same
+            # hash partitioning the join needs, so the exchange is reused
+            # — and the guard wraps the stitch TIMESTAMP itself (a join
+            # key, so column pruning can never elide it): the build fails
+            # at execution with this message instead of averaging or
+            # duplicating rows. raise_error's NullType coerces to the
+            # timestamp branch type.
+            from pyspark.sql.window import Window
+
+            n_per_key = F.count(F.lit(1)).over(
+                Window.partitionBy(*stitch)
             )
-            if dup:
-                raise FeatureValidationError(
-                    f"get_derived_training_set('{name}'): conflicting "
-                    f"request-data values for the same spine "
-                    f"({stitch}) row — dedupe the spine first."
-                )
+            guard_msg = (
+                f"get_derived_training_set('{name}'): conflicting "
+                f"request-data values for the same spine "
+                f"({stitch}) row — dedupe the spine first."
+            )
+            req = req.select(
+                *natural_key,
+                F.when(n_per_key == 1, F.col(TIMESTAMP_COL))
+                .otherwise(F.raise_error(F.lit(guard_msg)))
+                .alias(TIMESTAMP_COL),
+                *request_cols,
+            )
             base = base.join(req, stitch, "inner")
         derived = [
             F.expr(sql).alias(col) for col, sql in spec["exprs"].items()
@@ -1292,6 +1446,7 @@ class FeatureStore:
             },
             "how": how,
         }
+        self._save_registry()
 
     def get_service_training_set(
         self,
@@ -1326,7 +1481,10 @@ class FeatureStore:
     def drop_feature_service(self, name: str) -> bool:
         """Release a service spec. Returns False if absent — never raises
         (the ``delete`` contract)."""
-        return self._services.pop(name, None) is not None
+        if self._services.pop(name, None) is None:
+            return False
+        self._save_registry()
+        return True
 
     def list_derived_views(self) -> list[str]:
         return sorted(self._derived)
@@ -1334,7 +1492,10 @@ class FeatureStore:
     def drop_derived_view(self, name: str) -> bool:
         """Release a derived-view spec. Returns False if absent — never
         raises (the ``delete`` contract)."""
-        return self._derived.pop(name, None) is not None
+        if self._derived.pop(name, None) is None:
+            return False
+        self._save_registry()
+        return True
 
     # ------------------------------------------------------------------ #
     # cross-table snapshot manifests
@@ -1470,6 +1631,118 @@ class FeatureStore:
     def _snapshots_path(self):
         root = getattr(self._backend, "root", None)
         return None if root is None else root / "_snapshots.json"
+
+    # ------------------------------------------------------------------ #
+    # spec registry persistence (derived views / services / rollups / TTL)
+    # ------------------------------------------------------------------ #
+    def _registry_path(self):
+        root = getattr(self._backend, "root", None)
+        return None if root is None else root / "_registry.json"
+
+    def _load_registry(self) -> dict[str, dict]:
+        """Rehydrate the spec registry written by ``_save_registry``.
+        Specs are NOT eagerly validated here: a spec whose table was
+        removed out-of-band surfaces lazily with the data path's own
+        clear error (``FeatureTableNotFoundError`` from ``_resolve`` /
+        ``FeatureValidationError`` from the column validation) —
+        ``delete()`` refuses to create dangling references in the first
+        place."""
+        out: dict[str, dict] = {
+            "derived": {}, "services": {}, "rollups": {}, "ttl": {},
+        }
+        path = self._registry_path()
+        if path is None or not path.exists():
+            return out
+        import json
+
+        raw = json.loads(path.read_text())
+        for n, s in raw.get("derived", {}).items():
+            out["derived"][n] = {
+                "sources": tuple(s["sources"]),
+                "exprs": dict(s["exprs"]),
+                "how": s["how"],
+            }
+        for n, s in raw.get("services", {}).items():
+            out["services"][n] = {
+                "selections": {
+                    v: (tuple(c) if c is not None else None)
+                    for v, c in s["selections"].items()
+                },
+                "how": s["how"],
+            }
+        for n, s in raw.get("rollups", {}).items():
+            out["rollups"][n] = {
+                "src": s["src"],
+                "group_cols": tuple(s["group_cols"]),
+                "sum_cols": tuple(s["sum_cols"]),
+                "watermark": int(s["watermark"]),
+                "src_rows": int(s["src_rows"]),
+            }
+        out["ttl"] = {t: float(v) for t, v in raw.get("ttl", {}).items()}
+        return out
+
+    def _save_registry(self) -> None:
+        path = self._registry_path()
+        if path is None:
+            return
+        import json
+
+        path.write_text(
+            json.dumps(
+                {
+                    "derived": {
+                        n: {
+                            "sources": list(s["sources"]),
+                            "exprs": s["exprs"],
+                            "how": s["how"],
+                        }
+                        for n, s in self._derived.items()
+                    },
+                    "services": {
+                        n: {
+                            "selections": {
+                                v: (list(c) if c is not None else None)
+                                for v, c in s["selections"].items()
+                            },
+                            "how": s["how"],
+                        }
+                        for n, s in self._services.items()
+                    },
+                    "rollups": {
+                        n: {
+                            "src": s["src"],
+                            "group_cols": list(s["group_cols"]),
+                            "sum_cols": list(s["sum_cols"]),
+                            "watermark": s["watermark"],
+                            "src_rows": s["src_rows"],
+                        }
+                        for n, s in self._rollups.items()
+                    },
+                    "ttl": self._ttl,
+                },
+                indent=2,
+            )
+        )
+
+    def _spec_references(self, table: str) -> list[str]:
+        """Registry specs that read ``table`` — what ``delete`` must not
+        leave dangling."""
+        refs = [
+            f"derived view '{n}'"
+            for n, s in self._derived.items()
+            if table in s["sources"]
+        ]
+        refs += [
+            f"feature service '{n}'"
+            for n, s in self._services.items()
+            if table in s["selections"]
+        ]
+        refs += [
+            f"rollup '{n}'"
+            for n, s in self._rollups.items()
+            if s["src"] == table
+        ]
+        return refs
 
     def create_view(self, name: str, view_name: str | None = None) -> str:
         """Expose the current version as a Spark temp view so users can
@@ -1666,6 +1939,20 @@ class FeatureStore:
 
         dt = df.schema[ENTITY_COL].dataType
         return tuple(dt.fieldNames()) if isinstance(dt, StructType) else None
+
+    def _entity_key_cols_of(
+        self, name: str, version: int
+    ) -> tuple[str, ...] | None:
+        """Key columns of a STORED version, cached per (table, version):
+        a version's schema is immutable, so the struct-key sniff pays its
+        backend read (Parquet footer fetch) once, not on every
+        get_table_info/_validate_columns call."""
+        k = (name, version)
+        if k not in self._key_cache:
+            self._key_cache[k] = self._entity_key_cols(
+                self._backend.read_version(name, version)
+            )
+        return self._key_cache[k]
 
     @staticmethod
     def _compose_entity_key(

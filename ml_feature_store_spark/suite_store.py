@@ -370,6 +370,38 @@ def q_f7c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f34_view_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-level TTL — Feast ``FeatureView.ttl`` as a registration-time
+    contract (store.py register(ttl_seconds=), round-8): the view
+    registers with a 48h TTL and the training build passes NO tolerance
+    — the registered default bounds the as-of lookback, so spine rows
+    whose latest feature is older than the window drop out (f7c's
+    per-call behavior lifted to the view; an explicit per-call
+    tolerance still overrides, pytest-pinned). The TTL lives in the
+    persisted registry beside the version store, so the bound follows
+    the view into every process that opens it, and it doubles as
+    ``get_online``'s freshness SLA. Plan: identical to f7c — the union
+    as-of argmax plus one post-argmax filter; the TTL adds zero
+    shuffles. Oracle: the PIT argmax with the 48h window applied
+    post-argmax (the merge_asof tolerance shape)."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("ev_ttl", feats, ttl_seconds=48 * 3600)
+    dates = spark.createDataFrame(
+        [("2024-01-05",), ("2024-01-20",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("timestamp"))
+    spine = feats.select("entity_id").distinct().crossJoin(dates)
+    out = fs.get_training_set("ev_ttl", spine)  # no tolerance: TTL applies
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+    )
+
+
 def q_f10_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog bridge: register a feature table, expose it as a temp view,
     and answer with spark.sql — the SQL surface over the store."""
@@ -907,7 +939,13 @@ def q_odfv1_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer expressions. Cross-engine note: the gap uses abs()
     before integer division because Spark DIV truncates toward zero
     while DuckDB // floors — identical only for non-negative operands.
-    All-integer outputs, so no float jitter."""
+    All-integer outputs, so no float jitter.
+
+    Round-8: the build runs through a REOPENED store — views and the
+    ODFV spec register in store A (Parquet backend), the training set
+    builds from a FRESH FeatureStore over the same storage_path,
+    witnessing the persisted ``_registry.json`` spec (Feast registry
+    contract): the 3 a.m. training run is a new process."""
     import datetime as dt
 
     from .store import FeatureStore
@@ -921,10 +959,11 @@ def q_odfv1_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.col("event_id").alias("__row_id__"),
     )
-    fs = FeatureStore(spark)
-    fs.register("purch", ev.filter(F.col("event_type") == "purchase").drop("event_type"))
-    fs.register("clicks", ev.filter(F.col("event_type") == "click").drop("event_type"))
-    fs.create_derived_view(
+    d = _scratch_dir("odfv1_store", sf_dir)
+    writer = FeatureStore(spark, storage_path=d)
+    writer.register("purch", ev.filter(F.col("event_type") == "purchase").drop("event_type"))
+    writer.register("clicks", ev.filter(F.col("event_type") == "click").drop("event_type"))
+    writer.create_derived_view(
         "odfv",
         sources=["purch", "clicks"],
         exprs={
@@ -935,6 +974,8 @@ def q_odfv1_derived_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "- unix_micros(clicks__timestamp)) DIV 1000000",
         },
     )
+    # a NEW process opens the same storage: the spec must resolve there
+    fs = FeatureStore(spark, storage_path=d)
     users = ev.select("entity_id").distinct()
     spine = users.withColumn(
         "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
@@ -1064,7 +1105,13 @@ def q_fsvc1_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     away BEFORE the as-of join, so they never enter the shuffle —
     plan-gated in tests/test_feature_services.py; at 100 TB selecting
     3 of 80 features shuffles 3. Oracle: the two PIT argmaxes with the
-    service's projection."""
+    service's projection.
+
+    Round-8: the service registers in store A (Parquet backend) and the
+    training set builds from a FRESH FeatureStore over the same
+    storage_path — witnessing the persisted ``_registry.json`` service
+    spec (the 'one stable name at 3 a.m.' contract survives the
+    process)."""
     import datetime as dt
 
     from .store import FeatureStore
@@ -1079,16 +1126,19 @@ def q_fsvc1_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.col("event_id").alias("__row_id__"),
     )
-    fs = FeatureStore(spark)
-    fs.register(
+    d = _scratch_dir("fsvc1_store", sf_dir)
+    writer = FeatureStore(spark, storage_path=d)
+    writer.register(
         "psvc", ev.filter(F.col("event_type") == "purchase").drop("event_type")
     )
-    fs.register(
+    writer.register(
         "csvc", ev.filter(F.col("event_type") == "click").drop("event_type")
     )
-    fs.create_feature_service(
+    writer.create_feature_service(
         "reward_model_v1", {"psvc": ["value_cents"], "csvc": None}
     )
+    # reopen: the service name must resolve in a fresh store
+    fs = FeatureStore(spark, storage_path=d)
     users = ev.select("entity_id").distinct()
     spine = users.withColumn(
         "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
@@ -1584,6 +1634,7 @@ QUERIES = {
     'f7_asof_join': q_f7_asof_join,
     'f7_asof_join_grid': q_f7_asof_join_grid,
     'f7c_asof_tolerance': q_f7c_asof_tolerance,
+    'f34_view_ttl': q_f34_view_ttl,
     'f8_version_travel': q_f8_version_travel,
     'f10_sql_over_views': q_f10_sql_over_views,
     'h1_time_rollup': q_h1_time_rollup,
@@ -1750,6 +1801,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, event_id, ts_us, value, as_of_us FROM (
             SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
                    epoch_us(spine.sts) AS as_of_us, f.ts, spine.sts,
+                   row_number() OVER (PARTITION BY spine.user_id, spine.sts
+                                      ORDER BY f.ts DESC, f.event_id ASC) AS rn
+            FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts
+        ) WHERE rn = 1 AND ts >= sts - INTERVAL 48 HOURS
+    """,
+    "f34_view_ttl": f"""
+        WITH f AS ({_EV}),
+        g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-05'),
+                                    (TIMESTAMP '2024-01-20')) AS t(sts)),
+        spine AS (SELECT user_id, sts FROM (SELECT DISTINCT user_id FROM f) CROSS JOIN g)
+        SELECT user_id, event_id, ts_us, value FROM (
+            SELECT spine.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+                   f.ts, spine.sts,
                    row_number() OVER (PARTITION BY spine.user_id, spine.sts
                                       ORDER BY f.ts DESC, f.event_id ASC) AS rn
             FROM spine JOIN f ON spine.user_id = f.user_id AND f.ts <= spine.sts

@@ -2153,15 +2153,15 @@ ORACLE_SQL["t18_html_extract"] = """
                            regexp_replace(regexp_replace(regexp_replace(
                            regexp_replace(regexp_replace(regexp_replace(
                                html,
-                               '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
-                               '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
-                               '(?s)<aside[^>]*>.*?</aside>', ' ', 'g'),
-                               '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
-                               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<head(\\s[^>]*)?>.*?</head\\s*>', ' ', 'g'),
+                               '(?s)<nav(\\s[^>]*)?>.*?</nav\\s*>', ' ', 'g'),
+                               '(?s)<aside(\\s[^>]*)?>.*?</aside\\s*>', ' ', 'g'),
+                               '(?s)<footer(\\s[^>]*)?>.*?</footer\\s*>', ' ', 'g'),
+                               '(?s)<script(\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+                               '(?s)<style(\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
                            '<[^>]+>', ' ', 'g'),
-                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                       '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                    '\\s+', ' ', 'g')) AS extracted
         FROM h
     )

@@ -647,6 +647,39 @@ class TestRound6EdgeInputs:
         got = df.select(html_main_content(F.col("h")).alias("x")).collect()
         assert got[0]["x"] == "only this"
 
+    def test_html_extract_double_escaped_entity(self, spark):
+        """'&amp;lt;' is a double-escaped '&lt;': one unescape pass must
+        yield the literal '&lt;' text, NOT '<' — which requires '&amp;'
+        to be replaced LAST (the round-8 ADVICE fix; standard HTML
+        unescape ordering)."""
+        from ml_feature_store_spark.operators.text import html_main_content
+
+        df = spark.createDataFrame(
+            [("<p>code: &amp;lt;tag&amp;gt; and plain &amp; amp</p>",)],
+            ["h"],
+        )
+        got = df.select(html_main_content(F.col("h")).alias("x")).collect()
+        assert got[0]["x"] == "code: &lt;tag&gt; and plain & amp"
+
+    def test_html_extract_header_element_not_swallowed(self, spark):
+        """HTML5 <header> must NOT match the <head...> block-drop regex:
+        the tag name is boundary-anchored, so content between a <header>
+        tag and a later literal '</head>' survives (round-8 ADVICE
+        fix)."""
+        from ml_feature_store_spark.operators.text import html_main_content
+
+        df = spark.createDataFrame(
+            [(
+                "<html><head><title>t</title></head><body>"
+                "<header class=x>site banner</header>"
+                "<p>body text stays</p></body></html>",
+            )],
+            ["h"],
+        )
+        got = df.select(html_main_content(F.col("h")).alias("x")).collect()
+        # <header> is inline-stripped (its text kept), not block-dropped
+        assert got[0]["x"] == "site banner body text stays"
+
     # -- t17-class canonicalizer: degenerate query strings --------------------
     def test_url_canonicalize_all_params_tracking(self, spark):
         """Every param filtered out: the canonical form must have NO '?'
