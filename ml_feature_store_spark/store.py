@@ -1475,6 +1475,68 @@ class FeatureStore:
             columns={v: list(c) for v, c in sel.items() if c is not None},
         )
 
+    def get_online_service(
+        self,
+        name: str,
+        entity_ids: Sequence[Any] | None = None,
+        max_age_seconds: float | None = None,
+        as_of: Any = None,
+    ) -> DataFrame:
+        """SERVING-path read of a feature service (Feast's
+        ``get_online_features(features=service)``): the service's
+        selected columns stitched from each view's materialized ONLINE
+        snapshot — one row per entity, so the model's inference read
+        uses the SAME stable name (and the same column set) as its
+        training build, and the two cannot drift apart. Columns arrive
+        ``<view>__<col>``-prefixed exactly like the training lane.
+
+        Join semantics mirror the training lane's ``how``: ``inner``
+        keeps entities present in EVERY view's snapshot, ``left`` keeps
+        every entity of the FIRST view, null-padding the rest. Each
+        view's snapshot timestamp arrives as ``<view>__timestamp``.
+        ``max_age_seconds``/``as_of`` apply ``get_online``'s freshness
+        SLA per view (view TTLs default it per view). Every source must
+        be ``materialize_online``'d first. Cost: one \\|entities\\|-row
+        scan per view + (n_views - 1) equi joins on the entity key —
+        serving never touches history."""
+        spec = self._services.get(name)
+        if spec is None:
+            raise FeatureStoreError(
+                f"Unknown feature service: '{name}'. "
+                f"Registered: {sorted(self._services)}"
+            )
+        sel = spec["selections"]
+        first = next(iter(sel))
+        key_cols = self._entity_key_cols_of(
+            first, self._backend.meta(first).version
+        ) if self._backend.exists(first) else None
+        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        out: DataFrame | None = None
+        for src, cols in sel.items():
+            view = self.get_online(
+                src,
+                entity_ids,
+                columns=list(cols) if cols is not None else None,
+                max_age_seconds=max_age_seconds,
+                as_of=as_of,
+            )
+            missing = [c for c in natural_key if c not in view.columns]
+            if missing:
+                raise FeatureValidationError(
+                    f"get_online_service('{name}'): view '{src}' does "
+                    f"not share the entity key {natural_key} (missing "
+                    f"{missing}) — every view must be keyed alike."
+                )
+            payload = [c for c in view.columns if c not in natural_key]
+            view = view.select(
+                *natural_key,
+                *[F.col(c).alias(f"{src}__{c}") for c in payload],
+            )
+            out = view if out is None else out.join(
+                view, natural_key, spec["how"]
+            )
+        return out
+
     def list_feature_services(self) -> list[str]:
         return sorted(self._services)
 

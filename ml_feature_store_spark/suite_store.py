@@ -1154,6 +1154,52 @@ def q_fsvc1_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fsvc2_online_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE feature-service read (store.py get_online_service — Feast's
+    ``get_online_features`` by service name, round-8): the SAME named
+    (view -> columns) bundle that builds training sets serves inference
+    reads over the views' materialized online snapshots — one row per
+    entity, columns prefixed exactly like the training lane, so the
+    model's serving read cannot drift from its training contract (the
+    f28/odfv3 parity story lifted to services). Plan: one
+    latest-per-user argmax per view at materialize time; at read time
+    one \\|entities\\|-row snapshot scan per view + a single equi join —
+    serving never touches history. Oracle: two latest-per-user argmaxes
+    with the service's projection, inner-joined on the key."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register(
+        "psvc2", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.register(
+        "csvc2", ev.filter(F.col("event_type") == "click").drop("event_type")
+    )
+    fs.materialize_online("psvc2")
+    fs.materialize_online("csvc2")
+    fs.create_feature_service(
+        "reward_model_online", {"psvc2": ["value_cents"], "csvc2": None}
+    )
+    out = fs.get_online_service("reward_model_online")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("psvc2__value_cents").cast("long").alias("purch_cents"),
+        F.col("csvc2__value_cents").cast("long").alias("click_cents"),
+        F.col("csvc2__event_id").cast("long").alias("click_event_id"),
+        _US("csvc2__timestamp").alias("click_ts_us"),
+    )
+
+
 def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data contract (store.py register(checks=) — the
     dbt-test/Great-Expectations gate applied where it can still refuse
@@ -1656,6 +1702,7 @@ QUERIES = {
     'odfv2_request_data': q_odfv2_request_data,
     'odfv3_online_derived': q_odfv3_online_derived,
     'fsvc1_feature_service': q_fsvc1_feature_service,
+    'fsvc2_online_service': q_fsvc2_online_service,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2170,6 +2217,32 @@ ORACLE_SQL["odfv3_online_derived"] = f"""
                AS spend_click_bp,
            CAST(p.value_cents - c.value_cents AS BIGINT)
                AS spend_minus_click
+    FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# fsvc2: the ONLINE service read — two latest-per-user argmaxes (no
+# cutoff: the online snapshot is latest-over-all-history) with the
+# service's projection, inner-joined on the key.
+ORACLE_SQL["fsvc2_online_service"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase') WHERE rn = 1),
+    c AS (SELECT user_id, value_cents, event_id, ts FROM (
+            SELECT user_id, value_cents, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click') WHERE rn = 1)
+    SELECT p.user_id,
+           CAST(p.value_cents AS BIGINT) AS purch_cents,
+           CAST(c.value_cents AS BIGINT) AS click_cents,
+           CAST(c.event_id AS BIGINT) AS click_event_id,
+           epoch_us(c.ts) AS click_ts_us
     FROM p JOIN c ON p.user_id = c.user_id
 """
 

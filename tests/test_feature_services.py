@@ -119,3 +119,68 @@ class TestFeatureServices:
         plan = out._jdf.queryExecution().executedPlan().toString()
         lines = [l for l in plan.splitlines() if "channel" in l]
         assert all("ExistingRDD" in l for l in lines), lines
+
+
+class TestOnlineService:
+    def test_online_service_matches_training_columns(self, spark, store):
+        """The SAME service name serves online: prefixed columns match the
+        training lane's, values come from each view's latest snapshot."""
+        store.materialize_online("spend")
+        store.materialize_online("clicks")
+        store.create_feature_service(
+            "model_v1", {"spend": ["cents"], "clicks": None}
+        )
+        out = store.get_online_service("model_v1")
+        assert sorted(out.columns) == sorted(
+            [
+                "entity_id",
+                "spend__timestamp",
+                "spend__cents",
+                "clicks__timestamp",
+                "clicks__n_clicks",
+                "clicks__n_views",
+            ]
+        )
+        rows = {r["entity_id"]: r for r in out.collect()}
+        assert rows["u1"]["spend__cents"] == 100
+        assert rows["u1"]["clicks__n_clicks"] == 4
+        assert rows["u2"]["spend__cents"] == 300
+
+    def test_online_service_entity_filter_and_freshness(self, spark, store):
+        store.materialize_online("spend")
+        store.materialize_online("clicks")
+        store.create_feature_service("m2", {"spend": None, "clicks": None})
+        out = store.get_online_service("m2", entity_ids=["u1"])
+        assert [r["entity_id"] for r in out.collect()] == ["u1"]
+        # freshness SLA: u1's spend row (01-02) is stale at 01-06 with a
+        # 2-day max age; u2's (01-03) too -> inner join drops both
+        fresh = store.get_online_service(
+            "m2", max_age_seconds=2 * 24 * 3600, as_of=ts("2024-01-06")
+        )
+        assert fresh.count() == 0
+
+    def test_online_service_requires_materialization(self, spark, store):
+        store.create_feature_service("m3", {"spend": None})
+        with pytest.raises(FeatureTableNotFoundError, match="online view"):
+            store.get_online_service("m3").collect()
+
+    def test_online_service_unknown_name(self, store):
+        with pytest.raises(FeatureStoreError, match="Unknown feature service"):
+            store.get_online_service("ghost")
+
+    def test_online_service_survives_reopen(self, spark, tmp_path):
+        """Registry + online snapshots both persist: the serving read
+        works from a fresh store over the same storage path."""
+        a = FeatureStore(spark, storage_path=str(tmp_path))
+        a.register(
+            "v",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 7)],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        a.materialize_online("v")
+        a.create_feature_service("svc", {"v": None})
+        b = FeatureStore(spark, storage_path=str(tmp_path))
+        rows = b.get_online_service("svc").collect()
+        assert len(rows) == 1 and rows[0]["v__x"] == 7

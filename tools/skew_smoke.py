@@ -156,6 +156,12 @@ def main() -> None:
             baskets, "l_orderkey", "l_partkey", min_common=2)),
         ("g5_capped", 2, lambda: cooccurrence_jaccard(
             baskets, "l_orderkey", "l_partkey", min_common=2, max_basket=100)),
+        # two-pass streaming pre-cap: hub rows never reach collect_set,
+        # per-task memory O(max_basket) — the lane for pathological
+        # (~1e7+ item) baskets
+        ("g5_capped_hubsafe", 2, lambda: cooccurrence_jaccard(
+            baskets, "l_orderkey", "l_partkey", min_common=2,
+            max_basket=100, hub_safe=True)),
     ):
         for _ in range(passes):
             t0 = time.time()
@@ -178,8 +184,9 @@ def main() -> None:
         f"| nearest_banded | {timings['nearest_banded']:.2f} | per-(entity, tolerance-bucket) carry windows |",
         f"| join_plain | {timings['join_plain']:.2f} | hot key: ONE SMJ reducer gets 50% of the fact |",
         f"| join_salted | {timings['join_salted']:.2f} | hot key spread over 32 (key, salt) reducers |",
-        f"| g5_uncapped | {timings['g5_uncapped']:.2f} | ONE 10k-item hub basket emits ~50M pairs on one key |",
-        f"| g5_capped | {timings['g5_capped']:.2f} | hub basket dropped by max_basket=100 (documented) |",
+        f"| g5_uncapped | {timings['g5_uncapped']:.2f} | ONE 10k-item hub basket: ~50M map-side pairs into the pair agg |",
+        f"| g5_capped | {timings['g5_capped']:.2f} | hub basket dropped map-side by max_basket=100 (documented) |",
+        f"| g5_capped_hubsafe | {timings['g5_capped_hubsafe']:.2f} | two-pass pre-cap: hub rows never reach collect_set |",
         "",
         "Below ~1M hot rows plain union wins (bucketing's carry-in pass is",
         "overhead); past it the single-task sort dominates and bucketed",
