@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "sd11_composite_stream_snapshot",  # composite streaming snapshot fold, 8x events
     "fsvc1_feature_service",  # service-projected multi-view as-of, 8x events
     "f33_ingest_contract",  # contract agg pass + register + PIT get, 8x events
+    "f34_view_ttl",  # TTL-defaulted as-of tolerance (one post-argmax filter), 8x events
+    "fsvc2_online_service",  # online service: snapshot argmaxes + equi join, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
