@@ -179,6 +179,9 @@ class FeatureStore:
         # in get_online for every read of that view; explicit per-call
         # arguments override.
         self._ttl: dict[str, float] = reg["ttl"]
+        # table -> incremental-materialize bookkeeping (row-id watermark
+        # + source row count at the last online snapshot build)
+        self._online_meta: dict[str, dict[str, int]] = reg["online"]
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -253,7 +256,9 @@ class FeatureStore:
         self._key_cache = {
             k: v for k, v in self._key_cache.items() if k[0] != name
         }
-        if self._ttl.pop(name, None) is not None or refs:
+        dropped_ttl = self._ttl.pop(name, None) is not None
+        dropped_online = self._online_meta.pop(name, None) is not None
+        if dropped_ttl or dropped_online or refs:
             self._save_registry()
         return True
 
@@ -721,7 +726,7 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     _ONLINE_SUFFIX = "__online"
 
-    def materialize_online(self, name: str) -> int:
+    def materialize_online(self, name: str, incremental: bool = False) -> int:
         """Compact the current version into its latest-per-entity snapshot
         and store it as the table's online view; returns the snapshot row
         count. The offline/online split every production feature store
@@ -729,10 +734,52 @@ class FeatureStore:
         keeps ONE row per entity so serving reads scan |entities| rows,
         not history. At 100 TB the snapshot is the argmax aggregation —
         map-side combined, one shuffle — and subsequent ``get_online``
-        calls never touch history at all."""
+        calls never touch history at all.
+
+        ``incremental=True`` (Feast's incremental materialization): fold
+        only the rows APPENDED since the last materialize into the
+        existing snapshot — argmax(snapshot ∪ delta), so the refresh
+        costs O(\\|entities\\| + \\|delta\\|) and NEVER rescans history.
+        Exactness: the per-entity argmax is associative and ``append``
+        assigns appended rows strictly higher ``__row_id__`` tie-break
+        ids, so the fold reproduces the full rebuild bit-for-bit,
+        including ties. History REWRITES (re-register, upsert, merge,
+        expire, erase) break the append-only equation and are detected
+        by row accounting — the call raises and demands a full
+        materialize (the ``refresh_rollup`` contract). Falls back to a
+        full build when no snapshot exists yet. The (watermark,
+        src_rows) meta persists in the registry, so a fresh process can
+        keep materializing incrementally."""
         self._require_table(name)
-        snap = latest_per_entity(self._current(name))
         online = name + self._ONLINE_SUFFIX
+        src_meta = self._backend.meta(name)
+        cur_rows = src_meta.versions[src_meta.version].row_count
+        current = self._current(name)
+        meta = self._online_meta.get(name)
+        if incremental and meta is not None and self._backend.exists(online):
+            delta = current.filter(F.col(ROW_ID_COL) > meta["watermark"])
+            delta_rows = delta.count()
+            if meta["src_rows"] + delta_rows != cur_rows:
+                raise FeatureStoreError(
+                    f"materialize_online('{name}', incremental=True): "
+                    f"history was rewritten since the last materialize "
+                    f"(re-register/upsert/merge/expire/erase) — run a "
+                    f"full materialize_online('{name}')."
+                )
+            prev = self._backend.read_version(
+                online, self._backend.versions(online)[-1]
+            )
+            if set(prev.columns) != set(current.columns):
+                raise FeatureStoreError(
+                    f"materialize_online('{name}', incremental=True): "
+                    f"schema changed since the last materialize — run a "
+                    f"full materialize_online('{name}')."
+                )
+            snap = latest_per_entity(
+                prev.select(*current.columns).unionByName(delta)
+            )
+        else:
+            snap = latest_per_entity(current)
         version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
         row_count = snap.count()
         self._backend.write_version(
@@ -741,6 +788,12 @@ class FeatureStore:
         # online view keeps only the latest snapshot
         for v in self._backend.versions(online)[:-1]:
             self._backend.drop_version(online, v)
+        watermark = current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        self._online_meta[name] = {
+            "watermark": int(watermark),
+            "src_rows": int(cur_rows),
+        }
+        self._save_registry()
         return row_count
 
     def get_online(
@@ -1711,6 +1764,7 @@ class FeatureStore:
         place."""
         out: dict[str, dict] = {
             "derived": {}, "services": {}, "rollups": {}, "ttl": {},
+            "online": {},
         }
         path = self._registry_path()
         if path is None or not path.exists():
@@ -1741,6 +1795,10 @@ class FeatureStore:
                 "src_rows": int(s["src_rows"]),
             }
         out["ttl"] = {t: float(v) for t, v in raw.get("ttl", {}).items()}
+        out["online"] = {
+            t: {"watermark": int(m["watermark"]), "src_rows": int(m["src_rows"])}
+            for t, m in raw.get("online", {}).items()
+        }
         return out
 
     def _save_registry(self) -> None:
@@ -1781,6 +1839,7 @@ class FeatureStore:
                         for n, s in self._rollups.items()
                     },
                     "ttl": self._ttl,
+                    "online": self._online_meta,
                 },
                 indent=2,
             )

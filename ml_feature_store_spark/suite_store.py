@@ -1200,6 +1200,47 @@ def q_fsvc2_online_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f35_incremental_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental online materialization (store.py
+    materialize_online(incremental=True) — Feast's
+    materialize_incremental, round-8): the purchase view materializes
+    once on pre-01-15 history, the later events APPEND, and the refresh
+    folds ONLY the delta into the existing snapshot —
+    argmax(snapshot ∪ delta), O(\\|entities\\| + \\|delta\\|), history never
+    rescanned (the rollup watermark pattern applied to the serving
+    snapshot; the watermark persists in the registry so a fresh process
+    keeps refreshing incrementally). Exactness rides the associative
+    argmax + append's strictly-higher row ids — pytest pins
+    incremental == full rebuild incl. timestamp ties. The oracle is the
+    plain latest-per-user over the WHOLE feed: if the fold double-counted
+    or missed delta rows, the hash breaks."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    ).filter(F.col("event_type") == "purchase").drop("event_type")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    fs = FeatureStore(spark)
+    fs.register("ev_inc", ev.filter(F.col("timestamp") < cut))
+    fs.materialize_online("ev_inc")
+    fs.append("ev_inc", ev.filter(F.col("timestamp") >= cut))
+    fs.materialize_online("ev_inc", incremental=True)
+    out = fs.get_online("ev_inc")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
 def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data contract (store.py register(checks=) — the
     dbt-test/Great-Expectations gate applied where it can still refuse
@@ -1703,6 +1744,7 @@ QUERIES = {
     'odfv3_online_derived': q_odfv3_online_derived,
     'fsvc1_feature_service': q_fsvc1_feature_service,
     'fsvc2_online_service': q_fsvc2_online_service,
+    'f35_incremental_online': q_f35_incremental_online,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2218,6 +2260,23 @@ ORACLE_SQL["odfv3_online_derived"] = f"""
            CAST(p.value_cents - c.value_cents AS BIGINT)
                AS spend_minus_click
     FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# f35: incremental online fold == plain latest-per-user over the whole
+# purchase feed (ties broken by min event_id; base/delta cannot tie
+# across the 01-15 cut because base ts < cut <= delta ts).
+ORACLE_SQL["f35_incremental_online"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events WHERE event_type = 'purchase')
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           epoch_us(ts) AS ts_us, value_cents
+    FROM (
+        SELECT user_id, event_id, ts, value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM f
+    ) WHERE rn = 1
 """
 
 # fsvc2: the ONLINE service read — two latest-per-user argmaxes (no

@@ -374,3 +374,91 @@ class TestAdviceGuards:
         fs._validate_columns("t", ["x"])
         assert calls["n"] == 0  # cached — no backend read for the sniff
         fs._backend.read_version = orig
+
+
+class TestIncrementalMaterialize:
+    def _store(self, spark, path=None):
+        fs = FeatureStore(spark, storage_path=path)
+        df = spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-01"), 1),
+                ("u1", ts("2024-01-03"), 3),
+                ("u2", ts("2024-01-02"), 2),
+            ],
+            ["entity_id", "timestamp", "x"],
+        )
+        fs.register("t", df)
+        return fs
+
+    def test_incremental_equals_full(self, spark):
+        fs = self._store(spark)
+        fs.materialize_online("t")
+        fs.append(
+            "t",
+            spark.createDataFrame(
+                [
+                    ("u1", ts("2024-01-05"), 5),   # newer: replaces u1
+                    ("u2", ts("2024-01-01"), 0),   # older: u2 unchanged
+                    ("u3", ts("2024-01-04"), 4),   # new entity
+                ],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        fs.materialize_online("t", incremental=True)
+        inc = {r["entity_id"]: r["x"] for r in fs.get_online("t").collect()}
+        fs.materialize_online("t")  # full rebuild
+        full = {r["entity_id"]: r["x"] for r in fs.get_online("t").collect()}
+        assert inc == full == {"u1": 5, "u2": 2, "u3": 4}
+
+    def test_incremental_tie_break_parity(self, spark):
+        """An appended row that TIES the snapshot row's timestamp must
+        lose (first input row wins — appended ids are higher)."""
+        fs = self._store(spark)
+        fs.materialize_online("t")
+        fs.append(
+            "t",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-03"), 99)],  # ties u1's latest ts
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        fs.materialize_online("t", incremental=True)
+        inc = {r["entity_id"]: r["x"] for r in fs.get_online("t").collect()}
+        assert inc["u1"] == 3  # the original row keeps winning
+
+    def test_incremental_detects_history_rewrite(self, spark):
+        fs = self._store(spark)
+        fs.materialize_online("t")
+        # re-register rewrites history with fresh row ids
+        fs.register(
+            "t",
+            spark.createDataFrame(
+                [("u9", ts("2024-01-09"), 9)],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        with pytest.raises(FeatureStoreError, match="rewritten"):
+            fs.materialize_online("t", incremental=True)
+        # full rebuild recovers
+        fs.materialize_online("t")
+        assert [r["entity_id"] for r in fs.get_online("t").collect()] == ["u9"]
+
+    def test_incremental_without_prior_snapshot_is_full(self, spark):
+        fs = self._store(spark)
+        n = fs.materialize_online("t", incremental=True)
+        assert n == 2
+
+    def test_watermark_survives_reopen(self, spark, tmp_path):
+        fs = self._store(spark, str(tmp_path))
+        fs.materialize_online("t")
+        b = FeatureStore(spark, storage_path=str(tmp_path))
+        b.append(
+            "t",
+            spark.createDataFrame(
+                [("u3", ts("2024-01-04"), 4)],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        b.materialize_online("t", incremental=True)
+        got = {r["entity_id"]: r["x"] for r in b.get_online("t").collect()}
+        assert got == {"u1": 3, "u2": 2, "u3": 4}

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "f33_ingest_contract",  # contract agg pass + register + PIT get, 8x events
     "f34_view_ttl",  # TTL-defaulted as-of tolerance (one post-argmax filter), 8x events
     "fsvc2_online_service",  # online service: snapshot argmaxes + equi join, 8x events
+    "f35_incremental_online",  # snapshot+delta fold, O(entities + delta), 8x events
 ]
 KEY_OFFSET = 100_000_000
 
