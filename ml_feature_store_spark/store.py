@@ -235,11 +235,13 @@ class FeatureStore:
                     f"{sorted(refs)} — drop those specs first or pass "
                     f"cascade=True to remove them with the table."
                 )
-            for n, s in list(self._derived.items()):
-                if name in s["sources"]:
-                    del self._derived[n]
+            dv = {
+                n for n, s in self._derived.items() if name in s["sources"]
+            }
+            for n in dv:
+                del self._derived[n]
             for n, s in list(self._services.items()):
-                if name in s["selections"]:
+                if name in s["selections"] or dv & set(s["selections"]):
                     del self._services[n]
             for n, s in list(self._rollups.items()):
                 if s["src"] == name:
@@ -1354,39 +1356,13 @@ class FeatureStore:
             how=spec["how"],
         )
         if request_cols:
-            req = entity_timestamps.select(
-                *natural_key, TIMESTAMP_COL, *request_cols
-            ).dropDuplicates()
-            stitch = [*natural_key, TIMESTAMP_COL]
-            # Duplicate guard FUSED into the stitch job (round-8: the old
-            # separate count() was a second full spine aggregation per
-            # build): dropDuplicates removed identical rows, so any key
-            # still duplicated carries CONFLICTING request values. The
-            # per-key count rides a window over the stitch key — the same
-            # hash partitioning the join needs, so the exchange is reused
-            # — and the guard wraps the stitch TIMESTAMP itself (a join
-            # key, so column pruning can never elide it): the build fails
-            # at execution with this message instead of averaging or
-            # duplicating rows. raise_error's NullType coerces to the
-            # timestamp branch type.
-            from pyspark.sql.window import Window
-
-            n_per_key = F.count(F.lit(1)).over(
-                Window.partitionBy(*stitch)
+            base = self._stitch_request_columns(
+                base,
+                entity_timestamps,
+                natural_key,
+                request_cols,
+                context=f"get_derived_training_set('{name}')",
             )
-            guard_msg = (
-                f"get_derived_training_set('{name}'): conflicting "
-                f"request-data values for the same spine "
-                f"({stitch}) row — dedupe the spine first."
-            )
-            req = req.select(
-                *natural_key,
-                F.when(n_per_key == 1, F.col(TIMESTAMP_COL))
-                .otherwise(F.raise_error(F.lit(guard_msg)))
-                .alias(TIMESTAMP_COL),
-                *request_cols,
-            )
-            base = base.join(req, stitch, "inner")
         derived = [
             F.expr(sql).alias(col) for col, sql in spec["exprs"].items()
         ]
@@ -1395,6 +1371,48 @@ class FeatureStore:
             rest = [c for c in base.columns if c not in head]
             return base.select(*head, *derived, *rest)
         return base.select(*head, *derived)
+
+    def _stitch_request_columns(
+        self,
+        base: DataFrame,
+        entity_timestamps: DataFrame,
+        natural_key: Sequence[str],
+        request_cols: Sequence[str],
+        context: str,
+    ) -> DataFrame:
+        """Stitch per-row request columns back onto an as-of output (the
+        multi-view build dedups its spine to the key, so payload can't
+        ride through it): ONE spine-sized equi join.
+
+        Duplicate guard FUSED into the stitch job (round-8: the old
+        separate count() was a second full spine aggregation per build):
+        dropDuplicates removed identical rows, so any key still
+        duplicated carries CONFLICTING request values. The per-key count
+        rides a window over the stitch key — the same hash partitioning
+        the join needs, so the exchange is reused — and the guard wraps
+        the stitch TIMESTAMP itself (a join key, so column pruning can
+        never elide it): the build fails at execution with this message
+        instead of averaging or duplicating rows. raise_error's NullType
+        coerces to the timestamp branch type."""
+        from pyspark.sql.window import Window
+
+        req = entity_timestamps.select(
+            *natural_key, TIMESTAMP_COL, *request_cols
+        ).dropDuplicates()
+        stitch = [*natural_key, TIMESTAMP_COL]
+        n_per_key = F.count(F.lit(1)).over(Window.partitionBy(*stitch))
+        guard_msg = (
+            f"{context}: conflicting request-data values for the same "
+            f"spine ({stitch}) row — dedupe the spine first."
+        )
+        req = req.select(
+            *natural_key,
+            F.when(n_per_key == 1, F.col(TIMESTAMP_COL))
+            .otherwise(F.raise_error(F.lit(guard_msg)))
+            .alias(TIMESTAMP_COL),
+            *request_cols,
+        )
+        return base.join(req, stitch, "inner")
 
     def get_online_derived(
         self,
@@ -1478,7 +1496,15 @@ class FeatureStore:
         ``None`` selects all of a view's features. Selections are
         validated NOW (unknown view/column fails registration, not the
         3 a.m. training run); the data path is
-        ``get_service_training_set``."""
+        ``get_service_training_set``.
+
+        A selection key may also name a registered DERIVED VIEW (Feast
+        services bundle ODFVs next to base views): its selected columns
+        are the view's derived expressions (``None`` = all), computed
+        inside the same build and emitted ``<view>__<col>``-prefixed
+        like everything else. The service's ``how`` governs every as-of
+        join in the build. A name that is BOTH a table and a derived
+        view is rejected as ambiguous."""
         if not selections:
             raise FeatureValidationError(
                 f"create_feature_service('{name}'): selections must map "
@@ -1489,9 +1515,25 @@ class FeatureStore:
                 f"how must be 'inner' or 'left', got {how!r}"
             )
         for view_name, cols in selections.items():
-            self._require_table(view_name)
-            if cols is not None:
-                self._validate_columns(view_name, cols)
+            if view_name in self._derived:
+                if self._backend.exists(view_name):
+                    raise FeatureValidationError(
+                        f"create_feature_service('{name}'): '{view_name}' "
+                        f"names BOTH a table and a derived view — rename "
+                        f"one; the selection would be ambiguous."
+                    )
+                exprs = self._derived[view_name]["exprs"]
+                unknown = [c for c in (cols or ()) if c not in exprs]
+                if unknown:
+                    raise FeatureValidationError(
+                        f"create_feature_service('{name}'): derived view "
+                        f"'{view_name}' has no columns {unknown}; it "
+                        f"derives {sorted(exprs)}."
+                    )
+            else:
+                self._require_table(view_name)
+                if cols is not None:
+                    self._validate_columns(view_name, cols)
         self._services[name] = {
             "selections": {
                 v: (tuple(c) if c is not None else None)
@@ -1512,7 +1554,18 @@ class FeatureStore:
         happens BEFORE each as-of shuffle, so a service selecting 3 of a
         view's 80 features shuffles 3. ``manifest`` pins versions
         (service + manifest = a fully reproducible, named training
-        contract)."""
+        contract).
+
+        Derived-view members: their source views join into the SAME
+        multi-view build (deduped against direct members), the derived
+        expressions evaluate map-side on top, and the output carries
+        ``<derived_view>__<col>`` next to the direct views' prefixed
+        columns — one job, no extra shuffles beyond the sources' as-of
+        joins. A view that is both directly selected and a derived
+        source keeps ALL its columns (projecting it would break the
+        expressions). Extra spine columns ride along as request data
+        for the derived expressions (one stitch join, conflicting
+        duplicates rejected)."""
         spec = self._services.get(name)
         if spec is None:
             raise FeatureStoreError(
@@ -1520,13 +1573,72 @@ class FeatureStore:
                 f"Registered: {sorted(self._services)}"
             )
         sel = spec["selections"]
-        return self.get_multi_view_training_set(
-            list(sel),
-            entity_timestamps,
+        derived = {v: c for v, c in sel.items() if v in self._derived}
+        direct = {v: c for v, c in sel.items() if v not in derived}
+        if not derived:
+            return self.get_multi_view_training_set(
+                list(sel),
+                entity_timestamps,
+                manifest=manifest,
+                how=spec["how"],
+                columns={v: list(c) for v, c in sel.items() if c is not None},
+            )
+        dv_sources = [
+            s for dv in derived for s in self._derived[dv]["sources"]
+        ]
+        all_views = list(dict.fromkeys([*direct, *dv_sources]))
+        # early projection only where it cannot break a derived expr
+        columns = {
+            v: list(c)
+            for v, c in direct.items()
+            if c is not None and v not in dv_sources
+        }
+        key_cols = self._entity_key_cols(
+            self._resolve(all_views[0], manifest)
+        )
+        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        request_cols = [
+            c
+            for c in entity_timestamps.columns
+            if c not in (*natural_key, TIMESTAMP_COL)
+        ]
+        base = self.get_multi_view_training_set(
+            all_views,
+            entity_timestamps.select(*natural_key, TIMESTAMP_COL),
             manifest=manifest,
             how=spec["how"],
-            columns={v: list(c) for v, c in sel.items() if c is not None},
+            columns=columns or None,
         )
+        if request_cols:
+            base = self._stitch_request_columns(
+                base,
+                entity_timestamps,
+                natural_key,
+                request_cols,
+                context=f"get_service_training_set('{name}')",
+            )
+        head = [*natural_key, TIMESTAMP_COL]
+
+        def _selected(col: str) -> bool:
+            # a direct view that doubles as a derived source skipped the
+            # early projection (the exprs need its full width) — its
+            # OUTPUT columns must still honor the service's selection
+            view, _, payload = col.partition("__")
+            if view not in direct:
+                return False
+            cols = direct[view]
+            return cols is None or payload in (*cols, TIMESTAMP_COL)
+
+        direct_out = [
+            c for c in base.columns if c not in head and _selected(c)
+        ]
+        derived_out = [
+            F.expr(sql).alias(f"{dv}__{col}")
+            for dv, cols in derived.items()
+            for col, sql in self._derived[dv]["exprs"].items()
+            if cols is None or col in cols
+        ]
+        return base.select(*head, *direct_out, *derived_out)
 
     def get_online_service(
         self,
@@ -1560,19 +1672,35 @@ class FeatureStore:
             )
         sel = spec["selections"]
         first = next(iter(sel))
+        if first in self._derived:
+            # key discovery through the derived member's first source
+            first = self._derived[first]["sources"][0]
         key_cols = self._entity_key_cols_of(
             first, self._backend.meta(first).version
         ) if self._backend.exists(first) else None
         natural_key = list(key_cols) if key_cols else [ENTITY_COL]
         out: DataFrame | None = None
         for src, cols in sel.items():
-            view = self.get_online(
-                src,
-                entity_ids,
-                columns=list(cols) if cols is not None else None,
-                max_age_seconds=max_age_seconds,
-                as_of=as_of,
-            )
+            if src in self._derived:
+                # derived member: the SAME registered exprs over the
+                # sources' online snapshots (the odfv3 lane), projected
+                # to the service's selection and prefixed like a view
+                view = self.get_online_derived(
+                    src,
+                    entity_ids,
+                    max_age_seconds=max_age_seconds,
+                    as_of=as_of,
+                )
+                if cols is not None:
+                    view = view.select(*natural_key, *cols)
+            else:
+                view = self.get_online(
+                    src,
+                    entity_ids,
+                    columns=list(cols) if cols is not None else None,
+                    max_age_seconds=max_age_seconds,
+                    as_of=as_of,
+                )
             missing = [c for c in natural_key if c not in view.columns]
             if missing:
                 raise FeatureValidationError(
@@ -1606,9 +1734,23 @@ class FeatureStore:
 
     def drop_derived_view(self, name: str) -> bool:
         """Release a derived-view spec. Returns False if absent — never
-        raises (the ``delete`` contract)."""
-        if self._derived.pop(name, None) is None:
+        raises for a missing spec (the ``delete`` contract); REFUSES
+        when a registered feature service still selects the view (drop
+        or re-create the service first — same no-dangling rule as
+        ``delete``)."""
+        if name not in self._derived:
             return False
+        refs = sorted(
+            s
+            for s, spec in self._services.items()
+            if name in spec["selections"]
+        )
+        if refs:
+            raise FeatureValidationError(
+                f"drop_derived_view('{name}'): derived view is selected "
+                f"by feature service(s) {refs} — drop those first."
+            )
+        del self._derived[name]
         self._save_registry()
         return True
 
@@ -1846,17 +1988,18 @@ class FeatureStore:
         )
 
     def _spec_references(self, table: str) -> list[str]:
-        """Registry specs that read ``table`` — what ``delete`` must not
-        leave dangling."""
-        refs = [
-            f"derived view '{n}'"
-            for n, s in self._derived.items()
-            if table in s["sources"]
-        ]
+        """Registry specs that read ``table`` (directly, or through a
+        derived view that sources it — a service selecting such a view
+        dangles transitively) — what ``delete`` must not leave
+        dangling."""
+        dv = {
+            n for n, s in self._derived.items() if table in s["sources"]
+        }
+        refs = [f"derived view '{n}'" for n in sorted(dv)]
         refs += [
             f"feature service '{n}'"
             for n, s in self._services.items()
-            if table in s["selections"]
+            if table in s["selections"] or dv & set(s["selections"])
         ]
         refs += [
             f"rollup '{n}'"

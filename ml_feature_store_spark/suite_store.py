@@ -1200,6 +1200,66 @@ def q_fsvc2_online_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fsvc3_service_with_odfv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature service BUNDLING a derived view (Feast services list
+    ODFVs next to base views; store.py get_service_training_set
+    derived-member lane, round-8): the service selects value_cents from
+    the purchase view plus one derived column from a registered ODFV
+    over (purchase, click). The derived view's sources join into the
+    SAME multi-view build (deduped against the direct member — purchase
+    is both, so its early projection is skipped to keep the exprs
+    valid, while the OUTPUT still honors the selection), and the
+    expressions evaluate map-side on top: one job, two as-of exchanges
+    total, zero extra shuffles for the ODFV. Oracle: the two PIT
+    argmaxes + the identical integer expression + the service
+    projection."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register(
+        "psvc3", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.register(
+        "csvc3", ev.filter(F.col("event_type") == "click").drop("event_type")
+    )
+    fs.create_derived_view(
+        "rate3",
+        sources=["psvc3", "csvc3"],
+        exprs={
+            "spend_click_bp":
+                "psvc3__value_cents * 10000 DIV csvc3__value_cents",
+            "spend_minus_click":
+                "psvc3__value_cents - csvc3__value_cents",
+        },
+    )
+    fs.create_feature_service(
+        "reward_model_v2",
+        {"psvc3": ["value_cents"], "rate3": ["spend_click_bp"]},
+    )
+    users = ev.select("entity_id").distinct()
+    spine = users.withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+    )
+    out = fs.get_service_training_set("reward_model_v2", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("psvc3__value_cents").cast("long").alias("purch_cents"),
+        F.col("rate3__spend_click_bp").cast("long").alias("spend_click_bp"),
+    )
+
+
 def q_f35_incremental_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental online materialization (store.py
     materialize_online(incremental=True) — Feast's
@@ -1745,6 +1805,7 @@ QUERIES = {
     'fsvc1_feature_service': q_fsvc1_feature_service,
     'fsvc2_online_service': q_fsvc2_online_service,
     'f35_incremental_online': q_f35_incremental_online,
+    'fsvc3_service_with_odfv': q_fsvc3_service_with_odfv,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2259,6 +2320,33 @@ ORACLE_SQL["odfv3_online_derived"] = f"""
                AS spend_click_bp,
            CAST(p.value_cents - c.value_cents AS BIGINT)
                AS spend_minus_click
+    FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# fsvc3: service bundling an ODFV — two PIT argmaxes at the grid date,
+# the derived integer expression, and the service projection.
+ORACLE_SQL["fsvc3_service_with_odfv"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+    c AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1)
+    SELECT p.user_id,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us,
+           CAST(p.value_cents AS BIGINT) AS purch_cents,
+           CAST(p.value_cents * 10000 // c.value_cents AS BIGINT)
+               AS spend_click_bp
     FROM p JOIN c ON p.user_id = c.user_id
 """
 

@@ -184,3 +184,134 @@ class TestOnlineService:
         b = FeatureStore(spark, storage_path=str(tmp_path))
         rows = b.get_online_service("svc").collect()
         assert len(rows) == 1 and rows[0]["v__x"] == 7
+
+
+class TestServiceWithDerivedViews:
+    """Feast services bundle ODFVs next to base views (round-8): a
+    derived-view name in selections computes its expressions inside the
+    same build, prefixed <view>__<col> like everything else."""
+
+    @pytest.fixture
+    def dstore(self, spark, store):
+        store.create_derived_view(
+            "spend_rate",
+            sources=["spend", "clicks"],
+            exprs={
+                "cents_per_click": "spend__cents DIV clicks__n_clicks",
+                "total": "spend__cents + clicks__n_clicks",
+            },
+        )
+        return store
+
+    def test_training_set_with_derived_member(self, spark, dstore):
+        dstore.create_feature_service(
+            "svc_dv",
+            {"spend": ["cents"], "spend_rate": ["cents_per_click"]},
+        )
+        out = dstore.get_service_training_set("svc_dv", _spine(spark))
+        assert sorted(out.columns) == sorted(
+            [
+                "entity_id",
+                "timestamp",
+                "spend__cents",
+                "spend__timestamp",
+                "spend_rate__cents_per_click",
+            ]
+        )
+        rows = {r["entity_id"]: r for r in out.collect()}
+        assert rows["u1"]["spend_rate__cents_per_click"] == 100 // 4
+        assert rows["u2"]["spend_rate__cents_per_click"] == 300 // 2
+        assert rows["u1"]["spend__cents"] == 100
+
+    def test_derived_member_all_columns(self, spark, dstore):
+        dstore.create_feature_service("svc_all", {"spend_rate": None})
+        out = dstore.get_service_training_set("svc_all", _spine(spark))
+        assert sorted(out.columns) == sorted(
+            [
+                "entity_id",
+                "timestamp",
+                "spend_rate__cents_per_click",
+                "spend_rate__total",
+            ]
+        )
+
+    def test_direct_selection_on_derived_source_keeps_exprs_working(
+        self, spark, dstore
+    ):
+        """spend is BOTH directly selected (cents only) and a derived
+        source — the projection must not break the expressions."""
+        dstore.create_feature_service(
+            "svc_both", {"spend": ["cents"], "spend_rate": None}
+        )
+        out = dstore.get_service_training_set("svc_both", _spine(spark))
+        rows = {r["entity_id"]: r for r in out.collect()}
+        assert rows["u1"]["spend_rate__total"] == 104
+
+    def test_online_service_with_derived_member(self, spark, dstore):
+        dstore.materialize_online("spend")
+        dstore.materialize_online("clicks")
+        dstore.create_feature_service(
+            "svc_on", {"clicks": ["n_views"], "spend_rate": ["cents_per_click"]}
+        )
+        out = dstore.get_online_service("svc_on")
+        rows = {r["entity_id"]: r for r in out.collect()}
+        assert rows["u1"]["spend_rate__cents_per_click"] == 25
+        assert rows["u1"]["clicks__n_views"] == 40
+
+    def test_validation_unknown_derived_column(self, dstore):
+        with pytest.raises(FeatureValidationError, match="derives"):
+            dstore.create_feature_service(
+                "bad", {"spend_rate": ["nope"]}
+            )
+
+    def test_drop_derived_view_refused_while_selected(self, dstore):
+        dstore.create_feature_service("svc_ref", {"spend_rate": None})
+        with pytest.raises(FeatureValidationError, match="selected by"):
+            dstore.drop_derived_view("spend_rate")
+        dstore.drop_feature_service("svc_ref")
+        assert dstore.drop_derived_view("spend_rate") is True
+
+    def test_delete_source_flags_transitive_service(self, spark, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 5)], ["entity_id", "timestamp", "x"]
+        )
+        fs.register("base", df)
+        fs.create_derived_view("dv", sources=["base"], exprs={"y": "base__x * 2"})
+        fs.create_feature_service("svc", {"dv": None})
+        # svc never names 'base', but dangles transitively through dv
+        with pytest.raises(FeatureValidationError, match="svc"):
+            fs.delete("base")
+        assert fs.delete("base", cascade=True) is True
+        assert fs.list_feature_services() == []
+        assert fs.list_derived_views() == []
+
+    def test_request_data_through_service(self, spark, store):
+        store.create_derived_view(
+            "afford_svc",
+            sources=["spend"],
+            exprs={"affordable": "budget_cents >= spend__cents"},
+        )
+        store.create_feature_service("svc_req", {"afford_svc": None})
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-06"), 150), ("u2", ts("2024-01-06"), 150)],
+            ["entity_id", "timestamp", "budget_cents"],
+        )
+        out = store.get_service_training_set("svc_req", spine)
+        rows = {r["entity_id"]: r["afford_svc__affordable"] for r in out.collect()}
+        assert rows == {"u1": True, "u2": False}
+
+    def test_service_with_derived_survives_reopen(self, spark, tmp_path):
+        a = FeatureStore(spark, storage_path=str(tmp_path))
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 5)], ["entity_id", "timestamp", "x"]
+        )
+        a.register("base", df)
+        a.create_derived_view("dv", sources=["base"], exprs={"y": "base__x * 2"})
+        a.create_feature_service("svc", {"dv": ["y"]})
+        b = FeatureStore(spark, storage_path=str(tmp_path))
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-02"))], ["entity_id", "timestamp"]
+        )
+        rows = b.get_service_training_set("svc", spine).collect()
+        assert rows[0]["dv__y"] == 10

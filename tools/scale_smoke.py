@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "f34_view_ttl",  # TTL-defaulted as-of tolerance (one post-argmax filter), 8x events
     "fsvc2_online_service",  # online service: snapshot argmaxes + equi join, 8x events
     "f35_incremental_online",  # snapshot+delta fold, O(entities + delta), 8x events
+    "fsvc3_service_with_odfv",  # service + ODFV in one multi-view build, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
