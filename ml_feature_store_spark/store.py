@@ -798,6 +798,56 @@ class FeatureStore:
         self._save_registry()
         return row_count
 
+    def push(
+        self,
+        name: str,
+        df: DataFrame,
+        to: Sequence[str] = ("offline", "online"),
+        description: str = "",
+    ) -> FeatureTableInfo:
+        """Push a feature batch (Feast ``PushSource``): land fresh rows
+        in the OFFLINE history and/or the ONLINE snapshot in one call,
+        so event-driven producers (a scoring service, a Kafka consumer's
+        foreachBatch) keep both stores consistent without orchestrating
+        two writes.
+
+        ``to`` picks the targets: ``"offline"`` appends a new version
+        (full PIT history for training), ``"online"`` folds the batch
+        into the serving snapshot INCREMENTALLY when possible —
+        O(\\|entities\\| + \\|batch\\|), the materialize_online(incremental)
+        lane — falling back to a full build when no snapshot exists.
+        Online-only push is rejected when the table has an offline
+        history (the two stores would silently diverge — Feast allows
+        it; this store's online view is DERIVED state and keeping it a
+        pure function of history is what makes f28-style consistency
+        audits meaningful). Returns the offline table info."""
+        targets = set(to)
+        unknown = targets - {"offline", "online"}
+        if unknown:
+            raise FeatureValidationError(
+                f"push('{name}'): unknown targets {sorted(unknown)}; "
+                f"valid: 'offline', 'online'."
+            )
+        if not targets:
+            raise FeatureValidationError(
+                f"push('{name}'): targets must be non-empty."
+            )
+        if "offline" not in targets and self._backend.exists(name):
+            raise FeatureValidationError(
+                f"push('{name}'): online-only push would diverge the "
+                f"online snapshot from the offline history — push to "
+                f"both (the default) or neither."
+            )
+        info = self.append(name, df, description or f"push into '{name}'")
+        if "online" in targets:
+            online = name + self._ONLINE_SUFFIX
+            incremental = (
+                self._backend.exists(online)
+                and name in self._online_meta
+            )
+            self.materialize_online(name, incremental=incremental)
+        return info
+
     def get_online(
         self,
         name: str,

@@ -1301,6 +1301,53 @@ def q_f35_incremental_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f36_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding (array<float>) FEATURE columns through the store lane
+    (round-8): vectors are first-class feature payloads — registered
+    with history, refreshed via ``push()`` (Feast PushSource: one call
+    lands the batch in offline history AND folds it incrementally into
+    the online snapshot), and served latest-per-entity. Every vec_id
+    registers its embedding at 01-01; ids divisible by 5 get a REFRESHED
+    (negated) vector pushed at 02-01; the online read must serve the
+    refreshed vector for exactly those ids — a stale or double-folded
+    snapshot breaks the hash. The struct argmax carries the array
+    payload untouched (no UDF; arrays ride Tungsten like any column).
+    Output is emb1's int8 quantization, CSV-serialized (the driver
+    cannot hash raw arrays), + the served version's timestamp.
+    Oracle: the per-id effective (vector, ts) by the same %5 rule +
+    the identical quantization algebra."""
+    from .functions.vector import quantize_int8
+
+    from .store import FeatureStore
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+        F.col("vec_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register("vecs", emb)
+    fs.materialize_online("vecs")
+    refresh = emb.filter(F.col("entity_id") % 5 == 0).select(
+        "entity_id",
+        F.lit("2024-02-01").cast("timestamp").alias("timestamp"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+        "__row_id__",
+    )
+    fs.push("vecs", refresh)  # offline append + incremental online fold
+    out = fs.get_online("vecs")
+    q = quantize_int8(F.col("embedding"))
+    return out.select(
+        F.col("entity_id").alias("vec_id"),
+        "label",
+        _US("timestamp").alias("ts_us"),
+        F.array_join(q.cast("array<string>"), ",").alias("q"),
+    )
+
+
 def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data contract (store.py register(checks=) — the
     dbt-test/Great-Expectations gate applied where it can still refuse
@@ -1806,6 +1853,7 @@ QUERIES = {
     'fsvc2_online_service': q_fsvc2_online_service,
     'f35_incremental_online': q_f35_incremental_online,
     'fsvc3_service_with_odfv': q_fsvc3_service_with_odfv,
+    'f36_vector_features': q_f36_vector_features,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2348,6 +2396,40 @@ ORACLE_SQL["fsvc3_service_with_odfv"] = f"""
            CAST(p.value_cents * 10000 // c.value_cents AS BIGINT)
                AS spend_click_bp
     FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# f36: served vector = negated@02-01 for vec_id % 5 == 0, original@01-01
+# otherwise; emb1's exact int8 quantization algebra on the effective
+# vector.
+ORACLE_SQL["f36_vector_features"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings
+    ),
+    eff AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id % 5 = 0
+                    THEN list_transform(v, x -> -x) ELSE v END AS v,
+               CASE WHEN vec_id % 5 = 0
+                    THEN TIMESTAMP '2024-02-01'
+                    ELSE TIMESTAMP '2024-01-01' END AS ts
+        FROM e
+    ),
+    m AS (
+        SELECT vec_id, label, ts, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM eff
+    )
+    SELECT vec_id, label, epoch_us(ts) AS ts_us,
+           array_to_string(
+               list_transform(
+                   CASE WHEN mx = 0
+                        THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                        ELSE list_transform(v,
+                             x -> CAST(floor(x * 127.0 / mx + 0.5) AS TINYINT))
+                   END,
+                   x -> CAST(x AS VARCHAR)), ',') AS q
+    FROM m
 """
 
 # f35: incremental online fold == plain latest-per-user over the whole

@@ -462,3 +462,76 @@ class TestIncrementalMaterialize:
         b.materialize_online("t", incremental=True)
         got = {r["entity_id"]: r["x"] for r in b.get_online("t").collect()}
         assert got == {"u1": 3, "u2": 2, "u3": 4}
+
+
+class TestPushSource:
+    def test_push_keeps_both_stores_consistent(self, spark):
+        fs = FeatureStore(spark)
+        base = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1), ("u2", ts("2024-01-02"), 2)],
+            ["entity_id", "timestamp", "x"],
+        )
+        fs.register("t", base)
+        fs.materialize_online("t")
+        fs.push(
+            "t",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-05"), 5), ("u3", ts("2024-01-04"), 4)],
+                ["entity_id", "timestamp", "x"],
+            ),
+        )
+        online = {r["entity_id"]: r["x"] for r in fs.get_online("t").collect()}
+        assert online == {"u1": 5, "u2": 2, "u3": 4}
+        # offline history kept every row (training still PIT-correct)
+        assert fs.get_table_info("t").row_count == 4
+        early = fs.get("t", ["u1"], ts("2024-01-02"))
+        assert early.collect()[0]["x"] == 1
+
+    def test_push_offline_only(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "t",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 1)], ["entity_id", "timestamp", "x"]
+            ),
+        )
+        fs.push(
+            "t",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-02"), 2)], ["entity_id", "timestamp", "x"]
+            ),
+            to=("offline",),
+        )
+        assert fs.get_table_info("t").row_count == 2
+
+    def test_push_online_only_rejected_with_history(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "t",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 1)], ["entity_id", "timestamp", "x"]
+            ),
+        )
+        with pytest.raises(FeatureValidationError, match="diverge"):
+            fs.push(
+                "t",
+                spark.createDataFrame(
+                    [("u1", ts("2024-01-02"), 2)],
+                    ["entity_id", "timestamp", "x"],
+                ),
+                to=("online",),
+            )
+        with pytest.raises(FeatureValidationError, match="unknown targets"):
+            fs.push("t", None, to=("nearline",))
+
+    def test_push_creates_table_and_snapshot(self, spark):
+        """Push to a table that does not exist yet: append registers v1,
+        online target builds the first snapshot."""
+        fs = FeatureStore(spark)
+        fs.push(
+            "fresh",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 1)], ["entity_id", "timestamp", "x"]
+            ),
+        )
+        assert [r["x"] for r in fs.get_online("fresh").collect()] == [1]

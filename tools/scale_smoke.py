@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "fsvc2_online_service",  # online service: snapshot argmaxes + equi join, 8x events
     "f35_incremental_online",  # snapshot+delta fold, O(entities + delta), 8x events
     "fsvc3_service_with_odfv",  # service + ODFV in one multi-view build, 8x events
+    "f36_vector_features",  # array payloads through register/push/online fold
 ]
 KEY_OFFSET = 100_000_000
 
