@@ -816,11 +816,11 @@ class FeatureStore:
         into the serving snapshot INCREMENTALLY when possible —
         O(\\|entities\\| + \\|batch\\|), the materialize_online(incremental)
         lane — falling back to a full build when no snapshot exists.
-        Online-only push is rejected when the table has an offline
-        history (the two stores would silently diverge — Feast allows
-        it; this store's online view is DERIVED state and keeping it a
-        pure function of history is what makes f28-style consistency
-        audits meaningful). Returns the offline table info."""
+        Online-ONLY push is rejected (Feast allows it; this store's
+        online view is DERIVED state, and keeping it a pure function of
+        the offline history is what makes f28-style consistency audits
+        meaningful — there is deliberately no independent online write
+        path). Returns the offline table info."""
         targets = set(to)
         unknown = targets - {"offline", "online"}
         if unknown:
@@ -828,15 +828,11 @@ class FeatureStore:
                 f"push('{name}'): unknown targets {sorted(unknown)}; "
                 f"valid: 'offline', 'online'."
             )
-        if not targets:
-            raise FeatureValidationError(
-                f"push('{name}'): targets must be non-empty."
-            )
-        if "offline" not in targets and self._backend.exists(name):
+        if "offline" not in targets:
             raise FeatureValidationError(
                 f"push('{name}'): online-only push would diverge the "
-                f"online snapshot from the offline history — push to "
-                f"both (the default) or neither."
+                f"online snapshot from the offline history (the online "
+                f"view is derived state) — include 'offline'."
             )
         info = self.append(name, df, description or f"push into '{name}'")
         if "online" in targets:

@@ -504,8 +504,17 @@ class TestPushSource:
         )
         assert fs.get_table_info("t").row_count == 2
 
-    def test_push_online_only_rejected_with_history(self, spark):
+    def test_push_online_only_rejected(self, spark):
+        """No independent online write path: the snapshot is derived
+        state — online-only push is always refused, even for a table
+        that does not exist yet (it would have to write offline
+        anyway)."""
         fs = FeatureStore(spark)
+        batch = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), 2)], ["entity_id", "timestamp", "x"]
+        )
+        with pytest.raises(FeatureValidationError, match="diverge"):
+            fs.push("nope_yet", batch, to=("online",))
         fs.register(
             "t",
             spark.createDataFrame(
@@ -513,16 +522,11 @@ class TestPushSource:
             ),
         )
         with pytest.raises(FeatureValidationError, match="diverge"):
-            fs.push(
-                "t",
-                spark.createDataFrame(
-                    [("u1", ts("2024-01-02"), 2)],
-                    ["entity_id", "timestamp", "x"],
-                ),
-                to=("online",),
-            )
+            fs.push("t", batch, to=("online",))
         with pytest.raises(FeatureValidationError, match="unknown targets"):
             fs.push("t", None, to=("nearline",))
+        with pytest.raises(FeatureValidationError, match="online-only|include"):
+            fs.push("t", batch, to=())
 
     def test_push_creates_table_and_snapshot(self, spark):
         """Push to a table that does not exist yet: append registers v1,
