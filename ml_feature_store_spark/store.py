@@ -232,31 +232,39 @@ class FeatureStore:
             if not cascade:
                 raise FeatureValidationError(
                     f"delete('{name}'): table is referenced by "
-                    f"{sorted(refs)} — drop those specs first or pass "
-                    f"cascade=True to remove them with the table."
+                    f"{[f'{kind} {n!r}' for kind, n in refs]} — drop "
+                    f"those specs first or pass cascade=True to remove "
+                    f"them with the table."
                 )
-            dv = {
-                n for n, s in self._derived.items() if name in s["sources"]
-            }
-            for n in dv:
-                del self._derived[n]
-            for n, s in list(self._services.items()):
-                if name in s["selections"] or dv & set(s["selections"]):
-                    del self._services[n]
-            for n, s in list(self._rollups.items()):
-                if s["src"] == name:
-                    del self._rollups[n]
+            # the cascade drops EXACTLY what _spec_references reported —
+            # one rule, no drift between the message and the action
+            dropped_tables = []
+            for kind, n in refs:
+                if kind == "derived view":
+                    self._derived.pop(n, None)
+                elif kind == "feature service":
+                    self._services.pop(n, None)
+                else:  # rollup
+                    self._rollups.pop(n, None)
                     rname = n + self._ROLLUP_SUFFIX
                     if self._backend.exists(rname):
                         self._backend.drop_table(rname)
+                        dropped_tables.append(rname)
+        else:
+            dropped_tables = []
         self._backend.drop_table(name)
+        dropped_tables.append(name)
         online = name + self._ONLINE_SUFFIX
         if self._backend.exists(online):
             self._backend.drop_table(online)
-        # a later re-register restarts at version 1, possibly with a
-        # different key shape — stale (name, version) entries must go
+        dropped_tables.append(online)
+        # a later re-creation restarts each dropped table (incl. the
+        # online view and cascaded rollup state) at version 1, possibly
+        # with a different key shape — stale (table, version) entries
+        # must go for EVERY dropped table, not just the base name
+        gone = set(dropped_tables)
         self._key_cache = {
-            k: v for k, v in self._key_cache.items() if k[0] != name
+            k: v for k, v in self._key_cache.items() if k[0] not in gone
         }
         dropped_ttl = self._ttl.pop(name, None) is not None
         dropped_online = self._online_meta.pop(name, None) is not None
@@ -312,6 +320,22 @@ class FeatureStore:
         ``ttl_seconds`` keeps the existing TTL (it is a view property,
         not a version property). Persisted in the registry.
         """
+        if ttl_seconds is not None and ttl_seconds <= 0:
+            # validate BEFORE anything is written: a bad TTL must not
+            # publish a version (the refuse-before-publish contract)
+            raise FeatureValidationError(
+                f"register('{name}'): ttl_seconds must be > 0, "
+                f"got {ttl_seconds}"
+            )
+        if name in self._derived and not self._backend.exists(name):
+            # the mirror of create_derived_view's shadow guard: a table
+            # taking a derived view's name would make every selection of
+            # that name ambiguous
+            raise FeatureValidationError(
+                f"register('{name}'): a derived view with this name "
+                f"already exists — table names must not shadow derived "
+                f"views."
+            )
         if checks and isinstance(df, DataFrame):
             # a check expression that references a column the caller did
             # not send is a spec bug, not a data violation — surface it
@@ -336,12 +360,10 @@ class FeatureStore:
         new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
         self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
+        # a re-register rewrites history with fresh row ids — the
+        # incremental-materialize equation no longer holds
+        self._invalidate_online_meta(name)
         if ttl_seconds is not None:
-            if ttl_seconds <= 0:
-                raise FeatureValidationError(
-                    f"register('{name}'): ttl_seconds must be > 0, "
-                    f"got {ttl_seconds}"
-                )
             self._ttl[name] = float(ttl_seconds)
             self._save_registry()
         return self.get_table_info(name)
@@ -452,6 +474,9 @@ class FeatureStore:
         new_version = self._backend.meta(name).version + 1
         self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
+        # a row-count-preserving upsert would evade the incremental
+        # fold's row accounting — invalidate at the rewrite
+        self._invalidate_online_meta(name)
         return self.get_table_info(name)
 
     def expire_features(
@@ -483,6 +508,7 @@ class FeatureStore:
         new_version = self._backend.meta(name).version + 1
         self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
+        self._invalidate_online_meta(name)
         return self.get_table_info(name)
 
     def compact_version(
@@ -592,6 +618,10 @@ class FeatureStore:
                 if after != before:
                     self._backend.rewrite_version(target, v, kept, after)
                     removed[(target, v)] = before - after
+        if removed:
+            # an erase followed by an equal-size append would evade row
+            # accounting — invalidate so the next incremental rebuilds
+            self._invalidate_online_meta(name)
         return removed
 
     def merge_entities(
@@ -721,6 +751,10 @@ class FeatureStore:
             name, new_version, prepared, row_count, description or "merge_entities"
         )
         self._prune_history(name)
+        # merge preserves row count AND row ids — exactly the rewrite
+        # row accounting cannot see; invalidate so the next incremental
+        # materialize rebuilds instead of serving pre-merge identities
+        self._invalidate_online_meta(name)
         return self.get_table_info(name)
 
     # ------------------------------------------------------------------ #
@@ -746,27 +780,37 @@ class FeatureStore:
         assigns appended rows strictly higher ``__row_id__`` tie-break
         ids, so the fold reproduces the full rebuild bit-for-bit,
         including ties. History REWRITES (re-register, upsert, merge,
-        expire, erase) break the append-only equation and are detected
-        by row accounting — the call raises and demands a full
-        materialize (the ``refresh_rollup`` contract). Falls back to a
-        full build when no snapshot exists yet. The (watermark,
-        src_rows) meta persists in the registry, so a fresh process can
-        keep materializing incrementally."""
+        expire, erase) INVALIDATE the incremental meta at rewrite time,
+        so the next incremental call transparently runs a FULL rebuild
+        (correct, never stale); out-of-band drift the invalidation
+        cannot see is still caught by row accounting, which raises (the
+        ``refresh_rollup`` contract). Falls back to a full build when
+        no snapshot exists yet. The (watermark, src_rows) meta persists
+        in the registry, so a fresh process can keep materializing
+        incrementally."""
         self._require_table(name)
         online = name + self._ONLINE_SUFFIX
         src_meta = self._backend.meta(name)
         cur_rows = src_meta.versions[src_meta.version].row_count
         current = self._current(name)
         meta = self._online_meta.get(name)
+        watermark: int
         if incremental and meta is not None and self._backend.exists(online):
             delta = current.filter(F.col(ROW_ID_COL) > meta["watermark"])
-            delta_rows = delta.count()
+            # one delta-sized pass: accounting count + the new watermark
+            # (the incremental lane must not scan history — appends only
+            # add ids above the old watermark, so max(delta) suffices)
+            drow = delta.agg(
+                F.count("*").alias("n"), F.max(ROW_ID_COL).alias("wm")
+            ).collect()[0]
+            delta_rows = int(drow["n"])
+            watermark = max(meta["watermark"], int(drow["wm"] or 0))
             if meta["src_rows"] + delta_rows != cur_rows:
                 raise FeatureStoreError(
                     f"materialize_online('{name}', incremental=True): "
-                    f"history was rewritten since the last materialize "
-                    f"(re-register/upsert/merge/expire/erase) — run a "
-                    f"full materialize_online('{name}')."
+                    f"history drifted out-of-band since the last "
+                    f"materialize — run a full materialize_online"
+                    f"('{name}')."
                 )
             prev = self._backend.read_version(
                 online, self._backend.versions(online)[-1]
@@ -782,6 +826,9 @@ class FeatureStore:
             )
         else:
             snap = latest_per_entity(current)
+            watermark = int(
+                current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+            )
         version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
         row_count = snap.count()
         self._backend.write_version(
@@ -790,13 +837,23 @@ class FeatureStore:
         # online view keeps only the latest snapshot
         for v in self._backend.versions(online)[:-1]:
             self._backend.drop_version(online, v)
-        watermark = current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
         self._online_meta[name] = {
-            "watermark": int(watermark),
+            "watermark": watermark,
             "src_rows": int(cur_rows),
         }
         self._save_registry()
         return row_count
+
+    def _invalidate_online_meta(self, name: str) -> None:
+        """History of ``name`` was REWRITTEN (not appended): the
+        incremental-materialize equation no longer holds, so drop the
+        meta — the next ``materialize_online(incremental=True)``
+        transparently runs a full rebuild instead of serving a stale
+        fold. Row counting alone cannot catch count-preserving rewrites
+        (merge_entities, equal-size upsert), so every rewriting method
+        calls this at publish time."""
+        if self._online_meta.pop(name, None) is not None:
+            self._save_registry()
 
     def push(
         self,
@@ -834,13 +891,35 @@ class FeatureStore:
                 f"online snapshot from the offline history (the online "
                 f"view is derived state) — include 'offline'."
             )
+        online = name + self._ONLINE_SUFFIX
+        incremental = (
+            "online" in targets
+            and self._backend.exists(online)
+            and name in self._online_meta
+        )
+        if incremental:
+            # PRE-validate the incremental fold's row accounting on the
+            # pre-push state: the only error the fold could raise later
+            # is out-of-band drift, and detecting it AFTER the offline
+            # append would leave a half-applied push (a retry would
+            # double-ingest the batch). A failed push writes nothing.
+            meta = self._online_meta[name]
+            src_meta = self._backend.meta(name)
+            cur_rows = src_meta.versions[src_meta.version].row_count
+            pre_delta = (
+                self._current(name)
+                .filter(F.col(ROW_ID_COL) > meta["watermark"])
+                .count()
+            )
+            if meta["src_rows"] + pre_delta != cur_rows:
+                raise FeatureStoreError(
+                    f"push('{name}'): offline history drifted out-of-band "
+                    f"since the last materialize — run a full "
+                    f"materialize_online('{name}') first. Nothing was "
+                    f"written."
+                )
         info = self.append(name, df, description or f"push into '{name}'")
         if "online" in targets:
-            online = name + self._ONLINE_SUFFIX
-            incremental = (
-                self._backend.exists(online)
-                and name in self._online_meta
-            )
             self.materialize_online(name, incremental=incremental)
         return info
 
@@ -1341,6 +1420,15 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"how must be 'inner' or 'left', got {how!r}"
             )
+        if self._backend.exists(name):
+            # a derived view shadowing a TABLE would silently hijack any
+            # feature-service selection of that name (derived wins in
+            # the read paths) — reject the collision at creation
+            raise FeatureValidationError(
+                f"create_derived_view('{name}'): a feature table with "
+                f"this name already exists — derived-view names must "
+                f"not shadow tables."
+            )
         for src in sources:
             self._require_table(src)
         reserved = {ENTITY_COL, TIMESTAMP_COL}
@@ -1668,11 +1756,16 @@ class FeatureStore:
         def _selected(col: str) -> bool:
             # a direct view that doubles as a derived source skipped the
             # early projection (the exprs need its full width) — its
-            # OUTPUT columns must still honor the service's selection
-            view, _, payload = col.partition("__")
-            if view not in direct:
+            # OUTPUT columns must still honor the service's selection.
+            # Match the LONGEST view-name prefix, not the first "__"
+            # split: a view named with "__" in it would otherwise have
+            # its columns silently dropped (round-8 review fix).
+            matches = [v for v in direct if col.startswith(v + "__")]
+            if not matches:
                 return False
+            view = max(matches, key=len)
             cols = direct[view]
+            payload = col[len(view) + 2:]
             return cols is None or payload in (*cols, TIMESTAMP_COL)
 
         direct_out = [
@@ -1990,6 +2083,17 @@ class FeatureStore:
         return out
 
     def _save_registry(self) -> None:
+        """Persist the full in-memory spec state to ``_registry.json``.
+
+        SINGLE-WRITER contract (same as ``_snapshots.json``): the file
+        is rewritten whole from this instance's state, with no lock or
+        reload-merge — concurrent WRITER instances over one storage
+        path would clobber each other's specs (readers are fine: they
+        rehydrate at open). That matches the deployment shape the rest
+        of the store assumes (versions publish from one writer job;
+        Feast's file registry makes the same call and ships SQL-backed
+        registries for multi-writer control planes — the swap point
+        here is this pair of methods)."""
         path = self._registry_path()
         if path is None:
             return
@@ -2033,23 +2137,24 @@ class FeatureStore:
             )
         )
 
-    def _spec_references(self, table: str) -> list[str]:
+    def _spec_references(self, table: str) -> list[tuple[str, str]]:
         """Registry specs that read ``table`` (directly, or through a
         derived view that sources it — a service selecting such a view
-        dangles transitively) — what ``delete`` must not leave
-        dangling."""
+        dangles transitively), as (kind, name) pairs. ONE rule drives
+        both ``delete``'s refusal message and its cascade, so the two
+        cannot drift."""
         dv = {
             n for n, s in self._derived.items() if table in s["sources"]
         }
-        refs = [f"derived view '{n}'" for n in sorted(dv)]
+        refs = [("derived view", n) for n in sorted(dv)]
         refs += [
-            f"feature service '{n}'"
-            for n, s in self._services.items()
+            ("feature service", n)
+            for n, s in sorted(self._services.items())
             if table in s["selections"] or dv & set(s["selections"])
         ]
         refs += [
-            f"rollup '{n}'"
-            for n, s in self._rollups.items()
+            ("rollup", n)
+            for n, s in sorted(self._rollups.items())
             if s["src"] == table
         ]
         return refs

@@ -315,3 +315,47 @@ class TestServiceWithDerivedViews:
         )
         rows = b.get_service_training_set("svc", spine).collect()
         assert rows[0]["dv__y"] == 10
+
+
+class TestRound8ReviewFixes:
+    def test_derived_view_cannot_shadow_table(self, spark, store):
+        """A derived view taking an existing TABLE's name would hijack
+        service selections of that name (derived wins in the read
+        paths) — rejected at creation (round-8 review fix)."""
+        with pytest.raises(FeatureValidationError, match="shadow"):
+            store.create_derived_view(
+                "spend", sources=["clicks"], exprs={"x": "1"}
+            )
+
+    def test_table_cannot_shadow_derived_view(self, spark, store):
+        store.create_derived_view(
+            "dv_shadow", sources=["spend"], exprs={"x": "spend__cents"}
+        )
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1)], ["entity_id", "timestamp", "x"]
+        )
+        with pytest.raises(FeatureValidationError, match="shadow"):
+            store.register("dv_shadow", df)
+
+    def test_service_output_handles_dunder_view_names(self, spark):
+        """A view whose NAME contains '__' must keep its columns in the
+        derived-member output lane (longest-prefix matching, not a
+        first-'__' split — round-8 review fix)."""
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 7)], ["entity_id", "timestamp", "x"]
+        )
+        fs.register("user__stats", df)
+        fs.create_derived_view(
+            "dv", sources=["user__stats"], exprs={"y": "user__stats__x * 2"}
+        )
+        fs.create_feature_service(
+            "svc", {"user__stats": None, "dv": None}
+        )
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-02"))], ["entity_id", "timestamp"]
+        )
+        out = fs.get_service_training_set("svc", spine)
+        row = out.collect()[0]
+        assert row["user__stats__x"] == 7
+        assert row["dv__y"] == 14

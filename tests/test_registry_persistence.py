@@ -426,7 +426,11 @@ class TestIncrementalMaterialize:
         inc = {r["entity_id"]: r["x"] for r in fs.get_online("t").collect()}
         assert inc["u1"] == 3  # the original row keeps winning
 
-    def test_incremental_detects_history_rewrite(self, spark):
+    def test_incremental_after_rewrite_rebuilds_fully(self, spark):
+        """History rewrites INVALIDATE the incremental meta at rewrite
+        time, so the next incremental call transparently runs a full
+        rebuild — correct, never stale (round-8 review fix: row
+        accounting alone cannot see count-preserving rewrites)."""
         fs = self._store(spark)
         fs.materialize_online("t")
         # re-register rewrites history with fresh row ids
@@ -437,11 +441,30 @@ class TestIncrementalMaterialize:
                 ["entity_id", "timestamp", "x"],
             ),
         )
-        with pytest.raises(FeatureStoreError, match="rewritten"):
-            fs.materialize_online("t", incremental=True)
-        # full rebuild recovers
-        fs.materialize_online("t")
+        fs.materialize_online("t", incremental=True)  # full rebuild
         assert [r["entity_id"] for r in fs.get_online("t").collect()] == ["u9"]
+
+    def test_incremental_after_count_preserving_merge_not_stale(self, spark):
+        """merge_entities preserves row count AND row ids — the rewrite
+        row accounting cannot detect. The invalidation hook must force
+        the next incremental materialize to rebuild, so the snapshot
+        never serves pre-merge identities."""
+        fs = self._store(spark)
+        fs.materialize_online("t")
+        mapping = spark.createDataFrame(
+            [("u1", "u2")], ["alias_id", "canonical_id"]
+        )
+        fs.merge_entities("t", mapping)
+        fs.materialize_online("t", incremental=True)
+        got = sorted(r["entity_id"] for r in fs.get_online("t").collect())
+        assert got == ["u2"]  # u1 merged away; a stale fold would keep it
+
+    def test_incremental_out_of_band_drift_raises(self, spark):
+        fs = self._store(spark)
+        fs.materialize_online("t")
+        fs._online_meta["t"]["src_rows"] += 1  # simulate external drift
+        with pytest.raises(FeatureStoreError, match="drifted"):
+            fs.materialize_online("t", incremental=True)
 
     def test_incremental_without_prior_snapshot_is_full(self, spark):
         fs = self._store(spark)
