@@ -562,3 +562,54 @@ class TestPushSource:
             ),
         )
         assert [r["x"] for r in fs.get_online("fresh").collect()] == [1]
+
+
+class TestIncrementalMaterializeProperty:
+    """Hypothesis: for ANY base + sequence of appended batches (small
+    domains force entity/timestamp collisions, i.e. tie-breaks), the
+    chain of incremental folds equals one full rebuild."""
+
+    def test_incremental_chain_equals_full(self, spark):
+        import datetime as dtm
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        BASE = dtm.datetime(2024, 1, 1)
+        entities = st.sampled_from(["a", "b", "c"])
+        days = st.integers(min_value=0, max_value=4)
+        vals = st.integers(min_value=0, max_value=9)
+        rows = st.lists(
+            st.tuples(entities, days, vals), min_size=1, max_size=8
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(base=rows, batches=st.lists(rows, min_size=1, max_size=3))
+        def check(base, batches):
+            from ml_feature_store_spark import FeatureStore
+
+            def df_of(rs):
+                return spark.createDataFrame(
+                    [
+                        (e, BASE + dtm.timedelta(days=d), v)
+                        for e, d, v in rs
+                    ],
+                    ["entity_id", "timestamp", "x"],
+                )
+
+            fs = FeatureStore(spark)
+            fs.register("p", df_of(base))
+            fs.materialize_online("p")
+            for b in batches:
+                fs.push("p", df_of(b))  # append + incremental fold
+            inc = sorted(map(tuple, fs.get_online("p").collect()))
+            fs.materialize_online("p")  # full rebuild over the history
+            full = sorted(map(tuple, fs.get_online("p").collect()))
+            assert inc == full
+            fs.delete("p")
+
+        check()
