@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -102,6 +103,65 @@ class SyntheticFeedDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticFeedReader:
         return SyntheticFeedReader(self.options)
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING half of the Python Data Source story (Spark 4's
+    ``simpleStreamReader``): the same deterministic generator exposed as
+    a micro-batch SOURCE — offsets are the global row index, each
+    ``read`` advances by ``rowsperbatch`` until ``maxrows``, and
+    ``readBetweenOffsets`` replays any (start, end) slice exactly (the
+    recovery contract: offsets alone must reproduce a batch, which a
+    pure function of the index does for free). A real connector would
+    wrap a cursor/checkpoint-token API the same way. Offsets are plain
+    dicts; Spark journals them in the checkpoint log, so restart
+    resumes at the committed index — exactly-once with a deterministic
+    replay."""
+
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+        self.max_rows = int(options.get("maxrows", 5000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        # rows are returned as a MATERIALIZED list's iterator: the
+        # simple-reader wrapper prefetches each batch on the driver,
+        # caches the iterator, and PICKLES it to executors at partition
+        # planning — a generator cannot pickle, a bare list fails the
+        # wrapper's next() calls; a list_iterator satisfies both. The
+        # driver prefetch is also why this API is for modest-rate feeds;
+        # a high-throughput connector implements the partition-planning
+        # DataSourceStreamReader instead.
+        i0 = int(start["i"])
+        if i0 >= self.max_rows:
+            return iter([]), start  # caught up: no new offset
+        end = min(i0 + self.rows_per_batch, self.max_rows)
+        return iter([synthetic_row(i) for i in range(i0, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                synthetic_row(i)
+                for i in range(int(start["i"]), int(end["i"]))
+            ]
+        )
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_stream")`` after
+    ``spark.dataSource.register(SyntheticStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_stream"
+
+    def schema(self) -> str:
+        return "i long, key long, amount_cents long"
+
+    def simpleStreamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
 
 
 class _FileCommit(WriterCommitMessage):

@@ -480,6 +480,70 @@ def q_sd11_composite_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFr
     ).withColumn("n_versions", F.lit(int(info.version)).cast("long"))
 
 
+def q_sd12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source STREAMING reader (Spark 4
+    ``simpleStreamReader`` — sources/pyds.py SyntheticStreamReader,
+    round-8): completes the custom-connector family next to io14's
+    batch reader (pushFilters partition pruning) and io18's two-phase
+    writer. The connector exposes the SAME deterministic generator as a
+    micro-batch stream: offsets are the global row index, each batch
+    advances by ``rowsperbatch`` until ``maxrows`` (4 batches here),
+    and ``readBetweenOffsets`` replays any slice exactly — the
+    recovery contract that makes the journaled offsets exactly-once.
+    Rows flow through a streaming groupBy into a memory sink (complete
+    mode); the oracle replays the generator as range() algebra, so a
+    dropped or double-read batch breaks the hash. Scale note: the
+    simple reader prefetches on the DRIVER (modest-rate feeds — the
+    partition-planning DataSourceStreamReader is the high-throughput
+    variant, io14's partitions() shape applied to streams)."""
+    import time as _time
+
+    from .sources.pyds import SyntheticStreamDataSource
+
+    try:
+        spark.dataSource.register(SyntheticStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("rowsperbatch", 4000)
+        .option("maxrows", 16000)
+        .load()
+    )
+    agg = stream.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").alias("sum_cents"),
+        F.min("i").alias("first_i"),
+        F.max("i").alias("last_i"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sd12_pystream")
+        .outputMode("complete")
+        .start()
+    )
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        try:
+            total = spark.sql(
+                "select coalesce(sum(n), 0) as t from sd12_pystream"
+            ).collect()[0]["t"]
+        except Exception:
+            total = 0
+        if total >= 16000:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    out = spark.table("sd12_pystream")
+    return out.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("first_i").cast("long").alias("first_i"),
+        F.col("last_i").cast("long").alias("last_i"),
+    )
+
+
 QUERIES = {
     'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
     'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
@@ -490,6 +554,7 @@ QUERIES = {
     'sd10_incremental_backfill': q_sd10_incremental_backfill,
     'sd9_foreach_batch_upsert': q_sd9_foreach_batch_upsert,
     'sd11_composite_stream_snapshot': q_sd11_composite_stream_snapshot,
+    'sd12_python_stream_source': q_sd12_python_stream_source,
 }
 
 ORACLE_SQL: dict[str, str] = {}
@@ -619,6 +684,16 @@ ORACLE_SQL["sd7_file_sink_exactly_once"] = f"""
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM ev GROUP BY event_type
+"""
+
+ORACLE_SQL["sd12_python_stream_source"] = """
+    WITH g AS (SELECT range AS i FROM range(0, 16000))
+    SELECT i % 97 AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((i * i) % 10007) AS BIGINT) AS sum_cents,
+           CAST(MIN(i) AS BIGINT) AS first_i,
+           CAST(MAX(i) AS BIGINT) AS last_i
+    FROM g GROUP BY i % 97
 """
 
 ORACLE_SQL["sd6_state_store_reader"] = """

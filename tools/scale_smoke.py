@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "f35_incremental_online",  # snapshot+delta fold, O(entities + delta), 8x events
     "fsvc3_service_with_odfv",  # service + ODFV in one multi-view build, 8x events
     "f36_vector_features",  # array payloads through register/push/online fold
+    "sd12_python_stream_source",  # fixed synthetic stream; axis = options, not sf
 ]
 KEY_OFFSET = 100_000_000
 
