@@ -359,3 +359,37 @@ class TestRound8ReviewFixes:
         row = out.collect()[0]
         assert row["user__stats__x"] == 7
         assert row["dv__y"] == 14
+
+
+class TestServiceOdfvPlanShape:
+    def test_derived_member_adds_no_window_or_exchange(self, spark, store):
+        """Zero-extra-cost gate: a service bundling an ODFV over the
+        same two sources compiles to EXACTLY the plain two-view
+        service's plan shape — same as-of Window count, same exchange
+        count; the derived layer is a map-side projection (round-8,
+        measured 2 Windows / 6 exchanges both ways)."""
+        import re
+
+        store.create_derived_view(
+            "rate_pg",
+            sources=["spend", "clicks"],
+            exprs={"cpc": "spend__cents DIV clicks__n_clicks"},
+        )
+        store.create_feature_service(
+            "svc_pg", {"spend": ["cents"], "rate_pg": None}
+        )
+        store.create_feature_service(
+            "svc_pg_plain", {"spend": ["cents"], "clicks": None}
+        )
+        spine = _spine(spark)
+
+        def shape(name):
+            plan = (
+                store.get_service_training_set(name, spine)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            return plan.count("Window "), len(re.findall(r"Exchange ", plan))
+
+        assert shape("svc_pg") == shape("svc_pg_plain")
