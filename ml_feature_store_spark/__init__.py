@@ -9,6 +9,7 @@ multimodal plumbing, streaming ingest).
 from .errors import FeatureStoreError, FeatureTableNotFoundError, FeatureValidationError
 from .store import (
     DEFAULT_MAX_VERSIONS,
+    NO_TTL,
     FeatureStore,
     FeatureTableInfo,
     SnapshotManifest,
@@ -22,6 +23,7 @@ __all__ = [
     "FeatureTableNotFoundError",
     "FeatureValidationError",
     "DEFAULT_MAX_VERSIONS",
+    "NO_TTL",
 ]
 
 __version__ = "0.1.0"

@@ -335,9 +335,11 @@ def cooccurrence_jaccard(
     Round-8 shape (the g5 bench-creep fix): ONE shuffle builds deduped
     sorted basket arrays (``collect_set`` + ``sort_array``), the
     ``max_basket`` hub cap is a map-side size filter on the arrays, and
-    candidate pairs explode MAP-SIDE from each array (a higher-order
-    ``transform``/``slice`` — the sorted array gives ``item_a < item_b``
-    for free), feeding one partial-agg pair count. Total: 3 shuffles
+    candidate pairs explode MAP-SIDE from each array (``posexplode`` then
+    the element's suffix ``slice`` — the sorted array gives
+    ``item_a < item_b`` for free, and chaining the two generators keeps
+    per-row memory O(basket), never a materialized O(basket^2) pair
+    array), feeding one partial-agg pair count. Total: 3 shuffles
     (baskets, degrees, pair counts) + 2 broadcast degree joins — the
     previous self-join formulation paid ~5, and its round-4 hub-cap
     commit had silently multiplied the distinct's evaluations (the
@@ -386,15 +388,20 @@ def cooccurrence_jaccard(
         .agg(F.count("*").alias("deg"))
     )
     # map-side i<j pair generation from the sorted array: item at i pairs
-    # with every later element, so ordering needs no filter
-    pair_expr = F.expr(
-        "flatten(transform(its, (x, i) -> "
-        "transform(slice(its, i + 2, size(its)), "
-        "y -> struct(x AS item_a, y AS item_b))))"
-    )
+    # with every later element, so ordering needs no filter. TWO chained
+    # generators (posexplode, then explode of the element's SUFFIX slice)
+    # rather than one flatten(transform(transform(...))): the flattened
+    # form materializes the whole O(basket^2) pair array inside a single
+    # row before the explode — a 10k-item hub basket would build a ~50M
+    # struct array in one task buffer. Chained generators stream: peak
+    # per-row memory is one O(basket) suffix copy, and the pairs pipeline
+    # straight into the partial agg with no exchange in between.
     common = (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .select("p.item_a", "p.item_b")
+        baskets.select("its", F.posexplode("its").alias("i", "item_a"))
+        .select(
+            "item_a",
+            F.explode(F.expr("slice(its, i + 2, size(its))")).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= min_common)

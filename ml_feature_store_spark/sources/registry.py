@@ -77,7 +77,7 @@ class MemoryVersionStore:
         return sorted(self._data.get(name, {}))
 
     # -- data -------------------------------------------------------------
-    def write_version(self, name: str, version: int, df: DataFrame, row_count: int,
+    def write_version(self, name: str, version: int, df: DataFrame, row_count,
                       description: str = "") -> None:
         now = _now_iso()
         # Freeze the version's contents, like the parquet backend's write
@@ -87,6 +87,11 @@ class MemoryVersionStore:
         # tie-break ids could differ between reads of the same version,
         # breaking the "first input row wins" contract.
         self._data.setdefault(name, {})[version] = df.localCheckpoint(eager=True)
+        # row_count may be a thunk reading a Dataset.observe metric — it
+        # resolves only AFTER the action above has fired the observation
+        # (register rides its row count on the write job instead of
+        # paying a separate count() pass)
+        row_count = int(row_count() if callable(row_count) else row_count)
         state = self._meta.get(name)
         if state is None:
             state = TableState(name=name, description=description, version=version,
@@ -117,6 +122,18 @@ class MemoryVersionStore:
     def drop_version(self, name: str, version: int) -> None:
         self._data[name].pop(version, None)
         self._meta[name].versions.pop(version, None)
+
+    def rollback_version(self, name: str, version: int) -> None:
+        """Unpublish a just-written version (register's empty-input
+        rollback): remove it AND restore the table's current-version
+        pointer; a table left with no versions disappears entirely, as
+        if the write never happened."""
+        self.drop_version(name, version)
+        state = self._meta[name]
+        if not state.versions:
+            self.drop_table(name)
+            return
+        state.version = max(state.versions)
 
     def drop_table(self, name: str) -> None:
         self._data.pop(name, None)
@@ -180,7 +197,7 @@ class ParquetVersionStore:
     def _version_path(self, name: str, version: int) -> Path:
         return self.root / name / f"v={version}"
 
-    def write_version(self, name: str, version: int, df: DataFrame, row_count: int,
+    def write_version(self, name: str, version: int, df: DataFrame, row_count,
                       description: str = "") -> None:
         out = df
         if self.sort_within_partitions:
@@ -191,6 +208,8 @@ class ParquetVersionStore:
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(str(self._version_path(name, version)))
+        # thunks resolve after the write action (observe-metric row counts)
+        row_count = int(row_count() if callable(row_count) else row_count)
 
         now = _now_iso()
         if self.exists(name):
@@ -244,6 +263,19 @@ class ParquetVersionStore:
         shutil.rmtree(self._version_path(name, version), ignore_errors=True)
         state = self._load_meta(name)
         state.versions.pop(version, None)
+        self._save_meta(state)
+
+    def rollback_version(self, name: str, version: int) -> None:
+        """Unpublish a just-written version (register's empty-input
+        rollback): remove its files AND restore the current-version
+        pointer; a table left with no versions disappears entirely."""
+        shutil.rmtree(self._version_path(name, version), ignore_errors=True)
+        state = self._load_meta(name)
+        state.versions.pop(version, None)
+        if not state.versions:
+            self.drop_table(name)
+            return
+        state.version = max(state.versions)
         self._save_meta(state)
 
     def drop_table(self, name: str) -> None:

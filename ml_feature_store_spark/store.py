@@ -26,6 +26,7 @@ operators/asof.py.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, Sequence
@@ -48,6 +49,13 @@ from .sources.registry import MemoryVersionStore, ParquetVersionStore
 
 REQUIRED_COLUMNS = frozenset({ENTITY_COL, TIMESTAMP_COL})
 DEFAULT_MAX_VERSIONS = 10
+# Explicit opt-out from a registered view-level TTL: pass as
+# max_age_seconds (get_online / service serving) or tolerance_seconds
+# (get_training_set) to mean "no freshness / lookback bound" on a view
+# whose TTL would otherwise apply by default. float('inf') reads
+# naturally as "infinite allowed age" and can never collide with a real
+# registered TTL (set at register time from a finite float).
+NO_TTL = float("inf")
 DT_COL = "__dt__"  # hidden date-partition column (date_partition=True)
 HIDDEN_COLS = (ROW_ID_COL, DT_COL)
 
@@ -320,12 +328,15 @@ class FeatureStore:
         ``ttl_seconds`` keeps the existing TTL (it is a view property,
         not a version property). Persisted in the registry.
         """
-        if ttl_seconds is not None and ttl_seconds <= 0:
+        if ttl_seconds is not None and (
+            ttl_seconds <= 0 or not math.isfinite(ttl_seconds)
+        ):
             # validate BEFORE anything is written: a bad TTL must not
             # publish a version (the refuse-before-publish contract)
             raise FeatureValidationError(
-                f"register('{name}'): ttl_seconds must be > 0, "
-                f"got {ttl_seconds}"
+                f"register('{name}'): ttl_seconds must be a finite "
+                f"value > 0 (use NO_TTL at read time, not register "
+                f"time), got {ttl_seconds}"
             )
         if name in self._derived and not self._backend.exists(name):
             # the mirror of create_derived_view's shadow guard: a table
@@ -354,11 +365,34 @@ class FeatureStore:
             df = self._compose_entity_key(
                 df, entity_cols, context=f"register('{name}')"
             )
-        self._validate_dataframe(df, context=f"register('{name}')")
+        self._validate_dataframe(
+            df, context=f"register('{name}')", check_empty=False
+        )
         prepared = self._prepare_dataframe(df)
-        row_count = prepared.count()
+        # ONE job per register: the version row count rides the write
+        # action as an observed metric instead of a separate count()
+        # pass over the input (which, for a register fed by an expensive
+        # upstream plan, re-evaluated that whole plan once more), and the
+        # empty-input refusal reads the SAME metric instead of paying a
+        # pre-write isEmpty job. An empty input is detected after the
+        # write action but before anything else can see it: the version
+        # is rolled back (unpublished) and the reference's
+        # "refuse empty" error raised — error-path-only extra work.
+        prepared, row_count = self._observed_count(prepared)
         new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
         self._backend.write_version(name, new_version, prepared, row_count, description)
+        if row_count() == 0:  # cached observation — no extra job
+            self._backend.rollback_version(name, new_version)
+            self._key_cache.pop((name, new_version), None)
+            raise FeatureValidationError(
+                f"DataFrame is empty (register('{name}'))"
+            )
+        # seed the key-shape cache from the frame we just wrote — the
+        # version's schema is known here, so get_table_info never pays
+        # the backend schema-sniff read (parquet footer job) for it
+        self._key_cache.setdefault(
+            (name, new_version), self._entity_key_cols(prepared)
+        )
         self._prune_history(name)
         # a re-register rewrites history with fresh row ids — the
         # incremental-materialize equation no longer holds
@@ -414,9 +448,14 @@ class FeatureStore:
             ROW_ID_COL, F.col(ROW_ID_COL) + F.lit(int(max_id) + 1)
         )
         merged = current.select(*prepared.columns).unionByName(prepared)
-        row_count = merged.count()
+        # same one-job contract as register: the union is evaluated once,
+        # by the write, with the row count observed on the way through
+        merged, row_count = self._observed_count(merged)
         new_version = self._backend.meta(name).version + 1
         self._backend.write_version(name, new_version, merged, row_count, description)
+        self._key_cache.setdefault(
+            (name, new_version), self._entity_key_cols(merged)
+        )
         self._prune_history(name)
         return self.get_table_info(name)
 
@@ -954,6 +993,10 @@ class FeatureStore:
         if max_age_seconds is None:
             # view-level TTL doubles as the serving freshness SLA
             max_age_seconds = self._ttl.get(name)
+        if max_age_seconds is not None and math.isinf(max_age_seconds):
+            # NO_TTL sentinel: explicit per-call opt-out from the
+            # registered TTL ("no freshness bound")
+            max_age_seconds = None
         if max_age_seconds is not None:
             if max_age_seconds < 0:
                 raise FeatureValidationError(
@@ -982,6 +1025,88 @@ class FeatureStore:
                 df = entity_filter(df, entity_ids)
         df = project(df, columns)
         return self._expand_entity_key(df.drop(*HIDDEN_COLS), key_cols)
+
+    def export_online(
+        self,
+        name: str,
+        path: str,
+        format: str = "jsonlines",
+        entity_ids: Sequence[Any] | None = None,
+        columns: Sequence[str] | None = None,
+        max_age_seconds: float | None = None,
+        as_of: Any = None,
+        num_files: int | None = None,
+    ) -> int:
+        """Export the materialized online view to a KV-loadable fileset —
+        the BASELINE.md serving caveat made executable. Spark is not a
+        millisecond KV store: production serving EXPORTS the snapshot
+        and bulk-loads it into one (Redis/Dynamo/Cassandra import jobs
+        all consume exactly this shape: one record per entity, latest
+        values, line- or columnar-encoded). This wires the store's two
+        existing halves together: the ``get_online`` read (latest-per-
+        entity scan with the TTL filter and entity IN-list pushed down)
+        feeds an exactly-once sink.
+
+        ``format="jsonlines"`` routes through the two-phase custom
+        Python writer (sources/pyds.py ``JsonLinesSinkWriter``):
+        executor-side staging under a job-unique dir, driver-side
+        ``commit`` that promotes ONLY the files named in task commit
+        messages, atomic ``_SUCCESS`` manifest — a crashed or aborted
+        export leaves stray staged files that are NEVER promoted
+        (pytest-pinned), so a KV loader keyed on the manifest can never
+        bulk-load a partial snapshot. ``parquet``/``json``/``csv`` use
+        the built-in committers (same visibility contract via the
+        Hadoop committer protocol).
+
+        The feature timestamp serializes as an ISO-8601 micros string:
+        the export is an engine boundary, and the loader should get a
+        format it can parse without Spark's timestamp semantics.
+        Returns the exported row count (from the sink manifest for
+        jsonlines, from an observed metric riding the write otherwise —
+        never a second pass).
+
+        Scale: the export plan is the ``get_online`` scan itself — no
+        shuffle unless ``num_files`` asks for a target file count
+        (KV bulk loaders often want one file per import worker)."""
+        df = self.get_online(
+            name,
+            entity_ids=entity_ids,
+            columns=columns,
+            max_age_seconds=max_age_seconds,
+            as_of=as_of,
+        )
+        df = df.withColumn(
+            TIMESTAMP_COL,
+            F.date_format(TIMESTAMP_COL, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        )
+        if num_files:
+            df = df.repartition(num_files)
+        if format == "jsonlines":
+            import json as _json
+            from pathlib import Path as _Path
+
+            from .sources.pyds import JsonLinesSinkDataSource
+
+            self.spark.dataSource.register(JsonLinesSinkDataSource)
+            (
+                df.write.format("jsonlines_sink")
+                .option("path", path)
+                .mode("overwrite")
+                .save()
+            )
+            manifest = _json.loads((_Path(path) / "_SUCCESS").read_text())
+            return int(manifest["rows"])
+        if format not in ("parquet", "json", "csv"):
+            raise FeatureValidationError(
+                f"export_online('{name}'): unknown format '{format}' "
+                "(jsonlines, parquet, json, csv)"
+            )
+        df, row_count = self._observed_count(df)
+        writer = df.write.mode("overwrite")
+        if format == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, format)(path)
+        return row_count()
 
     # ------------------------------------------------------------------ #
     # incremental rollup maintenance (materialized aggregate views)
@@ -1081,6 +1206,12 @@ class FeatureStore:
         rname = rollup + self._ROLLUP_SUFFIX
         if self._backend.exists(rname):
             self._backend.drop_table(rname)
+        # mirror delete(cascade=True)'s invalidation: a re-created
+        # same-named rollup restarts its state table at version 1, so a
+        # stale (rname, version) key-shape entry must not survive
+        self._key_cache = {
+            k: v for k, v in self._key_cache.items() if k[0] != rname
+        }
         self._save_registry()
         return True
 
@@ -1123,6 +1254,21 @@ class FeatureStore:
         if self._date_partition and DT_COL not in out.columns:
             out = out.withColumn(DT_COL, F.to_date(F.col(TIMESTAMP_COL)))
         return out
+
+    @staticmethod
+    def _observed_count(df: DataFrame):
+        """(df-with-metric, thunk) pair for a one-job publish: the row
+        count rides the backend's write action as a ``Dataset.observe``
+        metric (zero extra passes, exact — CollectMetrics aggregates on
+        the executors as rows stream to the sink). The thunk blocks on
+        the observation, so the backend must run its action before
+        resolving — both backends do (parquet write / eager
+        localCheckpoint)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        return observed, lambda: int(obs.get["rows"])
 
     def _prune_history(self, name: str) -> None:
         # versions pinned by a live snapshot manifest are retention-exempt:
@@ -1254,6 +1400,9 @@ class FeatureStore:
             # view-level TTL (Feast FeatureView.ttl): the registered
             # default lookback bound; an explicit argument overrides
             tolerance_seconds = self._ttl.get(name)
+        if tolerance_seconds is not None and math.isinf(tolerance_seconds):
+            # NO_TTL sentinel: unbounded lookback despite a view TTL
+            tolerance_seconds = None
         if direction == "nearest":
             out = asof_join_nearest(
                 entity_timestamps,
@@ -2005,13 +2154,40 @@ class FeatureStore:
             for sid, m in raw.items()
         }
 
+    @staticmethod
+    def _atomic_write_text(path, text: str) -> None:
+        """Crash-atomic replace: write a temp file in the SAME directory
+        (so the rename never crosses filesystems) and ``os.replace`` it
+        over the target. A crash mid-write leaves either the old file or
+        the new one — never a truncated JSON that bricks every later
+        ``FeatureStore`` open with a parse error."""
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir=str(path.parent), prefix=path.name + ".", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, str(path))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
     def _save_snapshots(self) -> None:
         path = self._snapshots_path()
         if path is None:
             return
         import json
 
-        path.write_text(
+        self._atomic_write_text(
+            path,
             json.dumps(
                 {
                     "next_id": self._snapshot_seq,
@@ -2021,7 +2197,7 @@ class FeatureStore:
                     },
                 },
                 indent=2,
-            )
+            ),
         )
 
     def _snapshots_path(self):
@@ -2099,7 +2275,8 @@ class FeatureStore:
             return
         import json
 
-        path.write_text(
+        self._atomic_write_text(
+            path,
             json.dumps(
                 {
                     "derived": {
@@ -2134,7 +2311,7 @@ class FeatureStore:
                     "online": self._online_meta,
                 },
                 indent=2,
-            )
+            ),
         )
 
     def _spec_references(self, table: str) -> list[tuple[str, str]]:
@@ -2349,9 +2526,16 @@ class FeatureStore:
     @staticmethod
     def _entity_key_cols(df: DataFrame) -> tuple[str, ...] | None:
         """Natural key columns of a composite-key frame (struct-typed
-        ``entity_id``), or None for the classic scalar key."""
+        ``entity_id``), or None for the classic scalar key. Auxiliary
+        state tables (rollup state: group columns + merge counters, no
+        entity key at all) also return None — before this guard,
+        ``list_tables()``/``get_table_info`` CRASHED on any catalog
+        containing a rollup (round-9 fix, pinned in
+        tests/test_round9_store.py)."""
         from pyspark.sql.types import StructType
 
+        if ENTITY_COL not in df.columns:
+            return None
         dt = df.schema[ENTITY_COL].dataType
         return tuple(dt.fieldNames()) if isinstance(dt, StructType) else None
 
@@ -2483,7 +2667,9 @@ class FeatureStore:
             .alias(ENTITY_COL)
         ).dropDuplicates()
 
-    def _validate_dataframe(self, df: Any, context: str = "") -> None:
+    def _validate_dataframe(
+        self, df: Any, context: str = "", check_empty: bool = True
+    ) -> None:
         if not isinstance(df, DataFrame):
             raise FeatureValidationError(
                 f"Expected a Spark DataFrame, got {type(df).__name__} ({context})"
@@ -2493,7 +2679,10 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"DataFrame is missing required columns: {sorted(missing)} ({context})"
             )
-        if df.isEmpty():
+        # register skips the isEmpty job: its emptiness refusal rides the
+        # write's observed row count (rollback-on-empty). The other call
+        # sites (append deltas, spines) keep the cheap limit-1 pre-check.
+        if check_empty and df.isEmpty():
             raise FeatureValidationError(f"DataFrame is empty ({context})")
 
     def _validate_columns(self, name: str, columns: Sequence[str]) -> None:

@@ -1348,6 +1348,61 @@ def q_f36_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f37_export_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-store EXPORT (store.py export_online, round-9 — the
+    BASELINE.md serving caveat made executable): Spark is not a
+    millisecond KV store, so production serving exports the online
+    snapshot and bulk-loads it into one. The lane wires the two halves
+    the repo already had: the ``get_online`` latest-per-entity scan
+    feeds the EXACTLY-ONCE two-phase Python sink (io18's
+    JsonLinesSinkWriter: executor staging, driver commit promoting only
+    task-committed files, atomic ``_SUCCESS`` manifest — a crashed
+    export is invisible to a manifest-keyed loader; the abort/stray-file
+    contract is pytest-pinned in tests/test_round9_store.py). The
+    witness registers the events feed, materializes online, exports to
+    jsonlines, reads the COMMITTED files back and rolls them up —
+    including a digest over the ISO-serialized timestamps, so a
+    serialization drift, lost task file, or double-promoted file breaks
+    the hash. Oracle: the same rollup over the plain latest-per-user
+    snapshot computed from the raw table.
+
+    Scale: the export plan is the online-snapshot scan itself (no
+    shuffle beyond the argmax that built the snapshot); the sink stages
+    one file per task and commits O(#tasks) renames — the parquet
+    committer's shape, at any entity count."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        "event_id",
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark)
+    fs.register("ev_exp", ev)
+    fs.materialize_online("ev_exp")
+    d = _scratch_dir("f37_export", sf_dir) + "/out"
+    fs.export_online("ev_exp", d, num_files=8)
+    back = spark.read.schema(
+        "entity_id long, timestamp string, event_type string, "
+        "value_cents long, event_id long"
+    ).json(d + "/part-*.jsonl")
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_cents"),
+        F.sum(F.unix_micros(F.to_timestamp("timestamp")) % 1_000_003)
+        .cast("long")
+        .alias("ts_digest"),
+        F.sum(F.col("entity_id") * (F.col("value_cents") % 997))
+        .cast("long")
+        .alias("key_digest"),
+    )
+
+
 def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data contract (store.py register(checks=) — the
     dbt-test/Great-Expectations gate applied where it can still refuse
@@ -1854,6 +1909,7 @@ QUERIES = {
     'f35_incremental_online': q_f35_incremental_online,
     'fsvc3_service_with_odfv': q_fsvc3_service_with_odfv,
     'f36_vector_features': q_f36_vector_features,
+    'f37_export_online': q_f37_export_online,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2447,6 +2503,28 @@ ORACLE_SQL["f35_incremental_online"] = f"""
                                   ORDER BY ts DESC, event_id ASC) AS rn
         FROM f
     ) WHERE rn = 1
+"""
+
+# f37: the exported jsonlines fileset rolls up to the plain
+# latest-per-user snapshot (ties by min event_id — export serializes
+# the online view, which argmaxes ts DESC, __row_id__=event_id ASC).
+# ts_digest replays the ISO round-trip as plain epoch micros.
+ORACLE_SQL["f37_export_online"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    s AS (SELECT user_id, event_type, value_cents, event_id, ts FROM (
+            SELECT user_id, event_type, value_cents, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f) WHERE rn = 1)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(epoch_us(ts) % 1000003) AS BIGINT) AS ts_digest,
+           CAST(SUM(user_id * (value_cents % 997)) AS BIGINT) AS key_digest
+    FROM s GROUP BY event_type
 """
 
 # fsvc2: the ONLINE service read — two latest-per-user argmaxes (no

@@ -1,0 +1,325 @@
+"""Round-9 store hardening: crash-atomic registry/snapshot writes, the
+NO_TTL per-call opt-out sentinel, drop_rollup key-cache invalidation,
+and the one-job register (row count observed on the write action)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_spark import (
+    NO_TTL,
+    FeatureStore,
+    FeatureValidationError,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAtomicRegistryWrites:
+    """Kill-simulation: a crash mid-save must leave either the OLD
+    registry or the NEW one on disk — never a truncated JSON that
+    bricks every later FeatureStore open with a parse error."""
+
+    def _store(self, spark, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("t", self._df(spark), ttl_seconds=3600)
+        return fs
+
+    @staticmethod
+    def _df(spark):
+        rows = [("e1", ts("2024-01-01"), 1.0), ("e2", ts("2024-01-02"), 2.0)]
+        return spark.createDataFrame(rows, ["entity_id", "timestamp", "f"])
+
+    def test_crash_during_replace_preserves_old_registry(
+        self, spark, tmp_path, monkeypatch
+    ):
+        fs = self._store(spark, tmp_path)
+        reg = tmp_path / "_registry.json"
+        before = reg.read_text()
+        # simulate the process dying between the temp write and the
+        # rename: os.replace never happens
+        real_replace = os.replace
+
+        def boom(src, dst):
+            if str(dst).endswith("_registry.json"):
+                raise OSError("simulated crash before rename")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(OSError, match="simulated crash"):
+            fs.create_derived_view("dv_crash", ["t"], {"g": "t__f * 2"})
+        monkeypatch.undo()
+        # the target file is byte-identical to the pre-crash state and
+        # still parses; no orphan temp files accumulate
+        assert reg.read_text() == before
+        json.loads(reg.read_text())
+        assert not list(tmp_path.glob("_registry.json.*.tmp"))
+        # a fresh open sees the old spec state, not an error
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert fs2.get_view_ttl("t") == 3600.0
+
+    def test_snapshot_save_is_atomic_too(self, spark, tmp_path, monkeypatch):
+        fs = self._store(spark, tmp_path)
+        fs.snapshot(description="base")
+        snaps = tmp_path / "_snapshots.json"
+        before = snaps.read_text()
+        real_replace = os.replace
+
+        def boom(src, dst):
+            if str(dst).endswith("_snapshots.json"):
+                raise OSError("simulated crash before rename")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(OSError, match="simulated crash"):
+            fs.snapshot(description="second")
+        monkeypatch.undo()
+        assert snaps.read_text() == before
+        json.loads(snaps.read_text())
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert [m.description for m in fs2.list_snapshots()] == ["base"]
+
+    def test_registry_file_valid_after_normal_save(self, spark, tmp_path):
+        fs = self._store(spark, tmp_path)
+        fs.create_derived_view("dv", ["t"], {"g": "t__f * 2"})
+        raw = json.loads((tmp_path / "_registry.json").read_text())
+        assert "dv" in raw["derived"]
+        assert not list(tmp_path.glob("_registry.json.*.tmp"))
+
+
+class TestNoTtlSentinel:
+    @staticmethod
+    def _df(spark):
+        rows = [
+            ("e1", ts("2024-01-01"), 1.0),
+            ("e1", ts("2024-06-01"), 2.0),
+            ("e2", ts("2024-01-01"), 10.0),
+        ]
+        return spark.createDataFrame(rows, ["entity_id", "timestamp", "f"])
+
+    def test_get_online_no_ttl_disables_freshness_bound(self, spark, store):
+        # 1-hour TTL: at an as_of far past the data, the TTL withholds
+        # every row; NO_TTL must serve the snapshot anyway
+        store.register("v", self._df(spark), ttl_seconds=3600)
+        store.materialize_online("v")
+        far = ts("2025-01-01")
+        assert store.get_online("v", as_of=far).count() == 0
+        got = store.get_online("v", as_of=far, max_age_seconds=NO_TTL)
+        assert got.count() == 2  # one latest row per entity
+        vals = {r.entity_id: r.f for r in got.collect()}
+        assert vals == {"e1": 2.0, "e2": 10.0}
+
+    def test_training_set_no_ttl_unbounds_lookback(self, spark, store):
+        store.register("v", self._df(spark), ttl_seconds=3600)
+        spine = spark.createDataFrame(
+            [("e1", ts("2025-01-01"))], ["entity_id", "timestamp"]
+        )
+        bounded = store.get_training_set("v", spine)
+        assert bounded.filter(F.col("f").isNotNull()).count() == 0
+        unbounded = store.get_training_set(
+            "v", spine, tolerance_seconds=NO_TTL
+        )
+        assert [r.f for r in unbounded.collect()] == [2.0]
+
+    def test_register_rejects_non_finite_ttl(self, spark, store):
+        with pytest.raises(FeatureValidationError, match="finite"):
+            store.register("v", self._df(spark), ttl_seconds=float("inf"))
+        with pytest.raises(FeatureValidationError, match="finite"):
+            store.register("v", self._df(spark), ttl_seconds=float("nan"))
+
+
+class TestDropRollupKeyCache:
+    def test_drop_rollup_purges_state_table_key_cache(self, spark, store):
+        rows = [("e1", ts("2024-01-01"), "a", 1.0), ("e2", ts("2024-01-02"), "b", 2.0)]
+        df = spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "grp", "val"]
+        )
+        store.register("src", df)
+        store.create_rollup("src", "r", ["grp"], ["val"])
+        rname = "r" + store._ROLLUP_SUFFIX
+        # list_tables must tolerate the keyless rollup state table in the
+        # catalog (it CRASHED before the round-9 _entity_key_cols guard)
+        assert rname in [i.name for i in store.list_tables()]
+        # populate the per-(table, version) key cache for the state table
+        store.get_table_info(rname)
+        assert any(k[0] == rname for k in store._key_cache)
+        store.drop_rollup("r")
+        assert not any(k[0] == rname for k in store._key_cache), (
+            "a stale key-shape entry survived drop_rollup; a re-created "
+            "same-named rollup would serve it at version 1"
+        )
+        # re-create cleanly: the state table restarts at version 1 with
+        # a fresh cache entry
+        store.create_rollup("src", "r", ["grp"], ["val"])
+        assert store.get_table_info(rname).version == 1
+
+
+class TestExportOnline:
+    """export_online: the online snapshot through the exactly-once
+    two-phase sink (the io18 contract, reused for KV bulk-load
+    export)."""
+
+    @staticmethod
+    def _df(spark):
+        rows = [
+            ("e1", ts("2024-01-01"), 1.5),
+            ("e1", ts("2024-02-01"), 2.5),
+            ("e2", ts("2024-01-10"), 10.0),
+        ]
+        return spark.createDataFrame(rows, ["entity_id", "timestamp", "f"])
+
+    def test_jsonlines_roundtrip_with_manifest(self, spark, store, tmp_path):
+        store.register("v", self._df(spark))
+        store.materialize_online("v")
+        d = str(tmp_path / "kv")
+        n = store.export_online("v", d)
+        assert n == 2
+        manifest = json.loads((tmp_path / "kv" / "_SUCCESS").read_text())
+        assert manifest["rows"] == 2
+        back = spark.read.schema("entity_id string, timestamp string, f double").json(
+            d + "/part-*.jsonl"
+        )
+        got = {r.entity_id: (r.timestamp, r.f) for r in back.collect()}
+        assert got == {
+            "e1": ("2024-02-01T00:00:00.000000", 2.5),
+            "e2": ("2024-01-10T00:00:00.000000", 10.0),
+        }
+
+    def test_parquet_export_observed_count(self, spark, store, tmp_path):
+        store.register("v", self._df(spark))
+        store.materialize_online("v")
+        d = str(tmp_path / "pq")
+        n = store.export_online("v", d, format="parquet")
+        assert n == 2
+        assert spark.read.parquet(d).count() == 2
+
+    def test_ttl_and_entity_filter_apply(self, spark, store, tmp_path):
+        store.register("v", self._df(spark))
+        store.materialize_online("v")
+        d = str(tmp_path / "kv2")
+        n = store.export_online(
+            "v", d, entity_ids=["e1"], as_of=ts("2024-02-02"),
+            max_age_seconds=7 * 24 * 3600,
+        )
+        assert n == 1  # e2's latest row is stale under the 7d SLA
+
+    def test_failed_export_promotes_nothing(self, spark, store, tmp_path):
+        """Crash contract: a job that dies mid-write leaves stray staged
+        files that are NEVER promoted — no part files, no _SUCCESS, so a
+        manifest-keyed KV loader cannot load a partial snapshot."""
+        import datetime as _dt
+
+        rows = [("e1", ts("2024-01-01"), _dt.date(2024, 1, 1))]
+        df = spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "d"]
+        )
+        store.register("v", df)
+        store.materialize_online("v")
+        d = tmp_path / "kv3"
+        # json.dumps cannot serialize a date -> every task attempt fails,
+        # the job aborts, and the writer's abort() fires
+        with pytest.raises(Exception):
+            store.export_online("v", str(d))
+        if d.exists():
+            assert not list(d.glob("part-*.jsonl"))
+            assert not (d / "_SUCCESS").exists()
+
+    def test_unknown_format_refused(self, spark, store, tmp_path):
+        store.register("v", self._df(spark))
+        store.materialize_online("v")
+        with pytest.raises(FeatureValidationError, match="unknown format"):
+            store.export_online("v", str(tmp_path / "x"), format="avro")
+
+    def test_requires_materialization(self, spark, store, tmp_path):
+        from ml_feature_store_spark import FeatureTableNotFoundError
+
+        store.register("v", self._df(spark))
+        with pytest.raises(FeatureTableNotFoundError, match="online"):
+            store.export_online("v", str(tmp_path / "x"))
+
+
+class TestOneJobRegister:
+    def test_register_runs_exactly_one_job(self, spark, feature_df):
+        # build the input before the gate so createDataFrame's own work
+        # cannot be attributed to register
+        feature_df.count()
+        sc = spark.sparkContext
+        fs = FeatureStore(spark)
+        sc.setJobGroup("reg_gate_mem", "register one-job gate")
+        try:
+            info = fs.register("one_job", feature_df)
+        finally:
+            sc.setJobGroup("reg_gate_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("reg_gate_mem")
+        assert len(jobs) == 1, (
+            f"register ran {len(jobs)} jobs; the row count must ride the "
+            "write action as an observed metric, not a separate count()"
+        )
+        assert info.row_count == 5
+
+    def test_register_parquet_backend_one_job(self, spark, feature_df, tmp_path):
+        feature_df.count()
+        sc = spark.sparkContext
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        sc.setJobGroup("reg_gate_pq", "register one-job gate")
+        try:
+            info = fs.register("one_job", feature_df)
+        finally:
+            sc.setJobGroup("reg_gate_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("reg_gate_pq")
+        assert len(jobs) == 1
+        assert info.row_count == 5
+
+    def test_empty_register_rolls_back_unpublished(self, spark, store):
+        df = spark.createDataFrame(
+            [], "entity_id string, timestamp timestamp, f double"
+        )
+        with pytest.raises(FeatureValidationError, match="empty"):
+            store.register("ghost", df)
+        # the rollback leaves NO trace: no table, no version, no cache
+        assert "ghost" not in store.table_names
+        assert not any(k[0] == "ghost" for k in store._key_cache)
+
+    def test_empty_reregister_keeps_previous_version(
+        self, spark, store, feature_df
+    ):
+        store.register("t", feature_df)
+        empty = spark.createDataFrame(
+            [], "entity_id string, timestamp timestamp, "
+            "feature_a double, feature_b bigint"
+        )
+        with pytest.raises(FeatureValidationError, match="empty"):
+            store.register("t", empty)
+        info = store.get_table_info("t")
+        assert info.version == 1
+        assert info.row_count == 5
+        assert store._current("t").count() == 5
+
+    def test_empty_register_parquet_no_trace(self, spark, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        df = spark.createDataFrame(
+            [], "entity_id string, timestamp timestamp, f double"
+        )
+        with pytest.raises(FeatureValidationError, match="empty"):
+            fs.register("ghost", df)
+        assert "ghost" not in fs.table_names
+        # and a fresh open agrees (nothing was published to disk meta)
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert "ghost" not in fs2.table_names
+
+    def test_append_observed_count_is_exact(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        extra = spark.createDataFrame(
+            [("user_3", ts("2024-03-01"), 9.0, 900)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        info = store.append("t", extra)
+        assert info.row_count == 6
+        assert store._current("t").count() == 6

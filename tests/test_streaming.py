@@ -22,11 +22,25 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_dir(spark):
-    """Copy the events parquet into a dir (file-source streams read dirs)."""
+    """Copy the events parquet into a dir (file-source streams read dirs).
+
+    MODULE-SCOPED: any test that drops extra files in here (to force a
+    second micro-batch) MUST remove them in a ``finally`` — a leaked file
+    doubles every later test's stream input. Teardown asserts the dir is
+    back to exactly the one seeded file so the NEXT leak fails loudly at
+    its source instead of corrupting downstream stream-vs-batch compares.
+    """
+    import os
+
     d = tempfile.mkdtemp(prefix="mlfs_stream_")
     shutil.copy(f"{SF}/events.parquet", d)
     yield d
+    leaked = sorted(f for f in os.listdir(d) if f != "events.parquet")
     shutil.rmtree(d, ignore_errors=True)
+    assert not leaked, (
+        f"test leaked extra files into the module-scoped events_dir: {leaked} "
+        "— remove them in a finally (they double later tests' stream input)"
+    )
 
 
 def _run_stream(df, name):
@@ -329,7 +343,19 @@ class TestStreamingRollupRefresh:
 
         # second file => second micro-batch (maxFilesPerTrigger=1), so the
         # append + refresh path actually runs
-        _sh.copy(f"{events_dir}/events.parquet", f"{events_dir}/events_b.parquet")
+        second = f"{events_dir}/events_b.parquet"
+        _sh.copy(f"{events_dir}/events.parquet", second)
+        try:
+            self._run_and_check(spark, events_dir, _tf, F, FeatureStore, stream_events)
+        finally:
+            # the fixture dir is module-scoped: leaving the duplicate file
+            # would double every later test's stream input
+            import os as _os
+
+            _os.remove(second)
+
+    @staticmethod
+    def _run_and_check(spark, events_dir, _tf, F, FeatureStore, stream_events):
         everything = spark.read.parquet(events_dir)
         fs = FeatureStore(spark)
         stream = stream_events(spark, events_dir)
@@ -362,7 +388,7 @@ class TestStreamingRollupRefresh:
         )
         q.awaitTermination(120)
         q.stop()
-        _sh.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
         got = {
             r.event_type: (r.n_rows, round(r.sum_value, 2), r.min_value, r.max_value)
