@@ -40,6 +40,12 @@ class VersionRecord:
     # both data visibility and batch bookkeeping — the property the
     # exactly-once restart check in streaming_register relies on.
     description: str = ""
+    # Upper bound of __row_id__ in this version, observed on the write
+    # (None for legacy versions written before the field existed).
+    # Append/materialize/rollup watermarks read it instead of paying a
+    # full-history max() scan; a stale-but-larger bound is always safe
+    # (row ids only need to stay strictly increasing).
+    max_row_id: int | None = None
 
 
 @dataclass
@@ -78,7 +84,7 @@ class MemoryVersionStore:
 
     # -- data -------------------------------------------------------------
     def write_version(self, name: str, version: int, df: DataFrame, row_count,
-                      description: str = "") -> None:
+                      description: str = "", max_row_id=None) -> None:
         now = _now_iso()
         # Freeze the version's contents, like the parquet backend's write
         # does: __row_id__ comes from monotonically_increasing_id() and
@@ -87,11 +93,13 @@ class MemoryVersionStore:
         # tie-break ids could differ between reads of the same version,
         # breaking the "first input row wins" contract.
         self._data.setdefault(name, {})[version] = df.localCheckpoint(eager=True)
-        # row_count may be a thunk reading a Dataset.observe metric — it
-        # resolves only AFTER the action above has fired the observation
-        # (register rides its row count on the write job instead of
-        # paying a separate count() pass)
+        # row_count / max_row_id may be thunks reading Dataset.observe
+        # metrics — they resolve only AFTER the action above has fired
+        # the observation (register rides them on the write job instead
+        # of paying separate scan passes)
         row_count = int(row_count() if callable(row_count) else row_count)
+        if callable(max_row_id):
+            max_row_id = max_row_id()
         state = self._meta.get(name)
         if state is None:
             state = TableState(name=name, description=description, version=version,
@@ -102,6 +110,7 @@ class MemoryVersionStore:
         state.versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
             created_at=now, description=description,
+            max_row_id=None if max_row_id is None else int(max_row_id),
         )
 
     def read_version(self, name: str, version: int) -> DataFrame:
@@ -113,9 +122,12 @@ class MemoryVersionStore:
         version number and created_at stay, data and row_count change."""
         rec = self._meta[name].versions[version]
         self._data[name][version] = df.localCheckpoint(eager=True)
+        # rewrites only REMOVE/REPLACE rows, so the old bound stays a
+        # valid (possibly loose) upper bound — looseness is safe
         self._meta[name].versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
             created_at=rec.created_at, description=rec.description,
+            max_row_id=rec.max_row_id,
         )
         self._meta[name].updated_at = _now_iso()
 
@@ -178,7 +190,27 @@ class ParquetVersionStore:
                 str(v): vars(rec) for v, rec in state.versions.items()
             },
         }
-        path.write_text(json.dumps(raw, indent=2))
+        # the meta save IS the version-visibility commit point — it gets
+        # the same crash-atomic replace as the registry/snapshot files
+        # (a truncated _meta.json would brick every read of the table)
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir=str(path.parent), prefix=self.META + ".", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(raw, indent=2))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, str(path))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     # -- catalog ----------------------------------------------------------
     def table_names(self) -> list[str]:
@@ -198,7 +230,7 @@ class ParquetVersionStore:
         return self.root / name / f"v={version}"
 
     def write_version(self, name: str, version: int, df: DataFrame, row_count,
-                      description: str = "") -> None:
+                      description: str = "", max_row_id=None) -> None:
         out = df
         if self.sort_within_partitions:
             cols = [c for c in self.sort_within_partitions if c in df.columns]
@@ -208,8 +240,10 @@ class ParquetVersionStore:
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(str(self._version_path(name, version)))
-        # thunks resolve after the write action (observe-metric row counts)
+        # thunks resolve after the write action (observe-metric stats)
         row_count = int(row_count() if callable(row_count) else row_count)
+        if callable(max_row_id):
+            max_row_id = max_row_id()
 
         now = _now_iso()
         if self.exists(name):
@@ -222,6 +256,7 @@ class ParquetVersionStore:
         state.versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
             created_at=now, description=description,
+            max_row_id=None if max_row_id is None else int(max_row_id),
         )
         self._save_meta(state)
 
@@ -252,9 +287,12 @@ class ParquetVersionStore:
         tmp.rename(final)
         state = self._load_meta(name)
         rec = state.versions[version]
+        # rewrites only REMOVE/REPLACE rows, so the old bound stays a
+        # valid (possibly loose) upper bound — looseness is safe
         state.versions[version] = VersionRecord(
             version=version, row_count=row_count, columns=df.columns,
             created_at=rec.created_at, description=rec.description,
+            max_row_id=rec.max_row_id,
         )
         state.updated_at = _now_iso()
         self._save_meta(state)

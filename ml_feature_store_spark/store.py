@@ -190,15 +190,24 @@ class FeatureStore:
         # table -> incremental-materialize bookkeeping (row-id watermark
         # + source row count at the last online snapshot build)
         self._online_meta: dict[str, dict[str, int]] = reg["online"]
+        # saved datasets (Feast SavedDataset): name -> provenance of a
+        # MATERIALIZED training set (views + pinned versions + spine
+        # shape). The data itself is a backend table; the spec makes the
+        # artifact auditable and retrievable by name across processes.
+        self._datasets: dict[str, dict[str, Any]] = reg["datasets"]
 
     # ------------------------------------------------------------------ #
     # catalog
     # ------------------------------------------------------------------ #
     @property
     def table_names(self) -> list[str]:
-        # online snapshots are an implementation detail, not catalog entries
+        # online snapshots and saved-dataset materializations are
+        # implementation details, not catalog entries
         return [
-            n for n in self._backend.table_names() if not n.endswith(self._ONLINE_SUFFIX)
+            n
+            for n in self._backend.table_names()
+            if not n.endswith(self._ONLINE_SUFFIX)
+            and not n.endswith(self._DATASET_SUFFIX)
         ]
 
     def list_tables(self) -> list[FeatureTableInfo]:
@@ -378,9 +387,12 @@ class FeatureStore:
         # write action but before anything else can see it: the version
         # is rolled back (unpublished) and the reference's
         # "refuse empty" error raised — error-path-only extra work.
-        prepared, row_count = self._observed_count(prepared)
+        prepared, row_count, max_id = self._observed_stats(prepared)
         new_version = (self._backend.meta(name).version + 1) if self._backend.exists(name) else 1
-        self._backend.write_version(name, new_version, prepared, row_count, description)
+        self._backend.write_version(
+            name, new_version, prepared, row_count, description,
+            max_row_id=max_id,
+        )
         if row_count() == 0:  # cached observation — no extra job
             self._backend.rollback_version(name, new_version)
             self._key_cache.pop((name, new_version), None)
@@ -443,16 +455,22 @@ class FeatureStore:
                 f"incoming has {sorted(incoming)}. Re-register for schema changes."
             )
         prepared = self._prepare_dataframe(df.select(*visible))
-        max_id = current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        # from version metadata (observed at the last publish) — no
+        # full-history max() scan; loose-after-rewrite is fine, ids only
+        # need to keep increasing
+        max_id = self._max_row_id(name)
         prepared = prepared.withColumn(
             ROW_ID_COL, F.col(ROW_ID_COL) + F.lit(int(max_id) + 1)
         )
         merged = current.select(*prepared.columns).unionByName(prepared)
         # same one-job contract as register: the union is evaluated once,
-        # by the write, with the row count observed on the way through
-        merged, row_count = self._observed_count(merged)
+        # by the write, with count + new max row id observed on the way
+        merged, row_count, new_max = self._observed_stats(merged)
         new_version = self._backend.meta(name).version + 1
-        self._backend.write_version(name, new_version, merged, row_count, description)
+        self._backend.write_version(
+            name, new_version, merged, row_count, description,
+            max_row_id=new_max,
+        )
         self._key_cache.setdefault(
             (name, new_version), self._entity_key_cols(merged)
         )
@@ -508,10 +526,14 @@ class FeatureStore:
             patch.select(*key), key, "left_anti"
         )
         flat = untouched.unionByName(patch.select(*visible))
-        row_count = flat.count()
         prepared = self._prepare_dataframe(flat.select(*visible))
+        # one-job publish: count + max row id observed on the write
+        prepared, row_count, new_max = self._observed_stats(prepared)
         new_version = self._backend.meta(name).version + 1
-        self._backend.write_version(name, new_version, prepared, row_count, description)
+        self._backend.write_version(
+            name, new_version, prepared, row_count, description,
+            max_row_id=new_max,
+        )
         self._prune_history(name)
         # a row-count-preserving upsert would evade the incremental
         # fold's row accounting — invalidate at the rewrite
@@ -537,15 +559,22 @@ class FeatureStore:
         current = self._current(name)
         visible = [c for c in current.columns if c not in HIDDEN_COLS]
         kept = current.filter(F.col(TIMESTAMP_COL) >= F.lit(cutoff)).select(*visible)
-        row_count = kept.count()
-        if row_count == 0:
+        prepared = self._prepare_dataframe(kept)
+        # one-job publish with rollback-on-empty (the register pattern):
+        # an all-rows-expired cutoff must not publish an empty version
+        prepared, row_count, new_max = self._observed_stats(prepared)
+        new_version = self._backend.meta(name).version + 1
+        self._backend.write_version(
+            name, new_version, prepared, row_count, description,
+            max_row_id=new_max,
+        )
+        if row_count() == 0:
+            self._backend.rollback_version(name, new_version)
+            self._key_cache.pop((name, new_version), None)
             raise FeatureValidationError(
                 f"expire_features('{name}'): cutoff {cutoff} would drop every "
                 f"row — refusing to write an empty version."
             )
-        prepared = self._prepare_dataframe(kept)
-        new_version = self._backend.meta(name).version + 1
-        self._backend.write_version(name, new_version, prepared, row_count, description)
         self._prune_history(name)
         self._invalidate_online_meta(name)
         return self.get_table_info(name)
@@ -783,11 +812,13 @@ class FeatureStore:
             .drop("__canonical__")
             .select(*cols)
         )
-        row_count = merged.count()
         prepared = self._prepare_dataframe(merged)
+        # one-job publish: count + max row id observed on the write
+        prepared, row_count, new_max = self._observed_stats(prepared)
         new_version = self._backend.meta(name).version + 1
         self._backend.write_version(
-            name, new_version, prepared, row_count, description or "merge_entities"
+            name, new_version, prepared, row_count,
+            description or "merge_entities", max_row_id=new_max,
         )
         self._prune_history(name)
         # merge preserves row count AND row ids — exactly the rewrite
@@ -865,9 +896,8 @@ class FeatureStore:
             )
         else:
             snap = latest_per_entity(current)
-            watermark = int(
-                current.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
-            )
+            # metadata watermark (observed at publish) — no history scan
+            watermark = self._max_row_id(name)
         version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
         row_count = snap.count()
         self._backend.write_version(
@@ -1109,6 +1139,123 @@ class FeatureStore:
         return row_count()
 
     # ------------------------------------------------------------------ #
+    # saved datasets (Feast SavedDataset: materialized training sets)
+    # ------------------------------------------------------------------ #
+    _DATASET_SUFFIX = "__dataset"
+
+    def create_saved_dataset(
+        self,
+        name: str,
+        views: str | Sequence[str],
+        entity_timestamps: DataFrame,
+        description: str = "",
+        **kwargs: Any,
+    ) -> dict[str, Any]:
+        """MATERIALIZE a point-in-time training set and register it by
+        name with provenance (Feast's ``create_saved_dataset``): the
+        exact views and versions it was built from, its row count and
+        creation time persist in the registry, and
+        :meth:`get_saved_dataset` returns the SAME rows in any later
+        process — the artifact a model card points at, and the frozen
+        frame training/serving-skew audits compare against.
+
+        ``views`` may be one view name (single-view
+        :meth:`get_training_set`) or several (multi-view build with
+        ``<view>__``-prefixed payloads); ``kwargs`` pass through to the
+        underlying build (``tolerance_seconds``, ``how``, ``strategy``,
+        ``columns``, ...). The build runs ONCE, its row count riding the
+        write (the one-job register discipline); the materialized table
+        is hidden from the catalog (``table_names``) like online
+        snapshots — :meth:`list_saved_datasets` is its catalog.
+
+        Unlike ``snapshot()`` (which pins VERSIONS for lazy
+        re-resolution), a saved dataset copies the JOINED result out:
+        it stays readable bit-for-bit even after source versions are
+        retention-pruned or the source table is deleted — provenance
+        versions in the spec are an audit record, not live pins.
+
+        Scale: storage is O(result), write is the training-set plan + a
+        sink — the same cost as writing the training set anywhere else;
+        retrieval is a plain scan with zero joins at any corpus size."""
+        if name in self._datasets:
+            raise FeatureValidationError(
+                f"create_saved_dataset('{name}'): a saved dataset with "
+                "this name already exists — drop_saved_dataset() first."
+            )
+        view_list = [views] if isinstance(views, str) else list(views)
+        if not view_list:
+            raise FeatureValidationError(
+                f"create_saved_dataset('{name}'): views must be non-empty."
+            )
+        pins: dict[str, int] = {}
+        for v in view_list:
+            self._require_table(v)
+            pins[v] = self._backend.meta(v).version
+        if len(view_list) == 1:
+            built = self.get_training_set(
+                view_list[0], entity_timestamps, **kwargs
+            )
+        else:
+            built = self.get_multi_view_training_set(
+                view_list, entity_timestamps, **kwargs
+            )
+        dname = name + self._DATASET_SUFFIX
+        built, row_count = self._observed_count(built)
+        self._backend.write_version(
+            dname, 1, built, row_count, f"saved dataset '{name}'"
+        )
+        spec = {
+            "views": pins,
+            "row_count": int(row_count()),
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "description": description,
+        }
+        self._datasets[name] = spec
+        self._save_registry()
+        return dict(spec)
+
+    def get_saved_dataset(self, name: str) -> DataFrame:
+        """Retrieve a saved dataset's materialized rows — a plain scan,
+        no joins, identical in every process that opens the store."""
+        if name not in self._datasets:
+            raise FeatureTableNotFoundError(
+                f"Saved dataset '{name}' not found. "
+                f"Available: {sorted(self._datasets)}"
+            )
+        dname = name + self._DATASET_SUFFIX
+        return self._backend.read_version(
+            dname, self._backend.versions(dname)[-1]
+        )
+
+    def get_saved_dataset_info(self, name: str) -> dict[str, Any]:
+        """The provenance spec recorded at creation (views + versions,
+        row count, created_at, description)."""
+        if name not in self._datasets:
+            raise FeatureTableNotFoundError(
+                f"Saved dataset '{name}' not found. "
+                f"Available: {sorted(self._datasets)}"
+            )
+        spec = self._datasets[name]
+        return {**spec, "views": dict(spec["views"])}
+
+    def list_saved_datasets(self) -> list[str]:
+        return sorted(self._datasets)
+
+    def drop_saved_dataset(self, name: str) -> bool:
+        """Release the spec AND the materialized table. Returns False if
+        absent — never raises (the ``delete`` contract)."""
+        if self._datasets.pop(name, None) is None:
+            return False
+        dname = name + self._DATASET_SUFFIX
+        if self._backend.exists(dname):
+            self._backend.drop_table(dname)
+        self._key_cache = {
+            k: v for k, v in self._key_cache.items() if k[0] != dname
+        }
+        self._save_registry()
+        return True
+
+    # ------------------------------------------------------------------ #
     # incremental rollup maintenance (materialized aggregate views)
     # ------------------------------------------------------------------ #
     _ROLLUP_SUFFIX = "__rollup"
@@ -1138,7 +1285,8 @@ class FeatureStore:
         row_count = state.count()
         rname = rollup + self._ROLLUP_SUFFIX
         self._backend.write_version(rname, 1, state, row_count, f"rollup of '{name}'")
-        watermark = src.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        # metadata watermark (observed at publish) — no history scan
+        watermark = self._max_row_id(name)
         meta = self._backend.meta(name)
         self._rollups[rollup] = {
             "src": name,
@@ -1182,7 +1330,8 @@ class FeatureStore:
         )
         for v in self._backend.versions(rname)[:-1]:
             self._backend.drop_version(rname, v)
-        watermark = src.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        # metadata watermark (observed at publish) — no history scan
+        watermark = self._max_row_id(spec["src"])
         spec["watermark"] = int(watermark)
         spec["src_rows"] = cur_rows
         self._save_registry()
@@ -1269,6 +1418,45 @@ class FeatureStore:
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         return observed, lambda: int(obs.get["rows"])
+
+    @staticmethod
+    def _observed_stats(df: DataFrame):
+        """(df-with-metrics, count thunk, max-row-id thunk) for version
+        publishes: both the row count AND the ``__row_id__`` upper bound
+        ride the write action as observed metrics, so the publish is one
+        pass and later appends / online materializations / rollup
+        refreshes read the watermark from version metadata instead of
+        paying a full-history max() scan."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.max(ROW_ID_COL).alias("max_id"),
+        )
+
+        def _max_id():
+            m = obs.get["max_id"]
+            return None if m is None else int(m)
+
+        return observed, lambda: int(obs.get["rows"]), _max_id
+
+    def _max_row_id(self, name: str) -> int:
+        """Upper bound of ``__row_id__`` in the CURRENT version — from
+        version metadata when the publish observed it, else one
+        column-stats scan (legacy versions written before the field).
+        The bound may be loose after a rewrite (rows only get removed);
+        loose is safe everywhere it is used: append id offsets only
+        need strict monotonicity, and watermarks only need to dominate
+        every already-folded id."""
+        st = self._backend.meta(name)
+        rec = st.versions[st.version]
+        m = getattr(rec, "max_row_id", None)
+        if m is not None:
+            return int(m)
+        cur = self._current(name)
+        return int(cur.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0)
 
     def _prune_history(self, name: str) -> None:
         # versions pinned by a live snapshot manifest are retention-exempt:
@@ -2221,7 +2409,7 @@ class FeatureStore:
         place."""
         out: dict[str, dict] = {
             "derived": {}, "services": {}, "rollups": {}, "ttl": {},
-            "online": {},
+            "online": {}, "datasets": {},
         }
         path = self._registry_path()
         if path is None or not path.exists():
@@ -2256,6 +2444,13 @@ class FeatureStore:
             t: {"watermark": int(m["watermark"]), "src_rows": int(m["src_rows"])}
             for t, m in raw.get("online", {}).items()
         }
+        for n, s in raw.get("datasets", {}).items():
+            out["datasets"][n] = {
+                "views": {v: int(ver) for v, ver in s["views"].items()},
+                "row_count": int(s["row_count"]),
+                "created_at": s["created_at"],
+                "description": s.get("description", ""),
+            }
         return out
 
     def _save_registry(self) -> None:
@@ -2309,6 +2504,7 @@ class FeatureStore:
                     },
                     "ttl": self._ttl,
                     "online": self._online_meta,
+                    "datasets": self._datasets,
                 },
                 indent=2,
             ),

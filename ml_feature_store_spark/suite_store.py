@@ -1403,6 +1403,59 @@ def q_f37_export_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f38_saved_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved dataset (store.py create_saved_dataset — Feast's
+    SavedDataset, round-9): a training set MATERIALIZED and registered
+    by name with provenance (views + pinned versions + row count), the
+    artifact a model card points at. The witness builds the training
+    set over pre-01-15 purchases, saves it, then APPENDS later rows
+    that would win the as-of argmax in any live rebuild — and retrieves
+    the dataset through a REOPENED store (registry persistence, the
+    odfv1 pattern). The oracle replays the build over ONLY the
+    pre-cut subset: if the saved artifact leaked the mutation (re-ran
+    the plan instead of scanning the materialization) or lost rows, the
+    hash breaks. Retrieval is a plain scan — zero joins at any corpus
+    size; the materialization costs the training-set plan + one sink
+    pass (row count observed on the write, never recounted)."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_id").alias("__row_id__"),
+    ).filter(F.col("event_type") == "purchase").drop("event_type")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    d = _scratch_dir("f38_saved_ds", sf_dir)
+    writer = FeatureStore(spark, storage_path=d)
+    writer.register("purch", ev.filter(F.col("timestamp") < cut))
+    spine = (
+        ev.filter(F.col("timestamp") < cut)
+        .select("entity_id")
+        .distinct()
+        .withColumn(
+            "timestamp", F.lit(dt.datetime(2024, 2, 1)).cast("timestamp")
+        )
+    )
+    writer.create_saved_dataset("train_jan", "purch", spine)
+    # post-save mutation: these rows would change a LIVE training set
+    writer.append("purch", ev.filter(F.col("timestamp") >= cut))
+    fs = FeatureStore(spark, storage_path=d)  # a new process retrieves
+    out = fs.get_saved_dataset("train_jan")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
 def q_f33_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data contract (store.py register(checks=) — the
     dbt-test/Great-Expectations gate applied where it can still refuse
@@ -1910,6 +1963,7 @@ QUERIES = {
     'fsvc3_service_with_odfv': q_fsvc3_service_with_odfv,
     'f36_vector_features': q_f36_vector_features,
     'f37_export_online': q_f37_export_online,
+    'f38_saved_dataset': q_f38_saved_dataset,
     'f33_ingest_contract': q_f33_ingest_contract,
     'f7e_asof_left': q_f7e_asof_left,
     'f15_decayed_features': q_f15_decayed_features,
@@ -2525,6 +2579,25 @@ ORACLE_SQL["f37_export_online"] = f"""
            CAST(SUM(epoch_us(ts) % 1000003) AS BIGINT) AS ts_digest,
            CAST(SUM(user_id * (value_cents % 997)) AS BIGINT) AS key_digest
     FROM s GROUP BY event_type
+"""
+
+# f38: the saved dataset must equal the training set AS OF THE SAVE —
+# latest-per-user over ONLY the pre-cut purchases (the 02-01 as_of is
+# vacuous there); the post-save append must not leak in.
+ORACLE_SQL["f38_saved_dataset"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events
+               WHERE event_type = 'purchase'
+                 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15')
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           epoch_us(ts) AS ts_us, value_cents
+    FROM (
+        SELECT user_id, event_id, ts, value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM f
+    ) WHERE rn = 1
 """
 
 # fsvc2: the ONLINE service read — two latest-per-user argmaxes (no

@@ -245,6 +245,98 @@ class TestExportOnline:
             store.export_online("v", str(tmp_path / "x"))
 
 
+class TestSavedDatasets:
+    """Feast SavedDataset parity: materialize a training set by name
+    with provenance; retrieval is a plain scan, stable across processes
+    and across source mutations."""
+
+    @staticmethod
+    def _spine(spark):
+        return spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_2", ts("2024-01-25"))],
+            ["entity_id", "timestamp"],
+        )
+
+    def test_roundtrip_and_provenance(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        spec = store.create_saved_dataset(
+            "train_v1", "t", self._spine(spark), description="jan cut"
+        )
+        assert spec["views"] == {"t": 1}
+        assert spec["row_count"] == 2
+        got = {
+            r.entity_id: r.feature_a
+            for r in store.get_saved_dataset("train_v1").collect()
+        }
+        assert got == {"user_1": 2.0, "user_2": 20.0}
+        info = store.get_saved_dataset_info("train_v1")
+        assert info["description"] == "jan cut"
+        assert store.list_saved_datasets() == ["train_v1"]
+
+    def test_frozen_against_source_mutation(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        store.create_saved_dataset("d", "t", self._spine(spark))
+        # mutate the source AFTER saving: re-register with shifted values
+        store.register(
+            "t",
+            feature_df.withColumn("feature_a", F.col("feature_a") + 100),
+        )
+        got = {
+            r.entity_id: r.feature_a
+            for r in store.get_saved_dataset("d").collect()
+        }
+        assert got == {"user_1": 2.0, "user_2": 20.0}  # unchanged
+        # even deleting the source leaves the materialized artifact intact
+        store.delete("t", cascade=True)
+        assert store.get_saved_dataset("d").count() == 2
+
+    def test_survives_reopen(self, spark, feature_df, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("t", feature_df)
+        fs.create_saved_dataset("d", "t", self._spine(spark))
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert fs2.list_saved_datasets() == ["d"]
+        assert fs2.get_saved_dataset_info("d")["views"] == {"t": 1}
+        got = {
+            r.entity_id: r.feature_a
+            for r in fs2.get_saved_dataset("d").collect()
+        }
+        assert got == {"user_1": 2.0, "user_2": 20.0}
+
+    def test_multi_view_build(self, spark, store, feature_df):
+        store.register("a", feature_df)
+        store.register(
+            "b", feature_df.withColumn("feature_a", F.col("feature_a") * 10)
+        )
+        store.create_saved_dataset(
+            "mv", ["a", "b"], self._spine(spark), how="inner"
+        )
+        row = (
+            store.get_saved_dataset("mv")
+            .filter(F.col("entity_id") == "user_1")
+            .collect()[0]
+        )
+        assert row.a__feature_a == 2.0
+        assert row.b__feature_a == 20.0
+
+    def test_name_collision_refused_and_drop(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        store.create_saved_dataset("d", "t", self._spine(spark))
+        with pytest.raises(FeatureValidationError, match="already exists"):
+            store.create_saved_dataset("d", "t", self._spine(spark))
+        assert store.drop_saved_dataset("d") is True
+        assert store.drop_saved_dataset("d") is False
+        assert store.list_saved_datasets() == []
+        # the materialized table is gone too; recreation starts clean
+        store.create_saved_dataset("d", "t", self._spine(spark))
+        assert store.get_saved_dataset("d").count() == 2
+
+    def test_hidden_from_catalog(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        store.create_saved_dataset("d", "t", self._spine(spark))
+        assert store.table_names == ["t"]
+
+
 class TestOneJobRegister:
     def test_register_runs_exactly_one_job(self, spark, feature_df):
         # build the input before the gate so createDataFrame's own work
@@ -323,3 +415,59 @@ class TestOneJobRegister:
         info = store.append("t", extra)
         assert info.row_count == 6
         assert store._current("t").count() == 6
+
+
+class TestMaxRowIdMetadata:
+    """The __row_id__ upper bound rides every publish as an observed
+    metric; append/materialize/rollup watermarks read it from version
+    metadata instead of scanning history. Correctness bar: ids stay
+    strictly unique through mutation chains, and a metadata-driven
+    append produces the same tie-break order as a scan-driven one."""
+
+    def test_publish_records_max_row_id(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        st = store._backend.meta("t")
+        rec = st.versions[st.version]
+        assert rec.max_row_id is not None
+        actual = store._current("t").agg(F.max("__row_id__")).collect()[0][0]
+        assert rec.max_row_id == actual
+
+    def test_ids_unique_through_mutation_chain(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        extra = spark.createDataFrame(
+            [("user_3", ts("2024-03-01"), 9.0, 900)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.append("t", extra)
+        patch = spark.createDataFrame(
+            [("user_1", ts("2024-01-15"), 99.0, 99)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        store.upsert("t", patch)  # regenerates ids
+        store.append("t", extra.withColumn("feature_a", F.lit(7.0)))
+        cur = store._current("t")
+        n = cur.count()
+        assert cur.select("__row_id__").distinct().count() == n
+
+    def test_legacy_version_without_bound_falls_back_to_scan(
+        self, spark, store, feature_df
+    ):
+        store.register("t", feature_df)
+        st = store._backend.meta("t")
+        st.versions[st.version].max_row_id = None  # simulate legacy meta
+        extra = spark.createDataFrame(
+            [("user_9", ts("2024-03-01"), 1.0, 1)],
+            ["entity_id", "timestamp", "feature_a", "feature_b"],
+        )
+        info = store.append("t", extra)
+        assert info.row_count == 6
+        cur = store._current("t")
+        assert cur.select("__row_id__").distinct().count() == 6
+
+    def test_expire_empty_refusal_rolls_back(self, spark, store, feature_df):
+        store.register("t", feature_df)
+        with pytest.raises(FeatureValidationError, match="drop every"):
+            store.expire_features("t", ts("2030-01-01"))
+        info = store.get_table_info("t")
+        assert info.version == 1
+        assert info.row_count == 5
