@@ -196,6 +196,22 @@ def main() -> None:
         "",
         f"Generated by `python tools/skew_smoke.py {n}`.",
         '',
+        'g5 note (round-8 reformulation, round-9 memory fix): the operator',
+        'builds sorted basket arrays in one collect_set shuffle and explodes',
+        'i<j pairs MAP-SIDE via CHAINED GENERATORS — posexplode, then the',
+        "element's suffix slice — so per-row peak memory is O(basket), never",
+        'a materialized O(basket^2) struct array (the round-8 form flattened',
+        'all ~50M hub pairs into ONE row buffer before exploding; round-9',
+        'streams them straight into the partial agg). The uncapped hub arm',
+        'measures that single task honestly: it still OWNS all ~50M pairs',
+        '(the sorted 10k-item array lives on one row by construction), so',
+        'the cap remains the REQUIRED contract on hub-bearing corpora — a',
+        '10k-item basket carries no co-purchase signal. max_basket drops it',
+        'map-side (the declared query path); hub_safe=True moves the cap',
+        'BEFORE any array is built (count + broadcast anti-join), bounding',
+        'per-task memory at O(max_basket) when even one basket array might',
+        'not fit — the lane to pick at 100 TB with unknown basket sizes.',
+        '',
         '## Hot-destination PageRank (round 3)',
         '',
         'Star-graph probe: 4,000,000 edges, ONE node receiving 40% of them',
