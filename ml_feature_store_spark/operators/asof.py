@@ -60,6 +60,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     bucket_seconds: int = 30 * 24 * 3600,
     how: str = "inner",
+    embargo_seconds: float = 0.0,
 ) -> DataFrame:
     """For each spine (entity, ts) row return the latest feature row with
     ``feature.ts <= spine.ts``. See module docstring for semantics.
@@ -76,9 +77,31 @@ def asof_join(
     ``how="left"`` keeps spine rows with NO qualifying feature row,
     null-padding the feature columns (Feast's get_historical_features
     contract); ``"inner"`` (default) drops them like the reference.
+
+    ``embargo_seconds`` shifts the qualification cutoff into the past:
+    a feature row qualifies only if ``feature.ts <= spine.ts - embargo``.
+    This is the label-leakage guard for delayed/settled data — e.g. a
+    chargeback label only becomes RELIABLE 24 h after the event, so a
+    training set built "as of" the label time must refuse features from
+    the final 24 h even though they temporally precede the label.
+    Implemented as a map-side shift of the spine timestamp before the
+    join (zero extra shuffles; every strategy inherits it identically);
+    ``as_of_timestamp`` still reports the ORIGINAL spine timestamp.
+    ``tolerance_seconds`` composes: the lookback window becomes
+    ``[spine.ts - embargo - tolerance, spine.ts - embargo]``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"embargo_seconds must be >= 0, got {embargo_seconds!r}"
+        )
+    if embargo_seconds:
+        spine = spine.withColumn(
+            ts_col,
+            F.col(ts_col)
+            - F.expr(f"INTERVAL {float(embargo_seconds)} SECONDS"),
+        )
     inner = how == "inner"
     if strategy == "join":
         out = _asof_via_join(spine, features, entity_col, ts_col, True, inner)
@@ -108,6 +131,14 @@ def asof_join(
                     if c != entity_col
                 ],
             )
+    if embargo_seconds and keep_spine_ts:
+        # report the caller's ORIGINAL spine timestamp, not the shifted
+        # cutoff the join ran against
+        out = out.withColumn(
+            "as_of_timestamp",
+            F.col("as_of_timestamp")
+            + F.expr(f"INTERVAL {float(embargo_seconds)} SECONDS"),
+        )
     if not keep_spine_ts:
         out = out.drop("as_of_timestamp")
     return out

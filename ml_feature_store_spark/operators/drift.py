@@ -1,0 +1,143 @@
+"""Feature-distribution drift monitoring.
+
+The reference store has no monitoring surface at all (its whole API is the
+seven methods in src/ml_feature_store/store.py) — but any production
+feature platform needs one: the question "has the serving distribution
+drifted from the training distribution?" is what decides when a model must
+be retrained or a feature quarantined. These operators compute the two
+standard drift reports as pure DataFrame aggregations:
+
+* :func:`psi_numeric` — Population Stability Index over a numeric column,
+  fixed-width bins anchored on the REFERENCE window's [min, max]. PSI is
+  the industry-standard retraining trigger (>0.2 = major shift, >0.1 =
+  investigate).
+* :func:`categorical_drift` — per-category frequency comparison with L1
+  terms; total-variation distance = sum(l1_term)/2.
+
+Scale story (100 TB): both are two full-scan partial aggregations — one
+over each window — reduced to O(n_bins) / O(n_categories) rows, then a
+broadcast-joinable comparison of two tiny frames. No wide shuffle ever
+carries more than (bins x partitions) rows after the map-side combine;
+the reference-window stats (min/max/count) broadcast as a 1-row scalar
+frame. Determinism: bucket assignment is integer/double arithmetic on the
+anchored edges (no rand, no approx sketches), so the report is identical
+across runs, partitionings and engines — the property the DuckDB oracle
+checks bit-for-bit (after fixed rounding of the log terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Laplace-style smoothing so empty bins never produce log(0)/division by
+# zero; the SAME constant must appear in any oracle reimplementation.
+EPS = 1e-6
+
+
+def _bin_counts(
+    df: DataFrame, col: str, n_bins: int, side: str
+) -> DataFrame:
+    """Per-bin row fractions of ``df[col]`` against REFERENCE-anchored
+    edges supplied as ``__lo__`` / ``__hi__`` columns (already joined in).
+    Values outside [lo, hi] clamp into the edge bins — the standard PSI
+    convention (a drifted tail lands in bin 0 or n-1 and shows up as
+    mass, instead of silently vanishing)."""
+    width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    raw = F.floor((F.col(col) - F.col("__lo__")) / width).cast("long")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias(f"__n_{side}__"))
+    )
+    return counts
+
+
+def psi_numeric(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index report comparing ``current[col]``
+    against ``reference[col]``.
+
+    Returns one row per bin: ``bucket``, ``ref_frac``, ``cur_frac``,
+    ``psi_term`` where ``psi_term = (ref_frac - cur_frac) *
+    ln((ref_frac + EPS) / (cur_frac + EPS))``; ``sum(psi_term)`` is the
+    PSI. Bins are ``n_bins`` equal-width intervals over the REFERENCE
+    window's [min, max] (the training-time anchor — current-window
+    outliers clamp into the edge bins). Bins with no mass in either
+    window are omitted (their term is 0 by construction).
+
+    Plan shape: one agg over reference for the anchor (broadcast 1-row),
+    one partial-agg scan per window for bin counts, a full outer join of
+    two <= n_bins-row frames. Totals fold from the bin frames themselves
+    (an unpartitioned window over <= n_bins rows) — NO extra count job,
+    no second scan of either window. Nothing after the map-side combine
+    exceeds O(n_bins) rows.
+    """
+    edges = reference.agg(
+        F.min(col).cast("double").alias("__lo__"),
+        F.max(col).cast("double").alias("__hi__"),
+    )
+    ref = reference.crossJoin(F.broadcast(edges))
+    cur = current.crossJoin(F.broadcast(edges))
+    rc = _bin_counts(ref, col, n_bins, "ref")
+    cc = _bin_counts(cur, col, n_bins, "cur")
+    joined = _with_fractions(rc.join(cc, "bucket", "full_outer"), "bucket")
+    term = (F.col("ref_frac") - F.col("cur_frac")) * F.log(
+        (F.col("ref_frac") + F.lit(EPS)) / (F.col("cur_frac") + F.lit(EPS))
+    )
+    return joined.withColumn("psi_term", term)
+
+
+def categorical_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Per-category frequency drift: one row per category value seen in
+    EITHER window with ``ref_frac``, ``cur_frac`` and ``l1_term =
+    |ref_frac - cur_frac|``. Total-variation distance between the two
+    distributions is ``sum(l1_term) / 2``; the chi-square drift statistic
+    is recoverable from the same frame. NULL categories participate as an
+    explicit bucket (a feature going null-heavy IS drift).
+
+    Two partial-agg scans reduced to O(categories) rows, one full outer
+    join of the tiny frames — the same 100 TB shape as :func:`psi_numeric`.
+    Totals fold from the category frame (window over O(categories) rows —
+    fine up to ~millions of categories; beyond that pre-aggregate).
+    """
+    rc = reference.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").alias("__n_ref__")
+    )
+    cc = current.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").alias("__n_cur__")
+    )
+    joined = _with_fractions(rc.join(cc, "category", "full_outer"), "category")
+    return joined.withColumn(
+        "l1_term", F.abs(F.col("ref_frac") - F.col("cur_frac"))
+    )
+
+
+def _with_fractions(joined: DataFrame, key: str) -> DataFrame:
+    """ref_frac/cur_frac from the joined per-key count frame: window
+    totals over the (tiny, post-combine) frame instead of separate
+    count() jobs — keeps the whole report ONE job with no re-scan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    n_ref = F.sum(F.coalesce(F.col("__n_ref__"), F.lit(0))).over(w)
+    n_cur = F.sum(F.coalesce(F.col("__n_cur__"), F.lit(0))).over(w)
+    return joined.select(
+        key,
+        (
+            F.coalesce(F.col("__n_ref__"), F.lit(0)) / n_ref.cast("double")
+        ).alias("ref_frac"),
+        (
+            F.coalesce(F.col("__n_cur__"), F.lit(0)) / n_cur.cast("double")
+        ).alias("cur_frac"),
+    )

@@ -1549,10 +1549,17 @@ class FeatureStore:
         how: str = "inner",
         direction: str = "backward",
         manifest: SnapshotManifest | str | None = None,
+        embargo_seconds: float = 0.0,
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
         timestamp (reference store.py:261-334, SURVEY §2.3#4).
+        ``embargo_seconds`` excludes features from the final ``embargo``
+        seconds before each spine timestamp (feature.ts <= spine.ts -
+        embargo) — the leakage guard for labels that only SETTLE some
+        time after the event (chargebacks, returns, delayed ground
+        truth); backward-direction only. Composes with the TTL/tolerance
+        lookback, which then counts back from the embargoed cutoff.
         ``tolerance_seconds`` optionally bounds the lookback window;
         ``strategy="union_bucketed"`` with ``bucket_seconds`` is the
         hot-entity (skew) path; ``how="left"`` keeps unmatched spine rows
@@ -1571,6 +1578,16 @@ class FeatureStore:
         if direction not in ("backward", "nearest"):
             raise FeatureValidationError(
                 f"direction must be 'backward' or 'nearest', got {direction!r}"
+            )
+        if embargo_seconds < 0:
+            raise FeatureValidationError(
+                f"embargo_seconds must be >= 0, got {embargo_seconds!r}"
+            )
+        if embargo_seconds and direction == "nearest":
+            raise FeatureValidationError(
+                "embargo_seconds requires direction='backward': a nearest "
+                "match may sit in the future, where an embargo against "
+                "unsettled PAST data has no meaning."
             )
         if columns is not None:
             self._validate_columns(name, columns)
@@ -1606,6 +1623,7 @@ class FeatureStore:
                 tolerance_seconds=tolerance_seconds,
                 bucket_seconds=bucket_seconds,
                 how=how,
+                embargo_seconds=embargo_seconds,
             )
         out = project(out, columns)
         return self._expand_entity_key(out.drop(*HIDDEN_COLS), key_cols)

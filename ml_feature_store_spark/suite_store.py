@@ -1925,7 +1925,104 @@ def q_f18b_asof_nearest_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_drift1_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature-drift report (operators/drift.py psi_numeric —
+    the monitoring surface the reference lacks, round-9): the events
+    table is split at the integer midpoint of its time range into a
+    REFERENCE window (training era) and a CURRENT window (serving era),
+    and the PSI over ``value`` is computed on 10 equal-width bins
+    anchored on the reference [min, max]. sum(psi_nano)/1e9 is the PSI —
+    the standard retraining trigger. Plan: two partial-agg scans reduce
+    to <= 10 rows each, then a full outer join of the tiny frames; the
+    bin anchor and the time cut broadcast as 1-row scalars. At 100 TB
+    nothing after the map-side combine exceeds O(bins) rows per task.
+    Fractions/terms are pinned as integer ppm / nano units (both engines
+    do the identical double arithmetic on the same anchored edges)."""
+    from .operators.drift import psi_numeric
+
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    bounds = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ref = tagged.filter(_US("ts") < F.col("cut")).select("value")
+    cur = tagged.filter(_US("ts") >= F.col("cut")).select("value")
+    rep = psi_numeric(ref, cur, "value", n_bins=10)
+    return rep.select(
+        "bucket",
+        F.floor(F.col("ref_frac") * 1e6 + F.lit(0.5)).cast("long").alias("ref_ppm"),
+        F.floor(F.col("cur_frac") * 1e6 + F.lit(0.5)).cast("long").alias("cur_ppm"),
+        F.floor(F.col("psi_term") * 1e9 + F.lit(0.5)).cast("long").alias("psi_nano"),
+    )
+
+
+def q_drift2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift report (operators/drift.py categorical_drift):
+    event_type frequency mix, reference window vs current window (same
+    integer-midpoint time split as drift1). One row per category with
+    both fractions and the L1 term; total-variation distance =
+    sum(l1_ppm)/2e6 — the alert threshold a serving monitor pages on.
+    Two partial-agg scans to O(categories) rows + a tiny full outer
+    join; the 100 TB cost is the two scans, nothing else."""
+    from .operators.drift import categorical_drift
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ref = tagged.filter(_US("ts") < F.col("cut")).select("event_type")
+    cur = tagged.filter(_US("ts") >= F.col("cut")).select("event_type")
+    rep = categorical_drift(ref, cur, "event_type")
+    return rep.select(
+        "category",
+        F.floor(F.col("ref_frac") * 1e6 + F.lit(0.5)).cast("long").alias("ref_ppm"),
+        F.floor(F.col("cur_frac") * 1e6 + F.lit(0.5)).cast("long").alias("cur_ppm"),
+        F.floor(F.col("l1_term") * 1e6 + F.lit(0.5)).cast("long").alias("l1_ppm"),
+    )
+
+
+def q_f39_embargo_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training set with a label EMBARGO (store.py get_training_set
+    embargo_seconds, round-9): features must be at least 24 h older than
+    the spine timestamp — the leakage guard for labels that only settle
+    after the event (chargebacks, returns, delayed ground truth). The
+    spine is every purchase event; the store refuses any feature from
+    the final 24 h before each label even though it temporally precedes
+    it. Implemented as a map-side spine-timestamp shift feeding the
+    union-strategy as-of join — zero shuffles beyond the plain as-of
+    build, so the 100 TB cost is identical to f7. The oracle replays
+    the shifted-cutoff argmax (f.ts <= s.ts - 24 h) row for row."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir).drop("event_type")
+    fs = FeatureStore(spark)
+    fs.register("ev_embargo", feats)
+    spine = (
+        events_features(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("entity_id", "timestamp")
+        .distinct()
+    )
+    out = fs.get_training_set(
+        "ev_embargo", spine, embargo_seconds=24 * 3600
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "value",
+    )
+
+
 QUERIES = {
+    'drift1_psi_value': q_drift1_psi_value,
+    'drift2_event_mix': q_drift2_event_mix,
+    'f39_embargo_training_set': q_f39_embargo_training_set,
     'f9_diff_versions': q_f9_diff_versions,
     'f1_register_pit_get': q_f1_register_pit_get,
     'f2_temporal_filter': q_f2_temporal_filter,
@@ -2931,3 +3028,84 @@ ORACLE_SQL["online1_point_read"] = f"""
 
 
 
+
+
+ORACLE_SQL["drift1_psi_value"] = f"""
+    WITH f AS ({_EV}),
+    b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM f),
+    r AS (SELECT value FROM f, b WHERE epoch_us(ts) < cut),
+    c AS (SELECT value FROM f, b WHERE epoch_us(ts) >= cut),
+    e AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                 CAST(max(value) AS DOUBLE) AS hi FROM r),
+    rb AS (
+        SELECT LEAST(GREATEST(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                                   AS BIGINT), 0), 9) AS bucket,
+               count(*) AS nr
+        FROM r, e WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+        SELECT LEAST(GREATEST(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                                   AS BIGINT), 0), 9) AS bucket,
+               count(*) AS nc
+        FROM c, e WHERE value IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+               COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+        FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket
+    ),
+    fr AS (
+        SELECT bucket,
+               nr / CAST(sum(nr) OVER () AS DOUBLE) AS ref_frac,
+               nc / CAST(sum(nc) OVER () AS DOUBLE) AS cur_frac
+        FROM j
+    )
+    SELECT bucket,
+           CAST(floor(ref_frac * 1e6 + 0.5) AS BIGINT) AS ref_ppm,
+           CAST(floor(cur_frac * 1e6 + 0.5) AS BIGINT) AS cur_ppm,
+           CAST(floor((ref_frac - cur_frac)
+                      * ln((ref_frac + 1e-6) / (cur_frac + 1e-6))
+                      * 1e9 + 0.5) AS BIGINT) AS psi_nano
+    FROM fr
+"""
+
+
+ORACLE_SQL["drift2_event_mix"] = f"""
+    WITH f AS ({_EV}),
+    b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM f),
+    r AS (SELECT event_type FROM f, b WHERE epoch_us(ts) < cut),
+    c AS (SELECT event_type FROM f, b WHERE epoch_us(ts) >= cut),
+    rb AS (SELECT event_type AS category, count(*) AS nr FROM r GROUP BY 1),
+    cb AS (SELECT event_type AS category, count(*) AS nc FROM c GROUP BY 1),
+    j AS (
+        SELECT COALESCE(rb.category, cb.category) AS category,
+               COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+        FROM rb FULL OUTER JOIN cb ON rb.category = cb.category
+    ),
+    fr AS (
+        SELECT category,
+               nr / CAST(sum(nr) OVER () AS DOUBLE) AS ref_frac,
+               nc / CAST(sum(nc) OVER () AS DOUBLE) AS cur_frac
+        FROM j
+    )
+    SELECT category,
+           CAST(floor(ref_frac * 1e6 + 0.5) AS BIGINT) AS ref_ppm,
+           CAST(floor(cur_frac * 1e6 + 0.5) AS BIGINT) AS cur_ppm,
+           CAST(floor(abs(ref_frac - cur_frac) * 1e6 + 0.5) AS BIGINT)
+               AS l1_ppm
+    FROM fr
+"""
+
+
+ORACLE_SQL["f39_embargo_training_set"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT DISTINCT user_id, ts AS sts FROM f
+          WHERE event_type = 'purchase')
+    SELECT user_id, event_id, ts_us, value FROM (
+        SELECT s.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.value,
+               row_number() OVER (PARTITION BY s.user_id, s.sts
+                                  ORDER BY f.ts DESC, f.event_id ASC) AS rn
+        FROM s JOIN f ON s.user_id = f.user_id
+                     AND f.ts <= s.sts - INTERVAL 24 HOURS
+    ) WHERE rn = 1
+"""
