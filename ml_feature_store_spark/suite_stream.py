@@ -544,7 +544,55 @@ def q_sd12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join witness (streaming/ingest.py
+    stream_stream_join — previously pytest-only, promoted to the oracle
+    gate round-9): two live streams over the same two-batch ordered feed
+    — views on the left, purchases on the right — joined on user_id with
+    an explicit time band (purchase within 2 h AFTER the view). The band
+    is what BOUNDS the join state: a buffered view row is evictable once
+    the purchase-side watermark passes view.ts + band, so state is
+    O(rate x band) — the production property a batch interval join
+    cannot witness. The 60-day watermark exceeds the one-month corpus,
+    so nothing evicts mid-run and the streaming answer must equal the
+    batch interval join exactly (the r2_interval_join twin); matches
+    spanning the micro-batch boundary arrive via buffered state, not
+    batch-local joins. Output: per-user pair counts + id checksums."""
+    from .streaming.ingest import stream_events, stream_stream_join
+
+    d = _scratch_dir("sd5_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    joined = stream_stream_join(
+        stream_events(spark, d),
+        stream_events(spark, d),
+        band="INTERVAL 2 HOURS",
+        watermark="60 days",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sd5_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    snap = spark.table("sd5_pairs")
+    return snap.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("view_id").cast("long").alias("sum_view_ids"),
+        F.sum("buy_id").cast("long").alias("sum_buy_ids"),
+    )
+
+
 QUERIES = {
+    'sd5_stream_stream_join': q_sd5_stream_stream_join,
     'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
     'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
     'sd4_stream_dedup': q_sd4_stream_dedup,
@@ -702,4 +750,24 @@ ORACLE_SQL["sd6_state_store_reader"] = """
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM events GROUP BY user_id
+"""
+
+
+ORACLE_SQL["sd5_stream_stream_join"] = f"""
+    WITH f AS ({_EV}),
+    v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM f
+          WHERE event_type = 'view'),
+    b AS (SELECT user_id, ts AS b_ts, event_id AS buy_id FROM f
+          WHERE event_type = 'purchase'),
+    j AS (
+        SELECT v.user_id, view_id, buy_id
+        FROM v JOIN b ON v.user_id = b.user_id
+                     AND b.b_ts > v.v_ts
+                     AND b.b_ts <= v.v_ts + INTERVAL 2 HOURS
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(view_id) AS BIGINT) AS sum_view_ids,
+           CAST(sum(buy_id) AS BIGINT) AS sum_buy_ids
+    FROM j GROUP BY user_id
 """
