@@ -420,7 +420,13 @@ class FeatureStore:
         self._require_table(name)
         return self._ttl.get(name)
 
-    def append(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        description: str = "",
+        allow_new_columns: bool = False,
+    ) -> FeatureTableInfo:
         """Incremental registration: new version = current rows + ``df``.
 
         The reference can only re-register a full snapshot
@@ -433,6 +439,20 @@ class FeatureStore:
         maximum. At scale this is the right write path: the old version's
         files are re-referenced by a union plan, not rewritten row-by-row,
         and the new batch is the only data shuffled in.
+
+        ``allow_new_columns=True`` permits SCHEMA WIDENING: the incoming
+        batch may carry feature columns the table does not have yet;
+        existing history null-backfills them in the new version (a
+        typed-NULL projection over re-referenced files — no rewrite),
+        while earlier versions keep their narrower schema for time
+        travel. Widening is the only evolution allowed — an incoming
+        batch MISSING existing columns is still refused (silently
+        null-filling history-shaped columns for new rows is a pipeline
+        bug, not evolution; re-register to shrink). A widening append
+        invalidates the incremental-online watermark: the materialized
+        snapshot's schema no longer matches history, so the next
+        materialize_online(incremental=True) falls back to one full
+        rebuild (the refresh_rollup invalidation contract).
         """
         if not self._backend.exists(name):
             self._validate_dataframe(df, context=f"append('{name}')")
@@ -449,12 +469,26 @@ class FeatureStore:
         self._validate_dataframe(df, context=f"append('{name}')")
         visible = [c for c in current.columns if c not in HIDDEN_COLS]
         incoming = [c for c in df.columns if c not in HIDDEN_COLS]
-        if set(visible) != set(incoming):
+        missing = set(visible) - set(incoming)
+        widened = [c for c in incoming if c not in set(visible)]
+        if missing or (widened and not allow_new_columns):
+            hint = (
+                " Pass allow_new_columns=True to widen the schema."
+                if widened and not missing
+                else " Re-register for schema changes."
+            )
             raise FeatureValidationError(
                 f"append('{name}'): column mismatch — table has {sorted(visible)}, "
-                f"incoming has {sorted(incoming)}. Re-register for schema changes."
+                f"incoming has {sorted(incoming)}.{hint}"
             )
-        prepared = self._prepare_dataframe(df.select(*visible))
+        prepared = self._prepare_dataframe(df.select(*visible, *widened))
+        if widened:
+            # null-backfill history for the new columns, typed from the
+            # incoming batch — a projection over re-referenced files
+            for c in widened:
+                current = current.withColumn(
+                    c, F.lit(None).cast(prepared.schema[c].dataType)
+                )
         # from version metadata (observed at the last publish) — no
         # full-history max() scan; loose-after-rewrite is fine, ids only
         # need to keep increasing
@@ -475,6 +509,11 @@ class FeatureStore:
             (name, new_version), self._entity_key_cols(merged)
         )
         self._prune_history(name)
+        if widened:
+            # the materialized online snapshot's schema no longer matches
+            # history — the incremental fold equation breaks; force a full
+            # rebuild at the next materialize_online(incremental=True)
+            self._invalidate_online_meta(name)
         return self.get_table_info(name)
 
     def upsert(self, name: str, patch: DataFrame, description: str = "") -> FeatureTableInfo:

@@ -2019,7 +2019,40 @@ def q_f39_embargo_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f40_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-WIDENING append (store.py append(allow_new_columns=True),
+    round-9 — Feast/Tecton feature-view evolution): the table is
+    registered from the early half of events WITHOUT event_type, then
+    the late half appends WITH it; the new version null-backfills
+    history via a typed-NULL projection over re-referenced files (no
+    rewrite — at 100 TB adding a feature column to a year of history is
+    a metadata-cost operation), while version 1 keeps its narrower
+    schema for time travel (pytest-pinned, with the missing-column and
+    un-flagged-widening refusal lanes). The oracle replays the union:
+    early rows carry NULL event_type, late rows their real one — a
+    leaked backfill value or a dropped early row breaks the hash."""
+    from .store import FeatureStore
+
+    feats = events_features(spark, sf_dir)
+    mid = F.lit("2024-01-16").cast("timestamp")
+    base = feats.filter(F.col("timestamp") < mid).drop("event_type")
+    late = feats.filter(F.col("timestamp") >= mid)
+    fs = FeatureStore(spark, storage_path=_scratch_dir("widen_store", sf_dir))
+    fs.register("ev_widen", base)
+    fs.append("ev_widen", late, allow_new_columns=True)
+    cur = fs.get_version("ev_widen", 2)
+    return cur.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+        F.countDistinct("entity_id").cast("long").alias("n_users"),
+    )
+
+
 QUERIES = {
+    'f40_schema_widening': q_f40_schema_widening,
     'drift1_psi_value': q_drift1_psi_value,
     'drift2_event_mix': q_drift2_event_mix,
     'f39_embargo_training_set': q_f39_embargo_training_set,
@@ -3108,4 +3141,23 @@ ORACLE_SQL["f39_embargo_training_set"] = f"""
         FROM s JOIN f ON s.user_id = f.user_id
                      AND f.ts <= s.sts - INTERVAL 24 HOURS
     ) WHERE rn = 1
+"""
+
+
+ORACLE_SQL["f40_schema_widening"] = f"""
+    WITH f AS ({_EV}),
+    u AS (
+        SELECT user_id, event_id, value, CAST(NULL AS VARCHAR) AS event_type
+        FROM f WHERE ts < TIMESTAMP '2024-01-16'
+        UNION ALL
+        SELECT user_id, event_id, value, event_type
+        FROM f WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM u GROUP BY event_type
 """

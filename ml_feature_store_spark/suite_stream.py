@@ -516,24 +516,29 @@ def q_sd12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").alias("first_i"),
         F.max("i").alias("last_i"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("sd12_pystream")
-        .outputMode("complete")
-        .start()
-    )
-    deadline = _time.time() + 240
-    while _time.time() < deadline:
-        try:
-            total = spark.sql(
-                "select coalesce(sum(n), 0) as t from sd12_pystream"
-            ).collect()[0]["t"]
-        except Exception:
-            total = 0
-        if total >= 16000:
-            break
-        _time.sleep(0.5)
-    q.stop()
+    # Query-scoped state sizing (the sd5 rationale): 4 micro-batches x
+    # 32 per-partition state stores for <=64 keys is pure store-
+    # management fixed cost — 8 partitions measure ~2x faster at sf0.1
+    # with identical output; a cluster sizes this to keyspace instead.
+    with session_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sd12_pystream")
+            .outputMode("complete")
+            .start()
+        )
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            try:
+                total = spark.sql(
+                    "select coalesce(sum(n), 0) as t from sd12_pystream"
+                ).collect()[0]["t"]
+            except Exception:
+                total = 0
+            if total >= 16000:
+                break
+            _time.sleep(0.5)
+        q.stop()
     out = spark.table("sd12_pystream")
     return out.select(
         "key",
@@ -568,21 +573,29 @@ def q_sd5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_ordered_feed(
         d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
     )
-    joined = stream_stream_join(
-        stream_events(spark, d),
-        stream_events(spark, d),
-        band="INTERVAL 2 HOURS",
-        watermark="60 days",
-    )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("sd5_pairs")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    # Query-scoped state sizing: stream-stream join state is symmetric
+    # (BOTH sides keep a store per shuffle partition, x ~3 micro-batches
+    # of per-partition store open/commit); at witness scale the state is
+    # KB-sized, so 32 partitions pay 4x pure store-management fixed cost
+    # (measured 9.7 s -> 4.9 s at sf0.1). A cluster run sizes this to
+    # rate x band / target-partition-bytes instead — the knob, not the
+    # number, is what transfers (SCALE-100TB.md streaming lane).
+    with session_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        joined = stream_stream_join(
+            stream_events(spark, d),
+            stream_events(spark, d),
+            band="INTERVAL 2 HOURS",
+            watermark="60 days",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("sd5_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     snap = spark.table("sd5_pairs")
     return snap.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_pairs"),

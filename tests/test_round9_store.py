@@ -471,3 +471,84 @@ class TestMaxRowIdMetadata:
         info = store.get_table_info("t")
         assert info.version == 1
         assert info.row_count == 5
+
+
+class TestSchemaWideningAppend:
+    """append(allow_new_columns=True) — the feature-view evolution path:
+    history null-backfills new columns in the NEW version only; earlier
+    versions keep the narrow schema for time travel; widening without
+    the flag and shrinking in any form are refused; the incremental-
+    online watermark is invalidated (snapshot schema no longer matches
+    history)."""
+
+    @staticmethod
+    def _frames(spark):
+        base = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1.0), ("u2", ts("2024-01-02"), 2.0)],
+            ["entity_id", "timestamp", "a"],
+        )
+        wide = spark.createDataFrame(
+            [("u1", ts("2024-02-01"), 3.0, 30), ("u3", ts("2024-02-02"), 4.0, 40)],
+            ["entity_id", "timestamp", "a", "b"],
+        )
+        return base, wide
+
+    def test_widening_backfills_nulls_and_time_travels(self, spark, store):
+        base, wide = self._frames(spark)
+        store.register("t", base)
+        info = store.append("t", wide, allow_new_columns=True)
+        assert info.version == 2 and info.row_count == 4
+        v2 = {r.entity_id: r for r in store.get_version("t", 2).collect()}
+        assert v2["u2"].b is None  # history null-backfilled
+        assert v2["u3"].b == 40
+        v1 = store.get_version("t", 1)
+        assert "b" not in v1.columns  # narrow schema preserved
+        assert v1.count() == 2
+
+    def test_unflagged_widening_refused_with_hint(self, spark, store):
+        from ml_feature_store_spark import FeatureValidationError
+
+        base, wide = self._frames(spark)
+        store.register("t", base)
+        with pytest.raises(FeatureValidationError, match="allow_new_columns"):
+            store.append("t", wide)
+
+    def test_shrinking_always_refused(self, spark, store):
+        from ml_feature_store_spark import FeatureValidationError
+
+        base, wide = self._frames(spark)
+        store.register("t", wide)
+        with pytest.raises(FeatureValidationError, match="Re-register"):
+            store.append("t", base, allow_new_columns=True)
+
+    def test_pit_get_and_training_set_see_new_column(self, spark, store):
+        base, wide = self._frames(spark)
+        store.register("t", base)
+        store.append("t", wide, allow_new_columns=True)
+        got = {
+            r.entity_id: r
+            for r in store.get("t", ["u1", "u2"], ts("2024-03-01")).collect()
+        }
+        assert got["u1"].b == 30 and got["u2"].b is None
+
+    def test_widening_invalidates_incremental_online(self, spark, store):
+        base, wide = self._frames(spark)
+        store.register("t", base)
+        store.materialize_online("t")
+        store.append("t", wide, allow_new_columns=True)
+        # incremental fold must NOT try to union mismatched schemas — it
+        # falls back to a full rebuild and serves the widened column
+        n = store.materialize_online("t", incremental=True)
+        assert n >= 3
+        got = {r.entity_id: r for r in store.get_online("t", ["u1", "u3"]).collect()}
+        assert got["u1"].b == 30
+
+    def test_plain_append_still_exact(self, spark, store):
+        base, wide = self._frames(spark)
+        store.register("t", wide)
+        more = spark.createDataFrame(
+            [("u9", ts("2024-03-01"), 9.0, 90)],
+            ["entity_id", "timestamp", "a", "b"],
+        )
+        info = store.append("t", more, allow_new_columns=True)  # no-op flag
+        assert info.version == 2 and info.row_count == 3
