@@ -604,8 +604,78 @@ def q_sd5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd14_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor (the drift1/drift2 family in flight,
+    round-9): per-(7-day window, event_type) counts maintained
+    incrementally by the watermarked windowed agg (streaming/ingest.py
+    streaming_feature_agg — update mode, state carried across the
+    two-batch feed), then the serving-mix report derives from the final
+    counts: each window's category fractions against the full-corpus
+    reference mix (broadcast — at scale the reference is a pinned
+    training-era profile, KB-sized). This is how a monitor actually
+    deploys: the STREAM pays only the windowed count state
+    (O(windows x categories)); the drift math is a tiny batch join over
+    the snapshot. The oracle replays epoch-aligned window counts + the
+    identical fraction algebra — a dropped update or a window torn
+    across micro-batches breaks the hash."""
+    from .streaming.ingest import stream_events, streaming_feature_agg
+
+    d = _scratch_dir("sd14_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    with session_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        counts = streaming_feature_agg(
+            stream_events(spark, d), "7 days", watermark="60 days"
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("sd14_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    snap = spark.table("sd14_counts")
+    # update-mode snapshot: counts are monotone across updates, so the
+    # final per-(window, type) count is the max
+    final = snap.groupBy("window_start", "event_type").agg(
+        F.max("n_events").cast("long").alias("n")
+    )
+    wtot = Window.partitionBy("window_start")
+    cur = final.withColumn(
+        "cur_frac", F.col("n") / F.sum("n").over(wtot).cast("double")
+    )
+    ref = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("rn"))
+        .withColumn(
+            "ref_frac",
+            F.col("rn") / F.sum("rn").over(Window.partitionBy()).cast("double"),
+        )
+        .select("event_type", "ref_frac")
+    )
+    out = cur.join(F.broadcast(ref), "event_type")
+    return out.select(
+        _US("window_start").alias("win_us"),
+        "event_type",
+        "n",
+        F.floor(F.col("cur_frac") * 1e6 + F.lit(0.5)).cast("long").alias("cur_ppm"),
+        F.floor(F.col("ref_frac") * 1e6 + F.lit(0.5)).cast("long").alias("ref_ppm"),
+        F.floor(F.abs(F.col("cur_frac") - F.col("ref_frac")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("l1_ppm"),
+    )
+
+
 QUERIES = {
     'sd5_stream_stream_join': q_sd5_stream_stream_join,
+    'sd14_stream_drift_monitor': q_sd14_stream_drift_monitor,
     'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
     'sd3_streaming_sessionize': q_sd3_streaming_sessionize,
     'sd4_stream_dedup': q_sd4_stream_dedup,
@@ -783,4 +853,32 @@ ORACLE_SQL["sd5_stream_stream_join"] = f"""
            CAST(sum(view_id) AS BIGINT) AS sum_view_ids,
            CAST(sum(buy_id) AS BIGINT) AS sum_buy_ids
     FROM j GROUP BY user_id
+"""
+
+
+ORACLE_SQL["sd14_stream_drift_monitor"] = f"""
+    WITH f AS ({_EV}),
+    c AS (
+        SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS win_us,
+               event_type, count(*) AS n
+        FROM f GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT win_us, event_type, n,
+               n / CAST(sum(n) OVER (PARTITION BY win_us) AS DOUBLE)
+                   AS cur_frac
+        FROM c
+    ),
+    r AS (SELECT event_type, count(*) AS rn FROM f GROUP BY 1),
+    rf AS (
+        SELECT event_type,
+               rn / CAST(sum(rn) OVER () AS DOUBLE) AS ref_frac
+        FROM r
+    )
+    SELECT t.win_us, t.event_type, CAST(t.n AS BIGINT) AS n,
+           CAST(floor(cur_frac * 1e6 + 0.5) AS BIGINT) AS cur_ppm,
+           CAST(floor(ref_frac * 1e6 + 0.5) AS BIGINT) AS ref_ppm,
+           CAST(floor(abs(cur_frac - ref_frac) * 1e6 + 0.5) AS BIGINT)
+               AS l1_ppm
+    FROM t JOIN rf USING (event_type)
 """
