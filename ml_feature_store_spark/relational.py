@@ -792,7 +792,32 @@ def q_u3_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_U3_SQL.format(orders="u3_orders"))
 
 
+def q_q30_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause — templated table/column names bound through
+    parameter markers (the SQL-injection-safe way to write one query
+    over N tables/columns; string-concatenating names is how warehouses
+    get owned). The table name AND the grouped column arrive as
+    parameters; the parser resolves them to real identifiers before
+    analysis, so the plan is byte-identical to the hardcoded query
+    (constant predicate, full pushdown). The oracle inlines the same
+    identifiers — binding must change nothing semantically."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q30_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM IDENTIFIER(:tab)
+        WHERE o_orderstatus = 'F'
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tab": "q30_orders", "grp": "o_orderpriority"},
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q30_identifier_clause": q_q30_identifier_clause,
     "q26_pipe_syntax": q_q26_pipe_syntax,
     "u3_bag_setops": q_u3_bag_setops,
     "q27_param_markers": q_q27_param_markers,
@@ -821,6 +846,15 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q30_identifier_clause": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
     "q24_recursive_tree": _Q24_SQL.format(customer="customer"),
     "u3_bag_setops": _U3_SQL.format(orders="orders"),
     "q26_pipe_syntax": """

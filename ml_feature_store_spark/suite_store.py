@@ -2051,7 +2051,59 @@ def q_f40_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h4_tiered_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED-RETENTION rollup (TimescaleDB continuous-aggregate +
+    retention-policy pattern, round-9): recent history stays raw, older
+    history lives only at coarser grain — age < 7 d raw events, 7-14 d
+    hourly sums, >= 14 d daily sums (ages anchored on the corpus max
+    timestamp, an integer scalar broadcast). Each tier is a partial-agg
+    scan over ITS time slice (the filters are disjoint and pushable),
+    unioned into one artifact; at 100 TB this is how a year of events
+    stays queryable at bounded size — the raw tier is a rolling week,
+    the tail collapses ~86400x. Output: per (tier, day) bucket counts +
+    row counts + exact cents, which pin every bucket boundary."""
+    ev = table(spark, sf_dir, "events").select(
+        "ts", "event_id", "value"
+    )
+    bounds = ev.agg(F.max(_US("ts")).alias("maxus"))
+    t = ev.crossJoin(F.broadcast(bounds)).withColumn("us", _US("ts"))
+    day = 86_400_000_000
+    hour = 3_600_000_000
+    c7 = F.col("maxus") - F.lit(7 * day)
+    c14 = F.col("maxus") - F.lit(14 * day)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    raw = t.filter(F.col("us") >= c7).select(
+        F.lit("raw").alias("tier"), F.col("us").alias("bucket_us"), cents.alias("cents")
+    )
+    hourly = t.filter((F.col("us") < c7) & (F.col("us") >= c14)).select(
+        F.lit("hourly").alias("tier"),
+        (F.floor(F.col("us") / F.lit(hour)) * F.lit(hour)).cast("long").alias("bucket_us"),
+        cents.alias("cents"),
+    )
+    daily = t.filter(F.col("us") < c14).select(
+        F.lit("daily").alias("tier"),
+        (F.floor(F.col("us") / F.lit(day)) * F.lit(day)).cast("long").alias("bucket_us"),
+        cents.alias("cents"),
+    )
+    tiers = raw.unionByName(hourly).unionByName(daily)
+    rolled = tiers.groupBy("tier", "bucket_us").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return rolled.groupBy(
+        "tier",
+        (F.floor(F.col("bucket_us") / F.lit(day)) * F.lit(day))
+        .cast("long")
+        .alias("day_us"),
+    ).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
 QUERIES = {
+    'h4_tiered_retention': q_h4_tiered_retention,
     'f40_schema_widening': q_f40_schema_widening,
     'drift1_psi_value': q_drift1_psi_value,
     'drift2_event_mix': q_drift2_event_mix,
@@ -3160,4 +3212,37 @@ ORACLE_SQL["f40_schema_widening"] = f"""
                AS sum_cents,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM u GROUP BY event_type
+"""
+
+
+ORACLE_SQL["h4_tiered_retention"] = f"""
+    WITH f AS ({_EV}),
+    b AS (SELECT max(epoch_us(ts)) AS maxus FROM f),
+    t AS (SELECT epoch_us(ts) AS us,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM f),
+    tiers AS (
+        SELECT 'raw' AS tier, us AS bucket_us, cents
+        FROM t, b WHERE us >= maxus - 7 * 86400000000
+        UNION ALL
+        SELECT 'hourly' AS tier,
+               (us // 3600000000) * 3600000000 AS bucket_us, cents
+        FROM t, b WHERE us < maxus - 7 * 86400000000
+                    AND us >= maxus - 14 * 86400000000
+        UNION ALL
+        SELECT 'daily' AS tier,
+               (us // 86400000000) * 86400000000 AS bucket_us, cents
+        FROM t, b WHERE us < maxus - 14 * 86400000000
+    ),
+    rolled AS (
+        SELECT tier, bucket_us,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM tiers GROUP BY tier, bucket_us
+    )
+    SELECT tier, (bucket_us // 86400000000) * 86400000000 AS day_us,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+    FROM rolled GROUP BY tier, day_us
 """
