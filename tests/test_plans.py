@@ -839,3 +839,43 @@ class TestZorderLayout:
         avg_span = sum(r.span for r in per_file) / len(per_file)
         assert len(per_file) > 4
         assert avg_span <= global_span * 0.6
+
+
+class TestEmbargoPlan:
+    def test_embargo_adds_zero_exchanges(self, spark):
+        """The label embargo is a map-side interval shift on the spine —
+        the embargoed plan must cost exactly the same exchanges as the
+        plain as-of join (only the projected literal differs)."""
+        from ml_feature_store_spark.operators.asof import asof_join
+        from ml_feature_store_spark.suite import events_features
+
+        feats = events_features(spark, SF)
+        spine = feats.select("entity_id", "timestamp").limit(100)
+        plain = asof_join(spine, feats, strategy="union")
+        embargoed = asof_join(
+            spine, feats, strategy="union", embargo_seconds=3600.0
+        )
+        assert shuffle_count(embargoed) == shuffle_count(plain)
+        assert "Join" not in executed_plan(embargoed).replace("joinType", "")
+
+
+class TestDriftPlan:
+    def test_psi_counts_collapse_before_exchange(self, spark):
+        """Both windows' bin counts must partial-aggregate map-side (the
+        100 TB contract: nothing wider than O(bins) rows crosses an
+        exchange) and the scalar anchors must broadcast, never shuffle."""
+        from ml_feature_store_spark.operators.drift import psi_numeric
+        from ml_feature_store_spark.suite import table as t
+
+        ev = t(spark, SF, "events")
+        rep = psi_numeric(
+            ev.filter("event_id % 2 = 0").select("value"),
+            ev.filter("event_id % 2 = 1").select("value"),
+            "value",
+        )
+        plan = executed_plan(rep)
+        assert plan.count("partial_count") >= 2  # one per window side
+        assert "BroadcastExchange" in plan  # the 1-row anchor
+        # the full-outer join of the two bin frames must not be a
+        # cartesian/nested-loop over data-sized inputs
+        assert "CartesianProduct" not in plan

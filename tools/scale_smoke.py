@@ -155,6 +155,16 @@ BENCH_QUERIES = [
     "fsvc3_service_with_odfv",  # service + ODFV in one multi-view build, 8x events
     "f36_vector_features",  # array payloads through register/push/online fold
     "sd12_python_stream_source",  # fixed synthetic stream; axis = options, not sf
+    "f37_export_online",  # online snapshot scan -> two-phase sink, 8x events
+    "f38_saved_dataset",  # materialized training set + frozen read-back, 8x events
+    "drift1_psi_value",  # two partial-agg scans -> <=10-bin PSI report, 8x events
+    "drift2_event_mix",  # two partial-agg scans -> per-category TVD report, 8x events
+    "f39_embargo_training_set",  # embargoed as-of build (f7's plan + interval shift), 8x events
+    "f40_schema_widening",  # widening append: null-backfill projection + version write, 8x events
+    "h4_tiered_retention",  # three disjoint-slice rollup tiers unioned, 8x events
+    "q30_identifier_clause",  # parser-bound identifiers, plain pushed agg, 8x orders
+    "sd5_stream_stream_join",  # watermarked two-stream band join over the 8x feed
+    "sd14_stream_drift_monitor",  # windowed mix state + broadcast reference, 8x feed
 ]
 KEY_OFFSET = 100_000_000
 
