@@ -45,7 +45,11 @@ def _bin_counts(
     mass, instead of silently vanishing)."""
     width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
     raw = F.floor((F.col(col) - F.col("__lo__")) / width).cast("long")
-    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    # constant reference column -> width 0 -> NULL raw; everything lands
+    # in bin 0 (any current-window value off the constant still surfaces
+    # as mass imbalance between the windows' totals-normalized fractions)
+    bucket = F.when(width == 0, F.lit(0)).otherwise(clamped)
     counts = (
         df.filter(F.col(col).isNotNull())
         .withColumn("bucket", bucket)

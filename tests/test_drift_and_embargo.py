@@ -68,6 +68,13 @@ class TestDrift:
         assert rep[0].cur_frac == 0.5  # clamped low outlier
         assert rep[9].cur_frac == 0.5  # clamped high outlier
 
+    def test_constant_reference_column_does_not_divide_by_zero(self, spark):
+        ref = spark.createDataFrame([(5.0,)] * 4, ["v"])
+        cur = spark.createDataFrame([(5.0,), (7.0,)], ["v"])
+        rep = {r.bucket: r for r in psi_numeric(ref, cur, "v").collect()}
+        assert list(rep) == [0]  # everything lands in bin 0
+        assert rep[0].ref_frac == 1.0 and rep[0].cur_frac == 1.0
+
     def test_categorical_tvd_zero_on_self_one_on_disjoint(self, spark):
         a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 7, ["c"])
         b = spark.createDataFrame([("z",)] * 4, ["c"])
