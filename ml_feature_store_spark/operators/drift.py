@@ -127,6 +127,52 @@ def categorical_drift(
     )
 
 
+def woe_iv(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value report for a categorical
+    feature against a binary label — the standard credit-scoring /
+    feature-selection encoding (WOE) and its drift-style importance
+    score (IV: < 0.02 useless, > 0.3 strong). For each category ``c``:
+    ``woe = ln((pos_frac_c + EPS) / (neg_frac_c + EPS))`` where
+    ``pos_frac_c = n_pos_c / n_pos_total`` (ditto neg), and
+    ``iv_term = (pos_frac_c - neg_frac_c) * woe`` — sum(iv_term) is the
+    feature's IV. Same algebra family as :func:`psi_numeric` (PSI is IV
+    between time windows; IV is PSI between label classes).
+
+    ``label_col`` must be a boolean column. NULL categories participate
+    as an explicit bucket (the reference treats missing as its own bin).
+
+    Scale story (100 TB): ONE full scan reduced by partial aggregation
+    to O(categories) rows (conditional sums per category), totals folded
+    from the tiny frame by an unpartitioned window — strictly cheaper
+    than the two-scan drift reports; nothing after the map-side combine
+    exceeds O(categories) rows. No extra count jobs, no UDF.
+    """
+    pos = F.when(F.col(label_col), 1).otherwise(0)
+    per = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.sum(pos).cast("long").alias("n_pos"),
+        F.sum(1 - pos).cast("long").alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    pf = F.col("n_pos") / F.sum("n_pos").over(w).cast("double")
+    nf = F.col("n_neg") / F.sum("n_neg").over(w).cast("double")
+    woe = F.log((pf + F.lit(EPS)) / (nf + F.lit(EPS)))
+    return per.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        pf.alias("pos_frac"),
+        nf.alias("neg_frac"),
+        woe.alias("woe"),
+        ((pf - nf) * woe).alias("iv_term"),
+    )
+
+
 def _with_fractions(joined: DataFrame, key: str) -> DataFrame:
     """ref_frac/cur_frac from the joined per-key count frame: window
     totals over the (tiny, post-combine) frame instead of separate

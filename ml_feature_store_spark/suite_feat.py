@@ -598,7 +598,35 @@ def q_lab1_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fe9_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value encoding (operators/
+    drift.py ``woe_iv``) — the credit-scoring categorical encoder and
+    the standard feature-selection score, over order priority vs the
+    binary "order fulfilled" label (o_orderstatus = 'F'). ONE full scan
+    partial-aggs to O(categories) conditional counts; totals fold from
+    the tiny frame by an unpartitioned window (no extra count jobs);
+    ln terms pinned at nano fixed-point exactly like drift1's PSI. At
+    100 TB this is the cheapest shape a label-conditioned encoder can
+    have: one map-side combine, one O(categories) exchange."""
+    from .operators.drift import woe_iv
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").alias("filled")
+    )
+    rep = woe_iv(o, "o_orderpriority", "filled")
+    return rep.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.floor(F.col("woe") * 1e9 + F.lit(0.5)).cast("long").alias("woe_nano"),
+        F.floor(F.col("iv_term") * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("iv_nano"),
+    )
+
+
 QUERIES = {
+    'fe9_woe_encoding': q_fe9_woe_encoding,
     'x18_negative_sampling': q_x18_negative_sampling,
     'x12_hash_split': q_x12_hash_split,
     'x13_stratified_sample': q_x13_stratified_sample,
@@ -1093,4 +1121,29 @@ ORACLE_SQL["fe8_impute_median"] = """
            CAST(MIN(m.med) AS BIGINT) AS med_cents
     FROM e JOIN m USING (event_type)
     GROUP BY e.event_type
+"""
+
+# fe9: identical conditional-count + window-total + ln algebra; EPS and the
+# nano fixed-point rounding match operators/drift.py (floor(x*1e9 + 0.5)).
+ORACLE_SQL["fe9_woe_encoding"] = """
+    WITH per AS (
+        SELECT o_orderpriority AS category,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_neg
+        FROM orders GROUP BY 1
+    ),
+    fr AS (
+        SELECT category, n_pos, n_neg,
+               n_pos / CAST(SUM(n_pos) OVER () AS DOUBLE) AS pf,
+               n_neg / CAST(SUM(n_neg) OVER () AS DOUBLE) AS nf
+        FROM per
+    )
+    SELECT category, n_pos, n_neg,
+           CAST(floor(ln((pf + 1e-6) / (nf + 1e-6)) * 1e9 + 0.5) AS BIGINT)
+               AS woe_nano,
+           CAST(floor((pf - nf) * ln((pf + 1e-6) / (nf + 1e-6)) * 1e9 + 0.5)
+                AS BIGINT) AS iv_nano
+    FROM fr
 """

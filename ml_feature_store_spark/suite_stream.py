@@ -673,7 +673,55 @@ def q_sd14_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd15_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME streaming enrichment witness (streaming/ingest.py
+    ``stream_pit_enrich``): purchase events arrive as a STREAM in two
+    ordered micro-batches; each batch is as-of joined in flight against
+    the full offline feature table (latest feature row with ``f.ts <=
+    spine.ts`` per user, the F7 semantics) via foreachBatch — the
+    Tecton/Feast "streaming training data" lane where labels stream in
+    and PIT-correct feature vectors attach without a later backfill.
+    Each batch overwrites its own ``batch_id=<n>`` parquet subdir
+    (idempotent on foreachBatch replay, the sd9/io18 contract). Because
+    every spine row's match is a pure function of (row, static
+    features), any micro-batch split unions to the batch answer — so
+    the oracle is EXACTLY f7's argmax SQL: stream == batch,
+    bit-for-bit, regardless of how the feed was chopped."""
+    from .streaming.ingest import stream_events, stream_pit_enrich
+
+    d = _scratch_dir("sd15_feed", sf_dir)
+    sink = _scratch_dir("sd15_sink", sf_dir)
+    ck = _scratch_dir("sd15_ckpt", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    spine_ev = ev.filter(F.col("event_type") == "purchase")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d,
+        spine_ev.filter(F.col("ts") < mid),
+        spine_ev.filter(F.col("ts") >= mid),
+    )
+    feats = events_features(spark, sf_dir)
+    stream = stream_events(spark, d).select(
+        F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
+    )
+    q = stream_pit_enrich(stream, feats, sink, ck)
+    q.awaitTermination(300)
+    q.stop()
+    out = spark.read.parquet(sink).drop("batch_id")
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        "event_id",
+        _US("timestamp").alias("ts_us"),
+        "event_type",
+        "value",
+        _US("as_of_timestamp").alias("as_of_us"),
+    )
+
+
 QUERIES = {
+    'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
     'sd5_stream_stream_join': q_sd5_stream_stream_join,
     'sd14_stream_drift_monitor': q_sd14_stream_drift_monitor,
     'sd2_running_state_snapshot': q_sd2_running_state_snapshot,
@@ -881,4 +929,18 @@ ORACLE_SQL["sd14_stream_drift_monitor"] = f"""
            CAST(floor(abs(cur_frac - ref_frac) * 1e6 + 0.5) AS BIGINT)
                AS l1_ppm
     FROM t JOIN rf USING (event_type)
+"""
+
+# sd15: the stream == batch determinism contract — the PIT enrichment run
+# per micro-batch must union to f7's plain batch as-of argmax.
+ORACLE_SQL["sd15_stream_pit_enrich"] = f"""
+    WITH f AS ({_EV}),
+    s AS (SELECT user_id, ts AS sts FROM f WHERE event_type = 'purchase')
+    SELECT user_id, event_id, ts_us, event_type, value, as_of_us FROM (
+        SELECT s.user_id, f.event_id, epoch_us(f.ts) AS ts_us, f.event_type,
+               f.value, epoch_us(s.sts) AS as_of_us,
+               row_number() OVER (PARTITION BY s.user_id, s.sts
+                                  ORDER BY f.ts DESC, f.event_id ASC) AS rn
+        FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
+    ) WHERE rn = 1
 """

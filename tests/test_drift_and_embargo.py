@@ -194,3 +194,58 @@ class TestEmbargo:
         # 2024-02-10 minus 20 d = 2024-01-21 -> latest qualifying row for
         # user_1 is 2024-01-15 (the 2024-02-01 row is embargoed)
         assert len(out) == 1 and out[0].feature_a == 2.0
+
+
+class TestWoeIv:
+    """fe9's operator: WOE/IV over a categorical feature vs a binary label."""
+
+    def test_label_independent_feature_has_zero_woe(self, spark):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        # every category carries the same pos/neg ratio -> pos_frac ==
+        # neg_frac per category -> woe == ln(1) == 0 and iv == 0
+        df = spark.range(0, 400).select(
+            ((F.col("id") / 2).cast("long") % 4).cast("string").alias("cat"),
+            (F.col("id") % 2 == 0).alias("y"),
+        )
+        rep = woe_iv(df, "cat", "y").collect()
+        assert len(rep) == 4
+        for r in rep:
+            assert r.n_pos == 50 and r.n_neg == 50
+            assert abs(r.pos_frac - 0.25) < 1e-12
+            assert abs(r.woe) < 1e-9 and abs(r.iv_term) < 1e-9
+
+    def test_perfectly_separating_feature(self, spark):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        # cat 'a' is all-positive, 'b' all-negative: woe('a') large
+        # positive, woe('b') large negative, both iv terms positive
+        df = spark.createDataFrame(
+            [("a", True)] * 10 + [("b", False)] * 10, "cat string, y boolean"
+        )
+        rows = {r.category: r for r in woe_iv(df, "cat", "y").collect()}
+        assert rows["a"].woe > 5 and rows["b"].woe < -5
+        assert rows["a"].iv_term > 0 and rows["b"].iv_term > 0
+        assert rows["a"].n_pos == 10 and rows["a"].n_neg == 0
+
+    def test_null_category_is_explicit_bucket(self, spark):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        df = spark.createDataFrame(
+            [(None, True), (None, False), ("a", True), ("a", False)],
+            "cat string, y boolean",
+        )
+        rep = woe_iv(df, "cat", "y").collect()
+        cats = {r.category for r in rep}
+        assert None in cats and len(rep) == 2
+
+    def test_fractions_sum_to_one_per_class(self, spark):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        df = spark.range(0, 300).select(
+            (F.col("id") % 7).cast("string").alias("cat"),
+            (F.col("id") % 3 == 0).alias("y"),
+        )
+        rep = woe_iv(df, "cat", "y").collect()
+        assert abs(sum(r.pos_frac for r in rep) - 1.0) < 1e-9
+        assert abs(sum(r.neg_frac for r in rep) - 1.0) < 1e-9
