@@ -816,7 +816,46 @@ def q_q30_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q31_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN ... END`` procedural blocks,
+    spark.sql.scripting.enabled): DECLARE'd session-local variables and
+    a REPEAT/UNTIL loop drive an iterative parameter search — lower a
+    price cutoff in 100k steps until at least 100 fulfilled orders
+    qualify — then ONE set-based report runs at the found threshold.
+    The procedural layer touches only scalars (each probe is a plain
+    COUNT aggregate, fully pushed down; the loop runs O(ladder) tiny
+    jobs on the driver); the data never flows through the script. The
+    oracle exploits monotonicity: count(>thr) grows as thr falls, so
+    REPEAT's first qualifying step == MAX(ladder thr with n >= 100),
+    else the ladder floor — same threshold, same final report."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q31_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 600000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          REPEAT
+            SET thr = thr - 100000.0;
+            SET n = (SELECT COUNT(*) FROM q31_orders
+                     WHERE o_orderstatus = 'F' AND o_totalprice > thr);
+          UNTIL n >= 100 OR thr <= 100000.0
+          END REPEAT;
+          SELECT o_orderpriority,
+                 CAST(thr AS BIGINT) AS threshold,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_cents
+          FROM q31_orders
+          WHERE o_orderstatus = 'F' AND o_totalprice > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q31_sql_scripting": q_q31_sql_scripting,
     "q30_identifier_clause": q_q30_identifier_clause,
     "q26_pipe_syntax": q_q26_pipe_syntax,
     "u3_bag_setops": q_u3_bag_setops,
@@ -846,6 +885,31 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q31_sql_scripting": """
+        WITH lad AS (
+            SELECT UNNEST([500000.0, 400000.0, 300000.0, 200000.0,
+                           100000.0]) AS thr
+        ),
+        c AS (
+            SELECT thr,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_orderstatus = 'F' AND o_totalprice > lad.thr) AS n
+            FROM lad
+        ),
+        pick AS (
+            SELECT COALESCE(MAX(thr) FILTER (WHERE n >= 100), 100000.0)
+                       AS thr
+            FROM c
+        )
+        SELECT o_orderpriority,
+               CAST(pick.thr AS BIGINT) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders, pick
+        WHERE o_orderstatus = 'F' AND o_totalprice > pick.thr
+        GROUP BY o_orderpriority, pick.thr
+    """,
     "q30_identifier_clause": """
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -2016,6 +2016,7 @@ class FeatureStore:
         name: str,
         selections: dict[str, Sequence[str] | None],
         how: str = "inner",
+        output_mapping: dict[str, str] | None = None,
     ) -> None:
         """Register a FEATURE SERVICE (Feast's retrieval contract): a
         named bundle of (view -> selected feature columns) a model
@@ -2032,7 +2033,17 @@ class FeatureStore:
         inside the same build and emitted ``<view>__<col>``-prefixed
         like everything else. The service's ``how`` governs every as-of
         join in the build. A name that is BOTH a table and a derived
-        view is rejected as ambiguous."""
+        view is rejected as ambiguous.
+
+        ``output_mapping`` (Feast's ``field_mapping`` at the retrieval
+        boundary) renames service OUTPUT columns to the names the model
+        was trained with: ``{"<view>__<col>": "model_input_name"}``.
+        Validated NOW against the names the service will produce
+        (unknown source, duplicate target, or a target colliding with
+        an unmapped output all fail registration); applied as the FINAL
+        map-side projection in BOTH ``get_service_training_set`` and
+        ``get_online_service``, so the training and serving frames
+        carry identical renamed columns and cannot skew."""
         if not selections:
             raise FeatureValidationError(
                 f"create_feature_service('{name}'): selections must map "
@@ -2062,12 +2073,52 @@ class FeatureStore:
                 self._require_table(view_name)
                 if cols is not None:
                     self._validate_columns(view_name, cols)
+        mapping = dict(output_mapping or {})
+        if mapping:
+            producible: set[str] = set()
+            for view_name, cols in selections.items():
+                if view_name in self._derived:
+                    keys = cols or self._derived[view_name]["exprs"]
+                    producible.update(f"{view_name}__{c}" for c in keys)
+                else:
+                    keys = (
+                        cols
+                        if cols is not None
+                        else self.get_table_info(view_name).columns
+                    )
+                    producible.update(f"{view_name}__{c}" for c in keys)
+                    producible.add(f"{view_name}__{TIMESTAMP_COL}")
+            unknown = sorted(set(mapping) - producible)
+            if unknown:
+                raise FeatureValidationError(
+                    f"create_feature_service('{name}'): output_mapping "
+                    f"renames columns the service does not produce: "
+                    f"{unknown}. Produced: {sorted(producible)}"
+                )
+            targets = list(mapping.values())
+            dupes = sorted({t for t in targets if targets.count(t) > 1})
+            if dupes:
+                raise FeatureValidationError(
+                    f"create_feature_service('{name}'): output_mapping "
+                    f"maps multiple columns to {dupes}."
+                )
+            collisions = sorted(
+                set(targets)
+                & ((producible - set(mapping)) | {ENTITY_COL, TIMESTAMP_COL})
+            )
+            if collisions:
+                raise FeatureValidationError(
+                    f"create_feature_service('{name}'): output_mapping "
+                    f"targets collide with unmapped output/key columns: "
+                    f"{collisions}."
+                )
         self._services[name] = {
             "selections": {
                 v: (tuple(c) if c is not None else None)
                 for v, c in selections.items()
             },
             "how": how,
+            "output_mapping": mapping,
         }
         self._save_registry()
 
@@ -2104,12 +2155,18 @@ class FeatureStore:
         derived = {v: c for v, c in sel.items() if v in self._derived}
         direct = {v: c for v, c in sel.items() if v not in derived}
         if not derived:
-            return self.get_multi_view_training_set(
-                list(sel),
-                entity_timestamps,
-                manifest=manifest,
-                how=spec["how"],
-                columns={v: list(c) for v, c in sel.items() if c is not None},
+            return self._apply_output_mapping(
+                self.get_multi_view_training_set(
+                    list(sel),
+                    entity_timestamps,
+                    manifest=manifest,
+                    how=spec["how"],
+                    columns={
+                        v: list(c) for v, c in sel.items() if c is not None
+                    },
+                ),
+                spec,
+                f"get_service_training_set('{name}')",
             )
         dv_sources = [
             s for dv in derived for s in self._derived[dv]["sources"]
@@ -2171,7 +2228,35 @@ class FeatureStore:
             for col, sql in self._derived[dv]["exprs"].items()
             if cols is None or col in cols
         ]
-        return base.select(*head, *direct_out, *derived_out)
+        return self._apply_output_mapping(
+            base.select(*head, *direct_out, *derived_out),
+            spec,
+            f"get_service_training_set('{name}')",
+        )
+
+    @staticmethod
+    def _apply_output_mapping(
+        df: DataFrame, spec: dict, context: str
+    ) -> DataFrame:
+        """Final rename per the service's ``output_mapping`` — a pure
+        map-side projection (zero extra shuffles/jobs; the plan below
+        it is untouched). Shared by the training and online lanes so
+        the two cannot diverge. Collisions with frame columns the
+        eager registration check could not see (composite entity keys,
+        request-data spine columns) surface here with a clear error."""
+        mapping = spec.get("output_mapping") or {}
+        mapping = {k: v for k, v in mapping.items() if k in df.columns}
+        if not mapping:
+            return df
+        clash = sorted(
+            set(mapping.values()) & (set(df.columns) - set(mapping))
+        )
+        if clash:
+            raise FeatureValidationError(
+                f"{context}: output_mapping targets collide with frame "
+                f"columns {clash} — rename the mapping targets."
+            )
+        return df.withColumnsRenamed(mapping)
 
     def get_online_service(
         self,
@@ -2249,7 +2334,9 @@ class FeatureStore:
             out = view if out is None else out.join(
                 view, natural_key, spec["how"]
             )
-        return out
+        return self._apply_output_mapping(
+            out, spec, f"get_online_service('{name}')"
+        )
 
     def list_feature_services(self) -> list[str]:
         return sorted(self._services)
@@ -2487,6 +2574,7 @@ class FeatureStore:
                     for v, c in s["selections"].items()
                 },
                 "how": s["how"],
+                "output_mapping": dict(s.get("output_mapping") or {}),
             }
         for n, s in raw.get("rollups", {}).items():
             out["rollups"][n] = {
@@ -2546,6 +2634,9 @@ class FeatureStore:
                                 for v, c in s["selections"].items()
                             },
                             "how": s["how"],
+                            "output_mapping": dict(
+                                s.get("output_mapping") or {}
+                            ),
                         }
                         for n, s in self._services.items()
                     },

@@ -2102,7 +2102,68 @@ def q_h4_tiered_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f41_output_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service output mapping — Feast's ``field_mapping`` at the
+    retrieval boundary (store.py create_feature_service
+    ``output_mapping=``, round-9): the service renames its prefixed
+    output columns to the names the MODEL was trained with
+    (``psvc__value_cents`` -> ``purchase_amount_cents``, ...), validated
+    eagerly at registration (unknown source / duplicate target /
+    collision with an unmapped output all refuse) and applied as the
+    FINAL map-side projection in BOTH the training and online lanes —
+    one rename definition, so feature names cannot skew between train
+    and serve. Registered in one store instance and built through a
+    REOPENED store (the mapping persists in ``_registry.json`` with the
+    rest of the service spec). Plan cost: zero — a rename is a
+    projection over the fsvc1 build, nothing else moves."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    d = _scratch_dir("f41_store", sf_dir)
+    writer = FeatureStore(spark, storage_path=d)
+    writer.register(
+        "pmap", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    writer.register(
+        "cmap", ev.filter(F.col("event_type") == "click").drop("event_type")
+    )
+    writer.create_feature_service(
+        "reward_model_v2",
+        {"pmap": ["value_cents"], "cmap": ["value_cents", "event_id"]},
+        output_mapping={
+            "pmap__value_cents": "purchase_amount_cents",
+            "cmap__value_cents": "click_value_cents",
+            "cmap__event_id": "last_click_id",
+        },
+    )
+    fs = FeatureStore(spark, storage_path=d)  # mapping survives reopen
+    users = ev.select("entity_id").distinct()
+    spine = users.withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+    )
+    out = fs.get_service_training_set("reward_model_v2", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("purchase_amount_cents").cast("long"),
+        F.col("click_value_cents").cast("long"),
+        F.col("last_click_id").cast("long"),
+    )
+
+
 QUERIES = {
+    'f41_output_mapping': q_f41_output_mapping,
     'h4_tiered_retention': q_h4_tiered_retention,
     'f40_schema_widening': q_f40_schema_widening,
     'drift1_psi_value': q_drift1_psi_value,
@@ -3245,4 +3306,31 @@ ORACLE_SQL["h4_tiered_retention"] = f"""
            CAST(sum(n_rows) AS BIGINT) AS n_rows,
            CAST(sum(sum_cents) AS BIGINT) AS sum_cents
     FROM rolled GROUP BY tier, day_us
+"""
+
+# f41: fsvc1's two PIT argmaxes with the service's projection, output under
+# the registered output_mapping's MODEL names.
+ORACLE_SQL["f41_output_mapping"] = f"""
+    WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+               FROM events),
+    p AS (SELECT user_id, value_cents FROM (
+            SELECT user_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1),
+    c AS (SELECT user_id, event_id, value_cents FROM (
+            SELECT user_id, event_id, value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'click'
+              AND ts <= TIMESTAMP '2024-01-15') WHERE rn = 1)
+    SELECT p.user_id,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us,
+           p.value_cents AS purchase_amount_cents,
+           c.value_cents AS click_value_cents,
+           c.event_id AS last_click_id
+    FROM p JOIN c ON p.user_id = c.user_id
 """

@@ -393,3 +393,72 @@ class TestServiceOdfvPlanShape:
             return plan.count("Window "), len(re.findall(r"Exchange ", plan))
 
         assert shape("svc_pg") == shape("svc_pg_plain")
+
+
+class TestOutputMapping:
+    """f41: service output_mapping (Feast field_mapping at retrieval)."""
+
+    def test_training_columns_renamed(self, spark, store):
+        store.create_feature_service(
+            "m",
+            {"spend": ["cents"], "clicks": ["n_clicks"]},
+            output_mapping={"spend__cents": "spend_cents",
+                            "clicks__n_clicks": "click_count"},
+        )
+        out = store.get_service_training_set("m", _spine(spark))
+        assert "spend_cents" in out.columns
+        assert "click_count" in out.columns
+        assert "spend__cents" not in out.columns
+        row = {r.entity_id: r for r in out.collect()}
+        assert row["u2"].spend_cents == 300 and row["u2"].click_count == 2
+
+    def test_online_lane_uses_same_names(self, spark, store):
+        store.create_feature_service(
+            "m2",
+            {"spend": ["cents"]},
+            output_mapping={"spend__cents": "spend_cents"},
+        )
+        store.materialize_online("spend")
+        out = store.get_online_service("m2")
+        assert "spend_cents" in out.columns
+        assert "spend__cents" not in out.columns
+
+    def test_unknown_source_column_refused(self, store):
+        with pytest.raises(FeatureValidationError, match="does not produce"):
+            store.create_feature_service(
+                "bad",
+                {"spend": ["cents"]},
+                output_mapping={"spend__nope": "x"},
+            )
+
+    def test_duplicate_target_refused(self, store):
+        with pytest.raises(FeatureValidationError, match="multiple columns"):
+            store.create_feature_service(
+                "bad",
+                {"spend": ["cents", "channel"]},
+                output_mapping={"spend__cents": "x", "spend__channel": "x"},
+            )
+
+    def test_target_colliding_with_unmapped_output_refused(self, store):
+        with pytest.raises(FeatureValidationError, match="collide"):
+            store.create_feature_service(
+                "bad",
+                {"spend": ["cents", "channel"]},
+                output_mapping={"spend__cents": "spend__channel"},
+            )
+
+    def test_mapping_persists_across_reopen(self, spark, tmp_path):
+        d = str(tmp_path / "store")
+        a = FeatureStore(spark, storage_path=d)
+        spend = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), 100)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        a.register("spend", spend)
+        a.create_feature_service(
+            "m", {"spend": ["cents"]},
+            output_mapping={"spend__cents": "spend_cents"},
+        )
+        b = FeatureStore(spark, storage_path=d)
+        out = b.get_service_training_set("m", _spine(spark))
+        assert "spend_cents" in out.columns
