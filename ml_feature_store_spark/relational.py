@@ -854,7 +854,46 @@ def q_q31_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q32_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar UDF (net revenue), a CASE-mapping scalar UDF, and a SQL
+    TABLE function parameterizing a filtered scan — the reusable-logic
+    surface that does NOT leave the JVM: SQL UDFs are inlined by the
+    analyzer into the caller's plan (no serialization boundary, full
+    codegen + pushdown — the anti-pattern-free alternative to Python
+    row UDFs for expressible logic). The oracle inlines the same
+    expressions by hand; if inlining changed semantics the hash breaks."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q32_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q32_revenue(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q32_flag_desc(f STRING) "
+        "RETURNS STRING RETURN CASE f WHEN 'R' THEN 'returned' "
+        "WHEN 'A' THEN 'acknowledged' ELSE 'in_flight' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q32_big_items(minqty DOUBLE) "
+        "RETURNS TABLE (l_returnflag STRING, l_quantity DOUBLE, "
+        "l_extendedprice DOUBLE, l_discount DOUBLE) RETURN "
+        "SELECT l_returnflag, l_quantity, l_extendedprice, l_discount "
+        "FROM q32_lineitem WHERE l_quantity >= minqty"
+    )
+    return spark.sql(
+        """
+        SELECT q32_flag_desc(l_returnflag) AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(q32_revenue(l_extendedprice, l_discount)), 2)
+                   AS net_revenue
+        FROM q32_big_items(30.0)
+        GROUP BY q32_flag_desc(l_returnflag)
+        """
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q32_sql_udf": q_q32_sql_udf,
     "q31_sql_scripting": q_q31_sql_scripting,
     "q30_identifier_clause": q_q30_identifier_clause,
     "q26_pipe_syntax": q_q26_pipe_syntax,
@@ -885,6 +924,17 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q32_sql_udf": """
+        SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+                    WHEN 'A' THEN 'acknowledged'
+                    ELSE 'in_flight' END AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS net_revenue
+        FROM lineitem
+        WHERE l_quantity >= 30.0
+        GROUP BY 1
+    """,
     "q31_sql_scripting": """
         WITH lad AS (
             SELECT UNNEST([500000.0, 400000.0, 300000.0, 200000.0,

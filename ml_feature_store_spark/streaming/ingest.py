@@ -396,3 +396,59 @@ def stream_pit_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_contract_gate(
+    stream: DataFrame,
+    checks: dict[str, str],
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming DATA CONTRACT gate with a dead-letter queue: each
+    micro-batch is split row-wise against ``checks`` (name -> SQL bool
+    expr, f33's register-time contract surface applied IN FLIGHT) —
+    passing rows land in ``good_dir``, violating rows in
+    ``quarantine_dir`` with a ``failed_checks`` array naming every
+    violated check (the triage key a reprocessing job routes on). A
+    NULL check result counts as a violation (three-valued logic must
+    not wave rows through — same rule as register(checks=)).
+
+    The split is ONE map-side projection (no shuffle): the row's
+    failed-check array is computed once, then two filtered writes fan
+    out from the cached micro-batch. Both sinks overwrite their own
+    ``batch_id=<n>`` subdir, so a replayed batch is idempotent (the
+    sd15/io18 contract). At 100 TB rates the gate adds zero exchanges
+    to ingest — quarantine cost is proportional to the violation rate,
+    and the good path stays whole-stage-codegen.
+    """
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(sql), F.lit(False)), F.lit(name)
+                ).otherwise(F.lit(None))
+                for name, sql in checks.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("failed_checks", failed).persist()
+        try:
+            tagged.filter(F.size("failed_checks") == 0).drop(
+                "failed_checks"
+            ).write.mode("overwrite").parquet(f"{good_dir}/batch_id={batch_id}")
+            tagged.filter(F.size("failed_checks") > 0).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_dir}/batch_id={batch_id}")
+        finally:
+            tagged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -720,7 +720,79 @@ def q_sd15_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd16_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-contract gate + dead-letter queue witness
+    (streaming/ingest.py ``stream_contract_gate``): the event feed —
+    with violations INJECTED (negated values on event_id % 13, NULLed
+    event types on % 17) — streams through per-row checks in two
+    micro-batches; passing rows land in the good sink, violators in the
+    quarantine sink tagged with every failed check (NULL results are
+    violations, f33's three-valued-logic rule, now in flight). The
+    summary pins all four dispositions: good rows (count + cents),
+    per-check violation counts (a row failing BOTH checks counts in
+    each), and the quarantine total (it counts once). The oracle
+    replays the same injected predicates batch-side — a row waved
+    through, double-quarantined, or lost between the sinks breaks the
+    count or the cents."""
+    from .streaming.ingest import stream_contract_gate, stream_events
+
+    d = _scratch_dir("sd16_feed", sf_dir)
+    good = _scratch_dir("sd16_good", sf_dir)
+    quar = _scratch_dir("sd16_quar", sf_dir)
+    ck = _scratch_dir("sd16_ckpt", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 13 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "props",
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    q = stream_contract_gate(
+        stream_events(spark, d),
+        {
+            "nonnegative_value": "value >= 0",
+            "known_type": "event_type IS NOT NULL",
+        },
+        good,
+        quar,
+        ck,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    cents = F.sum(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).alias("sum_cents")
+    g = spark.read.parquet(good).agg(
+        F.count("*").cast("long").alias("n"), cents
+    ).select(F.lit("good").alias("bucket"), "n", "sum_cents")
+    qdf = spark.read.parquet(quar)
+    per_check = (
+        qdf.select(F.explode("failed_checks").alias("check"), "value")
+        .groupBy("check")
+        .agg(F.count("*").cast("long").alias("n"), cents)
+        .select(
+            F.concat(F.lit("q_"), F.col("check")).alias("bucket"),
+            "n",
+            "sum_cents",
+        )
+    )
+    total = qdf.agg(F.count("*").cast("long").alias("n"), cents).select(
+        F.lit("q_total").alias("bucket"), "n", "sum_cents"
+    )
+    return g.unionByName(per_check).unionByName(total)
+
+
 QUERIES = {
+    'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
     'sd5_stream_stream_join': q_sd5_stream_stream_join,
     'sd14_stream_drift_monitor': q_sd14_stream_drift_monitor,
@@ -943,4 +1015,39 @@ ORACLE_SQL["sd15_stream_pit_enrich"] = f"""
                                   ORDER BY f.ts DESC, f.event_id ASC) AS rn
         FROM s JOIN f ON s.user_id = f.user_id AND f.ts <= s.sts
     ) WHERE rn = 1
+"""
+
+# sd16: batch replay of the injected-violation split. Cents are floored on
+# the TRANSFORMED value (negation happens before quantization on both sides).
+ORACLE_SQL["sd16_stream_quarantine"] = f"""
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_id % 17 = 0 THEN NULL
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 13 = 0 THEN -value
+                    ELSE value END AS value
+        FROM ({_EV})
+    ),
+    tagged AS (
+        SELECT *,
+               (value >= 0) AS ok_value,
+               (event_type IS NOT NULL) AS ok_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ev
+    )
+    SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM tagged WHERE ok_value AND ok_type
+    UNION ALL
+    SELECT 'q_nonnegative_value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM tagged WHERE NOT ok_value
+    UNION ALL
+    SELECT 'q_known_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM tagged WHERE NOT ok_type
+    UNION ALL
+    SELECT 'q_total', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM tagged WHERE NOT ok_value OR NOT ok_type
 """
