@@ -195,6 +195,10 @@ class FeatureStore:
         # shape). The data itself is a backend table; the spec makes the
         # artifact auditable and retrievable by name across processes.
         self._datasets: dict[str, dict[str, Any]] = reg["datasets"]
+        # windowed-aggregate feature views (Tecton's batch feature view
+        # with aggregations): name -> {source, aggregations}; retrieval
+        # computes trailing-window aggregates as of each spine timestamp
+        self._window_views: dict[str, dict[str, Any]] = reg["window_views"]
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -261,6 +265,8 @@ class FeatureStore:
                     self._derived.pop(n, None)
                 elif kind == "feature service":
                     self._services.pop(n, None)
+                elif kind == "window view":
+                    self._window_views.pop(n, None)
                 else:  # rollup
                     self._rollups.pop(n, None)
                     rname = n + self._ROLLUP_SUFFIX
@@ -2258,6 +2264,168 @@ class FeatureStore:
             )
         return df.withColumnsRenamed(mapping)
 
+    _WINDOW_AGG_FNS = ("sum", "count", "avg", "min", "max")
+
+    def create_window_view(
+        self,
+        name: str,
+        source: str,
+        aggregations: Sequence[dict[str, Any]],
+    ) -> None:
+        """Register a WINDOWED-AGGREGATE feature view (Tecton's batch
+        feature view with ``aggregations=``): each entry is
+        ``{"column", "function", "window_seconds", "alias"?}`` and at
+        retrieval time evaluates the aggregate over the TRAILING window
+        ``[spine.ts - window_seconds, spine.ts]`` (inclusive cutoff,
+        the PIT convention) per spine row — "sum of purchases in the
+        last 7 days as of each label time" declared once, served by
+        name. Validated eagerly (unknown source/column, unsupported
+        function, non-positive window, duplicate alias all refuse);
+        the spec persists in the registry. Functions: sum, count, avg,
+        min, max (count counts NON-NULL source values). Default alias:
+        ``<column>_<function>_<window_seconds>s``."""
+        self._require_table(source)
+        if not aggregations:
+            raise FeatureValidationError(
+                f"create_window_view('{name}'): aggregations must list "
+                "at least one entry."
+            )
+        normalized: list[dict[str, Any]] = []
+        seen_aliases: set[str] = set()
+        for a in aggregations:
+            col, fn = a.get("column"), a.get("function")
+            win = a.get("window_seconds")
+            if fn not in self._WINDOW_AGG_FNS:
+                raise FeatureValidationError(
+                    f"create_window_view('{name}'): unsupported function "
+                    f"{fn!r}; supported: {list(self._WINDOW_AGG_FNS)}."
+                )
+            if not isinstance(win, (int, float)) or win <= 0:
+                raise FeatureValidationError(
+                    f"create_window_view('{name}'): window_seconds must "
+                    f"be > 0, got {win!r}."
+                )
+            self._validate_columns(source, [col])
+            alias = a.get("alias") or f"{col}_{fn}_{int(win)}s"
+            if alias in seen_aliases or alias in (ENTITY_COL, TIMESTAMP_COL):
+                raise FeatureValidationError(
+                    f"create_window_view('{name}'): duplicate or "
+                    f"reserved output alias '{alias}'."
+                )
+            seen_aliases.add(alias)
+            normalized.append(
+                {
+                    "column": col,
+                    "function": fn,
+                    "window_seconds": float(win),
+                    "alias": alias,
+                }
+            )
+        self._window_views[name] = {
+            "source": source,
+            "aggregations": normalized,
+        }
+        self._save_registry()
+
+    def get_window_training_set(
+        self, name: str, entity_timestamps: DataFrame
+    ) -> DataFrame:
+        """Training set for a windowed-aggregate view: one output row
+        per spine row carrying every registered trailing-window
+        aggregate as of that row's timestamp. Extra spine columns ride
+        through untouched (request-data passthrough).
+
+        Plan shape (the 100 TB story): spine and source UNION into one
+        frame, ONE shuffle on the entity key, and every aggregate is a
+        RANGE frame ``[-window, 0]`` over the shared sort — N windows
+        and M aggregations reuse the same exchange+sort; spine rows
+        carry NULL payloads so they never contaminate the aggregates,
+        and equal-timestamp source rows are IN frame (inclusive
+        cutoff). No as-of argmax, no per-window scan of history. Skew:
+        a hot entity serializes its own partition's frame evaluation —
+        salt/pre-aggregate upstream if one key dominates (SKEW.md)."""
+        from pyspark.sql.window import Window
+
+        spec = self._window_views.get(name)
+        if spec is None:
+            raise FeatureStoreError(
+                f"Unknown window view: '{name}'. "
+                f"Registered: {sorted(self._window_views)}"
+            )
+        raw = self._current(spec["source"])
+        key_cols = self._entity_key_cols(raw)
+        src = self._expand_entity_key(raw.drop(*HIDDEN_COLS), key_cols)
+        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        missing = [
+            c
+            for c in (*natural_key, TIMESTAMP_COL)
+            if c not in entity_timestamps.columns
+        ]
+        if missing:
+            raise FeatureValidationError(
+                f"get_window_training_set('{name}'): spine lacks "
+                f"column(s) {missing}."
+            )
+        aggs = spec["aggregations"]
+        agg_cols = list(dict.fromkeys(a["column"] for a in aggs))
+        extras = [
+            c
+            for c in entity_timestamps.columns
+            if c not in (*natural_key, TIMESTAMP_COL)
+        ]
+        src_types = dict(src.dtypes)
+        spine_types = dict(entity_timestamps.dtypes)
+        src_sel = src.select(
+            *natural_key,
+            TIMESTAMP_COL,
+            *agg_cols,
+            *[
+                F.lit(None).cast(spine_types[c]).alias(c) for c in extras
+            ],
+            F.lit(0).alias("__is_spine__"),
+        )
+        spine_sel = entity_timestamps.select(
+            *natural_key,
+            TIMESTAMP_COL,
+            *[F.lit(None).cast(src_types[c]).alias(c) for c in agg_cols],
+            *extras,
+            F.lit(1).alias("__is_spine__"),
+        )
+        unioned = src_sel.unionByName(spine_sel).withColumn(
+            "__us__", F.unix_micros(F.col(TIMESTAMP_COL))
+        )
+        out_cols = []
+        for a in aggs:
+            w = (
+                Window.partitionBy(*natural_key)
+                .orderBy("__us__")
+                .rangeBetween(-int(a["window_seconds"] * 1_000_000), 0)
+            )
+            fn = getattr(F, a["function"])
+            out_cols.append(fn(F.col(a["column"])).over(w).alias(a["alias"]))
+        return (
+            unioned.select(
+                *natural_key,
+                TIMESTAMP_COL,
+                *extras,
+                "__is_spine__",
+                *out_cols,
+            )
+            .filter(F.col("__is_spine__") == 1)
+            .drop("__is_spine__")
+        )
+
+    def list_window_views(self) -> list[str]:
+        return sorted(self._window_views)
+
+    def drop_window_view(self, name: str) -> bool:
+        """Release a window-view spec. Returns False if absent (the
+        ``delete`` contract)."""
+        if self._window_views.pop(name, None) is None:
+            return False
+        self._save_registry()
+        return True
+
     def get_online_service(
         self,
         name: str,
@@ -2553,7 +2721,7 @@ class FeatureStore:
         place."""
         out: dict[str, dict] = {
             "derived": {}, "services": {}, "rollups": {}, "ttl": {},
-            "online": {}, "datasets": {},
+            "online": {}, "datasets": {}, "window_views": {},
         }
         path = self._registry_path()
         if path is None or not path.exists():
@@ -2595,6 +2763,19 @@ class FeatureStore:
                 "row_count": int(s["row_count"]),
                 "created_at": s["created_at"],
                 "description": s.get("description", ""),
+            }
+        for n, s in raw.get("window_views", {}).items():
+            out["window_views"][n] = {
+                "source": s["source"],
+                "aggregations": [
+                    {
+                        "column": a["column"],
+                        "function": a["function"],
+                        "window_seconds": float(a["window_seconds"]),
+                        "alias": a["alias"],
+                    }
+                    for a in s["aggregations"]
+                ],
             }
         return out
 
@@ -2653,6 +2834,7 @@ class FeatureStore:
                     "ttl": self._ttl,
                     "online": self._online_meta,
                     "datasets": self._datasets,
+                    "window_views": self._window_views,
                 },
                 indent=2,
             ),
@@ -2677,6 +2859,11 @@ class FeatureStore:
             ("rollup", n)
             for n, s in sorted(self._rollups.items())
             if s["src"] == table
+        ]
+        refs += [
+            ("window view", n)
+            for n, s in sorted(self._window_views.items())
+            if s["source"] == table
         ]
         return refs
 

@@ -2162,7 +2162,57 @@ def q_f41_output_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f42_window_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-aggregate feature view — Tecton's declarative
+    ``aggregations=`` surface (store.py create_window_view /
+    get_window_training_set, round-9): "7-day cents sum, 7-day event
+    count, 30-day cents max AS OF each spine time" registered ONCE by
+    name, then evaluated against a (user x 2-date grid) spine through a
+    REOPENED store (the spec persists in the registry). Plan: spine and
+    source union, ONE entity-key shuffle, all three aggregates as RANGE
+    frames over the shared sort — no as-of argmax, no per-window
+    history scan; at 100 TB adding a 4th aggregation costs zero extra
+    exchanges. Oracle: correlated trailing-window algebra (inclusive
+    cutoff both ends) per grid date."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    d = _scratch_dir("f42_store", sf_dir)
+    writer = FeatureStore(spark, storage_path=d)
+    writer.register("wv_events", feats)
+    writer.create_window_view(
+        "user_activity_7d",
+        "wv_events",
+        [
+            {"column": "value_cents", "function": "sum",
+             "window_seconds": 7 * 86400, "alias": "cents_sum_7d"},
+            {"column": "value_cents", "function": "count",
+             "window_seconds": 7 * 86400, "alias": "n_events_7d"},
+            {"column": "value_cents", "function": "max",
+             "window_seconds": 30 * 86400, "alias": "cents_max_30d"},
+        ],
+    )
+    fs = FeatureStore(spark, storage_path=d)  # spec survives reopen
+    users = feats.select("entity_id").distinct()
+    dates = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10),), (dt.datetime(2024, 1, 24),)],
+        ["timestamp"],
+    )
+    spine = users.crossJoin(dates)
+    out = fs.get_window_training_set("user_activity_7d", spine)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        F.col("cents_sum_7d").cast("long"),
+        F.col("n_events_7d").cast("long"),
+        F.col("cents_max_30d").cast("long"),
+    )
+
+
 QUERIES = {
+    'f42_window_view': q_f42_window_view,
     'f41_output_mapping': q_f41_output_mapping,
     'h4_tiered_retention': q_h4_tiered_retention,
     'f40_schema_widening': q_f40_schema_widening,
@@ -3333,4 +3383,31 @@ ORACLE_SQL["f41_output_mapping"] = f"""
            c.value_cents AS click_value_cents,
            c.event_id AS last_click_id
     FROM p JOIN c ON p.user_id = c.user_id
+"""
+
+# f42: correlated trailing-window replay — both window ends inclusive
+# ([g.ts - W, g.ts]); counts/sums/max over integer cents.
+ORACLE_SQL["f42_window_view"] = f"""
+    WITH ev AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    g AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-10'),
+                                (TIMESTAMP '2024-01-24')) AS t(gts)),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    spine AS (SELECT u.user_id, g.gts FROM u CROSS JOIN g)
+    SELECT s.user_id,
+           epoch_us(s.gts) AS ts_us,
+           CAST(SUM(CASE WHEN e.ts >= s.gts - INTERVAL 7 DAY
+                         THEN e.cents END) AS BIGINT) AS cents_sum_7d,
+           CAST(COUNT(CASE WHEN e.ts >= s.gts - INTERVAL 7 DAY
+                           THEN e.cents END) AS BIGINT) AS n_events_7d,
+           CAST(MAX(CASE WHEN e.ts >= s.gts - INTERVAL 30 DAY
+                         THEN e.cents END) AS BIGINT) AS cents_max_30d
+    FROM spine s
+    LEFT JOIN ev e
+      ON e.user_id = s.user_id AND e.ts <= s.gts
+         AND e.ts >= s.gts - INTERVAL 30 DAY
+    GROUP BY s.user_id, s.gts
 """

@@ -879,3 +879,46 @@ class TestDriftPlan:
         # the full-outer join of the two bin frames must not be a
         # cartesian/nested-loop over data-sized inputs
         assert "CartesianProduct" not in plan
+
+
+class TestWindowViewPlan:
+    def test_all_aggregations_share_one_exchange_and_sort(self, spark):
+        """f42's scale contract: N windowed aggregations over the same
+        entity key reuse ONE shuffle and ONE sort — adding an
+        aggregation must not add an exchange, and the spine/source
+        union must not introduce a join."""
+        import datetime as dt
+
+        from ml_feature_store_spark.store import FeatureStore
+        from ml_feature_store_spark.suite import table as t
+        from pyspark.sql import functions as F
+
+        ev = t(spark, SF, "events").select(
+            F.col("user_id").alias("entity_id"),
+            F.col("ts").alias("timestamp"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        fs = FeatureStore(spark)
+        fs.register("wvp", ev)
+        one = [{"column": "cents", "function": "sum",
+                "window_seconds": 7 * 86400, "alias": "s7"}]
+        three = one + [
+            {"column": "cents", "function": "count",
+             "window_seconds": 7 * 86400, "alias": "c7"},
+            {"column": "cents", "function": "max",
+             "window_seconds": 30 * 86400, "alias": "m30"},
+        ]
+        fs.create_window_view("wv1", "wvp", one)
+        fs.create_window_view("wv3", "wvp", three)
+        spine = ev.select("entity_id").distinct().withColumn(
+            "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+        )
+        p1 = fs.get_window_training_set("wv1", spine)
+        p3 = fs.get_window_training_set("wv3", spine)
+        assert shuffle_count(p3) == shuffle_count(p1)
+        plan3 = executed_plan(p3)
+        assert plan3.count("Sort ") <= plan3.count("Exchange") + 1
+        assert "Join" not in plan3.replace("joinType", "")
+        assert "CartesianProduct" not in plan3

@@ -552,3 +552,116 @@ class TestSchemaWideningAppend:
         )
         info = store.append("t", more, allow_new_columns=True)  # no-op flag
         assert info.version == 2 and info.row_count == 3
+
+
+class TestWindowViews:
+    """f42: windowed-aggregate feature views (Tecton aggregations=)."""
+
+    @staticmethod
+    def _feats(spark):
+        return spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-01"), 10),
+                ("u1", ts("2024-01-05"), 20),
+                ("u1", ts("2024-01-20"), 40),
+                ("u2", ts("2024-01-04"), 7),
+            ],
+            ["entity_id", "timestamp", "cents"],
+        )
+
+    def _store(self, spark, tmp_path=None):
+        fs = (
+            FeatureStore(spark, storage_path=str(tmp_path / "s"))
+            if tmp_path is not None
+            else FeatureStore(spark)
+        )
+        fs.register("ev", self._feats(spark))
+        fs.create_window_view(
+            "act",
+            "ev",
+            [
+                {"column": "cents", "function": "sum",
+                 "window_seconds": 7 * 86400, "alias": "sum_7d"},
+                {"column": "cents", "function": "count",
+                 "window_seconds": 7 * 86400, "alias": "n_7d"},
+            ],
+        )
+        return fs
+
+    def _spine(self, spark):
+        return spark.createDataFrame(
+            [("u1", ts("2024-01-06")), ("u1", ts("2024-01-21")),
+             ("u2", ts("2024-01-02"))],
+            ["entity_id", "timestamp"],
+        )
+
+    def test_trailing_window_values(self, spark):
+        fs = self._store(spark)
+        out = {
+            (r.entity_id, r.timestamp): (r.sum_7d, r.n_7d)
+            for r in fs.get_window_training_set(
+                "act", self._spine(spark)
+            ).collect()
+        }
+        # u1 @ 01-06: rows 01-01 and 01-05 in [12-30, 01-06]
+        assert out[("u1", ts("2024-01-06"))] == (30, 2)
+        # u1 @ 01-21: only 01-20 within 7d
+        assert out[("u1", ts("2024-01-21"))] == (40, 1)
+        # u2 @ 01-02: no rows yet -> count 0, sum NULL
+        assert out[("u2", ts("2024-01-02"))] == (None, 0)
+
+    def test_inclusive_cutoff_and_window_edge(self, spark):
+        fs = self._store(spark)
+        spine = spark.createDataFrame(
+            # exactly AT a feature ts (inclusive) and exactly 7d AFTER
+            # one (still inclusive at the trailing edge)
+            [("u1", ts("2024-01-05")), ("u1", ts("2024-01-08"))],
+            ["entity_id", "timestamp"],
+        )
+        out = {
+            r.timestamp: (r.sum_7d, r.n_7d)
+            for r in fs.get_window_training_set("act", spine).collect()
+        }
+        assert out[ts("2024-01-05")] == (30, 2)  # 01-01 and 01-05 both in
+        assert out[ts("2024-01-08")] == (30, 2)  # 01-01 at exact -7d edge
+
+    def test_extra_spine_columns_pass_through(self, spark):
+        fs = self._store(spark)
+        spine = self._spine(spark).withColumn("label", F.lit(1))
+        out = fs.get_window_training_set("act", spine)
+        assert "label" in out.columns
+        assert out.count() == 3
+
+    def test_eager_validation(self, spark):
+        fs = FeatureStore(spark)
+        fs.register("ev", self._feats(spark))
+        with pytest.raises(FeatureValidationError, match="unsupported"):
+            fs.create_window_view(
+                "bad", "ev",
+                [{"column": "cents", "function": "median",
+                  "window_seconds": 60}],
+            )
+        with pytest.raises(FeatureValidationError, match="window_seconds"):
+            fs.create_window_view(
+                "bad", "ev",
+                [{"column": "cents", "function": "sum",
+                  "window_seconds": 0}],
+            )
+        with pytest.raises(FeatureValidationError, match="Unknown feature"):
+            fs.create_window_view(
+                "bad", "ev",
+                [{"column": "nope", "function": "sum",
+                  "window_seconds": 60}],
+            )
+
+    def test_spec_persists_and_delete_refuses(self, spark, tmp_path):
+        fs = self._store(spark, tmp_path)
+        reopened = FeatureStore(spark, storage_path=str(tmp_path / "s"))
+        assert reopened.list_window_views() == ["act"]
+        out = reopened.get_window_training_set("act", self._spine(spark))
+        assert out.count() == 3
+        # the view references 'ev': delete must refuse, cascade must drop
+        with pytest.raises(FeatureValidationError, match="window view"):
+            reopened.delete("ev")
+        reopened.delete("ev", cascade=True)
+        assert reopened.list_window_views() == []
