@@ -280,3 +280,56 @@ def weighted_priority_sample(
         .orderBy(F.col(priority_col).desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def walk_forward_folds(
+    df: DataFrame,
+    ts_col: str,
+    cuts: list,
+    gap_seconds: float,
+    test_seconds: float,
+    fold_col: str = "fold",
+    split_col: str = "split",
+) -> DataFrame:
+    """PURGED walk-forward cross-validation folds for time-ordered
+    training data (the leakage-aware CV of financial ML / forecasting —
+    de Prado's purged K-fold made walk-forward): for each cut ``c_i``,
+    fold ``i`` trains on ``ts <= c_i`` and tests on
+    ``(c_i + gap, c_i + gap + test_seconds]``. The GAP purges the
+    boundary: a label computed from a trailing window at test time
+    cannot overlap training rows (the same leakage class f39's embargo
+    guards at feature-retrieval time, here at split time).
+
+    Returns one row per (input row x fold it participates in) with
+    ``fold`` and ``split`` ('train'/'test') columns — a row in neither
+    window of a fold is dropped for that fold. Map-only: the fold specs
+    explode from an inline array (O(k) literals), so assignment is a
+    single codegen projection with NO shuffle and no per-fold job; at
+    100 TB the k-fold expansion multiplies scan output, not scan count.
+    Deterministic by construction (pure timestamp arithmetic).
+    """
+    specs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("f"),
+                F.lit(c).cast("timestamp").alias("cut"),
+            )
+            for i, c in enumerate(cuts)
+        ]
+    )
+    gap = F.expr(f"INTERVAL {float(gap_seconds)} SECONDS")
+    test = F.expr(f"INTERVAL {float(test_seconds)} SECONDS")
+    e = df.withColumn("__spec__", F.explode(specs))
+    cut = F.col("__spec__.cut")
+    ts = F.col(ts_col)
+    split = (
+        F.when(ts <= cut, F.lit("train"))
+        .when((ts > cut + gap) & (ts <= cut + gap + test), F.lit("test"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        e.withColumn(fold_col, F.col("__spec__.f"))
+        .withColumn(split_col, split)
+        .filter(F.col(split_col).isNotNull())
+        .drop("__spec__")
+    )

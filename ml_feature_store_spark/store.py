@@ -2457,14 +2457,7 @@ class FeatureStore:
                 f"Registered: {sorted(self._services)}"
             )
         sel = spec["selections"]
-        first = next(iter(sel))
-        if first in self._derived:
-            # key discovery through the derived member's first source
-            first = self._derived[first]["sources"][0]
-        key_cols = self._entity_key_cols_of(
-            first, self._backend.meta(first).version
-        ) if self._backend.exists(first) else None
-        natural_key = list(key_cols) if key_cols else [ENTITY_COL]
+        natural_key = self._service_natural_key(spec)
         out: DataFrame | None = None
         for src, cols in sel.items():
             if src in self._derived:
@@ -2505,6 +2498,69 @@ class FeatureStore:
         return self._apply_output_mapping(
             out, spec, f"get_online_service('{name}')"
         )
+
+    def _service_natural_key(self, spec: dict) -> list[str]:
+        """Entity key columns of a service's first member (derived
+        members discover theirs through their first source)."""
+        first = next(iter(spec["selections"]))
+        if first in self._derived:
+            first = self._derived[first]["sources"][0]
+        key_cols = self._entity_key_cols_of(
+            first, self._backend.meta(first).version
+        ) if self._backend.exists(first) else None
+        return list(key_cols) if key_cols else [ENTITY_COL]
+
+    def log_service_read(
+        self,
+        name: str,
+        entity_ids: Sequence[Any] | None = None,
+        *,
+        logical_time: Any,
+        as_of: Any = None,
+        max_age_seconds: float | None = None,
+        log_table: str | None = None,
+    ) -> DataFrame:
+        """FEATURE LOGGING (Feast ``LoggingConfig`` / Tecton feature
+        logging): serve a feature service online AND append the served
+        rows — exactly as the model saw them — to a serving-log table
+        in the store, keyed by the caller's ``logical_time``. The log
+        is itself a versioned feature table (dogfooding: history,
+        time travel, PIT reads and the f28-style online/offline
+        consistency audit all work on it for free), so
+        "what did the model see at 3 a.m.?" is one PIT lookup, and
+        training-serving skew is a join between this log and the
+        training lane.
+
+        ``logical_time`` is REQUIRED and caller-supplied (request/batch
+        time — never wall clock) so the log is deterministic and
+        replayable. Default log table: ``<service>__serving_log``.
+        Returns the served DataFrame. Cost: the get_online_service scan
+        + one append of the |entities|-row result — history untouched."""
+        served = self.get_online_service(
+            name,
+            entity_ids,
+            max_age_seconds=max_age_seconds,
+            as_of=as_of,
+        )
+        lt = self._normalize_timestamp(logical_time)
+        spec = self._services[name]
+        natural_key = self._service_natural_key(spec)
+        record = served.withColumn(
+            TIMESTAMP_COL, F.lit(lt).cast("timestamp")
+        )
+        tname = log_table or f"{name}__serving_log"
+        if self._backend.exists(tname):
+            self.append(tname, record)
+        else:
+            self.register(
+                tname,
+                record,
+                entity_cols=(
+                    natural_key if natural_key != [ENTITY_COL] else None
+                ),
+                description=f"serving log for feature service '{name}'",
+            )
+        return served
 
     def list_feature_services(self) -> list[str]:
         return sorted(self._services)

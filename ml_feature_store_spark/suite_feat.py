@@ -625,7 +625,40 @@ def q_fe9_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv1_purged_walkforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV folds (operators/sampling.py
+    walk_forward_folds) — the leakage-aware split protocol for
+    time-ordered training data: three cuts, each fold training on
+    everything up to its cut and testing on a 3-day window that starts
+    only after a 1-day PURGE gap (trailing-window labels at test time
+    cannot overlap training rows — f39's embargo discipline applied at
+    split time). Assignment is one map-only codegen projection (fold
+    specs explode from an O(k) literal array, no shuffle, no per-fold
+    jobs); the report pins every row's (fold, split) membership via
+    counts, cents sums and user checksums per cell."""
+    from .operators.sampling import walk_forward_folds
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    folds = walk_forward_folds(
+        ev,
+        "ts",
+        ["2024-01-08", "2024-01-12", "2024-01-16"],
+        gap_seconds=86400,
+        test_seconds=3 * 86400,
+    )
+    return folds.groupBy("fold", "split").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+    )
+
+
 QUERIES = {
+    'cv1_purged_walkforward': q_cv1_purged_walkforward,
     'fe9_woe_encoding': q_fe9_woe_encoding,
     'x18_negative_sampling': q_x18_negative_sampling,
     'x12_hash_split': q_x12_hash_split,
@@ -1146,4 +1179,33 @@ ORACLE_SQL["fe9_woe_encoding"] = """
            CAST(floor((pf - nf) * ln((pf + 1e-6) / (nf + 1e-6)) * 1e9 + 0.5)
                 AS BIGINT) AS iv_nano
     FROM fr
+"""
+
+# cv1: identical purged walk-forward interval algebra — train ts <= cut,
+# test in (cut + 1d, cut + 1d + 3d].
+ORACLE_SQL["cv1_purged_walkforward"] = """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    specs AS (SELECT * FROM (VALUES
+        (0, TIMESTAMP '2024-01-08'),
+        (1, TIMESTAMP '2024-01-12'),
+        (2, TIMESTAMP '2024-01-16')) AS t(fold, cut)),
+    tagged AS (
+        SELECT s.fold,
+               CASE WHEN e.ts <= s.cut THEN 'train'
+                    WHEN e.ts > s.cut + INTERVAL 1 DAY
+                     AND e.ts <= s.cut + INTERVAL 4 DAY THEN 'test'
+               END AS split,
+               e.cents, e.user_id
+        FROM ev e CROSS JOIN specs s
+    )
+    SELECT fold, split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM tagged WHERE split IS NOT NULL
+    GROUP BY fold, split
 """

@@ -2211,7 +2211,62 @@ def q_f42_window_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f44_serving_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature LOGGING (store.py log_service_read — Feast's
+    LoggingConfig / Tecton feature logging, round-9): every online
+    service read appends the rows the model actually saw to a
+    serving-log table IN the store, keyed by the caller's logical time
+    (never wall clock — the log must replay). Two logged reads — a
+    10-user canary at t1, the full population at t2 — accumulate as two
+    versions of ``<service>__serving_log``; because the log is itself a
+    versioned feature table, this lane reads it back through the
+    ordinary catalog view and rolls it up per logical time. The oracle
+    recomputes both serves from the raw feed (latest-per-user argmax,
+    the online-snapshot semantic) and unions them — a logged value that
+    differs from what serving returned, a lost row, or a
+    wall-clock-stamped record breaks the hash."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    fs = FeatureStore(spark, storage_path=_scratch_dir("f44_store", sf_dir))
+    fs.register(
+        "plog", ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    fs.materialize_online("plog")
+    fs.create_feature_service("scored_model", {"plog": ["value_cents"]})
+    fs.log_service_read(
+        "scored_model",
+        list(range(10)),
+        logical_time=dt.datetime(2024, 2, 1, 3, 0),
+    )
+    fs.log_service_read(
+        "scored_model", logical_time=dt.datetime(2024, 2, 1, 9, 0)
+    )
+    log = fs.create_view("scored_model__serving_log")
+    return spark.sql(
+        f"""
+        SELECT unix_micros(timestamp) AS served_at_us,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(plog__value_cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(entity_id) AS BIGINT) AS sum_users
+        FROM {log} GROUP BY timestamp
+        """
+    )
+
+
 QUERIES = {
+    'f44_serving_log': q_f44_serving_log,
     'f42_window_view': q_f42_window_view,
     'f41_output_mapping': q_f41_output_mapping,
     'h4_tiered_retention': q_h4_tiered_retention,
@@ -3410,4 +3465,32 @@ ORACLE_SQL["f42_window_view"] = f"""
       ON e.user_id = s.user_id AND e.ts <= s.gts
          AND e.ts >= s.gts - INTERVAL 30 DAY
     GROUP BY s.user_id, s.gts
+"""
+
+# f44: both logged serves recomputed from the raw feed — the online
+# snapshot is the latest-per-user purchase argmax over ALL history.
+ORACLE_SQL["f44_serving_log"] = f"""
+    WITH f AS ({_EV}),
+    snap AS (
+        SELECT user_id, value_cents FROM (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    serves AS (
+        SELECT TIMESTAMP '2024-02-01 03:00:00' AS served_at,
+               user_id, value_cents
+        FROM snap WHERE user_id < 10
+        UNION ALL
+        SELECT TIMESTAMP '2024-02-01 09:00:00', user_id, value_cents
+        FROM snap
+    )
+    SELECT epoch_us(served_at) AS served_at_us,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM serves GROUP BY served_at
 """

@@ -462,3 +462,79 @@ class TestOutputMapping:
         b = FeatureStore(spark, storage_path=d)
         out = b.get_service_training_set("m", _spine(spark))
         assert "spend_cents" in out.columns
+
+
+class TestServingLog:
+    """f44: log_service_read (feature logging)."""
+
+    def _served_store(self, spark, tmp_path=None):
+        fs = (
+            FeatureStore(spark, storage_path=str(tmp_path / "s"))
+            if tmp_path is not None
+            else FeatureStore(spark)
+        )
+        spend = spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-02"), 100),
+                ("u1", ts("2024-01-04"), 150),
+                ("u2", ts("2024-01-03"), 300),
+            ],
+            ["entity_id", "timestamp", "cents"],
+        )
+        fs.register("spend", spend)
+        fs.materialize_online("spend")
+        fs.create_feature_service("m", {"spend": ["cents"]})
+        return fs
+
+    def test_log_accumulates_and_matches_serve(self, spark):
+        fs = self._served_store(spark)
+        served = fs.log_service_read(
+            "m", ["u1"], logical_time=ts("2024-02-01 03:00:00")
+        )
+        assert {r.entity_id: r.spend__cents for r in served.collect()} == {
+            "u1": 150
+        }
+        fs.log_service_read("m", logical_time=ts("2024-02-01 09:00:00"))
+        log = fs.get_training_set(
+            "m__serving_log",
+            spark.createDataFrame(
+                [("u1", ts("2024-03-01"))], ["entity_id", "timestamp"]
+            ),
+        )
+        # PIT over the log: latest logged row for u1 is the 09:00 serve
+        row = log.collect()[0]
+        assert row.spend__cents == 150
+        # both serves are retained as history (two versions)
+        assert fs.get_table_info("m__serving_log").version == 2
+
+    def test_pit_what_did_the_model_see(self, spark):
+        fs = self._served_store(spark)
+        fs.log_service_read(
+            "m", logical_time=ts("2024-02-01 03:00:00")
+        )
+        # features change AFTER the first serve
+        fs.append(
+            "spend",
+            spark.createDataFrame(
+                [("u1", ts("2024-02-10"), 999)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        fs.materialize_online("spend")
+        fs.log_service_read(
+            "m", logical_time=ts("2024-02-15 03:00:00")
+        )
+        seen_early = fs.get("m__serving_log", ["u1"], ts("2024-02-02"))
+        seen_late = fs.get("m__serving_log", ["u1"], ts("2024-02-16"))
+        assert seen_early.collect()[0].spend__cents == 150
+        assert seen_late.collect()[0].spend__cents == 999
+
+    def test_output_mapping_composes(self, spark):
+        fs = self._served_store(spark)
+        fs.create_feature_service(
+            "mm", {"spend": ["cents"]},
+            output_mapping={"spend__cents": "spend_cents"},
+        )
+        fs.log_service_read("mm", logical_time=ts("2024-02-01"))
+        info = fs.get_table_info("mm__serving_log")
+        assert "spend_cents" in info.columns

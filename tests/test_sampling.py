@@ -116,3 +116,75 @@ class TestPlanShape:
         plan = executed_plan(t)
         assert codegen_span_count(t) >= 1
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestWalkForwardFolds:
+    """cv1: purged walk-forward CV (operators/sampling.py)."""
+
+    @staticmethod
+    def _df(spark):
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i))
+            for i in range(80)
+        ]
+        return spark.createDataFrame(rows, ["id", "ts"])
+
+    def test_purge_gap_excludes_boundary_rows(self, spark):
+        import datetime as dt
+
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        out = walk_forward_folds(
+            self._df(spark), "ts", ["2024-01-05"], 86400.0, 2 * 86400.0
+        ).collect()
+        cut = dt.datetime(2024, 1, 5)
+        for r in out:
+            if r.split == "train":
+                assert r.ts <= cut
+            else:
+                # the purge day (cut, cut+1d] holds NO test rows
+                assert r.ts > cut + dt.timedelta(days=1)
+                assert r.ts <= cut + dt.timedelta(days=3)
+
+    def test_folds_are_independent_and_disjoint_per_fold(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        out = walk_forward_folds(
+            self._df(spark),
+            "ts",
+            ["2024-01-05", "2024-01-10"],
+            86400.0,
+            2 * 86400.0,
+        )
+        per = (
+            out.groupBy("fold", "id")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert per == 0  # a row is train OR test within one fold, never both
+        assert out.select("fold").distinct().count() == 2
+
+    def test_later_fold_trains_on_more_rows(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        out = walk_forward_folds(
+            self._df(spark),
+            "ts",
+            ["2024-01-05", "2024-01-10"],
+            86400.0,
+            2 * 86400.0,
+        )
+        n = {
+            (r.fold, r.split): r["count"]
+            for r in out.groupBy("fold", "split").count().collect()
+        }
+        assert n[(1, "train")] > n[(0, "train")]  # walk-forward grows train
