@@ -165,6 +165,15 @@ BENCH_QUERIES = [
     "q30_identifier_clause",  # parser-bound identifiers, plain pushed agg, 8x orders
     "sd5_stream_stream_join",  # watermarked two-stream band join over the 8x feed
     "sd14_stream_drift_monitor",  # windowed mix state + broadcast reference, 8x feed
+    "fe9_woe_encoding",  # one conditional-count scan -> O(categories) WOE/IV, 8x orders
+    "sd15_stream_pit_enrich",  # per-micro-batch as-of join vs static features, 8x feed
+    "q31_sql_scripting",  # scalar REPEAT probes (pushed aggs) + final report, 8x orders
+    "q32_sql_udf",  # analyzer-inlined SQL UDFs/TVF, plain pushed agg, 8x lineitem
+    "f41_output_mapping",  # service build + final rename projection, 8x events
+    "sd16_stream_quarantine",  # map-side check split + dual sinks per batch, 8x feed
+    "f42_window_view",  # spine ∪ source RANGE frames, one entity shuffle, 8x events
+    "cv1_purged_walkforward",  # O(k) fold explode + partial-agg rollup, 8x events
+    "f44_serving_log",  # online serve + |entities|-row log appends, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
