@@ -2958,6 +2958,68 @@ class FeatureStore:
             )
         return self._backend.read_version(name, version)
 
+    def profile_versions(
+        self,
+        name: str,
+        columns: Sequence[str],
+        versions: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Version-over-version COLUMN PROFILE — the "data diff" CI gate
+        (dbt-style): per (version, column), row count, null count and
+        null rate in ppm, so a publish that regressed a feed (a join
+        started dropping, a parser started nulling) is visible BEFORE a
+        training run consumes it. Complements ``diff_versions`` (row-
+        level add/remove/change) at the column level.
+
+        All requested versions (default: every retained version) union
+        with a version tag and profile in ONE aggregation pass — one
+        job however many versions, partial-aggregated map-side to
+        O(versions) rows, then an O(versions x columns) unpivot. Schema
+        evolution is first-class: a column a version predates (f40
+        widening) profiles as 100% null there — exactly the signal a
+        consumer needs. Unknown columns (in NO version) refuse eagerly."""
+        vs = list(versions) if versions is not None else self._backend.versions(name)
+        frames = []
+        all_cols: set[str] = set()
+        for v in vs:
+            df = self.get_version(name, v)
+            all_cols.update(df.columns)
+            frames.append(df.withColumn("__v__", F.lit(int(v))))
+        unknown = [c for c in columns if c not in all_cols]
+        if unknown:
+            raise FeatureValidationError(
+                f"profile_versions('{name}'): column(s) {unknown} exist "
+                f"in no retained version. Available: {sorted(all_cols)}"
+            )
+        u = frames[0]
+        for f_ in frames[1:]:
+            u = u.unionByName(f_, allowMissingColumns=True)
+        agg = u.groupBy("__v__").agg(
+            F.count("*").cast("long").alias("__n__"),
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nulls_{c}__")
+                for c in columns
+            ],
+        )
+        stack = ", ".join(
+            f"'{c}', `__nulls_{c}__`" for c in columns
+        )
+        return agg.selectExpr(
+            "__v__ AS version",
+            "__n__ AS n_rows",
+            f"stack({len(columns)}, {stack}) AS (column, n_nulls)",
+        ).select(
+            "version",
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.expr("(n_nulls * 1000000) div greatest(n_rows, 1)").alias(
+                "null_ppm"
+            ),
+        )
+
     def get_version_asof(self, name: str, timestamp: Any) -> DataFrame:
         """Timestamp time travel — ``get_version``'s wall-clock sibling
         (Delta's ``timestampAsOf`` next to ``versionAsOf``): read the

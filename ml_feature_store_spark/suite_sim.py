@@ -120,6 +120,44 @@ def q_emb2_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("dims")
 
 
+def q_x33_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (the qdrant/pgvector "filtered
+    ANN" shape): three query vectors each retrieve top-5 cosine
+    neighbors restricted to a per-query label predicate (here: the next
+    label class). PRE-filtering, not post-: the equi join on the filter
+    key prunes candidates BEFORE any distance math, so the distance
+    kernel runs on the filtered set only — post-filtering a global
+    top-k would silently under-fill k for selective filters. Queries
+    broadcast (KB), candidates scan once; the per-query top-5 here is
+    one window over |queries x filtered| rows — at 100 TB swap in the
+    two-phase per-group top-k (s2/a19's partial-limit pattern), same
+    semantics. Ties break on vec_id for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        ((F.col("label") + 1) % 10).alias("target_label"),
+    )
+    cand = emb.join(F.broadcast(q), emb.label == q.target_label)
+    scored = cand.withColumn("sim", _cosine(F.col("v"), F.col("qv")))
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs query vec_id=0 — the exact-ANN baseline.
     At scale: broadcast the query, one scan, partial top-k per partition."""
@@ -1263,6 +1301,7 @@ QUERIES = {
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
     'm7_phash_dedup': q_m7_phash_dedup,
+    'x33_filtered_ann': q_x33_filtered_ann,
     'x1_knn_cosine_topk': q_x1_knn_cosine_topk,
     'emb2_matryoshka_recall': q_emb2_matryoshka_recall,
     'x2_similar_pairs': q_x2_similar_pairs,
@@ -1328,6 +1367,23 @@ ORACLE_SQL: dict[str, str] = {
                      + 8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5)) - 1)
                     // (8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5))) AS INTEGER) AS n_windows
         FROM documents
+    """,
+    "x33_filtered_ann": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, (label + 1) % 10 AS tl
+              FROM e WHERE vec_id < 3)
+        SELECT qid, vec_id, label, ROUND(sim, 6) AS sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT q.qid, e.vec_id, e.label,
+                   list_cosine_similarity(e.v, q.qv) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                e.vec_id ASC) AS rank
+            FROM e JOIN q ON e.label = q.tl
+        ) WHERE rank <= 5
     """,
     "x1_knn_cosine_topk": """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

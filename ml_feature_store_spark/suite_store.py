@@ -2265,7 +2265,56 @@ def q_f44_serving_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq14_version_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version column profiling (store.py profile_versions
+    — the dbt-style "data diff" CI gate, round-9): v1 registers the
+    early half of the feed, v2 appends the late half with an INJECTED
+    null regression (value_cents nulled on event_id % 11) and a NEW
+    column through the f40 widening path — the profile must surface
+    both: v2's value_cents null rate jumps from zero, and `score`
+    reads 100% null in v1 (the version predates the column). ONE
+    aggregation pass over the version-tagged union however many
+    versions (O(versions) rows after the map-side combine), then an
+    O(versions x columns) unpivot. The oracle replays the split + null
+    rule straight from the source."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    fs = FeatureStore(spark, storage_path=_scratch_dir("dq14_store", sf_dir))
+    fs.register("pv_events", ev.filter(F.col("timestamp") < mid))
+    late = (
+        ev.filter(F.col("timestamp") >= mid)
+        .withColumn(
+            "value_cents",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+                F.col("value_cents")
+            ),
+        )
+        .withColumn("score", (F.col("event_id") % 5).cast("long"))
+    )
+    fs.append("pv_events", late, allow_new_columns=True)
+    return fs.profile_versions(
+        "pv_events", ["value_cents", "event_type", "score"]
+    ).select(
+        F.col("version").cast("long"),
+        "column",
+        "n_rows",
+        "n_nulls",
+        "null_ppm",
+    )
+
+
 QUERIES = {
+    'dq14_version_profile': q_dq14_version_profile,
     'f44_serving_log': q_f44_serving_log,
     'f42_window_view': q_f42_window_view,
     'f41_output_mapping': q_f41_output_mapping,
@@ -3493,4 +3542,51 @@ ORACLE_SQL["f44_serving_log"] = f"""
            CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
            CAST(SUM(user_id) AS BIGINT) AS sum_users
     FROM serves GROUP BY served_at
+"""
+
+# dq14: split + injected-null replay. v1 = early half (score predates the
+# version -> 100% null); v2 = whole feed with the % 11 null rule on the
+# late half only.
+ORACLE_SQL["dq14_version_profile"] = f"""
+    WITH f AS ({_EV}),
+    early AS (SELECT * FROM f WHERE ts < TIMESTAMP '2024-01-16'),
+    v2 AS (
+        SELECT event_id, event_type,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_id % 11 = 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               END AS value_cents,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN event_id % 5 END AS score
+        FROM f
+    ),
+    p1 AS (
+        SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS nulls_vc,
+               CAST(0 AS BIGINT) AS nulls_et,
+               CAST(COUNT(*) AS BIGINT) AS nulls_sc
+        FROM early
+    ),
+    p2 AS (
+        SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nulls_vc,
+               CAST(0 AS BIGINT) AS nulls_et,
+               CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nulls_sc
+        FROM v2
+    ),
+    pp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+    unp AS (
+        SELECT version, n_rows, 'value_cents' AS "column", nulls_vc AS n_nulls
+        FROM pp
+        UNION ALL
+        SELECT version, n_rows, 'event_type', nulls_et FROM pp
+        UNION ALL
+        SELECT version, n_rows, 'score', nulls_sc FROM pp
+    )
+    SELECT CAST(version AS BIGINT) AS version, "column", n_rows, n_nulls,
+           CAST(n_nulls * 1000000 // GREATEST(n_rows, 1) AS BIGINT)
+               AS null_ppm
+    FROM unp
 """

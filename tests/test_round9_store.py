@@ -665,3 +665,48 @@ class TestWindowViews:
             reopened.delete("ev")
         reopened.delete("ev", cascade=True)
         assert reopened.list_window_views() == []
+
+
+class TestProfileVersions:
+    """dq14: version-over-version column profiling (data-diff gate)."""
+
+    def _store(self, spark):
+        fs = FeatureStore(spark)
+        v1 = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 10), ("u2", ts("2024-01-02"), 20)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        fs.register("pv", v1)
+        v2 = spark.createDataFrame(
+            [("u3", ts("2024-01-03"), None, 1.5)],
+            "entity_id string, timestamp timestamp, cents long, score double",
+        )
+        fs.append("pv", v2, allow_new_columns=True)
+        return fs
+
+    def test_profiles_both_versions(self, spark):
+        fs = self._store(spark)
+        rows = {
+            (r.version, r.column): r
+            for r in fs.profile_versions("pv", ["cents", "score"]).collect()
+        }
+        assert rows[(1, "cents")].n_rows == 2
+        assert rows[(1, "cents")].n_nulls == 0
+        # score predates v1 -> 100% null there
+        assert rows[(1, "score")].n_nulls == 2
+        assert rows[(1, "score")].null_ppm == 1_000_000
+        # v2: 3 rows, one null cents (the appended row)
+        assert rows[(2, "cents")].n_rows == 3
+        assert rows[(2, "cents")].n_nulls == 1
+        assert rows[(2, "cents")].null_ppm == 333_333
+        assert rows[(2, "score")].n_nulls == 2  # backfilled history
+
+    def test_unknown_column_refused(self, spark):
+        fs = self._store(spark)
+        with pytest.raises(FeatureValidationError, match="exist in no"):
+            fs.profile_versions("pv", ["nope"])
+
+    def test_version_subset(self, spark):
+        fs = self._store(spark)
+        out = fs.profile_versions("pv", ["cents"], versions=[2]).collect()
+        assert len(out) == 1 and out[0].version == 2
