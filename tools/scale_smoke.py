@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "f42_window_view",  # spine ∪ source RANGE frames, one entity shuffle, 8x events
     "cv1_purged_walkforward",  # O(k) fold explode + partial-agg rollup, 8x events
     "f44_serving_log",  # online serve + |entities|-row log appends, 8x events
+    "x33_filtered_ann",  # broadcast queries + filtered candidate scan (emb 1x)
+    "dq14_version_profile",  # one-pass tagged-union profile over 8x events
 ]
 KEY_OFFSET = 100_000_000
 
