@@ -2373,6 +2373,13 @@ class FeatureStore:
             for c in entity_timestamps.columns
             if c not in (*natural_key, TIMESTAMP_COL)
         ]
+        clash = sorted(set(extras) & set(agg_cols))
+        if clash:
+            raise FeatureValidationError(
+                f"get_window_training_set('{name}'): spine column(s) "
+                f"{clash} collide with the view's aggregation source "
+                f"columns — rename them on the spine."
+            )
         src_types = dict(src.dtypes)
         spine_types = dict(entity_timestamps.dtypes)
         src_sel = src.select(

@@ -710,3 +710,27 @@ class TestProfileVersions:
         fs = self._store(spark)
         out = fs.profile_versions("pv", ["cents"], versions=[2]).collect()
         assert len(out) == 1 and out[0].version == 2
+
+
+class TestWindowViewSpineClash:
+    def test_spine_column_colliding_with_agg_source_refused(self, spark):
+        import datetime as dt
+
+        fs = FeatureStore(spark)
+        fs.register(
+            "evc",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 10)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        fs.create_window_view(
+            "wv", "evc",
+            [{"column": "cents", "function": "sum", "window_seconds": 60}],
+        )
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), 5)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        with pytest.raises(FeatureValidationError, match="collide"):
+            fs.get_window_training_set("wv", spine)
