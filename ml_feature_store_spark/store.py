@@ -306,6 +306,7 @@ class FeatureStore:
         entity_cols: Sequence[str] | None = None,
         checks: dict[str, str] | None = None,
         ttl_seconds: float | None = None,
+        references: dict[str, tuple[str, str]] | None = None,
     ) -> FeatureTableInfo:
         """Validate, normalize and store ``df`` as a new version of ``name``.
 
@@ -334,6 +335,17 @@ class FeatureStore:
         PRE-compose frame, so composite-key contracts reference the
         natural key columns the caller actually sent (``user_id IS NOT
         NULL``), not the folded struct.
+
+        ``references`` is the REFERENTIAL half of the contract (dbt's
+        ``relationships`` test at the only moment it can still refuse
+        the write): ``{"col": ("ref_table", "ref_col")}`` — every
+        non-NULL incoming value of ``col`` must exist in the CURRENT
+        version of registered table ``ref_table``'s ``ref_col`` (NULLs
+        pass, SQL FK semantics). All FKs probe in ONE job: chained left
+        joins against the distinct reference sets (no row
+        multiplication) feeding a single violation-count aggregate;
+        registration refuses naming every violated FK and its orphan
+        count. Catalyst broadcasts small reference sets on its own.
 
         ``ttl_seconds`` attaches a view-level TTL (Feast
         ``FeatureView.ttl``): the default as-of lookback for every
@@ -376,6 +388,10 @@ class FeatureStore:
                     f"evaluated over the incoming columns "
                     f"({sorted(df.columns)}): {exc}"
                 ) from exc
+        if references and isinstance(df, DataFrame):
+            self._enforce_references(
+                df, references, context=f"register('{name}')"
+            )
         if entity_cols is not None:
             df = self._compose_entity_key(
                 df, entity_cols, context=f"register('{name}')"
@@ -1595,6 +1611,7 @@ class FeatureStore:
         direction: str = "backward",
         manifest: SnapshotManifest | str | None = None,
         embargo_seconds: float = 0.0,
+        join_key_map: dict[str, str] | None = None,
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
@@ -1619,7 +1636,18 @@ class FeatureStore:
         of the current one — bit-reproducible training sets.
 
         Composite-key tables: the spine carries the natural key columns
-        (e.g. ``user_id, merchant_id, timestamp``); the output does too."""
+        (e.g. ``user_id, merchant_id, timestamp``); the output does too.
+
+        ``join_key_map`` (Feast's ``join_key_map``) retrieves a view
+        whose entity key is named differently on the SPINE:
+        ``{"spine_col": "view_key_col"}`` — e.g. a rides spine with a
+        ``driver`` column against a view keyed ``entity_id``. The spine
+        columns are renamed to the view's key names for the build and
+        renamed BACK in the output, so the caller keeps their own
+        vocabulary end to end. Validated eagerly: unknown spine column,
+        a target that is not one of the view's key columns, or a rename
+        that collides with an existing spine column all refuse. A pure
+        map-side rename — zero plan cost."""
         if direction not in ("backward", "nearest"):
             raise FeatureValidationError(
                 f"direction must be 'backward' or 'nearest', got {direction!r}"
@@ -1638,6 +1666,36 @@ class FeatureStore:
             self._validate_columns(name, columns)
         feats = self._resolve(name, manifest).drop(DT_COL)
         key_cols = self._entity_key_cols(feats)
+        if join_key_map:
+            view_keys = set(key_cols) if key_cols else {ENTITY_COL}
+            missing_src = [
+                c for c in join_key_map if c not in entity_timestamps.columns
+            ]
+            if missing_src:
+                raise FeatureValidationError(
+                    f"get_training_set('{name}'): join_key_map source "
+                    f"column(s) {missing_src} not on the spine "
+                    f"({entity_timestamps.columns})."
+                )
+            bad_tgt = sorted(set(join_key_map.values()) - view_keys)
+            if bad_tgt:
+                raise FeatureValidationError(
+                    f"get_training_set('{name}'): join_key_map target(s) "
+                    f"{bad_tgt} are not key columns of the view "
+                    f"(keys: {sorted(view_keys)})."
+                )
+            clash = sorted(
+                set(join_key_map.values())
+                & (set(entity_timestamps.columns) - set(join_key_map))
+            )
+            if clash:
+                raise FeatureValidationError(
+                    f"get_training_set('{name}'): join_key_map rename "
+                    f"collides with existing spine column(s) {clash}."
+                )
+            entity_timestamps = entity_timestamps.withColumnsRenamed(
+                join_key_map
+            )
         if key_cols:
             entity_timestamps = self._compose_entity_key(
                 entity_timestamps, key_cols, context="get_training_set(spine)"
@@ -1671,7 +1729,13 @@ class FeatureStore:
                 embargo_seconds=embargo_seconds,
             )
         out = project(out, columns)
-        return self._expand_entity_key(out.drop(*HIDDEN_COLS), key_cols)
+        out = self._expand_entity_key(out.drop(*HIDDEN_COLS), key_cols)
+        if join_key_map:
+            # back to the caller's vocabulary (Feast renames in output)
+            out = out.withColumnsRenamed(
+                {v: k for k, v in join_key_map.items()}
+            )
+        return out
 
     def get_multi_view_training_set(
         self,
@@ -3161,6 +3225,73 @@ class FeatureStore:
             raise FeatureValidationError(
                 f"{context}: data contract failed — violating rows per "
                 f"check: {failed}. Refusing to publish this version."
+            )
+
+    def _enforce_references(
+        self,
+        df: DataFrame,
+        references: dict[str, tuple[str, str]],
+        context: str,
+    ) -> None:
+        """Referential data contract (dbt 'relationships' at publish):
+        every non-NULL value of each FK column must exist in the CURRENT
+        version of the referenced registered table's column; NULLs pass
+        (SQL FK semantics). ONE job: chained left joins against the
+        DISTINCT reference sets (distinct build sides — no row
+        multiplication) feeding a single violation-count aggregate."""
+        probe = df
+        marks: list[tuple[str, str]] = []
+        for i, (col, ref) in enumerate(references.items()):
+            try:
+                rtable, rcol = ref
+            except (TypeError, ValueError):
+                raise FeatureValidationError(
+                    f"{context}: references['{col}'] must be a "
+                    f"(table, column) pair, got {ref!r}"
+                ) from None
+            if col not in df.columns:
+                raise FeatureValidationError(
+                    f"{context}: FK column '{col}' is not an incoming "
+                    f"column ({sorted(df.columns)})."
+                )
+            self._require_table(rtable)
+            raw = self._current(rtable)
+            rframe = self._expand_entity_key(
+                raw.drop(*HIDDEN_COLS), self._entity_key_cols(raw)
+            )
+            if rcol not in rframe.columns:
+                raise FeatureValidationError(
+                    f"{context}: referenced column '{rcol}' not on "
+                    f"table '{rtable}' ({sorted(rframe.columns)})."
+                )
+            mark = f"__fk_{i}__"
+            rvals = rframe.select(
+                F.col(rcol).alias(f"__fkv_{i}__")
+            ).distinct().withColumn(mark, F.lit(1))
+            probe = probe.join(
+                rvals, probe[col] == rvals[f"__fkv_{i}__"], "left"
+            )
+            marks.append((col, mark))
+        aggs = [
+            F.sum(
+                F.when(
+                    F.col(col).isNotNull() & F.col(mark).isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_fk{i}")
+            for i, (col, mark) in enumerate(marks)
+        ]
+        row = probe.agg(*aggs).collect()[0]
+        failed = {
+            f"{col} -> {references[col][0]}.{references[col][1]}": int(row[i])
+            for i, (col, _) in enumerate(marks)
+            if row[i]
+        }
+        if failed:
+            raise FeatureValidationError(
+                f"{context}: referential contract failed — orphan rows "
+                f"per FK: {failed}. Refusing to publish this version."
             )
 
     # ------------------------------------------------------------------ #

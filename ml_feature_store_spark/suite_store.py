@@ -2313,7 +2313,95 @@ def q_dq14_version_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f45_join_key_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-time entity-key aliasing (store.py get_training_set
+    ``join_key_map=`` — Feast's join_key_map, round-9): a spine whose
+    key column is named in the CALLER's vocabulary (``driver``) builds
+    a training set against a view keyed ``entity_id`` — the spine is
+    renamed to the view's key for the build and renamed BACK in the
+    output, so neither side gives up its naming. Eager refusals:
+    unknown spine column, non-key target, rename collision. Zero plan
+    cost (a map-side rename on each end). Oracle: the f7-grid argmax
+    with the output keyed ``driver``."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("jkm_events", feats)
+    spine = (
+        feats.select(F.col("entity_id").alias("driver"))
+        .distinct()
+        .withColumn(
+            "timestamp", F.lit(dt.datetime(2024, 1, 15)).cast("timestamp")
+        )
+    )
+    out = fs.get_training_set(
+        "jkm_events", spine, join_key_map={"driver": "entity_id"}
+    )
+    return out.select(
+        F.col("driver").cast("long"),
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long"),
+    )
+
+
+def q_dq15_fk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential ingest contract (store.py register ``references=`` —
+    dbt's relationships test at publish, round-9): a user-dimension
+    table registers first; the fact register declares
+    ``user_ref -> users_dim.entity_id`` and publishes only because
+    every non-NULL FK resolves (NULLs pass, SQL semantics — one
+    injected NULL proves it). A second register with CORRUPTED keys
+    (offset past the dimension) must REFUSE naming the FK and the
+    orphan count — asserted in-lane, the f33 refusal pattern. All FKs
+    probe in ONE job (chained distinct left joins + one aggregate).
+    Result: the PIT replay over the published fact."""
+    import datetime as dt
+
+    from .errors import FeatureValidationError
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark)
+    dim = feats.select("entity_id").distinct().withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 1)).cast("timestamp")
+    )
+    fs.register("users_dim", dim)
+    fact = feats.withColumn(
+        "user_ref",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("entity_id")
+        ),
+    )
+    fs.register(
+        "fk_events", fact, references={"user_ref": ("users_dim", "entity_id")}
+    )
+    bad = fact.withColumn("user_ref", F.col("user_ref") + F.lit(10_000_000))
+    try:
+        fs.register(
+            "fk_events_bad",
+            bad,
+            references={"user_ref": ("users_dim", "entity_id")},
+        )
+        raise AssertionError("corrupted FK register must refuse")
+    except FeatureValidationError as e:
+        assert "orphan" in str(e)
+    out = fs.get("fk_events", list(range(25)), dt.datetime(2024, 1, 20))
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long"),
+        F.col("user_ref").cast("long"),
+    )
+
+
 QUERIES = {
+    'f45_join_key_map': q_f45_join_key_map,
+    'dq15_fk_contract': q_dq15_fk_contract,
     'dq14_version_profile': q_dq14_version_profile,
     'f44_serving_log': q_f44_serving_log,
     'f42_window_view': q_f42_window_view,
@@ -3589,4 +3677,34 @@ ORACLE_SQL["dq14_version_profile"] = f"""
            CAST(n_nulls * 1000000 // GREATEST(n_rows, 1) AS BIGINT)
                AS null_ppm
     FROM unp
+"""
+
+# f45: f7-grid argmax, output keyed in the caller's vocabulary ("driver").
+ORACLE_SQL["f45_join_key_map"] = f"""
+    WITH f AS ({_EV})
+    SELECT user_id AS driver,
+           epoch_us(ts) AS ts_us,
+           event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM f WHERE ts <= TIMESTAMP '2024-01-15'
+    ) WHERE rn = 1
+"""
+
+# dq15: the happy-path fact publishes (every non-NULL FK resolves by
+# construction); PIT replay for users 0-24 with the injected-NULL column.
+ORACLE_SQL["dq15_fk_contract"] = f"""
+    WITH f AS ({_EV})
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_ref
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM f WHERE ts <= TIMESTAMP '2024-01-20' AND user_id < 25
+    ) WHERE rn = 1
 """

@@ -734,3 +734,115 @@ class TestWindowViewSpineClash:
         )
         with pytest.raises(FeatureValidationError, match="collide"):
             fs.get_window_training_set("wv", spine)
+
+
+class TestJoinKeyMap:
+    """f45: retrieval-time entity-key aliasing."""
+
+    def _store(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "jk",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 10), ("u2", ts("2024-01-02"), 20)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        return fs
+
+    def test_spine_keeps_its_vocabulary(self, spark):
+        fs = self._store(spark)
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-05"))], ["driver", "timestamp"]
+        )
+        out = fs.get_training_set(
+            "jk", spine, join_key_map={"driver": "entity_id"}
+        )
+        assert "driver" in out.columns and "entity_id" not in out.columns
+        assert out.collect()[0].cents == 10
+
+    def test_refusals(self, spark):
+        fs = self._store(spark)
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-05"))], ["driver", "timestamp"]
+        )
+        with pytest.raises(FeatureValidationError, match="source"):
+            fs.get_training_set(
+                "jk", spine, join_key_map={"nope": "entity_id"}
+            )
+        with pytest.raises(FeatureValidationError, match="not key columns"):
+            fs.get_training_set(
+                "jk", spine, join_key_map={"driver": "cents"}
+            )
+        clashing = spine.withColumn("entity_id", F.lit("x"))
+        with pytest.raises(FeatureValidationError, match="collides"):
+            fs.get_training_set(
+                "jk", clashing, join_key_map={"driver": "entity_id"}
+            )
+
+    def test_composite_key_mapping(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "jk2",
+            spark.createDataFrame(
+                [("u1", "m1", ts("2024-01-01"), 5)],
+                ["user_id", "merchant_id", "timestamp", "cents"],
+            ),
+            entity_cols=["user_id", "merchant_id"],
+        )
+        spine = spark.createDataFrame(
+            [("u1", "m1", ts("2024-01-05"))],
+            ["buyer", "merchant_id", "timestamp"],
+        )
+        out = fs.get_training_set(
+            "jk2", spine, join_key_map={"buyer": "user_id"}
+        )
+        assert "buyer" in out.columns and "user_id" not in out.columns
+        assert out.collect()[0].cents == 5
+
+
+class TestReferentialContract:
+    """dq15: register(references=) — the dbt relationships gate."""
+
+    def _dim(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "dim",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01")), ("u2", ts("2024-01-01"))],
+                ["entity_id", "timestamp"],
+            ),
+        )
+        return fs
+
+    def test_orphans_refused_with_counts(self, spark):
+        fs = self._dim(spark)
+        bad = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), "u9"), ("u2", ts("2024-01-02"), "u8")],
+            ["entity_id", "timestamp", "ref"],
+        )
+        with pytest.raises(FeatureValidationError, match="orphan"):
+            fs.register("fact", bad, references={"ref": ("dim", "entity_id")})
+        assert "fact" not in fs.list_tables()
+
+    def test_nulls_pass_fk(self, spark):
+        fs = self._dim(spark)
+        ok = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), "u2"), ("u2", ts("2024-01-02"), None)],
+            ["entity_id", "timestamp", "ref"],
+        )
+        info = fs.register(
+            "fact", ok, references={"ref": ("dim", "entity_id")}
+        )
+        assert info.row_count == 2
+
+    def test_unknown_fk_column_or_table_refused(self, spark):
+        fs = self._dim(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), "u2")],
+            ["entity_id", "timestamp", "ref"],
+        )
+        with pytest.raises(FeatureValidationError, match="not an incoming"):
+            fs.register("f2", df, references={"nope": ("dim", "entity_id")})
+        with pytest.raises(Exception, match="dim2|not found|Unknown"):
+            fs.register("f3", df, references={"ref": ("dim2", "entity_id")})
