@@ -892,7 +892,35 @@ def q_q32_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q33_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT / UNPIVOT clauses (the relational rotation surface —
+    p1/p2 witness the DataFrame API; this is the SQL-standard clause
+    pair): revenue cents pivot wide per linestatus with aliased pivot
+    columns, then UNPIVOT straight back to long form — the roundtrip
+    exercises both rotations and NULL-dropping unpivot semantics in one
+    plan. Catalyst compiles the pivot to ONE conditional aggregate pass
+    (no per-pivot-value scans); the oracle is that conditional
+    aggregate written by hand."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q33_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, status, CAST(cents AS BIGINT) AS cents
+        FROM (
+            SELECT * FROM (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT) AS c
+                FROM q33_lineitem
+            )
+            PIVOT (SUM(c) FOR l_linestatus IN ('F' AS sf, 'O' AS so))
+        )
+        UNPIVOT (cents FOR status IN (sf, so))
+        """
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q33_sql_pivot": q_q33_sql_pivot,
     "q32_sql_udf": q_q32_sql_udf,
     "q31_sql_scripting": q_q31_sql_scripting,
     "q30_identifier_clause": q_q30_identifier_clause,
@@ -924,6 +952,25 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 RELATIONAL_ORACLE: dict[str, str] = {
+    "q33_sql_pivot": """
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        wide AS (
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'F' THEN c END) AS sf,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN c END) AS so
+            FROM base GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sf' AS status, CAST(sf AS BIGINT) AS cents
+        FROM wide WHERE sf IS NOT NULL
+        UNION ALL
+        SELECT l_returnflag, 'so', CAST(so AS BIGINT) FROM wide
+        WHERE so IS NOT NULL
+    """,
     "q32_sql_udf": """
         SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
                     WHEN 'A' THEN 'acknowledged'

@@ -307,6 +307,7 @@ class FeatureStore:
         checks: dict[str, str] | None = None,
         ttl_seconds: float | None = None,
         references: dict[str, tuple[str, str]] | None = None,
+        unique: Sequence[str] | None = None,
     ) -> FeatureTableInfo:
         """Validate, normalize and store ``df`` as a new version of ``name``.
 
@@ -335,6 +336,15 @@ class FeatureStore:
         PRE-compose frame, so composite-key contracts reference the
         natural key columns the caller actually sent (``user_id IS NOT
         NULL``), not the folded struct.
+
+        ``unique`` is the UNIQUENESS contract (dbt's ``unique`` /
+        primary-key test at publish): the named column tuple must be
+        duplicate-free in the incoming batch. ONE aggregate —
+        ``count(*) - count(distinct struct(cols))`` — so the gate adds
+        a single partial-agg job, no extra shuffle of the data itself;
+        NULL key components collapse like SQL DISTINCT (two all-NULL
+        keys ARE duplicates here — a PK with NULLs is already a bug).
+        Refusal names the key and the duplicate-row count.
 
         ``references`` is the REFERENTIAL half of the contract (dbt's
         ``relationships`` test at the only moment it can still refuse
@@ -388,6 +398,24 @@ class FeatureStore:
                     f"evaluated over the incoming columns "
                     f"({sorted(df.columns)}): {exc}"
                 ) from exc
+        if unique and isinstance(df, DataFrame):
+            missing = [c for c in unique if c not in df.columns]
+            if missing:
+                raise FeatureValidationError(
+                    f"register('{name}'): unique key column(s) {missing} "
+                    f"are not incoming columns ({sorted(df.columns)})."
+                )
+            counts = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.struct(*unique)).alias("d"),
+            ).collect()[0]
+            dupes = int(counts["n"]) - int(counts["d"])
+            if dupes:
+                raise FeatureValidationError(
+                    f"register('{name}'): uniqueness contract failed — "
+                    f"{dupes} duplicate row(s) for key {list(unique)}. "
+                    f"Refusing to publish this version."
+                )
         if references and isinstance(df, DataFrame):
             self._enforce_references(
                 df, references, context=f"register('{name}')"

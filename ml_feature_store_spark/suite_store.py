@@ -2399,7 +2399,47 @@ def q_dq15_fk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq16_unique_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness ingest contract (store.py register ``unique=`` —
+    dbt's primary-key test at publish, round-9): the fact registers
+    with a declared (entity, timestamp, event_id) key and publishes
+    because the feed is duplicate-free; a register of the feed UNIONED
+    WITH ITSELF must refuse naming the key and the exact duplicate-row
+    count (asserted in-lane, the f33/dq15 refusal pattern). The gate is
+    ONE aggregate — count(*) minus count(distinct struct(key)) — a
+    single partial-agg job, the data itself never re-shuffles. Result:
+    the PIT replay over the published version."""
+    import datetime as dt
+
+    from .errors import FeatureValidationError
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register(
+        "uq_events", feats, unique=["entity_id", "timestamp", "event_id"]
+    )
+    doubled = feats.unionAll(feats)
+    try:
+        fs.register(
+            "uq_events_bad",
+            doubled,
+            unique=["entity_id", "timestamp", "event_id"],
+        )
+        raise AssertionError("doubled input must refuse the unique contract")
+    except FeatureValidationError as e:
+        assert "duplicate" in str(e)
+    out = fs.get("uq_events", list(range(25)), dt.datetime(2024, 1, 20))
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long"),
+    )
+
+
 QUERIES = {
+    'dq16_unique_contract': q_dq16_unique_contract,
     'f45_join_key_map': q_f45_join_key_map,
     'dq15_fk_contract': q_dq15_fk_contract,
     'dq14_version_profile': q_dq14_version_profile,
@@ -3701,6 +3741,20 @@ ORACLE_SQL["dq15_fk_contract"] = f"""
     SELECT user_id, epoch_us(ts) AS ts_us, event_id,
            CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
            CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_ref
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM f WHERE ts <= TIMESTAMP '2024-01-20' AND user_id < 25
+    ) WHERE rn = 1
+"""
+
+# dq16: the happy path publishes (feed is duplicate-free by construction);
+# PIT replay for users 0-24.
+ORACLE_SQL["dq16_unique_contract"] = f"""
+    WITH f AS ({_EV})
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
     FROM (
         SELECT user_id, ts, event_id, value,
                row_number() OVER (PARTITION BY user_id

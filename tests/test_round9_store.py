@@ -846,3 +846,37 @@ class TestReferentialContract:
             fs.register("f2", df, references={"nope": ("dim", "entity_id")})
         with pytest.raises(Exception, match="dim2|not found|Unknown"):
             fs.register("f3", df, references={"ref": ("dim2", "entity_id")})
+
+
+class TestUniqueContract:
+    """dq16: register(unique=) — the primary-key gate at publish."""
+
+    def test_duplicates_refused_with_count(self, spark):
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1), ("u1", ts("2024-01-01"), 1),
+             ("u2", ts("2024-01-01"), 2)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        with pytest.raises(FeatureValidationError, match="1 duplicate"):
+            fs.register("t", df, unique=["entity_id", "timestamp"])
+        assert "t" not in fs.list_tables()
+
+    def test_unique_passes_and_wider_key_disambiguates(self, spark):
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1), ("u1", ts("2024-01-01"), 2)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        # (entity, ts) duplicates, but (entity, ts, cents) is unique
+        fs.register("t", df, unique=["entity_id", "timestamp", "cents"])
+        assert fs.get_table_info("t").row_count == 2
+
+    def test_unknown_key_column_refused(self, spark):
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        with pytest.raises(FeatureValidationError, match="not incoming"):
+            fs.register("t", df, unique=["nope"])
