@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     "f44_serving_log",  # online serve + |entities|-row log appends, 8x events
     "x33_filtered_ann",  # broadcast queries + filtered candidate scan (emb 1x)
     "dq14_version_profile",  # one-pass tagged-union profile over 8x events
+    "f45_join_key_map",  # renamed-spine as-of build over 8x events
+    "dq15_fk_contract",  # one-job FK probe (distinct dims) + register, 8x events
+    "q33_sql_pivot",  # conditional-agg pivot + unpivot roundtrip, 8x lineitem
+    "dq16_unique_contract",  # one-agg PK gate + register + PIT, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
