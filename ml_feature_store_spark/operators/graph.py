@@ -579,3 +579,95 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the algorithm `operators/dedup.py connected_components`'
+    docstring names as the scale path for LARGE-DIAMETER graphs:
+    min-label propagation needs O(diameter) rounds (a 10M-node chain =
+    10M rounds), while star contraction converges in O(log^2 n) rounds
+    regardless of diameter by rewiring every node toward its
+    neighborhood minimum each round.
+
+    Per round: large-star hangs every node's LARGER neighbors off its
+    neighborhood min (one groupBy-min + one join = 2 shuffles), then
+    small-star re-hangs the SMALLER neighbors (same shape). Edge count
+    never grows (each emitted edge replaces one input edge), rounds
+    truncate lineage via localCheckpoint, and convergence (edge set
+    stable) is checked with a count + order-free checksum — no
+    collect of the edge list. Output: (node, component) with component
+    = the min node id, IDENTICAL to connected_components' fixpoint —
+    pinned by tests/test_encoding_and_graph.py equality tests.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.hash("a", "b").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # large-star: symmetric view; for each u, m = min(N(u) ∪ {u});
+        # emit (v, m) for the strictly LARGER neighbors v > u
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mv__")).select(
+            "u", F.least(F.col("__mv__"), F.col("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: edges already oriented a > b; for each a,
+        # m = min(smaller neighbors); re-hang them (and a) on m
+        smins = ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ls.join(smins, "a")
+        ss = (
+            joined.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(ss)
+        e = ss
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged star graph: every edge (a, b) hangs node a on root b
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return labels.unionByName(roots)

@@ -158,6 +158,36 @@ def q_x33_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g8_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR/SMALL-STAR contraction
+    (operators/graph.py connected_components_star — Kiveris et al.
+    SoCC'14), the scale path x15's min-label docstring points at:
+    min-label needs O(diameter) rounds (a long chain defeats it; the
+    equality pytest demonstrates exactly that), star contraction
+    converges in O(log^2 n) regardless of diameter. Run over the
+    bounded co-purchase graph (parts < 250 sharing an order, g3's edge
+    construction), rolled up per component — same output contract as
+    x15 (component = min node id), same recursive-closure oracle
+    shape. Per round: 2 groupBy-min + join pairs (4 shuffles), edge
+    count never grows, lineage truncated per round."""
+    from .operators.graph import connected_components_star
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 250)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "k").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comps = connected_components_star(edges)
+    return comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max("node").cast("long").alias("max_node"),
+        F.sum("node").cast("long").alias("sum_nodes"),
+    )
+
+
 def q_x1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs query vec_id=0 — the exact-ANN baseline.
     At scale: broadcast the query, one scan, partial top-k per partition."""
@@ -1302,6 +1332,7 @@ QUERIES = {
     'm2_frame_sample': q_m2_frame_sample,
     'm7_phash_dedup': q_m7_phash_dedup,
     'x33_filtered_ann': q_x33_filtered_ann,
+    'g8_cc_largestar': q_g8_cc_largestar,
     'x1_knn_cosine_topk': q_x1_knn_cosine_topk,
     'emb2_matryoshka_recall': q_emb2_matryoshka_recall,
     'x2_similar_pairs': q_x2_similar_pairs,
@@ -1367,6 +1398,31 @@ ORACLE_SQL: dict[str, str] = {
                      + 8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5)) - 1)
                     // (8000 * (1 + (('0x' || substr(sha256(text), 7, 2))::INTEGER % 5))) AS INTEGER) AS n_windows
         FROM documents
+    """,
+    "g8_cc_largestar": """
+        WITH RECURSIVE
+        li AS (SELECT l_orderkey, l_partkey FROM lineitem
+               WHERE l_partkey < 250),
+        pairs AS (
+            SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(node) AS BIGINT) AS max_node,
+               CAST(SUM(node) AS BIGINT) AS sum_nodes
+        FROM (
+            SELECT s AS node, LEAST(s, MIN(d)) AS component
+            FROM reach GROUP BY s
+        )
+        GROUP BY component
     """,
     "x33_filtered_ann": """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

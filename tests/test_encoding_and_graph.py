@@ -293,3 +293,62 @@ class TestVocabEncode:
         docs = spark.createDataFrame([(1, "hello"), (2, "!!! ...")], ["doc_id", "text"])
         vocab = build_vocab(docs, top_v=8)
         assert encode_tokens(docs, vocab).filter("doc_id = 2").count() == 0
+
+
+class TestStarConnectedComponents:
+    """g8: large-star/small-star CC == min-label fixpoint, and it
+    converges where min-label's round budget fails."""
+
+    def test_equals_minlabel_on_random_graph(self, spark):
+        import random
+
+        from ml_feature_store_spark.operators.dedup import (
+            connected_components,
+        )
+        from ml_feature_store_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        random.seed(11)
+        edges = [
+            (random.randint(0, 40), random.randint(0, 40)) for _ in range(60)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        star = {(r.node, r.component)
+                for r in connected_components_star(df).collect()}
+        base = {(r.node, r.component)
+                for r in connected_components(df, max_iter=100).collect()}
+        assert star == base
+
+    def test_long_chain_beats_minlabel_round_budget(self, spark):
+        from ml_feature_store_spark.operators.dedup import (
+            connected_components,
+        )
+        from ml_feature_store_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+        )
+        star = connected_components_star(chain, max_iter=15).collect()
+        # star contraction: whole chain collapses to component 0 well
+        # inside 15 rounds (O(log^2 n)); min-label at the same budget
+        # CANNOT have finished (needs ~diameter rounds) — the measured
+        # reason g8 is the large-diameter scale path
+        assert {r.component for r in star} == {0}
+        partial = connected_components(chain, max_iter=15).collect()
+        assert {r.component for r in partial} != {0}
+
+    def test_isolated_pairs_and_self_loops(self, spark):
+        from ml_feature_store_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (3, 3), (5, 6), (6, 5)], ["id_a", "id_b"]
+        )
+        out = {(r.node, r.component)
+               for r in connected_components_star(df).collect()}
+        assert out == {(1, 1), (2, 1), (3, 3), (5, 5), (6, 5)}

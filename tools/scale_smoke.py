@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "dq15_fk_contract",  # one-job FK probe (distinct dims) + register, 8x events
     "q33_sql_pivot",  # conditional-agg pivot + unpivot roundtrip, 8x lineitem
     "dq16_unique_contract",  # one-agg PK gate + register + PIT, 8x events
+    "g8_cc_largestar",  # star-contraction CC over the 8x co-purchase graph
 ]
 KEY_OFFSET = 100_000_000
 
