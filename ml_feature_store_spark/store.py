@@ -2661,6 +2661,82 @@ class FeatureStore:
             )
         return served
 
+    def compare_services(
+        self,
+        champion: str,
+        challenger: str,
+        entity_ids: Sequence[Any] | None = None,
+        as_of: Any = None,
+    ) -> DataFrame:
+        """CHAMPION/CHALLENGER comparison — the shadow-deployment audit:
+        serve BOTH feature services online over the same entities and
+        report, per shared output column, how many entities match, how
+        many differ, and how many are one-sided (an entity one service
+        serves and the other does not — a coverage skew, not a value
+        skew). The question it answers before a cutover: "does the new
+        service's pipeline produce the features the old one did?" —
+        f28's online/offline consistency audit lifted to the
+        service-vs-service axis.
+
+        Null-safe equality (``<=>``): NULL==NULL counts as a match, a
+        NULL against a value as a difference. Columns only one service
+        produces are skipped (they cannot skew what the other never
+        served); the shared ENTITY KEY must agree or the comparison
+        refuses. Cost: the two serving reads (|entities|-row snapshot
+        scans) + one full-outer equi join + one aggregate — history
+        never touched."""
+        a = self.get_online_service(champion, entity_ids, as_of=as_of)
+        b = self.get_online_service(challenger, entity_ids, as_of=as_of)
+        key_a = self._service_natural_key(self._services[champion])
+        key_b = self._service_natural_key(self._services[challenger])
+        if key_a != key_b:
+            raise FeatureValidationError(
+                f"compare_services('{champion}', '{challenger}'): "
+                f"entity keys differ ({key_a} vs {key_b}) — the "
+                f"services do not serve the same entity space."
+            )
+        shared = [
+            c for c in a.columns if c in set(b.columns) and c not in key_a
+        ]
+        am = a.withColumn("__in_a__", F.lit(1))
+        bm = b.withColumn("__in_b__", F.lit(1))
+        j = am.join(bm, key_a, "full_outer")
+        both = F.col("__in_a__").isNotNull() & F.col("__in_b__").isNotNull()
+        rows = []
+        for c in shared:
+            eq = am[c].eqNullSafe(bm[c])
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.sum(F.when(both & eq, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_match"),
+                    F.sum(F.when(both & ~eq, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_diff"),
+                )
+            )
+        agg = j.agg(
+            F.array(*rows).alias("__cols__"),
+            F.sum(
+                F.when(F.col("__in_a__").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_only_challenger"),
+            F.sum(
+                F.when(F.col("__in_b__").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_only_champion"),
+        )
+        return agg.select(
+            F.explode("__cols__").alias("c"),
+            "n_only_champion",
+            "n_only_challenger",
+        ).select(
+            F.col("c.column").alias("column"),
+            F.col("c.n_match").alias("n_match"),
+            F.col("c.n_diff").alias("n_diff"),
+            "n_only_champion",
+            "n_only_challenger",
+        )
+
     def list_feature_services(self) -> list[str]:
         return sorted(self._services)
 

@@ -2438,7 +2438,57 @@ def q_dq16_unique_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f46_compare_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion/challenger service comparison (store.py
+    compare_services — the shadow-deployment audit, round-9): the
+    challenger's pipeline drops every 7th event and loses users >= 140
+    entirely, so the report must count exactly the users whose
+    latest-purchase feature CHANGES under the drop (value skew), the
+    users only the champion serves (coverage skew), and the agreeing
+    rest. Both services map their view-prefixed outputs to one shared
+    name (f41's output_mapping composing), null-safe equality, one
+    full-outer join of two |entities|-row snapshots + one aggregate.
+    Oracle: both argmaxes replayed from the feed and diffed in SQL."""
+    from .store import FeatureStore
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("event_id").alias("__row_id__"),
+    )
+    pch = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    fs = FeatureStore(spark)
+    fs.register("champ_v", pch)
+    fs.register(
+        "chall_v",
+        pch.filter(F.col("event_id") % 7 != 0).filter(
+            F.col("entity_id") < 140
+        ),
+    )
+    fs.materialize_online("champ_v")
+    fs.materialize_online("chall_v")
+    fs.create_feature_service(
+        "champ",
+        {"champ_v": ["value_cents"]},
+        output_mapping={"champ_v__value_cents": "spend_cents"},
+    )
+    fs.create_feature_service(
+        "chall",
+        {"chall_v": ["value_cents"]},
+        output_mapping={"chall_v__value_cents": "spend_cents"},
+    )
+    return fs.compare_services("champ", "chall").select(
+        "column", "n_match", "n_diff", "n_only_champion", "n_only_challenger"
+    )
+
+
 QUERIES = {
+    'f46_compare_services': q_f46_compare_services,
     'dq16_unique_contract': q_dq16_unique_contract,
     'f45_join_key_map': q_f45_join_key_map,
     'dq15_fk_contract': q_dq15_fk_contract,
@@ -3761,4 +3811,46 @@ ORACLE_SQL["dq16_unique_contract"] = f"""
                                   ORDER BY ts DESC, event_id ASC) AS rn
         FROM f WHERE ts <= TIMESTAMP '2024-01-20' AND user_id < 25
     ) WHERE rn = 1
+"""
+
+# f46: both argmax snapshots replayed and diffed in SQL (null-safe equality
+# is irrelevant here — both sides are non-null where present).
+ORACLE_SQL["f46_compare_services"] = f"""
+    WITH f AS ({_EV}),
+    champ AS (
+        SELECT user_id, value_cents FROM (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    chall AS (
+        SELECT user_id, value_cents FROM (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id ASC) AS rn
+            FROM f WHERE event_type = 'purchase'
+              AND event_id % 7 <> 0 AND user_id < 140
+        ) WHERE rn = 1
+    ),
+    j AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               a.value_cents AS va, b.value_cents AS vb
+        FROM champ a FULL OUTER JOIN chall b ON a.user_id = b.user_id
+    )
+    SELECT 'spend_cents' AS "column",
+           CAST(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL
+                          AND va = vb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+           CAST(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL
+                          AND va <> vb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_diff,
+           CAST(SUM(CASE WHEN ub IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_champion,
+           CAST(SUM(CASE WHEN ua IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_challenger
+    FROM j
 """

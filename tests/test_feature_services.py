@@ -538,3 +538,60 @@ class TestServingLog:
         fs.log_service_read("mm", logical_time=ts("2024-02-01"))
         info = fs.get_table_info("mm__serving_log")
         assert "spend_cents" in info.columns
+
+
+class TestCompareServices:
+    """f46: champion/challenger shadow audit."""
+
+    def test_value_and_coverage_skew_counted(self, spark):
+        fs = FeatureStore(spark)
+        champ_src = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), 100), ("u2", ts("2024-01-03"), 300),
+             ("u3", ts("2024-01-04"), 500)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        # challenger: u2 differs, u3 missing, u1 agrees
+        chall_src = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), 100), ("u2", ts("2024-01-03"), 999)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        fs.register("cva", champ_src)
+        fs.register("cvb", chall_src)
+        fs.materialize_online("cva")
+        fs.materialize_online("cvb")
+        fs.create_feature_service(
+            "champ", {"cva": ["cents"]},
+            output_mapping={"cva__cents": "spend"},
+        )
+        fs.create_feature_service(
+            "chall", {"cvb": ["cents"]},
+            output_mapping={"cvb__cents": "spend"},
+        )
+        rows = {r.column: r for r in fs.compare_services("champ", "chall").collect()}
+        r = rows["spend"]
+        assert (r.n_match, r.n_diff) == (1, 1)
+        assert (r.n_only_champion, r.n_only_challenger) == (1, 0)
+
+    def test_null_safe_equality(self, spark):
+        fs = FeatureStore(spark)
+        a = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), None), ("u2", ts("2024-01-02"), 5)],
+            "entity_id string, timestamp timestamp, cents long",
+        )
+        b = spark.createDataFrame(
+            [("u1", ts("2024-01-02"), None), ("u2", ts("2024-01-02"), None)],
+            "entity_id string, timestamp timestamp, cents long",
+        )
+        fs.register("nsa", a)
+        fs.register("nsb", b)
+        fs.materialize_online("nsa")
+        fs.materialize_online("nsb")
+        fs.create_feature_service(
+            "sa", {"nsa": ["cents"]}, output_mapping={"nsa__cents": "c"}
+        )
+        fs.create_feature_service(
+            "sb", {"nsb": ["cents"]}, output_mapping={"nsb__cents": "c"}
+        )
+        r = {x.column: x for x in fs.compare_services("sa", "sb").collect()}["c"]
+        # NULL == NULL matches (u1); 5 vs NULL differs (u2)
+        assert (r.n_match, r.n_diff) == (1, 1)

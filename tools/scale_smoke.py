@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q33_sql_pivot",  # conditional-agg pivot + unpivot roundtrip, 8x lineitem
     "dq16_unique_contract",  # one-agg PK gate + register + PIT, 8x events
     "g8_cc_largestar",  # star-contraction CC over the 8x co-purchase graph
+    "f46_compare_services",  # two snapshot argmaxes + full-outer diff, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
