@@ -120,3 +120,109 @@ def test_row_id_watermark_exact_through_mutation_chain(spark, batches, patch):
     actual = cur.agg(F.max("__row_id__")).collect()[0][0]
     assert rec.max_row_id == actual
     assert cur.select("__row_id__").distinct().count() == cur.count()
+
+
+spine_rows = st.lists(
+    st.tuples(entities, day_offsets), min_size=1, max_size=8
+)
+
+
+class TestWindowViewProperties:
+    """f42: RANGE-frame trailing aggregates == brute-force reference."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=feature_rows, spine=spine_rows)
+    def test_matches_python_reference(self, spark, rows, spine):
+        fs = FeatureStore(spark)
+        fs.register("wvp_prop", _df(spark, rows))
+        fs.create_window_view(
+            "wv_prop",
+            "wvp_prop",
+            [
+                {"column": "f", "function": "sum",
+                 "window_seconds": 3 * 86400, "alias": "s3d"},
+                {"column": "f", "function": "count",
+                 "window_seconds": 3 * 86400, "alias": "n3d"},
+            ],
+        )
+        sp = spark.createDataFrame(
+            [(e, BASE + dt.timedelta(days=d)) for e, d in spine],
+            ["entity_id", "timestamp"],
+        )
+        got = {
+            (r.entity_id, r.timestamp): (r.s3d, r.n3d)
+            for r in fs.get_window_training_set("wv_prop", sp).collect()
+        }
+        for e, d in set(spine):
+            ts_ = BASE + dt.timedelta(days=d)
+            in_win = [
+                float(v)
+                for (e2, d2, v) in rows
+                if e2 == e and 0 <= (d - d2) <= 3
+            ]
+            want = (sum(in_win) if in_win else None, len(in_win))
+            assert got[(e, ts_)] == want
+
+
+class TestWoeIvProperties:
+    """fe9: IV terms are non-negative; fractions normalize."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q", "r"]), st.booleans()),
+        min_size=4, max_size=40,
+    ))
+    def test_iv_nonnegative_fractions_normalize(self, spark, rows):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        # ensure both classes exist (degenerate one-class inputs divide
+        # by a zero total and are a caller error, not a property case)
+        rows = rows + [("p", True), ("q", False)]
+        df = spark.createDataFrame(rows, ["cat", "y"])
+        rep = woe_iv(df, "cat", "y").collect()
+        assert abs(sum(r.pos_frac for r in rep) - 1.0) < 1e-9
+        assert abs(sum(r.neg_frac for r in rep) - 1.0) < 1e-9
+        for r in rep:
+            # (pf - nf) and ln((pf+e)/(nf+e)) always share a sign
+            assert r.iv_term >= -1e-9
+
+
+class TestWalkForwardProperties:
+    """cv1: no test row inside the purge gap; train grows with the cut."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(day_offsets, min_size=3, max_size=40))
+    def test_purge_and_monotone_train(self, spark, rows):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        df = spark.createDataFrame(
+            [(i, BASE + dt.timedelta(days=d, hours=3)) for i, d in enumerate(rows)],
+            ["id", "ts"],
+        )
+        cuts = ["2024-01-02", "2024-01-04"]
+        out = walk_forward_folds(df, "ts", cuts, 86400.0, 2 * 86400.0).collect()
+        cut_ts = {0: dt.datetime(2024, 1, 2), 1: dt.datetime(2024, 1, 4)}
+        train_n = {0: 0, 1: 0}
+        for r in out:
+            c = cut_ts[r.fold]
+            if r.split == "train":
+                assert r.ts <= c
+                train_n[r.fold] += 1
+            else:
+                assert r.ts > c + dt.timedelta(days=1)
+                assert r.ts <= c + dt.timedelta(days=3)
+        assert train_n[1] >= train_n[0]
