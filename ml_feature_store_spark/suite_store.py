@@ -2487,7 +2487,64 @@ def q_f46_compare_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h5_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) via mergeable HLL sketch rollup state
+    (store.py create_rollup ``distinct_cols=``, round-9): exact distinct
+    counts cannot fold across increments (yesterday's and today's users
+    overlap), so the rollup state carries a per-group HLL sketch that
+    unions associatively — refresh stays O(delta) for distincts exactly
+    as it is for sums. h3's lane with the distinct dimension: register
+    the early half, roll up (count + cents sum + user sketch), append,
+    refresh. The a10 oracle contract: estimates are engine-specific, so
+    emit the EXACT distinct (recomputed from the source — the
+    cross-engine proof) plus two booleans the Spark side must earn:
+    estimate within 10% of exact, and merged-sketch estimate EQUAL to a
+    single-pass sketch over the whole feed (union-merge associativity,
+    the property that makes the state incremental)."""
+    from .store import FeatureStore
+
+    feats = (
+        events_features(spark, sf_dir)
+        .withColumn(
+            "value_cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .drop("value")
+    )
+    base = feats.filter(F.col("event_id") < 1500)
+    extra = feats.filter(F.col("event_id") >= 1500).drop("__row_id__")
+    fs = FeatureStore(spark)
+    fs.register("ev5", base)
+    fs.create_rollup(
+        "ev5", "by_type5", ["event_type"], ["value_cents"], ["entity_id"]
+    )
+    fs.append("ev5", extra)
+    fs.refresh_rollup("by_type5")
+    state = fs.get_rollup("by_type5").select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value_cents").cast("long").alias("sum_cents"),
+        F.hll_sketch_estimate("hll_entity_id").alias("est"),
+    )
+    single = feats.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("entity_id")).alias("sp_est"),
+        F.countDistinct("entity_id").cast("long").alias("exact_users"),
+    )
+    return state.join(single, "event_type").select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("within_tolerance"),
+        (F.col("est") == F.col("sp_est")).alias("merge_exact"),
+    )
+
+
 QUERIES = {
+    'h5_rollup_distinct': q_h5_rollup_distinct,
     'f46_compare_services': q_f46_compare_services,
     'dq16_unique_contract': q_dq16_unique_contract,
     'f45_join_key_map': q_f45_join_key_map,
@@ -3853,4 +3910,18 @@ ORACLE_SQL["f46_compare_services"] = f"""
            CAST(SUM(CASE WHEN ua IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_only_challenger
     FROM j
+"""
+
+# h5: exact distincts + counts/sums recomputed from the full feed; the two
+# booleans are TRUE literals here — the Spark side must EARN them.
+ORACLE_SQL["h5_rollup_distinct"] = f"""
+    WITH f AS ({_EV})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tolerance,
+           TRUE AS merge_exact
+    FROM f GROUP BY event_type
 """

@@ -880,3 +880,58 @@ class TestUniqueContract:
         )
         with pytest.raises(FeatureValidationError, match="not incoming"):
             fs.register("t", df, unique=["nope"])
+
+
+class TestRollupDistinctSketches:
+    """h5: mergeable HLL distinct state in incremental rollups."""
+
+    @staticmethod
+    def _feed(spark, lo, hi):
+        return spark.createDataFrame(
+            [
+                (f"u{i % 7}", ts("2024-01-01") + dt.timedelta(hours=i), i)
+                for i in range(lo, hi)
+            ],
+            ["entity_id", "timestamp", "cents"],
+        )
+
+    def test_chained_refreshes_equal_single_pass(self, spark):
+        from pyspark.sql import functions as F2
+
+        fs = FeatureStore(spark)
+        fs.register("rd", self._feed(spark, 0, 30))
+        fs.create_rollup("rd", "r", ["entity_id"], ["cents"], ["cents"])
+        fs.append("rd", self._feed(spark, 30, 50))
+        fs.refresh_rollup("r")
+        fs.append("rd", self._feed(spark, 50, 80))
+        fs.refresh_rollup("r")
+        got = {
+            r.entity_id: r.est
+            for r in fs.get_rollup("r")
+            .select(
+                "entity_id",
+                F2.hll_sketch_estimate("hll_cents").alias("est"),
+            )
+            .collect()
+        }
+        want = {
+            r.entity_id: r.est
+            for r in self._feed(spark, 0, 80)
+            .groupBy("entity_id")
+            .agg(
+                F2.hll_sketch_estimate(
+                    F2.hll_sketch_agg("cents")
+                ).alias("est")
+            )
+            .collect()
+        }
+        assert got == want  # union-merge associativity: EXACT equality
+
+    def test_distinct_cols_persist_in_registry(self, spark, tmp_path):
+        fs = FeatureStore(spark, storage_path=str(tmp_path / "s"))
+        fs.register("rd", self._feed(spark, 0, 20))
+        fs.create_rollup("rd", "r", ["entity_id"], [], ["cents"])
+        reopened = FeatureStore(spark, storage_path=str(tmp_path / "s"))
+        reopened.append("rd", self._feed(spark, 20, 40))
+        reopened.refresh_rollup("r")  # would fail without the sketch spec
+        assert "hll_cents" in reopened.get_rollup("r").columns

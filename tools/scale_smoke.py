@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "dq16_unique_contract",  # one-agg PK gate + register + PIT, 8x events
     "g8_cc_largestar",  # star-contraction CC over the 8x co-purchase graph
     "f46_compare_services",  # two snapshot argmaxes + full-outer diff, 8x events
+    "h5_rollup_distinct",  # sketch-state rollup build + O(delta) refresh, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
