@@ -1676,6 +1676,8 @@ class FeatureStore:
         manifest: SnapshotManifest | str | None = None,
         embargo_seconds: float = 0.0,
         join_key_map: dict[str, str] | None = None,
+        knowledge_time: Any = None,
+        ingest_ts_col: str = "ingest_ts",
     ) -> DataFrame:
         """As-of join: one output row per spine row that has a qualifying
         feature row; output ``timestamp`` is the matched feature row's
@@ -1701,6 +1703,19 @@ class FeatureStore:
 
         Composite-key tables: the spine carries the natural key columns
         (e.g. ``user_id, merchant_id, timestamp``); the output does too.
+
+        ``knowledge_time`` makes the build BITEMPORAL (row-level
+        late-arriving-data correctness): feature rows qualify only if
+        ``ingest_ts_col <= knowledge_time`` IN ADDITION to the event-time
+        as-of condition — so "rebuild last Tuesday's training set" uses
+        only rows the pipeline had actually INGESTED by then, excluding
+        late arrivals whose event timestamps would otherwise qualify
+        (the silent row-level drift ``get_version_asof``'s
+        version-granular travel cannot catch when late rows land inside
+        an append of mostly-current data). One more pushable scan
+        predicate — zero extra shuffles; requires the view to carry an
+        ingest-timestamp column (``ingest_ts_col``, default
+        ``ingest_ts``).
 
         ``join_key_map`` (Feast's ``join_key_map``) retrieves a view
         whose entity key is named differently on the SPINE:
@@ -1729,6 +1744,18 @@ class FeatureStore:
         if columns is not None:
             self._validate_columns(name, columns)
         feats = self._resolve(name, manifest).drop(DT_COL)
+        if knowledge_time is not None:
+            if ingest_ts_col not in feats.columns:
+                raise FeatureValidationError(
+                    f"get_training_set('{name}'): knowledge_time needs "
+                    f"an ingest-timestamp column '{ingest_ts_col}' on "
+                    f"the view — it carries "
+                    f"{sorted(c for c in feats.columns if c not in HIDDEN_COLS)}."
+                )
+            kt = self._normalize_timestamp(knowledge_time)
+            feats = feats.filter(
+                F.col(ingest_ts_col) <= F.lit(kt).cast("timestamp")
+            )
         key_cols = self._entity_key_cols(feats)
         if join_key_map:
             view_keys = set(key_cols) if key_cols else {ENTITY_COL}

@@ -2543,7 +2543,51 @@ def q_h5_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f47_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL training set (store.py get_training_set
+    ``knowledge_time=`` — row-level late-arriving-data correctness,
+    round-9): each feature row carries BOTH its event time and its
+    ingest time (here: event ts + a deterministic 0-4 day pipeline
+    delay); the build as-of joins on EVENT time but admits only rows
+    INGESTED by the knowledge time — so "rebuild last Tuesday's
+    training set" reproduces what the pipeline actually knew, excluding
+    late arrivals whose event timestamps would otherwise qualify. The
+    chosen knowledge time (2024-01-20) makes the two cutoffs bite
+    differently per row: events late in the window with short delays
+    survive, earlier events with 3-4 day delays do not. One more
+    pushed scan predicate, zero extra shuffles (the f7 plan
+    unchanged). Oracle: the argmax with BOTH time predicates."""
+    import datetime as dt
+
+    from .store import FeatureStore
+
+    feats = _cents_features(spark, sf_dir).withColumn(
+        "ingest_ts",
+        F.col("timestamp")
+        + F.make_dt_interval(days=F.pmod(F.col("event_id"), F.lit(5))),
+    )
+    fs = FeatureStore(spark)
+    fs.register("bt_events", feats)
+    users = feats.select("entity_id").distinct()
+    spine = users.withColumn(
+        "timestamp", F.lit(dt.datetime(2024, 1, 18)).cast("timestamp")
+    )
+    out = fs.get_training_set(
+        "bt_events",
+        spine,
+        knowledge_time=dt.datetime(2024, 1, 20),
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        _US("timestamp").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long"),
+        _US("ingest_ts").alias("ingest_us"),
+    )
+
+
 QUERIES = {
+    'f47_bitemporal': q_f47_bitemporal,
     'h5_rollup_distinct': q_h5_rollup_distinct,
     'f46_compare_services': q_f46_compare_services,
     'dq16_unique_contract': q_dq16_unique_contract,
@@ -3924,4 +3968,26 @@ ORACLE_SQL["h5_rollup_distinct"] = f"""
            TRUE AS within_tolerance,
            TRUE AS merge_exact
     FROM f GROUP BY event_type
+"""
+
+# f47: argmax with BOTH predicates — event ts <= spine ts AND
+# ingest ts (event ts + (event_id % 5) days) <= knowledge time.
+ORACLE_SQL["f47_bitemporal"] = f"""
+    WITH f AS ({_EV}),
+    b AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               ts + (event_id % 5) * INTERVAL 1 DAY AS ingest_ts
+        FROM f
+    )
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value_cents,
+           epoch_us(ingest_ts) AS ingest_us
+    FROM (
+        SELECT user_id, ts, event_id, value_cents, ingest_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM b
+        WHERE ts <= TIMESTAMP '2024-01-18'
+          AND ingest_ts <= TIMESTAMP '2024-01-20'
+    ) WHERE rn = 1
 """

@@ -935,3 +935,56 @@ class TestRollupDistinctSketches:
         reopened.append("rd", self._feed(spark, 20, 40))
         reopened.refresh_rollup("r")  # would fail without the sketch spec
         assert "hll_cents" in reopened.get_rollup("r").columns
+
+
+class TestBitemporal:
+    """f47: get_training_set(knowledge_time=) — what the pipeline KNEW."""
+
+    def _store(self, spark):
+        fs = FeatureStore(spark)
+        # event at 01-05 INGESTED late (01-12); event at 01-03 ingested
+        # same-day
+        df = spark.createDataFrame(
+            [
+                ("u1", ts("2024-01-03"), ts("2024-01-03"), 10),
+                ("u1", ts("2024-01-05"), ts("2024-01-12"), 20),
+            ],
+            ["entity_id", "timestamp", "ingest_ts", "cents"],
+        )
+        fs.register("bt", df)
+        return fs
+
+    def _spine(self, spark):
+        return spark.createDataFrame(
+            [("u1", ts("2024-01-08"))], ["entity_id", "timestamp"]
+        )
+
+    def test_late_row_excluded_until_known(self, spark):
+        fs = self._store(spark)
+        early = fs.get_training_set(
+            "bt", self._spine(spark), knowledge_time=ts("2024-01-08")
+        )
+        # as of knowledge 01-08 the 01-05 event had NOT been ingested:
+        # the build must see the 01-03 row even though 01-05 <= spine ts
+        assert early.collect()[0].cents == 10
+        late = fs.get_training_set(
+            "bt", self._spine(spark), knowledge_time=ts("2024-01-13")
+        )
+        assert late.collect()[0].cents == 20
+        # no knowledge_time -> event-time semantics only (all rows known)
+        now = fs.get_training_set("bt", self._spine(spark))
+        assert now.collect()[0].cents == 20
+
+    def test_missing_ingest_column_refused(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "nb",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-03"), 10)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        with pytest.raises(FeatureValidationError, match="ingest"):
+            fs.get_training_set(
+                "nb", self._spine(spark), knowledge_time=ts("2024-01-08")
+            )

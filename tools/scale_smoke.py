@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "g8_cc_largestar",  # star-contraction CC over the 8x co-purchase graph
     "f46_compare_services",  # two snapshot argmaxes + full-outer diff, 8x events
     "h5_rollup_distinct",  # sketch-state rollup build + O(delta) refresh, 8x events
+    "f47_bitemporal",  # dual-time-predicate as-of build, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
