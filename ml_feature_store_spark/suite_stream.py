@@ -791,7 +791,80 @@ def q_sd16_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(per_check).unionByName(total)
 
 
+def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING approximate distinct (h5's mergeable-sketch story in
+    flight, round-9): per-(7-day window, event_type) DISTINCT USERS
+    maintained incrementally by a watermarked windowed
+    approx_count_distinct — the state is an HLL++ sketch per key, so
+    arbitrarily many micro-batches fold into O(windows x types x
+    sketch) state where exact distinct would buffer every user id per
+    window. Update-mode snapshot: estimates are monotone per key, the
+    final value is the max. The oracle contract is a10/h5's: exact
+    distincts recomputed batch-side (the cross-engine proof) + an
+    earned within-10% boolean; exact event counts ride along and must
+    match to the row."""
+    from .streaming.ingest import stream_events
+
+    d = _scratch_dir("sd17_feed", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    _write_ordered_feed(
+        d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
+    )
+    with session_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        agg = (
+            stream_events(spark, d)
+            .withWatermark("ts", "60 days")
+            .groupBy(F.window("ts", "7 days").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.approx_count_distinct("user_id").alias("est_users"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "est_users",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sd17_distinct")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    snap = spark.table("sd17_distinct")
+    final = snap.groupBy("window_start", "event_type").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("est_users").cast("long").alias("est"),
+    )
+    exact = ev.groupBy(
+        F.window("ts", "7 days")["start"].alias("window_start"), "event_type"
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return (
+        final.join(exact, ["window_start", "event_type"])
+        .select(
+            _US("window_start").alias("win_us"),
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(
+                    (0.1 * F.col("exact_users")).cast("long"), F.lit(2)
+                )
+            ).alias("within_tolerance"),
+        )
+    )
+
+
 QUERIES = {
+    'sd17_stream_distinct': q_sd17_stream_distinct,
     'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
     'sd5_stream_stream_join': q_sd5_stream_stream_join,
@@ -1050,4 +1123,21 @@ ORACLE_SQL["sd16_stream_quarantine"] = f"""
     SELECT 'q_total', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(cents) AS BIGINT)
     FROM tagged WHERE NOT ok_value OR NOT ok_type
+"""
+
+# sd17: epoch-aligned 7-day windows (Spark's window() anchors at the epoch);
+# exact counts + distincts recomputed batch-side, tolerance boolean earned.
+ORACLE_SQL["sd17_stream_distinct"] = f"""
+    WITH f AS ({_EV}),
+    w AS (
+        SELECT event_type, user_id,
+               (CAST(epoch(ts) AS BIGINT) // (7*86400))
+                   * (7*86400) * 1000000 AS win_us
+        FROM f
+    )
+    SELECT win_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tolerance
+    FROM w GROUP BY win_us, event_type
 """

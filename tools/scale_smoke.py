@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "f46_compare_services",  # two snapshot argmaxes + full-outer diff, 8x events
     "h5_rollup_distinct",  # sketch-state rollup build + O(delta) refresh, 8x events
     "f47_bitemporal",  # dual-time-predicate as-of build, 8x events
+    "sd17_stream_distinct",  # windowed HLL++ distinct state over the 8x feed
 ]
 KEY_OFFSET = 100_000_000
 
