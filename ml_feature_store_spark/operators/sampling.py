@@ -308,6 +308,8 @@ def walk_forward_folds(
     100 TB the k-fold expansion multiplies scan output, not scan count.
     Deterministic by construction (pure timestamp arithmetic).
     """
+    if not cuts:
+        raise ValueError("walk_forward_folds: cuts must list >= 1 cut")
     specs = F.array(
         *[
             F.struct(

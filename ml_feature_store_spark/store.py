@@ -2523,6 +2523,16 @@ class FeatureStore:
             )
         aggs = spec["aggregations"]
         agg_cols = list(dict.fromkeys(a["column"] for a in aggs))
+        gone = [c for c in agg_cols if c not in src.columns]
+        if gone:
+            # a re-register can drop a column the spec was validated
+            # against — surface the spec/schema drift, not a KeyError
+            raise FeatureValidationError(
+                f"get_window_training_set('{name}'): aggregation source "
+                f"column(s) {gone} no longer exist on "
+                f"'{spec['source']}' (re-registered with a different "
+                f"schema?) — re-create the window view."
+            )
         extras = [
             c
             for c in entity_timestamps.columns
@@ -2761,6 +2771,12 @@ class FeatureStore:
         shared = [
             c for c in a.columns if c in set(b.columns) and c not in key_a
         ]
+        if not shared:
+            raise FeatureValidationError(
+                f"compare_services('{champion}', '{challenger}'): the "
+                f"services share no output columns — map both to common "
+                f"names with output_mapping to define the comparison."
+            )
         am = a.withColumn("__in_a__", F.lit(1))
         bm = b.withColumn("__in_b__", F.lit(1))
         j = am.join(bm, key_a, "full_outer")
@@ -3221,6 +3237,11 @@ class FeatureStore:
         widening) profiles as 100% null there — exactly the signal a
         consumer needs. Unknown columns (in NO version) refuse eagerly."""
         vs = list(versions) if versions is not None else self._backend.versions(name)
+        if not vs:
+            raise FeatureValidationError(
+                f"profile_versions('{name}'): versions must list at "
+                f"least one version."
+            )
         frames = []
         all_cols: set[str] = set()
         for v in vs:

@@ -988,3 +988,74 @@ class TestBitemporal:
             fs.get_training_set(
                 "nb", self._spine(spark), knowledge_time=ts("2024-01-08")
             )
+
+
+class TestEdgeGuards:
+    """Defensive refusals added by self-review: spec/schema drift and
+    degenerate inputs surface as clear errors, never KeyError/IndexError."""
+
+    def test_window_view_survives_source_reregister_with_clear_error(
+        self, spark
+    ):
+        fs = FeatureStore(spark)
+        fs.register(
+            "eg",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 1)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        fs.create_window_view(
+            "wv", "eg",
+            [{"column": "cents", "function": "sum", "window_seconds": 60}],
+        )
+        # re-register WITHOUT the aggregation source column
+        fs.register(
+            "eg",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-02"), "x")],
+                ["entity_id", "timestamp", "other"],
+            ),
+        )
+        spine = spark.createDataFrame(
+            [("u1", ts("2024-01-05"))], ["entity_id", "timestamp"]
+        )
+        with pytest.raises(FeatureValidationError, match="no longer exist"):
+            fs.get_window_training_set("wv", spine)
+
+    def test_profile_versions_empty_list_refused(self, spark):
+        fs = FeatureStore(spark)
+        fs.register(
+            "eg2",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-01"), 1)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        with pytest.raises(FeatureValidationError, match="at least one"):
+            fs.profile_versions("eg2", ["cents"], versions=[])
+
+    def test_compare_services_no_shared_columns_refused(self, spark):
+        fs = FeatureStore(spark)
+        df = spark.createDataFrame(
+            [("u1", ts("2024-01-01"), 1)],
+            ["entity_id", "timestamp", "cents"],
+        )
+        fs.register("ega", df)
+        fs.register("egb", df)
+        fs.materialize_online("ega")
+        fs.materialize_online("egb")
+        fs.create_feature_service("sa", {"ega": ["cents"]})
+        fs.create_feature_service("sb", {"egb": ["cents"]})
+        # prefixed names differ (ega__cents vs egb__cents): no shared axis
+        with pytest.raises(FeatureValidationError, match="share no"):
+            fs.compare_services("sa", "sb")
+
+    def test_walk_forward_empty_cuts_refused(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        df = spark.createDataFrame([(1, ts("2024-01-01"))], ["id", "ts"])
+        with pytest.raises(ValueError, match="cuts"):
+            walk_forward_folds(df, "ts", [], 60.0, 60.0)
