@@ -159,8 +159,27 @@ def woe_iv(
     from pyspark.sql import Window
 
     w = Window.partitionBy()
-    pf = F.col("n_pos") / F.sum("n_pos").over(w).cast("double")
-    nf = F.col("n_neg") / F.sum("n_neg").over(w).cast("double")
+    tpos = F.sum("n_pos").over(w).cast("double")
+    tneg = F.sum("n_neg").over(w).cast("double")
+    # Degenerate label distribution (zero positives or zero negatives
+    # overall) makes every fraction 0/0 — refuse instead of silently
+    # propagating NaN (round-9 ADVICE). assert_true returns NULL when
+    # the condition holds, so folding it into the denominators keeps
+    # the guard LAZY (no extra driver-side count job); a degenerate
+    # input fails the action with this message.
+    guard = F.coalesce(
+        F.assert_true(
+            (tpos > 0) & (tneg > 0),
+            F.lit(
+                "woe_iv: degenerate label distribution — zero positive "
+                "or zero negative rows overall, WOE/IV is undefined; "
+                "check label_col."
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    pf = F.col("n_pos") / (tpos + guard)
+    nf = F.col("n_neg") / (tneg + guard)
     woe = F.log((pf + F.lit(EPS)) / (nf + F.lit(EPS)))
     return per.select(
         "category",

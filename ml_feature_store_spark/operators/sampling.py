@@ -310,6 +310,17 @@ def walk_forward_folds(
     """
     if not cuts:
         raise ValueError("walk_forward_folds: cuts must list >= 1 cut")
+    # A negative gap silently reintroduces the train/test overlap the
+    # purge exists to prevent; a non-positive test window selects nothing
+    # (or, negative, inverts the interval). Refuse both (round-9 ADVICE).
+    if gap_seconds < 0:
+        raise ValueError(
+            f"walk_forward_folds: gap_seconds must be >= 0, got {gap_seconds!r}"
+        )
+    if test_seconds <= 0:
+        raise ValueError(
+            f"walk_forward_folds: test_seconds must be > 0, got {test_seconds!r}"
+        )
     specs = F.array(
         *[
             F.struct(
@@ -319,8 +330,11 @@ def walk_forward_folds(
             for i, c in enumerate(cuts)
         ]
     )
-    gap = F.expr(f"INTERVAL {float(gap_seconds)} SECONDS")
-    test = F.expr(f"INTERVAL {float(test_seconds)} SECONDS")
+    # Intervals built arithmetically, not via f-string INTERVAL literals:
+    # Python formats tiny floats in scientific notation (1e-05), which the
+    # SQL parser rejects (round-9 ADVICE).
+    gap = F.make_dt_interval(secs=F.lit(float(gap_seconds)))
+    test = F.make_dt_interval(secs=F.lit(float(test_seconds)))
     e = df.withColumn("__spec__", F.explode(specs))
     cut = F.col("__spec__.cut")
     ts = F.col(ts_col)

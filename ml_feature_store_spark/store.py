@@ -2445,6 +2445,17 @@ class FeatureStore:
                 f"create_window_view('{name}'): aggregations must list "
                 "at least one entry."
             )
+        # aliases may not shadow anything that also appears in the
+        # training-set output or the aggregate inputs: the reserved
+        # (entity_id, timestamp) pair, the source's composite natural-key
+        # columns, and the aggregation source columns (round-9 ADVICE —
+        # a colliding alias surfaced as duplicate/ambiguous output
+        # columns at get_window_training_set time with no clear error).
+        reserved = {ENTITY_COL, TIMESTAMP_COL}
+        reserved |= set(self.get_table_info(source).entity_columns)
+        reserved |= {
+            a.get("column") for a in aggregations if a.get("column")
+        }
         normalized: list[dict[str, Any]] = []
         seen_aliases: set[str] = set()
         for a in aggregations:
@@ -2462,10 +2473,12 @@ class FeatureStore:
                 )
             self._validate_columns(source, [col])
             alias = a.get("alias") or f"{col}_{fn}_{int(win)}s"
-            if alias in seen_aliases or alias in (ENTITY_COL, TIMESTAMP_COL):
+            if alias in seen_aliases or alias in reserved:
                 raise FeatureValidationError(
                     f"create_window_view('{name}'): duplicate or "
-                    f"reserved output alias '{alias}'."
+                    f"reserved output alias '{alias}' (aliases may not "
+                    f"collide with key/timestamp columns or aggregation "
+                    f"source columns)."
                 )
             seen_aliases.add(alias)
             normalized.append(
@@ -2538,12 +2551,13 @@ class FeatureStore:
             for c in entity_timestamps.columns
             if c not in (*natural_key, TIMESTAMP_COL)
         ]
-        clash = sorted(set(extras) & set(agg_cols))
+        aliases = {a["alias"] for a in aggs}
+        clash = sorted(set(extras) & (set(agg_cols) | aliases))
         if clash:
             raise FeatureValidationError(
                 f"get_window_training_set('{name}'): spine column(s) "
                 f"{clash} collide with the view's aggregation source "
-                f"columns — rename them on the spine."
+                f"columns or output aliases — rename them on the spine."
             )
         src_types = dict(src.dtypes)
         spine_types = dict(entity_timestamps.dtypes)

@@ -1092,6 +1092,11 @@ ORACLE_SQL["sd15_stream_pit_enrich"] = f"""
 
 # sd16: batch replay of the injected-violation split. Cents are floored on
 # the TRANSFORMED value (negation happens before quantization on both sides).
+# Three-valued logic mirrors stream_contract_gate exactly: a NULL check
+# result (e.g. a NULL value against `value >= 0`) is a VIOLATION, so the
+# quarantine/q_total predicates coalesce NULL -> FALSE before negating —
+# `WHERE NOT ok_value` alone would silently drop NULL-check rows from the
+# quarantine counts (round-9 ADVICE).
 ORACLE_SQL["sd16_stream_quarantine"] = f"""
     WITH ev AS (
         SELECT event_id,
@@ -1103,7 +1108,7 @@ ORACLE_SQL["sd16_stream_quarantine"] = f"""
     ),
     tagged AS (
         SELECT *,
-               (value >= 0) AS ok_value,
+               COALESCE(value >= 0, FALSE) AS ok_value,
                (event_type IS NOT NULL) AS ok_type,
                CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
         FROM ev

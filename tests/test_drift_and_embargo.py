@@ -228,6 +228,24 @@ class TestWoeIv:
         assert rows["a"].iv_term > 0 and rows["b"].iv_term > 0
         assert rows["a"].n_pos == 10 and rows["a"].n_neg == 0
 
+    def test_degenerate_label_distribution_refuses(self, spark):
+        from ml_feature_store_spark.operators.drift import woe_iv
+
+        # all-one-class labels make every fraction 0/0 — the report must
+        # FAIL with a clear message, not silently emit NaN (round-9
+        # ADVICE). The guard is lazy (assert_true in the plan), so the
+        # error surfaces at the action.
+        all_pos = spark.createDataFrame(
+            [("a", True), ("b", True)], "cat string, y boolean"
+        )
+        with pytest.raises(Exception, match="degenerate label"):
+            woe_iv(all_pos, "cat", "y").collect()
+        all_neg = spark.createDataFrame(
+            [("a", False), ("b", False)], "cat string, y boolean"
+        )
+        with pytest.raises(Exception, match="degenerate label"):
+            woe_iv(all_neg, "cat", "y").collect()
+
     def test_null_category_is_explicit_bucket(self, spark):
         from ml_feature_store_spark.operators.drift import woe_iv
 

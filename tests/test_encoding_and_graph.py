@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ml_feature_store_spark.operators.encoding import feature_hash, target_encode_loo
@@ -352,3 +353,17 @@ class TestStarConnectedComponents:
         out = {(r.node, r.component)
                for r in connected_components_star(df).collect()}
         assert out == {(1, 1), (2, 1), (3, 3), (5, 5), (6, 5)}
+
+    def test_nonconvergence_raises_instead_of_partial_labeling(self, spark):
+        from ml_feature_store_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        # an exhausted round budget must REFUSE, not return a
+        # non-fixpoint labeling with multiple rows per node (round-9
+        # verdict/ADVICE)
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not stabilize"):
+            connected_components_star(chain, max_iter=1)

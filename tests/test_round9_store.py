@@ -653,6 +653,20 @@ class TestWindowViews:
                 [{"column": "nope", "function": "sum",
                   "window_seconds": 60}],
             )
+        # alias colliding with an aggregation source column (round-9
+        # ADVICE: would yield ambiguous output at retrieval time)
+        with pytest.raises(FeatureValidationError, match="reserved"):
+            fs.create_window_view(
+                "bad", "ev",
+                [{"column": "cents", "function": "sum",
+                  "window_seconds": 60, "alias": "cents"}],
+            )
+
+    def test_spine_extra_colliding_with_alias_refuses(self, spark):
+        fs = self._store(spark)
+        spine = self._spine(spark).withColumn("sum_7d", F.lit(1))
+        with pytest.raises(FeatureValidationError, match="collide"):
+            fs.get_window_training_set("act", spine)
 
     def test_spec_persists_and_delete_refuses(self, spark, tmp_path):
         fs = self._store(spark, tmp_path)

@@ -188,3 +188,29 @@ class TestWalkForwardFolds:
             for r in out.groupBy("fold", "split").count().collect()
         }
         assert n[(1, "train")] > n[(0, "train")]  # walk-forward grows train
+
+    def test_refuses_negative_gap_and_nonpositive_test_window(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        df = self._df(spark)
+        # a negative gap would silently reintroduce the train/test
+        # overlap the purge exists to prevent (round-9 ADVICE)
+        with pytest.raises(ValueError, match="gap_seconds"):
+            walk_forward_folds(df, "ts", ["2024-01-05"], -1.0, 86400.0)
+        with pytest.raises(ValueError, match="test_seconds"):
+            walk_forward_folds(df, "ts", ["2024-01-05"], 0.0, 0.0)
+
+    def test_scientific_notation_floats_build_valid_intervals(self, spark):
+        from ml_feature_store_spark.operators.sampling import (
+            walk_forward_folds,
+        )
+
+        # Python formats 1e-05 in scientific notation, which an f-string
+        # INTERVAL literal can't parse; make_dt_interval arithmetic can
+        # (round-9 ADVICE). Sub-second gap ~= no purge on daily data.
+        out = walk_forward_folds(
+            self._df(spark), "ts", ["2024-01-05"], 1e-05, 2 * 86400.0
+        )
+        assert out.filter("split = 'test'").count() > 0

@@ -117,6 +117,13 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:300]}"}
             n_fail += 1
             continue
+        # per-field verdicts mirror the driver's CORRECTNESS_r{N} shape
+        # (rows_match / schema_match / hash_match) so the committed
+        # CHECKFULL artifact carries the same evidence (round-9 verdict
+        # item 7). hash_match = order-insensitive canonical values equal;
+        # it is only evaluated when rows+schema already line up (and is
+        # False on driver-unhashable cells, which the driver would crash
+        # on).
         problems = []
         bad = unhashable_cols(sdf)
         if bad:
@@ -124,24 +131,40 @@ def main() -> int:
                 f"driver-incompatible cells (unhashable array/list) in "
                 f"spark cols {bad} — serialize with concat_ws/to_json"
             )
-        if len(sdf) != len(odf):
+        rows_match = len(sdf) == len(odf)
+        schema_match = sorted(sdf.columns) == sorted(odf.columns)
+        hash_match = False
+        if not rows_match:
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
+        if not schema_match:
             problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         if not problems:
             a, b = normalize(sdf), normalize(odf)
-            if a != b:
+            hash_match = a == b
+            if not hash_match:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        fields = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
-            results[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
+            results[name] = {
+                "status": "fail",
+                **fields,
+                "err": "; ".join(problems)[:300],
+            }
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             results[name] = {
                 "status": "pass",
-                "rows": len(sdf),
+                **fields,
+                "err": None,
                 "sec": round(time.time() - t0, 1),
             }
             n_pass += 1
