@@ -80,6 +80,36 @@ def _random_hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def lsh_bucketize_with_planes(
+    emb: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append a sign-LSH bucket id from EXPLICIT hyperplanes (the persisted-
+    index path: planes come from a stored model table, so an index built
+    once keeps bucketing appended vectors identically forever). Map-only,
+    JVM-side dot products."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return emb.withColumn(bucket_col, bucket)
+
+
+def lsh_query_bucket(planes: list[list[float]], query_vec: list[float]) -> int:
+    """The query's bucket under the same sign rule, computed driver-side
+    (sequential left-to-right float dot — the identical summation order
+    the JVM expression uses, so signs agree bit-for-bit)."""
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(p * x for p, x in zip(plane, query_vec)) >= 0:
+            qb |= 1 << i
+    return qb
+
+
 def rp_lsh_bucketize(
     emb: DataFrame,
     dim: int,
@@ -95,13 +125,7 @@ def rp_lsh_bucketize(
     they land in the same bucket with probability (1 - theta/pi)^bits.
     """
     planes = _random_hyperplanes(dim, bits, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit
-    return emb.withColumn(bucket_col, bucket)
+    return lsh_bucketize_with_planes(emb, planes, vec_col, bucket_col)
 
 
 def knn_lsh(
@@ -123,10 +147,7 @@ def knn_lsh(
     recall/latency trades via ``bits`` and ``multiprobe``.
     """
     planes = _random_hyperplanes(dim, bits, seed)
-    qb = 0
-    for i, plane in enumerate(planes):
-        if sum(p * x for p, x in zip(plane, query_vec)) >= 0:
-            qb |= 1 << i
+    qb = lsh_query_bucket(planes, query_vec)
     probes = [qb] + [qb ^ (1 << i) for i in range(min(multiprobe, bits))]
     cand = emb_bucketed.filter(F.col(bucket_col).isin(probes))
     return knn_brute_force(cand, query_vec, k, id_col, vec_col)
@@ -218,7 +239,31 @@ def pq_ann_topk(
     m distance-table lookups per vector, then TakeOrderedAndProject —
     no shuffle in the query path at all.
     """
-    from .clustering import _int_dist_expr, kmeans_quantized, quantize_vec
+    books = pq_fit_codebooks(
+        df, m=m, sub_dim=sub_dim, k_codes=k_codes, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, grid=grid,
+    )
+    enc = pq_encode(df, books, m=m, sub_dim=sub_dim, id_col=id_col,
+                    vec_col=vec_col, grid=grid)
+    return pq_adc_rank(enc, books, query_vec, m=m, sub_dim=sub_dim, k=k,
+                       id_col=id_col, grid=grid)
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    k_codes: int,
+    iterations: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> dict[int, dict[int, list[int]]]:
+    """Fit the m per-subspace integer-Lloyd codebooks (the TRAIN step a
+    persisted PQ index runs once and versions). Returns
+    {subspace -> {code -> centroid ints}} — m * k_codes * sub_dim longs,
+    driver-resident by design (a few KB)."""
+    from .clustering import kmeans_quantized
 
     books: dict[int, dict[int, list[int]]] = {}
     for s in range(m):
@@ -231,8 +276,53 @@ def pq_ann_topk(
         _, books[s] = kmeans_quantized(
             sub, k=k_codes, max_iter=iterations, id_col=id_col, grid=grid
         )
-    qq = [int(math.floor(float(x) * grid + 0.5)) for x in query_vec]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: dict[int, dict[int, list[int]]],
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Encode every vector as its m nearest-codeword ids against FROZEN
+    codebooks — the ADD step: map-only (codebooks ride as literals), so
+    appended vectors fold into a persisted index at O(delta) with no
+    refit. Output: (id_col, codes array<int>)."""
+    from .clustering import _int_dist_expr, quantize_vec
+
     enc = df.select(id_col, quantize_vec(vec_col, grid).alias("__q__"))
+    code_cols = []
+    for s in range(m):
+        sub_expr = f"slice(__q__, {s * sub_dim + 1}, {sub_dim})"
+        pairs = ", ".join(
+            f"struct({_int_dist_expr(sub_expr, cv)} AS d, {cid} AS cid)"
+            for cid, cv in sorted(books[s].items())
+        )
+        code_cols.append(F.expr(f"array_min(array({pairs})).cid"))
+    return enc.select(id_col, F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_rank(
+    codes_df: DataFrame,
+    books: dict[int, dict[int, list[int]]],
+    query_vec: list[float],
+    m: int,
+    sub_dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PRE-ENCODED codes — the QUERY step
+    of a persisted index: the per-subspace distance table between the
+    exact query subvector and each codeword is built driver-side
+    (m * k_codes longs), then the scan is m array lookups + a sum per
+    row and TakeOrderedAndProject. No distance recomputation, no
+    shuffle."""
+    qq = [int(math.floor(float(x) * grid + 0.5)) for x in query_vec]
     adist = None
     for s in range(m):
         qsub = qq[s * sub_dim : (s + 1) * sub_dim]
@@ -240,19 +330,72 @@ def pq_ann_topk(
             cid: sum((a - b) * (a - b) for a, b in zip(qsub, cv))
             for cid, cv in books[s].items()
         }
-        sub_expr = f"slice(__q__, {s * sub_dim + 1}, {sub_dim})"
-        pairs = ", ".join(
-            f"struct({_int_dist_expr(sub_expr, cv)} AS d, {cid} AS cid)"
-            for cid, cv in sorted(books[s].items())
-        )
-        code = F.expr(f"array_min(array({pairs})).cid")
         lookup = F.element_at(
             F.expr("array(" + ",".join(f"{dtab[c]}L" for c in sorted(dtab)) + ")"),
-            code + F.lit(1),
+            F.element_at("codes", s + 1) + F.lit(1),
         )
         adist = lookup if adist is None else adist + lookup
     return (
-        enc.select(id_col, adist.alias("adist"))
+        codes_df.select(id_col, adist.alias("adist"))
         .orderBy("adist", id_col)
         .limit(k)
     )
+
+
+def ivf_fit_int(
+    df: DataFrame,
+    n_cells: int,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> dict[int, list[int]]:
+    """Fit IVF coarse centroids on the INTEGER grid (kmeans_quantized) —
+    deterministic across engines, so a DuckDB oracle can replay the
+    stored model exactly. Returns {cell -> centroid ints}."""
+    from .clustering import kmeans_quantized
+
+    _, centroids = kmeans_quantized(
+        df, k=n_cells, max_iter=iterations, id_col=id_col,
+        vec_col=vec_col, grid=grid,
+    )
+    return centroids
+
+
+def ivf_encode_int(
+    df: DataFrame,
+    centroids: dict[int, list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Assign each vector its nearest (integer-distance argmin, ties to
+    the lowest cell id) FROZEN centroid — map-only, the persisted-IVF
+    ADD step. Keeps the raw vector for exact re-ranking at query time.
+    Output: (id_col, vec_col, cell)."""
+    from .clustering import _int_dist_expr, quantize_vec
+
+    q = df.select(id_col, vec_col, quantize_vec(vec_col, grid).alias("__q__"))
+    pairs = ", ".join(
+        f"struct({_int_dist_expr('__q__', cv)} AS d, {cid} AS cid)"
+        for cid, cv in sorted(centroids.items())
+    )
+    cell = F.expr(f"array_min(array({pairs})).cid")
+    return q.select(id_col, vec_col, cell.alias("cell"))
+
+
+def ivf_probe_cells_int(
+    centroids: dict[int, list[int]],
+    query_vec: list[float],
+    nprobe: int,
+    grid: int = 10**6,
+) -> list[int]:
+    """The nprobe cells nearest the query by the SAME integer distance
+    the assignment used (ties to the lowest cell id) — driver-side over
+    the k x dim model, deterministic."""
+    qq = [int(math.floor(float(x) * grid + 0.5)) for x in query_vec]
+    scored = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, cv)), cid)
+        for cid, cv in centroids.items()
+    )
+    return [cid for _, cid in scored[:nprobe]]

@@ -568,7 +568,12 @@ def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> st
 
 
 def _x17_sql(
-    m: int = 4, sub_dim: int = 16, k_codes: int = 16, k: int = 10, grid: int = 10**6
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 10,
+    grid: int = 10**6,
+    query_id: int = 0,
 ) -> str:
     """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
     codebook fit, encode every vector against the updated codebook, build
@@ -625,7 +630,7 @@ def _x17_sql(
     s{s}dt AS (
         SELECT c.cluster, {dist("x.sv", "c.cv")} AS dd
         FROM s{s}c1 c CROSS JOIN (SELECT vec_id, sv FROM s{s}q
-                                  WHERE vec_id = 0) x
+                                  WHERE vec_id = {query_id}) x
     ),
     s{s}d AS (
         SELECT e.vec_id, t.dd FROM s{s}code e JOIN s{s}dt t USING (cluster)
@@ -643,6 +648,190 @@ def _x17_sql(
     FROM {" ".join(joins)}
     ORDER BY adist, vec_id LIMIT {k}
     """
+
+def _vidx_int_dist(xv: str, cv: str, dim: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({xv}[i] - {cv}[i]) * ({xv}[i] - {cv}[i]))) AS BIGINT)"
+    )
+
+
+def _vidx_ivf_fit_ctes(
+    n_cells: int, iters: int, grid: int, dim: int, fit_pred: str
+) -> tuple[str, str]:
+    """The shared oracle front half for every persisted-IVF lane: quantize,
+    fit integer-Lloyd centroids over ``fit_pred`` rows, assign ALL rows to
+    the frozen model. Returns (cte_block, final_model_cte) — the block
+    ends with ``enc`` (vec_id, cell)."""
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    parts = [
+        f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    fit AS (SELECT vec_id, qv FROM q WHERE {fit_pred}),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+           FROM (SELECT vec_id, qv FROM fit ORDER BY vec_id LIMIT {n_cells}))"""
+    ]
+    prev_c = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    a{it} AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_fit}, c.cell) AS rk
+            FROM fit x CROSS JOIN {prev_c} c
+        ) WHERE rk = 1
+    ),
+    c{it}raw AS (
+        SELECT cell, list(comp ORDER BY i) AS cv FROM (
+            SELECT a.cell, g.i,
+                   CAST(floor(CAST(SUM(x.qv[g.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS comp
+            FROM a{it} a JOIN fit x USING (vec_id),
+                 LATERAL unnest(generate_series(1, {dim})) AS g(i)
+            GROUP BY a.cell, g.i
+        ) GROUP BY cell
+    ),
+    c{it} AS (
+        SELECT p.cell, COALESCE(r.cv, p.cv) AS cv
+        FROM {prev_c} p LEFT JOIN c{it}raw r USING (cell)
+    )""")
+        prev_c = f"c{it}"
+    parts.append(f"""
+    enc AS (
+        SELECT vec_id, cell FROM (
+            SELECT x.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {d_fit}, c.cell) AS rk
+            FROM q x CROSS JOIN {prev_c} c
+        ) WHERE rk = 1
+    )""")
+    return ",".join(parts), prev_c
+
+
+def _vidx_ivf_sql(
+    query_id: int,
+    n_cells: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    k: int = 10,
+    grid: int = 10**6,
+    dim: int = 64,
+    fit_pred: str = "TRUE",
+) -> str:
+    """Persisted-IVF-index oracle: replay the stored model EXACTLY —
+    integer-Lloyd coarse centroids fitted over ``fit_pred`` rows (the
+    build-time corpus; refresh lanes fit on a subset and encode
+    everything), frozen-centroid integer argmin assignment of ALL rows,
+    integer probe selection, exact cosine top-k inside the probed cells
+    (query row excluded). Mirrors store.create_vector_index(method=
+    'ivf') + refresh_vector_index + knn."""
+    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, fit_pred)
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    return f"""
+    WITH {ctes},
+    probes AS (
+        SELECT c.cell FROM {model} c
+        CROSS JOIN (SELECT qv FROM q WHERE vec_id = {query_id}) x
+        ORDER BY {d_fit}, c.cell LIMIT {nprobe}
+    ),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = {query_id})
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qvec), 6) AS sim
+    FROM e JOIN enc USING (vec_id) CROSS JOIN qv
+    WHERE enc.cell IN (SELECT cell FROM probes)
+      AND e.vec_id <> {query_id}
+    ORDER BY list_cosine_similarity(e.v, qvec) DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
+def _vidx_batch_sql(
+    query_ids: list[int],
+    n_cells: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    k: int = 5,
+    grid: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """Batch-knn-through-the-index oracle: per query row, the nprobe
+    nearest cells by the same integer distance, candidates via the cell
+    equi join, exact cosine, per-query top-k window (self-match
+    excluded). Mirrors store.knn_batch(method='ivf')."""
+    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, "TRUE")
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH {ctes},
+    qs AS (SELECT vec_id AS q_id, v AS qvec, qv FROM q
+           WHERE vec_id IN ({ids})),
+    qprobes AS (
+        SELECT q_id, cell FROM (
+            SELECT x.q_id, c.cell,
+                   row_number() OVER (PARTITION BY x.q_id
+                                      ORDER BY {d_fit}, c.cell) AS rk
+            FROM qs x CROSS JOIN {model} c
+        ) WHERE rk <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.q_id, e.vec_id, list_cosine_similarity(e.v, qs.qvec) AS s
+        FROM qprobes p
+        JOIN enc ON enc.cell = p.cell
+        JOIN e USING (vec_id)
+        JOIN qs USING (q_id)
+        WHERE e.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, ROUND(s, 6) AS sim FROM (
+        SELECT q_id, vec_id, s,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY s DESC, vec_id ASC) AS rk
+        FROM cand
+    ) WHERE rk <= {k}
+    """
+
+
+def _vidx_lsh_sql(
+    query_id: int,
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """Persisted-LSH-index oracle: the stored hyperplanes are the seeded
+    Python constants, inlined as literals with the identical left-to-
+    right fold order (x8's recipe), so bucket membership, the multiprobe
+    candidate set and the final exact-cosine top-k all hash-match the
+    store's knn."""
+    planes = _random_hyperplanes(dim=dim, bits=bits, seed=seed)
+
+    def dot_sql(plane: list[float]) -> str:
+        expr = "0.0"
+        for j, p in enumerate(plane):
+            expr = f"({expr} + v[{j + 1}] * {p!r})"
+        return expr
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << i})" for i in range(min(multiprobe, bits))]
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = {query_id})
+        SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS sim
+        FROM b CROSS JOIN q
+        WHERE bucket IN ({probe_list}) AND vec_id <> {query_id}
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT {k}
+    """
+
 
 # x21: per-round CTE chain — counts -> 1-row argmax -> window mark/drop/
 # renumber merge. Parallel unnest (positions + tokens) zips in lockstep.
@@ -908,6 +1097,9 @@ __all__ = [
     '_g2_sql',
     '_x14_sql',
     '_x17_sql',
+    '_vidx_ivf_sql',
+    '_vidx_batch_sql',
+    '_vidx_lsh_sql',
     '_x21_round',
     '_FEATS_CENTS',
     '_F24_CHK',

@@ -457,6 +457,145 @@ def q_x10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _vidx_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as a registrable feature frame (the f36 shape)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+
+
+def _vidx_query_vec(spark: SparkSession, sf_dir: str, qid: int) -> list:
+    emb = table(spark, sf_dir, "embeddings")
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+    ]
+
+
+def q_vidx1_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED vector index, IVF flavor (round-10; the round-9 verdict's
+    top north-star gap): unlike x10's per-call rebuild, the store TRAINS
+    the coarse quantizer once (integer-Lloyd, 16 cells, 1 iteration),
+    VERSIONS the model + cell assignments as backend state tables with a
+    registry spec, and every knn() resolves through the stored artifact —
+    FAISS/qdrant build-once-serve-many semantics. The query probes the 2
+    nearest cells (integer distance on the frozen model) and exact-cosine
+    re-ranks inside them; the filter_expr pre-filters before any distance
+    math. The oracle replays the stored model bit-for-bit (integer fit +
+    frozen assignment + probe + cosine). At 100 TB: the fit is a handful
+    of partial-agg scans at build time, the encode is map-only, and the
+    query path scans only the probed cells of the persisted table."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_vidx2_pq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index: codebooks trained once (x17's integer-Lloyd
+    fit), every vector stored as m=4 one-byte codes in the versioned
+    state table — the billion-scale memory shape — and knn() ranks by
+    ADC from the STORED codes (driver-built distance table + m array
+    lookups per row, no raw vectors touched at query time). Distinct
+    query (vec 7, k=12) from x17 so the two lanes witness independently;
+    the oracle replays codebook fit, encoding and ADC ranking exactly."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="pq",
+        params={"m": 4, "sub_dim": 16, "k_codes": 16, "iterations": 1},
+    )
+    qvec = _vidx_query_vec(spark, sf_dir, 7)
+    return fs.knn("ann", qvec, k=12).select("vec_id", "adist")
+
+
+def q_vidx3_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — FAISS train-then-add: the IVF
+    model trains on the INITIAL corpus (even vec_ids), the odd half
+    arrives later via append(), and refresh_vector_index() folds ONLY
+    the delta against the FROZEN centroids (O(delta) map-side encode, no
+    refit, no rescan of indexed history — the f35/h3 watermark
+    contract). knn() then serves all vectors through the refreshed
+    index; a knn before the refresh would REFUSE (stale-index guard,
+    pinned in pytest). Oracle: centroids fitted on the even subset only,
+    assignment over everything."""
+    from .store import FeatureStore
+
+    feats = _vidx_feats(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("vecs", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    fs.append("vecs", feats.filter(F.col("entity_id") % 2 == 1))
+    fs.refresh_vector_index("ann")
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_vidx4_lsh_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sign-LSH index: the seeded hyperplanes are stored as a
+    model table (so appended vectors bucket identically forever — the
+    property a per-call reseed cannot give), bucket assignments live in
+    the versioned state table, and knn() probes the query bucket + 2
+    single-bit flips then exact-cosine re-ranks. Oracle: x8's
+    inlined-hyperplane recipe over the stored parameters (bits=8)."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="lsh",
+        params={"bits": 8, "seed": 42, "multiprobe": 2},
+    )
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_vidx5_index_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval through the persisted index — the serving-job
+    shape (x33's many-queries pattern resolved through vidx1's stored
+    artifact instead of a per-call rebuild): three query vectors each
+    get their nprobe nearest cells via a MAP-ONLY projection (the stored
+    model rides as literals), candidates come from an EQUI JOIN of the
+    exploded probes against the encoded table's cell key, and a
+    per-query window takes top-5 (self-matches excluded). No driver
+    loop — |queries| scales to whatever the join can shuffle; at 100 TB
+    the encoded table partitions by cell, so each query's probe rows
+    co-locate with their candidates."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 100])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = fs.knn_batch("ann", queries, k=5, exclude_self=True)
+    return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_x14_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed algorithm: 2 Lloyd iterations of k-means
     (k=8) over the embeddings table on an INTEGER grid
@@ -1328,6 +1467,11 @@ QUERIES = {
     'x16_tfidf_topk': q_x16_tfidf_topk,
     'm5_audio_decode': q_m5_audio_decode,
     'x10_ivf_ann': q_x10_ivf_ann,
+    'vidx1_ivf_index_knn': q_vidx1_ivf_index_knn,
+    'vidx2_pq_index_knn': q_vidx2_pq_index_knn,
+    'vidx3_index_refresh': q_vidx3_index_refresh,
+    'vidx4_lsh_index_knn': q_vidx4_lsh_index_knn,
+    'vidx5_index_batch_knn': q_vidx5_index_batch_knn,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
     'm7_phash_dedup': q_m7_phash_dedup,
@@ -1632,6 +1776,14 @@ ORACLE_SQL["x14_kmeans"] = _x14_sql()
 
 
 ORACLE_SQL["x17_pq_ann"] = _x17_sql()
+
+ORACLE_SQL["vidx1_ivf_index_knn"] = _vidx_ivf_sql(query_id=100)
+ORACLE_SQL["vidx2_pq_index_knn"] = _x17_sql(k=12, query_id=7)
+ORACLE_SQL["vidx3_index_refresh"] = _vidx_ivf_sql(
+    query_id=100, fit_pred="vec_id % 2 = 0"
+)
+ORACLE_SQL["vidx4_lsh_index_knn"] = _vidx_lsh_sql(query_id=100)
+ORACLE_SQL["vidx5_index_batch_knn"] = _vidx_batch_sql([0, 7, 100])
 
 ORACLE_SQL["m6_modality_router"] = """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'

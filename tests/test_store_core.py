@@ -456,7 +456,9 @@ class TestIncrementalRollup:
         store.register("fact3", self._df(spark, self._rows(0, 5, "a")))
         store.create_rollup("fact3", "r3", ["grp"], ["v"])
         store.register("fact3", self._df(spark, self._rows(0, 7, "a")))
-        with pytest.raises(FeatureStoreError, match="re-registered"):
+        # the rewrite flag fires before row accounting (round-10: a
+        # count-preserving re-register evades the base+delta equation)
+        with pytest.raises(FeatureStoreError, match="rebuild with create_rollup"):
             store.refresh_rollup("r3")
 
     def test_unknown_rollup_raises(self, store):

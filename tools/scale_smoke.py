@@ -185,6 +185,11 @@ BENCH_QUERIES = [
     "h5_rollup_distinct",  # sketch-state rollup build + O(delta) refresh, 8x events
     "f47_bitemporal",  # dual-time-predicate as-of build, 8x events
     "sd17_stream_distinct",  # windowed HLL++ distinct state over the 8x feed
+    "vidx1_ivf_index_knn",  # persisted IVF build + probe-pruned knn (emb 1x)
+    "vidx2_pq_index_knn",  # persisted PQ codebooks + stored-code ADC (emb 1x)
+    "vidx3_index_refresh",  # frozen-model O(delta) index refresh (emb 1x)
+    "vidx4_lsh_index_knn",  # stored-hyperplane buckets + probe knn (emb 1x)
+    "vidx5_index_batch_knn",  # exploded-probe cell equi join, per-query top-k (emb 1x)
 ]
 KEY_OFFSET = 100_000_000
 
