@@ -398,6 +398,64 @@ def stream_pit_enrich(
     )
 
 
+def stream_index_enrich(
+    stream: DataFrame,
+    store,
+    index: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    exclude_self: bool = False,
+):
+    """Streaming ANN enrichment through a PERSISTED vector index: each
+    micro-batch of query vectors resolves via ``store.knn_batch`` —
+    map-only probes from the stored model, an equi join against the
+    encoded state table on the probe key, a per-query top-k — and the
+    neighbor lists land in an idempotent per-batch parquet sink. The
+    retrieval sibling of :func:`stream_pit_enrich`: requests stream in,
+    the nearest-neighbor context attaches IN FLIGHT (the RAG / online
+    candidate-generation shape), and nothing refits or re-encodes per
+    batch.
+
+    Per-row output is a pure function of (query row, stored index), so
+    the result is micro-batch-split invariant — stream == batch
+    bit-for-bit (the sd15 contract; the sd18 witness pins it against
+    the vidx5 batch oracle). The stored index also carries its
+    staleness guard into the hot loop: if the source table changes
+    mid-stream, the NEXT batch's knn_batch refuses loudly rather than
+    serving a half-covering index.
+
+    Exactly-once: foreachBatch is at-least-once on retry, so each batch
+    OVERWRITES its own ``batch_id=<n>`` subdirectory (sd9/io18's
+    idempotence contract).
+
+    Scale (100 TB): per-batch cost is |batch| x nprobe probe rows
+    joined against only the probed cells/buckets of the encoded table —
+    partition the state table by the probe key and each micro-batch
+    touches a sliver of it; the model itself is literals, shipped once
+    per plan, never per row."""
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = store.knn_batch(
+            index,
+            batch_df,
+            k=k,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            exclude_self=exclude_self,
+        )
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_contract_gate(
     stream: DataFrame,
     checks: dict[str, str],

@@ -791,6 +791,59 @@ def q_sd16_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionByName(per_check).unionByName(total)
 
 
+def q_sd18_stream_index_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN enrichment through the PERSISTED vector index
+    (streaming/ingest.py ``stream_index_enrich``; round-10 — sd15's
+    retrieval sibling): query vectors arrive as a STREAM in two ordered
+    micro-batches; each batch resolves its top-5 cosine neighbors via
+    the stored IVF index (map-only probes from the frozen model, equi
+    join against the encoded state table, per-query window) and lands
+    in an idempotent per-batch sink — the RAG / online candidate-
+    generation hot loop with NO per-batch refit or re-encode. Each
+    row's neighbors are a pure function of (row, stored index), so any
+    micro-batch split unions to the batch answer: the oracle is
+    EXACTLY vidx5's batch SQL — stream == batch, bit-for-bit."""
+    from .store import FeatureStore
+    from .streaming.ingest import stream_index_enrich
+
+    emb = table(spark, sf_dir, "embeddings")
+    fs = FeatureStore(spark)
+    fs.register(
+        "vecs",
+        emb.select(
+            F.col("vec_id").alias("entity_id"),
+            F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        ),
+    )
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    queries = emb.filter(F.col("vec_id").isin([3, 42, 200])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    d = _scratch_dir("sd18_feed", sf_dir)
+    sink = _scratch_dir("sd18_sink", sf_dir)
+    ck = _scratch_dir("sd18_ckpt", sf_dir)
+    _write_ordered_feed(
+        d, queries.filter("q_id < 100"), queries.filter("q_id >= 100")
+    )
+    stream = (
+        spark.readStream.schema("q_id bigint, q_vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
+                            exclude_self=True)
+    q.awaitTermination(300)
+    q.stop()
+    out = spark.read.parquet(sink).drop("batch_id")
+    return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING approximate distinct (h5's mergeable-sketch story in
     flight, round-9): per-(7-day window, event_type) DISTINCT USERS
@@ -864,6 +917,7 @@ def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    'sd18_stream_index_enrich': q_sd18_stream_index_enrich,
     'sd17_stream_distinct': q_sd17_stream_distinct,
     'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
@@ -882,6 +936,10 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {}
+
+# sd18: stream == batch through the stored index — vidx5's batch oracle
+# over the sd18 query set (micro-batch-split invariance is the claim).
+ORACLE_SQL["sd18_stream_index_enrich"] = _vidx_batch_sql([3, 42, 200])
 
 # Batch replay of the deterministic stateful streaming fold: cumulative
 # count/sum (integer cents — exact in doubles) + last row by (ts_us,

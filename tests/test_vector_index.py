@@ -156,6 +156,49 @@ class TestBuildAndQuery:
                     single[(qid, r.vec_id)] = round(float(r.sim), 9)
             assert batch == single and len(batch) == 12
 
+    def test_stream_enrich_equals_batch_knn(self, spark, feats, tmp_path):
+        """sd18's operator: micro-batched retrieval through the stored
+        index unions to exactly the one-shot knn_batch answer (per-row
+        output is a pure function of row + index)."""
+        from ml_feature_store_spark.streaming.ingest import (
+            stream_index_enrich,
+        )
+
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats)
+        fs.create_vector_index("ann", "vecs", method="ivf")
+        queries = feats.filter("entity_id IN (3, 42, 200)").select(
+            F.col("entity_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        feed, sink, ck = (str(tmp_path / n) for n in ("f", "s", "c"))
+        queries.filter("q_id < 100").coalesce(1).write.parquet(
+            feed, mode="append"
+        )
+        queries.filter("q_id >= 100").coalesce(1).write.parquet(
+            feed, mode="append"
+        )
+        stream = (
+            spark.readStream.schema("q_id bigint, q_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_index_enrich(stream, fs, "ann", sink, ck, k=4,
+                                exclude_self=True)
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in fs.knn_batch(
+                "ann", queries, k=4, exclude_self=True
+            ).collect()
+        }
+        assert got == want and len(got) == 12
+
     def test_batch_knn_refusals(self, spark, feats):
         fs = FeatureStore(spark)
         fs.register("vecs", feats)

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "vidx3_index_refresh",  # frozen-model O(delta) index refresh (emb 1x)
     "vidx4_lsh_index_knn",  # stored-hyperplane buckets + probe knn (emb 1x)
     "vidx5_index_batch_knn",  # exploded-probe cell equi join, per-query top-k (emb 1x)
+    "sd18_stream_index_enrich",  # per-micro-batch knn through the stored index (emb 1x)
 ]
 KEY_OFFSET = 100_000_000
 
