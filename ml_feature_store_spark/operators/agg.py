@@ -234,10 +234,14 @@ def kmv_segment_overlap(
         )
     )
     denom = F.least(F.lit(k), F.size("__m__")).cast("double")
+    # multiply BEFORE dividing: in exact (not-full) mode union_est ==
+    # denom, so shared * union_est / denom is the integer `shared`
+    # exactly, while (shared / denom) * union_est picks up a division
+    # ulp (7/47*47 = 7.000000000000001 — hypothesis-found round 10)
     return p.select(
         "seg_a",
         "seg_b",
         union_est.alias("union_est"),
-        (shared.cast("double") / denom * union_est).alias("inter_est"),
+        (shared.cast("double") * union_est / denom).alias("inter_est"),
         (~F.col("__full__")).alias("sketch_exact"),
     )
