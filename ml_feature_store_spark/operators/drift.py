@@ -192,6 +192,65 @@ def woe_iv(
     )
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint LOCALIZATION per group — the drift family's
+    "WHEN did it shift" complement to psi/categorical "DID it shift":
+    for each group's ordered series ``(step, value)``, the cumulative
+    sum of deviations from the group mean, ``S_t = sum_{i<=t}
+    (v_i - mean)``, peaks in magnitude AT the changepoint (Page 1954;
+    the mean-shift form used by retrain-trigger monitors). Returns one
+    row per group: the argmax step, the peak |S| and its sign
+    (direction of the shift), and n_steps.
+
+    EXACT cross-engine arithmetic: ``value_col`` must already be integer
+    (quantize upstream — the suite lane uses cents); the mean is kept as
+    the exact rational sum/n by working on ``n * S_t = n*cumsum - t*sum``
+    (BIGINT throughout, no division until never) — so the argmax, peak
+    and sign are bit-identical on any engine and safe below 2^63 for
+    n*|sum| (n = steps per group, small by construction: the series is
+    already aggregated to one value per step).
+
+    Plan shape: one window shuffle on the group key (cumsum + argmax
+    frames share the sort), O(groups) output. At 100 TB the input is a
+    per-(group, step) rollup (h1's shape) — this op never scans raw
+    events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(step_col).rowsBetween(Window.unboundedPreceding, 0)
+    t = F.row_number().over(w.orderBy(step_col))
+    # n * S_t = n * cumsum_t - t * total  (all BIGINT, division-free)
+    scaled = (
+        F.count(F.lit(1)).over(w) * F.sum(value_col).over(wo)
+        - t * F.sum(value_col).over(w)
+    )
+    scored = df.select(
+        F.col(group_col),
+        F.col(step_col),
+        scaled.cast("long").alias("__ns__"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_steps"),
+    )
+    best = F.struct(
+        F.abs(F.col("__ns__")).alias("mag"),
+        (-F.col(step_col)).alias("negstep"),
+        F.col(step_col).alias("step"),
+        F.col("__ns__").alias("ns"),
+    )
+    # argmax on (|nS|, earliest step) — the struct max orders by
+    # magnitude then LOWEST step (negstep inverts the tie-break)
+    return scored.groupBy(group_col).agg(
+        F.max(best).getField("step").alias("changepoint_step"),
+        F.max(best).getField("mag").alias("peak_ns_abs"),
+        F.signum(F.max(best).getField("ns")).cast("long").alias("shift_sign"),
+        F.first("n_steps").alias("n_steps"),
+    )
+
+
 def _with_fractions(joined: DataFrame, key: str) -> DataFrame:
     """ref_frac/cur_frac from the joined per-key count frame: window
     totals over the (tiny, post-combine) frame instead of separate

@@ -574,6 +574,7 @@ def _x17_sql(
     k: int = 10,
     grid: int = 10**6,
     query_id: int = 0,
+    exclude_query: bool = False,
 ) -> str:
     """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
     codebook fit, encode every vector against the updated codebook, build
@@ -646,6 +647,7 @@ def _x17_sql(
     {",".join(chains)}
     SELECT vec_id, CAST({total} AS BIGINT) AS adist
     FROM {" ".join(joins)}
+    {f"WHERE vec_id <> {query_id}" if exclude_query else ""}
     ORDER BY adist, vec_id LIMIT {k}
     """
 

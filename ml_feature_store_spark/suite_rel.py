@@ -1196,6 +1196,35 @@ _BENFORD_PPM = {
 }
 
 
+def q_dq17_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY release gate (operators/privacy.py; Sweeney 2002) —
+    the re-identification audit a training set must pass before leaving
+    the platform: after direct identifiers are redacted (t7), the
+    QUASI-identifier combinations left behind — here (event_type, day,
+    value band) — can still pin a row to < k people. Per event_type:
+    group count, risky-group count (size < 5), risky ROW count (what
+    suppression would drop) and the suppression rate in integer ppm.
+    One partial-agg groupBy on the QI key + an O(groups) fold —
+    integer-exact, the drift-report cost shape. At 100 TB the QI
+    cardinality, not the row count, bounds everything after the
+    map-side combine."""
+    from .operators.privacy import k_anonymity_summary
+
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.floor(F.col("value") / 20).cast("long").alias("val_band"),
+    )
+    out = k_anonymity_summary(
+        qi, ["event_type", "day", "val_band"], k=5, by="event_type"
+    )
+    return out.select(
+        "event_type", "n_groups", "n_risky_groups", "n_rows",
+        "n_risky_rows", "suppression_ppm",
+    )
+
+
 def q_dq13_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit — the classic fabricated-
     numbers detector (forensic accounting's screen, equally useful for
@@ -1398,6 +1427,7 @@ QUERIES = {
     'dq1_column_profile': q_dq1_column_profile,
     'w3_session_window_batch': q_w3_session_window_batch,
     'dq13_benford_audit': q_dq13_benford_audit,
+    'dq17_k_anonymity': q_dq17_k_anonymity,
     'x32_try_family': q_x32_try_family,
     'q25_sql_variables': q_q25_sql_variables,
     'num1_decimal_exact': q_num1_decimal_exact,
@@ -2216,4 +2246,28 @@ ORACLE_SQL["dq13_benford_audit"] = """
            CAST(abs(COALESCE(o.n_obs, 0) * 1000000 // t.total - e.exp_ppm)
                 AS BIGINT) AS dev_ppm
     FROM exp e LEFT JOIN obs o ON e.digit = o.digit, t
+"""
+
+
+# dq17: QI group sizes + risky-row fold, integer ppm via floor division.
+ORACLE_SQL["dq17_k_anonymity"] = f"""
+    WITH qi AS (
+        SELECT event_type, day(CAST(ts AS TIMESTAMP)) AS day,
+               CAST(floor(value / 20) AS BIGINT) AS val_band
+        FROM ({_EV})
+    ),
+    g AS (
+        SELECT event_type, day, val_band, CAST(COUNT(*) AS BIGINT) AS n
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS suppression_ppm
+    FROM g GROUP BY event_type
 """

@@ -596,6 +596,89 @@ def q_vidx5_index_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of EVERY persisted-index method against exact brute-force
+    cosine ground truth — x19/x26's trust-but-verify applied to the
+    STORED artifacts instead of per-call rebuilds (the eval a platform
+    runs before promoting an index version to serving; at 100 TB ground
+    truth runs on a sampled query set, the indexes on the full corpus).
+    One store, three indexes over the same table, integer overlap counts
+    so the check is exact; the oracle replays each stored model
+    relationally and intersects with the same exact top-10."""
+    from .operators.similarity import knn_brute_force
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "i_ivf", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    fs.create_vector_index(
+        "i_pq", "vecs", method="pq",
+        params={"m": 4, "sub_dim": 16, "k_codes": 16, "iterations": 1},
+    )
+    fs.create_vector_index(
+        "i_lsh", "vecs", method="lsh",
+        params={"bits": 8, "seed": 42, "multiprobe": 2},
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    exact = knn_brute_force(
+        emb.filter(F.col("vec_id") != 100), qvec, k=10
+    ).select("vec_id")
+    arms = []
+    for method, idx in (("ivf", "i_ivf"), ("lsh", "i_lsh"), ("pq", "i_pq")):
+        approx = fs.knn(
+            idx, qvec, k=10, filter_expr="vec_id <> 100"
+        ).select("vec_id")
+        arms.append(
+            exact.join(approx, "vec_id").agg(
+                F.lit(method).alias("method"),
+                F.lit(10).cast("long").alias("k"),
+                F.count("*").cast("long").alias("n_overlap"),
+                (F.count("*") * 10).cast("long").alias("recall_pct"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def q_ts5_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint LOCALIZATION (operators/drift.py
+    cusum_changepoint) — the monitoring question after drift1/drift2 say
+    "the distribution moved": WHEN did the per-type daily revenue series
+    shift? Page's cumulative-deviation statistic peaks at the change;
+    the operator keeps the whole computation on the division-free
+    integer form n*S_t (cents upstream), so the argmax day, peak and
+    shift direction replay bit-for-bit in the oracle. One window shuffle
+    on the type key over the O(types x days) daily rollup — at 100 TB
+    the input is the h1-style rollup, never raw events."""
+    from .operators.drift import cusum_changepoint
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    out = cusum_changepoint(daily, "event_type", "day_idx", "cents")
+    return out.select(
+        "event_type",
+        F.col("changepoint_step").alias("changepoint_day"),
+        "peak_ns_abs",
+        "shift_sign",
+        "n_steps",
+    )
+
+
 def q_x14_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed algorithm: 2 Lloyd iterations of k-means
     (k=8) over the embeddings table on an INTEGER grid
@@ -1472,6 +1555,8 @@ QUERIES = {
     'vidx3_index_refresh': q_vidx3_index_refresh,
     'vidx4_lsh_index_knn': q_vidx4_lsh_index_knn,
     'vidx5_index_batch_knn': q_vidx5_index_batch_knn,
+    'vidx6_index_recall': q_vidx6_index_recall,
+    'ts5_changepoint': q_ts5_changepoint,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
     'm7_phash_dedup': q_m7_phash_dedup,
@@ -1784,6 +1869,68 @@ ORACLE_SQL["vidx3_index_refresh"] = _vidx_ivf_sql(
 )
 ORACLE_SQL["vidx4_lsh_index_knn"] = _vidx_lsh_sql(query_id=100)
 ORACLE_SQL["vidx5_index_batch_knn"] = _vidx_batch_sql([0, 7, 100])
+
+ORACLE_SQL["vidx6_index_recall"] = f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    q0 AS (SELECT v AS qv FROM e0 WHERE vec_id = 100),
+    exact10 AS (
+        SELECT vec_id FROM e0 CROSS JOIN q0 WHERE vec_id <> 100
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10
+    ),
+    ivf10 AS (SELECT vec_id FROM ({_vidx_ivf_sql(query_id=100)}) t),
+    lsh10 AS (SELECT vec_id FROM ({_vidx_lsh_sql(query_id=100)}) t),
+    pq10 AS (SELECT vec_id
+             FROM ({_x17_sql(query_id=100, k=10, exclude_query=True)}) t)
+    SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+    FROM exact10 JOIN ivf10 USING (vec_id)
+    UNION ALL
+    SELECT 'lsh', 10, CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 10 AS BIGINT)
+    FROM exact10 JOIN lsh10 USING (vec_id)
+    UNION ALL
+    SELECT 'pq', 10, CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 10 AS BIGINT)
+    FROM exact10 JOIN pq10 USING (vec_id)
+"""
+
+# ts5: the division-free integer CUSUM replayed as window SQL — argmax on
+# (|n*S|, earliest day), sign of n*S at the peak.
+ORACLE_SQL["ts5_changepoint"] = f"""
+    WITH ev AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM ({_EV})
+    ),
+    daily AS (
+        SELECT event_type, day_idx, CAST(SUM(cents) AS BIGINT) AS v
+        FROM ev GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, day_idx,
+               CAST(COUNT(*) OVER w0 AS BIGINT)
+                   * CAST(SUM(v) OVER wo AS BIGINT)
+               - CAST(row_number() OVER wr AS BIGINT)
+                   * CAST(SUM(v) OVER w0 AS BIGINT) AS ns,
+               CAST(COUNT(*) OVER w0 AS BIGINT) AS n_steps
+        FROM daily
+        WINDOW w0 AS (PARTITION BY event_type),
+               wo AS (PARTITION BY event_type ORDER BY day_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wr AS (PARTITION BY event_type ORDER BY day_idx)
+    )
+    SELECT event_type, day_idx AS changepoint_day,
+           CAST(abs(ns) AS BIGINT) AS peak_ns_abs,
+           CAST(CASE WHEN ns > 0 THEN 1 WHEN ns < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS shift_sign,
+           n_steps
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(ns) DESC, day_idx ASC) AS rk
+        FROM s
+    ) WHERE rk = 1
+"""
 
 ORACLE_SQL["m6_modality_router"] = """
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'

@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "vidx4_lsh_index_knn",  # stored-hyperplane buckets + probe knn (emb 1x)
     "vidx5_index_batch_knn",  # exploded-probe cell equi join, per-query top-k (emb 1x)
     "sd18_stream_index_enrich",  # per-micro-batch knn through the stored index (emb 1x)
+    "vidx6_index_recall",  # three stored indexes + exact arm recall (emb 1x)
+    "ts5_changepoint",  # daily rollup + division-free CUSUM windows, 8x events
+    "dq17_k_anonymity",  # QI partial-agg groupBy + O(groups) fold, 8x events
 ]
 KEY_OFFSET = 100_000_000
 
