@@ -221,6 +221,17 @@ def cusum_changepoint(
     events."""
     from pyspark.sql import Window
 
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        # float input would make the argmax depend on summation-order
+        # ulps (the exactness contract breaks silently) — refuse and
+        # point at the quantization the suite lane applies
+        raise ValueError(
+            f"cusum_changepoint: value_col '{value_col}' must be an "
+            f"integer type (got {vt}) — quantize upstream (e.g. cents "
+            f"via floor(value * 100 + 0.5))."
+        )
+
     w = Window.partitionBy(group_col)
     wo = w.orderBy(step_col).rowsBetween(Window.unboundedPreceding, 0)
     t = F.row_number().over(w.orderBy(step_col))

@@ -54,6 +54,14 @@ def k_anonymity_summary(
     (what suppression would drop), and the suppression rate in ppm —
     integer-exact, so an external oracle can replay it bit-for-bit.
     Folds from the group report (O(groups) rows), no second data scan."""
+    if by is not None and by not in qi_cols:
+        # a non-QI partition column would either crash downstream or —
+        # worse, if it happened to exist on df — silently group the
+        # report by something the anonymity math never saw
+        raise ValueError(
+            f"k_anonymity_summary: by={by!r} must be one of qi_cols "
+            f"{list(qi_cols)}."
+        )
     groups = k_anonymity_report(df, qi_cols, k)
     keys = [by] if by else []
     risky_n = F.when(F.col("at_risk"), F.col("n")).otherwise(F.lit(0))

@@ -1657,6 +1657,7 @@ class FeatureStore:
                 f"no rows to index."
             )
         dim = int(head[0]["d"])
+        src = self._vindex_guard_dim(src, dim, f"create_vector_index('{index}')")
         spark = self.spark
         if method == "ivf":
             spec_params = {
@@ -1789,6 +1790,9 @@ class FeatureStore:
                 F.col(spec["vec_col"]).cast("array<double>").alias(
                     "embedding"
                 ),
+            )
+            src = self._vindex_guard_dim(
+                src, spec["dim"], f"refresh_vector_index('{index}')"
             )
             pp = spec["params"]
             if spec["method"] == "ivf":
@@ -2065,6 +2069,30 @@ class FeatureStore:
         }
         self._save_registry()
         return True
+
+    @staticmethod
+    def _vindex_guard_dim(src: DataFrame, dim: int, context: str) -> DataFrame:
+        """Lazy dimension guard on the encode path: slice/zip_with over a
+        WRONG-length vector would silently null-pad or truncate distances
+        — refuse at the action instead (assert_true rides the projection,
+        no extra job; the f-string names the offending vec_id)."""
+        return src.withColumn(
+            "embedding",
+            F.when(F.size("embedding") == dim, F.col("embedding")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{context}: vector length != index dim {dim} "
+                            f"for vec_id="
+                        ),
+                        F.col("vec_id").cast("string"),
+                        F.lit(" (got "),
+                        F.size("embedding").cast("string"),
+                        F.lit(") — vectors must share one dimension."),
+                    )
+                )
+            ),
+        )
 
     def _vindex_model_rows(self, index: str):
         mname = index + self._VINDEX_MODEL_SUFFIX

@@ -54,6 +54,8 @@ class TestKAnonymity:
             k_anonymity_report(df, [], k=5)
         with pytest.raises(ValueError, match="k must be"):
             k_anonymity_report(df, ["zip"], k=1)
+        with pytest.raises(ValueError, match="must be one of qi_cols"):
+            k_anonymity_summary(df, ["zip"], k=5, by="id")
 
 
 class TestCusumChangepoint:
@@ -83,6 +85,15 @@ class TestCusumChangepoint:
         # every n*S_t is 0 -> ties broken to the EARLIEST step
         assert r.peak_ns_abs == 0 and r.changepoint_step == 0
         assert r.shift_sign == 0
+
+    def test_float_values_refused(self, spark):
+        # float input makes the argmax ulp-dependent — the exactness
+        # contract demands an integer series (quantize upstream)
+        df = spark.createDataFrame(
+            [("a", 0, 1.5), ("a", 1, 2.5)], "g string, t long, v double"
+        )
+        with pytest.raises(ValueError, match="integer type"):
+            cusum_changepoint(df, "g", "t", "v")
 
     def test_groups_are_independent(self, spark):
         rows = [("a", t, 100 if t < 5 else 300) for t in range(10)] + [

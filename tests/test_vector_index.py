@@ -230,6 +230,21 @@ class TestBuildAndQuery:
         with pytest.raises(FeatureValidationError, match="dims"):
             fs.knn("ann", qvec[:8])
 
+    def test_mixed_dimension_vectors_refuse_at_build(self, spark, feats):
+        # slice/zip_with over a wrong-length vector would silently
+        # null-pad distances — the encode path must fail loudly instead
+        bad = feats.select(
+            "entity_id", "timestamp",
+            F.when(F.col("entity_id") == 7, F.slice("embedding", 1, 8))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            "label",
+        )
+        fs = FeatureStore(spark)
+        fs.register("vecs", bad)
+        with pytest.raises(Exception, match="vector length"):
+            fs.create_vector_index("ann", "vecs", method="ivf")
+
 
 class TestRefreshAndStaleness:
     def test_knn_refuses_stale_after_append(self, spark, feats, qvec):
