@@ -154,6 +154,48 @@ def assign_clusters_int(
     )
 
 
+def kmeans_int(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 1,
+    qvec_col: str = "__q__",
+    id_col: str = "vec_id",
+) -> dict[int, list[int]]:
+    """Integer-Lloyd over vectors ALREADY on the integer grid (no
+    quantize step) — the fit :func:`kmeans_quantized` runs after its own
+    quantization, exposed for inputs that are integer by construction
+    (IVF-PQ residuals: quantized vector minus integer coarse centroid —
+    re-quantizing a residual/grid double round-trip is NOT exact, so the
+    residual fit must stay in the integer domain end-to-end for the
+    DuckDB oracle to replay it bit-for-bit). Same contract as
+    kmeans_quantized: init = first k rows by ``id_col``, argmin ties to
+    the lowest cluster id, update = floor(sum/n). Returns the centroid
+    dict only (callers re-assign against the frozen model)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed_rows = df.orderBy(id_col).limit(k).select(qvec_col).collect()
+    centroids = {
+        i: [int(x) for x in r[qvec_col]] for i, r in enumerate(seed_rows)
+    }
+    dim = len(next(iter(centroids.values())))
+    assigned = assign_clusters_int(df, centroids, qvec_col=qvec_col)
+    for _ in range(max_iter):
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.element_at(qvec_col, i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
+        new = {
+            r["cluster"]: [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(dim)
+            ]
+            for r in rows
+        }
+        centroids = {cid: new.get(cid, c) for cid, c in centroids.items()}
+        assigned = assign_clusters_int(df, centroids, qvec_col=qvec_col)
+    return centroids
+
+
 def kmeans_quantized(
     df: DataFrame,
     k: int,

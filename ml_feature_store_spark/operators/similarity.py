@@ -399,3 +399,316 @@ def ivf_probe_cells_int(
         for cid, cv in centroids.items()
     )
     return [cid for _, cid in scored[:nprobe]]
+
+
+# --------------------------------------------------------------------- #
+# IVF-PQ: coarse cells + product quantization on the RESIDUAL
+# (vector - assigned centroid) — the FAISS IndexIVFPQ composition for
+# billion-vector corpora: the probe prunes the scan to nprobe cells, the
+# m-byte residual codes keep memory at PQ scale, and ADC runs against
+# cell-specific distance tables (the query residual differs per cell).
+# All arithmetic stays on the integer grid (quantized vectors, integer
+# centroids, integer residuals), so a relational oracle replays the
+# stored model exactly.
+# --------------------------------------------------------------------- #
+def _centroid_array_literal(centroids: dict[int, list[int]]) -> str:
+    """SQL literal ``array(array(..L), ...)`` over cells 0..k-1 so
+    ``element_at(<lit>, cell + 1)`` resolves the assigned centroid
+    map-side (no join). Requires contiguous cell ids — kmeans init
+    guarantees them (enumerate; empty cells keep the prior centroid)."""
+    cids = sorted(centroids)
+    if cids != list(range(len(cids))):
+        raise ValueError(f"non-contiguous cell ids: {cids}")
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in centroids[c]) + ")"
+            for c in cids
+        )
+        + ")"
+    )
+
+
+def ivfpq_residuals(
+    df: DataFrame,
+    centroids: dict[int, list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Assign each vector its nearest frozen coarse cell and compute the
+    INTEGER residual (quantized vector minus assigned centroid) — one
+    map-only projection; the model rides as literals. Output:
+    (id_col, cell, __rv__ array<bigint>)."""
+    from .clustering import _int_dist_expr, quantize_vec
+
+    q = df.select(id_col, quantize_vec(vec_col, grid).alias("__q__"))
+    pairs = ", ".join(
+        f"struct({_int_dist_expr('__q__', cv)} AS d, {cid} AS cid)"
+        for cid, cv in sorted(centroids.items())
+    )
+    q = q.withColumn("cell", F.expr(f"array_min(array({pairs})).cid"))
+    cvs = _centroid_array_literal(centroids)
+    rv = F.expr(f"zip_with(__q__, element_at({cvs}, cell + 1), (a, b) -> a - b)")
+    return q.select(id_col, "cell", rv.alias("__rv__"))
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    n_cells: int,
+    m: int,
+    sub_dim: int,
+    k_codes: int,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> tuple[dict[int, list[int]], dict[int, dict[int, list[int]]]]:
+    """TRAIN step: coarse integer-Lloyd centroids, then m per-subspace
+    integer-Lloyd codebooks fitted on the RESIDUALS (kmeans_int — the
+    residuals are integer by construction and must stay so). Returns
+    (centroids, {subspace -> {code -> centroid ints}}); both are
+    driver-resident (n_cells x dim + m x k_codes x sub_dim longs)."""
+    from .clustering import kmeans_int
+
+    centroids = ivf_fit_int(
+        df, n_cells=n_cells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, grid=grid,
+    )
+    res = ivfpq_residuals(df, centroids, id_col=id_col,
+                          vec_col=vec_col, grid=grid)
+    books: dict[int, dict[int, list[int]]] = {}
+    for s in range(m):
+        sub = res.select(
+            id_col,
+            F.expr(f"slice(__rv__, {s * sub_dim + 1}, {sub_dim})").alias(
+                "__q__"
+            ),
+        )
+        books[s] = kmeans_int(
+            sub, k=k_codes, max_iter=iterations, id_col=id_col
+        )
+    return centroids, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: dict[int, list[int]],
+    books: dict[int, dict[int, list[int]]],
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> DataFrame:
+    """ADD step against the FROZEN model: assign cell, encode the
+    residual as m nearest-codeword ids — map-only, so appends fold into
+    a persisted index at O(delta). Output: (id_col, cell, codes)."""
+    from .clustering import _int_dist_expr
+
+    res = ivfpq_residuals(df, centroids, id_col=id_col,
+                          vec_col=vec_col, grid=grid)
+    code_cols = []
+    for s in range(m):
+        sub_expr = f"slice(__rv__, {s * sub_dim + 1}, {sub_dim})"
+        pairs = ", ".join(
+            f"struct({_int_dist_expr(sub_expr, cv)} AS d, {cid} AS cid)"
+            for cid, cv in sorted(books[s].items())
+        )
+        code_cols.append(F.expr(f"array_min(array({pairs})).cid"))
+    return res.select(id_col, "cell", F.array(*code_cols).alias("codes"))
+
+
+def _pq_dtab_cols(
+    books: dict[int, dict[int, list[int]]],
+    m: int,
+    sub_dim: int,
+    src_vec: str,
+) -> list:
+    """Per-subspace RELATIONAL distance tables — the batch form of
+    pq_adc_rank's driver-built literal: for every query row, an
+    array<bigint> over the (sorted) codewords of subspace s, computed
+    map-side from ``src_vec`` (an integer query vector or residual).
+    m x k_codes aggregate(zip_with(...)) expressions per row — the
+    codebooks ride as literals, nothing shuffles."""
+    from .clustering import _int_dist_expr
+
+    cols = []
+    for s in range(m):
+        sub_expr = f"slice({src_vec}, {s * sub_dim + 1}, {sub_dim})"
+        entries = ", ".join(
+            _int_dist_expr(sub_expr, cv)
+            for _, cv in sorted(books[s].items())
+        )
+        cols.append(F.expr(f"array({entries})").alias(f"__dt{s}__"))
+    return cols
+
+
+def _adc_sum(m: int):
+    """ADC distance: m array lookups (code -> distance-table entry) + a
+    sum, per (query, candidate) pair."""
+    adist = None
+    for s in range(m):
+        lk = F.element_at(
+            f"__dt{s}__", F.element_at("codes", s + 1) + F.lit(1)
+        )
+        adist = lk if adist is None else adist + lk
+    return adist.alias("adist")
+
+
+def pq_adc_batch(
+    codes_df: DataFrame,
+    books: dict[int, dict[int, list[int]]],
+    queries: DataFrame,
+    m: int,
+    sub_dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    grid: int = 10**6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch ADC over stored PQ codes — FAISS IndexPQ ``search`` for a
+    query TABLE (round-11; lifts the knn_batch PQ refusal): each query
+    row materializes its m distance tables as array columns (a
+    broadcastable |queries| x m x k_codes dim — the per-query driver
+    literal of pq_adc_rank made relational), the m-byte codes scan
+    cross-joins against that BROADCAST query side (plain PQ is
+    exhaustive by design — IVF adds the pruning), and ADC is m lookups +
+    a sum per pair, then a per-query top-k. No driver loop; |queries|
+    scales to whatever broadcasts (~KBs per query), the codes side
+    never shuffles before the top-k."""
+    from .pit import top_k_per_group
+
+    qx = queries.select(
+        query_id_col,
+        F.expr(
+            f"transform({query_vec_col}, "
+            f"x -> CAST(floor(double(x) * {grid} + 0.5) AS BIGINT))"
+        ).alias("__qq__"),
+    )
+    qx = qx.select(query_id_col, *_pq_dtab_cols(books, m, sub_dim, "__qq__"))
+    joined = codes_df.crossJoin(F.broadcast(qx))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(query_id_col, id_col, _adc_sum(m))
+    return top_k_per_group(
+        scored, [query_id_col],
+        [F.col("adist").asc(), F.col(id_col).asc()], k,
+    )
+
+
+def ivfpq_adc_batch(
+    codes_df: DataFrame,
+    centroids: dict[int, list[int]],
+    books: dict[int, dict[int, list[int]]],
+    queries: DataFrame,
+    m: int,
+    sub_dim: int,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    grid: int = 10**6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch IVF-PQ retrieval: per query row, the nprobe nearest coarse
+    cells (map-only integer argmin over the broadcast model), the
+    CELL-SPECIFIC residual (query minus that cell's centroid), and the
+    residual's m distance tables — all one projection; candidates come
+    from the cell EQUI JOIN against the codes scan (each query touches
+    only its probed cells), ADC is m lookups + a sum, then per-query
+    top-k. The IndexIVFPQ serving-job shape: pruned scan AND m-byte
+    memory, fully distributed."""
+    from .pit import top_k_per_group
+
+    qx = queries.select(
+        query_id_col,
+        F.expr(
+            f"transform({query_vec_col}, "
+            f"x -> CAST(floor(double(x) * {grid} + 0.5) AS BIGINT))"
+        ).alias("__qq__"),
+    )
+    from .clustering import _int_dist_expr
+
+    pairs = ", ".join(
+        f"struct({_int_dist_expr('__qq__', cv)} AS d, {cid} AS cid)"
+        for cid, cv in sorted(centroids.items())
+    )
+    probes = F.expr(
+        f"transform(slice(array_sort(array({pairs})), 1, {nprobe}), "
+        f"s -> s.cid)"
+    )
+    qx = qx.select(
+        query_id_col, "__qq__", F.explode(probes).alias("cell")
+    )
+    cvs = _centroid_array_literal(centroids)
+    qx = qx.withColumn(
+        "__rr__",
+        F.expr(f"zip_with(__qq__, element_at({cvs}, cell + 1), "
+               f"(a, b) -> a - b)"),
+    )
+    qx = qx.select(
+        query_id_col, "cell", *_pq_dtab_cols(books, m, sub_dim, "__rr__")
+    )
+    joined = codes_df.join(F.broadcast(qx), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(query_id_col, id_col, _adc_sum(m))
+    return top_k_per_group(
+        scored, [query_id_col],
+        [F.col("adist").asc(), F.col(id_col).asc()], k,
+    )
+
+
+def ivfpq_adc_rank(
+    codes_df: DataFrame,
+    centroids: dict[int, list[int]],
+    books: dict[int, dict[int, list[int]]],
+    query_vec: list[float],
+    m: int,
+    sub_dim: int,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    grid: int = 10**6,
+) -> DataFrame:
+    """QUERY step: probe the nprobe nearest coarse cells, then ADC on
+    the residual codes with CELL-SPECIFIC distance tables (the query
+    residual q - centroid differs per probed cell — the IndexIVFPQ
+    subtlety plain PQ doesn't have). The nprobe x m x k_codes tables are
+    driver-built longs shipped as a broadcast dim; the scan reads ONLY
+    the probed cells and each row costs m array lookups + a sum."""
+    qq = [int(math.floor(float(x) * grid + 0.5)) for x in query_vec]
+    probes = ivf_probe_cells_int(centroids, query_vec, nprobe, grid)
+    rows = []
+    for c in probes:
+        qres = [a - b for a, b in zip(qq, centroids[c])]
+        dts = []
+        for s in range(m):
+            qsub = qres[s * sub_dim : (s + 1) * sub_dim]
+            dts.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qsub, cv))
+                    for _, cv in sorted(books[s].items())
+                ]
+            )
+        rows.append((c, *dts))
+    schema = "cell INT, " + ", ".join(
+        f"dt{s} ARRAY<BIGINT>" for s in range(m)
+    )
+    dt_df = codes_df.sparkSession.createDataFrame(rows, schema)
+    joined = codes_df.filter(F.col("cell").isin(probes)).join(
+        F.broadcast(dt_df), "cell"
+    )
+    adist = None
+    for s in range(m):
+        lk = F.element_at(f"dt{s}", F.element_at("codes", s + 1) + F.lit(1))
+        adist = lk if adist is None else adist + lk
+    return (
+        joined.select(id_col, adist.alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k)
+    )

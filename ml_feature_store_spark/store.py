@@ -1570,7 +1570,7 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     _VINDEX_DATA_SUFFIX = "__vindex"
     _VINDEX_MODEL_SUFFIX = "__vindex_model"
-    _VINDEX_METHODS = ("ivf", "pq", "lsh")
+    _VINDEX_METHODS = ("ivf", "pq", "lsh", "ivfpq")
 
     def create_vector_index(
         self,
@@ -1606,6 +1606,28 @@ class FeatureStore:
         * ``"lsh"`` — seeded sign-LSH (``bits`` [8], ``seed`` [42],
           ``multiprobe`` [2]); query probes the query bucket and its
           single-bit flips, exact-cosine re-ranks inside.
+        * ``"ivfpq"`` — FAISS IndexIVFPQ composition (round-11): coarse
+          IVF cells + per-subspace codebooks fitted on the RESIDUAL
+          (quantized vector minus assigned centroid, integer
+          end-to-end); query probes nprobe cells and runs ADC with
+          CELL-SPECIFIC distance tables over the stored residual codes
+          — the probe prunes the scan AND memory stays at m bytes/row,
+          the billion-vector serving shape. Params: union of ivf + pq
+          (``n_cells``, ``nprobe``, ``m``, ``sub_dim``, ``k_codes``,
+          ``iterations``, ``grid``).
+
+        Composite-key tables (f32 struct entity keys) index exactly like
+        scalar ones — the struct key is the vec_id; ``knn``/``knn_batch``
+        expand it back to the natural key columns on output (and
+        ``filter_expr`` may reference them).
+
+        SIZING AT SCALE (see SCALE-100TB.md): the suite defaults
+        (n_cells=16, iterations=1) are sized for the sf0.01 oracle; a
+        real corpus wants n_cells ~ sqrt(n) (1e9 vectors -> ~32k cells,
+        still a driver-resident integer model) and 5-10 iterations. The
+        fit's per-iteration collect moves n_cells x (dim+1) longs — free
+        until n_cells x dim approaches ~1e8, far beyond any sane
+        configuration.
 
         Everything the model derives from is integer/seeded arithmetic,
         so the stored index is bit-reproducible and an external oracle
@@ -1618,8 +1640,7 @@ class FeatureStore:
         The spec (method, params, row-accounting watermark) persists in
         the registry; ``refresh_vector_index`` folds appended rows
         against the FROZEN model at O(delta); ``knn`` REFUSES to serve
-        from an index whose source has changed (see there). Requires a
-        scalar entity key (one vector per entity row). Returns the
+        from an index whose source has changed (see there). Returns the
         number of indexed rows."""
         from .operators.similarity import (
             _random_hyperplanes,
@@ -1637,15 +1658,16 @@ class FeatureStore:
                 f"{method!r}; supported: {list(self._VINDEX_METHODS)}."
             )
         self._validate_columns(table, [vec_col])
+        # fail fast BEFORE the fit/encode work if the registry publish
+        # at the end would be refused anyway (round-11 ADVICE)
+        self._assert_registry_current(f"create_vector_index('{index}')")
         raw = self._current(table)
-        if self._entity_key_cols(raw):
-            raise FeatureValidationError(
-                f"create_vector_index('{index}'): composite-key table "
-                f"'{table}' is not supported — vector indexes key on a "
-                f"scalar entity_id."
-            )
+        key_cols = self._entity_key_cols(raw)
         p = dict(params or {})
         grid = int(p.get("grid", 10**6))
+        # composite-key tables (f32) index like scalar ones: the struct
+        # entity key IS the vec_id; knn expands it back to the natural
+        # columns at output time (round-11; r10 verdict gap #3)
         src = raw.select(
             F.col(ENTITY_COL).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("embedding"),
@@ -1658,6 +1680,19 @@ class FeatureStore:
             )
         dim = int(head[0]["d"])
         src = self._vindex_guard_dim(src, dim, f"create_vector_index('{index}')")
+        if method in ("pq", "ivfpq"):
+            m = int(p.get("m", 4))
+            sub_dim = int(p.get("sub_dim", dim // m))
+            # round-11 ADVICE: a silent dim // m truncation (or explicit
+            # params that slice past the end) leaves trailing dimensions
+            # unencoded — ranking quietly degrades with no error
+            if m < 1 or sub_dim < 1 or m * sub_dim != dim:
+                raise FeatureValidationError(
+                    f"create_vector_index('{index}'): m * sub_dim must "
+                    f"equal the vector dim ({dim}); got m={m}, "
+                    f"sub_dim={sub_dim} (m * sub_dim = {m * sub_dim}). "
+                    f"Pick m dividing {dim}, or pass sub_dim explicitly."
+                )
         spark = self.spark
         if method == "ivf":
             spec_params = {
@@ -1676,16 +1711,15 @@ class FeatureStore:
             )
             data = ivf_encode_int(src, centroids, grid=grid)
         elif method == "pq":
-            m = int(p.get("m", 4))
             spec_params = {
                 "m": m,
-                "sub_dim": int(p.get("sub_dim", dim // m)),
+                "sub_dim": sub_dim,
                 "k_codes": int(p.get("k_codes", 16)),
                 "iterations": int(p.get("iterations", 1)),
                 "grid": grid,
             }
             books = pq_fit_codebooks(
-                src, m=m, sub_dim=spec_params["sub_dim"],
+                src, m=m, sub_dim=sub_dim,
                 k_codes=spec_params["k_codes"],
                 iterations=spec_params["iterations"], grid=grid,
             )
@@ -1697,8 +1731,41 @@ class FeatureStore:
                 ],
                 "subspace INT, code INT, cv ARRAY<BIGINT>",
             )
-            data = pq_encode(
-                src, books, m=m, sub_dim=spec_params["sub_dim"], grid=grid
+            data = pq_encode(src, books, m=m, sub_dim=sub_dim, grid=grid)
+        elif method == "ivfpq":
+            from .operators.similarity import ivfpq_encode, ivfpq_fit
+
+            spec_params = {
+                "n_cells": int(p.get("n_cells", 16)),
+                "iterations": int(p.get("iterations", 1)),
+                "nprobe": int(p.get("nprobe", 2)),
+                "m": m,
+                "sub_dim": sub_dim,
+                "k_codes": int(p.get("k_codes", 16)),
+                "grid": grid,
+            }
+            centroids, books = ivfpq_fit(
+                src, n_cells=spec_params["n_cells"], m=m, sub_dim=sub_dim,
+                k_codes=spec_params["k_codes"],
+                iterations=spec_params["iterations"], grid=grid,
+            )
+            # one model table for both parts: coarse centroids
+            # (part='ivf') + residual codebooks (part='pq')
+            model = spark.createDataFrame(
+                [
+                    ("ivf", cid, None, None, cv)
+                    for cid, cv in sorted(centroids.items())
+                ]
+                + [
+                    ("pq", None, s, cid, cv)
+                    for s in sorted(books)
+                    for cid, cv in sorted(books[s].items())
+                ],
+                "part STRING, cell INT, subspace INT, code INT, "
+                "cv ARRAY<BIGINT>",
+            )
+            data = ivfpq_encode(
+                src, centroids, books, m=m, sub_dim=sub_dim, grid=grid
             )
         else:  # lsh
             spec_params = {
@@ -1717,31 +1784,65 @@ class FeatureStore:
         row_count = data.count()
         mname = index + self._VINDEX_MODEL_SUFFIX
         dname = index + self._VINDEX_DATA_SUFFIX
-        for n in (mname, dname):
-            if self._backend.exists(n):
-                self._backend.drop_table(n)
-                self._key_cache = {
-                    k: v for k, v in self._key_cache.items() if k[0] != n
-                }
-        self._backend.write_version(
-            mname, 1, model, model.count(), f"vector index model of '{table}'"
+        # PUBLISH-THEN-PRUNE (round-11 ADVICE): write the new state as
+        # fresh VERSIONS, CAS-publish the spec that PINS those versions,
+        # and only then drop superseded versions — a refused publish
+        # leaves the old spec + old state fully consistent (the new
+        # versions are unreferenced orphans, reclaimed by the next
+        # successful build), never a spec/state mismatch or a
+        # double-folded delta.
+        mver = (
+            self._backend.meta(mname).version + 1
+            if self._backend.exists(mname) else 1
+        )
+        dver = (
+            self._backend.meta(dname).version + 1
+            if self._backend.exists(dname) else 1
         )
         self._backend.write_version(
-            dname, 1, data, row_count, f"vector index data of '{table}'"
+            mname, mver, model, model.count(),
+            f"vector index model of '{table}'",
+        )
+        self._backend.write_version(
+            dname, dver, data, row_count, f"vector index data of '{table}'"
         )
         meta = self._backend.meta(table)
+        prev_spec = self._vector_indexes.get(index)
         self._vector_indexes[index] = {
             "src": table,
             "vec_col": vec_col,
             "method": method,
             "params": spec_params,
             "dim": dim,
+            "key_cols": list(key_cols) if key_cols else None,
             "watermark": int(self._max_row_id(table)),
             "src_rows": meta.versions[meta.version].row_count,
             "src_version": meta.version,
+            "model_version": mver,
+            "data_version": dver,
         }
-        self._save_registry()
+        try:
+            self._save_registry()
+        except BaseException:
+            if prev_spec is None:
+                self._vector_indexes.pop(index, None)
+            else:
+                self._vector_indexes[index] = prev_spec
+            raise
+        self._prune_vindex_versions(mname, mver)
+        self._prune_vindex_versions(dname, dver)
         return row_count
+
+    def _prune_vindex_versions(self, name: str, keep: int) -> None:
+        """Drop every state-table version except ``keep`` (the one the
+        just-published spec pins). Runs strictly AFTER _save_registry
+        succeeds; failures here leave harmless orphan versions."""
+        for v in self._backend.versions(name):
+            if v != keep:
+                self._backend.drop_version(name, v)
+        self._key_cache = {
+            k: v for k, v in self._key_cache.items() if k[0] != name
+        }
 
     def refresh_vector_index(self, index: str) -> int:
         """Fold rows APPENDED to the source since the last (re)build into
@@ -1770,6 +1871,10 @@ class FeatureStore:
                 "was rewritten since the last build; rebuild with "
                 "create_vector_index()."
             )
+        # fail fast BEFORE the delta encode + state write if the publish
+        # would be refused (round-11 ADVICE: state mutated under a stale
+        # registry view re-folds the same delta after reopen)
+        self._assert_registry_current(f"refresh_vector_index('{index}')")
         src_meta = self._backend.meta(spec["src"])
         raw = self._current(spec["src"])
         delta = raw.filter(F.col(ROW_ID_COL) > spec["watermark"])
@@ -1781,9 +1886,7 @@ class FeatureStore:
                 "re-registered; rebuild with create_vector_index()."
             )
         dname = index + self._VINDEX_DATA_SUFFIX
-        prev = self._backend.read_version(
-            dname, self._backend.versions(dname)[-1]
-        )
+        prev = self._vindex_data(index)
         if delta_rows:
             src = delta.select(
                 F.col(ENTITY_COL).alias("vec_id"),
@@ -1804,6 +1907,14 @@ class FeatureStore:
                     src, self._vindex_pq_model(index), m=pp["m"],
                     sub_dim=pp["sub_dim"], grid=pp["grid"],
                 )
+            elif spec["method"] == "ivfpq":
+                from .operators.similarity import ivfpq_encode
+
+                centroids, books = self._vindex_ivfpq_model(index)
+                enc = ivfpq_encode(
+                    src, centroids, books, m=pp["m"],
+                    sub_dim=pp["sub_dim"], grid=pp["grid"],
+                )
             else:
                 enc = lsh_bucketize_with_planes(
                     src, self._vindex_lsh_model(index)
@@ -1812,16 +1923,29 @@ class FeatureStore:
         else:
             merged = prev
         row_count = cur_rows if delta_rows else spec["src_rows"]
+        # publish-then-prune (round-11 ADVICE; see create_vector_index):
+        # the spec pins the new data version, so a refused publish keeps
+        # serving the OLD version — the half-written merge is an orphan,
+        # never a double-folded delta
+        dver = self._backend.meta(dname).version + 1
         self._backend.write_version(
-            dname, self._backend.meta(dname).version + 1, merged, row_count,
+            dname, dver, merged, row_count,
             f"incremental refresh of vector index '{index}'",
         )
-        for v in self._backend.versions(dname)[:-1]:
-            self._backend.drop_version(dname, v)
+        prev_fields = {
+            k: spec.get(k)
+            for k in ("watermark", "src_rows", "src_version", "data_version")
+        }
         spec["watermark"] = int(self._max_row_id(spec["src"]))
         spec["src_rows"] = cur_rows
         spec["src_version"] = src_meta.version
-        self._save_registry()
+        spec["data_version"] = dver
+        try:
+            self._save_registry()
+        except BaseException:
+            spec.update(prev_fields)
+            raise
+        self._prune_vindex_versions(dname, dver)
         return row_count
 
     def knn(
@@ -1884,10 +2008,15 @@ class FeatureStore:
                 f"knn('{index}'): query vector has {len(qv)} dims, index "
                 f"has {spec['dim']}."
             )
-        dname = index + self._VINDEX_DATA_SUFFIX
-        data = self._backend.read_version(
-            dname, self._backend.versions(dname)[-1]
-        )
+        data = self._vindex_data(index)
+        key_cols = spec.get("key_cols")
+        if key_cols:
+            # composite-key index: expose the natural key columns so
+            # filter_expr can reference them; vec_id (the struct) stays
+            # the ranking/tie-break key
+            data = data.select(
+                *[F.col(f"vec_id.{c}").alias(c) for c in key_cols], "*"
+            )
         if filter_expr is not None:
             data = data.filter(filter_expr)
         pp = spec["params"]
@@ -1896,19 +2025,43 @@ class FeatureStore:
                 self._vindex_ivf_model(index), qv, pp["nprobe"], pp["grid"]
             )
             cand = data.filter(F.col("cell").isin(probes))
-            return knn_brute_force(cand, qv, k=k)
-        if spec["method"] == "pq":
-            return pq_adc_rank(
+            out = knn_brute_force(cand, qv, k=k)
+        elif spec["method"] == "pq":
+            out = pq_adc_rank(
                 data, self._vindex_pq_model(index), qv, m=pp["m"],
                 sub_dim=pp["sub_dim"], k=k, grid=pp["grid"],
             )
-        planes = self._vindex_lsh_model(index)
-        qb = lsh_query_bucket(planes, qv)
-        probes = [qb] + [
-            qb ^ (1 << i) for i in range(min(pp["multiprobe"], pp["bits"]))
-        ]
-        cand = data.filter(F.col("bucket").isin(probes))
-        return knn_brute_force(cand, qv, k=k)
+        elif spec["method"] == "ivfpq":
+            from .operators.similarity import ivfpq_adc_rank
+
+            centroids, books = self._vindex_ivfpq_model(index)
+            out = ivfpq_adc_rank(
+                data, centroids, books, qv, m=pp["m"],
+                sub_dim=pp["sub_dim"], nprobe=pp["nprobe"], k=k,
+                grid=pp["grid"],
+            )
+        else:
+            planes = self._vindex_lsh_model(index)
+            qb = lsh_query_bucket(planes, qv)
+            probes = [qb] + [
+                qb ^ (1 << i)
+                for i in range(min(pp["multiprobe"], pp["bits"]))
+            ]
+            cand = data.filter(F.col("bucket").isin(probes))
+            out = knn_brute_force(cand, qv, k=k)
+        return self._vindex_expand_key(out, key_cols)
+
+    @staticmethod
+    def _vindex_expand_key(out: DataFrame, key_cols) -> DataFrame:
+        """Composite-key output contract (f32 parity): the struct vec_id
+        expands back to its natural columns; scalar indexes pass
+        through."""
+        if not key_cols:
+            return out
+        rest = [c for c in out.columns if c != "vec_id"]
+        return out.select(
+            *[F.col(f"vec_id.{c}").alias(c) for c in key_cols], *rest
+        )
 
     def knn_batch(
         self,
@@ -1932,24 +2085,22 @@ class FeatureStore:
         whatever the join can shuffle.
 
         ``exclude_self`` drops candidates whose vec_id equals the query
-        id BEFORE the top-k (the recall-eval convention). Methods: ivf
-        and lsh; pq is REFUSED — its ADC distance table is a per-query
-        literal (driver-built), so batch PQ would inline |queries|
-        tables; use per-query ``knn`` or an ivf/lsh index for batch.
-        Same staleness/rewrite refusals as ``knn``. Output:
-        (query_id_col, vec_id, sim)."""
+        id BEFORE the top-k (the recall-eval convention). All four
+        methods serve batch: ivf/lsh rank by exact cosine inside the
+        probed cells/buckets (output sim DOUBLE); pq runs exhaustive
+        relational ADC (each query's m distance tables materialize as
+        broadcast array columns — the per-query driver literal of knn()
+        made distributed, round-11); ivfpq composes the probe join with
+        cell-specific residual tables (output adist BIGINT, matching
+        knn()). Same staleness/rewrite refusals as ``knn``; composite-
+        key indexes expand vec_id to the natural key columns. Output:
+        (query_id_col, vec_id | key columns, sim | adist)."""
         from .operators.pit import top_k_per_group
         from .operators.similarity import cosine_similarity
 
         spec = self._vector_indexes.get(index)
         if spec is None:
             raise FeatureStoreError(f"Unknown vector index: '{index}'")
-        if spec["method"] == "pq":
-            raise FeatureValidationError(
-                f"knn_batch('{index}'): PQ indexes serve per-query "
-                f"(the ADC distance table is a driver-built literal); "
-                f"use knn() or build an ivf/lsh index for batch."
-            )
         # same staleness/rewrite gate as knn — reuse it via a probe call
         # would double the metadata reads; inline the identical checks
         if spec.get("rewritten"):
@@ -1972,10 +2123,7 @@ class FeatureStore:
                 f"Run refresh_vector_index('{index}') after appends, or "
                 f"create_vector_index() after a re-register."
             )
-        dname = index + self._VINDEX_DATA_SUFFIX
-        data = self._backend.read_version(
-            dname, self._backend.versions(dname)[-1]
-        )
+        data = self._vindex_data(index)
         clash = {query_id_col, query_vec_col} & set(data.columns)
         if clash:
             raise FeatureValidationError(
@@ -1984,6 +2132,36 @@ class FeatureStore:
                 f"({data.columns}) — rename them on the query frame."
             )
         pp = spec["params"]
+        # lazy dim guard on the query side (round-11 ADVICE): a
+        # wrong-length q_vec would null-pad the zip_with distance/dot
+        # expressions — NULL sims and wrong probes instead of an error
+        queries = self._vindex_guard_dim(
+            queries, spec["dim"], f"knn_batch('{index}')",
+            vec_col=query_vec_col, id_col=query_id_col,
+        )
+        key_cols = spec.get("key_cols")
+        if spec["method"] == "pq":
+            from .operators.similarity import pq_adc_batch
+
+            out = pq_adc_batch(
+                data, self._vindex_pq_model(index), queries,
+                m=pp["m"], sub_dim=pp["sub_dim"], k=k,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                grid=pp["grid"], exclude_self=exclude_self,
+            )
+            return self._vindex_expand_key(out, key_cols)
+        if spec["method"] == "ivfpq":
+            from .operators.similarity import ivfpq_adc_batch
+
+            centroids, books = self._vindex_ivfpq_model(index)
+            out = ivfpq_adc_batch(
+                data, centroids, books, queries,
+                m=pp["m"], sub_dim=pp["sub_dim"], nprobe=pp["nprobe"],
+                k=k, query_id_col=query_id_col,
+                query_vec_col=query_vec_col, grid=pp["grid"],
+                exclude_self=exclude_self,
+            )
+            return self._vindex_expand_key(out, key_cols)
         qv = F.col(query_vec_col).cast("array<double>")
         if spec["method"] == "ivf":
             from .operators.clustering import _int_dist_expr
@@ -2039,9 +2217,29 @@ class FeatureStore:
                 F.col("embedding").cast("array<double>"), qv
             ).alias("sim"),
         )
-        return top_k_per_group(
+        out = top_k_per_group(
             scored, [query_id_col],
             [F.col("sim").desc(), F.col("vec_id").asc()], k,
+        )
+        return self._vindex_expand_key(out, key_cols)
+
+    def vector_index_stale(self, index: str) -> bool:
+        """True when the source table changed since the index was last
+        built/refreshed — exactly the condition under which ``knn``
+        refuses (version bump or row-count drift, and any history
+        rewrite). Metadata-only, no data scan; the probe streaming
+        auto-refresh (refresh='auto' in stream_index_enrich) runs per
+        micro-batch."""
+        spec = self._vector_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown vector index: '{index}'")
+        if spec.get("rewritten"):
+            return True
+        src_meta = self._backend.meta(spec["src"])
+        cur_rows = src_meta.versions[src_meta.version].row_count
+        return (
+            src_meta.version != spec["src_version"]
+            or cur_rows != spec["src_rows"]
         )
 
     def get_vector_index_info(self, index: str) -> dict[str, Any]:
@@ -2055,9 +2253,20 @@ class FeatureStore:
 
     def drop_vector_index(self, index: str) -> bool:
         """Release the spec AND both state tables. Returns False if
-        absent — never raises (the ``delete`` contract)."""
-        if self._vector_indexes.pop(index, None) is None:
+        absent — never raises for a missing index (the ``delete``
+        contract). Publish-then-prune ordering: the spec removal
+        CAS-publishes FIRST, state tables drop after — a refused publish
+        restores the in-memory spec and touches no state (the inverse
+        hazard of create: dropping tables under a refused save would
+        leave the on-disk spec dangling)."""
+        spec = self._vector_indexes.pop(index, None)
+        if spec is None:
             return False
+        try:
+            self._save_registry()
+        except BaseException:
+            self._vector_indexes[index] = spec
+            raise
         gone = set()
         for suffix in (self._VINDEX_DATA_SUFFIX, self._VINDEX_MODEL_SUFFIX):
             n = index + suffix
@@ -2067,38 +2276,53 @@ class FeatureStore:
         self._key_cache = {
             k: v for k, v in self._key_cache.items() if k[0] not in gone
         }
-        self._save_registry()
         return True
 
     @staticmethod
-    def _vindex_guard_dim(src: DataFrame, dim: int, context: str) -> DataFrame:
-        """Lazy dimension guard on the encode path: slice/zip_with over a
-        WRONG-length vector would silently null-pad or truncate distances
-        — refuse at the action instead (assert_true rides the projection,
-        no extra job; the f-string names the offending vec_id)."""
+    def _vindex_guard_dim(
+        src: DataFrame,
+        dim: int,
+        context: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Lazy dimension guard on the encode AND query paths: slice/
+        zip_with over a WRONG-length vector would silently null-pad or
+        truncate distances — refuse at the action instead (the guard
+        rides the projection, no extra job; the message names the
+        offending row id)."""
         return src.withColumn(
-            "embedding",
-            F.when(F.size("embedding") == dim, F.col("embedding")).otherwise(
+            vec_col,
+            F.when(F.size(vec_col) == dim, F.col(vec_col)).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
                             f"{context}: vector length != index dim {dim} "
-                            f"for vec_id="
+                            f"for {id_col}="
                         ),
-                        F.col("vec_id").cast("string"),
+                        F.col(id_col).cast("string"),
                         F.lit(" (got "),
-                        F.size("embedding").cast("string"),
+                        F.size(vec_col).cast("string"),
                         F.lit(") — vectors must share one dimension."),
                     )
                 )
             ),
         )
 
+    def _vindex_data(self, index: str) -> DataFrame:
+        """The encoded state table at the version the SPEC pins (legacy
+        registries without the pin fall back to latest) — never a
+        just-written-but-unpublished orphan version."""
+        spec = self._vector_indexes[index]
+        dname = index + self._VINDEX_DATA_SUFFIX
+        ver = spec.get("data_version") or self._backend.versions(dname)[-1]
+        return self._backend.read_version(dname, ver)
+
     def _vindex_model_rows(self, index: str):
+        spec = self._vector_indexes[index]
         mname = index + self._VINDEX_MODEL_SUFFIX
-        return self._backend.read_version(
-            mname, self._backend.versions(mname)[-1]
-        ).collect()
+        ver = spec.get("model_version") or self._backend.versions(mname)[-1]
+        return self._backend.read_version(mname, ver).collect()
 
     def _vindex_ivf_model(self, index: str) -> dict[int, list[int]]:
         return {
@@ -2119,6 +2343,22 @@ class FeatureStore:
             self._vindex_model_rows(index), key=lambda r: int(r["plane_id"])
         )
         return [[float(x) for x in r["plane"]] for r in rows]
+
+    def _vindex_ivfpq_model(
+        self, index: str
+    ) -> tuple[dict[int, list[int]], dict[int, dict[int, list[int]]]]:
+        """(coarse centroids, residual codebooks) from the one combined
+        model table (part='ivf' rows / part='pq' rows)."""
+        centroids: dict[int, list[int]] = {}
+        books: dict[int, dict[int, list[int]]] = {}
+        for r in self._vindex_model_rows(index):
+            if r["part"] == "ivf":
+                centroids[int(r["cell"])] = [int(x) for x in r["cv"]]
+            else:
+                books.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
+                    int(x) for x in r["cv"]
+                ]
+        return centroids, books
 
     def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
         ts_type = dict(df.dtypes)[TIMESTAMP_COL]
@@ -3721,9 +3961,22 @@ class FeatureStore:
                 "method": s["method"],
                 "params": dict(s["params"]),
                 "dim": int(s["dim"]),
+                # composite-key + version pins: round-11 fields; legacy
+                # registries fall back (None -> scalar key / latest
+                # version)
+                "key_cols": (
+                    list(s["key_cols"]) if s.get("key_cols") else None
+                ),
                 "watermark": int(s["watermark"]),
                 "src_rows": int(s["src_rows"]),
                 "src_version": int(s["src_version"]),
+                "model_version": (
+                    int(s["model_version"])
+                    if s.get("model_version") else None
+                ),
+                "data_version": (
+                    int(s["data_version"]) if s.get("data_version") else None
+                ),
                 "rewritten": bool(s.get("rewritten", False)),
             }
         return out
@@ -3773,12 +4026,17 @@ class FeatureStore:
                         f"pick up their specs, then retry — overwriting "
                         f"would silently erase them."
                     )
-            self._reg_generation += 1
+            # commit the in-memory generation only AFTER the atomic write
+            # returns (round-11 ADVICE): incrementing first would leave a
+            # healthy instance permanently ahead of the file when the
+            # write itself fails (disk full), refusing every later save
+            # with a misleading 'another writer advanced' error.
+            new_gen = self._reg_generation + 1
             self._atomic_write_text(
                 path,
                 json.dumps(
                     {
-                        "generation": self._reg_generation,
+                        "generation": new_gen,
                         "derived": {
                             n: {
                                 "sources": list(s["sources"]),
@@ -3822,6 +4080,32 @@ class FeatureStore:
                     },
                     indent=2,
                 ),
+            )
+            self._reg_generation = new_gen
+
+    def _assert_registry_current(self, context: str) -> None:
+        """Pre-mutation CAS probe (round-11 ADVICE): index builds and
+        refreshes mutate backend STATE TABLES before the registry
+        publish, so a save that would be refused (another writer
+        advanced the file) must be detected BEFORE the expensive encode
+        work and state writes, not after. Same comparison as
+        ``_save_registry``'s guard, read without the lock — the lock'd
+        CAS at publish time remains the authority; this probe just fails
+        fast. Version pinning in the spec (``data_version`` /
+        ``model_version``) closes the residual race window: superseded
+        state versions are dropped only AFTER a successful publish."""
+        path = self._registry_path()
+        if path is None or not path.exists():
+            return
+        import json
+
+        on_disk = int(json.loads(path.read_text()).get("generation", 0))
+        if on_disk != self._reg_generation:
+            raise FeatureStoreError(
+                f"{context} refused: another writer advanced "
+                f"'{path.name}' to generation {on_disk} (this instance "
+                f"loaded generation {self._reg_generation}). Reopen the "
+                f"store to pick up their specs, then retry."
             )
 
     def _spec_references(self, table: str) -> list[tuple[str, str]]:

@@ -567,33 +567,30 @@ def _x14_sql(k: int = 8, dim: int = 64, iters: int = 2, grid: int = 10**6) -> st
     """
 
 
-def _x17_sql(
-    m: int = 4,
-    sub_dim: int = 16,
-    k_codes: int = 16,
-    k: int = 10,
-    grid: int = 10**6,
-    query_id: int = 0,
-    exclude_query: bool = False,
+def _pq_sub_dist(sub_dim: int, xv: str, cv: str) -> str:
+    """Integer squared distance between two sub_dim integer lists."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> ({xv}[i] - {cv}[i]) * ({xv}[i] - {cv}[i]))) AS BIGINT)"
+    )
+
+
+def _pq_fit_chain(
+    s: int, sub_dim: int, k_codes: int, src_cte: str = "q",
+    src_vec: str = "qv",
 ) -> str:
-    """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
-    codebook fit, encode every vector against the updated codebook, build
-    the query's distance table relationally, and rank by the joined sum.
-    All-integer arithmetic — same fixpoint as pq_ann_topk."""
-
-    def dist(xv: str, cv: str) -> str:
-        return (
-            f"CAST(list_sum(list_transform(generate_series(1, {sub_dim}), "
-            f"i -> ({xv}[i] - {cv}[i]) * ({xv}[i] - {cv}[i]))) AS BIGINT)"
-        )
-
-    chains = []
-    joins = []
-    for s in range(m):
-        a, b = s * sub_dim + 1, (s + 1) * sub_dim
-        d_qc0 = dist("x.sv", "c.cv")
-        chains.append(f"""
-    s{s}q AS (SELECT vec_id, list_slice(qv, {a}, {b}) AS sv FROM q),
+    """Shared oracle front half for ONE PQ subspace (used by _x17_sql,
+    the batch-ADC oracle and the IVF-PQ oracle): slice the integer
+    vectors, replay the 1-iteration integer-Lloyd codebook fit
+    (first-k_codes init by vec_id, argmin assign with lowest-cluster
+    ties, floor-mean update), then the FROZEN encode. Produces CTEs
+    s{s}q, s{s}c0, s{s}a0, s{s}c1raw, s{s}c1 (the codebook) and
+    s{s}code (vec_id -> cluster)."""
+    a, b = s * sub_dim + 1, (s + 1) * sub_dim
+    d_qc0 = _pq_sub_dist(sub_dim, "x.sv", "c.cv")
+    return f"""
+    s{s}q AS (SELECT vec_id, list_slice({src_vec}, {a}, {b}) AS sv
+              FROM {src_cte}),
     s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
                       sv AS cv
                FROM (SELECT vec_id, sv FROM s{s}q ORDER BY vec_id
@@ -627,9 +624,29 @@ def _x17_sql(
                                       ORDER BY {d_qc0}, c.cluster) AS rk
             FROM s{s}q x CROSS JOIN s{s}c1 c
         ) WHERE rk = 1
-    ),
+    )"""
+
+
+def _x17_sql(
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 10,
+    grid: int = 10**6,
+    query_id: int = 0,
+    exclude_query: bool = False,
+) -> str:
+    """PQ-ANN oracle: per subspace, replay the 1-iteration integer-Lloyd
+    codebook fit, encode every vector against the updated codebook, build
+    the query's distance table relationally, and rank by the joined sum.
+    All-integer arithmetic — same fixpoint as pq_ann_topk."""
+    chains = []
+    joins = []
+    for s in range(m):
+        d_dt = _pq_sub_dist(sub_dim, "x.sv", "c.cv")
+        chains.append(f"""{_pq_fit_chain(s, sub_dim, k_codes)},
     s{s}dt AS (
-        SELECT c.cluster, {dist("x.sv", "c.cv")} AS dd
+        SELECT c.cluster, {d_dt} AS dd
         FROM s{s}c1 c CROSS JOIN (SELECT vec_id, sv FROM s{s}q
                                   WHERE vec_id = {query_id}) x
     ),
@@ -758,12 +775,15 @@ def _vidx_batch_sql(
     k: int = 5,
     grid: int = 10**6,
     dim: int = 64,
+    fit_pred: str = "TRUE",
 ) -> str:
     """Batch-knn-through-the-index oracle: per query row, the nprobe
     nearest cells by the same integer distance, candidates via the cell
     equi join, exact cosine, per-query top-k window (self-match
-    excluded). Mirrors store.knn_batch(method='ivf')."""
-    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, "TRUE")
+    excluded). Mirrors store.knn_batch(method='ivf'); ``fit_pred``
+    restricts the model FIT corpus (refresh lanes: frozen model from
+    the initial rows, assignment over everything)."""
+    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, fit_pred)
     d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
     ids = ", ".join(str(i) for i in query_ids)
     return f"""
@@ -832,6 +852,208 @@ def _vidx_lsh_sql(
         FROM b CROSS JOIN q
         WHERE bucket IN ({probe_list}) AND vec_id <> {query_id}
         ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _vidx_pq_batch_sql(
+    query_ids: list[int],
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 5,
+    grid: int = 10**6,
+    exclude_self: bool = True,
+) -> str:
+    """Batch-ADC-through-the-stored-PQ-codes oracle (vidx7): the shared
+    codebook fit + frozen encode, then PER QUERY ROW a relational
+    distance table (cluster -> dd) and the m-lookup sum, per-query
+    top-k ascending with vec_id tie-break — mirrors
+    store.knn_batch(method='pq') / operators.similarity.pq_adc_batch."""
+    ids = ", ".join(str(i) for i in query_ids)
+    chains, joins = [], []
+    for s in range(m):
+        d_dt = _pq_sub_dist(sub_dim, "x.sv", "c.cv")
+        chains.append(f"""{_pq_fit_chain(s, sub_dim, k_codes)},
+    s{s}bdt AS (
+        SELECT x.vec_id AS q_id, c.cluster, {d_dt} AS dd
+        FROM s{s}c1 c CROSS JOIN (SELECT vec_id, sv FROM s{s}q
+                                  WHERE vec_id IN ({ids})) x
+    ),
+    s{s}bd AS (
+        SELECT t.q_id, e.vec_id, t.dd
+        FROM s{s}code e JOIN s{s}bdt t USING (cluster)
+    )""")
+        joins.append(f"JOIN s{s}bd USING (q_id, vec_id)" if s else "s0bd")
+    total = " + ".join(f"s{s}bd.dd" for s in range(m))
+    self_pred = "AND vec_id <> q_id" if exclude_self else ""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * {grid} + 0.5) AS BIGINT))
+                     AS qv
+          FROM e),
+    {",".join(chains)},
+    tot AS (
+        SELECT q_id, vec_id, CAST({total} AS BIGINT) AS adist
+        FROM {" ".join(joins)}
+    )
+    SELECT q_id, vec_id, adist FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist, vec_id) AS rk
+        FROM tot WHERE TRUE {self_pred}
+    ) WHERE rk <= {k}
+    """
+
+
+def _vidx_ivfpq_sql(
+    query_id: int,
+    n_cells: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 10,
+    grid: int = 10**6,
+    dim: int = 64,
+    fit_pred: str = "TRUE",
+    exclude_query: bool = True,
+) -> str:
+    """Persisted IVF-PQ oracle (vidx8): replay the FULL composite model —
+    coarse integer-Lloyd centroids over ``fit_pred`` rows + frozen cell
+    assignment of all rows (the shared _vidx_ivf_fit_ctes front half),
+    INTEGER RESIDUALS (quantized vector minus assigned centroid), the
+    per-subspace residual codebook fits (shared _pq_fit_chain over the
+    residual CTE), the frozen residual encode, then the query path:
+    nprobe nearest cells, CELL-SPECIFIC query residuals and distance
+    tables, ADC over candidates in the probed cells only. Mirrors
+    store.create_vector_index(method='ivfpq') + knn."""
+    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, fit_pred)
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    chains, joins = [], []
+    for s in range(m):
+        a, b = s * sub_dim + 1, (s + 1) * sub_dim
+        d_dt = _pq_sub_dist(sub_dim, "list_slice(qr.rv, %d, %d)" % (a, b),
+                            "c.cv")
+        chains.append(f"""{_pq_fit_chain(s, sub_dim, k_codes,
+                                         src_cte="res", src_vec="rv")},
+    s{s}qdt AS (
+        SELECT qr.cell, c.cluster, {d_dt} AS dd
+        FROM qres qr CROSS JOIN s{s}c1 c
+    ),
+    s{s}ad AS (
+        SELECT e.vec_id, t.dd
+        FROM s{s}code e
+        JOIN enc ON enc.vec_id = e.vec_id
+        JOIN s{s}qdt t ON t.cell = enc.cell AND t.cluster = e.cluster
+    )""")
+        joins.append(f"JOIN s{s}ad USING (vec_id)" if s else "s0ad")
+    total = " + ".join(f"s{s}ad.dd" for s in range(m))
+    self_pred = f"AND vec_id <> {query_id}" if exclude_query else ""
+    return f"""
+    WITH {ctes},
+    res AS (
+        SELECT x.vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> x.qv[i] - c.cv[i]) AS rv
+        FROM q x JOIN enc ON enc.vec_id = x.vec_id
+        JOIN {model} c ON c.cell = enc.cell
+    ),
+    probes AS (
+        SELECT c.cell, c.cv FROM {model} c
+        CROSS JOIN (SELECT qv FROM q WHERE vec_id = {query_id}) x
+        ORDER BY {d_fit}, c.cell LIMIT {nprobe}
+    ),
+    qres AS (
+        SELECT p.cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> x.qv[i] - p.cv[i]) AS rv
+        FROM probes p
+        CROSS JOIN (SELECT qv FROM q WHERE vec_id = {query_id}) x
+    ),
+    {",".join(chains)}
+    SELECT vec_id, CAST({total} AS BIGINT) AS adist
+    FROM {" ".join(joins)}
+    WHERE TRUE {self_pred}
+    ORDER BY adist, vec_id LIMIT {k}
+    """
+
+
+def _vidx_ivfpq_batch_sql(
+    query_ids: list[int],
+    n_cells: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 5,
+    grid: int = 10**6,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> str:
+    """Batch IVF-PQ oracle (vidx9): per query row, the nprobe nearest
+    coarse cells, the CELL-SPECIFIC query residual + distance tables,
+    ADC over candidates in that query's probed cells, per-query top-k
+    ascending. Mirrors store.knn_batch(method='ivfpq') /
+    operators.similarity.ivfpq_adc_batch."""
+    ctes, model = _vidx_ivf_fit_ctes(n_cells, iters, grid, dim, "TRUE")
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    chains, joins = [], []
+    for s in range(m):
+        a, b = s * sub_dim + 1, (s + 1) * sub_dim
+        d_dt = _pq_sub_dist(sub_dim, f"list_slice(qr.rv, {a}, {b})", "c.cv")
+        chains.append(f"""{_pq_fit_chain(s, sub_dim, k_codes,
+                                         src_cte="res", src_vec="rv")},
+    s{s}qdt AS (
+        SELECT qr.q_id, qr.cell, c.cluster, {d_dt} AS dd
+        FROM qres qr CROSS JOIN s{s}c1 c
+    ),
+    s{s}ad AS (
+        SELECT t.q_id, e.vec_id, t.dd
+        FROM s{s}code e
+        JOIN enc ON enc.vec_id = e.vec_id
+        JOIN s{s}qdt t ON t.cell = enc.cell AND t.cluster = e.cluster
+    )""")
+        joins.append(f"JOIN s{s}ad USING (q_id, vec_id)" if s else "s0ad")
+    total = " + ".join(f"s{s}ad.dd" for s in range(m))
+    self_pred = "AND vec_id <> q_id" if exclude_self else ""
+    return f"""
+    WITH {ctes},
+    res AS (
+        SELECT x.vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> x.qv[i] - c.cv[i]) AS rv
+        FROM q x JOIN enc ON enc.vec_id = x.vec_id
+        JOIN {model} c ON c.cell = enc.cell
+    ),
+    qs AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id IN ({ids})),
+    qprobes AS (
+        SELECT q_id, cell, cv FROM (
+            SELECT x.q_id, c.cell, c.cv,
+                   row_number() OVER (PARTITION BY x.q_id
+                                      ORDER BY {d_fit}, c.cell) AS rk
+            FROM qs x CROSS JOIN {model} c
+        ) WHERE rk <= {nprobe}
+    ),
+    qres AS (
+        SELECT p.q_id, p.cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> x.qv[i] - p.cv[i]) AS rv
+        FROM qprobes p JOIN qs x USING (q_id)
+    ),
+    {",".join(chains)},
+    tot AS (
+        SELECT q_id, vec_id, CAST({total} AS BIGINT) AS adist
+        FROM {" ".join(joins)}
+    )
+    SELECT q_id, vec_id, adist FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist, vec_id) AS rk
+        FROM tot WHERE TRUE {self_pred}
+    ) WHERE rk <= {k}
     """
 
 
@@ -1102,6 +1324,9 @@ __all__ = [
     '_vidx_ivf_sql',
     '_vidx_batch_sql',
     '_vidx_lsh_sql',
+    '_vidx_pq_batch_sql',
+    '_vidx_ivfpq_sql',
+    '_vidx_ivfpq_batch_sql',
     '_x21_round',
     '_FEATS_CENTS',
     '_F24_CHK',

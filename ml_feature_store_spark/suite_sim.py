@@ -596,6 +596,88 @@ def q_vidx5_index_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_vidx7_pq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval through the persisted PQ index (round-11; lifts
+    the r10 knn_batch PQ refusal — r10 verdict next-round #1): each of
+    three query rows materializes its m=4 distance tables as BROADCAST
+    array columns (the per-query driver literal of knn() made
+    relational: a |queries| x m x k_codes dim), the m-byte codes scan
+    cross-joins that broadcast side — plain PQ is exhaustive by design,
+    IVF adds the pruning — and ADC is m array lookups + a sum per pair,
+    then a per-query top-5 ascending (self-matches excluded). The
+    FAISS IndexPQ search_batch shape: millions of stored codes scored
+    for a query TABLE with no driver loop; at 100 TB the codes side
+    never moves before the per-query top-k."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="pq",
+        params={"m": 4, "sub_dim": 16, "k_codes": 16, "iterations": 1},
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 100])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = fs.knn_batch("ann", queries, k=5, exclude_self=True)
+    return out.select("q_id", "vec_id", "adist")
+
+
+def q_vidx8_ivfpq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index (round-11; r10 verdict next-round #2) —
+    the FAISS IndexIVFPQ composition for billion-vector corpora: coarse
+    integer-Lloyd cells (16) prune the scan, per-subspace codebooks
+    fitted on the RESIDUAL (quantized vector minus assigned centroid,
+    integer end-to-end) keep memory at m=4 bytes/row, and the query
+    runs ADC with CELL-SPECIFIC distance tables (the query residual
+    differs per probed cell — the IndexIVFPQ subtlety plain PQ lacks)
+    over candidates in the 2 probed cells only. The oracle replays the
+    whole composite model relationally: coarse fit + frozen assignment,
+    residuals, residual codebook fits, frozen encode, probe + ADC."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivfpq",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2,
+                "m": 4, "sub_dim": 16, "k_codes": 16},
+    )
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", "adist")
+
+
+def q_vidx9_ivfpq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving through the persisted IVF-PQ index — completes the
+    batch matrix (all four methods serve query TABLES): per query row a
+    map-only projection picks the 2 nearest coarse cells AND computes
+    the cell-specific residual distance tables (model as literals), the
+    cell EQUI JOIN against the codes scan yields candidates — each
+    query touches only its probed cells — and ADC + per-query top-5
+    ranks. At 100 TB this is the pruned-scan AND m-bytes-per-row
+    serving job: |queries| scales with the join, the encoded table
+    partitions by cell."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivfpq",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2,
+                "m": 4, "sub_dim": 16, "k_codes": 16},
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 100])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = fs.knn_batch("ann", queries, k=5, exclude_self=True)
+    return out.select("q_id", "vec_id", "adist")
+
+
 def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of EVERY persisted-index method against exact brute-force
     cosine ground truth — x19/x26's trust-but-verify applied to the
@@ -622,13 +704,19 @@ def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i_lsh", "vecs", method="lsh",
         params={"bits": 8, "seed": 42, "multiprobe": 2},
     )
+    fs.create_vector_index(
+        "i_ivfpq", "vecs", method="ivfpq",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2,
+                "m": 4, "sub_dim": 16, "k_codes": 16},
+    )
     emb = table(spark, sf_dir, "embeddings")
     qvec = _vidx_query_vec(spark, sf_dir, 100)
     exact = knn_brute_force(
         emb.filter(F.col("vec_id") != 100), qvec, k=10
     ).select("vec_id")
     arms = []
-    for method, idx in (("ivf", "i_ivf"), ("lsh", "i_lsh"), ("pq", "i_pq")):
+    for method, idx in (("ivf", "i_ivf"), ("lsh", "i_lsh"), ("pq", "i_pq"),
+                        ("ivfpq", "i_ivfpq")):
         approx = fs.knn(
             idx, qvec, k=10, filter_expr="vec_id <> 100"
         ).select("vec_id")
@@ -1556,6 +1644,9 @@ QUERIES = {
     'vidx4_lsh_index_knn': q_vidx4_lsh_index_knn,
     'vidx5_index_batch_knn': q_vidx5_index_batch_knn,
     'vidx6_index_recall': q_vidx6_index_recall,
+    'vidx7_pq_batch_knn': q_vidx7_pq_batch_knn,
+    'vidx8_ivfpq_index_knn': q_vidx8_ivfpq_index_knn,
+    'vidx9_ivfpq_batch_knn': q_vidx9_ivfpq_batch_knn,
     'ts5_changepoint': q_ts5_changepoint,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
@@ -1869,6 +1960,11 @@ ORACLE_SQL["vidx3_index_refresh"] = _vidx_ivf_sql(
 )
 ORACLE_SQL["vidx4_lsh_index_knn"] = _vidx_lsh_sql(query_id=100)
 ORACLE_SQL["vidx5_index_batch_knn"] = _vidx_batch_sql([0, 7, 100])
+ORACLE_SQL["vidx7_pq_batch_knn"] = _vidx_pq_batch_sql([0, 7, 100], k=5)
+ORACLE_SQL["vidx8_ivfpq_index_knn"] = _vidx_ivfpq_sql(query_id=100, k=10)
+ORACLE_SQL["vidx9_ivfpq_batch_knn"] = _vidx_ivfpq_batch_sql(
+    [0, 7, 100], k=5
+)
 
 ORACLE_SQL["vidx6_index_recall"] = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1881,7 +1977,9 @@ ORACLE_SQL["vidx6_index_recall"] = f"""
     ivf10 AS (SELECT vec_id FROM ({_vidx_ivf_sql(query_id=100)}) t),
     lsh10 AS (SELECT vec_id FROM ({_vidx_lsh_sql(query_id=100)}) t),
     pq10 AS (SELECT vec_id
-             FROM ({_x17_sql(query_id=100, k=10, exclude_query=True)}) t)
+             FROM ({_x17_sql(query_id=100, k=10, exclude_query=True)}) t),
+    ivfpq10 AS (SELECT vec_id
+                FROM ({_vidx_ivfpq_sql(query_id=100, k=10)}) t)
     SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_overlap,
            CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
@@ -1892,6 +1990,10 @@ ORACLE_SQL["vidx6_index_recall"] = f"""
     UNION ALL
     SELECT 'pq', 10, CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 10 AS BIGINT)
     FROM exact10 JOIN pq10 USING (vec_id)
+    UNION ALL
+    SELECT 'ivfpq', 10, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) * 10 AS BIGINT)
+    FROM exact10 JOIN ivfpq10 USING (vec_id)
 """
 
 # ts5: the division-free integer CUSUM replayed as window SQL — argmax on

@@ -844,6 +844,62 @@ def q_sd18_stream_index_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_sd19_stream_index_autorefresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming index MAINTENANCE (round-11; r10 verdict next-round
+    #4): the IVF model trains on the initial corpus (even vec_ids), the
+    odd half is APPENDED to the source before the stream starts — so
+    the first micro-batch finds a STALE index. With ``refresh='auto'``
+    the enrich loop probes staleness per batch (metadata-only) and
+    folds the delta through refresh_vector_index — O(delta) encode
+    against the FROZEN model — then serves, instead of sd18's strict
+    refusal. Because the model is frozen, old vectors' cells never
+    move, so the stream output is STILL a pure function of (query row,
+    final index): the oracle is the batch SQL with the fit restricted
+    to the even half and assignment over everything (vidx3's refresh
+    contract composed with vidx5's batch join)."""
+    from .store import FeatureStore
+    from .streaming.ingest import stream_index_enrich
+
+    emb = table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    fs = FeatureStore(spark)
+    fs.register("vecs", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    # the source grows AFTER the build: the stream must refresh, not die
+    fs.append("vecs", feats.filter(F.col("entity_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id").isin([3, 42, 200])).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    d = _scratch_dir("sd19_feed", sf_dir)
+    sink = _scratch_dir("sd19_sink", sf_dir)
+    ck = _scratch_dir("sd19_ckpt", sf_dir)
+    _write_ordered_feed(
+        d, queries.filter("q_id < 100"), queries.filter("q_id >= 100")
+    )
+    stream = (
+        spark.readStream.schema("q_id bigint, q_vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
+                            exclude_self=True, refresh="auto")
+    q.awaitTermination(300)
+    q.stop()
+    out = spark.read.parquet(sink).drop("batch_id")
+    return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING approximate distinct (h5's mergeable-sketch story in
     flight, round-9): per-(7-day window, event_type) DISTINCT USERS
@@ -918,6 +974,7 @@ def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     'sd18_stream_index_enrich': q_sd18_stream_index_enrich,
+    'sd19_stream_index_autorefresh': q_sd19_stream_index_autorefresh,
     'sd17_stream_distinct': q_sd17_stream_distinct,
     'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
@@ -940,6 +997,12 @@ ORACLE_SQL: dict[str, str] = {}
 # sd18: stream == batch through the stored index — vidx5's batch oracle
 # over the sd18 query set (micro-batch-split invariance is the claim).
 ORACLE_SQL["sd18_stream_index_enrich"] = _vidx_batch_sql([3, 42, 200])
+# sd19: auto-refresh folds the appended odd half against the FROZEN
+# even-fit model — batch replay = fit-on-evens, assign-everything,
+# same batch join as vidx5/sd18.
+ORACLE_SQL["sd19_stream_index_autorefresh"] = _vidx_batch_sql(
+    [3, 42, 200], fit_pred="vec_id % 2 = 0"
+)
 
 # Batch replay of the deterministic stateful streaming fold: cumulative
 # count/sum (integer cents — exact in doubles) + last row by (ts_us,
