@@ -676,12 +676,15 @@ def _vidx_int_dist(xv: str, cv: str, dim: int) -> str:
 
 
 def _vidx_ivf_fit_ctes(
-    n_cells: int, iters: int, grid: int, dim: int, fit_pred: str
+    n_cells: int, iters: int, grid: int, dim: int, fit_pred: str,
+    assign_src: str = "q", extra: list[str] | None = None,
 ) -> tuple[str, str]:
     """The shared oracle front half for every persisted-IVF lane: quantize,
     fit integer-Lloyd centroids over ``fit_pred`` rows, assign ALL rows to
     the frozen model. Returns (cte_block, final_model_cte) — the block
-    ends with ``enc`` (vec_id, cell)."""
+    ends with ``enc`` (vec_id, cell). ``assign_src`` + ``extra`` support
+    the re-encode lane (vidx10): fit on the ORIGINAL corpus (``q``),
+    assign a REWRITTEN corpus defined by the extra CTEs."""
     d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
     parts = [
         f"""
@@ -720,13 +723,14 @@ def _vidx_ivf_fit_ctes(
         FROM {prev_c} p LEFT JOIN c{it}raw r USING (cell)
     )""")
         prev_c = f"c{it}"
+    parts.extend(extra or [])
     parts.append(f"""
     enc AS (
         SELECT vec_id, cell FROM (
             SELECT x.vec_id, c.cell,
                    row_number() OVER (PARTITION BY x.vec_id
                                       ORDER BY {d_fit}, c.cell) AS rk
-            FROM q x CROSS JOIN {prev_c} c
+            FROM {assign_src} x CROSS JOIN {prev_c} c
         ) WHERE rk = 1
     )""")
     return ",".join(parts), prev_c
@@ -1057,6 +1061,79 @@ def _vidx_ivfpq_batch_sql(
     """
 
 
+def _vidx_reencode_sql(
+    query_id: int,
+    n_cells: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    k: int = 10,
+    grid: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """Frozen-model re-encode oracle (vidx10): centroids fitted on the
+    ORIGINAL corpus, every row of the REWRITTEN corpus (upsert: vec_id
+    < 50 takes vec_id+100's embedding) assigned to the frozen model,
+    probe + exact cosine over the rewritten vectors. Mirrors
+    create_vector_index + upsert + reencode_vector_index + knn."""
+    extra = [f"""
+    e2 AS (
+        SELECT a.vec_id,
+               CASE WHEN a.vec_id < 50 THEN b.v ELSE a.v END AS v
+        FROM e a LEFT JOIN e b ON b.vec_id = a.vec_id + 100
+    ),
+    q2 AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(floor(x * {grid} + 0.5)
+                                              AS BIGINT)) AS qv
+           FROM e2)"""]
+    ctes, model = _vidx_ivf_fit_ctes(
+        n_cells, iters, grid, dim, "TRUE", assign_src="q2", extra=extra
+    )
+    d_fit = _vidx_int_dist("x.qv", "c.cv", dim)
+    return f"""
+    WITH {ctes},
+    probes AS (
+        SELECT c.cell FROM {model} c
+        CROSS JOIN (SELECT qv FROM q WHERE vec_id = {query_id}) x
+        ORDER BY {d_fit}, c.cell LIMIT {nprobe}
+    ),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = {query_id})
+    SELECT e2.vec_id, ROUND(list_cosine_similarity(e2.v, qvec), 6) AS sim
+    FROM e2 JOIN enc USING (vec_id) CROSS JOIN qv
+    WHERE enc.cell IN (SELECT cell FROM probes)
+      AND e2.vec_id <> {query_id}
+    ORDER BY list_cosine_similarity(e2.v, qvec) DESC, e2.vec_id ASC
+    LIMIT {k}
+    """
+
+
+def _vidx_pq_refine_sql(
+    query_id: int,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 16,
+    k: int = 10,
+    refine: int = 3,
+    grid: int = 10**6,
+) -> str:
+    """PQ + exact re-rank oracle (vidx11, FAISS IndexRefineFlat): the
+    ADC shortlist of k*refine ids, exact-cosine re-ranked against the
+    raw vectors, top-k descending. Mirrors knn(refine=)."""
+    shortlist = _x17_sql(
+        m=m, sub_dim=sub_dim, k_codes=k_codes, k=k * refine, grid=grid,
+        query_id=query_id, exclude_query=True,
+    )
+    return f"""
+    WITH sl AS (SELECT vec_id FROM ({shortlist}) t),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    qq AS (SELECT v AS qvec FROM e WHERE vec_id = {query_id})
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qvec), 6) AS sim
+    FROM e JOIN sl USING (vec_id) CROSS JOIN qq
+    ORDER BY list_cosine_similarity(e.v, qvec) DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
 # x21: per-round CTE chain — counts -> 1-row argmax -> window mark/drop/
 # renumber merge. Parallel unnest (positions + tokens) zips in lockstep.
 def _x21_round(r: int) -> str:
@@ -1327,6 +1404,8 @@ __all__ = [
     '_vidx_pq_batch_sql',
     '_vidx_ivfpq_sql',
     '_vidx_ivfpq_batch_sql',
+    '_vidx_reencode_sql',
+    '_vidx_pq_refine_sql',
     '_x21_round',
     '_FEATS_CENTS',
     '_F24_CHK',

@@ -678,6 +678,69 @@ def q_vidx9_ivfpq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "adist")
 
 
+def q_vidx10_reencode_after_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frozen-model RE-ENCODE after a history rewrite (round-11; the r10
+    verdict's residual: after an upsert/merge the only recovery was a
+    full rebuild, refit included). An upsert patches the first 50
+    vectors (each takes vec_id+100's embedding) — the rewrite flag makes
+    knn/refresh REFUSE (pinned in pytest) because watermark accounting
+    cannot see a count-preserving rewrite. `reencode_vector_index` is
+    FAISS reset+add: ONE map-only pass re-assigns every current row to
+    its nearest FROZEN centroid — no Lloyd refit — then clears the flag
+    and serving resumes. The oracle replays fit-on-original +
+    assign-the-rewritten-corpus + probe + cosine over the patched
+    vectors."""
+    from .store import FeatureStore
+
+    feats = _vidx_feats(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("vecs", feats)
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    donor = feats.select(
+        (F.col("entity_id") - 100).alias("entity_id"),
+        F.col("embedding").alias("new_emb"),
+    )
+    patch = (
+        feats.join(donor, "entity_id")
+        .filter("entity_id < 50")
+        .select("entity_id", "timestamp",
+                F.col("new_emb").alias("embedding"), "label")
+    )
+    fs.upsert("vecs", patch)
+    fs.reencode_vector_index("ann")
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_vidx11_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval with EXACT RE-RANK (round-11 — FAISS
+    IndexRefineFlat): ADC over the stored m-byte codes picks a
+    k*refine=30 shortlist, then the shortlist (a broadcast-tiny id
+    frame) semi-joins the source's raw vectors and exact cosine
+    re-ranks the top 10 — quantization error capped at the shortlist
+    boundary, final scores exact. The production middle ground between
+    pure-ADC (vidx2: no raw vectors touched, quantized ranks) and
+    brute force; at 100 TB the re-rank reads k*refine rows, not the
+    corpus."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index(
+        "ann", "vecs", method="pq",
+        params={"m": 4, "sub_dim": 16, "k_codes": 16, "iterations": 1},
+    )
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100", refine=3)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of EVERY persisted-index method against exact brute-force
     cosine ground truth — x19/x26's trust-but-verify applied to the
@@ -1647,6 +1710,8 @@ QUERIES = {
     'vidx7_pq_batch_knn': q_vidx7_pq_batch_knn,
     'vidx8_ivfpq_index_knn': q_vidx8_ivfpq_index_knn,
     'vidx9_ivfpq_batch_knn': q_vidx9_ivfpq_batch_knn,
+    'vidx10_reencode_after_rewrite': q_vidx10_reencode_after_rewrite,
+    'vidx11_pq_refine_knn': q_vidx11_pq_refine_knn,
     'ts5_changepoint': q_ts5_changepoint,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
@@ -1964,6 +2029,12 @@ ORACLE_SQL["vidx7_pq_batch_knn"] = _vidx_pq_batch_sql([0, 7, 100], k=5)
 ORACLE_SQL["vidx8_ivfpq_index_knn"] = _vidx_ivfpq_sql(query_id=100, k=10)
 ORACLE_SQL["vidx9_ivfpq_batch_knn"] = _vidx_ivfpq_batch_sql(
     [0, 7, 100], k=5
+)
+ORACLE_SQL["vidx10_reencode_after_rewrite"] = _vidx_reencode_sql(
+    query_id=100, k=10
+)
+ORACLE_SQL["vidx11_pq_refine_knn"] = _vidx_pq_refine_sql(
+    query_id=100, k=10, refine=3
 )
 
 ORACLE_SQL["vidx6_index_recall"] = f"""

@@ -191,7 +191,13 @@ BENCH_QUERIES = [
     "vidx4_lsh_index_knn",  # stored-hyperplane buckets + probe knn (emb 1x)
     "vidx5_index_batch_knn",  # exploded-probe cell equi join, per-query top-k (emb 1x)
     "sd18_stream_index_enrich",  # per-micro-batch knn through the stored index (emb 1x)
-    "vidx6_index_recall",  # three stored indexes + exact arm recall (emb 1x)
+    "vidx6_index_recall",  # four stored indexes + exact arm recall (emb 1x)
+    "vidx7_pq_batch_knn",  # broadcast ADC dtab dim x codes scan, per-query top-k (emb 1x)
+    "vidx8_ivfpq_index_knn",  # residual-PQ build + probe + cell-specific ADC (emb 1x)
+    "vidx9_ivfpq_batch_knn",  # per-query probes + residual dtabs, cell equi join (emb 1x)
+    "sd19_stream_index_autorefresh",  # stale probe + O(delta) refresh per micro-batch (emb 1x)
+    "vidx10_reencode_after_rewrite",  # frozen-model full re-encode after upsert (emb 1x)
+    "vidx11_pq_refine_knn",  # ADC shortlist + exact re-rank semi join (emb 1x)
     "ts5_changepoint",  # daily rollup + division-free CUSUM windows, 8x events
     "dq17_k_anonymity",  # QI partial-agg groupBy + O(groups) fold, 8x events
 ]
