@@ -922,3 +922,85 @@ class TestWindowViewPlan:
         assert plan3.count("Sort ") <= plan3.count("Exchange") + 1
         assert "Join" not in plan3.replace("joinType", "")
         assert "CartesianProduct" not in plan3
+
+
+def _data_shuffles(df) -> int:
+    """Exchanges that MOVE data (hash/range repartitions) — broadcast
+    exchanges are the cheap model/dim ships the round-11 serving plans
+    are SUPPOSED to contain, so they don't count against the bound."""
+    plan = executed_plan(df)
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+class TestVectorIndexServingPlans:
+    """Round-11 serving-path plan gates: the batch/refine shapes must
+    keep the encoded scan pruned or broadcast-joined and bound their
+    shuffles to the one per-query top-k window."""
+
+    @pytest.fixture(scope="class")
+    def ann(self, spark):
+        from ml_feature_store_spark.store import FeatureStore
+
+        emb = table(spark, SF, "embeddings")
+        feats = emb.select(
+            F.col("vec_id").alias("entity_id"),
+            F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats)
+        fs.create_vector_index("i_ivf", "vecs", method="ivf")
+        fs.create_vector_index("i_pq", "vecs", method="pq")
+        fs.create_vector_index("i_ivfpq", "vecs", method="ivfpq")
+        qvec = [
+            float(x)
+            for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+        ]
+        queries = emb.filter("vec_id < 4").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        return fs, qvec, queries
+
+    def test_single_knn_is_shuffle_free(self, ann):
+        """ivf/pq/ivfpq single-query paths: pruned or map-only scan +
+        TakeOrderedAndProject — zero exchanges end to end."""
+        fs, qvec, _ = ann
+        for idx in ("i_ivf", "i_pq", "i_ivfpq"):
+            df = fs.knn(idx, qvec, k=5)
+            plan = executed_plan(df)
+            assert "TakeOrderedAndProject" in plan, idx
+            # the ivfpq distance-table dim joins via broadcast, never
+            # a data shuffle; ivf/pq have no join at all
+            assert _data_shuffles(df) == 0, idx
+
+    def test_pq_batch_broadcasts_query_side(self, ann):
+        """vidx7's shape: the per-query distance tables ride a BROADCAST
+        nested-loop join against the codes scan (exhaustive by design);
+        the only exchange is the per-query top-k window."""
+        fs, _, queries = ann
+        df = fs.knn_batch("i_pq", queries, k=3)
+        plan = executed_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan  # never the unbroadcast form
+        assert _data_shuffles(df) <= 1
+
+    def test_ivfpq_batch_joins_on_cell_broadcast(self, ann):
+        """vidx9's shape: exploded probes + residual tables BROADCAST-
+        hash-join the codes scan on the cell key; one window shuffle."""
+        fs, _, queries = ann
+        df = fs.knn_batch("i_ivfpq", queries, k=3)
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan and "cell" in plan
+        assert "SortMergeJoin" not in plan
+        assert _data_shuffles(df) <= 1
+
+    def test_refine_shortlist_joins_broadcast(self, ann):
+        """vidx11's shape: the k*refine shortlist broadcasts into the
+        raw-vector semi join — the source scan is never shuffled."""
+        fs, qvec, _ = ann
+        df = fs.knn("i_pq", qvec, k=5, refine=3)
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
