@@ -1005,6 +1005,13 @@ class FeatureStore:
             watermark = self._max_row_id(name)
         version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
         row_count = snap.count()
+        # ordering note (round-11 audit): unlike rollup sums / index
+        # encodes, this fold is an ARGMAX — re-folding the same delta is
+        # idempotent, and the written snapshot equals the full rebuild of
+        # the current rows regardless of the meta publish outcome. A
+        # refused registry save therefore leaves a CORRECT latest
+        # snapshot with a conservative (older) watermark — no
+        # publish-then-prune pinning needed on this path.
         self._backend.write_version(
             online, version, snap, row_count, f"online snapshot of '{name}'"
         )
@@ -1417,14 +1424,26 @@ class FeatureStore:
         a full re-register of the source invalidates the rollup and
         raises on the next refresh)."""
         self._require_table(name)
+        # fail fast if the publish would be refused (round-11: rollups
+        # share the vector indexes' publish-then-prune contract — a
+        # refused save must never leave folded state the on-disk
+        # watermark doesn't cover, or the next refresh double-counts)
+        self._assert_registry_current(f"create_rollup('{rollup}')")
         src = self._current(name)
         state = self._rollup_state(src, group_cols, sum_cols, distinct_cols)
         row_count = state.count()
         rname = rollup + self._ROLLUP_SUFFIX
-        self._backend.write_version(rname, 1, state, row_count, f"rollup of '{name}'")
+        sver = (
+            self._backend.meta(rname).version + 1
+            if self._backend.exists(rname) else 1
+        )
+        self._backend.write_version(
+            rname, sver, state, row_count, f"rollup of '{name}'"
+        )
         # metadata watermark (observed at publish) — no history scan
         watermark = self._max_row_id(name)
         meta = self._backend.meta(name)
+        prev_spec = self._rollups.get(rollup)
         self._rollups[rollup] = {
             "src": name,
             "group_cols": tuple(group_cols),
@@ -1432,8 +1451,17 @@ class FeatureStore:
             "distinct_cols": tuple(distinct_cols),
             "watermark": int(watermark),
             "src_rows": meta.versions[meta.version].row_count,
+            "state_version": sver,
         }
-        self._save_registry()
+        try:
+            self._save_registry()
+        except BaseException:
+            if prev_spec is None:
+                self._rollups.pop(rollup, None)
+            else:
+                self._rollups[rollup] = prev_spec
+            raise
+        self._prune_state_versions(rname, sver)
         return row_count
 
     def refresh_rollup(self, rollup: str) -> int:
@@ -1452,6 +1480,11 @@ class FeatureStore:
                 "rewritten since the last build; rebuild with "
                 "create_rollup()."
             )
+        # fail fast BEFORE folding state under a stale registry view
+        # (round-11: the vector-index double-fold hazard applies to
+        # rollup SUMS verbatim — and sums, unlike the online argmax,
+        # are NOT idempotent under a re-fold)
+        self._assert_registry_current(f"refresh_rollup('{rollup}')")
         src_meta = self._backend.meta(spec["src"])
         src = self._current(spec["src"])
         delta = src.filter(F.col(ROW_ID_COL) > spec["watermark"])
@@ -1467,7 +1500,7 @@ class FeatureStore:
                 "rebuild with create_rollup()."
             )
         rname = rollup + self._ROLLUP_SUFFIX
-        prev = self._backend.read_version(rname, self._backend.versions(rname)[-1])
+        prev = self._rollup_state_df(rollup)
         partial = self._rollup_state(
             delta,
             spec["group_cols"],
@@ -1482,44 +1515,71 @@ class FeatureStore:
             spec.get("distinct_cols", ()),
         )
         row_count = merged.count()
+        # publish-then-prune: the spec pins the new state version; a
+        # refused publish keeps serving (and next-refreshing from) the
+        # OLD version — the folded merge is an orphan, never a
+        # double-counted delta
+        sver = self._backend.meta(rname).version + 1
         self._backend.write_version(
-            rname, self._backend.meta(rname).version + 1, merged, row_count,
+            rname, sver, merged, row_count,
             f"incremental refresh of rollup '{rollup}'",
         )
-        for v in self._backend.versions(rname)[:-1]:
-            self._backend.drop_version(rname, v)
+        prev_fields = {
+            k: spec.get(k)
+            for k in ("watermark", "src_rows", "state_version")
+        }
         # metadata watermark (observed at publish) — no history scan
-        watermark = self._max_row_id(spec["src"])
-        spec["watermark"] = int(watermark)
+        spec["watermark"] = int(self._max_row_id(spec["src"]))
         spec["src_rows"] = cur_rows
-        self._save_registry()
+        spec["state_version"] = sver
+        try:
+            self._save_registry()
+        except BaseException:
+            spec.update(prev_fields)
+            raise
+        self._prune_state_versions(rname, sver)
         return row_count
+
+    def _rollup_state_df(self, rollup: str) -> DataFrame:
+        """The rollup state at the version the SPEC pins (legacy
+        registries without the pin fall back to latest) — never a
+        just-written-but-unpublished orphan version."""
+        spec = self._rollups[rollup]
+        rname = rollup + self._ROLLUP_SUFFIX
+        ver = spec.get("state_version") or self._backend.versions(rname)[-1]
+        return self._backend.read_version(rname, ver)
 
     def get_rollup(self, rollup: str) -> DataFrame:
         if rollup not in self._rollups:
             raise FeatureStoreError(f"Unknown rollup: '{rollup}'")
-        rname = rollup + self._ROLLUP_SUFFIX
-        return self._backend.read_version(rname, self._backend.versions(rname)[-1])
+        return self._rollup_state_df(rollup)
 
     def list_rollups(self) -> list[str]:
         return sorted(self._rollups)
 
     def drop_rollup(self, rollup: str) -> bool:
         """Release a rollup spec AND its materialized state table.
-        Returns False if absent — never raises (the ``delete``
-        contract)."""
-        if self._rollups.pop(rollup, None) is None:
+        Returns False if absent — never raises for a missing rollup (the
+        ``delete`` contract). Publish-then-prune: the spec removal
+        CAS-publishes FIRST (restored on refusal), the state table drops
+        after — never a dangling on-disk spec."""
+        spec = self._rollups.pop(rollup, None)
+        if spec is None:
             return False
+        try:
+            self._save_registry()
+        except BaseException:
+            self._rollups[rollup] = spec
+            raise
         rname = rollup + self._ROLLUP_SUFFIX
         if self._backend.exists(rname):
             self._backend.drop_table(rname)
         # mirror delete(cascade=True)'s invalidation: a re-created
-        # same-named rollup restarts its state table at version 1, so a
-        # stale (rname, version) key-shape entry must not survive
+        # same-named rollup restarts its state table, so a stale
+        # (rname, version) key-shape entry must not survive
         self._key_cache = {
             k: v for k, v in self._key_cache.items() if k[0] != rname
         }
-        self._save_registry()
         return True
 
     @staticmethod
@@ -1829,11 +1889,11 @@ class FeatureStore:
             else:
                 self._vector_indexes[index] = prev_spec
             raise
-        self._prune_vindex_versions(mname, mver)
-        self._prune_vindex_versions(dname, dver)
+        self._prune_state_versions(mname, mver)
+        self._prune_state_versions(dname, dver)
         return row_count
 
-    def _prune_vindex_versions(self, name: str, keep: int) -> None:
+    def _prune_state_versions(self, name: str, keep: int) -> None:
         """Drop every state-table version except ``keep`` (the one the
         just-published spec pins). Runs strictly AFTER _save_registry
         succeeds; failures here leave harmless orphan versions."""
@@ -1945,7 +2005,7 @@ class FeatureStore:
         except BaseException:
             spec.update(prev_fields)
             raise
-        self._prune_vindex_versions(dname, dver)
+        self._prune_state_versions(dname, dver)
         return row_count
 
     def reencode_vector_index(self, index: str) -> int:
@@ -2025,7 +2085,7 @@ class FeatureStore:
         except BaseException:
             spec.update(prev_fields)
             raise
-        self._prune_vindex_versions(dname, dver)
+        self._prune_state_versions(dname, dver)
         return cur_rows
 
     def knn(
@@ -4044,6 +4104,10 @@ class FeatureStore:
                 "distinct_cols": tuple(s.get("distinct_cols", ())),
                 "watermark": int(s["watermark"]),
                 "src_rows": int(s["src_rows"]),
+                "state_version": (
+                    int(s["state_version"]) if s.get("state_version")
+                    else None
+                ),
                 "rewritten": bool(s.get("rewritten", False)),
             }
         out["ttl"] = {t: float(v) for t, v in raw.get("ttl", {}).items()}
@@ -4185,6 +4249,7 @@ class FeatureStore:
                                 ),
                                 "watermark": s["watermark"],
                                 "src_rows": s["src_rows"],
+                                "state_version": s.get("state_version"),
                                 "rewritten": bool(s.get("rewritten", False)),
                             }
                             for n, s in self._rollups.items()

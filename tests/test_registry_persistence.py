@@ -613,3 +613,79 @@ class TestIncrementalMaterializeProperty:
             fs.delete("p")
 
         check()
+
+
+class TestRollupPublishThenPrune:
+    """Round-11: rollup state shares the vector indexes' publish-then-
+    prune contract — a refused registry publish must never leave a
+    folded delta the on-disk watermark doesn't cover (sums are NOT
+    idempotent under a re-fold, unlike the online argmax)."""
+
+    @staticmethod
+    def _advance_generation(path):
+        import json
+
+        reg = path / "s" / "_registry.json"
+        raw = json.loads(reg.read_text())
+        raw["generation"] = int(raw.get("generation", 0)) + 1
+        reg.write_text(json.dumps(raw))
+
+    def test_refresh_refuses_before_folding(self, spark, tmp_path):
+        fs = _seed(spark, tmp_path / "s")
+        fs.create_rollup("spend", "ru", ["entity_id"], ["cents"])
+        fs.append(
+            "spend",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-07"), 50)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        self._advance_generation(tmp_path)
+        with pytest.raises(FeatureStoreError, match="another writer"):
+            fs.refresh_rollup("ru")
+
+    def test_refused_publish_never_double_counts(self, spark, tmp_path):
+        """Force the refusal into the residual window (state folded,
+        publish refused): the spec still pins the OLD state version, so
+        the reopened store's refresh folds the delta exactly ONCE."""
+        fs = _seed(spark, tmp_path / "s")
+        fs.create_rollup("spend", "ru", ["entity_id"], ["cents"])
+        fs.append(
+            "spend",
+            spark.createDataFrame(
+                [("u1", ts("2024-01-07"), 50)],
+                ["entity_id", "timestamp", "cents"],
+            ),
+        )
+        fs._assert_registry_current = lambda ctx: None  # slip the probe
+        self._advance_generation(tmp_path)
+        with pytest.raises(FeatureStoreError, match="another writer"):
+            fs.refresh_rollup("ru")
+        reopened = FeatureStore(spark, storage_path=str(tmp_path / "s"))
+        reopened.refresh_rollup("ru")
+        got = {
+            r["entity_id"]: r["sum_cents"]
+            for r in reopened.get_rollup("ru").collect()
+        }
+        # u1 = 100 + 250 + 50 — the 50 folded ONCE despite the earlier
+        # orphaned merge version
+        assert got == {"u1": 400, "u2": 300}
+
+    def test_create_refusal_keeps_old_rollup_serving(self, spark, tmp_path):
+        fs = _seed(spark, tmp_path / "s")
+        fs.create_rollup("spend", "ru", ["entity_id"], ["cents"])
+        want = {
+            r["entity_id"]: r["sum_cents"]
+            for r in fs.get_rollup("ru").collect()
+        }
+        fs._assert_registry_current = lambda ctx: None
+        self._advance_generation(tmp_path)
+        with pytest.raises(FeatureStoreError, match="another writer"):
+            fs.create_rollup("clicks", "ru2", ["entity_id"], ["n_clicks"])
+        reopened = FeatureStore(spark, storage_path=str(tmp_path / "s"))
+        assert reopened.list_rollups() == ["ru"]
+        got = {
+            r["entity_id"]: r["sum_cents"]
+            for r in reopened.get_rollup("ru").collect()
+        }
+        assert got == want
