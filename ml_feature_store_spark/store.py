@@ -2095,6 +2095,7 @@ class FeatureStore:
         k: int = 10,
         filter_expr: str | None = None,
         refine: int | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Top-k nearest neighbors served THROUGH the persisted index —
         no refit, no re-encode: the model table (k x dim scale) loads
@@ -2115,6 +2116,11 @@ class FeatureStore:
         (vec_id, sim) — quantization error capped at the shortlist
         boundary, final scores exact, at the cost of one broadcast
         semi-join scan of k*refine raw vectors.
+
+        ``nprobe`` overrides the stored probe width at QUERY time with
+        no re-encode (FAISS's runtime nprobe — the recall/latency knob):
+        more cells for ivf/ivfpq, more single-bit bucket flips for lsh
+        (capped at bits); refused for pq (exhaustive, no probe key).
 
         STALE-INDEX REFUSAL: if the source table has changed since the
         index was built/refreshed (any version bump or row-count drift
@@ -2181,10 +2187,17 @@ class FeatureStore:
                 raise FeatureValidationError(
                     f"knn('{index}'): refine must be >= 1, got {refine}."
                 )
+        if nprobe is not None and spec["method"] == "pq":
+            raise FeatureValidationError(
+                f"knn('{index}'): nprobe does not apply to pq "
+                f"(exhaustive ADC; no probe key)."
+            )
         adc_k = k * int(refine) if refine else k
         if spec["method"] == "ivf":
             probes = ivf_probe_cells_int(
-                self._vindex_ivf_model(index), qv, pp["nprobe"], pp["grid"]
+                self._vindex_ivf_model(index), qv,
+                int(nprobe) if nprobe is not None else pp["nprobe"],
+                pp["grid"],
             )
             cand = data.filter(F.col("cell").isin(probes))
             out = knn_brute_force(cand, qv, k=k)
@@ -2199,15 +2212,16 @@ class FeatureStore:
             centroids, books = self._vindex_ivfpq_model(index)
             out = ivfpq_adc_rank(
                 data, centroids, books, qv, m=pp["m"],
-                sub_dim=pp["sub_dim"], nprobe=pp["nprobe"], k=adc_k,
-                grid=pp["grid"],
+                sub_dim=pp["sub_dim"],
+                nprobe=int(nprobe) if nprobe is not None else pp["nprobe"],
+                k=adc_k, grid=pp["grid"],
             )
         else:
             planes = self._vindex_lsh_model(index)
             qb = lsh_query_bucket(planes, qv)
+            mp = int(nprobe) if nprobe is not None else pp["multiprobe"]
             probes = [qb] + [
-                qb ^ (1 << i)
-                for i in range(min(pp["multiprobe"], pp["bits"]))
+                qb ^ (1 << i) for i in range(min(mp, pp["bits"]))
             ]
             cand = data.filter(F.col("bucket").isin(probes))
             out = knn_brute_force(cand, qv, k=k)
@@ -2227,6 +2241,45 @@ class FeatureStore:
             )
             out = knn_brute_force(cand, qv, k=k)
         return self._vindex_expand_key(out, key_cols)
+
+    def _vindex_batch_refine(
+        self,
+        shortlist: DataFrame,
+        queries: DataFrame,
+        spec: dict,
+        k: int,
+        query_id_col: str,
+        query_vec_col: str,
+    ) -> DataFrame:
+        """Batch IndexRefineFlat tail: the per-query ADC shortlist
+        (k*refine rows/query) joins the SOURCE's raw vectors + the
+        broadcast query vectors, exact cosine re-ranks, per-query top-k.
+        Output (query_id_col, vec_id, sim) — exact scores."""
+        from .operators.pit import top_k_per_group
+        from .operators.similarity import cosine_similarity
+
+        src_vecs = self._current(spec["src"]).select(
+            F.col(ENTITY_COL).alias("vec_id"),
+            F.col(spec["vec_col"]).cast("array<double>").alias("__v__"),
+        )
+        qx = queries.select(
+            query_id_col,
+            F.col(query_vec_col).cast("array<double>").alias("__qv__"),
+        )
+        cand = (
+            shortlist.select(query_id_col, "vec_id")
+            .join(src_vecs, "vec_id")
+            .join(F.broadcast(qx), query_id_col)
+        )
+        scored = cand.select(
+            query_id_col,
+            "vec_id",
+            cosine_similarity(F.col("__v__"), F.col("__qv__")).alias("sim"),
+        )
+        return top_k_per_group(
+            scored, [query_id_col],
+            [F.col("sim").desc(), F.col("vec_id").asc()], k,
+        )
 
     @staticmethod
     def _vindex_expand_key(out: DataFrame, key_cols) -> DataFrame:
@@ -2248,6 +2301,9 @@ class FeatureStore:
         query_id_col: str = "q_id",
         query_vec_col: str = "q_vec",
         exclude_self: bool = False,
+        filter_expr: str | None = None,
+        nprobe: int | None = None,
+        refine: int | None = None,
     ) -> DataFrame:
         """Top-k for EVERY row of a query TABLE through the persisted
         index — the serving-job shape (score a million queries in one
@@ -2301,7 +2357,10 @@ class FeatureStore:
                 f"create_vector_index() after a re-register."
             )
         data = self._vindex_data(index)
-        clash = {query_id_col, query_vec_col} & set(data.columns)
+        key_cols = spec.get("key_cols")
+        clash = {query_id_col, query_vec_col} & (
+            set(data.columns) | set(key_cols or ())
+        )
         if clash:
             raise FeatureValidationError(
                 f"knn_batch('{index}'): query column(s) {sorted(clash)} "
@@ -2309,6 +2368,34 @@ class FeatureStore:
                 f"({data.columns}) — rename them on the query frame."
             )
         pp = spec["params"]
+        if key_cols:
+            # composite-key index: natural key columns available to
+            # filter_expr, vec_id (the struct) stays the ranking key
+            data = data.select(
+                *[F.col(f"vec_id.{c}").alias(c) for c in key_cols], "*"
+            )
+        if filter_expr is not None:
+            # PRE-filter the encoded rows before any distance math —
+            # knn's x33 filtered-ANN shape, batch form (round-11)
+            data = data.filter(filter_expr)
+        if nprobe is not None and spec["method"] == "pq":
+            raise FeatureValidationError(
+                f"knn_batch('{index}'): nprobe does not apply to pq "
+                f"(exhaustive ADC; no probe key)."
+            )
+        if refine is not None:
+            if spec["method"] not in ("pq", "ivfpq"):
+                raise FeatureValidationError(
+                    f"knn_batch('{index}'): refine applies to ADC "
+                    f"methods (pq/ivfpq) — {spec['method']} already "
+                    f"re-ranks by exact cosine."
+                )
+            if int(refine) < 1:
+                raise FeatureValidationError(
+                    f"knn_batch('{index}'): refine must be >= 1, got "
+                    f"{refine}."
+                )
+        adc_k = k * int(refine) if refine else k
         # lazy dim guard on the query side (round-11 ADVICE): a
         # wrong-length q_vec would null-pad the zip_with distance/dot
         # expressions — NULL sims and wrong probes instead of an error
@@ -2316,16 +2403,19 @@ class FeatureStore:
             queries, spec["dim"], f"knn_batch('{index}')",
             vec_col=query_vec_col, id_col=query_id_col,
         )
-        key_cols = spec.get("key_cols")
         if spec["method"] == "pq":
             from .operators.similarity import pq_adc_batch
 
             out = pq_adc_batch(
                 data, self._vindex_pq_model(index), queries,
-                m=pp["m"], sub_dim=pp["sub_dim"], k=k,
+                m=pp["m"], sub_dim=pp["sub_dim"], k=adc_k,
                 query_id_col=query_id_col, query_vec_col=query_vec_col,
                 grid=pp["grid"], exclude_self=exclude_self,
             )
+            if refine:
+                out = self._vindex_batch_refine(
+                    out, queries, spec, k, query_id_col, query_vec_col
+                )
             return self._vindex_expand_key(out, key_cols)
         if spec["method"] == "ivfpq":
             from .operators.similarity import ivfpq_adc_batch
@@ -2333,11 +2423,16 @@ class FeatureStore:
             centroids, books = self._vindex_ivfpq_model(index)
             out = ivfpq_adc_batch(
                 data, centroids, books, queries,
-                m=pp["m"], sub_dim=pp["sub_dim"], nprobe=pp["nprobe"],
-                k=k, query_id_col=query_id_col,
+                m=pp["m"], sub_dim=pp["sub_dim"],
+                nprobe=int(nprobe) if nprobe is not None else pp["nprobe"],
+                k=adc_k, query_id_col=query_id_col,
                 query_vec_col=query_vec_col, grid=pp["grid"],
                 exclude_self=exclude_self,
             )
+            if refine:
+                out = self._vindex_batch_refine(
+                    out, queries, spec, k, query_id_col, query_vec_col
+                )
             return self._vindex_expand_key(out, key_cols)
         qv = F.col(query_vec_col).cast("array<double>")
         if spec["method"] == "ivf":
@@ -2356,9 +2451,10 @@ class FeatureStore:
             # nprobe nearest cells per query: array_sort on struct(d, cid)
             # is the lexicographic (distance, cell) order the driver-side
             # probe and the encode argmin use — one map-only projection
+            eff_nprobe = int(nprobe) if nprobe is not None else pp["nprobe"]
             probes = F.expr(
                 f"transform(slice(array_sort(array({pairs})), 1, "
-                f"{pp['nprobe']}), s -> s.cid)"
+                f"{eff_nprobe}), s -> s.cid)"
             )
             qx = (
                 queries.withColumn("__qq__", qq)
@@ -2373,11 +2469,12 @@ class FeatureStore:
             bq = lsh_bucketize_with_planes(
                 queries, planes, vec_col=query_vec_col, bucket_col="__b__"
             )
+            mp = int(nprobe) if nprobe is not None else pp["multiprobe"]
             probe_arr = F.array(
                 F.col("__b__"),
                 *[
                     F.col("__b__").bitwiseXOR(F.lit(1 << i))
-                    for i in range(min(pp["multiprobe"], pp["bits"]))
+                    for i in range(min(mp, pp["bits"]))
                 ],
             )
             qx = bq.select(

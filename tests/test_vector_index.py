@@ -611,6 +611,61 @@ class TestReencodeAndRefine:
         fs.create_vector_index("ann2", "vecs", method="pq")
         with pytest.raises(FeatureValidationError, match="refine"):
             fs.knn("ann2", qvec, refine=0)
+        with pytest.raises(FeatureValidationError, match="nprobe"):
+            fs.knn("ann2", qvec, nprobe=4)
+
+    def test_batch_serving_knobs_match_per_query(self, spark, feats):
+        """Round-11 symmetry: filter_expr / nprobe / refine on knn_batch
+        return, per query row, exactly what knn() with the same knobs
+        returns."""
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats)
+        fs.create_vector_index("i_ivf", "vecs", method="ivf")
+        fs.create_vector_index("i_pq", "vecs", method="pq")
+        qids = (3, 50, 99)
+        queries = feats.filter(f"entity_id in {qids}").select(
+            F.col("entity_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        qvecs = {
+            q: [
+                float(x)
+                for x in feats.filter(f"entity_id = {q}")
+                .collect()[0]["embedding"]
+            ]
+            for q in qids
+        }
+
+        def per_query(idx, **kw):
+            want = {}
+            for q, qv in qvecs.items():
+                for r in fs.knn(idx, qv, k=4, **kw).collect():
+                    want[(q, r.vec_id)] = round(float(r[1]), 9)
+            return want
+
+        # filter_expr + widened nprobe on ivf
+        got = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in fs.knn_batch(
+                "i_ivf", queries, k=4,
+                filter_expr="vec_id % 2 = 0", nprobe=4,
+            ).collect()
+        }
+        assert got == per_query(
+            "i_ivf", filter_expr="vec_id % 2 = 0", nprobe=4
+        )
+        # batch refine on pq: exact sims, matching knn(refine=)
+        got = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in fs.knn_batch(
+                "i_pq", queries, k=4, refine=3
+            ).collect()
+        }
+        assert got == per_query("i_pq", refine=3)
+        assert len(got) == 12
+        # pq nprobe refusal, batch side
+        with pytest.raises(FeatureValidationError, match="nprobe"):
+            fs.knn_batch("i_pq", queries, nprobe=2)
 
 
 class TestIvfPq:
