@@ -409,6 +409,9 @@ def stream_index_enrich(
     query_vec_col: str = "q_vec",
     exclude_self: bool = False,
     refresh: str = "strict",
+    filter_expr: str | None = None,
+    nprobe: int | None = None,
+    refine: int | None = None,
 ):
     """Streaming ANN enrichment through a PERSISTED vector index: each
     micro-batch of query vectors resolves via ``store.knn_batch`` —
@@ -446,6 +449,11 @@ def stream_index_enrich(
       still refuse (refresh_vector_index's rewrite guard): a frozen
       model must not silently pretend to cover re-registered vectors.
 
+    ``filter_expr`` / ``nprobe`` / ``refine`` pass straight through to
+    ``knn_batch`` (round-11 serving knobs) — per-row output stays a pure
+    function of (query row, stored index, knobs), so the stream==batch
+    invariant holds for every combination.
+
     Scale (100 TB): per-batch cost is |batch| x nprobe probe rows
     joined against only the probed cells/buckets of the encoded table —
     partition the state table by the probe key and each micro-batch
@@ -468,6 +476,9 @@ def stream_index_enrich(
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             exclude_self=exclude_self,
+            filter_expr=filter_expr,
+            nprobe=nprobe,
+            refine=refine,
         )
         out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 

@@ -301,6 +301,27 @@ class TestBuildAndQuery:
             ).collect()
         }
         assert got == want and len(got) == 12
+        # serving knobs ride into the stream: filtered + widened-probe
+        # enrichment equals the same knn_batch (fresh sink/checkpoint)
+        sink2, ck2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+        q2 = stream_index_enrich(
+            stream, fs, "ann", sink2, ck2, k=4, exclude_self=True,
+            refresh="auto", filter_expr="vec_id % 2 = 1", nprobe=4,
+        )
+        q2.awaitTermination(120)
+        q2.stop()
+        got2 = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in spark.read.parquet(sink2).collect()
+        }
+        want2 = {
+            (r.q_id, r.vec_id): round(float(r.sim), 9)
+            for r in fs.knn_batch(
+                "ann", queries, k=4, exclude_self=True,
+                filter_expr="vec_id % 2 = 1", nprobe=4,
+            ).collect()
+        }
+        assert got2 == want2 and all(v % 2 == 1 for _, v in got2)
         # rewrites still refuse, even under auto
         fs.register("vecs", feats)
         with pytest.raises(FeatureStoreError, match="rewritten"):
