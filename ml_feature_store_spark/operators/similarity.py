@@ -402,6 +402,120 @@ def ivf_probe_cells_int(
 
 
 # --------------------------------------------------------------------- #
+# SQ8 scalar quantization (FAISS IndexScalarQuantizer QT_8bit): per-
+# dimension min/max train, each component stored as an 8-bit level,
+# exhaustive integer-L2 scan. Memory = dim bytes/row (vs 8*dim raw);
+# no probe key (IVF adds pruning), so the scan shape is PQ's
+# exhaustive one with zip_with distances instead of table lookups.
+# Determinism: min/max are comparison aggregates (order-independent),
+# the level formula is one IEEE-double expression evaluated identically
+# by Spark, Python and DuckDB, and distances are integer sums.
+# --------------------------------------------------------------------- #
+def sq_fit_minmax(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """TRAIN: per-dimension min/max over the corpus — one partial-agg
+    pass, 2*dim doubles driver-resident. Exact (comparisons, no sums)."""
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(vec_col, i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(vec_col, i + 1)).alias(f"mx{i}"))
+    r = df.agg(*aggs).collect()[0]
+    return (
+        [float(r[f"mn{i}"]) for i in range(dim)],
+        [float(r[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def _sq_level(x: float, mn: float, mx: float) -> int:
+    if mx == mn:
+        return 0
+    return int(math.floor((x - mn) / (mx - mn) * 255.0 + 0.5))
+
+
+def sq_encode(
+    df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADD: map-only per-component level assignment against the FROZEN
+    min/max (refresh deltas use the ORIGINAL stats — unclamped, so the
+    fold stays bit-identical to encode-everything; out-of-range levels
+    are legal integers, not errors). Output (id_col, codes)."""
+    mn = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in mins) + ")"
+    sc = "array(" + ",".join(
+        f"CAST({(b - a)!r} AS DOUBLE)" for a, b in zip(mins, maxs)
+    ) + ")"
+    dim = len(mins)
+    codes = F.expr(
+        f"transform(sequence(1, {dim}), i -> CASE WHEN "
+        f"element_at({sc}, i) = 0.0D THEN 0L ELSE "
+        f"CAST(floor((element_at({vec_col}, i) - element_at({mn}, i)) "
+        f"/ element_at({sc}, i) * 255.0D + 0.5D) AS BIGINT) END)"
+    )
+    return df.select(id_col, codes.alias("codes"))
+
+
+def sq_rank(
+    codes_df: DataFrame,
+    q_codes: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """QUERY: exhaustive integer-L2 over the stored levels vs the
+    quantized query (driver literal) — one codegen projection +
+    TakeOrderedAndProject, no shuffle. Output (id_col, qdist)."""
+    qarr = "array(" + ",".join(f"{c}L" for c in q_codes) + ")"
+    dist = F.expr(
+        f"aggregate(zip_with(codes, {qarr}, (a, b) -> (a - b) * (a - b)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return (
+        codes_df.select(id_col, dist.alias("qdist"))
+        .orderBy("qdist", id_col)
+        .limit(k)
+    )
+
+
+def sq_rank_batch(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch SQ serving: quantize the query TABLE map-side with the
+    frozen stats (same expression as the encode), broadcast it into the
+    exhaustive codes scan, integer-L2 per pair, per-query top-k — the
+    pq_adc_batch shape with zip_with distances instead of lookups."""
+    from .pit import top_k_per_group
+
+    qx = sq_encode(
+        queries, mins, maxs, id_col=query_id_col, vec_col=query_vec_col
+    ).withColumnRenamed("codes", "__qc__")
+    joined = codes_df.crossJoin(F.broadcast(qx))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    dist = F.expr(
+        "aggregate(zip_with(codes, __qc__, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = joined.select(query_id_col, id_col, dist.alias("qdist"))
+    return top_k_per_group(
+        scored, [query_id_col],
+        [F.col("qdist").asc(), F.col(id_col).asc()], k,
+    )
+
+
+# --------------------------------------------------------------------- #
 # IVF-PQ: coarse cells + product quantization on the RESIDUAL
 # (vector - assigned centroid) — the FAISS IndexIVFPQ composition for
 # billion-vector corpora: the probe prunes the scan to nprobe cells, the

@@ -1630,7 +1630,7 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     _VINDEX_DATA_SUFFIX = "__vindex"
     _VINDEX_MODEL_SUFFIX = "__vindex_model"
-    _VINDEX_METHODS = ("ivf", "pq", "lsh", "ivfpq")
+    _VINDEX_METHODS = ("ivf", "pq", "lsh", "ivfpq", "sq")
 
     def create_vector_index(
         self,
@@ -1666,6 +1666,15 @@ class FeatureStore:
         * ``"lsh"`` — seeded sign-LSH (``bits`` [8], ``seed`` [42],
           ``multiprobe`` [2]); query probes the query bucket and its
           single-bit flips, exact-cosine re-ranks inside.
+        * ``"sq"`` — 8-bit scalar quantization (FAISS
+          IndexScalarQuantizer QT_8bit; round-11): per-dimension
+          min/max trained once (2 x dim doubles, the smallest model in
+          the family), each component stored as an integer level —
+          dim bytes/row vs 8*dim raw; query = exhaustive integer-L2
+          over the levels (no probe key; IVF adds pruning), output
+          (vec_id, qdist). Refresh deltas encode UNCLAMPED against the
+          frozen stats, keeping the fold bit-identical to
+          encode-everything.
         * ``"ivfpq"`` — FAISS IndexIVFPQ composition (round-11): coarse
           IVF cells + per-subspace codebooks fitted on the RESIDUAL
           (quantized vector minus assigned centroid, integer
@@ -1827,6 +1836,16 @@ class FeatureStore:
             data = ivfpq_encode(
                 src, centroids, books, m=m, sub_dim=sub_dim, grid=grid
             )
+        elif method == "sq":
+            from .operators.similarity import sq_encode, sq_fit_minmax
+
+            spec_params = {"levels": 255}
+            mins, maxs = sq_fit_minmax(src, dim)
+            model = spark.createDataFrame(
+                [(i, mins[i], maxs[i]) for i in range(dim)],
+                "i INT, vmin DOUBLE, vmax DOUBLE",
+            )
+            data = sq_encode(src, mins, maxs)
         else:  # lsh
             spec_params = {
                 "bits": int(p.get("bits", 8)),
@@ -1975,6 +1994,11 @@ class FeatureStore:
                     src, centroids, books, m=pp["m"],
                     sub_dim=pp["sub_dim"], grid=pp["grid"],
                 )
+            elif spec["method"] == "sq":
+                from .operators.similarity import sq_encode
+
+                mins, maxs = self._vindex_sq_model(index)
+                enc = sq_encode(src, mins, maxs)
             else:
                 enc = lsh_bucketize_with_planes(
                     src, self._vindex_lsh_model(index)
@@ -2059,6 +2083,11 @@ class FeatureStore:
                 src, centroids, books, m=pp["m"],
                 sub_dim=pp["sub_dim"], grid=pp["grid"],
             )
+        elif spec["method"] == "sq":
+            from .operators.similarity import sq_encode
+
+            mins, maxs = self._vindex_sq_model(index)
+            enc = sq_encode(src, mins, maxs)
         else:
             enc = lsh_bucketize_with_planes(
                 src, self._vindex_lsh_model(index)
@@ -2177,20 +2206,20 @@ class FeatureStore:
             data = data.filter(filter_expr)
         pp = spec["params"]
         if refine is not None:
-            if spec["method"] not in ("pq", "ivfpq"):
+            if spec["method"] not in ("pq", "ivfpq", "sq"):
                 raise FeatureValidationError(
-                    f"knn('{index}'): refine applies to ADC methods "
-                    f"(pq/ivfpq) — {spec['method']} already re-ranks by "
-                    f"exact cosine."
+                    f"knn('{index}'): refine applies to quantized "
+                    f"methods (pq/ivfpq/sq) — {spec['method']} already "
+                    f"re-ranks by exact cosine."
                 )
             if int(refine) < 1:
                 raise FeatureValidationError(
                     f"knn('{index}'): refine must be >= 1, got {refine}."
                 )
-        if nprobe is not None and spec["method"] == "pq":
+        if nprobe is not None and spec["method"] in ("pq", "sq"):
             raise FeatureValidationError(
-                f"knn('{index}'): nprobe does not apply to pq "
-                f"(exhaustive ADC; no probe key)."
+                f"knn('{index}'): nprobe does not apply to "
+                f"{spec['method']} (exhaustive scan; no probe key)."
             )
         adc_k = k * int(refine) if refine else k
         if spec["method"] == "ivf":
@@ -2216,6 +2245,12 @@ class FeatureStore:
                 nprobe=int(nprobe) if nprobe is not None else pp["nprobe"],
                 k=adc_k, grid=pp["grid"],
             )
+        elif spec["method"] == "sq":
+            from .operators.similarity import _sq_level, sq_rank
+
+            mins, maxs = self._vindex_sq_model(index)
+            qc = [_sq_level(x, a, b) for x, a, b in zip(qv, mins, maxs)]
+            out = sq_rank(data, qc, k=adc_k)
         else:
             planes = self._vindex_lsh_model(index)
             qb = lsh_query_bucket(planes, qv)
@@ -2378,16 +2413,16 @@ class FeatureStore:
             # PRE-filter the encoded rows before any distance math —
             # knn's x33 filtered-ANN shape, batch form (round-11)
             data = data.filter(filter_expr)
-        if nprobe is not None and spec["method"] == "pq":
+        if nprobe is not None and spec["method"] in ("pq", "sq"):
             raise FeatureValidationError(
-                f"knn_batch('{index}'): nprobe does not apply to pq "
-                f"(exhaustive ADC; no probe key)."
+                f"knn_batch('{index}'): nprobe does not apply to "
+                f"{spec['method']} (exhaustive scan; no probe key)."
             )
         if refine is not None:
-            if spec["method"] not in ("pq", "ivfpq"):
+            if spec["method"] not in ("pq", "ivfpq", "sq"):
                 raise FeatureValidationError(
-                    f"knn_batch('{index}'): refine applies to ADC "
-                    f"methods (pq/ivfpq) — {spec['method']} already "
+                    f"knn_batch('{index}'): refine applies to quantized "
+                    f"methods (pq/ivfpq/sq) — {spec['method']} already "
                     f"re-ranks by exact cosine."
                 )
             if int(refine) < 1:
@@ -2403,6 +2438,20 @@ class FeatureStore:
             queries, spec["dim"], f"knn_batch('{index}')",
             vec_col=query_vec_col, id_col=query_id_col,
         )
+        if spec["method"] == "sq":
+            from .operators.similarity import sq_rank_batch
+
+            mins, maxs = self._vindex_sq_model(index)
+            out = sq_rank_batch(
+                data, queries, mins, maxs, k=adc_k,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                exclude_self=exclude_self,
+            )
+            if refine:
+                out = self._vindex_batch_refine(
+                    out, queries, spec, k, query_id_col, query_vec_col
+                )
+            return self._vindex_expand_key(out, key_cols)
         if spec["method"] == "pq":
             from .operators.similarity import pq_adc_batch
 
@@ -2617,6 +2666,11 @@ class FeatureStore:
             self._vindex_model_rows(index), key=lambda r: int(r["plane_id"])
         )
         return [[float(x) for x in r["plane"]] for r in rows]
+
+    def _vindex_sq_model(self, index: str) -> tuple[list[float], list[float]]:
+        rows = sorted(self._vindex_model_rows(index), key=lambda r: int(r["i"]))
+        return ([float(r["vmin"]) for r in rows],
+                [float(r["vmax"]) for r in rows])
 
     def _vindex_ivfpq_model(
         self, index: str

@@ -1106,6 +1106,46 @@ def _vidx_reencode_sql(
     """
 
 
+def _vidx_sq_sql(
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    exclude_query: bool = True,
+) -> str:
+    """SQ8 scalar-quantization oracle (vidx12): per-dimension min/max
+    train (comparison aggregates — exact), the one-IEEE-expression level
+    assignment, exhaustive integer-L2 vs the quantized query. Mirrors
+    store.create_vector_index(method='sq') + knn bit-for-bit (the level
+    formula is written in the identical operation order on both
+    engines)."""
+    self_pred = f"AND c.vec_id <> {query_id}" if exclude_query else ""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    st AS (SELECT g.i AS i, MIN(v[g.i]) AS mn, MAX(v[g.i]) AS mx
+           FROM e, LATERAL unnest(generate_series(1, {dim})) g(i)
+           GROUP BY g.i),
+    mna AS (SELECT list(mn ORDER BY i) AS a FROM st),
+    mxa AS (SELECT list(mx ORDER BY i) AS a FROM st),
+    c AS (SELECT vec_id,
+                 list_transform(generate_series(1, {dim}), i ->
+                     CASE WHEN mxa.a[i] = mna.a[i] THEN 0
+                          ELSE CAST(floor((v[i] - mna.a[i])
+                                          / (mxa.a[i] - mna.a[i])
+                                          * 255.0 + 0.5) AS BIGINT)
+                     END) AS codes
+          FROM e, mna, mxa),
+    q AS (SELECT codes AS qc FROM c WHERE vec_id = {query_id})
+    SELECT c.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, {dim}),
+                i -> (c.codes[i] - q.qc[i]) * (c.codes[i] - q.qc[i])))
+                AS BIGINT) AS qdist
+    FROM c CROSS JOIN q
+    WHERE TRUE {self_pred}
+    ORDER BY qdist, c.vec_id LIMIT {k}
+    """
+
+
 def _vidx_pq_refine_sql(
     query_id: int,
     m: int = 4,
@@ -1405,6 +1445,7 @@ __all__ = [
     '_vidx_ivfpq_sql',
     '_vidx_ivfpq_batch_sql',
     '_vidx_reencode_sql',
+    '_vidx_sq_sql',
     '_vidx_pq_refine_sql',
     '_x21_round',
     '_FEATS_CENTS',

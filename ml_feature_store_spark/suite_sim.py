@@ -741,6 +741,29 @@ def q_vidx11_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_vidx12_sq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted 8-bit SCALAR-QUANTIZATION index (round-11 — FAISS
+    IndexScalarQuantizer QT_8bit, completing the quantizer family
+    beside IVF/PQ/LSH/IVF-PQ): per-dimension min/max trained once (the
+    family's smallest model, 2 x dim doubles), every component stored
+    as an integer level — dim bytes/row vs 8*dim raw — and the query
+    runs exhaustive integer-L2 over the levels (no probe key; compose
+    with IVF when pruning is wanted). Determinism: min/max are
+    comparison aggregates and the level formula is ONE IEEE-double
+    expression written in the identical operation order on both
+    engines, so codes and distances replay bit-for-bit. At 100 TB the
+    scan reads dim small integers per row, codegen end-to-end, zero
+    shuffles."""
+    from .store import FeatureStore
+
+    fs = FeatureStore(spark)
+    fs.register("vecs", _vidx_feats(spark, sf_dir))
+    fs.create_vector_index("ann", "vecs", method="sq")
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", "qdist")
+
+
 def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of EVERY persisted-index method against exact brute-force
     cosine ground truth — x19/x26's trust-but-verify applied to the
@@ -1712,6 +1735,7 @@ QUERIES = {
     'vidx9_ivfpq_batch_knn': q_vidx9_ivfpq_batch_knn,
     'vidx10_reencode_after_rewrite': q_vidx10_reencode_after_rewrite,
     'vidx11_pq_refine_knn': q_vidx11_pq_refine_knn,
+    'vidx12_sq_index_knn': q_vidx12_sq_index_knn,
     'ts5_changepoint': q_ts5_changepoint,
     'x11_embedding_dedup': q_x11_embedding_dedup,
     'm2_frame_sample': q_m2_frame_sample,
@@ -2036,6 +2060,7 @@ ORACLE_SQL["vidx10_reencode_after_rewrite"] = _vidx_reencode_sql(
 ORACLE_SQL["vidx11_pq_refine_knn"] = _vidx_pq_refine_sql(
     query_id=100, k=10, refine=3
 )
+ORACLE_SQL["vidx12_sq_index_knn"] = _vidx_sq_sql(query_id=100, k=10)
 
 ORACLE_SQL["vidx6_index_recall"] = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -55,7 +55,7 @@ def _knn_set(df):
 
 
 class TestBuildAndQuery:
-    @pytest.mark.parametrize("method", ["ivf", "pq", "lsh", "ivfpq"])
+    @pytest.mark.parametrize("method", ["ivf", "pq", "lsh", "ivfpq", "sq"])
     def test_index_equals_rebuild(self, spark, feats, qvec, method):
         """Query-via-stored-index == query-via-fresh-rebuild: the stored
         model is deterministic, so two independent builds over the same
@@ -622,6 +622,33 @@ class TestReencodeAndRefine:
         assert small.columns == ["vec_id", "sim"]
         sims = [float(r.sim) for r in small.collect()]
         assert sims == sorted(sims, reverse=True) and len(sims) == 5
+
+    def test_sq_batch_equals_per_query(self, spark, feats):
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats)
+        fs.create_vector_index("ann", "vecs", method="sq")
+        queries = feats.filter("entity_id in (3, 99)").select(
+            F.col("entity_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        got = {
+            (r.q_id, r.vec_id): int(r.qdist)
+            for r in fs.knn_batch(
+                "ann", queries, k=5, exclude_self=True
+            ).collect()
+        }
+        want = {}
+        for q in (3, 99):
+            qv = [
+                float(x)
+                for x in feats.filter(f"entity_id = {q}")
+                .collect()[0]["embedding"]
+            ]
+            for r in fs.knn(
+                "ann", qv, k=5, filter_expr=f"vec_id <> {q}"
+            ).collect():
+                want[(q, r.vec_id)] = int(r.qdist)
+        assert got == want and len(got) == 10
 
     def test_refine_validation(self, spark, feats, qvec):
         fs = FeatureStore(spark)

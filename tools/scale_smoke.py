@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "sd19_stream_index_autorefresh",  # stale probe + O(delta) refresh per micro-batch (emb 1x)
     "vidx10_reencode_after_rewrite",  # frozen-model full re-encode after upsert (emb 1x)
     "vidx11_pq_refine_knn",  # ADC shortlist + exact re-rank semi join (emb 1x)
+    "vidx12_sq_index_knn",  # per-dim min/max levels + exhaustive int-L2 (emb 1x)
     "ts5_changepoint",  # daily rollup + division-free CUSUM windows, 8x events
     "dq17_k_anonymity",  # QI partial-agg groupBy + O(groups) fold, 8x events
 ]
