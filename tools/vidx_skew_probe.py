@@ -85,6 +85,64 @@ def main() -> None:
                 f"| {probed / total:.2f} | {t_knn:.2f} |"
             )
             enc.unpersist()
+    batch_probe(spark, skewed, uniform, qvec)
+
+
+def batch_probe(spark, skewed, uniform, qvec) -> None:
+    """Round-11 arm: the BATCH join's skew surface. knn_batch equi-joins
+    exploded per-query probes against the encoded table on `cell`; when
+    every query comes from the hot cluster AND one cell holds ~90% of
+    the corpus, the join output concentrates on ONE key — |q| x 0.9n
+    pairs through a single hash bucket, the classic skew-join shape.
+    AQE's skew-join splitting is ON suite-wide; the measured mitigation
+    is the same n_cells rule (split the hot region so no cell dominates
+    the join). 100 hot queries, k=5, nprobe=2."""
+    from ml_feature_store_spark.store import FeatureStore
+
+    qrows = [(int(i), [float(x) for x in qvec]) for i in range(100)]
+    queries = spark.createDataFrame(
+        qrows, "q_id BIGINT, q_vec ARRAY<DOUBLE>"
+    )
+    print()
+    print("| corpus | n_cells | knn_batch(100 hot q) s | pairs joined |")
+    print("|---|---|---|---|")
+    for name, df in (("uniform", uniform), ("skewed-90%-one-cluster", skewed)):
+        for n_cells in (16, 64):
+            fs = FeatureStore(spark)
+            fs.register(
+                "vp",
+                df.select(
+                    F.col("vec_id").alias("entity_id"),
+                    F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+                    "embedding",
+                ),
+            )
+            fs.create_vector_index(
+                "ann", "vp", method="ivf",
+                params={"n_cells": n_cells, "iterations": 1, "nprobe": 2},
+            )
+            from ml_feature_store_spark.operators.similarity import (
+                ivf_probe_cells_int as probe_cells,
+            )
+
+            probes = probe_cells(fs._vindex_ivf_model("ann"), qvec, 2)
+            pairs = (
+                fs._vindex_data("ann")
+                .filter(F.col("cell").isin(probes))
+                .count()
+                * 100
+            )
+            t = None
+            for _ in range(3):
+                t0 = time.time()
+                fs.knn_batch("ann", queries, k=5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                el = time.time() - t0
+                t = el if t is None else min(t, el)
+            print(f"| {name} | {n_cells} | {t:.2f} | {pairs} |")
+            fs.drop_vector_index("ann")
+            fs.delete("vp")
 
 
 if __name__ == "__main__":
