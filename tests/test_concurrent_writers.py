@@ -123,3 +123,68 @@ class TestTwoProcesses:
             _wv(stale, "wv_c")
         final = FeatureStore(spark, storage_path=root)
         assert final.list_window_views() == ["wv_a"]
+
+
+class TestIncrementalStateUnderConcurrency:
+    """Round-11: the publish-then-prune surfaces (vector indexes,
+    rollups) under two writer instances — a stale writer's build/refresh
+    must refuse at the PRE-MUTATION probe, before any state fold is
+    written."""
+
+    def _emb(self, spark):
+        from ml_feature_store_spark.suite import table
+
+        emb = table(spark, SF, "embeddings")
+        return emb.select(
+            F.col("vec_id").alias("entity_id"),
+            F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+
+    def test_stale_writer_index_refresh_refuses_pre_mutation(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "s")
+        setup = FeatureStore(spark, storage_path=root)
+        feats = self._emb(spark)
+        setup.register("vecs", feats.filter("entity_id % 2 = 0"))
+        setup.create_vector_index("ann", "vecs", method="ivf")
+        a = FeatureStore(spark, storage_path=root)
+        b = FeatureStore(spark, storage_path=root)
+        a.append("vecs", feats.filter("entity_id % 2 = 1"))
+        a.refresh_vector_index("ann")  # a publishes
+        # b is stale; its refresh must refuse BEFORE writing any state
+        versions_before = b._backend.versions("ann__vindex")
+        with pytest.raises(FeatureStoreError, match="refused"):
+            b.refresh_vector_index("ann")
+        assert b._backend.versions("ann__vindex") == versions_before
+        with pytest.raises(FeatureStoreError, match="refused"):
+            b.create_vector_index("ann2", "vecs", method="lsh")
+        # a's refresh survives; b retries after reopen and serves
+        b2 = FeatureStore(spark, storage_path=root)
+        qvec = [
+            float(x)
+            for x in feats.filter("entity_id = 100")
+            .collect()[0]["embedding"]
+        ]
+        assert b2.knn("ann", qvec, k=3).count() == 3
+
+    def test_stale_writer_rollup_refresh_refuses_pre_mutation(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "s")
+        setup = FeatureStore(spark, storage_path=root)
+        setup.register("ev", _feats(spark))
+        setup.create_rollup("ev", "ru", ["entity_id"], ["value"])
+        a = FeatureStore(spark, storage_path=root)
+        b = FeatureStore(spark, storage_path=root)
+        a.append("ev", _feats(spark).limit(5))
+        a.refresh_rollup("ru")
+        versions_before = b._backend.versions("ru__rollup")
+        with pytest.raises(FeatureStoreError, match="refused"):
+            b.refresh_rollup("ru")
+        assert b._backend.versions("ru__rollup") == versions_before
+        # a's fold is the surviving truth after reopen
+        final = FeatureStore(spark, storage_path=root)
+        n = final.get_rollup("ru").count()
+        assert n > 0
