@@ -765,7 +765,7 @@ def q_vidx12_sq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of EVERY persisted-index method against exact brute-force
+    """Recall@10 of EVERY persisted-index method (all FIVE) against exact brute-force
     cosine ground truth — x19/x26's trust-but-verify applied to the
     STORED artifacts instead of per-call rebuilds (the eval a platform
     runs before promoting an index version to serving; at 100 TB ground
@@ -795,6 +795,7 @@ def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         params={"n_cells": 16, "iterations": 1, "nprobe": 2,
                 "m": 4, "sub_dim": 16, "k_codes": 16},
     )
+    fs.create_vector_index("i_sq", "vecs", method="sq")
     emb = table(spark, sf_dir, "embeddings")
     qvec = _vidx_query_vec(spark, sf_dir, 100)
     exact = knn_brute_force(
@@ -802,7 +803,7 @@ def q_vidx6_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
     arms = []
     for method, idx in (("ivf", "i_ivf"), ("lsh", "i_lsh"), ("pq", "i_pq"),
-                        ("ivfpq", "i_ivfpq")):
+                        ("ivfpq", "i_ivfpq"), ("sq", "i_sq")):
         approx = fs.knn(
             idx, qvec, k=10, filter_expr="vec_id <> 100"
         ).select("vec_id")
@@ -2075,7 +2076,8 @@ ORACLE_SQL["vidx6_index_recall"] = f"""
     pq10 AS (SELECT vec_id
              FROM ({_x17_sql(query_id=100, k=10, exclude_query=True)}) t),
     ivfpq10 AS (SELECT vec_id
-                FROM ({_vidx_ivfpq_sql(query_id=100, k=10)}) t)
+                FROM ({_vidx_ivfpq_sql(query_id=100, k=10)}) t),
+    sq10 AS (SELECT vec_id FROM ({_vidx_sq_sql(query_id=100, k=10)}) t)
     SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_overlap,
            CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
@@ -2090,6 +2092,10 @@ ORACLE_SQL["vidx6_index_recall"] = f"""
     SELECT 'ivfpq', 10, CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) * 10 AS BIGINT)
     FROM exact10 JOIN ivfpq10 USING (vec_id)
+    UNION ALL
+    SELECT 'sq', 10, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) * 10 AS BIGINT)
+    FROM exact10 JOIN sq10 USING (vec_id)
 """
 
 # ts5: the division-free integer CUSUM replayed as window SQL — argmax on
