@@ -445,19 +445,36 @@ def sq_encode(
     """ADD: map-only per-component level assignment against the FROZEN
     min/max (refresh deltas use the ORIGINAL stats — unclamped, so the
     fold stays bit-identical to encode-everything; out-of-range levels
-    are legal integers, not errors). Output (id_col, codes)."""
-    mn = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in mins) + ")"
-    sc = "array(" + ",".join(
-        f"CAST({(b - a)!r} AS DOUBLE)" for a, b in zip(mins, maxs)
-    ) + ")"
-    dim = len(mins)
-    codes = F.expr(
-        f"transform(sequence(1, {dim}), i -> CASE WHEN "
-        f"element_at({sc}, i) = 0.0D THEN 0L ELSE "
-        f"CAST(floor((element_at({vec_col}, i) - element_at({mn}, i)) "
-        f"/ element_at({sc}, i) * 255.0D + 0.5D) AS BIGINT) END)"
+    are legal integers, not errors). Output (id_col, codes).
+
+    The stats arrays are built ONCE as literal array columns and
+    referenced by attribute inside the transform lambda (round-11
+    ADVICE): inlining the full dim-length literal into every
+    element_at made the generated expression grow O(dim^2) — fine at
+    dim=64, pathological parse/codegen at realistic embedding dims
+    (768+) — and went through repr/SQL-parse, which non-finite stats
+    would break. F.lit carries doubles natively, so inf/nan stats are
+    legal (a constant dimension yields scale 0 -> level 0)."""
+    mn_arr = F.array(*[F.lit(float(x)).cast("double") for x in mins])
+    sc_arr = F.array(
+        *[F.lit(float(b) - float(a)).cast("double") for a, b in zip(mins, maxs)]
     )
-    return df.select(id_col, codes.alias("codes"))
+    dim = len(mins)
+    tagged = df.withColumn("__mn__", mn_arr).withColumn("__sc__", sc_arr)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.element_at("__sc__", i) == F.lit(0.0), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                (F.element_at(vec_col, i) - F.element_at("__mn__", i))
+                / F.element_at("__sc__", i)
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    return tagged.select(id_col, codes.alias("codes"))
 
 
 def sq_rank(

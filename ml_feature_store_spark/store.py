@@ -1631,6 +1631,10 @@ class FeatureStore:
     _VINDEX_DATA_SUFFIX = "__vindex"
     _VINDEX_MODEL_SUFFIX = "__vindex_model"
     _VINDEX_METHODS = ("ivf", "pq", "lsh", "ivfpq", "sq")
+    # internal columns of the encoded state table + knn output columns;
+    # composite natural keys must not shadow them (round-11 ADVICE)
+    _VINDEX_RESERVED = ("vec_id", "embedding", "cell", "codes", "bucket",
+                        "sim", "adist", "qdist")
 
     def create_vector_index(
         self,
@@ -1730,8 +1734,27 @@ class FeatureStore:
         # fail fast BEFORE the fit/encode work if the registry publish
         # at the end would be refused anyway (round-11 ADVICE)
         self._assert_registry_current(f"create_vector_index('{index}')")
-        raw = self._current(table)
+        # observe version/rows/watermark BEFORE reading the snapshot
+        # (round-12; r11 ADVICE medium — see _pin_source)
+        src_version, src_rows, src_watermark, raw = self._pin_source(table)
         key_cols = self._entity_key_cols(raw)
+        if key_cols:
+            # round-11 ADVICE: knn/knn_batch expand the struct vec_id
+            # into the natural key columns ALONGSIDE the encoded table's
+            # internal columns — a natural key named like one of them
+            # would make later F.col('cell')/filter_expr references
+            # ambiguous and fail at query time, so refuse at build time
+            reserved = set(self._VINDEX_RESERVED) & {
+                c.lower() for c in key_cols
+            }
+            if reserved:
+                raise FeatureValidationError(
+                    f"create_vector_index('{index}'): entity key "
+                    f"column(s) {sorted(reserved)} collide with the "
+                    f"encoded table's internal columns "
+                    f"({sorted(self._VINDEX_RESERVED)}) — rename the "
+                    f"key columns on '{table}' before indexing."
+                )
         p = dict(params or {})
         grid = int(p.get("grid", 10**6))
         # composite-key tables (f32) index like scalar ones: the struct
@@ -1885,7 +1908,14 @@ class FeatureStore:
         self._backend.write_version(
             dname, dver, data, row_count, f"vector index data of '{table}'"
         )
-        meta = self._backend.meta(table)
+        # build-time occupancy histogram over the method's discrete key
+        # (cell / bucket / first code): O(n_cells) ints in the spec — the
+        # frozen-model drift anchor vector_index_drift compares against
+        # (round-12; r11 verdict next-round #2). Read back the WRITTEN
+        # version so the encode doesn't run twice.
+        occupancy = self._vindex_occupancy(
+            method, self._backend.read_version(dname, dver)
+        )
         prev_spec = self._vector_indexes.get(index)
         self._vector_indexes[index] = {
             "src": table,
@@ -1894,11 +1924,16 @@ class FeatureStore:
             "params": spec_params,
             "dim": dim,
             "key_cols": list(key_cols) if key_cols else None,
-            "watermark": int(self._max_row_id(table)),
-            "src_rows": meta.versions[meta.version].row_count,
-            "src_version": meta.version,
+            # accounting from the PINNED snapshot, never a publish-time
+            # fresh read (round-12; r11 ADVICE medium): a mid-build
+            # append leaves the spec lagging -> knn refuses stale and
+            # refresh folds the delta, instead of silent absorption
+            "watermark": src_watermark,
+            "src_rows": src_rows,
+            "src_version": src_version,
             "model_version": mver,
             "data_version": dver,
+            "occupancy": occupancy,
         }
         try:
             self._save_registry()
@@ -1911,6 +1946,30 @@ class FeatureStore:
         self._prune_state_versions(mname, mver)
         self._prune_state_versions(dname, dver)
         return row_count
+
+    def _pin_source(self, name: str) -> tuple[int, int, int, DataFrame]:
+        """Observe-then-read snapshot pin for index builds/refreshes
+        (round-12; r11 ADVICE medium): capture the source's version,
+        row count and row-id watermark FIRST, then read exactly that
+        version. append() never touches the registry generation, so the
+        CAS probe cannot see a concurrent append — with publish-time
+        FRESH watermark/meta reads, an append landing mid-build was
+        silently absorbed (spec recorded post-append accounting against
+        pre-append encoded data, knn's staleness check passed, and the
+        appended rows were below the watermark forever — never folded).
+        Pinning makes the spec LAG the source instead: knn refuses
+        stale, the next refresh folds the missed delta. Returns
+        (version, row_count, max_row_id, pinned DataFrame)."""
+        self._require_table(name)
+        st = self._backend.meta(name)
+        ver = int(st.version)
+        rec = st.versions[ver]
+        rows = int(rec.row_count)
+        m = getattr(rec, "max_row_id", None)
+        df = self._backend.read_version(name, ver)
+        if m is None:  # legacy version records: scan the PINNED version
+            m = df.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
+        return ver, rows, int(m), df
 
     def _prune_state_versions(self, name: str, keep: int) -> None:
         """Drop every state-table version except ``keep`` (the one the
@@ -1932,12 +1991,6 @@ class FeatureStore:
         ids) breaks the base+delta equation and REFUSES — a frozen model
         must not silently pretend to cover rewritten vectors. Returns
         the refreshed total indexed row count."""
-        from .operators.similarity import (
-            ivf_encode_int,
-            lsh_bucketize_with_planes,
-            pq_encode,
-        )
-
         spec = self._vector_indexes.get(index)
         if spec is None:
             raise FeatureStoreError(f"Unknown vector index: '{index}'")
@@ -1954,11 +2007,16 @@ class FeatureStore:
         # would be refused (round-11 ADVICE: state mutated under a stale
         # registry view re-folds the same delta after reopen)
         self._assert_registry_current(f"refresh_vector_index('{index}')")
-        src_meta = self._backend.meta(spec["src"])
-        raw = self._current(spec["src"])
+        # pin version/rows/watermark BEFORE the delta read (round-12;
+        # r11 ADVICE medium): the publish below records EXACTLY what
+        # this fold covers — a concurrent append lands above the pinned
+        # watermark and stays visible to knn's staleness check + the
+        # next refresh, never silently absorbed
+        src_version, cur_rows, new_watermark, raw = self._pin_source(
+            spec["src"]
+        )
         delta = raw.filter(F.col(ROW_ID_COL) > spec["watermark"])
         delta_rows = delta.count()
-        cur_rows = src_meta.versions[src_meta.version].row_count
         if spec["src_rows"] + delta_rows != cur_rows:
             raise FeatureStoreError(
                 f"Vector index '{index}': source '{spec['src']}' was "
@@ -1976,33 +2034,7 @@ class FeatureStore:
             src = self._vindex_guard_dim(
                 src, spec["dim"], f"refresh_vector_index('{index}')"
             )
-            pp = spec["params"]
-            if spec["method"] == "ivf":
-                enc = ivf_encode_int(
-                    src, self._vindex_ivf_model(index), grid=pp["grid"]
-                )
-            elif spec["method"] == "pq":
-                enc = pq_encode(
-                    src, self._vindex_pq_model(index), m=pp["m"],
-                    sub_dim=pp["sub_dim"], grid=pp["grid"],
-                )
-            elif spec["method"] == "ivfpq":
-                from .operators.similarity import ivfpq_encode
-
-                centroids, books = self._vindex_ivfpq_model(index)
-                enc = ivfpq_encode(
-                    src, centroids, books, m=pp["m"],
-                    sub_dim=pp["sub_dim"], grid=pp["grid"],
-                )
-            elif spec["method"] == "sq":
-                from .operators.similarity import sq_encode
-
-                mins, maxs = self._vindex_sq_model(index)
-                enc = sq_encode(src, mins, maxs)
-            else:
-                enc = lsh_bucketize_with_planes(
-                    src, self._vindex_lsh_model(index)
-                )
+            enc = self._vindex_encode_frozen(index, spec, src)
             merged = prev.unionByName(enc)
         else:
             merged = prev
@@ -2020,9 +2052,9 @@ class FeatureStore:
             k: spec.get(k)
             for k in ("watermark", "src_rows", "src_version", "data_version")
         }
-        spec["watermark"] = int(self._max_row_id(spec["src"]))
+        spec["watermark"] = new_watermark  # the PINNED snapshot's bound
         spec["src_rows"] = cur_rows
-        spec["src_version"] = src_meta.version
+        spec["src_version"] = src_version
         spec["data_version"] = dver
         try:
             self._save_registry()
@@ -2046,18 +2078,14 @@ class FeatureStore:
         distribution itself moved. Clears the ``rewritten`` flag and
         resets the watermark accounting so refresh/knn resume. Returns
         the re-encoded row count."""
-        from .operators.similarity import (
-            ivf_encode_int,
-            lsh_bucketize_with_planes,
-            pq_encode,
-        )
-
         spec = self._vector_indexes.get(index)
         if spec is None:
             raise FeatureStoreError(f"Unknown vector index: '{index}'")
         self._assert_registry_current(f"reencode_vector_index('{index}')")
-        src_meta = self._backend.meta(spec["src"])
-        raw = self._current(spec["src"])
+        # observe-then-read pin, as in create/refresh (round-12)
+        src_version, cur_rows, new_watermark, raw = self._pin_source(
+            spec["src"]
+        )
         src = raw.select(
             F.col(ENTITY_COL).alias("vec_id"),
             F.col(spec["vec_col"]).cast("array<double>").alias("embedding"),
@@ -2065,34 +2093,7 @@ class FeatureStore:
         src = self._vindex_guard_dim(
             src, spec["dim"], f"reencode_vector_index('{index}')"
         )
-        pp = spec["params"]
-        if spec["method"] == "ivf":
-            enc = ivf_encode_int(
-                src, self._vindex_ivf_model(index), grid=pp["grid"]
-            )
-        elif spec["method"] == "pq":
-            enc = pq_encode(
-                src, self._vindex_pq_model(index), m=pp["m"],
-                sub_dim=pp["sub_dim"], grid=pp["grid"],
-            )
-        elif spec["method"] == "ivfpq":
-            from .operators.similarity import ivfpq_encode
-
-            centroids, books = self._vindex_ivfpq_model(index)
-            enc = ivfpq_encode(
-                src, centroids, books, m=pp["m"],
-                sub_dim=pp["sub_dim"], grid=pp["grid"],
-            )
-        elif spec["method"] == "sq":
-            from .operators.similarity import sq_encode
-
-            mins, maxs = self._vindex_sq_model(index)
-            enc = sq_encode(src, mins, maxs)
-        else:
-            enc = lsh_bucketize_with_planes(
-                src, self._vindex_lsh_model(index)
-            )
-        cur_rows = src_meta.versions[src_meta.version].row_count
+        enc = self._vindex_encode_frozen(index, spec, src)
         dname = index + self._VINDEX_DATA_SUFFIX
         dver = self._backend.meta(dname).version + 1
         self._backend.write_version(
@@ -2104,9 +2105,9 @@ class FeatureStore:
             for k in ("watermark", "src_rows", "src_version",
                       "data_version", "rewritten")
         }
-        spec["watermark"] = int(self._max_row_id(spec["src"]))
+        spec["watermark"] = new_watermark  # the PINNED snapshot's bound
         spec["src_rows"] = cur_rows
-        spec["src_version"] = src_meta.version
+        spec["src_version"] = src_version
         spec["data_version"] = dver
         spec["rewritten"] = False
         try:
@@ -2139,7 +2140,7 @@ class FeatureStore:
         natural key columns are available to the filter and replace
         vec_id in the output.
 
-        ``refine`` (pq/ivfpq only; round-11 — FAISS IndexRefineFlat):
+        ``refine`` (pq/ivfpq/sq only; round-11 — FAISS IndexRefineFlat):
         take the top k*refine by ADC, then exact-cosine re-rank those
         ids against the SOURCE's raw vectors and return the top k as
         (vec_id, sim) — quantization error capped at the shortlist
@@ -2406,6 +2407,18 @@ class FeatureStore:
         if key_cols:
             # composite-key index: natural key columns available to
             # filter_expr, vec_id (the struct) stays the ranking key
+            if exclude_self:
+                # round-11 ADVICE: the self-exclusion predicate compares
+                # vec_id to the query id column — a struct vs a scalar
+                # can never match (or errors at analysis); the caller
+                # must filter on the natural key columns instead
+                raise FeatureValidationError(
+                    f"knn_batch('{index}'): exclude_self is not "
+                    f"supported on composite-key indexes (vec_id is a "
+                    f"struct over {key_cols}; comparing it to the "
+                    f"scalar '{query_id_col}' cannot match) — use "
+                    f"filter_expr on the natural key columns instead."
+                )
             data = data.select(
                 *[F.col(f"vec_id.{c}").alias(c) for c in key_cols], "*"
             )
@@ -2564,6 +2577,182 @@ class FeatureStore:
             src_meta.version != spec["src_version"]
             or cur_rows != spec["src_rows"]
         )
+
+    def _vindex_encode_frozen(
+        self, index: str, spec: dict, src: DataFrame
+    ) -> DataFrame:
+        """Encode (vec_id, embedding) rows against the STORED model —
+        the shared map-only dispatch behind refresh / reencode / the
+        drift probe's pending-delta arm. No fit, no state write; the
+        model rides as literals (k x dim scale, driver-resident)."""
+        from .operators.similarity import (
+            ivf_encode_int,
+            lsh_bucketize_with_planes,
+            pq_encode,
+        )
+
+        pp = spec["params"]
+        if spec["method"] == "ivf":
+            return ivf_encode_int(
+                src, self._vindex_ivf_model(index), grid=pp["grid"]
+            )
+        if spec["method"] == "pq":
+            return pq_encode(
+                src, self._vindex_pq_model(index), m=pp["m"],
+                sub_dim=pp["sub_dim"], grid=pp["grid"],
+            )
+        if spec["method"] == "ivfpq":
+            from .operators.similarity import ivfpq_encode
+
+            centroids, books = self._vindex_ivfpq_model(index)
+            return ivfpq_encode(
+                src, centroids, books, m=pp["m"],
+                sub_dim=pp["sub_dim"], grid=pp["grid"],
+            )
+        if spec["method"] == "sq":
+            from .operators.similarity import sq_encode
+
+            mins, maxs = self._vindex_sq_model(index)
+            return sq_encode(src, mins, maxs)
+        return lsh_bucketize_with_planes(src, self._vindex_lsh_model(index))
+
+    @staticmethod
+    def _vindex_hist_key(method: str):
+        """The method's discrete occupancy key — coarse cell (ivf/
+        ivfpq), LSH bucket, or the first stored code/level (pq/sq):
+        O(1) per row to extract, O(model size) distinct values, and a
+        pure function of (vector, frozen model), so its histogram is the
+        cheapest faithful signal of WHERE rows land under the model."""
+        if method in ("ivf", "ivfpq"):
+            return F.col("cell").cast("long")
+        if method == "lsh":
+            return F.col("bucket").cast("long")
+        return F.element_at("codes", 1).cast("long")  # pq / sq
+
+    @classmethod
+    def _vindex_occupancy(cls, method: str, data: DataFrame) -> dict:
+        """Occupancy histogram of an encoded state frame as a JSON-safe
+        {str(key): count} dict — O(n_cells) entries, one partial-agg
+        scan that reads ONLY the key column."""
+        rows = (
+            data.select(cls._vindex_hist_key(method).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return {str(int(r["k"])): int(r["n"]) for r in rows}
+
+    def vector_index_drift(
+        self, index: str, include_pending: bool = True
+    ) -> DataFrame:
+        """Has the data LEFT the frozen model behind? — the rebuild-vs-
+        refresh policy signal (round-12; r11 verdict next-round #2).
+        ``vector_index_stale`` answers "did the source change"; this
+        answers the orthogonal question "does the trained model still
+        fit the distribution": PSI between the BUILD-TIME occupancy
+        histogram (persisted in the spec at create — O(n_cells) ints)
+        and the occupancy of the rows the index would serve now. An
+        i.i.d. append spreads over the cells in the build proportions
+        (PSI ~ 0 — keep O(delta) refreshing); a shifted distribution
+        piles into few cells (PSI large — recall is silently decaying,
+        rebuild). The standard PSI reading applies: > 0.25 = the
+        distribution moved, rebuild; 0.1-0.25 = investigate.
+
+        ``include_pending``: also encode source rows APPENDED beyond
+        the watermark (map-only, frozen model, nothing written) so the
+        question "may I keep fold-refreshing?" is answered BEFORE the
+        fold — the stream_index_enrich(refresh='auto') drift gate.
+        History rewrites are excluded (refresh refuses them anyway).
+
+        Returns one row per occupancy key: (cell, build_n, cur_n,
+        ref_frac, cur_frac, psi_term); sum(psi_term) is the PSI
+        (``vector_index_drift_stat`` folds it to the scalar verdict).
+        Cost: one partial-agg scan of the encoded table's key column
+        (+ one map-only delta encode when pending rows exist) reduced
+        to O(n_cells) rows; the build histogram rides from the spec as
+        a createDataFrame literal. Same EPS smoothing as
+        operators/drift.py so an external oracle replays the algebra."""
+        from .operators.drift import EPS
+
+        spec = self._vector_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown vector index: '{index}'")
+        occ = spec.get("occupancy")
+        if not occ:
+            raise FeatureStoreError(
+                f"Vector index '{index}' has no build-time occupancy "
+                f"histogram (built before the drift signal existed); "
+                f"rebuild with create_vector_index() to enable "
+                f"vector_index_drift."
+            )
+        key = self._vindex_hist_key(spec["method"])
+        cur_keys = self._vindex_data(index).select(key.alias("cell"))
+        if include_pending and not spec.get("rewritten"):
+            raw = self._current(spec["src"])
+            delta = raw.filter(F.col(ROW_ID_COL) > spec["watermark"])
+            src = delta.select(
+                F.col(ENTITY_COL).alias("vec_id"),
+                F.col(spec["vec_col"]).cast("array<double>").alias(
+                    "embedding"
+                ),
+            )
+            src = self._vindex_guard_dim(
+                src, spec["dim"], f"vector_index_drift('{index}')"
+            )
+            enc = self._vindex_encode_frozen(index, spec, src)
+            cur_keys = cur_keys.unionByName(enc.select(key.alias("cell")))
+        cur = cur_keys.groupBy("cell").agg(
+            F.count("*").alias("__n_cur__")
+        )
+        ref = self.spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(occ.items())],
+            "cell BIGINT, __n_ref__ BIGINT",
+        )
+        from pyspark.sql.window import Window
+
+        joined = ref.join(cur, "cell", "full_outer")
+        w = Window.partitionBy()
+        n_ref = F.sum(F.coalesce("__n_ref__", F.lit(0))).over(w)
+        n_cur = F.sum(F.coalesce("__n_cur__", F.lit(0))).over(w)
+        ref_frac = (
+            F.coalesce("__n_ref__", F.lit(0)) / n_ref.cast("double")
+        ).alias("ref_frac")
+        cur_frac = (
+            F.coalesce("__n_cur__", F.lit(0)) / n_cur.cast("double")
+        ).alias("cur_frac")
+        out = joined.select(
+            "cell",
+            F.coalesce("__n_ref__", F.lit(0)).cast("long").alias("build_n"),
+            F.coalesce("__n_cur__", F.lit(0)).cast("long").alias("cur_n"),
+            ref_frac,
+            cur_frac,
+        )
+        term = (F.col("ref_frac") - F.col("cur_frac")) * F.log(
+            (F.col("ref_frac") + F.lit(EPS)) / (F.col("cur_frac") + F.lit(EPS))
+        )
+        return out.withColumn("psi_term", term)
+
+    def vector_index_drift_stat(
+        self,
+        index: str,
+        threshold: float = 0.25,
+        include_pending: bool = True,
+    ) -> dict[str, Any]:
+        """Scalar verdict over :meth:`vector_index_drift`:
+        ``{"psi": float, "threshold": float, "recommend_rebuild":
+        bool}``. ``recommend_rebuild`` means the O(delta) refresh path
+        is folding into a model the data has left behind — re-train
+        with create_vector_index() instead (reencode_vector_index only
+        re-assigns; it cannot fix a moved distribution)."""
+        rep = self.vector_index_drift(index, include_pending=include_pending)
+        psi = float(
+            rep.agg(F.sum("psi_term").alias("psi")).collect()[0]["psi"] or 0.0
+        )
+        return {
+            "psi": psi,
+            "threshold": float(threshold),
+            "recommend_rebuild": psi > float(threshold),
+        }
 
     def get_vector_index_info(self, index: str) -> dict[str, Any]:
         spec = self._vector_indexes.get(index)
@@ -4310,6 +4499,13 @@ class FeatureStore:
                     int(s["data_version"]) if s.get("data_version") else None
                 ),
                 "rewritten": bool(s.get("rewritten", False)),
+                # build-time occupancy histogram (round-12 drift signal);
+                # pre-r12 registries lack it -> vector_index_drift refuses
+                # with a rebuild message
+                "occupancy": (
+                    {str(k): int(v) for k, v in s["occupancy"].items()}
+                    if s.get("occupancy") else None
+                ),
             }
         return out
 

@@ -412,6 +412,7 @@ def stream_index_enrich(
     filter_expr: str | None = None,
     nprobe: int | None = None,
     refine: int | None = None,
+    drift_threshold: float | None = None,
 ):
     """Streaming ANN enrichment through a PERSISTED vector index: each
     micro-batch of query vectors resolves via ``store.knn_batch`` —
@@ -454,6 +455,18 @@ def stream_index_enrich(
     function of (query row, stored index, knobs), so the stream==batch
     invariant holds for every combination.
 
+    ``drift_threshold`` (round-12; r11 verdict next-round #2) — the
+    rebuild-policy REFUSAL on the auto path: before folding a stale
+    batch, ``store.vector_index_drift_stat`` compares the build-time
+    cell-occupancy histogram against what the index would serve AFTER
+    the fold (pending delta included, encoded map-only against the
+    frozen model); PSI above the threshold raises instead of
+    refreshing — auto-refresh must not keep folding into a model the
+    data has left behind (recall decays silently; only a re-train
+    fixes a moved distribution). ``None`` (default) keeps the
+    unconditional r11 fold behavior. Only meaningful with
+    ``refresh='auto'``.
+
     Scale (100 TB): per-batch cost is |batch| x nprobe probe rows
     joined against only the probed cells/buckets of the encoded table —
     partition the state table by the probe key and each micro-batch
@@ -468,6 +481,21 @@ def stream_index_enrich(
 
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
         if refresh == "auto" and store.vector_index_stale(index):
+            if drift_threshold is not None:
+                stat = store.vector_index_drift_stat(
+                    index, threshold=drift_threshold
+                )
+                if stat["recommend_rebuild"]:
+                    from ..errors import FeatureStoreError
+
+                    raise FeatureStoreError(
+                        f"stream_index_enrich('{index}'): occupancy "
+                        f"drift PSI {stat['psi']:.4f} exceeds the "
+                        f"rebuild threshold {drift_threshold} — "
+                        f"refusing to auto-refresh a frozen model the "
+                        f"data has left behind; re-train with "
+                        f"create_vector_index()."
+                    )
             store.refresh_vector_index(index)
         out = store.knn_batch(
             index,
