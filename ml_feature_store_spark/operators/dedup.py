@@ -113,6 +113,45 @@ def minhash_signatures(
     return per_doc.select(*id_cols, sig)
 
 
+def minhash_band_buckets(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hash_family: str = "xxhash64",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """MAP-ONLY banding of a signature frame (``minhash: array<bigint>``)
+    into ``(id..., band, bucket)`` rows — the LSH blocking key. Shared by
+    the per-call :func:`dedup_minhash_lsh` and the store's PERSISTED
+    dedup index (signatures stored once, buckets re-derived at O(bands)
+    per row whenever a batch probes them). With ``"md5_affine"`` the
+    bucket is the md5 of the comma-joined sub-signature, so an external
+    oracle joins on the identical key."""
+    rows_per_band = num_hashes // bands
+
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * rows_per_band + i + 1)
+                for i in range(rows_per_band)
+            ],
+        )
+        return F.md5(joined) if hash_family == "md5_affine" else F.xxhash64(joined)
+
+    return sig.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*id_cols, "bb.band", "bb.bucket")
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     content_col: str = "text",
@@ -136,32 +175,12 @@ def dedup_minhash_lsh(
     md5 of the sub-signature (string) so an external oracle can join on
     the identical bucket key.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, content_col, num_hashes, shingle_k, hash_family=hash_family
     ).select(id_col, "minhash")
-
-    def band_key(b: int):
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.element_at("minhash", b * rows_per_band + i + 1)
-                for i in range(rows_per_band)
-            ],
-        )
-        return F.md5(joined) if hash_family == "md5_affine" else F.xxhash64(joined)
-
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(
+        sig, num_hashes, bands, hash_family=hash_family, id_cols=(id_col,)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

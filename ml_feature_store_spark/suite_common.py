@@ -1439,6 +1439,7 @@ __all__ = [
     '_x14_sql',
     '_x17_sql',
     '_vidx_ivf_sql',
+    '_vidx_ivf_fit_ctes',
     '_vidx_batch_sql',
     '_vidx_lsh_sql',
     '_vidx_pq_batch_sql',

@@ -835,6 +835,84 @@ def q_x27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x34_dedup_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup THROUGH THE PERSISTED SIGNATURE INDEX —
+    round-12's build-once-serve-many tier for the dedup family (r11
+    verdict next-round #1; x27's "old signatures are precomputed once
+    and stored" made executable): the corpus (doc_id % 4 != 0)
+    registers as a feature table, create_dedup_index signs it ONCE
+    under the frozen portable MinHash family (exact-hash + 16-component
+    signature, versioned state table with a registry spec), and
+    dedup_batch resolves the NEW batch (doc_id % 4 == 0) against the
+    STORED artifact: exact semi join on the 16-byte hash, band buckets
+    derived map-only from the stored signatures and equi-joined against
+    the batch's buckets (new x old ONLY — the corpus never self-joins,
+    and is never re-signed), candidate pairs Jaccard-verified at 0.5
+    against the source text (candidate-bounded). Manifest per new doc:
+    exact flag, bucket-candidate count, verified fuzzy count, best
+    Jaccard (e6). At 100 TB each nightly increment costs O(batch) sign
+    + one bucket join against ~200 B/doc of stored signatures — never
+    O(corpus). Oracle: the x6/x27 portable-family machinery replayed
+    over the same split (signatures are a pure per-doc function, so
+    stored == recomputed bit-for-bit)."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return fs.dedup_batch(
+        "dd", new, id_col="doc_id", content_col="text", threshold=0.5
+    )
+
+
+def q_x35_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) dedup-index maintenance — the artifact-level witness
+    that incremental signing equals sign-everything: the index builds
+    on the even half, the odd half arrives via append(), and
+    refresh_dedup_index signs ONLY the delta against the FROZEN seeded
+    family (the x27 cost model fixed: an increment costs the batch, not
+    the corpus — the old signatures are read back, never recomputed).
+    The lane emits the STORED signature table itself (exact hash + the
+    4 band buckets re-derived map-only from the persisted minhash), so
+    the oracle's from-scratch replay over ALL documents pins the
+    incremental fold bit-for-bit — the strongest form of the
+    h5/f35 associativity contract. A dedup_batch before the refresh
+    REFUSES (stale index; pinned in pytest)."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    fs.append("corpus", feats.filter(F.col("entity_id") % 2 == 1))
+    fs.refresh_dedup_index("dd")
+    sig = fs.get_dedup_signatures("dd")
+
+    def band(b: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[F.element_at("minhash", b * 4 + i + 1) for i in range(4)],
+            )
+        )
+
+    return sig.select(
+        "doc_id", "hh", *[band(b).alias(f"b{b}") for b in range(4)]
+    )
+
+
 
 
 
@@ -1240,6 +1318,8 @@ QUERIES = {
     'pipe3_curation_pipeline': q_pipe3_curation_pipeline,
     'x20_bpe_pair_counts': q_x20_bpe_pair_counts,
     'x27_incremental_dedup': q_x27_incremental_dedup,
+    'x34_dedup_index_batch': q_x34_dedup_index_batch,
+    'x35_dedup_index_refresh': q_x35_dedup_index_refresh,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1945,6 +2025,70 @@ ORACLE_SQL["x27_incremental_dedup"] = f"""
     LEFT JOIN exacts e ON e.doc_id = d.doc_id
     LEFT JOIN fz ON fz.new_id = d.doc_id
     WHERE d.doc_id % 5 = 0
+"""
+
+# x34: the stored signatures are a pure per-doc function of the frozen
+# portable family, so the oracle replays x27's machinery over the %4
+# split and adds the bucket-candidate count (distinct new x old pairs
+# from the band-bucket join — exactly what dedup_batch's probe yields).
+ORACLE_SQL["x34_dedup_index_batch"] = f"""
+    WITH {_MH_CTES},
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS hh,
+                 doc_id % 4 = 0 AS nw
+          FROM documents),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM h n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM h WHERE NOT nw)
+    ),
+    crossc AS (
+        SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)
+    ),
+    ncand AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              FROM crossc GROUP BY new_id),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+                  CAST(MAX(j_e6) AS BIGINT) AS best_j_e6
+           FROM ver GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           COALESCE(fz.best_j_e6, 0) AS best_j_e6
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN ncand nc ON nc.new_id = d.doc_id
+    LEFT JOIN fz ON fz.new_id = d.doc_id
+    WHERE d.doc_id % 4 = 0
+"""
+
+# x35: from-scratch replay of the whole signature store — per-doc exact
+# hash + the 4 md5 band buckets over the portable family's mins; the
+# Spark side folded the odd half incrementally, so value-hash equality
+# IS the incremental == sign-everything proof.
+_X35_BANDS = ", ".join(
+    "md5("
+    + "||','||".join(f"CAST(mh{b * 4 + i} AS VARCHAR)" for i in range(4))
+    + f") AS b{b}"
+    for b in range(4)
+)
+ORACLE_SQL["x35_dedup_index_refresh"] = f"""
+    WITH {_MH_CTES}
+    SELECT m.doc_id, md5(lower(trim(d.text))) AS hh, {_X35_BANDS}
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
 """
 
 

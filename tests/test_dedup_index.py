@@ -1,0 +1,241 @@
+"""Persisted dedup-signature index (round-12; r11 verdict next-round #1):
+create_dedup_index / refresh_dedup_index / dedup_batch / drop_dedup_index.
+
+The contract under test:
+  * sign-once-serve-many — dedup_batch resolves a new batch against the
+    STORED signatures; the corpus is never re-signed (the x27 docstring's
+    production story made executable);
+  * O(delta) refresh — incremental folds equal sign-everything
+    bit-for-bit (the hash family is frozen by construction);
+  * staleness/rewrite refusals — dedup_batch refuses when the source
+    changed since the last build/refresh; refresh refuses after any
+    history rewrite (the vector-index guard rail, same flag);
+  * snapshot-pinned accounting — a mid-build append leaves the spec
+    lagging (refusal + next-refresh fold), never silently absorbed;
+  * registry persistence, two-instance CAS safety, delete() cascade.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_feature_store_spark.errors import (
+    FeatureStoreError,
+    FeatureValidationError,
+)
+from ml_feature_store_spark.store import FeatureStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from ml_feature_store_spark.suite import table
+
+    return table(spark, SF, "documents").select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    ).cache()
+
+
+def _sig_rows(fs, index="dd"):
+    return {
+        (r["doc_id"], r["hh"], tuple(r["minhash"]))
+        for r in fs.get_dedup_signatures(index).collect()
+    }
+
+
+class TestBuildAndBatch:
+    def test_exact_and_fuzzy_manifest(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        n = fs.create_dedup_index("dd", "corpus", content_col="text")
+        assert n == docs.filter("entity_id % 4 != 0").count()
+        # new batch: half genuinely new docs, half EXACT copies of
+        # corpus docs under fresh ids (the ingest-dup scenario)
+        fresh = docs.filter("entity_id % 4 = 0").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        copies = docs.filter("entity_id % 4 = 1").limit(10).select(
+            (F.col("entity_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        out = fs.dedup_batch(
+            "dd", fresh.unionByName(copies), id_col="doc_id",
+            content_col="text",
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert len(by_id) == fresh.count() + 10
+        # every exact copy is flagged, and its best Jaccard is 1.0
+        for r in out:
+            if r.doc_id >= 1_000_000:
+                assert r.is_exact_dup == 1
+                assert r.best_j_e6 == 1_000_000 and r.n_fuzzy >= 1
+        # candidates always bound fuzzy matches
+        assert all(r.n_fuzzy <= r.n_candidates for r in out)
+
+    def test_batch_never_resigns_corpus(self, spark, docs):
+        """dedup_batch must read stored signatures, not recompute them:
+        poison the source text AFTER the build — exact/fuzzy arms keyed
+        off signatures must still match the build-time content. (The
+        verify arm legitimately re-reads candidate old docs' text.)"""
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus", content_col="text")
+        stored_before = _sig_rows(fs)
+        copies = docs.filter("entity_id % 4 = 1").limit(5).select(
+            (F.col("entity_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        out = fs.dedup_batch("dd", copies, id_col="doc_id").collect()
+        assert all(r.is_exact_dup == 1 for r in out)
+        assert _sig_rows(fs) == stored_before  # nothing rewritten
+
+    def test_unknown_index_and_param_validation(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.limit(50))
+        with pytest.raises(FeatureStoreError, match="Unknown dedup"):
+            fs.dedup_batch("nope", docs.limit(1))
+        with pytest.raises(FeatureStoreError, match="Unknown dedup"):
+            fs.get_dedup_signatures("nope")
+        with pytest.raises(FeatureValidationError, match="divide"):
+            fs.create_dedup_index("dd", "corpus", num_hashes=16, bands=5)
+
+
+class TestIncrementalRefresh:
+    def test_incremental_equals_from_scratch(self, spark, docs):
+        inc = FeatureStore(spark)
+        inc.register("corpus", docs.filter("entity_id % 2 = 0"))
+        inc.create_dedup_index("dd", "corpus")
+        inc.append("corpus", docs.filter("entity_id % 2 = 1"))
+        total = inc.refresh_dedup_index("dd")
+        full = FeatureStore(spark)
+        full.register("corpus", docs)
+        full.create_dedup_index("dd", "corpus")
+        assert _sig_rows(inc) == _sig_rows(full)
+        assert total == docs.count()
+
+    def test_noop_refresh_and_idempotent_serving(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 2 = 0"))
+        n = fs.create_dedup_index("dd", "corpus")
+        assert fs.refresh_dedup_index("dd") == n  # no delta
+        new = docs.filter("entity_id % 2 = 1").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        a = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
+        b = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
+        assert a == b
+
+    def test_stale_batch_refuses_until_refresh(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 2 = 0"))
+        fs.create_dedup_index("dd", "corpus")
+        fs.append("corpus", docs.filter("entity_id % 2 = 1"))
+        assert fs.dedup_index_stale("dd")
+        new = docs.limit(3).select(F.col("entity_id").alias("doc_id"), "text")
+        with pytest.raises(FeatureStoreError, match="STALE"):
+            fs.dedup_batch("dd", new)
+        fs.refresh_dedup_index("dd")
+        assert not fs.dedup_index_stale("dd")
+        assert fs.dedup_batch("dd", new).count() == 3
+
+    def test_rewrite_refuses_refresh_and_batch(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs)
+        fs.create_dedup_index("dd", "corpus")
+        # count-preserving rewrite: re-register the same rows
+        fs.register("corpus", docs)
+        assert fs.dedup_index_stale("dd")
+        with pytest.raises(FeatureStoreError, match="rewritten"):
+            fs.refresh_dedup_index("dd")
+        with pytest.raises(FeatureStoreError, match="rewritten"):
+            fs.dedup_batch(
+                "dd", docs.limit(1).select(
+                    F.col("entity_id").alias("doc_id"), "text"
+                )
+            )
+        # rebuild clears the flag
+        fs.create_dedup_index("dd", "corpus")
+        assert not fs.dedup_index_stale("dd")
+
+    def test_mid_build_append_not_absorbed(self, spark, docs, tmp_path):
+        """The r11-ADVICE absorption scenario, dedup flavor: an append
+        landing between the snapshot pin and the publish leaves the
+        spec LAGGING — stale refusal + the next refresh folds it."""
+        root = str(tmp_path / "s")
+        setup = FeatureStore(spark, storage_path=root)
+        setup.register("corpus", docs.filter("entity_id % 2 = 0"))
+        b = FeatureStore(spark, storage_path=root)
+        orig = b._backend.write_version
+        fired = {"done": False}
+
+        def hooked(name, ver, df, *a, **kw):
+            r = orig(name, ver, df, *a, **kw)
+            if name == "dd__dedup" and not fired["done"]:
+                fired["done"] = True
+                other = FeatureStore(spark, storage_path=root)
+                other.append("corpus", docs.filter("entity_id % 2 = 1"))
+            return r
+
+        b._backend.write_version = hooked
+        b.create_dedup_index("dd", "corpus")
+        assert fired["done"] and b.dedup_index_stale("dd")
+        assert b.refresh_dedup_index("dd") == docs.count()
+        assert not b.dedup_index_stale("dd")
+
+
+class TestRegistryAndLifecycle:
+    def test_spec_and_state_survive_reopen(self, spark, docs, tmp_path):
+        root = str(tmp_path / "s")
+        fs = FeatureStore(spark, storage_path=root)
+        fs.register("corpus", docs.filter("entity_id % 2 = 0"))
+        fs.create_dedup_index(
+            "dd", "corpus", num_hashes=16, bands=8, shingle_k=2
+        )
+        before = _sig_rows(fs)
+        reopened = FeatureStore(spark, storage_path=root)
+        info = reopened.get_dedup_index_info("dd")
+        assert info["params"] == {
+            "num_hashes": 16, "bands": 8, "shingle_k": 2,
+        }
+        assert reopened.list_dedup_indexes() == ["dd"]
+        assert _sig_rows(reopened) == before
+        # state table is an implementation detail, not a catalog entry
+        assert "dd__dedup" not in reopened.table_names
+
+    def test_drop_and_delete_cascade(self, spark, docs, tmp_path):
+        root = str(tmp_path / "s")
+        fs = FeatureStore(spark, storage_path=root)
+        fs.register("corpus", docs.limit(100))
+        fs.create_dedup_index("dd", "corpus")
+        with pytest.raises(FeatureValidationError, match="dedup index"):
+            fs.delete("corpus")
+        assert fs.drop_dedup_index("dd") is True
+        assert fs.drop_dedup_index("dd") is False
+        assert not fs._backend.exists("dd__dedup")
+        # cascade drops the spec + state with the table
+        fs.create_dedup_index("dd", "corpus")
+        assert fs.delete("corpus", cascade=True) is True
+        assert fs.list_dedup_indexes() == []
+        assert not fs._backend.exists("dd__dedup")
+
+    def test_stale_writer_refuses_pre_mutation(self, spark, docs, tmp_path):
+        root = str(tmp_path / "s")
+        setup = FeatureStore(spark, storage_path=root)
+        setup.register("corpus", docs.filter("entity_id % 2 = 0"))
+        setup.create_dedup_index("dd", "corpus")
+        a = FeatureStore(spark, storage_path=root)
+        b = FeatureStore(spark, storage_path=root)
+        a.append("corpus", docs.filter("entity_id % 2 = 1"))
+        a.refresh_dedup_index("dd")  # a publishes
+        versions_before = b._backend.versions("dd__dedup")
+        with pytest.raises(FeatureStoreError, match="refused"):
+            b.refresh_dedup_index("dd")
+        assert b._backend.versions("dd__dedup") == versions_before
+        with pytest.raises(FeatureStoreError, match="refused"):
+            b.create_dedup_index("dd2", "corpus")
+        # b retries after reopen and serves
+        b2 = FeatureStore(spark, storage_path=root)
+        new = docs.limit(3).select(F.col("entity_id").alias("doc_id"), "text")
+        assert b2.dedup_batch("dd", new).count() == 3

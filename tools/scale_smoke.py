@@ -191,7 +191,11 @@ BENCH_QUERIES = [
     "vidx4_lsh_index_knn",  # stored-hyperplane buckets + probe knn (emb 1x)
     "vidx5_index_batch_knn",  # exploded-probe cell equi join, per-query top-k (emb 1x)
     "sd18_stream_index_enrich",  # per-micro-batch knn through the stored index (emb 1x)
-    "vidx6_index_recall",  # four stored indexes + exact arm recall (emb 1x)
+    "vidx6a_recall_ivf",  # stored-IVF recall vs exact arm (emb 1x)
+    "vidx6b_recall_pq",  # stored-PQ recall vs exact arm (emb 1x)
+    "vidx6c_recall_lsh",  # stored-LSH recall vs exact arm (emb 1x)
+    "vidx6d_recall_ivfpq",  # stored-IVFPQ recall vs exact arm (emb 1x)
+    "vidx6e_recall_sq",  # stored-SQ recall vs exact arm (emb 1x)
     "vidx7_pq_batch_knn",  # broadcast ADC dtab dim x codes scan, per-query top-k (emb 1x)
     "vidx8_ivfpq_index_knn",  # residual-PQ build + probe + cell-specific ADC (emb 1x)
     "vidx9_ivfpq_batch_knn",  # per-query probes + residual dtabs, cell equi join (emb 1x)
@@ -199,8 +203,11 @@ BENCH_QUERIES = [
     "vidx10_reencode_after_rewrite",  # frozen-model full re-encode after upsert (emb 1x)
     "vidx11_pq_refine_knn",  # ADC shortlist + exact re-rank semi join (emb 1x)
     "vidx12_sq_index_knn",  # per-dim min/max levels + exhaustive int-L2 (emb 1x)
+    "vidx13_drift_signal",  # occupancy-key partial agg + O(n_cells) PSI (emb 1x)
     "ts5_changepoint",  # daily rollup + division-free CUSUM windows, 8x events
     "dq17_k_anonymity",  # QI partial-agg groupBy + O(groups) fold, 8x events
+    "x34_dedup_index_batch",  # stored-signature bucket join, new x old only (docs 8x)
+    "x35_dedup_index_refresh",  # O(delta) signature fold + map-only banding (docs 8x)
 ]
 KEY_OFFSET = 100_000_000
 
