@@ -789,9 +789,12 @@ def q_x27_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, best Jaccard (e6 int). Plan: the exact arm shuffles 16-byte
     hashes; LSH banding bounds pair generation exactly as in x6 — the
     old corpus is re-signed but NEVER self-joined (the cross filter
-    drops old×old buckets before the verify); at 100 TB old signatures
-    are precomputed once and stored, making each increment's cost
-    proportional to the batch, not the corpus."""
+    drops old×old buckets before the verify). This is the AD-HOC shape
+    (one-shot, no stored state); at 100 TB use the persisted signature
+    index instead — store.create_dedup_index signs the corpus once and
+    dedup_batch resolves increments against the STORED buckets (x34/x35
+    lanes), making each increment's cost proportional to the batch, not
+    the corpus."""
     from .operators.dedup import dedup_minhash_lsh, ngram_jaccard
 
     docs = table(spark, sf_dir, "documents")

@@ -1004,3 +1004,71 @@ class TestVectorIndexServingPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestDedupIndexPlans:
+    """Round-12 dedup-index plan gates: the signature build is ONE
+    explode+partial-agg shuffle; serving joins are equi joins (never a
+    cartesian arm); the stored-signature banding is map-only."""
+
+    @pytest.fixture(scope="class")
+    def dd(self, spark):
+        from ml_feature_store_spark.store import FeatureStore
+
+        docs = table(spark, SF, "documents")
+        feats = docs.select(
+            F.col("doc_id").alias("entity_id"),
+            F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+            "text",
+        )
+        fs = FeatureStore(spark)
+        fs.register("corpus", feats.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus")
+        new = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+        return fs, new
+
+    def test_signing_is_one_shuffle(self, dd):
+        """_dedup_sign = shingle explode (map) -> one partial-agg groupBy
+        carrying ~8*num_hashes+32 bytes/doc; no join, no second pass."""
+        fs, new = dd
+        spec = fs.get_dedup_index_info("dd")
+        signed = fs._dedup_sign(
+            new.withColumnRenamed("doc_id", "d").select(
+                F.col("d"), F.col("text")
+            ),
+            "text",
+            spec["params"],
+        )
+        plan = executed_plan(signed)
+        # exactly ONE key shuffle (the signature groupBy); the only
+        # other exchange permitted is ensure_parallelism's round-robin
+        # input split (a small-input artifact, not a data move by key)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan.replace("joinType", "")
+        assert plan.count("HashAggregate") == 2  # partial + final
+
+    def test_batch_joins_are_equi_never_cartesian(self, dd):
+        """dedup_batch: exact arm = LeftSemi on the 16-byte hash; fuzzy
+        arm = equi join on (band, bucket); verify joins are candidate-
+        bounded equi joins. No cartesian product anywhere."""
+        fs, new = dd
+        out = fs.dedup_batch("dd", new, id_col="doc_id")
+        plan = executed_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan  # the exact arm
+        assert "bucket" in plan  # the banded probe key
+
+    def test_stored_banding_is_map_only(self, dd):
+        """Buckets re-derive from the persisted signatures at O(bands)
+        per row: scan -> explode projection, zero exchanges."""
+        from ml_feature_store_spark.operators.dedup import (
+            minhash_band_buckets,
+        )
+
+        fs, _ = dd
+        sig = fs.get_dedup_signatures("dd")
+        banded = minhash_band_buckets(
+            sig, 16, 4, hash_family="md5_affine", id_cols=("doc_id",)
+        )
+        assert _data_shuffles(banded) == 0
