@@ -3090,6 +3090,7 @@ class FeatureStore:
         id_col: str = "doc_id",
         content_col: str | None = None,
         threshold: float = 0.5,
+        max_bucket_size: int | None = None,
     ) -> DataFrame:
         """Dedup a NEW batch against the STORED corpus signatures — the
         nightly-ingest shape: exact matches via a 16-byte-hash semi
@@ -3108,6 +3109,19 @@ class FeatureStore:
         bands probe rows against the bucketed corpus keys; the verify
         re-reads only candidate old docs. Nothing scales with corpus x
         corpus, and nothing re-signs the corpus.
+
+        ``max_bucket_size`` — the HOT-BUCKET CAP (the standard web-
+        pipeline LSH mitigation): a band bucket shared by 100k stored
+        docs is boilerplate-shaped, and joining a batch probe against
+        it explodes candidates (and the verify) quadratically for
+        pairs that are either trivial exact dups (already caught by
+        the hash arm, which the cap never touches) or rejected at the
+        Jaccard threshold. When set, stored buckets larger than the
+        cap are EXCLUDED from candidate generation — one extra
+        partial-agg over the bucket keys (O(buckets) rows) + a semi
+        join; the documented trade is recall on near-dups of
+        boilerplate-dominated docs. SKEW.md measures the explosion and
+        the cap's effect.
 
         STALE-INDEX REFUSAL (the knn contract): if the source table
         changed since the last build/refresh, dedup_batch raises — a
@@ -3161,6 +3175,19 @@ class FeatureStore:
             p["num_hashes"], p["bands"],
             hash_family="md5_affine", id_cols=("__old_id__",),
         )
+        if max_bucket_size is not None:
+            if int(max_bucket_size) < 1:
+                raise FeatureValidationError(
+                    f"dedup_batch('{index}'): max_bucket_size must be "
+                    f">= 1, got {max_bucket_size}."
+                )
+            small = (
+                ob.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__bn__"))
+                .filter(F.col("__bn__") <= int(max_bucket_size))
+                .select("band", "bucket")
+            )
+            ob = ob.join(small, ["band", "bucket"], "left_semi")
         cand = (
             nb.join(ob, ["band", "bucket"])
             .select(id_col, "__old_id__")

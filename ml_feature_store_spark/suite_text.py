@@ -916,6 +916,52 @@ def q_x35_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X36_BOILER = (
+    "cookie notice please accept our cookies to continue "
+    "reading this site uses cookies"
+)
+
+
+def q_x36_dedup_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-BUCKET CAP under boilerplate — the web-corpus failure mode
+    (round-12): every 7th doc is an identical cookie banner, so ONE
+    band bucket holds ~n/7 of the stored corpus and an uncapped probe
+    join would generate |new boilerplate| x |old boilerplate|
+    candidates (the quadratic arm SKEW.md measures). dedup_batch(
+    max_bucket_size=8) drops stored buckets above the cap from
+    candidate generation — one O(buckets) partial agg + a semi join —
+    so boilerplate NEW docs come back with n_candidates=0/n_fuzzy=0
+    while the EXACT arm (hash semi join, never capped) still flags
+    them is_exact_dup=1: trivial duplicates stay caught, the candidate
+    explosion does not happen, and genuine near-dups in normal-sized
+    buckets verify exactly as in x34. The documented trade (capped
+    recall on near-dups of boilerplate-dominated docs) is the standard
+    MinHash-LSH production rule. Oracle: the portable family over the
+    boilerplate-injected corpus with a HAVING-style bucket-size filter
+    on the old side."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_X36_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return fs.dedup_batch(
+        "dd", new, id_col="doc_id", content_col="text",
+        threshold=0.5, max_bucket_size=8,
+    )
+
+
 
 
 
@@ -1323,6 +1369,7 @@ QUERIES = {
     'x27_incremental_dedup': q_x27_incremental_dedup,
     'x34_dedup_index_batch': q_x34_dedup_index_batch,
     'x35_dedup_index_refresh': q_x35_dedup_index_refresh,
+    'x36_dedup_bucket_cap': q_x36_dedup_bucket_cap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2092,6 +2139,65 @@ ORACLE_SQL["x35_dedup_index_refresh"] = f"""
     WITH {_MH_CTES}
     SELECT m.doc_id, md5(lower(trim(d.text))) AS hh, {_X35_BANDS}
     FROM m JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+# x36: the portable family over the boilerplate-injected corpus; the
+# fuzzy arm honors the stored-side bucket cap (<= 8 old docs per band
+# bucket), the exact arm never does. bd comes from _MH_CTES over docs2.
+ORACLE_SQL["x36_dedup_bucket_cap"] = f"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_X36_BOILER}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    {_mh_ctes("docs2")},
+    bsz AS (
+        SELECT band, bucket, COUNT(*) AS bn
+        FROM bd WHERE doc_id % 4 <> 0 GROUP BY band, bucket
+    ),
+    candc AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bd n
+        JOIN bd o ON n.band = o.band AND n.bucket = o.bucket
+        JOIN bsz s ON s.band = n.band AND s.bucket = n.bucket
+        WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0 AND s.bn <= 8
+    ),
+    ncand AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              FROM candc GROUP BY new_id),
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS hh,
+                 doc_id % 4 = 0 AS nw
+          FROM docs2),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM h n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM h WHERE NOT nw)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM candc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+                  CAST(MAX(j_e6) AS BIGINT) AS best_j_e6
+           FROM ver GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           COALESCE(fz.best_j_e6, 0) AS best_j_e6
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN ncand nc ON nc.new_id = d.doc_id
+    LEFT JOIN fz ON fz.new_id = d.doc_id
+    WHERE d.doc_id % 4 = 0
 """
 
 

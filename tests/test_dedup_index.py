@@ -91,6 +91,46 @@ class TestBuildAndBatch:
         assert all(r.is_exact_dup == 1 for r in out)
         assert _sig_rows(fs) == stored_before  # nothing rewritten
 
+    def test_bucket_cap_drops_boilerplate_candidates(self, spark, docs):
+        """max_bucket_size (the hot-bucket LSH cap): boilerplate docs
+        share one mega-bucket — capped serving drops their candidates
+        (no quadratic pair arm) while the EXACT arm still flags them;
+        normal-bucket candidates are untouched by the cap."""
+        boiler = "cookie banner accept all cookies to continue"
+        poisoned = docs.select(
+            "entity_id", "timestamp",
+            F.when(F.col("entity_id") % 7 == 0, F.lit(boiler))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        fs = FeatureStore(spark)
+        fs.register("corpus", poisoned.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus")
+        new = poisoned.filter("entity_id % 4 = 0").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        raw = {r.doc_id: r for r in fs.dedup_batch("dd", new).collect()}
+        capped = {
+            r.doc_id: r
+            for r in fs.dedup_batch("dd", new, max_bucket_size=8).collect()
+        }
+        boiler_ids = [d for d in raw if d % 7 == 0]
+        assert boiler_ids
+        n_old_boiler = poisoned.filter(
+            "entity_id % 4 != 0 AND entity_id % 7 = 0"
+        ).count()
+        for d in boiler_ids:
+            # uncapped: the mega-bucket yields every old boilerplate doc
+            assert raw[d].n_candidates == n_old_boiler
+            # capped: candidates gone, exact arm still catches the dup
+            assert capped[d].n_candidates == 0 and capped[d].n_fuzzy == 0
+            assert capped[d].is_exact_dup == 1
+        # normal docs: identical manifest under either setting
+        for d in raw:
+            if d % 7 != 0:
+                assert tuple(raw[d]) == tuple(capped[d])
+        with pytest.raises(FeatureValidationError, match="max_bucket_size"):
+            fs.dedup_batch("dd", new, max_bucket_size=0)
+
     def test_unknown_index_and_param_validation(self, spark, docs):
         fs = FeatureStore(spark)
         fs.register("corpus", docs.limit(50))

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dq17_k_anonymity",  # QI partial-agg groupBy + O(groups) fold, 8x events
     "x34_dedup_index_batch",  # stored-signature bucket join, new x old only (docs 8x)
     "x35_dedup_index_refresh",  # O(delta) signature fold + map-only banding (docs 8x)
+    "x36_dedup_bucket_cap",  # hot-bucket capped probe join under boilerplate (docs 8x)
 ]
 KEY_OFFSET = 100_000_000
 
