@@ -2574,6 +2574,56 @@ class FeatureStore:
         )
         return self._vindex_expand_key(out, key_cols)
 
+    def dedup_embedding_batch(
+        self,
+        index: str,
+        queries: DataFrame,
+        k: int = 10,
+        threshold: float = 0.9,
+        query_id_col: str = "q_id",
+        query_vec_col: str = "q_vec",
+        exclude_self: bool = False,
+        nprobe: int | None = None,
+        refine: int | None = None,
+    ) -> DataFrame:
+        """SEMANTIC dedup of a new embedding batch against the STORED
+        ANN index — SemDeDup at ingest time (round-12): the re-crawl /
+        re-ingest question "which of these new items already exist
+        near-verbatim in the corpus?" answered through the persisted
+        artifact instead of x11/x22's per-call bucketing. One
+        ``knn_batch`` job (map-only probes from the frozen model, probe
+        -key equi join, per-query top-k) filtered to candidates at or
+        above the cosine ``threshold`` — output one row per verified
+        near-dup pair: (query_id_col, vec_id | natural key columns,
+        sim). An empty result for a query means "genuinely new".
+
+        Requires cosine scores: ivf/lsh indexes rank by exact cosine
+        inside the probed cells/buckets; for the quantized methods
+        (pq/ivfpq/sq, which rank by integer ADC/L2 distance) pass
+        ``refine=`` so the shortlist is exact-cosine re-ranked first —
+        refused otherwise (an adist threshold would be meaningless
+        across models). Same staleness/rewrite refusals as knn_batch;
+        at 100 TB the cost is exactly the serving join (the probe key
+        prunes the encoded scan), so semantic dedup of a nightly batch
+        prices like any other retrieval job."""
+        spec = self._vector_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown vector index: '{index}'")
+        if spec["method"] not in ("ivf", "lsh") and refine is None:
+            raise FeatureValidationError(
+                f"dedup_embedding_batch('{index}'): method "
+                f"'{spec['method']}' ranks by integer quantized "
+                f"distance, not cosine — a similarity threshold needs "
+                f"exact scores. Pass refine= (exact re-rank of the ADC "
+                f"shortlist) or use an ivf/lsh index."
+            )
+        out = self.knn_batch(
+            index, queries, k=k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            exclude_self=exclude_self, nprobe=nprobe, refine=refine,
+        )
+        return out.filter(F.col("sim") >= float(threshold))
+
     def vector_index_stale(self, index: str) -> bool:
         """True when the source table changed since the index was last
         built/refreshed — exactly the condition under which ``knn``
@@ -3127,36 +3177,11 @@ class FeatureStore:
         changed since the last build/refresh, dedup_batch raises — a
         half-covering signature store would silently under-report
         duplicates. Metadata-only check."""
-        from .functions.text import shingles
-        from .operators.dedup import minhash_band_buckets
-
-        spec = self._dedup_indexes.get(index)
-        if spec is None:
-            raise FeatureStoreError(f"Unknown dedup index: '{index}'")
-        if spec.get("rewritten"):
-            raise FeatureStoreError(
-                f"Dedup index '{index}': source '{spec['src']}' history "
-                "was rewritten since the last build; rebuild with "
-                "create_dedup_index()."
-            )
-        src_meta = self._backend.meta(spec["src"])
-        cur_rows = src_meta.versions[src_meta.version].row_count
-        if (
-            src_meta.version != spec["src_version"]
-            or cur_rows != spec["src_rows"]
-        ):
-            raise FeatureStoreError(
-                f"Dedup index '{index}' is STALE: source '{spec['src']}' "
-                f"is at version {src_meta.version} with {cur_rows} rows, "
-                f"but the index covers version {spec['src_version']} "
-                f"with {spec['src_rows']} rows. Run "
-                f"refresh_dedup_index('{index}') after appends, or "
-                f"create_dedup_index() after a re-register."
-            )
-        ccol = content_col or spec["content_col"]
-        p = spec["params"]
-        new = new_docs.select(F.col(id_col), F.col(ccol))
-        signed_new = self._dedup_sign(new, ccol, p)
+        spec = self._dedup_spec_for_serving(index)
+        new, signed_new, cand, ver = self._dedup_pairs(
+            index, spec, new_docs, id_col, content_col, threshold,
+            max_bucket_size,
+        )
         stored = self._dindex_data(index)
         # exact arm: the shuffle carries 16-byte hashes, never bodies
         exacts = (
@@ -3165,65 +3190,8 @@ class FeatureStore:
             .select(id_col)
             .withColumn("__exact__", F.lit(1))
         )
-        # fuzzy arm: batch buckets vs STORED buckets (new x old only)
-        nb = minhash_band_buckets(
-            signed_new, p["num_hashes"], p["bands"],
-            hash_family="md5_affine", id_cols=(id_col,),
-        )
-        ob = minhash_band_buckets(
-            stored.withColumnRenamed("doc_id", "__old_id__"),
-            p["num_hashes"], p["bands"],
-            hash_family="md5_affine", id_cols=("__old_id__",),
-        )
-        if max_bucket_size is not None:
-            if int(max_bucket_size) < 1:
-                raise FeatureValidationError(
-                    f"dedup_batch('{index}'): max_bucket_size must be "
-                    f">= 1, got {max_bucket_size}."
-                )
-            small = (
-                ob.groupBy("band", "bucket")
-                .agg(F.count("*").alias("__bn__"))
-                .filter(F.col("__bn__") <= int(max_bucket_size))
-                .select("band", "bucket")
-            )
-            ob = ob.join(small, ["band", "bucket"], "left_semi")
-        cand = (
-            nb.join(ob, ["band", "bucket"])
-            .select(id_col, "__old_id__")
-            .dropDuplicates()
-        )
         n_cand = cand.groupBy(id_col).agg(
             F.count("*").alias("__n_cand__")
-        )
-        # verify: exact shingle Jaccard, candidate-bounded on both sides
-        new_sh = new.select(
-            F.col(id_col),
-            F.array_distinct(
-                shingles(F.col(ccol), p["shingle_k"])
-            ).alias("__sh_n__"),
-        )
-        old_src = self._current(spec["src"]).select(
-            F.col(ENTITY_COL).alias("__old_id__"),
-            F.col(spec["content_col"]).alias("__old_txt__"),
-        )
-        old_sh = old_src.join(
-            cand.select("__old_id__").distinct(), "__old_id__"
-        ).select(
-            "__old_id__",
-            F.array_distinct(
-                shingles(F.col("__old_txt__"), p["shingle_k"])
-            ).alias("__sh_o__"),
-        )
-        ver = (
-            cand.join(new_sh, id_col)
-            .join(old_sh, "__old_id__")
-            .withColumn(
-                "__j__",
-                F.size(F.array_intersect("__sh_n__", "__sh_o__"))
-                / F.size(F.array_union("__sh_n__", "__sh_o__")),
-            )
-            .filter(F.col("__j__") >= threshold)
         )
         fz = ver.groupBy(id_col).agg(
             F.count("*").alias("__n_fuzzy__"),
@@ -3250,6 +3218,167 @@ class FeatureStore:
                 F.coalesce("__best_j__", F.lit(0)).cast("long").alias(
                     "best_j_e6"
                 ),
+            )
+        )
+
+    def _dedup_spec_for_serving(self, index: str) -> dict:
+        """Shared serving refusals (dedup_batch / dedup_matches): the
+        rewrite flag and the version/row-count staleness check — a
+        half-covering signature store must refuse, not under-report."""
+        spec = self._dedup_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown dedup index: '{index}'")
+        if spec.get("rewritten"):
+            raise FeatureStoreError(
+                f"Dedup index '{index}': source '{spec['src']}' history "
+                "was rewritten since the last build; rebuild with "
+                "create_dedup_index()."
+            )
+        src_meta = self._backend.meta(spec["src"])
+        cur_rows = src_meta.versions[src_meta.version].row_count
+        if (
+            src_meta.version != spec["src_version"]
+            or cur_rows != spec["src_rows"]
+        ):
+            raise FeatureStoreError(
+                f"Dedup index '{index}' is STALE: source '{spec['src']}' "
+                f"is at version {src_meta.version} with {cur_rows} rows, "
+                f"but the index covers version {spec['src_version']} "
+                f"with {spec['src_rows']} rows. Run "
+                f"refresh_dedup_index('{index}') after appends, or "
+                f"create_dedup_index() after a re-register."
+            )
+        return spec
+
+    def _dedup_pairs(
+        self,
+        index: str,
+        spec: dict,
+        new_docs: DataFrame,
+        id_col: str,
+        content_col: str | None,
+        threshold: float,
+        max_bucket_size: int | None,
+    ):
+        """The shared candidate + verify pipeline behind dedup_batch /
+        dedup_matches: sign the batch (frozen family), equi-join its
+        band buckets against buckets derived MAP-ONLY from the stored
+        signatures (cap honored), Jaccard-verify the candidate pairs
+        against the source text. Returns (new, signed_new, cand, ver)
+        where ver carries (id_col, __old_id__, __hh_o__, __j__) for
+        pairs at or above ``threshold``."""
+        from .functions.text import shingles
+        from .operators.dedup import minhash_band_buckets
+
+        ccol = content_col or spec["content_col"]
+        p = spec["params"]
+        new = new_docs.select(F.col(id_col), F.col(ccol))
+        signed_new = self._dedup_sign(new, ccol, p)
+        stored = self._dindex_data(index)
+        # fuzzy arm: batch buckets vs STORED buckets (new x old only)
+        nb = minhash_band_buckets(
+            signed_new, p["num_hashes"], p["bands"],
+            hash_family="md5_affine", id_cols=(id_col,),
+        )
+        ob = minhash_band_buckets(
+            stored.withColumnRenamed("doc_id", "__old_id__"),
+            p["num_hashes"], p["bands"],
+            hash_family="md5_affine", id_cols=("__old_id__",),
+        )
+        if max_bucket_size is not None:
+            if int(max_bucket_size) < 1:
+                raise FeatureValidationError(
+                    f"dedup index '{index}': max_bucket_size must be "
+                    f">= 1, got {max_bucket_size}."
+                )
+            small = (
+                ob.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__bn__"))
+                .filter(F.col("__bn__") <= int(max_bucket_size))
+                .select("band", "bucket")
+            )
+            ob = ob.join(small, ["band", "bucket"], "left_semi")
+        cand = (
+            nb.join(ob, ["band", "bucket"])
+            .select(id_col, "__old_id__")
+            .dropDuplicates()
+        )
+        # verify: exact shingle Jaccard, candidate-bounded on both sides
+        new_sh = new.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles(F.col(ccol), p["shingle_k"])
+            ).alias("__sh_n__"),
+        )
+        old_src = self._current(spec["src"]).select(
+            F.col(ENTITY_COL).alias("__old_id__"),
+            F.col(spec["content_col"]).alias("__old_txt__"),
+        )
+        old_sh = old_src.join(
+            cand.select("__old_id__").distinct(), "__old_id__"
+        ).select(
+            "__old_id__",
+            F.md5(F.lower(F.trim("__old_txt__"))).alias("__hh_o__"),
+            F.array_distinct(
+                shingles(F.col("__old_txt__"), p["shingle_k"])
+            ).alias("__sh_o__"),
+        )
+        ver = (
+            cand.join(new_sh, id_col)
+            .join(old_sh, "__old_id__")
+            .withColumn(
+                "__j__",
+                F.size(F.array_intersect("__sh_n__", "__sh_o__"))
+                / F.size(F.array_union("__sh_n__", "__sh_o__")),
+            )
+            .filter(F.col("__j__") >= threshold)
+        )
+        return new, signed_new, cand, ver
+
+    def dedup_matches(
+        self,
+        index: str,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str | None = None,
+        threshold: float = 0.5,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """PAIR-LEVEL dedup output through the stored signatures — the
+        actionable complement of ``dedup_batch``'s per-doc manifest:
+        one row per VERIFIED (new doc, stored doc) pair, so the caller
+        can route each duplicate to its canonical survivor (cluster
+        assignment, lineage links, "near-dup of" provenance columns).
+        Output: ``(id_col, old_id, j_e6, is_exact)`` — the stored
+        entity id (struct for composite keys), the exact shingle
+        Jaccard (e6 int), and whether the pair is byte-identical under
+        normalization (hash equality — identical texts always share
+        every band bucket, so exact pairs are always candidates unless
+        a ``max_bucket_size`` cap dropped their bucket).
+
+        Deliberately, this is the FUZZY-ARM pair list: under a
+        boilerplate cap the mega-bucket's quadratic pair set stays
+        dropped here too (listing |new boiler| x |old boiler| pairs IS
+        the explosion the cap exists to avoid) — the per-doc exact
+        FLAG in dedup_batch covers those, at O(batch) rows. Same
+        staleness/rewrite refusals and plan shape as dedup_batch."""
+        spec = self._dedup_spec_for_serving(index)
+        _, signed_new, _, ver = self._dedup_pairs(
+            index, spec, new_docs, id_col, content_col, threshold,
+            max_bucket_size,
+        )
+        signed = signed_new.select(id_col, F.col("hh").alias("__hh_n__"))
+        return (
+            ver.join(signed, id_col)
+            .select(
+                id_col,
+                F.col("__old_id__").alias("old_id"),
+                F.floor(F.col("__j__") * 1_000_000 + F.lit(0.5))
+                .cast("long")
+                .alias("j_e6"),
+                (F.col("__hh_n__") == F.col("__hh_o__"))
+                .cast("long")
+                .alias("is_exact"),
             )
         )
 

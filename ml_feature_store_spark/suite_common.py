@@ -1440,6 +1440,7 @@ __all__ = [
     '_x17_sql',
     '_vidx_ivf_sql',
     '_vidx_ivf_fit_ctes',
+    '_vidx_int_dist',
     '_vidx_batch_sql',
     '_vidx_lsh_sql',
     '_vidx_pq_batch_sql',

@@ -890,6 +890,38 @@ def q_vidx13_drift_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x38_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup at ingest THROUGH the persisted ANN index
+    (round-12): a re-ingested batch (the even vectors under fresh ids —
+    the re-crawl shape) is screened against the stored corpus with
+    dedup_embedding_batch — one knn_batch job (frozen-model probes,
+    cell equi join, per-query top-k) filtered at cosine >= 0.99. Every
+    batch item is an exact re-encounter, so its original surfaces at
+    sim 1.0; the empty complement is what "genuinely new" looks like.
+    Unlike x11/x22's per-call bucketing, nothing refits or re-encodes —
+    the screening prices like any serving join. Oracle: the stored-IVF
+    replay (fit + frozen assignment over the even corpus), per-query
+    probes, exact cosine, top-k window, threshold filter."""
+    from .store import FeatureStore
+
+    feats = _vidx_feats(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("vecs", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 24)
+    ).select(
+        (F.col("vec_id") + 100_000).alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = fs.dedup_embedding_batch("ann", queries, k=3, threshold=0.99)
+    return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_ts5_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint LOCALIZATION (operators/drift.py
     cusum_changepoint) — the monitoring question after drift1/drift2 say
@@ -1805,6 +1837,7 @@ QUERIES = {
     'vidx6d_recall_ivfpq': q_vidx6d_recall_ivfpq,
     'vidx6e_recall_sq': q_vidx6e_recall_sq,
     'vidx13_drift_signal': q_vidx13_drift_signal,
+    'x38_semdedup_index': q_x38_semdedup_index,
     'vidx7_pq_batch_knn': q_vidx7_pq_batch_knn,
     'vidx8_ivfpq_index_knn': q_vidx8_ivfpq_index_knn,
     'vidx9_ivfpq_batch_knn': q_vidx9_ivfpq_batch_knn,
@@ -2172,6 +2205,45 @@ ORACLE_SQL["vidx6d_recall_ivfpq"] = _vidx6_recall_sql(
 ORACLE_SQL["vidx6e_recall_sq"] = _vidx6_recall_sql(
     "sq", _vidx_sq_sql(query_id=100, k=10)
 )
+
+# x38: the stored-IVF replay over the EVEN corpus only (fit + frozen
+# assignment), re-ingested batch = evens under +100000 ids, per-query
+# probes + exact cosine + top-3 window, cosine >= 0.99 threshold AFTER
+# the top-k (dedup_embedding_batch's semantics: screen the k nearest).
+_X38_CTES, _X38_MODEL = _vidx_ivf_fit_ctes(
+    n_cells=16, iters=1, grid=10**6, dim=64, fit_pred="TRUE"
+)
+_X38_CTES = _X38_CTES.replace(
+    "FROM embeddings)", "FROM embeddings WHERE vec_id % 2 = 0)", 1
+)
+_X38_IDS = ", ".join(str(i) for i in range(0, 24, 2))
+_X38_DFIT = _vidx_int_dist("x.qv", "c.cv", 64)
+ORACLE_SQL["x38_semdedup_index"] = f"""
+    WITH {_X38_CTES},
+    qs AS (SELECT vec_id + 100000 AS q_id, v AS qvec, qv FROM q
+           WHERE vec_id IN ({_X38_IDS})),
+    qprobes AS (
+        SELECT q_id, cell FROM (
+            SELECT x.q_id, c.cell,
+                   row_number() OVER (PARTITION BY x.q_id
+                                      ORDER BY {_X38_DFIT}, c.cell) AS rk
+            FROM qs x CROSS JOIN {_X38_MODEL} c
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT p.q_id, e.vec_id, list_cosine_similarity(e.v, qs.qvec) AS s
+        FROM qprobes p
+        JOIN enc ON enc.cell = p.cell
+        JOIN e USING (vec_id)
+        JOIN qs USING (q_id)
+    )
+    SELECT q_id, vec_id, ROUND(s, 6) AS sim FROM (
+        SELECT q_id, vec_id, s,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY s DESC, vec_id ASC) AS rk
+        FROM cand
+    ) WHERE rk <= 3 AND s >= 0.99
+"""
 
 # vidx13: integer-Lloyd fit on the evens, frozen assignment over evens +
 # the SHIFTED odd batch (fresh ids, +0.25 per component — replayed in the

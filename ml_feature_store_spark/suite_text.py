@@ -916,6 +916,34 @@ def q_x35_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x37_dedup_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-LEVEL dedup through the stored signature index (round-12):
+    dedup_matches emits one row per VERIFIED (new doc, stored doc) pair
+    — the actionable form of x34's per-doc manifest (route each
+    duplicate to its canonical survivor, write "near-dup of" provenance
+    links, feed cluster assignment). Pairs come from the same stored-
+    bucket candidate join (new x old only, corpus never re-signed),
+    carry the exact shingle Jaccard (e6 int), and flag hash-equality
+    exactness per pair. Same staleness/rewrite refusals as
+    dedup_batch. Oracle: x34's portable-family pair machinery emitted
+    at pair granularity with the hash-equality flag."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return fs.dedup_matches(
+        "dd", new, id_col="doc_id", content_col="text", threshold=0.5
+    )
+
+
 _X36_BOILER = (
     "cookie notice please accept our cookies to continue "
     "reading this site uses cookies"
@@ -1370,6 +1398,7 @@ QUERIES = {
     'x34_dedup_index_batch': q_x34_dedup_index_batch,
     'x35_dedup_index_refresh': q_x35_dedup_index_refresh,
     'x36_dedup_bucket_cap': q_x36_dedup_bucket_cap,
+    'x37_dedup_match_pairs': q_x37_dedup_match_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2139,6 +2168,36 @@ ORACLE_SQL["x35_dedup_index_refresh"] = f"""
     WITH {_MH_CTES}
     SELECT m.doc_id, md5(lower(trim(d.text))) AS hh, {_X35_BANDS}
     FROM m JOIN documents d ON d.doc_id = m.doc_id
+"""
+
+# x37: x34's pair machinery at pair granularity — verified cross pairs
+# with the exact Jaccard and the per-pair hash-equality flag.
+ORACLE_SQL["x37_dedup_match_pairs"] = f"""
+    WITH {_MH_CTES},
+    crossc AS (
+        SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id, c.old_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS hh FROM documents)
+    SELECT v.new_id AS doc_id, v.old_id, v.j_e6,
+           CAST(CASE WHEN hn.hh = ho.hh THEN 1 ELSE 0 END AS BIGINT)
+               AS is_exact
+    FROM ver v
+    JOIN h hn ON hn.doc_id = v.new_id
+    JOIN h ho ON ho.doc_id = v.old_id
 """
 
 # x36: the portable family over the boilerplate-injected corpus; the

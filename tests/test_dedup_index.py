@@ -131,6 +131,42 @@ class TestBuildAndBatch:
         with pytest.raises(FeatureValidationError, match="max_bucket_size"):
             fs.dedup_batch("dd", new, max_bucket_size=0)
 
+    def test_matches_agree_with_manifest(self, spark, docs):
+        """dedup_matches (pair level) and dedup_batch (per-doc manifest)
+        are two views of the SAME verified pair set: per-new-doc pair
+        counts equal n_fuzzy, max j_e6 equals best_j_e6, and an exact
+        copy surfaces as a pair with is_exact=1 and j_e6=1e6."""
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus")
+        fresh = docs.filter("entity_id % 4 = 0").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        copies = docs.filter("entity_id % 4 = 1").limit(5).select(
+            (F.col("entity_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        new = fresh.unionByName(copies)
+        pairs = fs.dedup_matches("dd", new, id_col="doc_id").collect()
+        manifest = {
+            r.doc_id: r for r in fs.dedup_batch("dd", new).collect()
+        }
+        by_new: dict = {}
+        for p in pairs:
+            by_new.setdefault(p.doc_id, []).append(p)
+        for d, r in manifest.items():
+            got = by_new.get(d, [])
+            assert len(got) == r.n_fuzzy, d
+            if got:
+                assert max(p.j_e6 for p in got) == r.best_j_e6
+        # every exact copy yields at least one exact pair at j=1.0
+        for d in [p.doc_id for p in pairs if p.doc_id >= 1_000_000]:
+            assert any(
+                p.is_exact == 1 and p.j_e6 == 1_000_000
+                for p in by_new[d]
+            )
+        # old ids really are stored corpus ids (never batch ids)
+        assert all(p.old_id % 4 != 0 for p in pairs)
+
     def test_unknown_index_and_param_validation(self, spark, docs):
         fs = FeatureStore(spark)
         fs.register("corpus", docs.limit(50))

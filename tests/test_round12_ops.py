@@ -273,6 +273,67 @@ class TestStreamDriftGate:
         assert got == want and len(got) == 12
 
 
+class TestSemanticDedupThroughIndex:
+    @pytest.fixture()
+    def built(self, spark, feats):
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats.filter("entity_id % 2 = 0"))
+        fs.create_vector_index("ann", "vecs", method="ivf")
+        return fs
+
+    def _reingest(self, feats, n=10):
+        return feats.filter(
+            (F.col("entity_id") % 2 == 0) & (F.col("entity_id") < 2 * n)
+        ).select(
+            (F.col("entity_id") + 100_000).alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+
+    def test_reencountered_items_surface_at_sim_one(self, built, feats):
+        q = self._reingest(feats)
+        out = built.dedup_embedding_batch(
+            "ann", q, k=3, threshold=0.999
+        ).collect()
+        got = {r.q_id: (r.vec_id, round(float(r.sim), 9)) for r in out}
+        # every re-ingested vector finds exactly its original
+        assert len(out) == len(got) == q.count()
+        for qid, (vid, sim) in got.items():
+            assert vid == qid - 100_000 and sim == 1.0
+
+    def test_threshold_screens_novel_items(self, built, feats):
+        # odd vectors were never indexed: at a strict threshold they
+        # come back empty ("genuinely new")
+        novel = feats.filter(
+            (F.col("entity_id") % 2 == 1) & (F.col("entity_id") < 20)
+        ).select(
+            F.col("entity_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        out = built.dedup_embedding_batch(
+            "ann", novel, k=3, threshold=0.999
+        )
+        assert out.count() == 0
+        # at threshold 0 the same call returns the full top-k
+        assert built.dedup_embedding_batch(
+            "ann", novel, k=3, threshold=0.0
+        ).count() == novel.count() * 3
+
+    def test_quantized_method_requires_refine(self, spark, feats):
+        fs = FeatureStore(spark)
+        fs.register("vecs", feats.filter("entity_id % 2 = 0"))
+        fs.create_vector_index("ann", "vecs", method="pq")
+        q = self._reingest(feats, n=4)
+        with pytest.raises(FeatureValidationError, match="refine"):
+            fs.dedup_embedding_batch("ann", q, k=3, threshold=0.99)
+        # the refine path re-ranks by exact cosine -> thresholdable
+        out = fs.dedup_embedding_batch(
+            "ann", q, k=3, threshold=0.999, refine=3
+        ).collect()
+        assert {r.q_id - 100_000 for r in out} >= {
+            r.vec_id for r in out
+        } and all(round(float(r.sim), 9) >= 0.999 for r in out)
+
+
 class TestCompositeKeyGuards:
     def _cfeats(self, feats, key_name: str):
         return feats.select(

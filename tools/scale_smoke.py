@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "x34_dedup_index_batch",  # stored-signature bucket join, new x old only (docs 8x)
     "x35_dedup_index_refresh",  # O(delta) signature fold + map-only banding (docs 8x)
     "x36_dedup_bucket_cap",  # hot-bucket capped probe join under boilerplate (docs 8x)
+    "x37_dedup_match_pairs",  # pair-level stored-bucket dedup output (docs 8x)
+    "x38_semdedup_index",  # cosine-threshold screening through the stored index (emb 1x)
 ]
 KEY_OFFSET = 100_000_000
 
