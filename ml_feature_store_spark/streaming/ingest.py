@@ -518,6 +518,79 @@ def stream_index_enrich(
     )
 
 
+def stream_dedup_enrich(
+    stream: DataFrame,
+    store,
+    index: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    content_col: str | None = None,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    refresh: str = "strict",
+):
+    """Streaming ingest dedup THROUGH the persisted signature index
+    (round-12) — the dedup twin of :func:`stream_index_enrich`:
+    documents stream in, each micro-batch resolves its dedup manifest
+    via ``store.dedup_batch`` (batch signed with the FROZEN family,
+    16-byte-hash exact arm, band buckets equi-joined against buckets
+    derived map-only from the STORED signatures — the corpus is never
+    re-signed, never self-joined), and the per-doc manifests land in an
+    idempotent per-batch parquet sink. This is the nightly-crawl hot
+    loop made continuous: admit / quarantine decisions per document, at
+    the cost of one serving join per batch.
+
+    Per-row output is a pure function of (document, stored index), so
+    the result is micro-batch-split invariant — stream == batch
+    bit-for-bit (the sd15/sd18 contract; the sd20 lane pins it against
+    x34's oracle).
+
+    ``refresh``:
+
+    * ``"strict"`` (default) — inherit dedup_batch's staleness refusal:
+      if the corpus table changes mid-stream, the NEXT batch raises.
+    * ``"auto"`` — before each micro-batch, probe staleness
+      (metadata-only) and fold appended corpus rows through
+      ``refresh_dedup_index`` (O(delta) signing, frozen family — old
+      signatures never change, so stream output still equals the batch
+      replay over the final index). History REWRITES still refuse.
+
+    ``max_bucket_size`` passes through (the hot-bucket boilerplate cap
+    — SKEW.md); exactly-once via per-batch overwrite (sd9/io18).
+
+    Scale (100 TB): per-batch cost is signing the BATCH (explode +
+    partial agg) + the bucket equi join against ~200 B/doc of stored
+    signatures + the candidate-bounded verify — corpus size prices the
+    join's build side once, not per batch; an auto-refresh adds one
+    O(delta) sign."""
+    if refresh not in ("strict", "auto"):
+        raise ValueError(
+            f"stream_dedup_enrich: refresh must be 'strict' or 'auto', "
+            f"got {refresh!r}."
+        )
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if refresh == "auto" and store.dedup_index_stale(index):
+            store.refresh_dedup_index(index)
+        out = store.dedup_batch(
+            index,
+            batch_df,
+            id_col=id_col,
+            content_col=content_col,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_contract_gate(
     stream: DataFrame,
     checks: dict[str, str],

@@ -900,6 +900,58 @@ def q_sd19_stream_index_autorefresh(
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_sd20_stream_dedup_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest dedup THROUGH the persisted signature index
+    (streaming/ingest.py ``stream_dedup_enrich``; round-12 — the dedup
+    twin of sd18): the corpus (doc_id % 4 != 0) is signed ONCE into the
+    stored index; new documents stream in as two ordered micro-batches
+    and each batch's dedup manifest (exact flag via the hash semi join,
+    bucket candidates via the stored-signature band join, Jaccard
+    verify at 0.5) lands in an idempotent per-batch sink. The corpus is
+    never re-signed and never self-joins — per-batch cost is signing
+    the BATCH plus one serving join. Per-row output is a pure function
+    of (document, stored index), so stream == batch bit-for-bit: the
+    oracle is EXACTLY x34's portable-family SQL."""
+    from .store import FeatureStore
+    from .streaming.ingest import stream_dedup_enrich
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    d = _scratch_dir("sd20_feed", sf_dir)
+    sink = _scratch_dir("sd20_sink", sf_dir)
+    ck = _scratch_dir("sd20_ckpt", sf_dir)
+    mid = new.agg(
+        F.floor(F.avg("doc_id")).cast("long").alias("m")
+    ).collect()[0]["m"]
+    _write_ordered_feed(
+        d,
+        new.filter(F.col("doc_id") <= mid),
+        new.filter(F.col("doc_id") > mid),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_dedup_enrich(
+        stream, fs, "dd", sink, ck,
+        id_col="doc_id", content_col="text", threshold=0.5,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.read.parquet(sink).drop("batch_id")
+
+
 def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING approximate distinct (h5's mergeable-sketch story in
     flight, round-9): per-(7-day window, event_type) DISTINCT USERS
@@ -975,6 +1027,7 @@ def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     'sd18_stream_index_enrich': q_sd18_stream_index_enrich,
     'sd19_stream_index_autorefresh': q_sd19_stream_index_autorefresh,
+    'sd20_stream_dedup_index': q_sd20_stream_dedup_index,
     'sd17_stream_distinct': q_sd17_stream_distinct,
     'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
@@ -1003,6 +1056,14 @@ ORACLE_SQL["sd18_stream_index_enrich"] = _vidx_batch_sql([3, 42, 200])
 ORACLE_SQL["sd19_stream_index_autorefresh"] = _vidx_batch_sql(
     [3, 42, 200], fit_pred="vec_id % 2 = 0"
 )
+# sd20: stream == batch through the stored SIGNATURE index — x34's
+# portable-family oracle VERBATIM (micro-batch-split invariance is the
+# claim; the streamed manifests must union to the one-shot answer).
+from .suite_text import ORACLE_SQL as _TEXT_ORACLE  # noqa: E402
+
+ORACLE_SQL["sd20_stream_dedup_index"] = _TEXT_ORACLE[
+    "x34_dedup_index_batch"
+]
 
 # Batch replay of the deterministic stateful streaming fold: cumulative
 # count/sum (integer cents — exact in doubles) + last row by (ts_us,

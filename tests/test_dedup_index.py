@@ -261,6 +261,80 @@ class TestIncrementalRefresh:
         assert not b.dedup_index_stale("dd")
 
 
+class TestStreamDedupEnrich:
+    def _setup(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus")
+        new = docs.filter("entity_id % 4 = 0").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        return fs, new
+
+    def _run(self, spark, fs, new, tmp_path, **kw):
+        from ml_feature_store_spark.streaming.ingest import (
+            stream_dedup_enrich,
+        )
+
+        feed, sink, ck = (str(tmp_path / n) for n in ("f", "s", "c"))
+        new.filter("doc_id < 250").coalesce(1).write.parquet(
+            feed, mode="append"
+        )
+        new.filter("doc_id >= 250").coalesce(1).write.parquet(
+            feed, mode="append"
+        )
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_dedup_enrich(
+            stream, fs, "dd", sink, ck, id_col="doc_id",
+            content_col="text", **kw,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return spark.read.parquet(sink).drop("batch_id")
+
+    def test_stream_equals_batch_manifest(self, spark, docs, tmp_path):
+        fs, new = self._setup(spark, docs)
+        got = {tuple(r) for r in self._run(spark, fs, new, tmp_path).collect()}
+        want = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
+        assert got == want and len(got) == new.count()
+
+    def test_strict_refuses_mid_growth(self, spark, docs, tmp_path):
+        fs, new = self._setup(spark, docs)
+        fs.append("corpus", docs.filter("entity_id % 4 = 2").limit(5))
+        with pytest.raises(Exception, match="STALE"):
+            self._run(spark, fs, new, tmp_path)
+
+    def test_auto_refreshes_then_serves(self, spark, docs, tmp_path):
+        fs, new = self._setup(spark, docs)
+        extra = docs.filter("entity_id % 4 = 2").limit(5).select(
+            (F.col("entity_id") + 500_000).alias("entity_id"),
+            "timestamp", "text",
+        )
+        fs.append("corpus", extra)
+        assert fs.dedup_index_stale("dd")
+        got = {
+            tuple(r)
+            for r in self._run(
+                spark, fs, new, tmp_path, refresh="auto"
+            ).collect()
+        }
+        assert not fs.dedup_index_stale("dd")
+        want = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
+        assert got == want
+        from ml_feature_store_spark.streaming.ingest import (
+            stream_dedup_enrich,
+        )
+
+        with pytest.raises(ValueError, match="strict"):
+            stream_dedup_enrich(None, fs, "dd", "x", "y", refresh="bogus")
+
+
 class TestRegistryAndLifecycle:
     def test_spec_and_state_survive_reopen(self, spark, docs, tmp_path):
         root = str(tmp_path / "s")

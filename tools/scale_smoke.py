@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "x36_dedup_bucket_cap",  # hot-bucket capped probe join under boilerplate (docs 8x)
     "x37_dedup_match_pairs",  # pair-level stored-bucket dedup output (docs 8x)
     "x38_semdedup_index",  # cosine-threshold screening through the stored index (emb 1x)
+    "sd20_stream_dedup_index",  # per-micro-batch manifest through the stored signatures (docs 8x)
 ]
 KEY_OFFSET = 100_000_000
 
