@@ -229,28 +229,38 @@ def ngram_jaccard(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
-def dedup_simhash(
+def simhash_signatures(
     df: DataFrame,
     content_col: str = "text",
-    id_col: str = "doc_id",
     bits: int = 64,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document; rows sharing a simhash are near-dups.
-
-    Each token votes +1/-1 per bit position of its xxhash64; the sign of the
-    per-bit sum is the signature bit. Formulated as explode(tokens) ->
-    hash once -> groupBy(id) with 64 conditional-sum vote columns: every
-    expression stays inside whole-stage codegen (measured ~3x faster than a
-    higher-order-function fold, which Spark interprets per element). Scale
-    shape: the explode is map-only and partition-local, partial aggregation
-    collapses to one 64-int row per document before the exchange, so the
-    shuffle carries ~0.5 KB/doc regardless of document length.
-    Returns (id, simhash) plus group size for downstream filtering.
-    """
+    """Per-document SimHash signature: every non-content column is a
+    group key (the :func:`minhash_signatures` convention, so a
+    functionally-dependent exact-hash column can ride the one pass).
+    Each token votes +1/-1 per bit position of its hash; the sign of
+    the per-bit sum is the signature bit. Formulated as explode(tokens)
+    -> hash once -> groupBy(ids) with SWAR lane-sum vote columns: every
+    expression stays inside whole-stage codegen (measured ~3x faster
+    than a higher-order-function fold, which Spark interprets per
+    element). Scale shape: the explode is map-only, partial aggregation
+    collapses to one row per document before the exchange, so the
+    shuffle carries ~0.5 KB/doc regardless of document length. Returns
+    (ids..., simhash)."""
     from .util import ensure_parallelism
 
+    if bits != 64:
+        # the SWAR decode pairs lane j with hash bits (j, j+32): only
+        # the 64-wide layout keeps bit i at lane i%32 / half i//32 — a
+        # narrower 'bits' would silently scramble positions >= bits//2.
+        # Narrow FAMILIES (md5_60) ride inside the 64-wide layout with
+        # their top bits constant-zero.
+        raise ValueError(
+            f"simhash_signatures: the SWAR lane layout is 64-bit only "
+            f"(got bits={bits}); use a narrower hash_family instead."
+        )
     df = ensure_parallelism(df)
+    id_cols = [c for c in df.columns if c != content_col]
     # hash_family="md5_60": 60-bit hash from the first 15 md5 hex digits —
     # engine-portable (an external oracle can reproduce every signature
     # bit); bits 60-63 of the packed value are then always 0, so those
@@ -263,7 +273,7 @@ def dedup_simhash(
         else F.xxhash64("__tok__")
     )
     ex = df.select(
-        F.col(id_col), F.explode(tokens(F.col(content_col))).alias("__tok__")
+        *id_cols, F.explode(tokens(F.col(content_col))).alias("__tok__")
     ).withColumn("__h__", tok_hash)
     # SWAR bit-count: (h >> j) & 0x00000001_00000001 accumulates the ones
     # of bits j and j+32 in two 32-bit lanes of one long — 32 lane-sum
@@ -281,7 +291,7 @@ def dedup_simhash(
         F.sum(F.shiftright("__h__", j).bitwiseAND(F.lit(lane_mask))).alias(f"__l{j}__")
         for j in range(n_lanes)
     ]
-    per_doc = ex.groupBy(id_col).agg(F.count("*").alias("__n__"), *lanes)
+    per_doc = ex.groupBy(*id_cols).agg(F.count("*").alias("__n__"), *lanes)
     bit_exprs = []
     for i in range(bits):
         j, k = i % n_lanes, i // n_lanes
@@ -299,7 +309,7 @@ def dedup_simhash(
             F.raise_error(
                 F.concat(
                     F.lit("dedup_simhash: document "),
-                    F.col(id_col).cast("string"),
+                    F.col(id_cols[0]).cast("string"),
                     F.lit(" has >= 2^30 tokens; SWAR lane sums would overflow"),
                 )
             ).cast("long"),
@@ -307,7 +317,58 @@ def dedup_simhash(
         .otherwise(sum(bit_exprs[1:], bit_exprs[0]))
         .alias("simhash")
     )
-    sigs = per_doc.select(F.col(id_col), sig)
+    return per_doc.select(*id_cols, sig)
+
+
+def simhash_band_buckets(
+    sig: DataFrame,
+    bits: int = 60,
+    bands: int = 4,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """MAP-ONLY banding of a SimHash frame (``simhash: bigint``) into
+    ``(id..., band, bucket)`` rows — the hamming-tolerant blocking key
+    (two signatures within bands-1 flipped bits are guaranteed to share
+    at least one band; the standard rotated-band simhash rule). Bucket
+    values are the raw band integers, so an external oracle joins on
+    ``(simhash >> band*width) & (2^width - 1)`` exactly."""
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def band_key(b: int):
+        return F.shiftright("simhash", b * width).bitwiseAND(
+            F.lit(mask)
+        ).cast("long")
+
+    return sig.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*id_cols, "bb.band", "bb.bucket")
+
+
+def dedup_simhash(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per document; rows sharing a simhash are near-dups.
+    Signatures via :func:`simhash_signatures`; returns (id, simhash)
+    plus duplicate-group size and the min-id survivor per group."""
+    sigs = simhash_signatures(
+        df.select(id_col, content_col), content_col=content_col,
+        bits=bits, hash_family=hash_family,
+    )
     # one shuffle on the signature; a groupBy+join-back would evaluate the
     # signature lineage twice and shuffle twice
     from pyspark.sql import Window

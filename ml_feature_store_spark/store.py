@@ -2947,11 +2947,14 @@ class FeatureStore:
     # ------------------------------------------------------------------ #
     _DINDEX_DATA_SUFFIX = "__dedup"
 
+    _DINDEX_METHODS = ("minhash", "simhash")
+
     def create_dedup_index(
         self,
         index: str,
         table: str,
         content_col: str = "text",
+        method: str = "minhash",
         num_hashes: int = 16,
         bands: int = 4,
         shingle_k: int = 3,
@@ -2968,17 +2971,30 @@ class FeatureStore:
         * ``minhash`` — the ``num_hashes``-long signature under the
           FROZEN seeded family.
 
-        The hash family is the portable md5-affine one
-        (operators/dedup.py MINHASH_A/B/P): fully determined by
-        (num_hashes, shingle_k), no trained state — so unlike an ANN
-        model it can never "drift", only lag; refreshes are always
-        bit-identical to sign-everything. Band buckets are NOT stored:
-        they re-derive map-only from the signature at O(bands)/row,
-        which keeps the state at ~(8*num_hashes + 32) bytes/doc — a
-        1B-doc corpus is ~160 GB of signatures, the thing a nightly
-        1 TB increment must never recompute (signing is the expensive
-        part: shingle explode + num_hashes min-aggregates over every
-        token of every document).
+        Two signature ``method``s (round-12), both portable seeded
+        families — fully determined by their parameters, no trained
+        state, so unlike an ANN model the index can never "drift",
+        only lag; refreshes are always bit-identical to
+        sign-everything:
+
+        * ``"minhash"`` (default) — md5-affine MinHash over token
+          shingles (MINHASH_A/B/P); ``num_hashes`` components banded
+          into ``bands`` md5 buckets; candidacy tracks Jaccard
+          (1-(1-s^r)^b). State ~(8*num_hashes + 32) B/doc.
+        * ``"simhash"`` — the 60-bit md5-derived SimHash (x9's
+          portable family); candidates share at least one of ``bands``
+          rotated 15-bit sub-signatures (hamming-tolerant: any two
+          signatures within bands-1 flipped bits always collide).
+          State is ONE bigint + the hash — ~40 B/doc, the smallest
+          signature store (Google's crawl-dedup shape); trades the
+          Jaccard-calibrated candidacy curve for 5x less state.
+
+        Band buckets are NOT stored for either method: they re-derive
+        map-only from the signature at O(bands)/row. A 1B-doc corpus
+        is ~160 GB (minhash) / ~40 GB (simhash) of signatures — the
+        thing a nightly 1 TB increment must never recompute (signing
+        is the expensive part: token explode + per-doc vote/min
+        aggregates over every token of every document).
 
         Accounting mirrors the vector-index spec: version/rows/
         watermark pinned from the snapshot BEFORE the sign
@@ -2987,23 +3003,42 @@ class FeatureStore:
         number of stored signature rows."""
         self._require_table(table)
         self._validate_columns(table, [content_col])
-        if bands < 1 or num_hashes < bands or num_hashes % bands != 0:
+        if method not in self._DINDEX_METHODS:
             raise FeatureValidationError(
-                f"create_dedup_index('{index}'): bands must divide "
-                f"num_hashes; got num_hashes={num_hashes}, bands={bands}."
+                f"create_dedup_index('{index}'): unknown method "
+                f"{method!r}; supported: {list(self._DINDEX_METHODS)}."
             )
+        if method == "minhash":
+            if bands < 1 or num_hashes < bands or num_hashes % bands != 0:
+                raise FeatureValidationError(
+                    f"create_dedup_index('{index}'): bands must divide "
+                    f"num_hashes; got num_hashes={num_hashes}, "
+                    f"bands={bands}."
+                )
+            params = {
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "shingle_k": int(shingle_k),
+            }
+        else:  # simhash: 60-bit portable family, rotated bands
+            if bands < 1 or 60 % bands != 0:
+                raise FeatureValidationError(
+                    f"create_dedup_index('{index}'): bands must divide "
+                    f"the 60-bit simhash; got bands={bands}."
+                )
+            params = {
+                "bits": 60,
+                "bands": int(bands),
+                "shingle_k": int(shingle_k),
+            }
         self._assert_registry_current(f"create_dedup_index('{index}')")
         src_version, src_rows, src_watermark, raw = self._pin_source(table)
-        params = {
-            "num_hashes": int(num_hashes),
-            "bands": int(bands),
-            "shingle_k": int(shingle_k),
-        }
         signed = self._dedup_sign(
             raw.select(
                 F.col(ENTITY_COL).alias("doc_id"), F.col(content_col)
             ),
             content_col,
+            method,
             params,
         )
         # the count rides the write as an observed metric: signing is
@@ -3023,6 +3058,7 @@ class FeatureStore:
         self._dedup_indexes[index] = {
             "src": table,
             "content_col": content_col,
+            "method": method,
             "params": params,
             "watermark": src_watermark,
             "src_rows": src_rows,
@@ -3041,14 +3077,15 @@ class FeatureStore:
         return row_count
 
     def _dedup_sign(
-        self, rows: DataFrame, content_col: str, params: dict
+        self, rows: DataFrame, content_col: str, method: str, params: dict
     ) -> DataFrame:
-        """(id, content) -> (id, hh, minhash) in ONE explode + partial-
-        agg pass: the exact-dup hash rides the signature groupBy as an
-        extra key column (it is functionally dependent on the content),
-        so no second scan or join. Shuffle carries ~8*num_hashes+32
-        bytes per doc regardless of document length."""
-        from .operators.dedup import minhash_signatures
+        """(id, content) -> (id, hh, minhash | simhash) in ONE explode
+        + partial-agg pass: the exact-dup hash rides the signature
+        groupBy as an extra key column (it is functionally dependent on
+        the content), so no second scan or join. Shuffle carries
+        ~8*num_hashes+32 (minhash) / ~40 (simhash) bytes per doc
+        regardless of document length."""
+        from .operators.dedup import minhash_signatures, simhash_signatures
 
         id_cols = [c for c in rows.columns if c != content_col]
         pre = rows.select(
@@ -3056,6 +3093,15 @@ class FeatureStore:
             F.md5(F.lower(F.trim(content_col))).alias("hh"),
             F.col(content_col).alias("__txt__"),
         )
+        if method == "simhash":
+            # bits=64 is the SWAR lane width (lane j pairs hash bits j
+            # and j+32 — a 60-wide layout would scramble bit positions
+            # 30+); the md5_60 family zeroes hash bits 60-63, so the
+            # signature occupies exactly the params["bits"]=60 the
+            # banding covers, same as the x9 lane.
+            return simhash_signatures(
+                pre, content_col="__txt__", bits=64, hash_family="md5_60"
+            )
         return minhash_signatures(
             pre,
             content_col="__txt__",
@@ -3103,6 +3149,7 @@ class FeatureStore:
                     F.col(spec["content_col"]),
                 ),
                 spec["content_col"],
+                spec.get("method", "minhash"),
                 spec["params"],
             )
             merged = prev.unionByName(enc)
@@ -3268,23 +3315,38 @@ class FeatureStore:
         where ver carries (id_col, __old_id__, __hh_o__, __j__) for
         pairs at or above ``threshold``."""
         from .functions.text import shingles
-        from .operators.dedup import minhash_band_buckets
+        from .operators.dedup import (
+            minhash_band_buckets,
+            simhash_band_buckets,
+        )
 
         ccol = content_col or spec["content_col"]
         p = spec["params"]
+        method = spec.get("method", "minhash")
         new = new_docs.select(F.col(id_col), F.col(ccol))
-        signed_new = self._dedup_sign(new, ccol, p)
+        signed_new = self._dedup_sign(new, ccol, method, p)
         stored = self._dindex_data(index)
         # fuzzy arm: batch buckets vs STORED buckets (new x old only)
-        nb = minhash_band_buckets(
-            signed_new, p["num_hashes"], p["bands"],
-            hash_family="md5_affine", id_cols=(id_col,),
-        )
-        ob = minhash_band_buckets(
-            stored.withColumnRenamed("doc_id", "__old_id__"),
-            p["num_hashes"], p["bands"],
-            hash_family="md5_affine", id_cols=("__old_id__",),
-        )
+        if method == "simhash":
+            nb = simhash_band_buckets(
+                signed_new, bits=p["bits"], bands=p["bands"],
+                id_cols=(id_col,),
+            )
+            ob = simhash_band_buckets(
+                stored.withColumnRenamed("doc_id", "__old_id__"),
+                bits=p["bits"], bands=p["bands"],
+                id_cols=("__old_id__",),
+            )
+        else:
+            nb = minhash_band_buckets(
+                signed_new, p["num_hashes"], p["bands"],
+                hash_family="md5_affine", id_cols=(id_col,),
+            )
+            ob = minhash_band_buckets(
+                stored.withColumnRenamed("doc_id", "__old_id__"),
+                p["num_hashes"], p["bands"],
+                hash_family="md5_affine", id_cols=("__old_id__",),
+            )
         if max_bucket_size is not None:
             if int(max_bucket_size) < 1:
                 raise FeatureValidationError(
@@ -5079,6 +5141,7 @@ class FeatureStore:
             out["dedup_indexes"][n] = {
                 "src": s["src"],
                 "content_col": s["content_col"],
+                "method": s.get("method", "minhash"),
                 "params": {k: int(v) for k, v in s["params"].items()},
                 "watermark": int(s["watermark"]),
                 "src_rows": int(s["src_rows"]),

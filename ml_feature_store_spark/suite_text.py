@@ -944,6 +944,40 @@ def q_x37_dedup_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x39_dedup_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH flavor of the persisted dedup index (round-12 — the
+    second signature method, making the dedup tier a method family
+    like the vector tier): the stored artifact is ONE 60-bit portable
+    SimHash + the exact hash per doc (~40 B/doc, 5x smaller than the
+    minhash store — Google's crawl-dedup shape), candidates come from
+    the ROTATED-BAND rule (four 15-bit sub-signatures; any two
+    signatures within 3 flipped bits always share a band), and the
+    verify stays exact shingle Jaccard so the manifest schema is
+    method-independent. The trade vs minhash is candidacy calibration:
+    hamming-correlated token votes collide more freely than
+    Jaccard-tuned band curves (visible as larger n_candidates), which
+    the verify absorbs. Same lifecycle rails: frozen family, O(delta)
+    refresh bit-identical to sign-everything, staleness/rewrite
+    refusals. Oracle: x9's portable per-bit vote machinery + the
+    rotated-band join + the x34 manifest."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text",
+                          method="simhash")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return fs.dedup_batch(
+        "dd", new, id_col="doc_id", content_col="text", threshold=0.5
+    )
+
+
 _X36_BOILER = (
     "cookie notice please accept our cookies to continue "
     "reading this site uses cookies"
@@ -1399,6 +1433,7 @@ QUERIES = {
     'x35_dedup_index_refresh': q_x35_dedup_index_refresh,
     'x36_dedup_bucket_cap': q_x36_dedup_bucket_cap,
     'x37_dedup_match_pairs': q_x37_dedup_match_pairs,
+    'x39_dedup_simhash_index': q_x39_dedup_simhash_index,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2198,6 +2233,76 @@ ORACLE_SQL["x37_dedup_match_pairs"] = f"""
     FROM ver v
     JOIN h hn ON hn.doc_id = v.new_id
     JOIN h ho ON ho.doc_id = v.old_id
+"""
+
+# x39: simhash flavor — per-bit vote signatures (x9's _SH_* machinery),
+# rotated 15-bit band buckets, cross-pair candidates, Jaccard verify.
+ORACLE_SQL["x39_dedup_simhash_index"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+    shx AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(generate_series(1, len(tk) - 2),
+                         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                    ELSE [array_to_string(tk, ' ')] END AS shs
+        FROM t
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM shx),
+    tok AS (SELECT doc_id, u.tok FROM t, LATERAL unnest(tk) AS u(tok)),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM tok),
+    mm AS (SELECT doc_id, COUNT(*) AS n, {_SH_ONES} FROM hx GROUP BY doc_id),
+    ss AS (SELECT doc_id, CAST({_SH_SIG} AS BIGINT) AS simhash FROM mm),
+    bd AS (
+        SELECT doc_id, b.band,
+               (simhash >> (b.band * 15)) & 32767 AS bucket
+        FROM ss, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    crossc AS (
+        SELECT DISTINCT
+               CASE WHEN a.doc_id % 4 = 0 THEN a.doc_id
+                    ELSE b.doc_id END AS new_id,
+               CASE WHEN a.doc_id % 4 = 0 THEN b.doc_id
+                    ELSE a.doc_id END AS old_id
+        FROM bd a
+        JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+        WHERE (a.doc_id % 4 = 0) <> (b.doc_id % 4 = 0)
+    ),
+    ncand AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              FROM crossc GROUP BY new_id),
+    hh AS (SELECT doc_id, md5(lower(trim(text))) AS hh, doc_id % 4 = 0 AS nw
+           FROM documents),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM hh n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM hh WHERE NOT nw)
+    ),
+    ver AS (
+        SELECT c.new_id,
+               CAST(floor(CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+                          / len(list_distinct(list_concat(da.d, db.d)))
+                          * 1000000 + 0.5) AS BIGINT) AS j_e6
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy,
+                  CAST(MAX(j_e6) AS BIGINT) AS best_j_e6
+           FROM ver GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           COALESCE(fz.best_j_e6, 0) AS best_j_e6
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN ncand nc ON nc.new_id = d.doc_id
+    LEFT JOIN fz ON fz.new_id = d.doc_id
+    WHERE d.doc_id % 4 = 0
 """
 
 # x36: the portable family over the boilerplate-injected corpus; the

@@ -261,6 +261,86 @@ class TestIncrementalRefresh:
         assert not b.dedup_index_stale("dd")
 
 
+class TestSimhashMethod:
+    def test_incremental_equals_from_scratch(self, spark, docs):
+        inc = FeatureStore(spark)
+        inc.register("corpus", docs.filter("entity_id % 2 = 0"))
+        inc.create_dedup_index("dd", "corpus", method="simhash")
+        inc.append("corpus", docs.filter("entity_id % 2 = 1"))
+        inc.refresh_dedup_index("dd")
+        full = FeatureStore(spark)
+        full.register("corpus", docs)
+        full.create_dedup_index("dd", "corpus", method="simhash")
+
+        def rows(fs):
+            return {
+                (r["doc_id"], r["hh"], r["simhash"])
+                for r in fs.get_dedup_signatures("dd").collect()
+            }
+
+        assert rows(inc) == rows(full) and len(rows(inc)) == docs.count()
+
+    def test_exact_copies_flagged_and_matched(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus", method="simhash")
+        copies = docs.filter("entity_id % 4 = 1").limit(8).select(
+            (F.col("entity_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        out = fs.dedup_batch("dd", copies, id_col="doc_id").collect()
+        # identical text -> identical simhash -> every band collides ->
+        # candidate + exact + fuzzy at j=1.0
+        assert all(
+            r.is_exact_dup == 1 and r.n_fuzzy >= 1
+            and r.best_j_e6 == 1_000_000 for r in out
+        )
+        pairs = fs.dedup_matches("dd", copies, id_col="doc_id").collect()
+        # every copy pairs with its ORIGINAL exactly; near-dup pairs to
+        # OTHER verified-similar old docs may legitimately ride along
+        exact_to = {
+            p.doc_id: p.old_id for p in pairs if p.is_exact == 1
+        }
+        assert all(
+            exact_to.get(d) == d - 1_000_000
+            for d in {p.doc_id for p in pairs}
+        ) and len(exact_to) == 8
+
+    def test_signature_matches_x9_family(self, spark, docs):
+        """The stored simhash IS x9's portable md5_60 signature (same
+        SWAR fold, same family) — the index adds lifecycle, not a new
+        algorithm."""
+        from ml_feature_store_spark.operators.dedup import dedup_simhash
+
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.limit(100))
+        fs.create_dedup_index("dd", "corpus", method="simhash")
+        stored = {
+            r["doc_id"]: r["simhash"]
+            for r in fs.get_dedup_signatures("dd").collect()
+        }
+        want = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup_simhash(
+                docs.limit(100).select(
+                    F.col("entity_id").alias("doc_id"), "text"
+                ),
+                hash_family="md5_60",
+            ).collect()
+        }
+        assert stored == want
+
+    def test_method_validation(self, spark, docs):
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.limit(50))
+        with pytest.raises(FeatureValidationError, match="unknown method"):
+            fs.create_dedup_index("dd", "corpus", method="phash")
+        with pytest.raises(FeatureValidationError, match="60-bit"):
+            fs.create_dedup_index("dd", "corpus", method="simhash", bands=7)
+        fs.create_dedup_index("dd", "corpus", method="simhash", bands=5)
+        assert fs.get_dedup_index_info("dd")["params"]["bands"] == 5
+        assert fs.get_dedup_index_info("dd")["method"] == "simhash"
+
+
 class TestStreamDedupEnrich:
     def _setup(self, spark, docs):
         fs = FeatureStore(spark)

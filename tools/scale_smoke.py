@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "x37_dedup_match_pairs",  # pair-level stored-bucket dedup output (docs 8x)
     "x38_semdedup_index",  # cosine-threshold screening through the stored index (emb 1x)
     "sd20_stream_dedup_index",  # per-micro-batch manifest through the stored signatures (docs 8x)
+    "x39_dedup_simhash_index",  # 60-bit rotated-band simhash index serve (docs 8x)
 ]
 KEY_OFFSET = 100_000_000
 
