@@ -1037,6 +1037,7 @@ class TestDedupIndexPlans:
                 F.col("d"), F.col("text")
             ),
             "text",
+            spec["method"],
             spec["params"],
         )
         plan = executed_plan(signed)
