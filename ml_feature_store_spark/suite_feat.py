@@ -657,7 +657,56 @@ def q_cv1_purged_walkforward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLS1_FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def _cls1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer, CENTERED probe features over documents (see
+    operators/classifier.py for why centering is load-bearing): bias,
+    token count - 54, distinct-token count - 23, short-token count - 2.
+    Label: the 'expensive labeler' stand-in y = n_chars > 300."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        (F.col("n_chars") > 300).cast("int").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        (F.size(toks) - 54).cast("long").alias("x1"),
+        (F.size(F.array_distinct(toks)) - 23).cast("long").alias("x2"),
+        (
+            F.size(F.filter(toks, lambda t: F.length(t) <= 2)) - 2
+        ).cast("long").alias("x3"),
+    )
+
+
+def q_cls1_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe corpus filter (operators/classifier.py): train a
+    hard-sigmoid logistic probe with 3 full-batch GD iterations on
+    integer fixed-point arithmetic (driver-resident int64 weights, one
+    partial-agg shuffle per iteration), then score the corpus map-only
+    — the DCLM/fastText quality-filter shape, with the x14/kmeans
+    determinism discipline so the weight FIXPOINT itself is
+    oracle-exact (DuckDB replays the unrolled iterations). Output: the
+    confusion matrix of probe vs labeler plus the learned weights
+    (0.99 train accuracy at sf0.01). The training frame is cached:
+    GD re-reads it once per iteration — the same persist decision every
+    iterative fit makes."""
+    from .operators.classifier import probe_score, probe_train
+
+    feat = _cls1_features(spark, sf_dir).cache()
+    w = probe_train(feat, _CLS1_FEATS, "y", iterations=3, lr_den=100)
+    scored = probe_score(feat, w, _CLS1_FEATS)
+    out = scored.groupBy("y", "pred").agg(F.count("*").cast("long").alias("n"))
+    return out.select(
+        "y",
+        "pred",
+        "n",
+        *[F.lit(int(w[j])).cast("long").alias(f"w{j}") for j in range(4)],
+    )
+
+
 QUERIES = {
+    'cls1_linear_probe': q_cls1_linear_probe,
     'cv1_purged_walkforward': q_cv1_purged_walkforward,
     'fe9_woe_encoding': q_fe9_woe_encoding,
     'x18_negative_sampling': q_x18_negative_sampling,
@@ -1209,3 +1258,77 @@ ORACLE_SQL["cv1_purged_walkforward"] = """
     FROM tagged WHERE split IS NOT NULL
     GROUP BY fold, split
 """
+
+
+def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
+    """Unrolled-iteration replay of cls1's integer GD fixpoint: weights
+    CTE i cross-joins into gradient CTE i+1 (1-row frames), exactly the
+    driver loop's data flow. All arithmetic is BIGINT + one IEEE double
+    division inside floor() per update — identical in both engines."""
+    feats = ["x0", "x1", "x2", "x3"]
+
+    def z(wref: str | None) -> str:
+        if wref is None:  # all-zero init
+            return "0"
+        return " + ".join(f"{wref}.w{j}*f.{c}" for j, c in enumerate(feats))
+
+    def p(zexpr: str) -> str:
+        return (
+            f"LEAST({scale}, GREATEST(0, CAST(floor(({zexpr})/4.0) AS BIGINT)"
+            f" + {scale // 2}))"
+        )
+
+    ctes = [
+        """feat AS (
+        SELECT doc_id,
+               CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y,
+               CAST(1 AS BIGINT) AS x0,
+               CAST(len(string_split(text, ' ')) - 54 AS BIGINT) AS x1,
+               CAST(len(list_distinct(string_split(text, ' '))) - 23
+                    AS BIGINT) AS x2,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> len(t) <= 2)) - 2 AS BIGINT) AS x3
+        FROM documents
+    )"""
+    ]
+    prev_w = None
+    for i in range(1, iters + 1):
+        perr = f"({p(z(prev_w))} - f.y*{scale})"
+        gsel = ", ".join(
+            f"CAST(sum({perr}*f.{c}) AS BIGINT) AS g{j}"
+            for j, c in enumerate(feats)
+        )
+        if prev_w is None:
+            ctes.append(f"g{i} AS (SELECT count(*) AS n, {gsel} FROM feat f)")
+            wsel = ", ".join(
+                f"0 - CAST(floor(g{j}/({lr_den}.0*n)) AS BIGINT) AS w{j}"
+                for j in range(len(feats))
+            )
+            ctes.append(f"w{i} AS (SELECT {wsel} FROM g{i})")
+        else:
+            carry = ", ".join(
+                f"any_value({prev_w}.w{j}) AS pw{j}" for j in range(len(feats))
+            )
+            ctes.append(
+                f"g{i} AS (SELECT {carry}, count(*) AS n, {gsel} "
+                f"FROM feat f CROSS JOIN {prev_w})"
+            )
+            wsel = ", ".join(
+                f"pw{j} - CAST(floor(g{j}/({lr_den}.0*n)) AS BIGINT) AS w{j}"
+                for j in range(len(feats))
+            )
+            ctes.append(f"w{i} AS (SELECT {wsel} FROM g{i})")
+        prev_w = f"w{i}"
+    pfin = p(z(prev_w))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.y, CASE WHEN {pfin} >= {scale // 2} THEN 1 ELSE 0 END AS pred,
+           CAST(count(*) AS BIGINT) AS n,
+           {", ".join(f"any_value({prev_w}.w{j}) AS w{j}" for j in range(len(feats)))}
+    FROM feat f CROSS JOIN {prev_w}
+    GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL["cls1_linear_probe"] = _cls1_sql()

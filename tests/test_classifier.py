@@ -1,0 +1,86 @@
+"""operators/classifier.py — integer fixed-point linear probe.
+
+The trainer extends the iterative-fit family (kmeans) to the supervised
+case; the properties pinned here are the ones the oracle replay relies
+on: an exact, partition-order-independent weight fixpoint, a map-only
+scorer whose arithmetic is checkable by hand, and loud refusals on
+malformed inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ml_feature_store_spark.operators.classifier import (
+    SCALE,
+    probe_score,
+    probe_train,
+)
+
+FEATS = ["x0", "x1"]
+
+
+def _frame(spark, n=200, parts=1):
+    # y = (i >= n/2); centered feature x1 = i - n/2 separates perfectly
+    rows = [(i, 1, i - n // 2, 1 if i >= n // 2 else 0) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "x0", "x1", "y"])
+    return df.repartition(parts) if parts > 1 else df
+
+
+class TestProbeTrain:
+    def test_learns_separable(self, spark):
+        df = _frame(spark)
+        w = probe_train(df, FEATS, "y", iterations=3, lr_den=100)
+        scored = probe_score(df, w, FEATS)
+        acc = scored.filter("(pred = 1) = (y = 1)").count() / 200
+        assert acc >= 0.95
+        assert w[1] > 0  # positive margin on the separating feature
+
+    def test_fixpoint_partition_order_independent(self, spark):
+        w1 = probe_train(_frame(spark, parts=1), FEATS, "y", iterations=3)
+        w7 = probe_train(_frame(spark, parts=7), FEATS, "y", iterations=3)
+        assert w1 == w7
+
+    def test_hand_checked_first_step(self, spark):
+        # w=0 -> p = SCALE/2 for every row -> err = SCALE/2 - y*SCALE
+        # G_j = sum(err * x_j); w_j = -floor(G_j / (lr_den * n))
+        df = _frame(spark, n=4)  # x1 in {-2,-1,0,1}, y in {0,0,1,1}
+        errs = [SCALE // 2, SCALE // 2, -SCALE // 2, -SCALE // 2]
+        xs = [-2, -1, 0, 1]
+        g0 = sum(errs)
+        g1 = sum(e * x for e, x in zip(errs, xs))
+        import math
+
+        exp = [-math.floor(g0 / (100 * 4)), -math.floor(g1 / (100 * 4))]
+        assert probe_train(df, FEATS, "y", iterations=1, lr_den=100) == exp
+
+    def test_refusals(self, spark):
+        df = _frame(spark, n=4)
+        with pytest.raises(ValueError, match="iterations"):
+            probe_train(df, FEATS, "y", iterations=0)
+        with pytest.raises(ValueError, match="lr_den"):
+            probe_train(df, FEATS, "y", lr_den=0)
+        with pytest.raises(ValueError, match="non-empty"):
+            probe_train(df, [], "y")
+        with pytest.raises(ValueError, match="empty training frame"):
+            probe_train(df.filter("id < 0"), FEATS, "y")
+
+
+class TestProbeScore:
+    def test_hard_sigmoid_clamps(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (1, 10), (1, -10)], ["x0", "x1"]
+        )
+        # w = [0, SCALE]: z = x1*SCALE; p = clamp(z/4 + S/2, 0, S)
+        out = {
+            r["x1"]: (r["p"], r["pred"])
+            for r in probe_score(df, [0, SCALE], FEATS).collect()
+        }
+        assert out[0] == (SCALE // 2, 1)  # threshold is >= S/2
+        assert out[10] == (SCALE, 1)
+        assert out[-10] == (0, 0)
+
+    def test_weight_length_guard(self, spark):
+        df = _frame(spark, n=4)
+        with pytest.raises(ValueError, match="mismatch"):
+            probe_score(df, [1, 2, 3], FEATS)
