@@ -978,6 +978,94 @@ def q_x39_dedup_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x40_cert(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Recall certification of the persisted dedup index against EXACT
+    ground truth — vidx6's role for the dedup tier (per-method lanes
+    from day one, per the r11 verdict's vidx6 lesson). Ground truth is
+    candidate-COMPLETE exact Jaccard: any cross pair with J > 0 shares
+    at least one distinct shingle, so the truth arm enumerates pairs
+    through a shared-shingle equi join (explode distinct shingles,
+    new x old join on the shingle, |A∩B| = the join's group count,
+    |A|,|B| from per-doc distinct counts) — never all-pairs, the x2
+    blocked-exact shape, so the arm itself survives 100 TB. The found
+    arm is dedup_matches through the STORED artifact (band-bucket
+    candidates, exact verify), a strict subset of truth by
+    construction (precision 1.0 — verify is the same exact Jaccard);
+    recall_ppm quantifies what the banding scheme's candidacy curve
+    gives up at threshold 0.5. One row: (method, n_true, n_found,
+    recall_ppm)."""
+    from .operators.dedup import shingles
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 4 != 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text", method=method)
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    found = fs.dedup_matches(
+        "dd", new, id_col="doc_id", content_col="text", threshold=0.5
+    )
+    n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("new_id"), "s")
+        .join(
+            sh.filter(F.col("doc_id") % 4 != 0).select(
+                F.col("doc_id").alias("old_id"), "s"
+            ),
+            "s",
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sz.withColumnRenamed("doc_id", "new_id").withColumnRenamed("sz", "sa"), "new_id")
+        .join(sz.withColumnRenamed("doc_id", "old_id").withColumnRenamed("sz", "sb"), "old_id")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("i"))
+            >= 0.5
+        )
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return n_true.crossJoin(n_found).select(
+        F.lit(method).alias("method"),
+        "n_true",
+        "n_found",
+        F.when(F.col("n_true") == 0, F.lit(1000000).cast("long"))
+        .otherwise(
+            F.floor(
+                F.col("n_found") * F.lit(1000000.0) / F.col("n_true")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("recall_ppm"),
+    )
+
+
+def q_x40a_dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _x40_cert(spark, sf_dir, "minhash")
+
+
+def q_x40b_dedup_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _x40_cert(spark, sf_dir, "simhash")
+
+
+q_x40a_dedup_recall_minhash.__doc__ = _x40_cert.__doc__
+q_x40b_dedup_recall_simhash.__doc__ = _x40_cert.__doc__
+
+
 _X36_BOILER = (
     "cookie notice please accept our cookies to continue "
     "reading this site uses cookies"
@@ -1434,6 +1522,8 @@ QUERIES = {
     'x36_dedup_bucket_cap': q_x36_dedup_bucket_cap,
     'x37_dedup_match_pairs': q_x37_dedup_match_pairs,
     'x39_dedup_simhash_index': q_x39_dedup_simhash_index,
+    'x40a_dedup_recall_minhash': q_x40a_dedup_recall_minhash,
+    'x40b_dedup_recall_simhash': q_x40b_dedup_recall_simhash,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2589,4 +2679,99 @@ ORACLE_SQL["t18_html_extract"] = """
                         || trim(regexp_replace(text, '\\s+', ' ', 'g'))
                         || ' & more') AS roundtrip_ok
     FROM x
+"""
+
+
+# x40: recall certification of the stored dedup index vs candidate-
+# complete exact ground truth (shared-shingle equi join — any J>0 pair
+# shares a distinct shingle, so the enumeration is exact without
+# all-pairs). Found arm = the method's band-candidate chain + exact
+# verify (x37/x39 machinery); truth arm shared across methods.
+_X40_TRUTH = """
+    e2 AS (SELECT doc_id, u.s FROM ds, LATERAL unnest(d) AS u(s)),
+    it AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                  COUNT(*) AS i
+           FROM e2 n JOIN e2 o ON n.s = o.s
+           WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0
+           GROUP BY 1, 2),
+    szs AS (SELECT doc_id, len(d) AS sz FROM ds),
+    tv AS (SELECT COUNT(*) AS n_true FROM it
+           JOIN szs a ON a.doc_id = it.new_id
+           JOIN szs b ON b.doc_id = it.old_id
+           WHERE CAST(i AS DOUBLE) / (a.sz + b.sz - i) >= 0.5)"""
+
+_X40_FINAL = """
+    SELECT '{method}' AS method,
+           CAST(tv.n_true AS BIGINT) AS n_true,
+           CAST(nf.n_found AS BIGINT) AS n_found,
+           CAST(CASE WHEN tv.n_true = 0 THEN 1000000
+                ELSE floor(nf.n_found * 1000000.0 / tv.n_true + 0.5)
+                END AS BIGINT) AS recall_ppm
+    FROM tv, nf"""
+
+ORACLE_SQL["x40a_dedup_recall_minhash"] = f"""
+    WITH {_MH_CTES},
+    crossc AS (
+        SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id, c.old_id
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    nf AS (SELECT COUNT(*) AS n_found FROM ver),
+    {_X40_TRUTH}
+    {_X40_FINAL.format(method="minhash")}
+"""
+
+ORACLE_SQL["x40b_dedup_recall_simhash"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+    shx AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_transform(generate_series(1, len(tk) - 2),
+                         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                    ELSE [array_to_string(tk, ' ')] END AS shs
+        FROM t
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM shx),
+    tok AS (SELECT doc_id, u.tok FROM t, LATERAL unnest(tk) AS u(tok)),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM tok),
+    mm AS (SELECT doc_id, COUNT(*) AS n, {_SH_ONES} FROM hx GROUP BY doc_id),
+    ss AS (SELECT doc_id, CAST({_SH_SIG} AS BIGINT) AS simhash FROM mm),
+    bd AS (
+        SELECT doc_id, b.band,
+               (simhash >> (b.band * 15)) & 32767 AS bucket
+        FROM ss, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    crossc AS (
+        SELECT DISTINCT
+               CASE WHEN a.doc_id % 4 = 0 THEN a.doc_id
+                    ELSE b.doc_id END AS new_id,
+               CASE WHEN a.doc_id % 4 = 0 THEN b.doc_id
+                    ELSE a.doc_id END AS old_id
+        FROM bd a
+        JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+        WHERE (a.doc_id % 4 = 0) <> (b.doc_id % 4 = 0)
+    ),
+    ver AS (
+        SELECT c.new_id, c.old_id
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    nf AS (SELECT COUNT(*) AS n_found FROM ver),
+    {_X40_TRUTH}
+    {_X40_FINAL.format(method="simhash")}
 """

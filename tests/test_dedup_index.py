@@ -469,3 +469,28 @@ class TestRegistryAndLifecycle:
         b2 = FeatureStore(spark, storage_path=root)
         new = docs.limit(3).select(F.col("entity_id").alias("doc_id"), "text")
         assert b2.dedup_batch("dd", new).count() == 3
+
+
+class TestRecallCertification:
+    """x40: found pairs are a strict subset of exact ground truth
+    (precision 1.0 by construction — the verify IS the truth metric),
+    so recall_ppm is a real recall, never >1e6."""
+
+    @pytest.mark.parametrize("method", ["minhash", "simhash"])
+    def test_cert_bounds(self, spark, method):
+        from ml_feature_store_spark.suite_text import _x40_cert
+
+        row = _x40_cert(spark, SF, method).collect()[0]
+        assert row["method"] == method
+        assert 0 <= row["n_found"] <= row["n_true"]
+        assert 0 <= row["recall_ppm"] <= 1_000_000
+
+    def test_minhash_catches_exact_replicas(self, spark):
+        # byte-identical replicas share every band bucket -> always
+        # candidates -> always found: recall on a replica-only corpus
+        # is exactly 1e6
+        from ml_feature_store_spark.suite_text import _x40_cert
+
+        row = _x40_cert(spark, SF, "minhash").collect()[0]
+        if row["n_true"]:
+            assert row["recall_ppm"] > 0
