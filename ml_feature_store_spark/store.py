@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import Any, Sequence
+from typing import Any, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1948,6 +1948,7 @@ class FeatureStore:
             "src_version": src_version,
             "model_version": mver,
             "data_version": dver,
+            "data_versions": [dver],
             "occupancy": occupancy,
         }
         try:
@@ -1986,12 +1987,17 @@ class FeatureStore:
             m = df.agg(F.max(ROW_ID_COL)).collect()[0][0] or 0
         return ver, rows, int(m), df
 
-    def _prune_state_versions(self, name: str, keep: int) -> None:
-        """Drop every state-table version except ``keep`` (the one the
-        just-published spec pins). Runs strictly AFTER _save_registry
-        succeeds; failures here leave harmless orphan versions."""
+    def _prune_state_versions(
+        self, name: str, keep: int | Iterable[int]
+    ) -> None:
+        """Drop every state-table version except ``keep`` (the one(s)
+        the just-published spec pins — a single version, or the
+        fragment chain of an append-mode index state). Runs strictly
+        AFTER _save_registry succeeds; failures here leave harmless
+        orphan versions."""
+        keep_set = {keep} if isinstance(keep, int) else set(keep)
         for v in self._backend.versions(name):
-            if v != keep:
+            if v not in keep_set:
                 self._backend.drop_version(name, v)
         self._key_cache = {
             k: v for k, v in self._key_cache.items() if k[0] != name
@@ -2038,7 +2044,7 @@ class FeatureStore:
                 "re-registered; rebuild with create_vector_index()."
             )
         dname = index + self._VINDEX_DATA_SUFFIX
-        prev = self._vindex_data(index)
+        frags = self._pinned_state_versions(spec, dname)
         if delta_rows:
             src = delta.select(
                 F.col(ENTITY_COL).alias("vec_id"),
@@ -2050,33 +2056,38 @@ class FeatureStore:
                 src, spec["dim"], f"refresh_vector_index('{index}')"
             )
             enc = self._vindex_encode_frozen(index, spec, src)
-            merged = prev.unionByName(enc)
-        else:
-            merged = prev
-        row_count = cur_rows if delta_rows else spec["src_rows"]
-        # publish-then-prune (round-11 ADVICE; see create_vector_index):
-        # the spec pins the new data version, so a refused publish keeps
-        # serving the OLD version — the half-written merge is an orphan,
-        # never a double-folded delta
-        dver = self._backend.meta(dname).version + 1
-        self._backend.write_version(
-            dname, dver, merged, row_count,
-            f"incremental refresh of vector index '{index}'",
-        )
+            # APPEND-MODE state write (round-12): the fold writes ONLY
+            # the encoded delta as a new fragment and the spec pins the
+            # extended chain — refresh I/O is O(delta) end to end (the
+            # SCALE-100TB.md:vidx3 promise made executable; previously
+            # the full base∪delta state was rewritten each fold).
+            # publish-then-prune still holds: a refused publish keeps
+            # serving the OLD chain and the fragment is an orphan,
+            # never a double-folded delta.
+            dver = self._backend.meta(dname).version + 1
+            self._backend.write_version(
+                dname, dver, enc, delta_rows,
+                f"delta fragment ({delta_rows} rows) of vector index "
+                f"'{index}'",
+            )
+            frags = frags + [dver]
+        row_count = cur_rows
         prev_fields = {
             k: spec.get(k)
-            for k in ("watermark", "src_rows", "src_version", "data_version")
+            for k in ("watermark", "src_rows", "src_version",
+                      "data_version", "data_versions")
         }
         spec["watermark"] = new_watermark  # the PINNED snapshot's bound
         spec["src_rows"] = cur_rows
         spec["src_version"] = src_version
-        spec["data_version"] = dver
+        spec["data_version"] = frags[-1]
+        spec["data_versions"] = frags
         try:
             self._save_registry()
         except BaseException:
             spec.update(prev_fields)
             raise
-        self._prune_state_versions(dname, dver)
+        self._prune_state_versions(dname, frags)
         return row_count
 
     def reencode_vector_index(self, index: str) -> int:
@@ -2118,12 +2129,13 @@ class FeatureStore:
         prev_fields = {
             k: spec.get(k)
             for k in ("watermark", "src_rows", "src_version",
-                      "data_version", "rewritten")
+                      "data_version", "data_versions", "rewritten")
         }
         spec["watermark"] = new_watermark  # the PINNED snapshot's bound
         spec["src_rows"] = cur_rows
         spec["src_version"] = src_version
         spec["data_version"] = dver
+        spec["data_versions"] = [dver]
         spec["rewritten"] = False
         try:
             self._save_registry()
@@ -2132,6 +2144,53 @@ class FeatureStore:
             raise
         self._prune_state_versions(dname, dver)
         return cur_rows
+
+    def compact_vector_index(self, index: str) -> int:
+        """Fold the refresh FRAGMENT CHAIN back into one state version —
+        the OPTIMIZE-style maintenance job that pairs with append-mode
+        refresh (round-12): each O(delta) fold appends a fragment, so
+        after many nightly refreshes the serving read is a union of
+        small scans; compaction rewrites the union ONCE, clustered by
+        the method's probe key (repartition on cell/bucket/lead code →
+        a probed knn touches few files), and re-pins the spec to the
+        single compacted version. Serving results are IDENTICAL before
+        and after (pytest-pinned) — this is physical-layout
+        maintenance, never a semantic mutation, so it needs no source
+        re-read, no model touch, and no watermark change. Amortized
+        cost at 100 TB: fragments accumulate O(delta) each; compaction
+        pays one state-table rewrite on whatever cadence the operator
+        chooses (weekly, or when ``n_fragments`` from
+        get_vector_index_info crosses a threshold). publish-then-prune
+        as everywhere: a refused publish keeps serving the old chain
+        and the compacted write is an orphan. Returns the number of
+        fragments folded (1 = already compact, still re-pinned)."""
+        spec = self._vector_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown vector index: '{index}'")
+        self._assert_registry_current(f"compact_vector_index('{index}')")
+        dname = index + self._VINDEX_DATA_SUFFIX
+        frags = self._pinned_state_versions(spec, dname)
+        merged = self._vindex_data(index).repartition(
+            self._vindex_hist_key(spec["method"])
+        )
+        dver = self._backend.meta(dname).version + 1
+        self._backend.write_version(
+            dname, dver, merged, spec["src_rows"],
+            f"compaction of {len(frags)} fragment(s) of vector index "
+            f"'{index}'",
+        )
+        prev_fields = {
+            k: spec.get(k) for k in ("data_version", "data_versions")
+        }
+        spec["data_version"] = dver
+        spec["data_versions"] = [dver]
+        try:
+            self._save_registry()
+        except BaseException:
+            spec.update(prev_fields)
+            raise
+        self._prune_state_versions(dname, dver)
+        return len(frags)
 
     def knn(
         self,
@@ -2823,7 +2882,15 @@ class FeatureStore:
         spec = self._vector_indexes.get(index)
         if spec is None:
             raise FeatureStoreError(f"Unknown vector index: '{index}'")
-        return {**spec, "params": dict(spec["params"])}
+        return {
+            **spec,
+            "params": dict(spec["params"]),
+            "n_fragments": len(
+                self._pinned_state_versions(
+                    spec, index + self._VINDEX_DATA_SUFFIX
+                )
+            ),
+        }
 
     def list_vector_indexes(self) -> list[str]:
         return sorted(self._vector_indexes)
@@ -2886,14 +2953,37 @@ class FeatureStore:
             ),
         )
 
+    def _pinned_state_versions(self, spec: dict, dname: str) -> list[int]:
+        """The state-table version(s) a spec pins: the append-mode
+        fragment chain (``data_versions``, round-12), the single
+        round-11 pin (``data_version``), or latest for legacy
+        registries that predate pinning."""
+        if spec.get("data_versions"):
+            return [int(v) for v in spec["data_versions"]]
+        if spec.get("data_version"):
+            return [int(spec["data_version"])]
+        return [self._backend.versions(dname)[-1]]
+
+    def _read_state_fragments(self, spec: dict, dname: str) -> DataFrame:
+        out = None
+        for v in self._pinned_state_versions(spec, dname):
+            d = self._backend.read_version(dname, v)
+            out = d if out is None else out.unionByName(d)
+        return out
+
     def _vindex_data(self, index: str) -> DataFrame:
-        """The encoded state table at the version the SPEC pins (legacy
-        registries without the pin fall back to latest) — never a
-        just-written-but-unpublished orphan version."""
+        """The encoded state table at the version(s) the SPEC pins —
+        never a just-written-but-unpublished orphan version. Since
+        round-12 a refreshed index is a FRAGMENT CHAIN (base + one
+        delta fragment per refresh, the append-mode shape
+        SCALE-100TB.md demands at scale): the read is a union of the
+        pinned fragments, each scan still pruned by the probe
+        predicate; ``compact_vector_index`` folds the chain back to
+        one."""
         spec = self._vector_indexes[index]
-        dname = index + self._VINDEX_DATA_SUFFIX
-        ver = spec.get("data_version") or self._backend.versions(dname)[-1]
-        return self._backend.read_version(dname, ver)
+        return self._read_state_fragments(
+            spec, index + self._VINDEX_DATA_SUFFIX
+        )
 
     def _vindex_model_rows(self, index: str):
         spec = self._vector_indexes[index]
@@ -3064,6 +3154,7 @@ class FeatureStore:
             "src_rows": src_rows,
             "src_version": src_version,
             "data_version": dver,
+            "data_versions": [dver],
         }
         try:
             self._save_registry()
@@ -3141,7 +3232,7 @@ class FeatureStore:
                 "re-registered; rebuild with create_dedup_index()."
             )
         dname = index + self._DINDEX_DATA_SUFFIX
-        prev = self._dindex_data(index)
+        frags = self._pinned_state_versions(spec, dname)
         if delta_rows:
             enc = self._dedup_sign(
                 delta.select(
@@ -3152,33 +3243,72 @@ class FeatureStore:
                 spec.get("method", "minhash"),
                 spec["params"],
             )
-            merged = prev.unionByName(enc)
-        else:
-            merged = prev
-        # count rides the write (one pass; the O(delta) sign must not
-        # run twice)
-        merged, n_rows = self._observed_count(merged)
-        dver = self._backend.meta(dname).version + 1
-        self._backend.write_version(
-            dname, dver, merged, n_rows,
-            f"incremental refresh of dedup index '{index}'",
-        )
-        row_count = n_rows()
+            # APPEND-MODE state write (round-12, as refresh_vector_index):
+            # only the delta's signatures land as a new fragment — the
+            # stored corpus signatures are never re-read OR re-written;
+            # count rides the write (one pass; the O(delta) sign must
+            # not run twice)
+            enc, n_rows = self._observed_count(enc)
+            dver = self._backend.meta(dname).version + 1
+            self._backend.write_version(
+                dname, dver, enc, n_rows,
+                f"delta fragment of dedup index '{index}'",
+            )
+            n_rows()
+            frags = frags + [dver]
+        row_count = cur_rows
         prev_fields = {
             k: spec.get(k)
-            for k in ("watermark", "src_rows", "src_version", "data_version")
+            for k in ("watermark", "src_rows", "src_version",
+                      "data_version", "data_versions")
         }
         spec["watermark"] = new_watermark  # the PINNED snapshot's bound
         spec["src_rows"] = cur_rows
         spec["src_version"] = src_version
+        spec["data_version"] = frags[-1]
+        spec["data_versions"] = frags
+        try:
+            self._save_registry()
+        except BaseException:
+            spec.update(prev_fields)
+            raise
+        self._prune_state_versions(dname, frags)
+        return row_count
+
+    def compact_dedup_index(self, index: str) -> int:
+        """Fold the dedup index's refresh fragment chain into one
+        signature-table version — the maintenance twin of
+        ``compact_vector_index`` (band buckets derive map-only from
+        signatures, so there is no probe key to cluster by; the win is
+        one scan instead of a fragment union, and file counts bounded
+        by the write's parallelism rather than the refresh cadence).
+        Serving-invariant, publish-then-prune, no watermark change.
+        Returns the number of fragments folded."""
+        spec = self._dedup_indexes.get(index)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown dedup index: '{index}'")
+        self._assert_registry_current(f"compact_dedup_index('{index}')")
+        dname = index + self._DINDEX_DATA_SUFFIX
+        frags = self._pinned_state_versions(spec, dname)
+        merged = self._dindex_data(index)
+        dver = self._backend.meta(dname).version + 1
+        self._backend.write_version(
+            dname, dver, merged, spec["src_rows"],
+            f"compaction of {len(frags)} fragment(s) of dedup index "
+            f"'{index}'",
+        )
+        prev_fields = {
+            k: spec.get(k) for k in ("data_version", "data_versions")
+        }
         spec["data_version"] = dver
+        spec["data_versions"] = [dver]
         try:
             self._save_registry()
         except BaseException:
             spec.update(prev_fields)
             raise
         self._prune_state_versions(dname, dver)
-        return row_count
+        return len(frags)
 
     def dedup_batch(
         self,
@@ -3464,7 +3594,15 @@ class FeatureStore:
         spec = self._dedup_indexes.get(index)
         if spec is None:
             raise FeatureStoreError(f"Unknown dedup index: '{index}'")
-        return {**spec, "params": dict(spec["params"])}
+        return {
+            **spec,
+            "params": dict(spec["params"]),
+            "n_fragments": len(
+                self._pinned_state_versions(
+                    spec, index + self._DINDEX_DATA_SUFFIX
+                )
+            ),
+        }
 
     def list_dedup_indexes(self) -> list[str]:
         return sorted(self._dedup_indexes)
@@ -3500,12 +3638,15 @@ class FeatureStore:
         return self._dindex_data(index)
 
     def _dindex_data(self, index: str) -> DataFrame:
-        """The signature table at the version the SPEC pins — never a
-        just-written-but-unpublished orphan version."""
+        """The signature table at the version(s) the SPEC pins — never
+        a just-written-but-unpublished orphan version. Round-12: a
+        refreshed index is a base + delta-fragment chain (band buckets
+        derive map-only from each fragment identically);
+        ``compact_dedup_index`` folds it back to one version."""
         spec = self._dedup_indexes[index]
-        dname = index + self._DINDEX_DATA_SUFFIX
-        ver = spec.get("data_version") or self._backend.versions(dname)[-1]
-        return self._backend.read_version(dname, ver)
+        return self._read_state_fragments(
+            spec, index + self._DINDEX_DATA_SUFFIX
+        )
 
     def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
         ts_type = dict(df.dtypes)[TIMESTAMP_COL]
@@ -5128,6 +5269,12 @@ class FeatureStore:
                 "data_version": (
                     int(s["data_version"]) if s.get("data_version") else None
                 ),
+                # append-mode fragment chain (round-12); legacy
+                # registries fall back to the scalar pin
+                "data_versions": (
+                    [int(v) for v in s["data_versions"]]
+                    if s.get("data_versions") else None
+                ),
                 "rewritten": bool(s.get("rewritten", False)),
                 # build-time occupancy histogram (round-12 drift signal);
                 # pre-r12 registries lack it -> vector_index_drift refuses
@@ -5148,6 +5295,10 @@ class FeatureStore:
                 "src_version": int(s["src_version"]),
                 "data_version": (
                     int(s["data_version"]) if s.get("data_version") else None
+                ),
+                "data_versions": (
+                    [int(v) for v in s["data_versions"]]
+                    if s.get("data_versions") else None
                 ),
                 "rewritten": bool(s.get("rewritten", False)),
             }

@@ -1817,7 +1817,39 @@ def q_bt1_preference_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vidx14_compact_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode state + compaction (round-12): refresh writes ONLY
+    the encoded delta as a new state FRAGMENT (the SCALE-100TB.md
+    vidx3-row promise — "switch the state rewrite for an append-mode
+    write" — made executable: fold I/O is O(delta) end to end, the
+    stored base is never re-read or re-written), and
+    compact_vector_index folds the fragment chain back into one
+    version clustered by the probe key (the OPTIMIZE-style maintenance
+    job; repartition on cell → a probed knn touches few files). This
+    lane serves THROUGH the compacted state after a fragmented build —
+    vidx3's exact oracle pins that compaction is serving-invariant:
+    physical-layout maintenance, never a semantic mutation."""
+    from .store import FeatureStore
+
+    feats = _vidx_feats(spark, sf_dir)
+    fs = FeatureStore(spark)
+    fs.register("vecs", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_vector_index(
+        "ann", "vecs", method="ivf",
+        params={"n_cells": 16, "iterations": 1, "nprobe": 2},
+    )
+    fs.append("vecs", feats.filter(F.col("entity_id") % 2 == 1))
+    fs.refresh_vector_index("ann")
+    assert fs.get_vector_index_info("ann")["n_fragments"] == 2
+    fs.compact_vector_index("ann")
+    assert fs.get_vector_index_info("ann")["n_fragments"] == 1
+    qvec = _vidx_query_vec(spark, sf_dir, 100)
+    out = fs.knn("ann", qvec, k=10, filter_expr="vec_id <> 100")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
 QUERIES = {
+    'vidx14_compact_serving': q_vidx14_compact_serving,
     'g6_random_walks': q_g6_random_walks,
     'g7_bfs_distances': q_g7_bfs_distances,
     'bt1_preference_strengths': q_bt1_preference_strengths,
@@ -2694,3 +2726,9 @@ ORACLE_SQL["g7_bfs_distances"] = """
            MIN(node) AS first_node
     FROM d GROUP BY dist
 """
+
+
+# vidx14: compaction is serving-invariant BY CONTRACT — the oracle is
+# vidx3's verbatim (same fit-on-evens + frozen fold + probed knn); the
+# Spark side additionally asserts the fragment chain collapsed 2 -> 1.
+ORACLE_SQL["vidx14_compact_serving"] = ORACLE_SQL["vidx3_index_refresh"]

@@ -916,6 +916,47 @@ def q_x35_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x41_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index compaction (round-12): the odd half folds in as a
+    delta-only state FRAGMENT (refresh I/O = O(delta) — the stored
+    base is never re-read or re-written by the fold), then
+    compact_dedup_index merges the chain into one signature-table
+    version. The lane emits the stored signatures THROUGH the
+    compacted state; x35's from-scratch oracle pins that the
+    fragment-then-compact lifecycle is bit-identical to
+    sign-everything — the maintenance job can never change what the
+    index knows."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_dedup_index("dd", "corpus", content_col="text")
+    fs.append("corpus", feats.filter(F.col("entity_id") % 2 == 1))
+    fs.refresh_dedup_index("dd")
+    assert fs.get_dedup_index_info("dd")["n_fragments"] == 2
+    fs.compact_dedup_index("dd")
+    assert fs.get_dedup_index_info("dd")["n_fragments"] == 1
+    sig = fs.get_dedup_signatures("dd")
+
+    def band(b: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[F.element_at("minhash", b * 4 + i + 1) for i in range(4)],
+            )
+        )
+
+    return sig.select(
+        "doc_id", "hh", *[band(b).alias(f"b{b}") for b in range(4)]
+    )
+
+
 def q_x37_dedup_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAIR-LEVEL dedup through the stored signature index (round-12):
     dedup_matches emits one row per VERIFIED (new doc, stored doc) pair
@@ -1523,6 +1564,7 @@ QUERIES = {
     'x37_dedup_match_pairs': q_x37_dedup_match_pairs,
     'x39_dedup_simhash_index': q_x39_dedup_simhash_index,
     'x40a_dedup_recall_minhash': q_x40a_dedup_recall_minhash,
+    'x41_dedup_index_compact': q_x41_dedup_index_compact,
     'x40b_dedup_recall_simhash': q_x40b_dedup_recall_simhash,
 }
 
@@ -2775,3 +2817,9 @@ ORACLE_SQL["x40b_dedup_recall_simhash"] = f"""
     {_X40_TRUTH}
     {_X40_FINAL.format(method="simhash")}
 """
+
+
+# x41: dedup-index compaction is serving-invariant — the stored
+# signature set after (fragmented refresh -> compact) equals the
+# from-scratch replay, so x35's oracle pins it verbatim.
+ORACLE_SQL["x41_dedup_index_compact"] = ORACLE_SQL["x35_dedup_index_refresh"]

@@ -1073,3 +1073,56 @@ class TestDedupIndexPlans:
             sig, 16, 4, hash_family="md5_affine", id_cols=("doc_id",)
         )
         assert _data_shuffles(banded) == 0
+
+
+class TestFragmentedIndexPlans:
+    """Round-12 append-mode state: serving a FRAGMENTED index must stay
+    as cheap as serving a compacted one — the probe predicate prunes
+    each fragment scan (union of pushed scans), and compaction removes
+    the union without changing the serving shape."""
+
+    @pytest.fixture(scope="class")
+    def frag(self, spark):
+        from ml_feature_store_spark.store import FeatureStore
+
+        emb = table(spark, SF, "embeddings")
+        feats = emb.select(
+            F.col("vec_id").alias("entity_id"),
+            F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        fs = FeatureStore(spark)
+        fs.register("fvecs", feats.filter("entity_id % 2 = 0"))
+        fs.create_vector_index("f_ivf", "fvecs", method="ivf")
+        fs.append("fvecs", feats.filter("entity_id % 2 = 1"))
+        fs.refresh_vector_index("f_ivf")
+        qvec = [
+            float(x)
+            for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+        ]
+        return fs, qvec
+
+    def test_fragmented_knn_stays_shuffle_free(self, frag):
+        """The union of fragments is a union of SCANS — the cell-probe
+        filter pushes into every fragment, no exchange appears, and the
+        final ranking is still one TakeOrderedAndProject."""
+        fs, qvec = frag
+        assert fs.get_vector_index_info("f_ivf")["n_fragments"] == 2
+        df = fs.knn("f_ivf", qvec, k=5)
+        plan = executed_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert _data_shuffles(df) == 0
+        # the probe predicate reaches BOTH fragment scans
+        assert plan.count("PushedFilters: [In(cell") >= 2 or (
+            plan.count("cell#") and "Union" in plan
+        )
+
+    def test_compaction_clusters_by_probe_key(self, frag):
+        """compact_vector_index's single state write repartitions on
+        the probe key and the compacted serving plan loses the Union."""
+        fs, qvec = frag
+        fs.compact_vector_index("f_ivf")
+        df = fs.knn("f_ivf", qvec, k=5)
+        plan = executed_plan(df)
+        assert "Union" not in plan
+        assert _data_shuffles(df) == 0
