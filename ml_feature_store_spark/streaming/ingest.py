@@ -591,6 +591,45 @@ def stream_dedup_enrich(
     )
 
 
+def stream_probe_score(
+    stream: DataFrame,
+    weights,
+    feature_cols,
+    sink_dir: str,
+    checkpoint_dir: str,
+    min_p: int | None = None,
+):
+    """Continuous corpus filtering at ingest — the streaming twin of
+    the cls1 linear probe (round-12): score every arriving document
+    with FROZEN trained weights (operators/classifier.probe_score — a
+    pure integer projection, the weights ride the streaming plan as
+    literals) and land (row, p, pred) in an append-mode parquet sink.
+    Scoring is STATELESS, so unlike the foreachBatch enrich loops this
+    is a straight streaming transformation: no state store, no
+    per-batch join, exactly-once from the file-sink commit log; at
+    100 TB/day of ingest the cost is the scan itself — the filter adds
+    a codegen'd projection, nothing else.
+
+    ``min_p``: when set, rows below the threshold are dropped in-stream
+    (the admit gate — the DCLM-style quality filter applied before the
+    corpus ever lands); when None, everything lands with its score and
+    the decision stays downstream. Per-row output is a pure function of
+    (row, weights), so stream == batch bit-for-bit (the sd21 lane pins
+    it against the unrolled-GD oracle)."""
+    from ..operators.classifier import probe_score
+
+    scored = probe_score(stream, weights, feature_cols)
+    if min_p is not None:
+        scored = scored.filter(F.col("p") >= int(min_p))
+    return (
+        scored.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_contract_gate(
     stream: DataFrame,
     checks: dict[str, str],

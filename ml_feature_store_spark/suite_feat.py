@@ -660,22 +660,37 @@ def q_cv1_purged_walkforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLS1_FEATS = ["x0", "x1", "x2", "x3"]
 
 
-def _cls1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer, CENTERED probe features over documents (see
-    operators/classifier.py for why centering is load-bearing): bias,
-    token count - 54, distinct-token count - 23, short-token count - 2.
-    Label: the 'expensive labeler' stand-in y = n_chars > 300."""
-    docs = table(spark, sf_dir, "documents")
+def _probe_features(df: DataFrame) -> DataFrame:
+    """Append the integer, CENTERED probe features x0-x3 computed from
+    ``text`` alone (see operators/classifier.py for why centering is
+    load-bearing): bias, token count - 54, distinct-token count - 23,
+    short-token count - 2. Pure projection — batch and streaming frames
+    take the identical expressions (the sd21 stream == batch
+    contract)."""
     toks = F.split(F.col("text"), " ")
-    return docs.select(
+    return (
+        df.withColumn("x0", F.lit(1).cast("long"))
+        .withColumn("x1", (F.size(toks) - 54).cast("long"))
+        .withColumn(
+            "x2", (F.size(F.array_distinct(toks)) - 23).cast("long")
+        )
+        .withColumn(
+            "x3",
+            (
+                F.size(F.filter(toks, lambda t: F.length(t) <= 2)) - 2
+            ).cast("long"),
+        )
+    )
+
+
+def _cls1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x0-x3 over documents plus the 'expensive labeler' stand-in
+    label y = n_chars > 300."""
+    docs = table(spark, sf_dir, "documents")
+    return _probe_features(docs).select(
         "doc_id",
         (F.col("n_chars") > 300).cast("int").alias("y"),
-        F.lit(1).cast("long").alias("x0"),
-        (F.size(toks) - 54).cast("long").alias("x1"),
-        (F.size(F.array_distinct(toks)) - 23).cast("long").alias("x2"),
-        (
-            F.size(F.filter(toks, lambda t: F.length(t) <= 2)) - 2
-        ).cast("long").alias("x3"),
+        *_CLS1_FEATS,
     )
 
 
@@ -1260,11 +1275,21 @@ ORACLE_SQL["cv1_purged_walkforward"] = """
 """
 
 
-def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
+def _cls1_sql(
+    iters: int = 3,
+    scale: int = 1_000_000,
+    lr_den: int = 100,
+    train_where: str = "",
+    output: str = "confusion",
+) -> str:
     """Unrolled-iteration replay of cls1's integer GD fixpoint: weights
     CTE i cross-joins into gradient CTE i+1 (1-row frames), exactly the
     driver loop's data flow. All arithmetic is BIGINT + one IEEE double
-    division inside floor() per update — identical in both engines."""
+    division inside floor() per update — identical in both engines.
+    ``train_where`` restricts the gradient rows (sd21 trains on the
+    labeled seed half and scores the streamed half); ``output`` picks
+    the final select: 'confusion' (cls1) or 'scores' (per-doc p/pred
+    over the COMPLEMENT of train_where — requires train_where)."""
     feats = ["x0", "x1", "x2", "x3"]
 
     def z(wref: str | None) -> str:
@@ -1291,6 +1316,9 @@ def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
         FROM documents
     )"""
     ]
+    if train_where:
+        ctes.append(f"tfeat AS (SELECT * FROM feat WHERE {train_where})")
+    trel = "tfeat" if train_where else "feat"
     prev_w = None
     for i in range(1, iters + 1):
         perr = f"({p(z(prev_w))} - f.y*{scale})"
@@ -1299,7 +1327,9 @@ def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
             for j, c in enumerate(feats)
         )
         if prev_w is None:
-            ctes.append(f"g{i} AS (SELECT count(*) AS n, {gsel} FROM feat f)")
+            ctes.append(
+                f"g{i} AS (SELECT count(*) AS n, {gsel} FROM {trel} f)"
+            )
             wsel = ", ".join(
                 f"0 - CAST(floor(g{j}/({lr_den}.0*n)) AS BIGINT) AS w{j}"
                 for j in range(len(feats))
@@ -1311,7 +1341,7 @@ def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
             )
             ctes.append(
                 f"g{i} AS (SELECT {carry}, count(*) AS n, {gsel} "
-                f"FROM feat f CROSS JOIN {prev_w})"
+                f"FROM {trel} f CROSS JOIN {prev_w})"
             )
             wsel = ", ".join(
                 f"pw{j} - CAST(floor(g{j}/({lr_den}.0*n)) AS BIGINT) AS w{j}"
@@ -1321,6 +1351,16 @@ def _cls1_sql(iters: int = 3, scale: int = 1_000_000, lr_den: int = 100) -> str:
         prev_w = f"w{i}"
     pfin = p(z(prev_w))
     joined = ",\n    ".join(ctes)
+    if output == "scores":
+        if not train_where:
+            raise ValueError("output='scores' requires train_where")
+        return f"""
+    WITH {joined}
+    SELECT f.doc_id, CAST({pfin} AS BIGINT) AS p,
+           CASE WHEN {pfin} >= {scale // 2} THEN 1 ELSE 0 END AS pred
+    FROM feat f CROSS JOIN {prev_w}
+    WHERE NOT ({train_where})
+    """
     return f"""
     WITH {joined}
     SELECT f.y, CASE WHEN {pfin} >= {scale // 2} THEN 1 ELSE 0 END AS pred,

@@ -1024,10 +1024,59 @@ def q_sd17_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sd21_stream_probe_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous quality filtering at ingest (streaming/ingest.py
+    ``stream_probe_score``; round-12 — the streaming twin of cls1): the
+    linear probe trains ONCE on the labeled half (even doc_ids, 3
+    integer-GD iterations, driver-resident int64 weights), then the odd
+    half streams in as two ordered micro-batches and every document is
+    scored IN-STREAM by a pure map-side projection with the frozen
+    weights as plan literals — no state store, no per-batch join, the
+    DCLM-shape admit gate running where the data arrives. Per-row
+    output is a pure function of (document, weights), so stream ==
+    batch bit-for-bit: the oracle replays the unrolled GD on the even
+    half and scores the odd half relationally."""
+    from .operators.classifier import probe_train
+    from .streaming.ingest import stream_probe_score
+    from .suite_feat import _CLS1_FEATS, _cls1_features, _probe_features
+
+    feat = _cls1_features(spark, sf_dir)
+    train = feat.filter(F.col("doc_id") % 2 == 0).cache()
+    w = probe_train(train, _CLS1_FEATS, "y", iterations=3, lr_den=100)
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    d = _scratch_dir("sd21_feed", sf_dir)
+    sink = _scratch_dir("sd21_sink", sf_dir)
+    ck = _scratch_dir("sd21_ckpt", sf_dir)
+    mid = new.agg(
+        F.floor(F.avg("doc_id")).cast("long").alias("m")
+    ).collect()[0]["m"]
+    _write_ordered_feed(
+        d,
+        new.filter(F.col("doc_id") <= mid),
+        new.filter(F.col("doc_id") > mid),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_probe_score(
+        _probe_features(stream), w, _CLS1_FEATS, sink, ck
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.read.parquet(sink).select("doc_id", "p", "pred")
+
+
 QUERIES = {
     'sd18_stream_index_enrich': q_sd18_stream_index_enrich,
     'sd19_stream_index_autorefresh': q_sd19_stream_index_autorefresh,
     'sd20_stream_dedup_index': q_sd20_stream_dedup_index,
+    'sd21_stream_probe_filter': q_sd21_stream_probe_filter,
     'sd17_stream_distinct': q_sd17_stream_distinct,
     'sd16_stream_quarantine': q_sd16_stream_quarantine,
     'sd15_stream_pit_enrich': q_sd15_stream_pit_enrich,
@@ -1328,3 +1377,12 @@ ORACLE_SQL["sd17_stream_distinct"] = f"""
            TRUE AS within_tolerance
     FROM w GROUP BY win_us, event_type
 """
+
+
+# sd21: train on the even half (unrolled GD), score the odd half — the
+# cls1 oracle builder parameterized (suite_feat._cls1_sql).
+from .suite_feat import _cls1_sql as _CLS1_SQL_BUILDER  # noqa: E402
+
+ORACLE_SQL["sd21_stream_probe_filter"] = _CLS1_SQL_BUILDER(
+    train_where="doc_id % 2 = 0", output="scores"
+)

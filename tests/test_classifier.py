@@ -84,3 +84,43 @@ class TestProbeScore:
         df = _frame(spark, n=4)
         with pytest.raises(ValueError, match="mismatch"):
             probe_score(df, [1, 2, 3], FEATS)
+
+
+class TestStreamProbeScore:
+    def test_stream_equals_batch_and_min_p_gates(self, spark, tmp_path):
+        from ml_feature_store_spark.streaming.ingest import (
+            stream_probe_score,
+        )
+
+        rows = [(i, 1, i - 10) for i in range(20)]
+        df = spark.createDataFrame(rows, ["id", "x0", "x1"])
+        feed = str(tmp_path / "feed")
+        df.write.parquet(feed)
+        w = [0, SCALE // 10]
+
+        stream = spark.readStream.schema("id long, x0 long, x1 long").parquet(
+            feed
+        )
+        sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+        q = stream_probe_score(stream, w, FEATS, sink, ck)
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r["id"], r["p"], r["pred"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r["id"], r["p"], r["pred"])
+            for r in probe_score(df, w, FEATS).collect()
+        }
+        assert got == want
+
+        # the admit gate drops below-threshold rows in-stream
+        sink2, ck2 = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+        q = stream_probe_score(
+            stream, w, FEATS, sink2, ck2, min_p=SCALE // 2
+        )
+        q.awaitTermination(120)
+        q.stop()
+        admitted = {r["id"] for r in spark.read.parquet(sink2).collect()}
+        assert admitted == {i for i, p, pred in want if p >= SCALE // 2}
