@@ -413,6 +413,7 @@ def stream_index_enrich(
     nprobe: int | None = None,
     refine: int | None = None,
     drift_threshold: float | None = None,
+    max_fragments: int = 16,
 ):
     """Streaming ANN enrichment through a PERSISTED vector index: each
     micro-batch of query vectors resolves via ``store.knn_batch`` —
@@ -467,6 +468,14 @@ def stream_index_enrich(
     unconditional r11 fold behavior. Only meaningful with
     ``refresh='auto'``.
 
+    ``max_fragments`` (round-12) — auto-refresh appends one delta-only
+    state FRAGMENT per fold (append-mode refresh), so a long-lived
+    stream would grow the serving union without bound; when the chain
+    reaches this length the fold is followed by
+    ``compact_vector_index`` (serving-invariant, publish-then-prune) —
+    the stream is its own maintenance job. Only meaningful with
+    ``refresh='auto'``.
+
     Scale (100 TB): per-batch cost is |batch| x nprobe probe rows
     joined against only the probed cells/buckets of the encoded table —
     partition the state table by the probe key and each micro-batch
@@ -497,6 +506,11 @@ def stream_index_enrich(
                         f"create_vector_index()."
                     )
             store.refresh_vector_index(index)
+            if (
+                store.get_vector_index_info(index)["n_fragments"]
+                >= max_fragments
+            ):
+                store.compact_vector_index(index)
         out = store.knn_batch(
             index,
             batch_df,
@@ -529,6 +543,7 @@ def stream_dedup_enrich(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     refresh: str = "strict",
+    max_fragments: int = 16,
 ):
     """Streaming ingest dedup THROUGH the persisted signature index
     (round-12) — the dedup twin of :func:`stream_index_enrich`:
@@ -558,6 +573,10 @@ def stream_dedup_enrich(
 
     ``max_bucket_size`` passes through (the hot-bucket boilerplate cap
     — SKEW.md); exactly-once via per-batch overwrite (sd9/io18).
+    ``max_fragments``: each auto fold appends a delta-only signature
+    fragment — at this chain length the fold compacts
+    (``compact_dedup_index``, serving-invariant), so a long-lived
+    stream bounds its own state layout.
 
     Scale (100 TB): per-batch cost is signing the BATCH (explode +
     partial agg) + the bucket equi join against ~200 B/doc of stored
@@ -573,6 +592,11 @@ def stream_dedup_enrich(
     def _enrich(batch_df: DataFrame, batch_id: int) -> None:
         if refresh == "auto" and store.dedup_index_stale(index):
             store.refresh_dedup_index(index)
+            if (
+                store.get_dedup_index_info(index)["n_fragments"]
+                >= max_fragments
+            ):
+                store.compact_dedup_index(index)
         out = store.dedup_batch(
             index,
             batch_df,

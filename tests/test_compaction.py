@@ -179,3 +179,50 @@ class TestDedupFragments:
             ).collect()
         }
         assert frag == comp
+
+
+class TestStreamAutoCompaction:
+    """Round-12: the auto-refresh hot loop appends a fragment per fold;
+    max_fragments makes the stream its own maintenance job."""
+
+    def test_auto_fold_compacts_at_threshold(self, spark, docs, tmp_path):
+        from ml_feature_store_spark.streaming.ingest import (
+            stream_dedup_enrich,
+        )
+
+        fs = FeatureStore(spark)
+        fs.register("corpus", docs.filter("entity_id % 4 != 0"))
+        fs.create_dedup_index("dd", "corpus")
+        extra = docs.filter("entity_id % 4 = 2").limit(5).select(
+            (F.col("entity_id") + 500_000).alias("entity_id"),
+            "timestamp", "text",
+        )
+        fs.append("corpus", extra)
+        new = docs.filter("entity_id % 4 = 0").select(
+            F.col("entity_id").alias("doc_id"), "text"
+        )
+        feed, sink, ck = (str(tmp_path / n) for n in ("f", "s", "c"))
+        new.coalesce(1).write.parquet(feed)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # threshold 2: the auto fold takes the chain to 2 fragments and
+        # must immediately compact back to 1 — the serving manifest is
+        # unchanged either way (compaction is serving-invariant)
+        q = stream_dedup_enrich(
+            stream, fs, "dd", sink, ck, id_col="doc_id",
+            content_col="text", refresh="auto", max_fragments=2,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        assert fs.get_dedup_index_info("dd")["n_fragments"] == 1
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(sink).drop("batch_id").collect()
+        }
+        want = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
+        assert got == want
