@@ -207,6 +207,12 @@ class FeatureStore:
         # content_col, params, watermark, src_rows, src_version,
         # data_version}; the signatures are a backend state table
         self._dedup_indexes: dict[str, dict[str, Any]] = reg["dedup_indexes"]
+        # trained linear-probe models (round-12): name -> {src,
+        # feature_exprs, label_expr, weights, hyperparams, provenance}.
+        # The whole model IS the spec — an int64 weight vector is
+        # registry-sized, so no backend state table is needed; scoring
+        # inlines the weights as plan literals.
+        self._probes: dict[str, dict[str, Any]] = reg["probes"]
 
     # ------------------------------------------------------------------ #
     # catalog
@@ -288,6 +294,8 @@ class FeatureStore:
                         if self._backend.exists(vname):
                             self._backend.drop_table(vname)
                             dropped_tables.append(vname)
+                elif kind == "probe":
+                    self._probes.pop(n, None)
                 elif kind == "dedup index":
                     self._dedup_indexes.pop(n, None)
                     dn = n + self._DINDEX_DATA_SUFFIX
@@ -3648,6 +3656,153 @@ class FeatureStore:
             spec, index + self._DINDEX_DATA_SUFFIX
         )
 
+    # ------------------------------------------------------------------ #
+    # trained linear probes (round-12): the corpus-filter model as a
+    # registry-managed, provenance-pinned artifact
+    # ------------------------------------------------------------------ #
+    def create_probe(
+        self,
+        name: str,
+        table: str,
+        feature_exprs: dict[str, str],
+        label_expr: str,
+        iterations: int = 3,
+        lr_den: int = 100,
+        scale: int = 1_000_000,
+    ) -> dict[str, Any]:
+        """Train the integer linear probe (operators/classifier.py) on
+        ``table``'s CURRENT snapshot and persist the model in the
+        registry — the corpus-filter lifecycle the cls1/sd21 lanes run
+        ad hoc, made a named, auditable artifact (the fastText-filter
+        analog of the vector-index tier, sized to fit the spec itself:
+        the whole model is one int64 vector, so there is no state
+        table, no staleness surface on the SERVING side, and scoring
+        anywhere — batch, stream, another process — inlines the frozen
+        weights as plan literals).
+
+        ``feature_exprs``: {output_name: SQL expr over the table's
+        columns} — stored verbatim so ``score_with_probe`` can apply
+        the identical projection to ANY frame with the raw columns
+        (include the constant bias and the centering offsets in the
+        exprs; see the classifier docstring for why centering is
+        load-bearing). ``label_expr``: SQL expr producing the 0/1
+        training label. Provenance pinned: source version/rows at
+        train time + train accuracy; ``probe_stale`` reports source
+        drift as a RETRAIN hint (a frozen probe never refuses to serve
+        — unlike an index, its output does not claim corpus
+        coverage). Returns the stored spec."""
+        from .operators.classifier import probe_score, probe_train
+
+        if not feature_exprs:
+            raise FeatureValidationError(
+                "create_probe: feature_exprs must be non-empty"
+            )
+        self._assert_registry_current(f"create_probe('{name}')")
+        src_version, src_rows, _wm, raw = self._pin_source(table)
+        cols = list(feature_exprs)
+        feat = raw.select(
+            *[F.expr(e).cast("long").alias(c)
+              for c, e in feature_exprs.items()],
+            F.expr(label_expr).cast("int").alias("__y__"),
+        )
+        feat = feat.cache()
+        try:
+            weights = probe_train(
+                feat, cols, "__y__",
+                iterations=iterations, lr_den=lr_den, scale=scale,
+            )
+            scored = probe_score(feat, weights, cols, scale)
+            acc_row = scored.agg(
+                F.floor(
+                    F.avg(
+                        (F.col("pred") == F.col("__y__")).cast("double")
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long").alias("a")
+            ).collect()[0]
+        finally:
+            feat.unpersist()
+        prev = self._probes.get(name)
+        self._probes[name] = {
+            "src": table,
+            "feature_exprs": dict(feature_exprs),
+            "label_expr": label_expr,
+            "weights": [int(w) for w in weights],
+            "iterations": int(iterations),
+            "lr_den": int(lr_den),
+            "scale": int(scale),
+            "src_rows": int(src_rows),
+            "src_version": int(src_version),
+            "train_accuracy_ppm": int(acc_row["a"]),
+        }
+        try:
+            self._save_registry()
+        except BaseException:
+            if prev is None:
+                self._probes.pop(name, None)
+            else:
+                self._probes[name] = prev
+            raise
+        return dict(self._probes[name])
+
+    def score_with_probe(self, name: str, df: DataFrame) -> DataFrame:
+        """Score ANY frame holding the probe's raw input columns: apply
+        the stored feature exprs (pure projection) + the frozen
+        weights — map-only, no shuffle, usable on batch and streaming
+        frames alike (the sd21 path through the registry). Adds the
+        feature columns, ``p`` (fixed-point score) and ``pred``."""
+        from .operators.classifier import probe_score
+
+        spec = self._probes.get(name)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown probe: '{name}'")
+        cols = list(spec["feature_exprs"])
+        feat = df.select(
+            "*",
+            *[F.expr(e).cast("long").alias(c)
+              for c, e in spec["feature_exprs"].items()],
+        )
+        return probe_score(feat, spec["weights"], cols, spec["scale"])
+
+    def probe_stale(self, name: str) -> bool:
+        """Has the training source moved since the model trained? —
+        metadata-only (version + row count), the RETRAIN hint. Serving
+        never refuses on it: a probe scores rows one at a time and
+        claims nothing about corpus coverage (contrast the index tier,
+        where staleness means silently missing neighbors)."""
+        spec = self._probes.get(name)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown probe: '{name}'")
+        src_meta = self._backend.meta(spec["src"])
+        cur_rows = src_meta.versions[src_meta.version].row_count
+        return (
+            src_meta.version != spec["src_version"]
+            or cur_rows != spec["src_rows"]
+        )
+
+    def get_probe_info(self, name: str) -> dict[str, Any]:
+        spec = self._probes.get(name)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown probe: '{name}'")
+        return {**spec, "feature_exprs": dict(spec["feature_exprs"])}
+
+    def list_probes(self) -> list[str]:
+        return sorted(self._probes)
+
+    def drop_probe(self, name: str) -> bool:
+        """Release the spec; False if absent (the ``delete`` contract).
+        No state tables to drop — the model lives in the registry."""
+        spec = self._probes.pop(name, None)
+        if spec is None:
+            return False
+        try:
+            self._save_registry()
+        except BaseException:
+            self._probes[name] = spec
+            raise
+        return True
+
     def _prepare_dataframe(self, df: DataFrame) -> DataFrame:
         ts_type = dict(df.dtypes)[TIMESTAMP_COL]
         out = df
@@ -5178,7 +5333,7 @@ class FeatureStore:
         out: dict[str, dict] = {
             "derived": {}, "services": {}, "rollups": {}, "ttl": {},
             "online": {}, "datasets": {}, "window_views": {},
-            "vector_indexes": {}, "dedup_indexes": {},
+            "vector_indexes": {}, "dedup_indexes": {}, "probes": {},
         }
         # generation this instance's in-memory view derives from: every
         # save CAS-checks the file against it (round-9 verdict item 3 —
@@ -5302,6 +5457,19 @@ class FeatureStore:
                 ),
                 "rewritten": bool(s.get("rewritten", False)),
             }
+        for n, s in raw.get("probes", {}).items():
+            out["probes"][n] = {
+                "src": s["src"],
+                "feature_exprs": dict(s["feature_exprs"]),
+                "label_expr": s["label_expr"],
+                "weights": [int(w) for w in s["weights"]],
+                "iterations": int(s["iterations"]),
+                "lr_den": int(s["lr_den"]),
+                "scale": int(s["scale"]),
+                "src_rows": int(s["src_rows"]),
+                "src_version": int(s["src_version"]),
+                "train_accuracy_ppm": int(s["train_accuracy_ppm"]),
+            }
         return out
 
     def _save_registry(self) -> None:
@@ -5402,6 +5570,7 @@ class FeatureStore:
                         "window_views": self._window_views,
                         "vector_indexes": self._vector_indexes,
                         "dedup_indexes": self._dedup_indexes,
+                        "probes": self._probes,
                     },
                     indent=2,
                 ),
@@ -5466,6 +5635,11 @@ class FeatureStore:
         refs += [
             ("dedup index", n)
             for n, s in sorted(self._dedup_indexes.items())
+            if s["src"] == table
+        ]
+        refs += [
+            ("probe", n)
+            for n, s in sorted(self._probes.items())
             if s["src"] == table
         ]
         return refs

@@ -720,8 +720,47 @@ def q_cls1_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cls2_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter model as a REGISTRY artifact (round-12;
+    store.create_probe / score_with_probe): the probe trains once on
+    the labeled half (even doc_ids) and persists IN the registry —
+    feature exprs stored verbatim, int64 weights, provenance
+    (src version/rows, train accuracy) pinned; any process then scores
+    any frame holding the raw columns with the frozen weights as plan
+    literals (map-only). This lane scores the odd half THROUGH the
+    stored spec — same fixpoint as sd21's ad-hoc train, so the
+    parameterized cls1 oracle pins the registry path end to end. The
+    artifact answer to "which model filtered this corpus?": a named,
+    versioned spec, not a notebook variable."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+        "n_chars",
+    )
+    fs = FeatureStore(spark)
+    fs.register("labeled", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_probe(
+        "quality",
+        "labeled",
+        feature_exprs={
+            "x0": "1",
+            "x1": "size(split(text, ' ')) - 54",
+            "x2": "size(array_distinct(split(text, ' '))) - 23",
+            "x3": "size(filter(split(text, ' '), t -> length(t) <= 2)) - 2",
+        },
+        label_expr="CASE WHEN n_chars > 300 THEN 1 ELSE 0 END",
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return fs.score_with_probe("quality", new).select("doc_id", "p", "pred")
+
+
 QUERIES = {
     'cls1_linear_probe': q_cls1_linear_probe,
+    'cls2_stored_probe': q_cls2_stored_probe,
     'cv1_purged_walkforward': q_cv1_purged_walkforward,
     'fe9_woe_encoding': q_fe9_woe_encoding,
     'x18_negative_sampling': q_x18_negative_sampling,
@@ -1372,3 +1411,10 @@ def _cls1_sql(
 
 
 ORACLE_SQL["cls1_linear_probe"] = _cls1_sql()
+
+
+# cls2: the registry path serves the SAME fixpoint as the ad-hoc train
+# — the parameterized builder replays train-on-evens, score-odds.
+ORACLE_SQL["cls2_stored_probe"] = _cls1_sql(
+    train_where="doc_id % 2 = 0", output="scores"
+)

@@ -124,3 +124,77 @@ class TestStreamProbeScore:
         q.stop()
         admitted = {r["id"] for r in spark.read.parquet(sink2).collect()}
         assert admitted == {i for i, p, pred in want if p >= SCALE // 2}
+
+
+class TestProbeRegistry:
+    """Round-12: the trained probe as a registry-managed artifact —
+    create/score/stale/info/list/drop + persistence + delete guard."""
+
+    EXPRS = {"x0": "1", "x1": "feature_b - 10"}
+    LABEL = "CASE WHEN feature_a >= 2.5 THEN 1 ELSE 0 END"
+
+    def _feats(self, spark):
+        import datetime as dt
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), float(i % 5), i % 20)
+            for i in range(100)
+        ]
+        return spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "feature_a", "feature_b"]
+        )
+
+    def test_train_persist_score_roundtrip(self, spark, tmp_path):
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark, storage_path=str(tmp_path))
+        fs.register("t", self._feats(spark))
+        spec = fs.create_probe("q", "t", self.EXPRS, self.LABEL)
+        assert spec["weights"] != [0, 0]
+        assert 0 <= spec["train_accuracy_ppm"] <= 1_000_000
+        assert not fs.probe_stale("q")
+
+        scored = fs.score_with_probe("q", self._feats(spark))
+        assert {"p", "pred"} <= set(scored.columns)
+
+        # a new process serves the identical scores from the registry
+        fs2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert fs2.list_probes() == ["q"]
+        a = scored.select("entity_id", "p").collect()
+        b = fs2.score_with_probe("q", self._feats(spark)).select(
+            "entity_id", "p"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_stale_is_a_retrain_hint_not_a_refusal(self, spark):
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        fs.register("t", self._feats(spark))
+        fs.create_probe("q", "t", self.EXPRS, self.LABEL)
+        fs.append("t", self._feats(spark).limit(3))
+        assert fs.probe_stale("q")
+        # serving still works — a probe claims no corpus coverage
+        assert fs.score_with_probe("q", self._feats(spark)).count() == 100
+
+    def test_delete_guard_and_drop(self, spark):
+        from ml_feature_store_spark.errors import FeatureValidationError
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        fs.register("t", self._feats(spark))
+        fs.create_probe("q", "t", self.EXPRS, self.LABEL)
+        with pytest.raises(FeatureValidationError, match="probe"):
+            fs.delete("t")
+        assert fs.delete("t", cascade=True)
+        assert fs.list_probes() == []
+        assert fs.drop_probe("q") is False
+
+    def test_empty_exprs_refuse(self, spark):
+        from ml_feature_store_spark.errors import FeatureValidationError
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        fs.register("t", self._feats(spark))
+        with pytest.raises(FeatureValidationError, match="non-empty"):
+            fs.create_probe("q", "t", {}, self.LABEL)
