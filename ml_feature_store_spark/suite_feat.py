@@ -1320,7 +1320,8 @@ def _cls1_sql(
     lr_den: int = 100,
     train_where: str = "",
     output: str = "confusion",
-) -> str:
+    return_parts: bool = False,
+) -> str | tuple[str, str, str]:
     """Unrolled-iteration replay of cls1's integer GD fixpoint: weights
     CTE i cross-joins into gradient CTE i+1 (1-row frames), exactly the
     driver loop's data flow. All arithmetic is BIGINT + one IEEE double
@@ -1390,6 +1391,11 @@ def _cls1_sql(
         prev_w = f"w{i}"
     pfin = p(z(prev_w))
     joined = ",\n    ".join(ctes)
+    if return_parts:
+        # (CTE chain, final-p expr over alias f, final weights CTE name)
+        # — lets a composed oracle (pipe4) weld the GD replay into a
+        # larger WITH block
+        return joined, pfin, prev_w
     if output == "scores":
         if not train_where:
             raise ValueError("output='scores' requires train_where")

@@ -916,6 +916,65 @@ def q_x35_dedup_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe4_artifact_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation through PERSISTED artifacts (round-12) — pipe3's
+    flagship composition re-run the way a production pipeline actually
+    ships it: every model in the flow is a named, versioned registry
+    artifact, not a notebook variable. One registered labeled corpus
+    (even doc_ids) backs BOTH artifacts — `create_probe` trains the
+    quality filter (integer-GD weights + provenance in the spec) and
+    `create_dedup_index` signs the corpus once into the stored
+    signature tier. The incoming batch (odd doc_ids) then flows
+    through: (1) map-only probe scoring with the frozen weights as
+    plan literals; (2) the stored-bucket dedup screen (exact-hash semi
+    join + band-candidate verify — the corpus is never re-signed).
+    Output: one admission manifest per incoming doc — quality score,
+    probe verdict, exact/fuzzy dup flags, and the final keep decision
+    (admit = predicted-quality AND no duplicate). Oracle: the
+    parameterized GD replay welded to the portable MinHash machinery
+    in one WITH block."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+        "n_chars",
+    )
+    fs = FeatureStore(spark)
+    fs.register("labeled", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.create_probe(
+        "quality",
+        "labeled",
+        feature_exprs={
+            "x0": "1",
+            "x1": "size(split(text, ' ')) - 54",
+            "x2": "size(array_distinct(split(text, ' '))) - 23",
+            "x3": "size(filter(split(text, ' '), t -> length(t) <= 2)) - 2",
+        },
+        label_expr="CASE WHEN n_chars > 300 THEN 1 ELSE 0 END",
+    )
+    fs.create_dedup_index("dd", "labeled", content_col="text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    scored = fs.score_with_probe("quality", new).select(
+        "doc_id", "p", "pred"
+    )
+    manifest = fs.dedup_batch(
+        "dd", new, id_col="doc_id", content_col="text", threshold=0.5
+    ).select("doc_id", "is_exact_dup", "n_fuzzy")
+    out = scored.join(manifest, "doc_id")
+    keep = (
+        (F.col("pred") == 1)
+        & (F.col("is_exact_dup") == 0)
+        & (F.col("n_fuzzy") == 0)
+    )
+    return out.select(
+        "doc_id", "p", "pred", "is_exact_dup", "n_fuzzy",
+        keep.cast("int").alias("keep"),
+    )
+
+
 def q_x41_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-index compaction (round-12): the odd half folds in as a
     delta-only state FRAGMENT (refresh I/O = O(delta) — the stored
@@ -1565,6 +1624,7 @@ QUERIES = {
     'x39_dedup_simhash_index': q_x39_dedup_simhash_index,
     'x40a_dedup_recall_minhash': q_x40a_dedup_recall_minhash,
     'x41_dedup_index_compact': q_x41_dedup_index_compact,
+    'pipe4_artifact_curation': q_pipe4_artifact_curation,
     'x40b_dedup_recall_simhash': q_x40b_dedup_recall_simhash,
 }
 
@@ -2823,3 +2883,59 @@ ORACLE_SQL["x40b_dedup_recall_simhash"] = f"""
 # signature set after (fragmented refresh -> compact) equals the
 # from-scratch replay, so x35's oracle pins it verbatim.
 ORACLE_SQL["x41_dedup_index_compact"] = ORACLE_SQL["x35_dedup_index_refresh"]
+
+
+# pipe4: the GD replay (train on evens) welded to the portable MinHash
+# machinery — scores, exact/fuzzy dup screen and the keep decision in
+# one WITH block over the odd half.
+def _pipe4_sql() -> str:
+    from .suite_feat import _cls1_sql
+
+    cls_ctes, pfin, wname = _cls1_sql(
+        train_where="doc_id % 2 = 0", return_parts=True
+    )
+    return f"""
+    WITH {cls_ctes},
+    {_MH_CTES},
+    scores AS (
+        SELECT f.doc_id, CAST({pfin} AS BIGINT) AS p,
+               CASE WHEN {pfin} >= 500000 THEN 1 ELSE 0 END AS pred
+        FROM feat f CROSS JOIN {wname}
+        WHERE f.doc_id % 2 = 1
+    ),
+    crossc AS (
+        SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS new_id,
+               CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS old_id
+        FROM cand WHERE (id_a % 2 = 1) <> (id_b % 2 = 1)
+    ),
+    ds AS (SELECT doc_id, list_distinct(shs) AS d FROM sh),
+    ver AS (
+        SELECT c.new_id
+        FROM crossc c
+        JOIN ds da ON da.doc_id = c.new_id
+        JOIN ds db ON db.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(da.d, db.d)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.d, db.d))) >= 0.5
+    ),
+    fz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy
+           FROM ver GROUP BY new_id),
+    hx2 AS (SELECT doc_id, md5(lower(trim(text))) AS hh, doc_id % 2 = 1 AS nw
+            FROM documents),
+    exacts AS (
+        SELECT DISTINCT n.doc_id FROM hx2 n
+        WHERE n.nw AND n.hh IN (SELECT hh FROM hx2 WHERE NOT nw)
+    )
+    SELECT s.doc_id, s.p, s.pred,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_exact_dup,
+           COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+           CASE WHEN s.pred = 1 AND e.doc_id IS NULL
+                 AND COALESCE(fz.n_fuzzy, 0) = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM scores s
+    LEFT JOIN exacts e ON e.doc_id = s.doc_id
+    LEFT JOIN fz ON fz.new_id = s.doc_id
+    """
+
+
+ORACLE_SQL["pipe4_artifact_curation"] = _pipe4_sql()
