@@ -3758,6 +3758,16 @@ class FeatureStore:
         if spec is None:
             raise FeatureStoreError(f"Unknown probe: '{name}'")
         cols = list(spec["feature_exprs"])
+        clash = sorted(set(cols) & set(df.columns))
+        if clash:
+            # the stored exprs would silently shadow (or ambiguate)
+            # the caller's columns — refuse loudly (the same
+            # reserved-name guard the composite-key index build wears)
+            raise FeatureValidationError(
+                f"score_with_probe('{name}'): input columns {clash} "
+                f"collide with the probe's feature names — rename them "
+                f"or retrain the probe with different feature keys."
+            )
         feat = df.select(
             "*",
             *[F.expr(e).cast("long").alias(c)

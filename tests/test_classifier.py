@@ -10,6 +10,7 @@ malformed inputs.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ml_feature_store_spark.operators.classifier import (
     SCALE,
@@ -198,3 +199,14 @@ class TestProbeRegistry:
         fs.register("t", self._feats(spark))
         with pytest.raises(FeatureValidationError, match="non-empty"):
             fs.create_probe("q", "t", {}, self.LABEL)
+
+    def test_feature_name_collision_refuses(self, spark):
+        from ml_feature_store_spark.errors import FeatureValidationError
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        fs.register("t", self._feats(spark))
+        fs.create_probe("q", "t", self.EXPRS, self.LABEL)
+        clashing = self._feats(spark).withColumn("x1", F.lit(0))
+        with pytest.raises(FeatureValidationError, match="collide"):
+            fs.score_with_probe("q", clashing)
