@@ -1297,6 +1297,103 @@ class FeatureStore:
         getattr(writer, format)(path)
         return row_count()
 
+    def export_training_shards(
+        self,
+        name: str,
+        path: str,
+        n_shards: int,
+        shard_key: str = ENTITY_COL,
+        seed: int = 42,
+    ) -> dict[str, Any]:
+        """Export a table's current snapshot as N DETERMINISTIC training
+        shards + an integrity manifest — the last mile of the pipeline:
+        hand the curated corpus to the training job. Assignment is a
+        seeded portable hash (md5 of key+seed → pmod n), so it is a
+        pure function of (row key, seed, n): re-exports, engine swaps
+        and partial re-runs land every row in the SAME shard (the
+        reproducible-epoch property; rand() could never give it), and
+        rows are sorted by the hash WITHIN each shard — the seeded
+        global shuffle training wants (shuf1's semantics as a store
+        surface). Layout: ``path/shard=K/*.parquet``, one write task
+        per shard (repartition on the shard id), plus an atomic
+        ``_manifest.json`` with per-shard row counts and key checksums
+        — the training job verifies its read against the manifest, and
+        a crashed export has no manifest (the io18 visibility
+        discipline with the built-in committer).
+
+        At 100 TB: assignment + sort is ONE hash-partitioned exchange
+        (the unavoidable global shuffle of a permutation export); the
+        manifest adds one column-pruned partial-agg pass over (shard,
+        key) — n_shards rows out. Returns the manifest dict."""
+        if n_shards < 1:
+            raise FeatureValidationError(
+                f"export_training_shards('{name}'): n_shards must be "
+                f">= 1, got {n_shards}"
+            )
+        df = self._current(name)
+        if shard_key not in df.columns:
+            raise FeatureValidationError(
+                f"export_training_shards('{name}'): shard_key "
+                f"'{shard_key}' not in columns {sorted(df.columns)}"
+            )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-", F.col(shard_key).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = df.select(
+            *[c for c in df.columns if not c.startswith("__")],
+            h.alias("__h__"),
+            F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+        )
+        (
+            out.repartition(int(n_shards), F.col("shard"))
+            .sortWithinPartitions("shard", "__h__")
+            .drop("__h__")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        counts = (
+            out.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("__h__").cast("long").alias("key_checksum"),
+            )
+            .collect()
+        )
+        shards = {
+            int(r["shard"]): {
+                "n_rows": int(r["n_rows"]),
+                "key_checksum": int(r["key_checksum"]),
+            }
+            for r in counts
+        }
+        manifest = {
+            "table": name,
+            "n_shards": int(n_shards),
+            "shard_key": shard_key,
+            "seed": int(seed),
+            "total_rows": sum(v["n_rows"] for v in shards.values()),
+            "shards": {str(k): shards[k] for k in sorted(shards)},
+        }
+        import json as _json
+        from pathlib import Path as _Path
+
+        self._atomic_write_text(
+            _Path(path) / "_manifest.json", _json.dumps(manifest, indent=2)
+        )
+        return manifest
+
     # ------------------------------------------------------------------ #
     # saved datasets (Feast SavedDataset: materialized training sets)
     # ------------------------------------------------------------------ #

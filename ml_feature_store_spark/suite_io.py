@@ -622,7 +622,51 @@ def q_io19_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_io20_training_shards_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STORE-LEVEL deterministic shard export (round-12;
+    store.export_training_shards): the curated corpus lands as
+    ``shard=K`` parquet dirs + an atomic integrity manifest — the
+    hand-off to the training job (shuf1 proves the seeded-permutation
+    SEMANTICS as a query; this witnesses the ARTIFACT: real files, real
+    manifest, store-managed). The witness registers documents, exports
+    8 shards, READS THE WRITTEN FILES BACK and rolls them up per shard
+    alongside the manifest's own counts — a dropped row, a double
+    write, or an assignment drift between manifest and data breaks the
+    hash. Oracle: the portable md5 assignment replayed relationally.
+    Scale: one hash-partitioned exchange (the unavoidable shuffle of a
+    permutation export) + an n_shards-row manifest agg."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "n_chars",
+    )
+    fs = FeatureStore(spark)
+    fs.register("corpus", feats)
+    d = _scratch_dir("io20_shards", sf_dir) + "/out"
+    manifest = fs.export_training_shards("corpus", d, n_shards=8)
+    back = spark.read.parquet(d)
+    per_shard = back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("entity_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    mrows = [
+        (int(k), int(v["n_rows"]), int(v["key_checksum"]))
+        for k, v in manifest["shards"].items()
+    ]
+    mdf = spark.createDataFrame(
+        mrows, "shard int, manifest_n long, manifest_checksum long"
+    )
+    return per_shard.join(mdf, "shard")
+
+
 QUERIES = {
+    'io20_training_shards_export': q_io20_training_shards_export,
     'io1_csv_roundtrip': q_io1_csv_roundtrip,
     'io2_json_roundtrip': q_io2_json_roundtrip,
     'io3_orc_roundtrip': q_io3_orc_roundtrip,
@@ -830,4 +874,25 @@ ORACLE_SQL["io19_bucket_pruning"] = f"""
            CAST(MAX(event_id) AS BIGINT) AS max_event_id
     FROM e WHERE user_id = 7
     GROUP BY event_type
+"""
+
+
+# io20: the portable md5 shard assignment replayed relationally — the
+# manifest columns must agree with the read-back data (the lane joins
+# them), so the oracle computes BOTH from the same assignment.
+ORACLE_SQL["io20_training_shards_export"] = """
+    WITH a AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-42'), 1, 8))
+                   ::BIGINT AS h
+        FROM documents
+    ),
+    s AS (SELECT doc_id, n_chars, h, CAST(h % 8 AS INT) AS shard FROM a)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(*) AS BIGINT) AS manifest_n,
+           CAST(SUM(h) AS BIGINT) AS manifest_checksum
+    FROM s GROUP BY shard
 """

@@ -210,3 +210,79 @@ class TestProbeRegistry:
         clashing = self._feats(spark).withColumn("x1", F.lit(0))
         with pytest.raises(FeatureValidationError, match="collide"):
             fs.score_with_probe("q", clashing)
+
+
+class TestExportTrainingShards:
+    """store.export_training_shards: deterministic assignment, manifest
+    == data, refusals."""
+
+    def _store(self, spark, tmp_path):
+        import datetime as dt
+
+        from ml_feature_store_spark.store import FeatureStore
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), i * 10) for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "feature_b"]
+        )
+        fs = FeatureStore(spark)
+        fs.register("t", df)
+        return fs
+
+    def test_manifest_matches_data_and_is_deterministic(
+        self, spark, tmp_path
+    ):
+        import json
+
+        fs = self._store(spark, tmp_path)
+        p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        m1 = fs.export_training_shards("t", p1, n_shards=4)
+        m2 = fs.export_training_shards("t", p2, n_shards=4)
+        assert m1["shards"] == m2["shards"]  # pure function of (key, seed)
+        assert m1["total_rows"] == 200
+        disk = json.loads((tmp_path / "e1" / "_manifest.json").read_text())
+        assert disk["shards"] == m1["shards"]
+        back = spark.read.parquet(p1)
+        got = {
+            int(r["shard"]): r["n"]
+            for r in back.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert got == {
+            int(k): v["n_rows"] for k, v in m1["shards"].items()
+        }
+        # a different seed produces a different permutation
+        m3 = fs.export_training_shards(
+            "t", str(tmp_path / "e3"), n_shards=4, seed=7
+        )
+        assert m3["shards"] != m1["shards"]
+
+    def test_rows_sorted_by_hash_within_shard(self, spark, tmp_path):
+        fs = self._store(spark, tmp_path)
+        p = str(tmp_path / "e")
+        fs.export_training_shards("t", p, n_shards=2)
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        f = next(Path(p, "shard=0").glob("*.parquet"))
+        ids = pq.read_table(f, columns=["entity_id"])["entity_id"].to_pylist()
+        import hashlib
+
+        def h(e):
+            return int(hashlib.md5(f"{e}-42".encode()).hexdigest()[:8], 16)
+
+        assert ids == sorted(ids, key=h)
+
+    def test_refusals(self, spark, tmp_path):
+        from ml_feature_store_spark.errors import FeatureValidationError
+
+        fs = self._store(spark, tmp_path)
+        with pytest.raises(FeatureValidationError, match="n_shards"):
+            fs.export_training_shards("t", str(tmp_path / "x"), n_shards=0)
+        with pytest.raises(FeatureValidationError, match="shard_key"):
+            fs.export_training_shards(
+                "t", str(tmp_path / "x"), n_shards=2, shard_key="nope"
+            )
