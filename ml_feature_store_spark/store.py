@@ -3888,6 +3888,77 @@ class FeatureStore:
             or cur_rows != spec["src_rows"]
         )
 
+    def probe_report(
+        self,
+        name: str,
+        table: str | None = None,
+        n_thresholds: int = 10,
+    ) -> DataFrame:
+        """Calibration report for a stored probe: per-threshold
+        confusion counts + precision/recall over a LABELED table (by
+        default the training source; pass a held-out table for the
+        honest number — the admit-gate threshold sweep that picks
+        ``min_p`` for stream_probe_score). One scan: score map-only,
+        broadcast the (n_thresholds+1)-row threshold dim, conditional
+        partial-agg per (threshold) — the shuffle carries
+        O(n_thresholds) rows per partition. Output: (threshold, tp,
+        fp, fn, tn, precision_ppm, recall_ppm); precision at a
+        threshold nothing clears is defined 1e6 (vacuously precise).
+        Integer end to end — replayable exactly."""
+        from .operators.classifier import probe_score
+
+        spec = self._probes.get(name)
+        if spec is None:
+            raise FeatureStoreError(f"Unknown probe: '{name}'")
+        if n_thresholds < 1:
+            raise FeatureValidationError(
+                f"probe_report('{name}'): n_thresholds must be >= 1"
+            )
+        src = self._current(table or spec["src"])
+        cols = list(spec["feature_exprs"])
+        feat = src.select(
+            *[F.expr(e).cast("long").alias(c)
+              for c, e in spec["feature_exprs"].items()],
+            F.expr(spec["label_expr"]).cast("int").alias("__y__"),
+        )
+        scored = probe_score(feat, spec["weights"], cols, spec["scale"])
+        scale = spec["scale"]
+        ths = self.spark.createDataFrame(
+            [(i * scale // n_thresholds,) for i in range(n_thresholds + 1)],
+            "threshold long",
+        )
+        j = scored.crossJoin(F.broadcast(ths))
+        pos = F.col("p") >= F.col("threshold")
+        y = F.col("__y__") == 1
+        out = j.groupBy("threshold").agg(
+            F.sum((pos & y).cast("long")).alias("tp"),
+            F.sum((pos & ~y).cast("long")).alias("fp"),
+            F.sum((~pos & y).cast("long")).alias("fn"),
+            F.sum((~pos & ~y).cast("long")).alias("tn"),
+        )
+        prec = F.when(
+            F.col("tp") + F.col("fp") == 0, F.lit(1_000_000).cast("long")
+        ).otherwise(
+            F.floor(
+                F.col("tp") * F.lit(1_000_000.0)
+                / (F.col("tp") + F.col("fp"))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        rec = F.when(
+            F.col("tp") + F.col("fn") == 0, F.lit(1_000_000).cast("long")
+        ).otherwise(
+            F.floor(
+                F.col("tp") * F.lit(1_000_000.0)
+                / (F.col("tp") + F.col("fn"))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        return out.select(
+            "threshold", "tp", "fp", "fn", "tn",
+            prec.alias("precision_ppm"), rec.alias("recall_ppm"),
+        )
+
     def get_probe_info(self, name: str) -> dict[str, Any]:
         spec = self._probes.get(name)
         if spec is None:

@@ -758,9 +758,46 @@ def q_cls2_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs.score_with_probe("quality", new).select("doc_id", "p", "pred")
 
 
+def q_dq18_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out calibration sweep for the stored probe (round-12;
+    store.probe_report): train on the labeled evens, report per-
+    threshold confusion + precision/recall over the HELD-OUT odds —
+    the threshold sweep that picks the admit gate's ``min_p``
+    honestly (reporting on the training half would flatter every
+    number). One scan of the held-out table: map-only scoring, an
+    11-row broadcast threshold dim, conditional partial aggs.
+    Integer end to end, so the oracle replays the sweep exactly on
+    top of the unrolled-GD fixpoint."""
+    from .store import FeatureStore
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        "text",
+        "n_chars",
+    )
+    fs = FeatureStore(spark)
+    fs.register("labeled", feats.filter(F.col("entity_id") % 2 == 0))
+    fs.register("heldout", feats.filter(F.col("entity_id") % 2 == 1))
+    fs.create_probe(
+        "quality",
+        "labeled",
+        feature_exprs={
+            "x0": "1",
+            "x1": "size(split(text, ' ')) - 54",
+            "x2": "size(array_distinct(split(text, ' '))) - 23",
+            "x3": "size(filter(split(text, ' '), t -> length(t) <= 2)) - 2",
+        },
+        label_expr="CASE WHEN n_chars > 300 THEN 1 ELSE 0 END",
+    )
+    return fs.probe_report("quality", table="heldout")
+
+
 QUERIES = {
     'cls1_linear_probe': q_cls1_linear_probe,
     'cls2_stored_probe': q_cls2_stored_probe,
+    'dq18_probe_calibration': q_dq18_probe_calibration,
     'cv1_purged_walkforward': q_cv1_purged_walkforward,
     'fe9_woe_encoding': q_fe9_woe_encoding,
     'x18_negative_sampling': q_x18_negative_sampling,
@@ -1424,3 +1461,44 @@ ORACLE_SQL["cls1_linear_probe"] = _cls1_sql()
 ORACLE_SQL["cls2_stored_probe"] = _cls1_sql(
     train_where="doc_id % 2 = 0", output="scores"
 )
+
+
+# dq18: the threshold sweep on top of the unrolled GD fixpoint — scores
+# of the held-out odds, cross-joined with the 11-row threshold dim.
+def _dq18_sql() -> str:
+    ctes, pfin, wname = _cls1_sql(
+        train_where="doc_id % 2 = 0", return_parts=True
+    )
+    return f"""
+    WITH {ctes},
+    sc AS (
+        SELECT f.y, CAST({pfin} AS BIGINT) AS p
+        FROM feat f CROSS JOIN {wname}
+        WHERE f.doc_id % 2 = 1
+    ),
+    th AS (SELECT CAST(i * 100000 AS BIGINT) AS threshold
+           FROM LATERAL unnest(generate_series(0, 10)) AS g(i)),
+    cm AS (
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN p >= t.threshold AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN p >= t.threshold AND y = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN p < t.threshold AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN p < t.threshold AND y = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM sc CROSS JOIN th t GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp = 0 THEN 1000000
+                ELSE floor(tp * 1000000.0 / (tp + fp) + 0.5)
+                END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN 1000000
+                ELSE floor(tp * 1000000.0 / (tp + fn) + 0.5)
+                END AS BIGINT) AS recall_ppm
+    FROM cm
+    """
+
+
+ORACLE_SQL["dq18_probe_calibration"] = _dq18_sql()

@@ -286,3 +286,46 @@ class TestExportTrainingShards:
             fs.export_training_shards(
                 "t", str(tmp_path / "x"), n_shards=2, shard_key="nope"
             )
+
+
+class TestProbeReport:
+    def test_sweep_is_monotone_and_consistent(self, spark):
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        import datetime as dt
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), float(i % 5), i % 20)
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "feature_a", "feature_b"]
+        )
+        fs.register("t", df)
+        fs.create_probe(
+            "q", "t", {"x0": "1", "x1": "feature_b - 10"},
+            "CASE WHEN feature_a >= 2.5 THEN 1 ELSE 0 END",
+        )
+        rep = {r["threshold"]: r for r in fs.probe_report("q").collect()}
+        assert len(rep) == 11
+        n = 100
+        for t, r in rep.items():
+            assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        # raising the threshold can only shrink the predicted-positive set
+        ths = sorted(rep)
+        for a, b in zip(ths, ths[1:]):
+            assert rep[b]["tp"] + rep[b]["fp"] <= rep[a]["tp"] + rep[a]["fp"]
+        # threshold 0 admits everything: recall 1e6
+        assert rep[0]["recall_ppm"] == 1_000_000
+
+    def test_refusals(self, spark):
+        from ml_feature_store_spark.errors import (
+            FeatureStoreError,
+            FeatureValidationError,
+        )
+        from ml_feature_store_spark.store import FeatureStore
+
+        fs = FeatureStore(spark)
+        with pytest.raises(FeatureStoreError, match="Unknown probe"):
+            fs.probe_report("nope")
