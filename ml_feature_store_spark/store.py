@@ -1394,6 +1394,65 @@ class FeatureStore:
         )
         return manifest
 
+    def verify_training_shards(self, path: str) -> dict[str, Any]:
+        """The consumer side of the io20 contract: recompute per-shard
+        row counts and key checksums from the WRITTEN FILES and compare
+        them against ``_manifest.json`` — the integrity check a
+        training job runs before an epoch (a lost file, a partial
+        re-write, or a layout edit all surface here, not as a silently
+        short epoch). One column-pruned scan of (shard, shard_key).
+        Raises ``FeatureValidationError`` naming every mismatched
+        shard; returns the verified manifest otherwise."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        mpath = _Path(path) / "_manifest.json"
+        if not mpath.exists():
+            raise FeatureValidationError(
+                f"verify_training_shards('{path}'): no _manifest.json — "
+                f"the export never committed (or the path is wrong)."
+            )
+        manifest = _json.loads(mpath.read_text())
+        key, seed = manifest["shard_key"], int(manifest["seed"])
+        back = self.spark.read.parquet(path)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-", F.col(key).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        got = {
+            int(r["shard"]): (int(r["n"]), int(r["ck"]))
+            for r in back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(h).cast("long").alias("ck"),
+            )
+            .collect()
+        }
+        want = {
+            int(k): (int(v["n_rows"]), int(v["key_checksum"]))
+            for k, v in manifest["shards"].items()
+        }
+        bad = sorted(
+            set(want) ^ set(got)
+            | {k for k in set(want) & set(got) if want[k] != got[k]}
+        )
+        if bad:
+            raise FeatureValidationError(
+                f"verify_training_shards('{path}'): shards {bad} do not "
+                f"match the manifest (rows/checksum drift — re-export "
+                f"before training)."
+            )
+        return manifest
+
     # ------------------------------------------------------------------ #
     # saved datasets (Feast SavedDataset: materialized training sets)
     # ------------------------------------------------------------------ #

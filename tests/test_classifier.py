@@ -329,3 +329,30 @@ class TestProbeReport:
         fs = FeatureStore(spark)
         with pytest.raises(FeatureStoreError, match="Unknown probe"):
             fs.probe_report("nope")
+
+
+class TestVerifyTrainingShards:
+    def test_verify_roundtrip_and_corruption(self, spark, tmp_path):
+        import datetime as dt
+        import shutil
+        from pathlib import Path
+
+        from ml_feature_store_spark.errors import FeatureValidationError
+        from ml_feature_store_spark.store import FeatureStore
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), i) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["entity_id", "timestamp", "v"])
+        fs = FeatureStore(spark)
+        fs.register("t", df)
+        p = str(tmp_path / "e")
+        m = fs.export_training_shards("t", p, n_shards=4)
+        assert fs.verify_training_shards(p)["shards"] == m["shards"]
+        # drop a whole shard directory -> verification must refuse
+        shutil.rmtree(next(Path(p).glob("shard=*")))
+        with pytest.raises(FeatureValidationError, match="do not match"):
+            fs.verify_training_shards(p)
+        # no manifest -> the export never committed
+        with pytest.raises(FeatureValidationError, match="manifest"):
+            fs.verify_training_shards(str(tmp_path / "missing"))
