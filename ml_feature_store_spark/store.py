@@ -1336,6 +1336,15 @@ class FeatureStore:
                 f"export_training_shards('{name}'): shard_key "
                 f"'{shard_key}' not in columns {sorted(df.columns)}"
             )
+        if "shard" in df.columns:
+            # the layout column would silently duplicate/shadow the
+            # caller's data column — refuse loudly (the score_with_probe
+            # reserved-name rule)
+            raise FeatureValidationError(
+                f"export_training_shards('{name}'): the table already "
+                f"has a 'shard' column — rename it; 'shard' is the "
+                f"export's partition column."
+            )
         h = F.conv(
             F.substring(
                 F.md5(

@@ -356,3 +356,16 @@ class TestVerifyTrainingShards:
         # no manifest -> the export never committed
         with pytest.raises(FeatureValidationError, match="manifest"):
             fs.verify_training_shards(str(tmp_path / "missing"))
+
+    def test_shard_column_collision_refuses(self, spark, tmp_path):
+        import datetime as dt
+
+        from ml_feature_store_spark.errors import FeatureValidationError
+        from ml_feature_store_spark.store import FeatureStore
+
+        rows = [(f"u{i}", dt.datetime(2024, 1, 1), i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["entity_id", "timestamp", "shard"])
+        fs = FeatureStore(spark)
+        fs.register("t2", df)
+        with pytest.raises(FeatureValidationError, match="'shard' column"):
+            fs.export_training_shards("t2", str(tmp_path / "x"), n_shards=2)

@@ -226,3 +226,87 @@ class TestStreamAutoCompaction:
         }
         want = {tuple(r) for r in fs.dedup_batch("dd", new).collect()}
         assert got == want
+
+
+class TestFragmentLifecycleInterplay:
+    """The chain must interact correctly with every other lifecycle
+    surface: reencode collapses it, drift reads through it, and a
+    two-instance writer cannot publish over a stale view of it."""
+
+    def test_reencode_collapses_the_chain(self, spark, emb):
+        fs = FeatureStore(spark)
+        fs.register("vecs_r", emb.filter("entity_id % 3 = 0"))
+        fs.create_vector_index(
+            "vxr", "vecs_r", method="ivf",
+            params={"n_cells": 4, "iterations": 1},
+        )
+        fs.append("vecs_r", emb.filter("entity_id % 3 = 1"))
+        fs.refresh_vector_index("vxr")
+        assert fs.get_vector_index_info("vxr")["n_fragments"] == 2
+        # a rewrite flags the index; reencode recovers AND re-pins a
+        # single fresh state version (the chain must not survive a
+        # full re-encode — its fragments describe superseded rows)
+        fs.upsert("vecs_r", emb.filter("entity_id % 3 = 0").limit(2))
+        with pytest.raises(FeatureStoreError, match="rewritten"):
+            fs.refresh_vector_index("vxr")
+        fs.reencode_vector_index("vxr")
+        assert fs.get_vector_index_info("vxr")["n_fragments"] == 1
+        q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        assert len(fs.knn("vxr", q, k=3).collect()) == 3
+
+    def test_drift_reads_through_fragments(self, spark, emb):
+        fs = FeatureStore(spark)
+        fs.register("vecs_d", emb.filter("entity_id % 3 = 0"))
+        fs.create_vector_index(
+            "vxd", "vecs_d", method="ivf",
+            params={"n_cells": 4, "iterations": 1},
+        )
+        fs.append("vecs_d", emb.filter("entity_id % 3 = 1"))
+        fs.refresh_vector_index("vxd")
+        # i.i.d. fold across two fragments: occupancy follows the build
+        # proportions, the signal must stay quiet
+        stat = fs.vector_index_drift_stat("vxd")
+        assert not stat["recommend_rebuild"]
+        # and the histogram covers BOTH fragments' rows
+        total = sum(
+            r["cur_n"] for r in fs.vector_index_drift(
+                "vxd", include_pending=False
+            ).collect()
+        )
+        assert total == fs.get_vector_index_info("vxd")["src_rows"]
+
+    def test_two_instance_probe_publish_cas(self, spark, tmp_path):
+        import datetime as dt
+
+        rows = [
+            (f"u{i}", dt.datetime(2024, 1, 1), i % 7, i % 20)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, ["entity_id", "timestamp", "feature_a", "feature_b"]
+        )
+        a = FeatureStore(spark, storage_path=str(tmp_path))
+        a.register("t", df)
+        b = FeatureStore(spark, storage_path=str(tmp_path))
+        a.create_probe(
+            "p1", "t", {"x0": "1", "x1": "feature_b - 10"},
+            "CASE WHEN feature_a >= 3 THEN 1 ELSE 0 END",
+        )
+        # b's view is now stale: its probe publish must refuse, and the
+        # refusal must leave b's in-memory spec map unchanged
+        with pytest.raises(FeatureStoreError, match="generation"):
+            b.create_probe(
+                "p2", "t", {"x0": "1", "x1": "feature_b - 10"},
+                "CASE WHEN feature_a >= 3 THEN 1 ELSE 0 END",
+            )
+        assert b.list_probes() == []
+        # reopen picks up p1 and can publish p2
+        b2 = FeatureStore(spark, storage_path=str(tmp_path))
+        assert b2.list_probes() == ["p1"]
+        b2.create_probe(
+            "p2", "t", {"x0": "1", "x1": "feature_b - 10"},
+            "CASE WHEN feature_a >= 3 THEN 1 ELSE 0 END",
+        )
+        assert FeatureStore(
+            spark, storage_path=str(tmp_path)
+        ).list_probes() == ["p1", "p2"]
