@@ -126,6 +126,65 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over an
+    undirected edge list — the community-structure sibling of the
+    min-label connected components in dedup.connected_components (CC
+    answers "reachable at all?"; LPA answers "densely connected to
+    WHOM?" — boilerplate cliques, co-purchase clusters, citation
+    communities).
+
+    Semantics (deterministic by construction — vanilla LPA is
+    tie-order-dependent, which would be oracle-hostile): labels start
+    as node ids; each SYNCHRONOUS round every node adopts the most
+    frequent label among its neighbors, ties to the SMALLEST label;
+    isolated direction handling: edges are symmetrized, and a node
+    keeps its current label only when it has no neighbors. A fixed
+    ``iterations`` (not convergence-probed): LPA oscillates on
+    bipartite structures, so production runs use a small fixed round
+    count anyway — and a fixed count is what an unrolled-CTE oracle
+    can replay exactly.
+
+    Scale shape per round: one (dst->label) equi join (label frame is
+    node-scale), one (node, label) partial-agg count, one per-node
+    arg-max — all hash-partitioned on the node key; the label frame is
+    localCheckpoint'd each round (the g2/g4 lineage discipline).
+    Returns ``(node, label)`` after the final round."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        votes = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        best = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("label"))).alias(
+                "__b__"
+            )
+        ).select("node", F.col("__b__.label").alias("label"))
+        labels = best.localCheckpoint(eager=True)
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Count triangles in an undirected graph given as a directed edge
     list (any orientation, duplicates allowed). Returns one row

@@ -1314,6 +1314,35 @@ def q_g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_g9_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (operators/graph.py label_propagation; round-12 — the
+    family member CC/PageRank/k-core/triangles don't cover: WHICH
+    densely-knit cluster does each node belong to). Over g3's 1995
+    co-purchase graph: 3 synchronous rounds, most-frequent neighbor
+    label, ties to the smallest — tie-break determinism is what makes
+    an LPA ORACLE possible at all (vanilla async LPA is
+    visit-order-dependent). Per round: one node-scale equi join + one
+    (node, label) partial agg + one per-node argmax, all
+    hash-partitioned on the node key; lineage checkpointed per round
+    (the g2/g4 discipline). Output: one row per surviving community
+    (label, size, smallest member)."""
+    from .operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    labels = label_propagation(edges, iterations=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
 def q_rag1_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): fuse the
     BM25 lexical arm (s3's scorer) with the dense cosine arm (x1's
@@ -1850,6 +1879,7 @@ def q_vidx14_compact_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     'vidx14_compact_serving': q_vidx14_compact_serving,
+    'g9_lpa_communities': q_g9_lpa_communities,
     'g6_random_walks': q_g6_random_walks,
     'g7_bfs_distances': q_g7_bfs_distances,
     'bt1_preference_strengths': q_bt1_preference_strengths,
@@ -2732,3 +2762,41 @@ ORACLE_SQL["g7_bfs_distances"] = """
 # vidx3's verbatim (same fit-on-evens + frozen fold + probed knn); the
 # Spark side additionally asserts the fragment chain collapsed 2 -> 1.
 ORACLE_SQL["vidx14_compact_serving"] = ORACLE_SQL["vidx3_index_refresh"]
+
+
+# g9: the synchronous min-tie-break LPA rounds unrolled — per round one
+# neighbor-label join, one (node, label) count, one row_number argmax
+# (ORDER BY n DESC, label ASC == the struct-min tie rule).
+def _g9_sql(iterations: int = 3) -> str:
+    ctes = [
+        """li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+           WHERE l_shipdate >= DATE '1995-01-01'
+             AND l_shipdate < DATE '1996-01-01')""",
+        """e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+           FROM li a JOIN li b ON a.k = b.k AND a.p < b.p)""",
+        "sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""v{i} AS (SELECT s.a AS node, l.label, COUNT(*) AS n
+           FROM sym s JOIN l{i - 1} l ON l.node = s.b GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{i} AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY n DESC, label ASC) AS rn
+               FROM v{i}) WHERE rn = 1)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM l{iterations} GROUP BY 1
+    """
+
+
+ORACLE_SQL["g9_lpa_communities"] = _g9_sql()

@@ -367,3 +367,48 @@ class TestStarConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="did not stabilize"):
             connected_components_star(chain, max_iter=1)
+
+
+class TestLabelPropagation:
+    """operators/graph.py label_propagation: deterministic synchronous
+    LPA — the properties the unrolled oracle relies on."""
+
+    def test_clique_converges_to_min_label(self, spark):
+        from ml_feature_store_spark.operators.graph import label_propagation
+
+        # two disjoint triangles: everyone adopts the clique minimum
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            ["src", "dst"],
+        )
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=3).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_tie_breaks_to_smallest(self, spark):
+        from ml_feature_store_spark.operators.graph import label_propagation
+
+        # node 3 sees neighbors {1, 2} once each after round 1 start
+        # (labels = ids): the tie must resolve to 1
+        edges = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=1).collect()
+        }
+        assert got[3] == 1
+
+    def test_partitioning_invariance(self, spark):
+        from ml_feature_store_spark.operators.graph import label_propagation
+
+        rows = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23]
+        e = spark.createDataFrame(rows, ["src", "dst"])
+        a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                label_propagation(e.repartition(13), iterations=3).collect(),
+            )
+        )
+        assert a == b
