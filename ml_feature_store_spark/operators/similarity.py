@@ -262,20 +262,105 @@ def pq_fit_codebooks(
     """Fit the m per-subspace integer-Lloyd codebooks (the TRAIN step a
     persisted PQ index runs once and versions). Returns
     {subspace -> {code -> centroid ints}} — m * k_codes * sub_dim longs,
-    driver-resident by design (a few KB)."""
-    from .clustering import kmeans_quantized
+    driver-resident by design (a few KB).
 
-    books: dict[int, dict[int, list[int]]] = {}
-    for s in range(m):
-        sub = df.select(
-            id_col,
-            F.expr(f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})").alias(
-                "embedding"
-            ),
+    r12 optimization (guide §1.2 "remove unnecessary passes"): the m
+    sub-fits used to run as m SEQUENTIAL kmeans_quantized loops — each
+    one re-scanned and re-quantized the corpus for its seed collect AND
+    for every Lloyd round (2m full passes at iterations=1). Quantization
+    is per-component, so slicing commutes with it: quantize ONCE,
+    materialize, and fit all m subspaces through the shared one-pass
+    machinery (:func:`_pq_fit_books_int` — one seed job + one
+    explode/partial-agg job per round for ALL subspaces). Codebooks are
+    bit-identical to the m-loop's (pinned in pytest)."""
+    from .clustering import quantize_vec
+
+    q = df.select(
+        id_col, quantize_vec(vec_col, grid).alias("__q__")
+    ).localCheckpoint(eager=True)
+    try:
+        return _pq_fit_books_int(
+            q, m, sub_dim, k_codes, iterations, id_col=id_col, rv_col="__q__"
         )
-        _, books[s] = kmeans_quantized(
-            sub, k=k_codes, max_iter=iterations, id_col=id_col, grid=grid
+    finally:
+        q.unpersist()
+
+
+def _pq_fit_books_int(
+    res: DataFrame,
+    m: int,
+    sub_dim: int,
+    k_codes: int,
+    iterations: int,
+    id_col: str = "vec_id",
+    rv_col: str = "__rv__",
+) -> dict[int, dict[int, list[int]]]:
+    """All-m-subspaces integer-Lloyd codebook fit in ONE pass per step
+    (r12 optimization; shared by :func:`pq_fit_codebooks` and
+    :func:`ivfpq_fit`). ``res`` holds integer vectors in ``rv_col``.
+
+    * seeds: every subspace's seed codewords are slices of the SAME
+      first-``k_codes`` rows by ``id_col`` — one TakeOrdered job instead
+      of m (slicing the collected rows driver-side is value-identical to
+      collecting each slice).
+    * each Lloyd round: every subspace's argmin assignment + per-(code)
+      component sums ride ONE explode + partial-agg job — the explode
+      emits (s, sub-vector, code) structs map-side, partial aggregation
+      collapses each partition to m*k_codes rows before the exchange,
+      and the driver applies the identical floor(sum/n) update per
+      (s, code). Empty codes keep their prior codeword, exactly as
+      kmeans_int does.
+
+    The arithmetic is the per-subspace kmeans_int recurrence verbatim
+    (integer distances, ties to the lowest code id, floor(sum/n)
+    updates), so the returned codebooks are bit-identical to m
+    sequential fits — the DuckDB oracles that replay the fit
+    relationally keep matching (pinned in pytest)."""
+    from .clustering import _int_dist_expr
+
+    seed_rows = res.orderBy(id_col).limit(k_codes).select(rv_col).collect()
+    books: dict[int, dict[int, list[int]]] = {
+        s: {
+            i: [int(x) for x in r[rv_col][s * sub_dim : (s + 1) * sub_dim]]
+            for i, r in enumerate(seed_rows)
+        }
+        for s in range(m)
+    }
+    for _ in range(iterations):
+        structs = []
+        for s in range(m):
+            sub_expr = f"slice({rv_col}, {s * sub_dim + 1}, {sub_dim})"
+            pairs = ", ".join(
+                f"struct({_int_dist_expr(sub_expr, cv)} AS d, {cid} AS cid)"
+                for cid, cv in sorted(books[s].items())
+            )
+            structs.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.expr(sub_expr).alias("sub"),
+                    F.expr(f"array_min(array({pairs})).cid").alias("cl"),
+                )
+            )
+        ex = res.select(F.explode(F.array(*structs)).alias("z")).select(
+            "z.s", "z.sub", "z.cl"
         )
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+            for i in range(sub_dim)
+        ]
+        rows = ex.groupBy("s", "cl").agg(*aggs).collect()
+        new: dict[int, dict[int, list[int]]] = {}
+        for r in rows:
+            new.setdefault(r["s"], {})[r["cl"]] = [
+                int(math.floor(r[f"s{i}"] / r["n"])) for i in range(sub_dim)
+            ]
+        books = {
+            s: {
+                cid: new.get(s, {}).get(cid, cv)
+                for cid, cv in books[s].items()
+            }
+            for s in range(m)
+        }
     return books
 
 
@@ -599,26 +684,30 @@ def ivfpq_fit(
     integer-Lloyd codebooks fitted on the RESIDUALS (kmeans_int — the
     residuals are integer by construction and must stay so). Returns
     (centroids, {subspace -> {code -> centroid ints}}); both are
-    driver-resident (n_cells x dim + m x k_codes x sub_dim longs)."""
-    from .clustering import kmeans_int
+    driver-resident (n_cells x dim + m x k_codes x sub_dim longs).
 
+    r12 optimization (guide §1.2): the residual table is materialized
+    ONCE (one quantize + coarse-argmin pass) and all m residual
+    codebooks fit through the shared one-pass machinery
+    (:func:`_pq_fit_books_int`) — previously each of the m sequential
+    kmeans_int fits re-derived every residual from the raw vectors for
+    its seed collect AND for every Lloyd round (2m coarse-assignment
+    passes at iterations=1). Codebooks bit-identical (pinned in
+    pytest)."""
     centroids = ivf_fit_int(
         df, n_cells=n_cells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, grid=grid,
     )
-    res = ivfpq_residuals(df, centroids, id_col=id_col,
-                          vec_col=vec_col, grid=grid)
-    books: dict[int, dict[int, list[int]]] = {}
-    for s in range(m):
-        sub = res.select(
-            id_col,
-            F.expr(f"slice(__rv__, {s * sub_dim + 1}, {sub_dim})").alias(
-                "__q__"
-            ),
+    res = ivfpq_residuals(
+        df, centroids, id_col=id_col, vec_col=vec_col, grid=grid
+    ).localCheckpoint(eager=True)
+    try:
+        books = _pq_fit_books_int(
+            res, m, sub_dim, k_codes, iterations, id_col=id_col,
+            rv_col="__rv__",
         )
-        books[s] = kmeans_int(
-            sub, k=k_codes, max_iter=iterations, id_col=id_col
-        )
+    finally:
+        res.unpersist()
     return centroids, books
 
 

@@ -1023,7 +1023,9 @@ class FeatureStore:
             # metadata watermark (observed at publish) — no history scan
             watermark = self._max_row_id(name)
         version = (self._backend.meta(online).version + 1) if self._backend.exists(online) else 1
-        row_count = snap.count()
+        # count rides the write — the latest-per-entity argmax used to
+        # run twice (once for count, once for the write; r12 optimization)
+        snap, n_rows = self._observed_count(snap)
         # ordering note (round-11 audit): unlike rollup sums / index
         # encodes, this fold is an ARGMAX — re-folding the same delta is
         # idempotent, and the written snapshot equals the full rebuild of
@@ -1032,8 +1034,9 @@ class FeatureStore:
         # snapshot with a conservative (older) watermark — no
         # publish-then-prune pinning needed on this path.
         self._backend.write_version(
-            online, version, snap, row_count, f"online snapshot of '{name}'"
+            online, version, snap, n_rows, f"online snapshot of '{name}'"
         )
+        row_count = n_rows()
         # online view keeps only the latest snapshot
         for v in self._backend.versions(online)[:-1]:
             self._backend.drop_version(online, v)
@@ -1619,15 +1622,18 @@ class FeatureStore:
         self._assert_registry_current(f"create_rollup('{rollup}')")
         src = self._current(name)
         state = self._rollup_state(src, group_cols, sum_cols, distinct_cols)
-        row_count = state.count()
+        # count rides the write (one pass — the aggregate used to run
+        # twice: once for count, once for the write; r12 optimization)
+        state, n_rows = self._observed_count(state)
         rname = rollup + self._ROLLUP_SUFFIX
         sver = (
             self._backend.meta(rname).version + 1
             if self._backend.exists(rname) else 1
         )
         self._backend.write_version(
-            rname, sver, state, row_count, f"rollup of '{name}'"
+            rname, sver, state, n_rows, f"rollup of '{name}'"
         )
+        row_count = n_rows()
         # metadata watermark (observed at publish) — no history scan
         watermark = self._max_row_id(name)
         meta = self._backend.meta(name)
@@ -1702,16 +1708,18 @@ class FeatureStore:
             spec["sum_cols"],
             spec.get("distinct_cols", ()),
         )
-        row_count = merged.count()
+        # count rides the write — the merge used to run twice (r12)
+        merged, n_rows = self._observed_count(merged)
         # publish-then-prune: the spec pins the new state version; a
         # refused publish keeps serving (and next-refreshing from) the
         # OLD version — the folded merge is an orphan, never a
         # double-counted delta
         sver = self._backend.meta(rname).version + 1
         self._backend.write_version(
-            rname, sver, merged, row_count,
+            rname, sver, merged, n_rows,
             f"incremental refresh of rollup '{rollup}'",
         )
+        row_count = n_rows()
         prev_fields = {
             k: spec.get(k)
             for k in ("watermark", "src_rows", "state_version")
@@ -2071,7 +2079,11 @@ class FeatureStore:
                 "plane_id INT, plane ARRAY<DOUBLE>",
             )
             data = lsh_bucketize_with_planes(src, planes)
-        row_count = data.count()
+        # the count rides the write as an observed metric (the dedup
+        # index's one-job publish): the encode is the expensive map-only
+        # pass, it must run ONCE — a separate data.count() evaluated the
+        # whole encode a second time (r12 optimization round, guide §1.2)
+        data, n_rows = self._observed_count(data)
         mname = index + self._VINDEX_MODEL_SUFFIX
         dname = index + self._VINDEX_DATA_SUFFIX
         # PUBLISH-THEN-PRUNE (round-11 ADVICE): write the new state as
@@ -2089,13 +2101,15 @@ class FeatureStore:
             self._backend.meta(dname).version + 1
             if self._backend.exists(dname) else 1
         )
+        model, n_model = self._observed_count(model)
         self._backend.write_version(
-            mname, mver, model, model.count(),
+            mname, mver, model, n_model,
             f"vector index model of '{table}'",
         )
         self._backend.write_version(
-            dname, dver, data, row_count, f"vector index data of '{table}'"
+            dname, dver, data, n_rows, f"vector index data of '{table}'"
         )
+        row_count = n_rows()
         # build-time occupancy histogram over the method's discrete key
         # (cell / bucket / first code): O(n_cells) ints in the spec — the
         # frozen-model drift anchor vector_index_drift compares against
@@ -3627,6 +3641,11 @@ class FeatureStore:
         p = spec["params"]
         method = spec.get("method", "minhash")
         new = new_docs.select(F.col(id_col), F.col(ccol))
+        # NOTE (r12 measurement): the batch signature feeds three
+        # consumers in one dedup_batch action, but each ends in an
+        # exchange and Spark's ReuseExchange dedups them within the
+        # plan — an explicit localCheckpoint here measured SLOWER
+        # (materialization cost without saved work), so none is taken.
         signed_new = self._dedup_sign(new, ccol, method, p)
         stored = self._dindex_data(index)
         # fuzzy arm: batch buckets vs STORED buckets (new x old only)
@@ -3688,13 +3707,24 @@ class FeatureStore:
                 shingles(F.col("__old_txt__"), p["shingle_k"])
             ).alias("__sh_o__"),
         )
+        # Jaccard via the set identity |A∪B| = |A| + |B| - |A∩B| (exact
+        # for distinct arrays, which both sides are): ONE hash-set build
+        # per pair instead of two (array_intersect + array_union each
+        # built an O(a+b) set; with 100k+ candidate pairs under
+        # correlated simhash bands the union build was ~40% of the
+        # verify stage — r12 optimization). Integer-identical sizes ->
+        # bit-identical __j__.
+        inter = F.size(F.array_intersect("__sh_n__", "__sh_o__"))
         ver = (
             cand.join(new_sh, id_col)
             .join(old_sh, "__old_id__")
+            .withColumn("__i__", inter)
             .withColumn(
                 "__j__",
-                F.size(F.array_intersect("__sh_n__", "__sh_o__"))
-                / F.size(F.array_union("__sh_n__", "__sh_o__")),
+                F.col("__i__")
+                / (
+                    F.size("__sh_n__") + F.size("__sh_o__") - F.col("__i__")
+                ),
             )
             .filter(F.col("__j__") >= threshold)
         )
