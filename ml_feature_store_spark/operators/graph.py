@@ -69,13 +69,24 @@ def pagerank(
     extra incoming mass before damping.  Integer division keeps the
     recurrence bit-identical across engines, same as the edge term.
     """
-    e = (
+    # r12 optimization (guide §2.4): out-degree via a window over the
+    # SAME key instead of groupBy + self-join — the edge list used to be
+    # materialized twice (e, then e⋈deg) and shuffled three times
+    # (distinct, deg agg, join); now one pipeline
+    # distinct → exchange(src) → window → checkpoint materializes it
+    # once. Per-src window partitions are bounded by out-degree. nodes
+    # derives from the checkpointed ed (same rows as e).
+    from pyspark.sql import Window
+
+    ed = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+        )
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    e = ed.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))

@@ -67,6 +67,26 @@ def session_conf(spark: SparkSession, confs: dict):
             spark.conf.set(k, v)
 
 
+def stream_conf(spark: SparkSession):
+    """:func:`session_conf` preset for STATEFUL streaming lanes (r12
+    optimization): scope ``spark.sql.shuffle.partitions`` to the
+    micro-batch volume for the stream's start/await window. A streaming
+    query pins its state partitioning at start, and every micro-batch
+    runs one task + one state-store instance (+ one Python worker
+    dispatch for applyInPandasWithState) per partition — sizing it to
+    the per-batch volume, not the cluster width, is the same rule that
+    sizes batch shuffle partitions to ~100 MB. Parameterized via
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` (streaming/tuning.py);
+    production ingest raises it with sustained batch volume
+    (SCALE-100TB.md). Results are partitioning-invariant."""
+    from .streaming.tuning import STREAM_SHUFFLE_PARTITIONS
+
+    return session_conf(
+        spark,
+        {"spark.sql.shuffle.partitions": str(STREAM_SHUFFLE_PARTITIONS)},
+    )
+
+
 def pin_plan(df: DataFrame) -> DataFrame:
     """Force analysis + physical planning NOW, under the session confs
     currently in effect. ``QueryExecution`` caches its plans (lazy vals on
@@ -1403,6 +1423,7 @@ __all__ = [
     '_BM25_B',
     'ensure_conf',
     'session_conf',
+    'stream_conf',
     'pin_plan',
     '_scratch_path',
     '_scratch_dir',

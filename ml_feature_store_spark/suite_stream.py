@@ -47,16 +47,17 @@ def q_sd2_running_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
     )
     stream = stream_events(spark, d)
-    q = (
-        streaming_running_features(stream)
-        .writeStream.format("memory")
-        .queryName("sd2_running")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = (
+            streaming_running_features(stream)
+            .writeStream.format("memory")
+            .queryName("sd2_running")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     snap = spark.table("sd2_running")
     return snap.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -90,16 +91,17 @@ def q_sd3_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
     )
     stream = stream_events(spark, d)
-    q = (
-        streaming_session_counts(stream)
-        .writeStream.format("memory")
-        .queryName("sd3_sessions")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = (
+            streaming_session_counts(stream)
+            .writeStream.format("memory")
+            .queryName("sd3_sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     snap = spark.table("sd3_sessions")
     return (
         snap.groupBy("user_id")
@@ -139,15 +141,16 @@ def q_sd4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("sd4_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("sd4_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     snap = spark.table("sd4_dedup")
     return snap.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_users"),
@@ -184,15 +187,16 @@ def q_sd6_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         ).alias("sum_cents"),
     )
-    q = (
-        agg.writeStream.format("noop")
-        .option("checkpointLocation", ck)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     state = spark.read.format("statestore").load(ck)
     return state.select(
         F.col("key.user_id").cast("long").alias("user_id"),
@@ -399,11 +403,12 @@ def q_sd9_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
     )
     fs = FeatureStore(spark, storage_path=_scratch_dir("sd9_store", sf_dir))
-    q = streaming_register(
-        stream_events(spark, d), fs, "live", _scratch_dir("sd9_ck", sf_dir)
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = streaming_register(
+            stream_events(spark, d), fs, "live", _scratch_dir("sd9_ck", sf_dir)
+        )
+        q.awaitTermination(300)
+        q.stop()
     info = fs.get_table_info("live")
     snap = fs.get_version("live", info.version)
     return snap.groupBy("event_type").agg(
@@ -451,20 +456,21 @@ def q_sd11_composite_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("event_id").alias("__row_id__"),
     )
     fs.register("live_um", seed, entity_cols=["user_id", "event_type"])
-    q = streaming_register(
-        stream_events(spark, d),
-        fs,
-        "live_um",
-        _scratch_dir("sd11_ck", sf_dir),
-        feature_select=lambda b: b.select(
-            "user_id",
-            "event_type",
-            F.col("ts").alias("timestamp"),
-            "value",
-        ),
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = streaming_register(
+            stream_events(spark, d),
+            fs,
+            "live_um",
+            _scratch_dir("sd11_ck", sf_dir),
+            feature_select=lambda b: b.select(
+                "user_id",
+                "event_type",
+                F.col("ts").alias("timestamp"),
+                "value",
+            ),
+        )
+        q.awaitTermination(300)
+        q.stop()
     info = fs.get_table_info("live_um")
     snap = fs.get_version("live_um", info.version)
     return snap.groupBy("event_type").agg(
@@ -706,9 +712,10 @@ def q_sd15_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, d).select(
         F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp")
     )
-    q = stream_pit_enrich(stream, feats, sink, ck)
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = stream_pit_enrich(stream, feats, sink, ck)
+        q.awaitTermination(300)
+        q.stop()
     out = spark.read.parquet(sink).drop("batch_id")
     return out.select(
         F.col("entity_id").alias("user_id"),
@@ -756,18 +763,19 @@ def q_sd16_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_ordered_feed(
         d, ev.filter(F.col("ts") < mid), ev.filter(F.col("ts") >= mid)
     )
-    q = stream_contract_gate(
-        stream_events(spark, d),
-        {
-            "nonnegative_value": "value >= 0",
-            "known_type": "event_type IS NOT NULL",
-        },
-        good,
-        quar,
-        ck,
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = stream_contract_gate(
+            stream_events(spark, d),
+            {
+                "nonnegative_value": "value >= 0",
+                "known_type": "event_type IS NOT NULL",
+            },
+            good,
+            quar,
+            ck,
+        )
+        q.awaitTermination(300)
+        q.stop()
     cents = F.sum(
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     ).alias("sum_cents")
@@ -836,10 +844,11 @@ def q_sd18_stream_index_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
-                            exclude_self=True)
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
+                                exclude_self=True)
+        q.awaitTermination(300)
+        q.stop()
     out = spark.read.parquet(sink).drop("batch_id")
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
@@ -892,10 +901,11 @@ def q_sd19_stream_index_autorefresh(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
-                            exclude_self=True, refresh="auto")
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = stream_index_enrich(stream, fs, "ann", sink, ck, k=5,
+                                exclude_self=True, refresh="auto")
+        q.awaitTermination(300)
+        q.stop()
     out = spark.read.parquet(sink).drop("batch_id")
     return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
 
@@ -943,12 +953,13 @@ def q_sd20_stream_dedup_index(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    q = stream_dedup_enrich(
-        stream, fs, "dd", sink, ck,
-        id_col="doc_id", content_col="text", threshold=0.5,
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with stream_conf(spark):
+        q = stream_dedup_enrich(
+            stream, fs, "dd", sink, ck,
+            id_col="doc_id", content_col="text", threshold=0.5,
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.read.parquet(sink).drop("batch_id")
 
 

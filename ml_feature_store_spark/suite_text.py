@@ -526,15 +526,21 @@ def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     here k=16 on the test corpus. Output is per-cell accounting —
     (n_vecs, n_dropped, n_kept) — the dedup-rate report a curation run
     ships."""
+    from .functions.vector import dot, l2_norm
     from .operators.similarity import ivf_assign
 
     emb = table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
+    # norm once per VECTOR before the self-join (r12 optimization — the
+    # dedup_embedding_cosine pattern): a vector in p within-cell pairs
+    # used to recompute its l2 norm p times inside the per-pair cosine;
+    # dot/(na*nb) is the identical expression per pair, so every
+    # comparison against 0.35 is bit-unchanged.
     assigned = ivf_assign(emb, cents).withColumn(
         "v", F.col("embedding").cast("array<double>")
-    )
+    ).withColumn("nv", l2_norm(F.col("v")))
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -542,7 +548,11 @@ def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(_cosine(F.col("a.v"), F.col("b.v")) >= 0.35)
+        .filter(
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nv") * F.col("b.nv"))
+            >= 0.35
+        )
         .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("drop_id"))
         .distinct()
     )
