@@ -646,7 +646,12 @@ def bfs_distances(
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # union of ALREADY-CHECKPOINTED per-hop frames: no recompute risk
+        # through lineage, so re-materializing the growing visited set
+        # every hop was pure copy cost (r12 optimization — one fewer
+        # eager checkpoint per hop; the anti-join scans the same cached
+        # blocks either way)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 

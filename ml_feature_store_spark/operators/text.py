@@ -464,13 +464,21 @@ def bpe_train_merges(
         x, y, cnt = top[0].x, top[0].y, top[0].cnt
         joined = x + joiner + y
         merged = current.select(_apply_merge(F.col("tk"), x, y, joined).alias("tk"))
+        # The post-merge token count rides the checkpoint materialization
+        # as an observed metric (r12 optimization — the store's
+        # _observed_count pattern): previously a separate agg job
+        # re-scanned the checkpointed tokens every round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = merged.observe(obs, F.sum(F.size("tk")).alias("after"))
         # Lineage grows one fold per round; checkpoint like the other
         # iterative operators (pagerank / connected components) so round
         # k's pair count does not replay rounds 1..k-1's folds.
         merged = merged.localCheckpoint(eager=True)
         if before is None:
             before = current.agg(F.sum(F.size("tk"))).collect()[0][0]
-        after = merged.agg(F.sum(F.size("tk"))).collect()[0][0]
+        after = int(obs.get["after"])
         results.append(
             {"round": r, "x": x, "y": y, "cnt": cnt, "n_merges": before - after}
         )

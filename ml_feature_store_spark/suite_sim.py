@@ -1249,6 +1249,19 @@ def q_x17_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(emb, qvec, m=4, sub_dim=16, k_codes=16, k=10, iterations=1)
 
 
+def _graph_node_name(node):
+    """Decode the purchase-graph BIGINT node encoding (r12 optimization:
+    customer k -> 2k, supplier k -> 2k+1 — a bijection that lets the
+    iterative graph operators shuffle 8-byte longs instead of
+    "c<k>"/"s<k>" strings) back to the public node names. Applied BEFORE
+    any name-ordered output step, so results and tie-breaks are
+    identical to the string-keyed formulation."""
+    half = F.shiftright(node.cast("long"), 1)
+    return F.when(node % 2 == 0, F.concat(F.lit("c"), half)).otherwise(
+        F.concat(F.lit("s"), half)
+    )
+
+
 def q_g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (who-buys-from-
     whom edges from orders x lineitem), 3 iterations, damping 0.85 —
@@ -1260,13 +1273,21 @@ def q_g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r12 optimization (guide §2.3 "narrower types"): the iteration runs
+    # on BIGINT node ids (customer k -> 2k, supplier k -> 2k+1 — a
+    # bijection standing in for the "c<k>"/"s<k>" names), so the edge
+    # distinct, per-round joins and rank broadcasts shuffle 8-byte longs
+    # instead of ~10-char strings. Ranks depend only on graph structure;
+    # the names are reconstructed BEFORE the final (rank, node) ordering,
+    # so output rows and tie-breaks are identical.
     edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
+    named = pr.select(_graph_node_name(F.col("node")).alias("node"), "r")
     return (
-        pr.orderBy(F.col("r").desc(), "node")
+        named.orderBy(F.col("r").desc(), "node")
         .limit(20)
         .select("node", F.col("r").alias("rank"))
     )
@@ -1284,13 +1305,16 @@ def q_g2b_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # BIGINT node encoding as in g2 (r12) — identical output after the
+    # name reconstruction; the dangling pool/n term is name-independent.
     edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     pr = pagerank(edges, iterations=3, damping=0.85, redistribute_dangling=True)
+    named = pr.select(_graph_node_name(F.col("node")).alias("node"), "r")
     return (
-        pr.orderBy(F.col("r").desc(), "node")
+        named.orderBy(F.col("r").desc(), "node")
         .limit(20)
         .select("node", F.col("r").alias("rank"))
     )
@@ -1576,9 +1600,14 @@ def q_g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # BIGINT node encoding as in g2 (r12, guide §2.3): the canonical
+    # unordered-pair SET is the same bijective graph whichever spelling
+    # orients lo/hi (kcore symmetrizes anyway), so degrees, k, the core
+    # set and the peel are identical; names reconstruct before the final
+    # (degree, node) ordering.
     edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     und = (
         edges.select(
@@ -1600,8 +1629,9 @@ def q_g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = -(-n_edges // n_nodes)  # ceil(E/N)
     core = kcore(und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")), k=k, rounds=3)
     size = core.agg(F.count("*").alias("n_core"))
+    named = core.select(_graph_node_name(F.col("node")).alias("node"), "degree")
     return (
-        core.orderBy(F.col("degree").desc(), "node")
+        named.orderBy(F.col("degree").desc(), "node")
         .limit(30)
         .crossJoin(F.broadcast(size))
         .select("node", F.col("degree").cast("long"), F.col("n_core").cast("long"))
