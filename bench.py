@@ -76,8 +76,11 @@ def main() -> None:
 
     # Two passes per query, keep the min: a single pass is vulnerable to
     # JVM GC pauses late in the run (observed 2-3x outliers); the min
-    # reflects the plan's actual cost.
+    # reflects the plan's actual cost. BOTH passes are recorded in the
+    # detail file (r12 verdict item 8: drift vs noise must be decidable
+    # from artifacts — the per-query noise floor is pass2 - pass1).
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for _ in range(2):
         for name, fn in QUERIES.items():
             if name in SKIP_TIMING:
@@ -86,6 +89,7 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             el = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
+            passes.setdefault(name, []).append(el)
     timings["online1_point_read"] = bench_online_point_read(spark)
 
     total = round(sum(timings.values()), 3)
@@ -93,11 +97,20 @@ def main() -> None:
     # only the last ~2000 chars, so the FINAL printed line must stay compact
     # (round-1 lesson: a ~4000-char JSON line was truncated mid-object and
     # recorded as parsed: null).
+    # Prove the resolved parallelism to the driver (r12 verdict item 2:
+    # the scaling contract reads $SPARK_GRAFT_CPUS via session.py, but
+    # nothing in the output RECORDED the resolved master, so flat
+    # low-core ratios were unfalsifiable from artifacts alone).
+    master = spark.sparkContext.master
+    parallelism = spark.sparkContext.defaultParallelism
     detail = {
         "metric": "suite_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
+        "master": master,
+        "parallelism": parallelism,
         "sf": sf_of(SF_DIR),
     }
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
@@ -111,6 +124,8 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "sf": sf_of(SF_DIR),
+        "master": master,
+        "parallelism": parallelism,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)

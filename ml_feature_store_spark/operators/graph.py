@@ -609,51 +609,72 @@ def bfs_distances(
     only as single rows of the frontier, while their neighbor fan-out is
     spread by the distinct's partial aggregation.
 
-    Node-id typing: seeds and adjacency are BOTH cast to string before
-    any join.  Mixed string-vs-bigint equality would be coerced by Spark
-    to double — silently corrupting matches for ids >= 2^53 and for
-    non-canonical string forms ('07' vs 7) — so the cast happens on both
-    sides, never one."""
+    Node-id typing (type-driven, r13): when BOTH the edge endpoints and
+    the seed column are already integral, hops run on the native longs —
+    narrower join keys and exchanges (guide §2.3).  Otherwise everything
+    is cast to string on BOTH sides before any join: mixed
+    string-vs-bigint equality would be coerced by Spark to double —
+    silently corrupting matches for ids >= 2^53 and for non-canonical
+    string forms ('07' vs 7) — so the cast happens on both sides, never
+    one."""
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    etypes = dict(edges.select("src", "dst").dtypes)
+    stype = dict(seeds.select("node").dtypes)["node"]
+    if set(etypes.values()) <= int_types and stype in int_types:
+        key_t = "bigint"  # widen to one integral type; exact for all ints
+    else:
+        key_t = "string"
     adj = (
         edges.select(
-            F.col("src").cast("string").alias("u"),
-            F.col("dst").cast("string").alias("v"),
+            F.col("src").cast(key_t).alias("u"),
+            F.col("dst").cast(key_t).alias("v"),
         )
         .unionByName(
             edges.select(
-                F.col("dst").cast("string").alias("u"),
-                F.col("src").cast("string").alias("v"),
+                F.col("dst").cast(key_t).alias("u"),
+                F.col("src").cast(key_t).alias("v"),
             )
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    visited = (
-        seeds.select(F.col("node").cast("string").alias("node"))
+    layer = (
+        seeds.select(F.col("node").cast(key_t).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    layers = [layer]
     for h in range(1, max_hops + 1):
+        # First-visit pruning needs only the LAST TWO layers, never the
+        # whole visited set (r13, guide §2.4): the graph is undirected
+        # (adj is symmetrized above), so a neighbor of a dist-h node has
+        # dist in {h-1, h, h+1} — any already-visited neighbor is in
+        # layer h or h-1. The r11 shape re-materialized the growing
+        # visited set per hop; the r12 shape anti-joined a growing
+        # h-frame union (the driver-confirmed regression); this one
+        # anti-joins two bounded checkpointed frames.
+        seen = (
+            layers[-1].select("node")
+            if h == 1
+            else layers[-1].select("node").unionByName(layers[-2].select("node"))
+        )
+        frontier = layers[-1].select("node")
         nxt = (
             frontier.join(adj, frontier.node == adj.u)
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("dist", F.lit(h).cast("long"))
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
             break
-        # union of ALREADY-CHECKPOINTED per-hop frames: no recompute risk
-        # through lineage, so re-materializing the growing visited set
-        # every hop was pure copy cost (r12 optimization — one fewer
-        # eager checkpoint per hop; the anti-join scans the same cached
-        # blocks either way)
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("node")
-    return visited
+        layers.append(nxt)
+    out = layers[0]
+    for fr in layers[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def connected_components_star(

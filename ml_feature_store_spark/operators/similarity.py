@@ -275,15 +275,15 @@ def pq_fit_codebooks(
     bit-identical to the m-loop's (pinned in pytest)."""
     from .clustering import quantize_vec
 
+    # NOTE: no unpersist — Dataset.unpersist on a localCheckpointed frame
+    # is a no-op (it only clears cacheManager entries; checkpoint blocks
+    # free on RDD GC, which the end of this scope triggers). r12 ADVICE.
     q = df.select(
         id_col, quantize_vec(vec_col, grid).alias("__q__")
     ).localCheckpoint(eager=True)
-    try:
-        return _pq_fit_books_int(
-            q, m, sub_dim, k_codes, iterations, id_col=id_col, rv_col="__q__"
-        )
-    finally:
-        q.unpersist()
+    return _pq_fit_books_int(
+        q, m, sub_dim, k_codes, iterations, id_col=id_col, rv_col="__q__"
+    )
 
 
 def _pq_fit_books_int(
@@ -318,6 +318,12 @@ def _pq_fit_books_int(
     relationally keep matching (pinned in pytest)."""
     from .clustering import _int_dist_expr
 
+    if k_codes < 1:
+        # Preserve the contract of the replaced kmeans_quantized /
+        # kmeans_int fits (r12 ADVICE): k_codes=0 would otherwise yield
+        # empty codebooks and a malformed array_min(array()) expression
+        # that fails with an obscure AnalysisException at iterations>=1.
+        raise ValueError(f"k_codes must be >= 1, got {k_codes}")
     seed_rows = res.orderBy(id_col).limit(k_codes).select(rv_col).collect()
     books: dict[int, dict[int, list[int]]] = {
         s: {
@@ -698,16 +704,15 @@ def ivfpq_fit(
         df, n_cells=n_cells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, grid=grid,
     )
+    # NOTE: no unpersist — see pq_fit_codebooks (a Dataset.unpersist on a
+    # localCheckpointed frame never released the blocks anyway).
     res = ivfpq_residuals(
         df, centroids, id_col=id_col, vec_col=vec_col, grid=grid
     ).localCheckpoint(eager=True)
-    try:
-        books = _pq_fit_books_int(
-            res, m, sub_dim, k_codes, iterations, id_col=id_col,
-            rv_col="__rv__",
-        )
-    finally:
-        res.unpersist()
+    books = _pq_fit_books_int(
+        res, m, sub_dim, k_codes, iterations, id_col=id_col,
+        rv_col="__rv__",
+    )
     return centroids, books
 
 

@@ -3682,23 +3682,46 @@ class FeatureStore:
                 .select("band", "bucket")
             )
             ob = ob.join(small, ["band", "bucket"], "left_semi")
+        # r13 (guide §2.5/§1.1): the verify stage was running as ONE task
+        # — AQE coalesces the few-MB (id, old_id) exchange to a single
+        # partition because coalescing is BYTES-based, but the downstream
+        # per-pair hash-set work (100k+ pairs under correlated simhash
+        # bands, each building an O(|shingles|) set) is CPU-bound, so the
+        # whole verify serialized on one core. Spread the pair set over
+        # the session's parallelism (scale-adaptive, not a constant) and
+        # materialize it once: it now feeds three consumers (digest
+        # prune, old-side shingle build, the caller's n_candidates agg).
+        n_par = new_docs.sparkSession.sparkContext.defaultParallelism
         cand = (
             nb.join(ob, ["band", "bucket"])
             .select(id_col, "__old_id__")
             .dropDuplicates()
+            .repartition(n_par, id_col, "__old_id__")
+            .localCheckpoint(eager=False)
         )
-        # verify: exact shingle Jaccard, candidate-bounded on both sides
-        new_sh = new.select(
+        # verify: exact shingle Jaccard, candidate-bounded on both sides.
+        # Per-DOC frames are computed ONCE and materialized: each feeds
+        # both the digest prune and the exact arm, and without the
+        # checkpoint the plan re-evaluated the corpus-scan-join subtree
+        # per consumer (r13 plan audit). Shingle sets and their 64-bit
+        # digests are per-doc map-side work, bounded by |batch| and
+        # |candidate old docs| — never per pair.
+        dig = lambda c: F.array_distinct(  # noqa: E731
+            F.transform(c, lambda s: F.xxhash64(s))
+        )
+        ndoc = new.select(
             F.col(id_col),
             F.array_distinct(
                 shingles(F.col(ccol), p["shingle_k"])
             ).alias("__sh_n__"),
-        )
+        ).withColumn("__na__", F.size("__sh_n__")).withColumn(
+            "__dn__", dig(F.col("__sh_n__"))
+        ).localCheckpoint(eager=False)
         old_src = self._current(spec["src"]).select(
             F.col(ENTITY_COL).alias("__old_id__"),
             F.col(spec["content_col"]).alias("__old_txt__"),
         )
-        old_sh = old_src.join(
+        odoc = old_src.join(
             cand.select("__old_id__").distinct(), "__old_id__"
         ).select(
             "__old_id__",
@@ -3706,18 +3729,68 @@ class FeatureStore:
             F.array_distinct(
                 shingles(F.col("__old_txt__"), p["shingle_k"])
             ).alias("__sh_o__"),
+        ).withColumn("__no__", F.size("__sh_o__")).withColumn(
+            "__do__", dig(F.col("__sh_o__"))
+        ).localCheckpoint(eager=False)
+        # r13 two-phase verify (guide §2.3 "shuffle keys and metadata
+        # instead of payloads"; r12 verdict item 3): a 64-bit
+        # shingle-DIGEST prune runs first, and the exact string-array
+        # Jaccard only touches the survivors. The prune is a provable
+        # UPPER BOUND on the true Jaccard, so it has no false negatives
+        # even under hash collisions: with du = |digest(A) ∪ digest(B)|
+        # and the TRUE set sizes |A|, |B|, collisions can only SHRINK
+        # the digest union, so du <= |A∪B|, hence
+        #   J_ub = (|A|+|B|-du)/du >= (|A|+|B|-|A∪B|)/|A∪B| = J_true
+        # (numerator >= and denominator <=; IEEE division is monotone,
+        # so the double compare preserves the ordering). A pair pruned
+        # by J_ub < threshold would therefore fail the exact verify too
+        # — ver's rows are IDENTICAL, but the per-pair hash-set build
+        # runs on longs for all 100k+ correlated-simhash candidates and
+        # on strings only for the few that survive. du rides the
+        # digest-set identity |dn ∪ do| = |dn|+|do|-|dn ∩ do| (exact —
+        # both digest arrays are distinct): the INTERSECT array is
+        # near-empty for dissimilar pairs, where an array_union would
+        # allocate an O(|A|+|B|) array per pair (measured 3x slower).
+        # Both doc frames join onto the partitioned pair table as
+        # explicit BROADCASTS — the planner's default was a sort-merge
+        # join that re-shuffled every pair WITH its digest arrays
+        # attached (the §8 antipattern; measured in the r13 plan audit).
+        # At cluster scale the broadcast sides stay bounded: |batch| and
+        # |old docs with a candidate|, both far below the pair count.
+        du = (
+            F.size("__dn__")
+            + F.size("__do__")
+            - F.size(F.array_intersect("__dn__", "__do__"))
         )
-        # Jaccard via the set identity |A∪B| = |A| + |B| - |A∩B| (exact
-        # for distinct arrays, which both sides are): ONE hash-set build
-        # per pair instead of two (array_intersect + array_union each
-        # built an O(a+b) set; with 100k+ candidate pairs under
-        # correlated simhash bands the union build was ~40% of the
-        # verify stage — r12 optimization). Integer-identical sizes ->
-        # bit-identical __j__.
+        pre = (
+            cand.join(
+                F.broadcast(ndoc.select(id_col, "__na__", "__dn__")), id_col
+            )
+            .join(
+                F.broadcast(odoc.select("__old_id__", "__no__", "__do__")),
+                "__old_id__",
+            )
+            .withColumn("__du__", du)
+            .filter(
+                (F.col("__na__") + F.col("__no__") - F.col("__du__"))
+                / F.col("__du__")
+                >= threshold
+            )
+            .select(id_col, "__old_id__")
+        )
+        # Exact arm on survivors only. Jaccard via the set identity
+        # |A∪B| = |A| + |B| - |A∩B| (exact for distinct arrays, which
+        # both sides are): ONE hash-set build per pair (r12
+        # optimization). Integer-identical sizes -> bit-identical __j__.
         inter = F.size(F.array_intersect("__sh_n__", "__sh_o__"))
         ver = (
-            cand.join(new_sh, id_col)
-            .join(old_sh, "__old_id__")
+            pre.join(F.broadcast(ndoc.select(id_col, "__sh_n__")), id_col)
+            .join(
+                F.broadcast(
+                    odoc.select("__old_id__", "__hh_o__", "__sh_o__")
+                ),
+                "__old_id__",
+            )
             .withColumn("__i__", inter)
             .withColumn(
                 "__j__",

@@ -1765,13 +1765,14 @@ def q_g6_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
+    # NOTE (r13): node ids stay STRINGS here by necessity — the walk
+    # draws are md5 over the "c<k>"/"s<k>" SPELLINGS, so a narrower key
+    # would change the declared corpus. The redundant suite-level
+    # .distinct() is dropped instead (the operator distincts the
+    # symmetrized adjacency anyway — one full string exchange saved).
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     starts = (
         table(spark, sf_dir, "customer")
@@ -1799,21 +1800,26 @@ def q_g7_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
+    # r13 (guide §2.3): BIGINT node encoding as in g2/g4 — hops shuffle
+    # 8-byte longs instead of "c<k>"/"s<k>" strings (bfs_distances' r13
+    # type-driven branch keeps integral ids native). BFS distances
+    # depend only on graph structure (same graph under the bijection);
+    # names reconstruct BEFORE the min(node) aggregate, so the
+    # lexicographic first_node per layer is identical. The suite-level
+    # .distinct() is gone too: the operator distincts the symmetrized
+    # union anyway, so it was a redundant full exchange.
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     seeds = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == 0)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     d = bfs_distances(edges, seeds, max_hops=4)
-    return d.groupBy("dist").agg(
+    named = d.select(_graph_node_name(F.col("node")).alias("node"), "dist")
+    return named.groupBy("dist").agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.min("node").alias("first_node"),
     )

@@ -600,6 +600,12 @@ def q_t10_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import ngram_counts
 
     docs = table(spark, sf_dir, "documents")
+    # r13 NOTE: fusing uni+bi into one (n, gram)-tagged scan was
+    # MEASURED AND REJECTED (4.2 s -> 7.4 s unfused consumers / 5.0 s
+    # with a checkpoint): ReuseExchange already dedups the uni aggregate
+    # across its three consumers here, so the two-scan form does less
+    # per-row work than the struct-tagged concat explode. The r12 note
+    # ("uni's aggregate is exchange-reused") stands, now with numbers.
     uni = ngram_counts(docs, "text", n=1)
     bi = ngram_counts(docs, "text", n=2).filter(F.col("cnt") >= 5)
     n_total = uni.agg(F.sum("cnt").alias("n_tokens"))
